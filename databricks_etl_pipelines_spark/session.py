@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+The reference runs on Databricks serverless and never configures Spark
+(SURVEY.md §4); we run on OSS local[N] but set the handful of knobs that
+matter at scale so the same code is cluster-ready:
+
+  * AQE on (runtime shuffle coalescing, skew-join splitting).
+  * shuffle.partitions sized to the local core count (on a real cluster this
+    would be ~2-3x total cores or left to AQE's coalescing).
+  * Arrow enabled for any pandas interchange (reference `04:43` uses
+    toPandas; Arrow makes it columnar instead of row-pickled).
+  * Session timezone pinned to UTC so timestamp semantics match the DuckDB
+    oracle and are host-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "databricks-etl-pipelines-spark") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
