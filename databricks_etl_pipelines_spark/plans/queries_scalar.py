@@ -1,1 +1,367 @@
-"""Placeholder — populated in later milestones."""
+"""Scalar expression + filter/predicate queries (SURVEY §2.2, §2.8).
+
+One named, oracle-checked query per operator family: string functions, PII
+mask/tokenize (02:67-73), datetime bucketing (02:148-149), math/arithmetic
+(01:109-110), conditional bucketing (02:150-154), additive rule scoring
+(02:159-164), boolean-OR labeling (03:140-146), array/map literal lookups
+(01:101-133, 02:145-147), predicate filters (02:112-118), and JSON
+extraction (events.props).
+
+Everything is a pure Column expression — whole-stage-codegen'd, no Python in
+the row path; projections/filters push down to the parquet scan, so these
+cost one scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.functions.enrich import (
+    additive_score,
+    any_flag,
+    array_pick,
+    bucketize,
+    map_lookup,
+)
+from databricks_etl_pipelines_spark.functions.numeric import stable_round
+from databricks_etl_pipelines_spark.functions.privacy import (
+    mask_card_number,
+    tokenize_pii,
+)
+from databricks_etl_pipelines_spark.sources import table
+
+# -- string functions (concat/lit/lpad/substring/length/lower/trim/sha2) ----
+
+_STRING_ORACLE = """
+SELECT
+  c_custkey,
+  concat('CUST-', lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS cust_id,
+  length(c_name) AS name_len,
+  lower(trim(c_name)) AS name_norm,
+  substring(c_name, -4, 4) AS name_last4,
+  sha256(lower(trim(c_name))) AS name_sha
+FROM customer
+"""
+
+
+@query("scalar_string_functions", _STRING_ORACLE)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("CUST-"), F.lpad(F.col("c_custkey").cast("string"), 8, "0")
+        ).alias("cust_id"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.lower(F.trim(F.col("c_name"))).alias("name_norm"),
+        F.substring("c_name", -4, 4).alias("name_last4"),
+        F.sha2(F.lower(F.trim(F.col("c_name"))), 256).alias("name_sha"),
+    )
+
+
+# -- PII masking + tokenization (02:67-73 parity) ---------------------------
+
+_PII_ORACLE = """
+SELECT
+  c_custkey,
+  concat('****-****-****-', right(card_number, 4)) AS card_masked,
+  sha256(lower(trim(c_name))) AS holder_token
+FROM (
+  SELECT *,
+    concat('4', lpad(CAST(c_custkey * 7919 % 999999999 AS VARCHAR), 15, '0'))
+      AS card_number
+  FROM customer
+)
+"""
+
+
+@query("pii_mask_and_tokenize", _PII_ORACLE)
+def pii_mask_and_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    card = F.concat(
+        F.lit("4"),
+        F.lpad((F.col("c_custkey") * 7919 % 999999999).cast("string"), 15, "0"),
+    )
+    return cust.select(
+        "c_custkey",
+        mask_card_number(card).alias("card_masked"),
+        tokenize_pii("c_name").alias("holder_token"),
+    )
+
+
+# -- datetime functions (to_date/hour/year/month/date_format, 02:148-149) ---
+
+_DATETIME_ORACLE = """
+SELECT
+  event_id,
+  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+  year(ts) AS event_year,
+  month(ts) AS event_month,
+  day(ts) AS event_day,
+  hour(ts) AS event_hour,
+  minute(ts) AS event_minute,
+  strftime(ts, '%Y%m%d') AS date_key
+FROM events
+"""
+
+
+@query("scalar_datetime_functions", _DATETIME_ORACLE)
+def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        # to_date then cast back to timestamp: a raw DATE crosses the
+        # Spark/DuckDB→pandas boundary as different dtypes (object vs
+        # datetime64) and breaks value hashing; midnight timestamps agree.
+        F.to_date("ts").cast("timestamp").alias("event_date"),
+        F.year("ts").cast("bigint").alias("event_year"),
+        F.month("ts").cast("bigint").alias("event_month"),
+        F.dayofmonth("ts").cast("bigint").alias("event_day"),
+        F.hour("ts").cast("bigint").alias("event_hour"),
+        F.minute("ts").cast("bigint").alias("event_minute"),
+        F.date_format("ts", "yyyyMMdd").alias("date_key"),
+    )
+
+
+# -- math / arithmetic (round/abs/sin/mod/floor, 01:109-110) ----------------
+
+_MATH_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100
+    AS net_revenue,
+  floor((abs(sin(l_quantity * 0.1)) * 500 + 1.5) * 100 + 0.5) / 100
+    AS synth_amount,
+  l_orderkey % 7 AS mod7,
+  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+  floor(l_quantity / 50.0 * 10000 + 0.5) / 10000 AS qty_frac
+FROM lineitem
+"""
+
+
+@query("scalar_math_functions", _MATH_ORACLE)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        stable_round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            2,
+        ).alias("net_revenue"),
+        stable_round(F.abs(F.sin(F.col("l_quantity") * 0.1)) * 500 + 1.5, 2).alias(
+            "synth_amount"
+        ),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        stable_round(F.col("l_quantity") / 50.0, 4).alias("qty_frac"),
+    )
+
+
+# -- conditional bucketing (02:150-154 amount_bucket) -----------------------
+
+_BUCKET_ORACLE = """
+SELECT
+  o_orderkey,
+  CASE WHEN o_totalprice < 50000 THEN 'micro'
+       WHEN o_totalprice < 150000 THEN 'small'
+       WHEN o_totalprice < 300000 THEN 'medium'
+       ELSE 'large' END AS price_bucket
+FROM orders
+"""
+
+
+@query("scalar_conditional_bucketing", _BUCKET_ORACLE)
+def scalar_conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        bucketize(
+            "o_totalprice",
+            [50000, 150000, 300000],
+            ["micro", "small", "medium", "large"],
+        ).alias("price_bucket"),
+    )
+
+
+# -- additive conditional rule scoring (02:159-164 risk_score_raw) ----------
+
+_SCORE_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  (CASE WHEN l_discount > 0.05 THEN 25 ELSE 0 END
+   + CASE WHEN l_tax > 0.06 THEN 15 ELSE 0 END
+   + CASE WHEN l_quantity > 45 THEN 30 ELSE 0 END
+   + CASE WHEN l_extendedprice > 50000 THEN 20 ELSE 0 END
+   + CASE WHEN l_returnflag = 'R' THEN 10 ELSE 0 END) AS risk_score_raw
+FROM lineitem
+"""
+
+
+@query("scalar_conditional_risk_score", _SCORE_ORACLE)
+def scalar_conditional_risk_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        additive_score(
+            [
+                (F.col("l_discount") > 0.05, 25),
+                (F.col("l_tax") > 0.06, 15),
+                (F.col("l_quantity") > 45, 30),
+                (F.col("l_extendedprice") > 50000, 20),
+                (F.col("l_returnflag") == "R", 10),
+            ]
+        ).alias("risk_score_raw"),
+    )
+
+
+# -- boolean-OR labeling (03:140-146 is_suspicious) -------------------------
+
+_FLAG_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CASE WHEN l_quantity >= 49 OR l_discount >= 0.09
+            OR l_extendedprice >= 90000
+       THEN 1 ELSE 0 END AS is_suspicious
+FROM lineitem
+"""
+
+
+@query("scalar_boolean_or_labeling", _FLAG_ORACLE)
+def scalar_boolean_or_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        any_flag(
+            F.col("l_quantity") >= 49,
+            F.col("l_discount") >= 0.09,
+            F.col("l_extendedprice") >= 90000,
+        ).alias("is_suspicious"),
+    )
+
+
+# -- array literal + element_at positional pick (01:101-133) ----------------
+
+_ARRAY_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  (['VISA','MASTERCARD','AMEX','DISCOVER'])[l_orderkey % 4 + 1] AS network,
+  (['CREDIT','DEBIT','PREPAID'])[(l_orderkey + l_linenumber) % 3 + 1]
+    AS card_type
+FROM lineitem
+"""
+
+
+@query("scalar_array_element_at", _ARRAY_ORACLE)
+def scalar_array_element_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        array_pick(
+            ["VISA", "MASTERCARD", "AMEX", "DISCOVER"], F.col("l_orderkey")
+        ).alias("network"),
+        array_pick(
+            ["CREDIT", "DEBIT", "PREPAID"],
+            F.col("l_orderkey") + F.col("l_linenumber"),
+        ).alias("card_type"),
+    )
+
+
+# -- map-literal dim lookup (02:145-147 mcc_category) -----------------------
+
+_SEGMENT_MAP = {
+    "AUTOMOBILE": "consumer",
+    "BUILDING": "b2b",
+    "FURNITURE": "consumer",
+    "MACHINERY": "b2b",
+    "HOUSEHOLD": "consumer",
+}
+
+_MAP_ORACLE = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  coalesce(
+    CASE c_mktsegment
+      WHEN 'AUTOMOBILE' THEN 'consumer'
+      WHEN 'BUILDING' THEN 'b2b'
+      WHEN 'FURNITURE' THEN 'consumer'
+      WHEN 'MACHINERY' THEN 'b2b'
+      WHEN 'HOUSEHOLD' THEN 'consumer'
+    END, 'other') AS segment_class
+FROM customer
+"""
+
+
+@query("scalar_map_literal_lookup", _MAP_ORACLE)
+def scalar_map_literal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        map_lookup("c_mktsegment", _SEGMENT_MAP, default="other").alias(
+            "segment_class"
+        ),
+    )
+
+
+# -- predicate filters: null / comparison / length / IN / computed ----------
+# (02:112-118 DQ gate shapes)
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE l_returnflag IS NOT NULL
+  AND l_quantity > 30
+  AND length(l_linestatus) = 1
+  AND l_returnflag IN ('A', 'R')
+  AND l_orderkey % 2 = 1
+"""
+
+
+@query("filter_predicates", _FILTER_ORACLE)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag").isNotNull())
+        .filter(F.col("l_quantity") > 30)
+        .filter(F.length("l_linestatus") == 1)
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .filter(F.col("l_orderkey") % 2 == 1)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+        )
+    )
+
+
+# -- JSON extraction over events.props --------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+  event_type
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+
+
+@query("json_extract_events", _JSON_ORACLE)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    prop_k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_id", prop_k.alias("prop_k"), "event_type")
+        .filter(F.col("prop_k") > 50)
+    )
