@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.functions.enrich import any_flag
+from databricks_etl_pipelines_spark.functions.numeric import stable_round
 from databricks_etl_pipelines_spark.sources import table
 
 # ---------------------------------------------------------------------------
@@ -46,7 +48,8 @@ SELECT
   count(*) AS txn_count,
   round(sum(l_quantity), 2) AS sum_qty,
   round(sum(l_extendedprice), 2) AS sum_price,
-  round(avg(l_discount), 6) AS avg_discount,
+  floor((floor(sum(l_discount) * 100 + 0.5) / 100) / count(*) * 1000000 + 0.5)
+    / 1000000 AS avg_discount,
   round(stddev_samp(l_extendedprice), 2) AS stddev_price,
   count(DISTINCT l_suppkey) AS supplier_count,
   CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
@@ -76,7 +79,9 @@ def flagship_pricing_risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").alias("txn_count"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            stable_round(
+                stable_round(F.sum("l_discount"), 2) / F.count("*"), 6
+            ).alias("avg_discount"),
             F.round(F.stddev("l_extendedprice"), 2).alias("stddev_price"),
             F.countDistinct("l_suppkey").alias("supplier_count"),
             F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
@@ -89,3 +94,346 @@ def flagship_pricing_risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return agg.orderBy(F.desc("sum_price"))
+
+
+# ---------------------------------------------------------------------------
+# A1: DQ-summary shape — single-key group, count/avg/conditional-sum
+# (02:243-253) on orders.
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT
+  o_orderpriority,
+  count(*) AS order_count,
+  floor((floor(sum(o_totalprice) * 100 + 0.5) / 100) / count(*) * 10000 + 0.5)
+    / 10000 AS avg_price,
+  CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS big_ticket_count,
+  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_dq_summary", _DQ_ORACLE)
+def agg_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    # Averages of fixed-decimal data can land exactly on a rounding-grid
+    # midpoint, where engine summation order flips the result — so derive
+    # avg from the grid-stabilized sum instead of rounding F.avg directly.
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.when(F.col("o_totalprice") > 250000, 1).otherwise(0)).alias(
+                "big_ticket_count"
+            ),
+            stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumn(
+            "avg_price",
+            stable_round(F.col("total_price") / F.col("order_count"), 4),
+        )
+        .select(
+            "o_orderpriority", "order_count", "avg_price",
+            "big_ticket_count", "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: time-bucketed 4-key volume stats (03:173-183 hourly_volume_stats) on
+# events. The reference buckets with derived date/hour columns; same here —
+# one shuffle on the four keys, partial aggregation map-side.
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = """
+SELECT
+  date_trunc('day', ts) AS event_date,
+  hour(ts) AS event_hour,
+  event_type,
+  count(*) AS event_count,
+  floor(sum("value") * 100 + 0.5) / 100 AS total_value,
+  floor((floor(sum("value") * 100 + 0.5) / 100) / count(*) * 10000 + 0.5) / 10000
+    AS avg_value,
+  count(DISTINCT user_id) AS unique_users
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("agg_hourly_volume_stats", _HOURLY_ORACLE)
+def agg_hourly_volume_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_date", F.date_trunc("day", "ts"))
+        .withColumn("event_hour", F.hour("ts").cast("bigint"))
+        .groupBy("event_date", "event_hour", "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .withColumn(
+            "avg_value",
+            stable_round(F.col("total_value") / F.col("event_count"), 4),
+        )
+        .select(
+            "event_date", "event_hour", "event_type",
+            "event_count", "total_value", "avg_value", "unique_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5+A6: the 22-aggregate entity-feature table (03:93-137 cardholder_features)
+# re-expressed as per-customer order features: one wide groupBy — count, sum,
+# avg, stddev, min, max, countDistinct diversity, conditional channel mix,
+# first/last-seen timestamps — then post-agg ratios and the boolean-OR
+# is_suspicious label (03:140-147). One shuffle total; ratios fold into the
+# final projection.
+# ---------------------------------------------------------------------------
+
+_FEATURES_ORACLE = """
+WITH feat AS (
+  SELECT
+    o_custkey,
+    count(*) AS order_count,
+    floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_spend,
+    floor((floor(sum(o_totalprice) * 100 + 0.5) / 100) / count(*) * 10000 + 0.5)
+      / 10000 AS avg_order_value,
+    floor(stddev_samp(o_totalprice) * 10000 + 0.5) / 10000 AS stddev_order_value,
+    floor(min(o_totalprice) * 100 + 0.5) / 100 AS min_order_value,
+    floor(max(o_totalprice) * 100 + 0.5) / 100 AS max_order_value,
+    count(DISTINCT o_orderstatus) AS status_diversity,
+    count(DISTINCT o_orderpriority) AS priority_diversity,
+    count(DISTINCT date_trunc('day', o_orderdate)) AS active_days,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      AS fulfilled_count,
+    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+      AS BIGINT) AS urgent_count,
+    CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+      AS jumbo_count,
+    floor(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) * 100
+      + 0.5) / 100 AS fulfilled_spend,
+    min(o_orderdate) AS first_seen,
+    max(o_orderdate) AS last_seen
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT *,
+  floor(urgent_count / order_count * 10000 + 0.5) / 10000 AS urgent_ratio,
+  floor(stddev_order_value / nullif(avg_order_value, 0) * 10000 + 0.5) / 10000
+    AS coeff_variation,
+  CASE WHEN urgent_count >= 5 OR max_order_value >= 400000
+            OR jumbo_count >= 3
+       THEN 1 ELSE 0 END AS is_suspicious
+FROM feat
+"""
+
+
+@query("agg_entity_features", _FEATURES_ORACLE)
+def agg_entity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    feat = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"),
+        stable_round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        stable_round(F.stddev("o_totalprice"), 4).alias("stddev_order_value"),
+        stable_round(F.min("o_totalprice"), 2).alias("min_order_value"),
+        stable_round(F.max("o_totalprice"), 2).alias("max_order_value"),
+        F.countDistinct("o_orderstatus").alias("status_diversity"),
+        F.countDistinct("o_orderpriority").alias("priority_diversity"),
+        F.countDistinct(F.date_trunc("day", "o_orderdate")).alias("active_days"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "fulfilled_count"
+        ),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        ).alias("urgent_count"),
+        F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).alias(
+            "jumbo_count"
+        ),
+        stable_round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("fulfilled_spend"),
+        F.min("o_orderdate").alias("first_seen"),
+        F.max("o_orderdate").alias("last_seen"),
+    )
+    feat = feat.withColumn(
+        "avg_order_value",
+        stable_round(F.col("total_spend") / F.col("order_count"), 4),
+    )
+    result = feat.select(
+        "*",
+        stable_round(F.col("urgent_count") / F.col("order_count"), 4).alias(
+            "urgent_ratio"
+        ),
+        stable_round(
+            F.col("stddev_order_value")
+            / F.nullif(F.col("avg_order_value"), F.lit(0)),
+            4,
+        ).alias("coeff_variation"),
+        any_flag(
+            F.col("urgent_count") >= 5,
+            F.col("max_order_value") >= 400000,
+            F.col("jumbo_count") >= 3,
+        ).alias("is_suspicious"),
+    )
+    # Column order must match the oracle's SELECT * expansion.
+    return result.select(
+        "o_custkey", "order_count", "total_spend", "avg_order_value",
+        "stddev_order_value", "min_order_value", "max_order_value",
+        "status_diversity", "priority_diversity", "active_days",
+        "fulfilled_count", "urgent_count", "jumbo_count", "fulfilled_spend",
+        "first_seen", "last_seen", "urgent_ratio", "coeff_variation",
+        "is_suspicious",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: ungrouped aggregation — global counts/sums in one partial+final pass.
+# ---------------------------------------------------------------------------
+
+_GLOBAL_ORACLE = """
+SELECT
+  count(*) AS row_count,
+  count(DISTINCT l_orderkey) AS order_count,
+  count(DISTINCT l_suppkey) AS supplier_count,
+  floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS total_price,
+  floor(sum(l_quantity) * 100 + 0.5) / 100 AS total_qty,
+  floor((floor(sum(l_quantity) * 100 + 0.5) / 100) / count(*) * 10000 + 0.5)
+    / 10000 AS avg_qty
+FROM lineitem
+"""
+
+
+@query("agg_ungrouped_global", _GLOBAL_ORACLE)
+def agg_ungrouped_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("row_count"),
+        F.countDistinct("l_orderkey").alias("order_count"),
+        F.countDistinct("l_suppkey").alias("supplier_count"),
+        stable_round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        stable_round(F.sum("l_quantity"), 2).alias("total_qty"),
+    ).withColumn(
+        "avg_qty", stable_round(F.col("total_qty") / F.col("row_count"), 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube (SURVEY §2.4 'absent but built-in' extensions).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  count(*) AS line_count,
+  floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_rollup", _ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("line_count"),
+        stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*) AS order_count,
+  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_cube", _CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("order_count"),
+        stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / median (SURVEY §2.4 'absent' — built-in extension).
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT
+  l_returnflag,
+  floor(median(l_extendedprice) * 10000 + 0.5) / 10000 AS median_price,
+  floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25_price,
+  floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles", _PCTL_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.median("l_extendedprice"), 4).alias("median_price"),
+        stable_round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+        stable_round(F.percentile("l_extendedprice", 0.75), 4).alias("p75_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# collect_set (deterministic: sorted then joined to a string so the
+# differential hash is order-stable).
+# ---------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT
+  l_orderkey,
+  array_to_string(list_sort(list_distinct(list(l_returnflag))), ',')
+    AS return_flags,
+  count(*) AS line_count
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+@query("agg_collect_set", _COLLECT_ORACLE)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias(
+            "return_flags"
+        ),
+        F.count("*").alias("line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_count_distinct — the 100 TB swap-in for A3/A5/A7's exact distincts
+# (HLL++, no expand, single pass). Approximate ⇒ rows-only check, no oracle.
+# ---------------------------------------------------------------------------
+
+
+@query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
