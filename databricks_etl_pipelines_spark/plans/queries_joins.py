@@ -1,1 +1,303 @@
-"""Placeholder — populated in later milestones."""
+"""Join queries (SURVEY §2.3): the full equi-join surface the reference
+implies but never writes, plus the Delta-MERGE upsert re-expressed on the
+managed-table layer.
+
+Plan-shape expectations (checked in tests via .explain):
+  * broadcast joins on nation/region — BroadcastHashJoin, fact side unshuffled
+  * customer⋈orders⋈lineitem — shuffled joins with AQE; filters pushed to scans
+  * semi/anti — Left(Semi|Anti) without right payload materialization
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.functions.numeric import stable_round
+from databricks_etl_pipelines_spark.operators.joins import (
+    anti_join,
+    broadcast_dim_join,
+    semi_join,
+)
+from databricks_etl_pipelines_spark.sources import table
+from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+
+# -- inner equi-join + aggregate --------------------------------------------
+
+_INNER_ORACLE = """
+SELECT
+  c.c_mktsegment,
+  count(*) AS order_count,
+  floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS segment_revenue,
+  count(DISTINCT c.c_custkey) AS active_customers
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("join_inner_customer_orders", _INNER_ORACLE)
+def join_inner_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_count"),
+            stable_round(F.sum("o_totalprice"), 2).alias("segment_revenue"),
+            F.countDistinct("c_custkey").alias("active_customers"),
+        )
+    )
+
+
+# -- broadcast dim join chain (J2 real-join form) ----------------------------
+
+_BROADCAST_ORACLE = """
+SELECT
+  r.r_name AS region_name,
+  n.n_name AS nation_name,
+  count(*) AS customer_count,
+  floor(sum(c.c_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@query("join_broadcast_dims", _BROADCAST_ORACLE)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = (
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+    enriched = broadcast_dim_join(
+        cust, nation, cust.c_nationkey == nation.n_nationkey, "inner"
+    )
+    enriched = broadcast_dim_join(
+        enriched, region, enriched.n_regionkey == region.r_regionkey, "inner"
+    )
+    return enriched.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.count("*").alias("customer_count"),
+        stable_round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+# -- left outer join (null-producing side aggregated with count(col)) --------
+
+_LEFT_ORACLE = """
+SELECT
+  c.c_custkey,
+  count(o.o_orderkey) AS order_count,
+  floor(coalesce(sum(o.o_totalprice), 0) * 100 + 0.5) / 100 AS total_spend
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@query("join_left_outer", _LEFT_ORACLE)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            stable_round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+# -- full outer join ----------------------------------------------------------
+
+_FULL_ORACLE = """
+WITH cust_by_nation AS (
+  SELECT c_nationkey AS nationkey, count(*) AS customer_count
+  FROM customer GROUP BY c_nationkey
+),
+supp_by_nation AS (
+  SELECT s_nationkey AS nationkey, count(*) AS supplier_count
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT
+  coalesce(c.nationkey, s.nationkey) AS nationkey,
+  coalesce(c.customer_count, 0) AS customer_count,
+  coalesce(s.supplier_count, 0) AS supplier_count
+FROM cust_by_nation c
+FULL OUTER JOIN supp_by_nation s ON c.nationkey = s.nationkey
+"""
+
+
+@query("join_full_outer", _FULL_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = table(spark, sf_dir, "customer"), table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("customer_count")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("supplier_count")
+    )
+    joined = c.alias("c").join(
+        s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full"
+    )
+    return joined.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.coalesce(F.col("customer_count"), F.lit(0)).alias("customer_count"),
+        F.coalesce(F.col("supplier_count"), F.lit(0)).alias("supplier_count"),
+    )
+
+
+# -- semi join (EXISTS) -------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@query("join_semi_urgent_customers", _SEMI_ORACLE)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return semi_join(cust, urgent, cust.c_custkey == urgent.o_custkey).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# -- anti join (NOT EXISTS) — the scalable form of E1's subtract (02:120) ----
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+"""
+
+
+@query("join_anti_customers_without_orders", _ANTI_ORACLE)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return anti_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# -- three-way join, filter pushdown, group, top-k (TPC-H Q3 shape) -----------
+
+_THREEWAY_ORACLE = """
+SELECT
+  o.o_orderkey,
+  floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100
+    AS revenue,
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("join_three_way_topk_revenue", _THREEWAY_ORACLE)
+def join_three_way_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# -- MERGE upsert (J1/S8, 02:174-184) on the managed-table layer --------------
+
+_MERGE_ORACLE = """
+WITH source AS (
+  SELECT
+    o_orderkey, o_custkey, 'U' AS o_orderstatus,
+    floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice,
+    o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT
+    o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus,
+    1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 7
+)
+SELECT * FROM source
+UNION ALL
+SELECT t.* FROM orders t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+"""
+
+
+@query("merge_upsert_orders", _MERGE_ORACLE)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materializes orders as a managed table, MERGEs an update+insert batch,
+    and returns the post-merge snapshot (which the oracle recomputes
+    relationally)."""
+    orders = table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        stable_round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 100 == 7).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    source = updates.unionByName(inserts)
+
+    tmp = tempfile.mkdtemp(prefix="merge_upsert_orders_")
+    try:
+        mt = ManagedTable(tmp)
+        mt.create_or_overwrite(orders)
+        mt.merge_upsert(spark, source, ["o_orderkey"])
+        snapshot = mt.read(spark)
+        # Materialize before the temp dir disappears.
+        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

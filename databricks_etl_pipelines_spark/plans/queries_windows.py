@@ -1,1 +1,195 @@
-"""Placeholder — populated in later milestones."""
+"""Window-function queries (SURVEY §2.5) over events and customer.
+
+Each compares against standard SQL window functions in DuckDB. Row-order-
+sensitive functions always order by a total order (ts + event_id tiebreak)
+so results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.functions.numeric import stable_round
+from databricks_etl_pipelines_spark.operators.windows import (
+    cumulative_frame,
+    rolling_frame,
+    topn_per_group,
+    with_lag_lead,
+)
+from databricks_etl_pipelines_spark.sources import table
+
+# -- row_number top-n per group ------------------------------------------------
+
+_TOPN_ORACLE = """
+SELECT user_id, event_id, event_type, "value", rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id
+  ) AS rn
+  FROM events
+)
+WHERE rn <= 3
+"""
+
+
+@query("window_topn_per_user", _TOPN_ORACLE)
+def window_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    top = topn_per_group(
+        ev, ["user_id"], [F.desc("ts"), F.col("event_id")], 3, rank_col="rn"
+    )
+    return top.select(
+        "user_id", "event_id", "event_type", "value",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+# -- rank / dense_rank with real ties -------------------------------------------
+
+_RANK_ORACLE = """
+SELECT
+  c_custkey,
+  c_nationkey,
+  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+  rank() OVER (
+    PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000) DESC
+  ) AS bal_rank,
+  dense_rank() OVER (
+    PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000) DESC
+  ) AS bal_dense_rank
+FROM customer
+"""
+
+
+@query("window_rank_dense_rank", _RANK_ORACLE)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc(F.floor(F.col("c_acctbal") / 1000))
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_k"),
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+    )
+
+
+# -- lag / lead analytic ----------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT
+  user_id, event_id, "value",
+  lag("value") OVER w AS prev_value,
+  lead("value") OVER w AS next_value,
+  "value" - lag("value") OVER w AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("window_lag_lead", _LAG_ORACLE)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    with_ll = with_lag_lead(
+        ev, "value", ["user_id"], [F.col("ts"), F.col("event_id")]
+    )
+    return with_ll.select(
+        "user_id",
+        "event_id",
+        "value",
+        "prev_value",
+        "next_value",
+        (F.col("value") - F.col("prev_value")).alias("value_delta"),
+    )
+
+
+# -- rolling frame aggregate (rowsBetween -2..0) -----------------------------------
+
+_ROLLING_ORACLE = """
+SELECT
+  user_id, event_id,
+  floor(sum("value") OVER w * 100 + 0.5) / 100 AS rolling_sum3,
+  count(*) OVER w AS rolling_n,
+  floor((floor(sum("value") OVER w * 100 + 0.5) / 100) / count(*) OVER w
+        * 10000 + 0.5) / 10000 AS rolling_avg3
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("window_rolling_avg", _ROLLING_ORACLE)
+def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = rolling_frame(["user_id"], [F.col("ts"), F.col("event_id")], 2, 0)
+    rolling_sum = stable_round(F.sum("value").over(w), 2)
+    rolling_n = F.count("*").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        rolling_sum.alias("rolling_sum3"),
+        rolling_n.alias("rolling_n"),
+        stable_round(rolling_sum / rolling_n, 4).alias("rolling_avg3"),
+    )
+
+
+# -- cumulative sum -----------------------------------------------------------------
+
+_CUMSUM_ORACLE = """
+SELECT
+  user_id, event_id,
+  floor(sum("value") OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) * 100 + 0.5) / 100 AS running_total
+FROM events
+"""
+
+
+@query("window_cumulative_sum", _CUMSUM_ORACLE)
+def window_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = cumulative_frame(["user_id"], [F.col("ts"), F.col("event_id")])
+    return ev.select(
+        "user_id",
+        "event_id",
+        stable_round(F.sum("value").over(w), 2).alias("running_total"),
+    )
+
+
+# -- first/last value over full partition frame ---------------------------------------
+
+_FIRSTLAST_ORACLE = """
+SELECT DISTINCT
+  user_id,
+  first_value(event_type) OVER w AS first_event_type,
+  last_value(event_type) OVER w AS last_event_type,
+  count(*) OVER (PARTITION BY user_id) AS user_events
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+@query("window_first_last", _FIRSTLAST_ORACLE)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event_type"),
+        F.last("event_type").over(w).alias("last_event_type"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("user_events"),
+    ).distinct()
