@@ -1,0 +1,346 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash-LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+All five are DataFrame combinators with no row-level Python; the quadratic
+pair explosion every near-dup method risks is bounded by *blocking*
+(LSH band buckets / simhash chunk buckets / length buckets) so candidate
+generation is an equi-join, never a cross join.
+
+Scale design (100 TB documents):
+  * exact: one hash-aggregate shuffle on the normalized-text hash.
+  * MinHash-LSH: signatures are a pure projection (k·p hashes per doc,
+    JVM-side xxhash64); banding turns near-dup search into `bands` equi-
+    joins on (band_id, band_hash). Hot buckets (boilerplate docs) are
+    capped — a bucket with > max_bucket pairs is dropped and reported,
+    the standard guardrail against O(n²) blowup inside one bucket.
+  * SimHash: 60-bit signature via per-bit majority vote of token hashes —
+    two aggregations, then banded equi-join + hamming filter (bit_count of
+    xor), all codegen.
+  * n-gram Jaccard: exact verification on blocked candidate pairs via
+    array_intersect/array_union sizes.
+  * embedding cosine: candidate pairs from coarse quantization buckets
+    (sign-bit LSH of leading dims) or, for modest n, blocked self-join;
+    verification is an expression-side cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.functions.textfns import (
+    distinct_shingles,
+    normalized_text,
+    tokens,
+)
+from databricks_etl_pipelines_spark.functions.vectors import as_double_array, cosine
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """One row per distinct (normalized) text: the keeper id (min) and the
+    duplicate count. Single hash-agg shuffle; at 100 TB group on the md5 of
+    the normalized text so the shuffle key is 16 bytes, not the document."""
+    key = normalized_text(text_col) if normalize else F.col(text_col)
+    return (
+        df.withColumn("__text_hash", F.md5(key))
+        .groupBy("__text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("copies"),
+        )
+        .withColumnRenamed("__text_hash", "text_hash")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct normalized text."""
+    w_keeper = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(w_keeper, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of
+    xxhash64(i, shingle). Pure projection: shingling + hashing stay inside
+    codegen; no shuffle."""
+    sh = distinct_shingles(text_col, shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_perm)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def _band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode each signature into (id, band_id, band_hash)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", b * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.explode(band_structs).alias("band")).select(
+        "id", "band.band_id", "band.band_hash"
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from LSH banding.
+
+    A pair is a candidate iff it collides in ≥1 band. Buckets larger than
+    ``max_bucket`` are dropped (boilerplate guardrail) — at 100 TB a single
+    viral doc cluster would otherwise produce a quadratic bucket."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_k)
+    buckets = _band_buckets(sigs, bands, rows_per_band)
+    bucket_sizes = buckets.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    bounded = buckets.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
+        ["band_id", "band_hash"],
+    )
+    a = bounded.select(
+        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_a")
+    )
+    b = bounded.select(
+        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_b")
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        distinct_shingles(text_col, shingle_k).alias("sh"),
+    )
+    paired = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        paired.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # stay clear of the sign bit of a 64-bit long
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) — per-bit majority vote over token xxhash64 values.
+
+    Explode to (id, token) then one groupBy(id) with 60 conditional sums;
+    both steps are codegen hash-aggregates."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("bigint") * (2**j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocking: split the signature into ``chunks`` bit-ranges; by pigeonhole
+    any pair within hamming ≤ chunks-1 collides on ≥1 exact chunk, so
+    candidates come from equi-joins on (chunk_id, chunk_value)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    bits_per_chunk = SIMHASH_BITS // chunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.expr(
+                    f"(simhash >> {c * bits_per_chunk}) & "
+                    f"{(1 << bits_per_chunk) - 1}"
+                ).alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    chunked = sigs.select(
+        "id", "simhash", F.explode(chunk_structs).alias("c")
+    ).select("id", "simhash", "c.chunk_id", "c.chunk_val")
+    a = chunked.select(
+        "chunk_id", "chunk_val",
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = chunked.select(
+        "chunk_id", "chunk_val",
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"),
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(sim_a ^ sim_b)").cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, blocked)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    length_bucket: int = 64,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs, blocked by character-length bucket
+    (near-dups have near-equal lengths; a pair must share a bucket or be in
+    adjacent buckets). Equi-join on the bucket id bounds the pair count."""
+    prep = df.select(
+        F.col(id_col).alias("id"),
+        distinct_shingles(text_col, shingle_k).alias("sh"),
+        F.floor(F.length(F.col(text_col)) / length_bucket).alias("bkt"),
+    )
+    # each doc lands in its own bucket and the one above → adjacent-bucket
+    # pairs meet in the shared bucket id
+    expanded = prep.select(
+        "id", "sh", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("b")
+    )
+    a = expanded.select(
+        F.col("b"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = expanded.select(
+        F.col("b"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(b, "b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .distinct()
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    sign_bits: int = 0,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. With sign_bits > 0, blocks by the
+    sign pattern of the leading dims (random-hyperplane-style bucketing
+    with axis-aligned planes) so the self-join is per-bucket; near-dup
+    vectors (cosine ≈ 1) almost surely share the sign pattern."""
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    )
+    if sign_bits > 0:
+        bucket = None
+        for i in range(sign_bits):
+            bit = F.when(F.element_at("v", i + 1) >= 0, 2**i).otherwise(0)
+            bucket = bit if bucket is None else bucket + bit
+        v = v.withColumn("bkt", bucket)
+        join_on = ["bkt"]
+        a = v.select("bkt", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        b = v.select("bkt", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        paired = a.join(b, join_on)
+    else:
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        paired = a.crossJoin(b)
+    sim = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        paired.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — a single scan + projection +
+TakeOrderedAndProject; exact, and at 100 TB still embarrassingly parallel
+(no shuffle, k·partitions rows to the driver).
+
+Scale path: LSH bucketing (deterministic random-hyperplane signatures) —
+probes only matching buckets, trading recall for a ~2^bits scan reduction.
+IVF-style coarse quantization is the same pattern with learned centroids;
+the bucketed join shape below is the Spark-side skeleton either way.
+
+A vectorized Pandas-UDF cosine (`pandas_cosine`) is provided for wide
+vectors where Arrow+numpy beats the expression evaluator; default stays
+expression-side (no Python in the row path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from databricks_etl_pipelines_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    vec_lit,
+)
+
+
+def brute_force_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector. Ties break on id so
+    the result is a deterministic set."""
+    v = as_double_array(vec_col)
+    q = F.transform(vec_lit(query), lambda x: x.cast("double"))
+    sim = cosine(v, q)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def _sign_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Packed int signature: bit i = sign(dot(vec, plane_i)) ≥ 0."""
+    sig = None
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(d >= 0, 2**i).otherwise(0)
+        sig = bit if sig is None else sig + bit
+    return sig.cast("bigint")
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only the LSH bucket the query falls in.
+
+    At scale, persist the signature as a partition column so bucket probes
+    are partition-pruned scans instead of full scans + filter."""
+    planes = hyperplanes(len(query), bits, seed)
+    v = as_double_array(vec_col)
+    qvec = np.asarray(query, dtype=float)
+    qsig = sum(
+        (1 << i) for i, p in enumerate(planes) if float(np.dot(qvec, p)) >= 0
+    )
+    q = F.transform(vec_lit(query), lambda x: x.cast("double"))
+    sim = cosine(v, q)
+    return (
+        df.withColumn("__sig", _sign_signature(v, planes))
+        .filter(F.col("__sig") == qsig)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pandas_cosine(query: Sequence[float]):
+    """Arrow-vectorized cosine-to-query as a Pandas UDF (the fast Python
+    path when the expression evaluator loses to numpy on wide vectors)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf("double")
+    def _cos(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        return pd.Series(
+            (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+        )
+
+    return _cos
+
+
+def pandas_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    sim = pandas_cosine(query)(F.col(vec_col))
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

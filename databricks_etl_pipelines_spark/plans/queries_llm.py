@@ -1,1 +1,347 @@
-"""Placeholder — populated in later milestones."""
+"""LLM training-data pipeline queries (SURVEY §7 M8 / north star):
+text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding cosine), similarity search, multimodal plumbing.
+
+Oracle-checked where ANSI-SQL-expressible (DuckDB list lambdas mirror the
+Spark higher-order functions); hash-seeded ops (xxhash64 signatures) are
+engine-specific and get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.functions.numeric import stable_round
+from databricks_etl_pipelines_spark.functions.textfns import (
+    LANG_STOPWORDS,
+    avg_token_length,
+    char_count,
+    digit_ratio,
+    fingerprint_minhash1,
+    lang_id,
+    punct_ratio,
+    stopword_hits,
+    stopword_ratio,
+    token_count,
+)
+from databricks_etl_pipelines_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup_groups,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from databricks_etl_pipelines_spark.operators.multimodal import (
+    binary_stats,
+    to_binary_docs,
+)
+from databricks_etl_pipelines_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    lsh_ann_topk,
+    pandas_cosine_topk,
+)
+from databricks_etl_pipelines_spark.sources import table
+
+# SQL fragments shared by the DuckDB oracles -------------------------------
+
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SQL_SHINGLES3 = (
+    "CASE WHEN len({t}) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> array_to_string(({t})[i:i+2], ' '))) "
+    "ELSE [array_to_string({t}, ' ')] END"
+).format(t=_SQL_TOKS)
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# -- token / char / fingerprint stats ----------------------------------------
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT
+  doc_id,
+  len({_SQL_TOKS}) AS n_tokens,
+  length(text) AS n_chars,
+  CAST(list_sum(list_transform({_SQL_TOKS}, x -> length(x))) AS BIGINT)
+    / len({_SQL_TOKS}) AS avg_token_len,
+  list_aggregate(list_transform({_SQL_SHINGLES3}, s -> md5(s)), 'min')
+    AS fingerprint
+FROM documents
+"""
+
+
+@query("text_token_stats", _TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        char_count("text").alias("n_chars"),
+        avg_token_length("text").alias("avg_token_len"),
+        fingerprint_minhash1("text", 3).alias("fingerprint"),
+    )
+
+
+# -- quality scoring -----------------------------------------------------------
+
+_EN = _sql_in_list(LANG_STOPWORDS["en"])
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT
+    doc_id,
+    len({_SQL_TOKS}) AS n_tokens,
+    CAST(list_sum(list_transform({_SQL_TOKS}, x -> length(x))) AS BIGINT)
+      / len({_SQL_TOKS}) AS avg_tok_len,
+    len(list_filter({_SQL_TOKS}, x -> x IN ({_EN}))) / len({_SQL_TOKS})
+      AS stop_ratio,
+    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+      / length(text) AS punct_r,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+      / length(text) AS digit_r
+  FROM documents
+)
+SELECT
+  doc_id, n_tokens, avg_tok_len, stop_ratio, punct_r, digit_r,
+  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 30 ELSE 0 END
+   + CASE WHEN avg_tok_len BETWEEN 3 AND 12 THEN 30 ELSE 0 END
+   + CASE WHEN stop_ratio > 0.05 THEN 20 ELSE 0 END
+   + CASE WHEN punct_r < 0.2 AND digit_r < 0.2 THEN 20 ELSE 0 END)
+  AS quality_score
+FROM t
+"""
+
+
+@query("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        avg_token_length("text").alias("avg_tok_len"),
+        stopword_ratio("text", LANG_STOPWORDS["en"]).alias("stop_ratio"),
+        punct_ratio("text").alias("punct_r"),
+        digit_ratio("text").alias("digit_r"),
+    )
+    quality = (
+        F.when(F.col("n_tokens").between(10, 1000), 30).otherwise(0)
+        + F.when(F.col("avg_tok_len").between(3, 12), 30).otherwise(0)
+        + F.when(F.col("stop_ratio") > 0.05, 20).otherwise(0)
+        + F.when((F.col("punct_r") < 0.2) & (F.col("digit_r") < 0.2), 20).otherwise(0)
+    )
+    return scored.withColumn("quality_score", quality)
+
+
+# -- language identification -----------------------------------------------------
+
+def _lang_oracle() -> str:
+    hit_cols = ",\n    ".join(
+        f"len(list_filter({_SQL_TOKS}, x -> x IN "
+        f"({_sql_in_list(sw)}))) AS hits_{lang}"
+        for lang, sw in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    cases = []
+    for lang in langs:
+        conds = [f"hits_{lang} > 0"] + [
+            f"hits_{lang} >= hits_{o}" for o in langs if o != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang AS lang_label,
+    {hit_cols}
+  FROM documents
+)
+SELECT doc_id, lang_label, hits_en, hits_de, hits_fr, hits_es,
+  {case_sql} AS lang_pred
+FROM h
+"""
+
+
+@query("text_language_id", _lang_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sel = [
+        F.col("doc_id"),
+        F.col("lang").alias("lang_label"),
+    ]
+    for lang, sw in LANG_STOPWORDS.items():
+        sel.append(stopword_hits("text", sw).alias(f"hits_{lang}"))
+    sel.append(lang_id("text").alias("lang_pred"))
+    return docs.select(*sel)
+
+
+# -- exact dedup ------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+  min(doc_id) AS keeper_id,
+  count(*) AS copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_exact_documents", _EXACT_DEDUP_ORACLE)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "text", "doc_id")
+
+
+# -- n-gram Jaccard near-dup (exact, length-blocked) -------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH prep AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh,
+         CAST(floor(length(text) / 64) AS BIGINT) AS bkt
+  FROM documents
+),
+expanded AS (
+  SELECT id, sh, unnest([bkt, bkt + 1]) AS b FROM prep
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+  len(list_intersect(a.sh, b.sh))
+    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM expanded a JOIN expanded b ON a.b = b.b AND a.id < b.id
+WHERE len(list_intersect(a.sh, b.sh))
+    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, shingle_k=3, length_bucket=64
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("jaccard")
+    )
+
+
+# -- MinHash-LSH near-dup (engine-specific hashes ⇒ rows-only) ----------------------
+
+
+@query("dedup_minhash_lsh_pairs")
+def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_perm=32, bands=8, shingle_k=3
+    )
+
+
+# -- SimHash near-dup (rows-only) ----------------------------------------------------
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=3, chunks=4)
+
+
+# -- embedding-cosine near-dup --------------------------------------------------------
+
+_COSINE_PAIRS_ORACLE = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+  list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    AS cosine_sim
+FROM v a, v b
+WHERE a.id < b.id
+  AND list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    >= 0.45
+"""
+
+
+@query("dedup_embedding_cosine_pairs", _COSINE_PAIRS_ORACLE)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(
+        emb, "embedding", "vec_id", threshold=0.45, sign_bits=0
+    )
+
+
+@query("dedup_embedding_cosine_blocked")
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket-blocked variant (the 100 TB shape; recall<1 ⇒ rows-only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(
+        emb, "embedding", "vec_id", threshold=0.3, sign_bits=4
+    )
+
+
+# -- similarity search ------------------------------------------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+_TOPK_COSINE_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    floor(list_dot_product(e.embedding::DOUBLE[], q.qv)
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000
+      AS cosine_sim
+  FROM embeddings e, q
+)
+SELECT vec_id, cosine_sim FROM s
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 20
+"""
+
+
+@query("similarity_cosine_topk", _TOPK_COSINE_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    topk = brute_force_cosine_topk(emb, "embedding", "vec_id", qv, k=20)
+    return (
+        topk.select("vec_id", stable_round(F.col("cosine_sim"), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+    )
+
+
+@query("similarity_lsh_ann_topk")
+def similarity_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scan-reduction scale path; rows-only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return lsh_ann_topk(emb, "embedding", "vec_id", qv, k=20, bits=6)
+
+
+@query("similarity_pandas_udf_topk")
+def similarity_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Pandas-UDF cosine variant (rows-only; values match
+    the expression form up to float error)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return pandas_cosine_topk(emb, "embedding", "vec_id", qv, k=20)
+
+
+# -- multimodal plumbing -------------------------------------------------------------------
+
+_BINARY_STATS_ORACLE = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+@query("multimodal_binary_stats", _BINARY_STATS_ORACLE)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return binary_stats(to_binary_docs(docs, "text", "doc_id"))
