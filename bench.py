@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with the noop batch sink (full computation, zero
+driver-side materialization cost), except streaming queries which drain to
+their own sink. One warmup query amortizes JVM/codegen startup so timings
+reflect plan execution, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from databricks_etl_pipelines_spark import catalog
+from databricks_etl_pipelines_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_pricing_risk_summary",
+    "agg_entity_features",
+    "agg_hourly_volume_stats",
+    "join_three_way_topk_revenue",
+    "join_broadcast_dims",
+    "window_topn_per_user",
+    "setop_except_all",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "similarity_cosine_topk",
+    "text_quality_score",
+    "pipeline_gold_merchant_summary",
+    "streaming_tumbling_hourly",
+]
+
+
+def force(df) -> None:
+    if df.isStreaming:  # pragma: no cover - queries pre-drain streams
+        raise ValueError("streaming frames must be drained inside the query")
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog.load_all()
+
+    # warmup: tiny end-to-end plan (scan + agg) to JIT the common path
+    catalog.QUERIES["agg_ungrouped_global"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

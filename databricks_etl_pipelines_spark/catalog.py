@@ -47,5 +47,6 @@ def load_all() -> None:
         queries_pipeline,
         queries_scalar,
         queries_sortset,
+        queries_streaming,
         queries_windows,
     )

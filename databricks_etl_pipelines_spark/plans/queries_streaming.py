@@ -1,0 +1,158 @@
+"""Streaming queries, differentially tested by draining bounded streams.
+
+availableNow + memory sink makes a streaming computation terminate with a
+deterministic result equal to the batch equivalent, so tumbling/sliding
+windows and foreachBatch-MERGE are oracle-checkable; session windows are
+verified through the batch-identical ``session_window`` with a lag/cumsum
+sessionization oracle (the classic SQL re-expression).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.functions.numeric import stable_round
+from databricks_etl_pipelines_spark.sources import table
+from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+from databricks_etl_pipelines_spark.streaming.structured import (
+    drain_to_memory,
+    foreach_batch_merge,
+    session_window_stats,
+    sliding_window_counts,
+    streaming_dedup,
+    streaming_events,
+    tumbling_window_counts,
+)
+
+# -- tumbling window over a drained stream -------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  count(*) AS event_count,
+  floor(sum("value") * 100 + 0.5) / 100 AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_tumbling_hourly", _TUMBLING_ORACLE)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming_events(spark, sf_dir)
+    windowed = tumbling_window_counts(stream)
+    result = drain_to_memory(windowed, "complete")
+    return result.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "event_count",
+        stable_round(F.col("total_value"), 2).alias("total_value"),
+    )
+
+
+# -- sliding window --------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT unnest([
+    time_bucket(INTERVAL '30 minutes', ts),
+    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE
+  ]) AS window_start
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       count(*) AS event_count
+FROM starts
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_sliding_window", _SLIDING_ORACLE)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming_events(spark, sf_dir)
+    windowed = sliding_window_counts(stream)
+    return drain_to_memory(windowed, "complete")
+
+
+# -- session windows (batch-identical operator, classic sessionization oracle) ---
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 5 MINUTE
+           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("streaming_session_window", _SESSION_ORACLE)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return session_window_stats(ev)
+
+
+# -- streaming dedup ---------------------------------------------------------------
+
+_SDEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("streaming_dedup_keys", _SDEDUP_ORACLE)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming_events(spark, sf_dir)
+    deduped = streaming_dedup(stream, ["user_id", "event_type"])
+    return drain_to_memory(deduped, "append")
+
+
+# -- foreachBatch MERGE end-to-end ---------------------------------------------------
+
+_FBMERGE_ORACLE = """
+SELECT
+  count(*) AS row_count,
+  count(DISTINCT user_id) AS unique_users,
+  floor(sum("value") * 100 + 0.5) / 100 AS total_value
+FROM events
+"""
+
+
+@query("streaming_foreachbatch_merge", _FBMERGE_ORACLE)
+def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="fb_merge_")
+    try:
+        target = ManagedTable(f"{tmp}/events_merged")
+        q = foreach_batch_merge(
+            stream, target, ["event_id"], checkpoint_dir=f"{tmp}/ckpt"
+        )
+        q.awaitTermination(300)
+        merged = target.read(spark)
+        out = merged.agg(
+            F.count("*").alias("row_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

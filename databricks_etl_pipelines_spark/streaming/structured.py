@@ -1,0 +1,187 @@
+"""Structured Streaming operators (SURVEY §2.9 T1-T6 + parity-plus M7).
+
+Reference parity: availableNow trigger (01:187), checkpointed exactly-once
+(01:185), append sinks (01:184), foreachBatch with MERGE (02:97-184),
+empty-batch guard (02:106). Parity-plus (absent in the reference, demanded
+by the category): watermarks, tumbling/sliding/session event-time windows,
+and streaming dropDuplicates — all Spark built-ins.
+
+At scale: streaming state (windows, dedup keys) lives in the state store
+keyed by the aggregation keys; watermarks bound that state. Without a
+watermark an unbounded-key streaming dedup leaks state forever — always
+pair dropDuplicates with withWatermark on production streams.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+
+
+_STREAM_DIR_CACHE: dict[str, str] = {}
+
+
+def _as_stream_dir(parquet_file: str) -> str:
+    """Spark file streams require a directory; expose a single parquet file
+    through a scratch dir containing a symlink to it."""
+    if parquet_file not in _STREAM_DIR_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(parquet_file, os.path.join(d, os.path.basename(parquet_file)))
+        _STREAM_DIR_CACHE[parquet_file] = d
+    return _STREAM_DIR_CACHE[parquet_file]
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a file stream (ns timestamps rebuilt to µs, same as
+    the batch scan in sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def drain_to_memory(
+    df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory sink
+    and return the result as a batch DataFrame. Test/correctness harness
+    path — production sinks are parquet/Delta tables."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)
+
+
+def bronze_stream_ingest(
+    feed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: str = "ingestion_date",
+) -> StreamingQuery:
+    """S2: exactly-once partitioned append sink with availableNow drain."""
+    return (
+        feed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(partition_by)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_merge(
+    stream: DataFrame,
+    target: ManagedTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """T3: per-micro-batch MERGE upsert (02:97-184 shape): empty-batch guard,
+    optional transform, keyed idempotent merge. Checkpoint + keyed MERGE
+    makes batch replays safe."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = transform(batch_df) if transform else batch_df
+        target.merge_upsert(batch_df.sparkSession, out, keys)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def tumbling_window_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling window aggregation with watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col("event_type"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide))
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_count",
+        )
+    )
+
+
+def session_window_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based). Works identically on batch and
+    streaming frames; streaming requires a watermark + append mode."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: list[str], watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dropDuplicates; watermark bounds the dedup state store."""
+    if watermark_col:
+        stream = stream.withWatermark(watermark_col, watermark)
+    return stream.select(*keys).dropDuplicates(keys)

@@ -1,0 +1,97 @@
+"""Unit tests for dedup/similarity/join operators on crafted data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from databricks_etl_pipelines_spark.operators.joins import salted_join
+from databricks_etl_pipelines_spark.operators.similarity import (
+    brute_force_cosine_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = BASE.replace("afternoon", "morning")
+OTHER = "completely different words about spark shuffles and parquet files"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_keeps_one_copy(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2, 3]  # doc 1 is an exact dup of doc 0
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert not any(3 in p for p in pairs)  # unrelated doc untouched
+
+
+def test_ngram_jaccard_scores(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dedup_pairs(
+            _docs(spark), "text", "doc_id", max_hamming=10
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_brute_force_topk_self_is_best(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    top = brute_force_cosine_topk(vecs, "embedding", "vec_id", [1.0, 0.0, 0.0], 2)
+    rows = top.collect()
+    assert [r.vec_id for r in rows] == [0, 1]
+    assert abs(rows[0].cosine_sim - 1.0) < 1e-12
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from databricks_etl_pipelines_spark.sources import table
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    plain = cust.join(orders, "c_custkey").count()
+    salted = salted_join(cust, orders, "c_custkey", salt=8).count()
+    assert plain == salted

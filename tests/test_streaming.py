@@ -1,0 +1,93 @@
+"""Streaming tests (SURVEY §5 item 4): exactly-once checkpoint replay,
+foreachBatch-MERGE idempotence, and append-mode watermark late-data drop.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+from databricks_etl_pipelines_spark.streaming.structured import (
+    bronze_stream_ingest,
+    foreach_batch_merge,
+    streaming_events,
+)
+
+
+def test_checkpoint_replay_exactly_once(spark, sf_dir, tmp_path):
+    """Draining the same source twice against one checkpoint must not
+    duplicate rows (offsets are committed in the WAL)."""
+    feed = streaming_events(spark, sf_dir).withColumn(
+        "ingestion_date", F.to_date("ts")
+    )
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    q1 = bronze_stream_ingest(feed, out, ckpt)
+    q1.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_src
+
+    q2 = bronze_stream_ingest(feed, out, ckpt)  # replay, same checkpoint
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_src
+
+
+def test_foreachbatch_merge_idempotent(spark, sf_dir, tmp_path):
+    stream = streaming_events(spark, sf_dir)
+    target = ManagedTable(str(tmp_path / "merged"))
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    q = foreach_batch_merge(stream, target, ["event_id"], str(tmp_path / "c1"))
+    q.awaitTermination(120)
+    assert target.read(spark).count() == n_src
+
+    # fresh checkpoint ⇒ full reprocess, but keyed MERGE keeps state stable
+    q = foreach_batch_merge(stream, target, ["event_id"], str(tmp_path / "c2"))
+    q.awaitTermination(120)
+    assert target.read(spark).count() == n_src
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling agg with a 10-minute watermark: rows arriving
+    after the watermark passed their window are dropped."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00"), (2, "2024-01-01 10:20:00"),
+         (3, "2024-01-01 12:00:00")],  # advances watermark to 11:50
+        "id long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_drain():
+        stream = spark.readStream.schema(on_time.schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    # late row for the already-closed 10:00 window
+    late = spark.createDataFrame([(4, "2024-01-01 10:40:00")], "id long, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_drain()
+
+    result = {r.ws.hour: r.n for r in spark.read.parquet(out).collect()}
+    # the 10:00 window closed with 2 rows; the late 10:40 row was dropped
+    assert result.get(10) == 2
