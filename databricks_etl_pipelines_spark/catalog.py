@@ -44,6 +44,7 @@ def load_all() -> None:
         queries_aggregates,
         queries_joins,
         queries_llm,
+        queries_ml,
         queries_pipeline,
         queries_scalar,
         queries_sortset,

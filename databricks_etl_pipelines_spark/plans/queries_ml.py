@@ -1,0 +1,76 @@
+"""ML-lifecycle queries (SURVEY §2.11 / §7 M9): feature export, model
+train/compare, distributed batch scoring over the TPC-H entity features.
+
+Non-SQL-expressible (iterative tree ensembles), so these are rows-only
+checks per the driver contract — no ``oracle_sql`` entries. The label and
+feature matrix themselves ARE oracle-checked upstream via
+``agg_entity_features`` (queries_aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.ml.fraud import (
+    batch_score,
+    ensure_two_classes,
+    feature_matrix,
+    stratified_split,
+    train_compare,
+)
+from databricks_etl_pipelines_spark.plans.queries_aggregates import (
+    agg_entity_features,
+)
+
+FEATURE_COLS = [
+    "order_count", "total_spend", "avg_order_value", "stddev_order_value",
+    "min_order_value", "max_order_value", "status_diversity",
+    "priority_diversity", "active_days", "fulfilled_count", "urgent_count",
+    "jumbo_count", "fulfilled_spend", "urgent_ratio", "coeff_variation",
+]
+
+
+def _matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = agg_entity_features(spark, sf_dir)
+    mat = feature_matrix(
+        feats, FEATURE_COLS, label_col="is_suspicious", id_col="o_custkey"
+    )
+    return ensure_two_classes(mat, fallback_col="avg_order_value")
+
+
+@query("ml_feature_matrix")
+def ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: the model-ready matrix (id + 15 double features + label)."""
+    return _matrix(spark, sf_dir)
+
+
+@query("ml_fraud_predictions")
+def ml_fraud_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3-M7 end to end: split, train GBT + RF, pick champion by F1, score
+    the FULL entity population distributed (04:302-325 equivalent)."""
+    mat = _matrix(spark, sf_dir).cache()
+    train, test = stratified_split(mat, id_col="o_custkey")
+    best, models, _ = train_compare(train, test, FEATURE_COLS)
+    out = batch_score(models[best], mat, id_col="o_custkey")
+    mat.unpersist()
+    return out
+
+
+@query("ml_model_metrics")
+def ml_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5+M6: per-model held-out metrics with the F1 champion flagged."""
+    mat = _matrix(spark, sf_dir).cache()
+    train, test = stratified_split(mat, id_col="o_custkey")
+    best, _, metrics = train_compare(train, test, FEATURE_COLS)
+    rows = [
+        (name, m["accuracy"], m["precision"], m["recall"], m["f1"], m["auc"],
+         name == best)
+        for name, m in sorted(metrics.items())
+    ]
+    mat.unpersist()
+    return spark.createDataFrame(
+        rows, "model string, accuracy double, precision double, "
+        "recall double, f1 double, auc double, is_best boolean",
+    ).orderBy(F.desc("f1"))

@@ -1,0 +1,102 @@
+"""M9 ML tail: feature matrix, split, train/compare, distributed scoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.ml.fraud import (
+    LABEL_COL,
+    ensure_two_classes,
+    feature_matrix,
+    stratified_split,
+)
+from databricks_etl_pipelines_spark.plans.queries_ml import (
+    FEATURE_COLS,
+    _matrix,
+    ml_fraud_predictions,
+    ml_model_metrics,
+)
+
+
+def test_feature_matrix_shape_and_types(spark, sf_dir):
+    mat = _matrix(spark, sf_dir)
+    assert set(mat.columns) == {"o_custkey", LABEL_COL, *FEATURE_COLS}
+    for c in FEATURE_COLS:
+        assert dict(mat.dtypes)[c] == "double"
+    # dropna really dropped: no null features remain
+    nulls = mat.select(
+        [F.sum(F.col(c).isNull().cast("int")).alias(c) for c in FEATURE_COLS]
+    ).first()
+    assert all(v == 0 for v in nulls.asDict().values())
+
+
+def test_stratified_split_deterministic_and_disjoint(spark, sf_dir):
+    mat = _matrix(spark, sf_dir)
+    tr1, te1 = stratified_split(mat, id_col="o_custkey")
+    tr2, te2 = stratified_split(mat.repartition(7), id_col="o_custkey")
+    # deterministic across partitionings (hash-based, not Bernoulli)
+    assert sorted(r.o_custkey for r in te1.select("o_custkey").collect()) == \
+        sorted(r.o_custkey for r in te2.select("o_custkey").collect())
+    assert tr1.count() + te1.count() == mat.count()
+    overlap = tr1.select("o_custkey").intersect(te1.select("o_custkey"))
+    assert overlap.count() == 0
+
+
+def test_single_class_fallback_median_split(spark, sf_dir):
+    feats = _matrix(spark, sf_dir).withColumn(LABEL_COL, F.lit(0.0))
+    relabeled = ensure_two_classes(feats, fallback_col="avg_order_value")
+    classes = {r[LABEL_COL] for r in relabeled.select(LABEL_COL).distinct().collect()}
+    assert classes == {0.0, 1.0}
+
+
+def test_fraud_predictions_full_population(spark, sf_dir):
+    mat = _matrix(spark, sf_dir)
+    preds = ml_fraud_predictions(spark, sf_dir)
+    assert preds.count() == mat.count()
+    bad_prob = preds.filter(
+        (F.col("fraud_probability") < 0) | (F.col("fraud_probability") > 1)
+    ).count()
+    assert bad_prob == 0
+    assert set(preds.columns) == {
+        "o_custkey", "is_suspicious", "fraud_prediction", "fraud_probability"
+    }
+
+
+def test_model_metrics_champion_by_f1(spark, sf_dir):
+    rows = ml_model_metrics(spark, sf_dir).collect()
+    assert {r.model for r in rows} == {"gradient_boosting", "random_forest"}
+    for r in rows:
+        for m in ("accuracy", "precision", "recall", "f1", "auc"):
+            assert 0.0 <= r[m] <= 1.0
+    best = max(rows, key=lambda r: r.f1)
+    assert best.is_best
+
+
+def test_generator_cardholders_end_to_end(spark):
+    """Reference-parity path: generator silver → 10 cardholder features →
+    train/score (README.md:26,29 — 10 features rows, 10 prediction rows)."""
+    from databricks_etl_pipelines_spark.ml.fraud import batch_score, train_compare
+    from databricks_etl_pipelines_spark.plans.medallion import (
+        gold_cardholder_features,
+        silver_transform,
+    )
+    from databricks_etl_pipelines_spark.sources.generator import batch_transactions
+
+    silver, _ = silver_transform(batch_transactions(spark, 5000))
+    feats = gold_cardholder_features(silver)
+    cols = [
+        "txn_count", "total_spend", "avg_amount", "stddev_amount",
+        "min_amount", "max_amount", "unique_merchants", "online_ratio",
+        "intl_ratio", "avg_risk_score", "max_risk_score",
+    ]
+    mat = feature_matrix(
+        feats, cols, label_col="is_suspicious", id_col="cardholder_token"
+    )
+    mat = ensure_two_classes(mat, fallback_col="avg_risk_score").cache()
+    n = mat.count()
+    assert n == 10  # 10-name × 10-name pools collapse to 10 tokens
+    # tiny data: train on all, score all (the reference's own scale)
+    best, models, metrics = train_compare(mat, mat, cols)
+    preds = batch_score(models[best], mat, id_col="cardholder_token")
+    assert preds.count() == n
+    assert metrics[best]["f1"] >= 0.0
