@@ -34,6 +34,32 @@ from databricks_etl_pipelines_spark.functions.textfns import (
     tokens,
 )
 from databricks_etl_pipelines_spark.functions.vectors import as_double_array, cosine
+from databricks_etl_pipelines_spark.session import tune_for_derived_generate
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's shuffle parallelism with an explicit
+    count so AQE does NOT coalesce it away. Candidate-pair verification is
+    CPU-heavy per row but tiny in bytes; AQE's size-based coalescing would
+    squeeze it onto 1-2 cores."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Ensure the document scan is at least as parallel as the session.
+
+    Shingling/hashing costs far more CPU per byte than the scan itself; a
+    small single-file parquet table arrives as ONE partition and would pin
+    the whole expression chain to one core. On a real cluster a 100 TB scan
+    already has thousands of splits, so this is a no-op there — the
+    repartition only fires when input partitions < session parallelism."""
+    tune_for_derived_generate(df.sparkSession)
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -81,6 +107,7 @@ def minhash_signature(
     """(id, sig: array<bigint>) — sig[i] = min over shingles of
     xxhash64(i, shingle). Pure projection: shingling + hashing stay inside
     codegen; no shuffle."""
+    df = _spread_input(df)
     sh = distinct_shingles(text_col, shingle_k)
     sig = F.array(
         *[
@@ -160,7 +187,10 @@ def minhash_lsh_dedup_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
+    df = _spread_input(df)
+    cands = _spread(
+        minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
+    )
     sh = df.select(
         F.col(id_col).alias("id"),
         distinct_shingles(text_col, shingle_k).alias("sh"),
@@ -191,7 +221,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Explode to (id, token) then one groupBy(id) with 60 conditional sums;
     both steps are codegen hash-aggregates."""
-    exploded = df.select(
+    exploded = _spread_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -272,36 +302,81 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     shingle_k: int = 3,
-    length_bucket: int = 64,
 ) -> DataFrame:
-    """Exact shingle-Jaccard pairs, blocked by character-length bucket
-    (near-dups have near-equal lengths; a pair must share a bucket or be in
-    adjacent buckets). Equi-join on the bucket id bounds the pair count."""
-    prep = df.select(
+    """ALL pairs with exact shingle-set Jaccard ≥ threshold, via prefix
+    filtering (the AllPairs/PPJoin family of set-similarity joins).
+
+    Lossless pruning, two rules:
+      * length filter — Jaccard ≥ t forces t·|larger| ≤ |smaller|;
+      * prefix filter — order every set by one global total order (document
+        frequency ascending, so rarest shingles first, which minimizes
+        candidates); any two sets with Jaccard ≥ t must share ≥1 element
+        within their first |s| - ceil(t·|s|) + 1 elements.
+
+    Candidate generation is therefore an equi-join on the 8-byte xxhash of
+    prefix shingles (hash collisions only ADD candidates — verification is
+    exact), never a bucket cross-join: at 100 TB the pair count is bounded
+    by co-occurrence of *rare* shingles, not by O(n²) inside length blocks.
+    """
+    # Hash every shingle to a 64-bit long up front: all downstream shuffles,
+    # sorts, and set ops run on 8-byte keys instead of ~20-char strings.
+    # A cross-doc collision would need two distinct shingles of the SAME doc
+    # pair to collide in 64 bits — vanishing even at 100 TB vocabulary, and
+    # it could only perturb a pair sitting exactly on the threshold.
+    sh = _spread_input(df).select(
         F.col(id_col).alias("id"),
-        distinct_shingles(text_col, shingle_k).alias("sh"),
-        F.floor(F.length(F.col(text_col)) / length_bucket).alias("bkt"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    distinct_shingles(text_col, shingle_k),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        ).alias("sh"),
     )
-    # each doc lands in its own bucket and the one above → adjacent-bucket
-    # pairs meet in the shared bucket id
-    expanded = prep.select(
-        "id", "sh", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("b")
+    tok = sh.select(
+        "id", F.size("sh").alias("ln"), F.explode("sh").alias("hs")
     )
-    a = expanded.select(
-        F.col("b"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    dfreq = tok.groupBy("hs").agg(F.count("*").alias("df"))
+    # re-assemble each doc's shingles ordered by (df, hash): one shuffle
+    # join on the hash + one hash-agg back to (id, ordered-array).
+    ordered = (
+        tok.join(dfreq, "hs")
+        .groupBy("id", "ln")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "hs"))).alias("oss"))
     )
-    b = expanded.select(
-        F.col("b"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    prefix_len = (
+        F.col("ln") - F.ceil(F.lit(threshold) * F.col("ln")) + 1
+    ).cast("int")
+    idx = ordered.select(
+        "id", "ln", F.explode(F.slice("oss", 1, prefix_len)).alias("p")
+    ).select("id", "ln", F.col("p.hs").alias("hs"))
+    a = idx.select(
+        F.col("hs"), F.col("id").alias("id_a"), F.col("ln").alias("ln_a")
     )
+    b = idx.select(
+        F.col("hs"), F.col("id").alias("id_b"), F.col("ln").alias("ln_b")
+    )
+    cands = (
+        a.join(b, "hs")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("ln_a") >= threshold * F.col("ln_b"))
+            & (F.col("ln_b") >= threshold * F.col("ln_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    paired = _spread(cands).join(
+        sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
+    ).join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        a.join(b, "b")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jaccard.alias("jaccard"))
-        .distinct()
+        paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -321,7 +396,7 @@ def embedding_cosine_pairs(
     sign pattern of the leading dims (random-hyperplane-style bucketing
     with axis-aligned planes) so the self-join is per-bucket; near-dup
     vectors (cosine ≈ 1) almost surely share the sign pattern."""
-    v = df.select(
+    v = _spread_input(df).select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
     )
     if sign_bits > 0:

@@ -197,19 +197,19 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- n-gram Jaccard near-dup (exact, length-blocked) -------------------------------
 
+# Oracle is the brute-force form (all pairs passing the lossless length
+# filter, then exact Jaccard) — fine in DuckDB at sf0.01; the Spark side
+# reaches the same answer via prefix filtering (operators/dedup.py).
 _JACCARD_ORACLE = f"""
 WITH prep AS (
-  SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh,
-         CAST(floor(length(text) / 64) AS BIGINT) AS bkt
+  SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh, len({_SQL_SHINGLES3}) AS ln
   FROM documents
-),
-expanded AS (
-  SELECT id, sh, unnest([bkt, bkt + 1]) AS b FROM prep
 )
-SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+SELECT a.id AS id_a, b.id AS id_b,
   len(list_intersect(a.sh, b.sh))
     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-FROM expanded a JOIN expanded b ON a.b = b.b AND a.id < b.id
+FROM prep a JOIN prep b
+  ON a.id < b.id AND a.ln >= 0.5 * b.ln AND b.ln >= 0.5 * a.ln
 WHERE len(list_intersect(a.sh, b.sh))
     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
 """
@@ -219,7 +219,7 @@ WHERE len(list_intersect(a.sh, b.sh))
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.5, shingle_k=3, length_bucket=64
+        docs, "text", "doc_id", threshold=0.5, shingle_k=3
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("jaccard")
     )

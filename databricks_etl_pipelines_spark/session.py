@@ -38,5 +38,25 @@ def get_spark(app_name: str = "databricks-etl-pipelines-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     )
     return builder.getOrCreate()
+
+
+# InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull(arr)`
+# from every explode() and pushes it toward the scan. When the exploded
+# array is an EXPENSIVE DERIVED expression (shingling, minhash prep), that
+# duplicates the whole chain into the scan-side filter — evaluated per row,
+# below any repartition, so on a single-split input it also serializes onto
+# one core. Our text operators always explode derived arrays, never stored
+# ones, so the rule is pure loss for this engine.
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def tune_for_derived_generate(spark: SparkSession) -> None:
+    """Apply the engine's optimizer-rule exclusions to an externally-created
+    session (e.g. the driver harness's). Sticky: optimizer conf must be live
+    at ACTION time, so operators set it and leave it set."""
+    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
