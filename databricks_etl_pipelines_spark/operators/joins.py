@@ -76,3 +76,106 @@ def salted_join(
     )
     joined = salted_left.join(exploded_right, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# extensions beyond the reference (SURVEY §2.3 "noted as possible
+# extensions"): as-of join and bounded range join — time-series staples the
+# reference category (transaction feeds) wants but the notebooks never write.
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_prefix: str = "matched_",
+) -> DataFrame:
+    """Backward as-of join: for every left row, the single most recent right
+    row of the same ``key`` with ``right_time <= left_time`` (SQL-standard
+    ASOF JOIN semantics; left rows with no earlier right row keep nulls).
+
+    Spark-first plan — NOT a per-key loop and NOT an inequality join:
+    union both sides, one window sort per key, carry the latest right row
+    forward with ``last(..., ignorenulls)``. Exactly ONE shuffle (the window
+    partitioning); at 100 TB that is the floor for any keyed time-align, and
+    there is no candidate-pair blowup at all. Ties (equal timestamps) match
+    — the right row sorts before the left row at the same instant.
+    """
+    rstruct = F.struct(*[F.col(c) for c in right.columns])
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        rstruct.alias("__r"),
+    )
+    l = left.select(
+        "*",
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[
+            F.col(f"__m.{c}").alias(f"{right_prefix}{c}")
+            for c in right.columns
+        ],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs with the same ``key`` and
+    ``left_time + lower <= right_time < left_time + upper``.
+
+    A naive theta-join is O(n·m) per key; instead both sides bucket on
+    ``floor(epoch / span)`` and the left side probes its own and adjacent
+    buckets, so candidates come from an EQUI-join on (key, bucket) and the
+    exact interval predicate only filters in-bucket pairs. Bucket span =
+    interval width ⇒ each left row probes ≤2 buckets regardless of scale.
+    """
+    span = max(upper_seconds - lower_seconds, 1)
+    # sub-second-exact epoch (cast to double keeps the fraction;
+    # unix_timestamp would truncate to seconds and disagree with the
+    # interval predicate at the boundaries)
+    lepoch = F.col(left_time).cast("double")
+    repoch = F.col(right_time).cast("double")
+    lbkt = F.floor((lepoch + lower_seconds) / span)
+    rbkt = F.floor(repoch / span)
+    l = left.select(
+        "*", F.explode(F.array(lbkt, lbkt + 1)).alias("__b")
+    )
+    r = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
+        F.col(key).alias("__rk"),
+        rbkt.alias("__b"),
+    )
+    rt = F.col(f"{right_prefix}{right_time}").cast("double")
+    lt = lepoch
+    return (
+        l.join(r, (F.col(key) == F.col("__rk")) & (l["__b"] == r["__b"]))
+        .filter((rt >= lt + lower_seconds) & (rt < lt + upper_seconds))
+        .drop("__b", "__rk")
+    )

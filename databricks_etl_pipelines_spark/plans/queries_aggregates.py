@@ -437,3 +437,32 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the explicit multi-grain form (cube/rollup cousins above).
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
+
+@query("agg_grouping_sets", _GROUPING_SETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four grains in one pass: Spark expands the sets with a single Expand
+    node feeding one hash-aggregate — same plan shape as cube/rollup."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          count(*) AS n_orders,
+          round(sum(o_totalprice), 2) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+    """)

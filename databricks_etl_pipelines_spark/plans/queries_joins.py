@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from databricks_etl_pipelines_spark.catalog import query
 from databricks_etl_pipelines_spark.functions.numeric import stable_round
 from databricks_etl_pipelines_spark.operators.joins import (
+    asof_join,
+    range_join,
     anti_join,
     broadcast_dim_join,
     semi_join,
@@ -301,3 +303,88 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# extension joins: as-of + bounded range (operators/joins.py) — the forms
+# SURVEY §2.3 lists as absent from the reference. DuckDB speaks ASOF JOIN
+# natively, so both are fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH errors AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT event_id, ts, value, user_id FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, e.value,
+  c.event_id AS matched_event_id,
+  c.value AS matched_value
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+@query("join_asof_last_click", _ASOF_ORACLE)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event: the same user's most recent preceding click
+    (backward as-of). One window shuffle, no pair blowup."""
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "value", "user_id"
+    )
+    out = asof_join(
+        errors, clicks.select("user_id", "event_id", "ts", "value"),
+        key="user_id", left_time="ts", right_time="ts",
+    )
+    return out.select(
+        "event_id", "user_id", "value",
+        F.col("matched_event_id"),
+        F.col("matched_value"),
+    )
+
+
+_RANGE_ORACLE = """
+WITH errors AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT ts, user_id, value FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id,
+  CAST(count(*) AS BIGINT) AS clicks_before,
+  round(sum(c.value), 2) AS click_value_before
+FROM errors e JOIN clicks c
+  ON e.user_id = c.user_id
+  AND c.ts >= e.ts - INTERVAL 600 SECONDS AND c.ts < e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@query("join_range_clicks_before_error", _RANGE_ORACLE)
+def join_range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: count + value of the user's clicks in the 10 minutes
+    before it. Bucketed equi-join (≤2 probe buckets/row), then exact
+    interval filter."""
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        errors, clicks, key="user_id", left_time="ts", right_time="ts",
+        lower_seconds=-600, upper_seconds=0,
+    )
+    return (
+        pairs.groupBy("event_id", "user_id")
+        .agg(
+            F.count("*").alias("clicks_before"),
+            stable_round(F.sum("r_value"), 2).alias("click_value_before"),
+        )
+    )

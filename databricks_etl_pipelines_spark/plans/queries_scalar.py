@@ -365,3 +365,60 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", prop_k.alias("prop_k"), "event_type")
         .filter(F.col("prop_k") > 50)
     )
+
+
+# ---------------------------------------------------------------------------
+# regex + explode surface (SURVEY §2.8 "absent — engine exposes anyway"):
+# regexp_extract/replace/like for text analysis, split+explode for
+# tokenized fan-out. Patterns stay in the RE2 ∩ Java-regex dialect so
+# Spark and DuckDB agree.
+# ---------------------------------------------------------------------------
+
+_REGEXP_ORACLE = """
+SELECT doc_id,
+  regexp_extract(text, '[0-9]+') AS first_number,
+  length(regexp_replace(text, '[aeiou]', '', 'g')) AS devoweled_len,
+  regexp_matches(text, '(data|model|train)') AS mentions_ml
+FROM documents
+"""
+
+
+@query("scalar_regexp_functions", _REGEXP_ORACLE)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+        F.length(F.regexp_replace("text", "[aeiou]", ""))
+        .cast("bigint")
+        .alias("devoweled_len"),
+        F.col("text").rlike("(data|model|train)").alias("mentions_ml"),
+    )
+
+
+_EXPLODE_ORACLE = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 25
+"""
+
+
+@query("scalar_explode_word_counts", _EXPLODE_ORACLE)
+def scalar_explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → count: the tokenize/fan-out shape. Partial
+    aggregation runs map-side before the single shuffle on word."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(25)
+    )

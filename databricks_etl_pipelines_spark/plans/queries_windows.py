@@ -193,3 +193,27 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_event_type"),
         F.count("*").over(Window.partitionBy("user_id")).alias("user_events"),
     ).distinct()
+
+
+# -- distribution rank functions: ntile / percent_rank / cume_dist -------------
+
+_NTILE_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  ntile(4) OVER w AS price_quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("window_ntile_percent_rank", _NTILE_ORACLE)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -1,0 +1,67 @@
+"""As-of and bounded range joins (extension operators beyond the reference)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.operators.joins import asof_join, range_join
+
+
+def _ts(m, s=0, us=0):
+    return dt.datetime(2024, 1, 1, 0, m, s, us)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10)), (2, "u1", _ts(20)), (3, "u2", _ts(5)),
+         (4, "u3", _ts(30))],
+        "lid int, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(8), 1.0), ("u1", _ts(15), 2.0), ("u1", _ts(20), 3.0),
+         ("u2", _ts(9), 4.0)],
+        "k string, t timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left, right = _sides(spark)
+    out = asof_join(left, right, key="k", left_time="t", right_time="t")
+    got = {r.lid: r.matched_v for r in out.collect()}
+    assert got[1] == 1.0     # u1@10 ← click@8
+    assert got[2] == 3.0     # u1@20 ← tie matches inclusively
+    assert got[3] is None    # u2@5 has nothing earlier
+    assert got[4] is None    # u3 has no right rows at all
+    assert out.count() == left.count()  # left-preserving
+
+
+def test_range_join_interval_and_buckets(spark):
+    left, right = _sides(spark)
+    # clicks in [t-10min, t): u1@10 ← {8}; u1@20 ← {15} (8 too old, 20
+    # excluded by the open upper bound); u2@5 ← {}
+    out = range_join(
+        left, right, key="k", left_time="t", right_time="t",
+        lower_seconds=-600, upper_seconds=0,
+    )
+    got = sorted((r.lid, r.r_v) for r in out.collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+
+
+def test_range_join_boundary_exact_microseconds(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10, 0, 500))], "lid int, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(0, 0, 500), 1.0),   # exactly t-600s → included (>=)
+         ("u", _ts(0, 0, 499), 2.0),   # 1µs earlier → excluded
+         ("u", _ts(10, 0, 500), 3.0)],  # exactly t → excluded (<)
+        "k string, t timestamp, v double",
+    )
+    out = range_join(
+        left, right, key="k", left_time="t", right_time="t",
+        lower_seconds=-600, upper_seconds=0,
+    )
+    assert [r.r_v for r in out.collect()] == [1.0]
