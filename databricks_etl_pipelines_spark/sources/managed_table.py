@@ -91,24 +91,67 @@ class ManagedTable:
 
     # -- writes -------------------------------------------------------------
 
-    def _commit(self, df: DataFrame, operation: str) -> int:
+    def _commit(
+        self,
+        df: DataFrame,
+        operation: str,
+        partition_by: Sequence[str] | None = None,
+    ) -> int:
         log = _read_log(self.root)
         v = (log[-1]["version"] + 1) if log else 0
         path = os.path.join(self.root, f"_v{v}")
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         log.append(
             {"version": v, "operation": operation, "timestamp": time.time()}
         )
         _write_log(self.root, log)
         return v
 
-    def create_or_overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, "overwrite")
+    def create_or_overwrite(
+        self, df: DataFrame, partition_by: Sequence[str] | None = None
+    ) -> int:
+        """``partition_by`` = hive-style layout (reference S2 partitions
+        bronze by ingestion_date, 01:186): time-range queries then prune
+        whole directories before the scan (PartitionFilters in .explain)."""
+        return self._commit(df, "overwrite", partition_by)
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self, df: DataFrame, partition_by: Sequence[str] | None = None
+    ) -> int:
         if self.exists():
             df = self.read(df.sparkSession).unionByName(df)
-        return self._commit(df, "append")
+        return self._commit(df, "append", partition_by)
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        cluster_by: Sequence[str] | None = None,
+        target_partitions: int | None = None,
+    ) -> int:
+        """OPTIMIZE / ZORDER BY parity (reference 03:207-216).
+
+        * Compaction: many small files (streaming leaves one per micro-batch)
+          → ``target_partitions`` output files via coalesce (no shuffle).
+        * ``cluster_by``: range-repartition on the cluster columns + sort
+          within each file, so every file covers a narrow slice of the
+          cluster-key space and parquet min/max stats skip whole files on
+          those predicates — the data-skipping effect Delta's Z-ORDER
+          targets (linear clustering; a space-filling curve refines
+          multi-column skew, same plan shape).
+        """
+        df = self.read(spark)
+        if cluster_by:
+            cols = list(cluster_by)
+            n = target_partitions or int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+            return self._commit(df, f"optimize zorder by ({', '.join(cols)})")
+        df = df.coalesce(target_partitions or 1)
+        return self._commit(df, "optimize compact")
 
     def merge_upsert(
         self, spark: SparkSession, source: DataFrame, keys: Sequence[str]

@@ -86,3 +86,59 @@ def test_time_travel(spark, pipeline):
     v0 = pipeline.silver.read(spark, version=0).count()
     latest = pipeline.silver.read(spark).count()
     assert v0 == latest  # replays were idempotent, so every version agrees
+
+
+def test_optimize_compaction_and_clustering(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+
+    mt = ManagedTable(str(tmp_path / "t"))
+    df = spark.range(0, 10000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3 % 100).alias("v"),
+    )
+    mt.create_or_overwrite(df.repartition(16))  # simulate many small files
+    before = mt.read(spark)
+    assert before.rdd.getNumPartitions() >= 16
+
+    mt.optimize(spark, target_partitions=2)
+    compacted = mt.read(spark)
+    assert compacted.count() == 10000
+    assert compacted.rdd.getNumPartitions() <= 2
+
+    v = mt.optimize(spark, cluster_by=["k", "v"], target_partitions=4)
+    clustered = mt.read(spark)
+    assert clustered.count() == 10000
+    ops = [r.operation for r in mt.history(spark).collect()]
+    assert "optimize compact" in ops
+    assert any(op.startswith("optimize zorder") for op in ops)
+    # clustering really narrowed per-file key ranges: each output file holds
+    # at most a couple of distinct k values out of 7
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(str(tmp_path / "t"), f"_v{v}", "part-*"))
+    per_file_k = [
+        spark.read.parquet(f).select("k").distinct().count() for f in files
+    ]
+    assert max(per_file_k) <= 3
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+
+    mt = ManagedTable(str(tmp_path / "p"))
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 5).alias("bucket")
+    )
+    mt.create_or_overwrite(df, partition_by=["bucket"])
+    back = mt.read(spark)
+    assert back.count() == 1000
+    pruned = back.filter(F.col("bucket") == 3)
+    assert pruned.count() == 200
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
