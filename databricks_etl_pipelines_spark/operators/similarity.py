@@ -104,6 +104,80 @@ def lsh_ann_topk(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nlist: int = 64,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 5,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: learn ``nlist`` centroids (distributed KMeans)
+    and assign every vector to its nearest list.
+
+    Returns (assignments ``(id, v, list_id)``, centroids array). At scale
+    the assignment DataFrame is written out partitioned/bucketed by
+    ``list_id`` ONCE, so each probe is a partition-pruned scan of
+    nprobe/nlist of the data; centroids (nlist × dim floats) are tiny and
+    live with the index metadata. Fit on a sample (``sample_fraction``) —
+    centroid quality needs representative data, not all of it.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    )
+    train = base if sample_fraction is None else base.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    # bucketing needs rough centroids, not convergence: few iterations,
+    # random init (k-means|| costs extra distributed passes)
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="features",
+        maxIter=max_iter, initMode="random",
+    ).fit(train.select(array_to_vector("v").alias("features")))
+    centroids = np.stack([c for c in model.clusterCenters()])
+    assigned = model.transform(
+        base.select("id", "v", array_to_vector("v").alias("features"))
+    ).select("id", "v", F.col("prediction").alias("list_id"))
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 8,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids by distance to the query on the
+    driver (nlist floats — trivial), scan only the ``nprobe`` nearest
+    inverted lists, exact cosine within them. The learned-centroid upgrade
+    of ``lsh_ann_topk`` — same bucketed-probe shape, data-adaptive buckets."""
+    assigned, centroids = ivf_index(
+        df, vec_col, id_col, nlist=nlist, seed=seed,
+        sample_fraction=sample_fraction, max_iter=max_iter,
+    )
+    qvec = np.asarray(query, dtype=float)
+    order = np.argsort(((centroids - qvec) ** 2).sum(axis=1))
+    probe = [int(i) for i in order[:nprobe]]
+    q = F.transform(vec_lit(query), lambda x: x.cast("double"))
+    sim = cosine(F.col("v"), q)
+    return (
+        assigned.filter(F.col("list_id").isin(probe))
+        .select(F.col("id").alias(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pandas_cosine(query: Sequence[float]):
     """Arrow-vectorized cosine-to-query as a Pandas UDF (the fast Python
     path when the expression evaluator loses to numpy on wide vectors)."""

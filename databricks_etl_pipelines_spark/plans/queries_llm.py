@@ -39,6 +39,7 @@ from databricks_etl_pipelines_spark.operators.multimodal import (
 )
 from databricks_etl_pipelines_spark.operators.similarity import (
     brute_force_cosine_topk,
+    ivf_topk,
     lsh_ann_topk,
     pandas_cosine_topk,
 )
@@ -320,6 +321,15 @@ def similarity_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
     return lsh_ann_topk(emb, "embedding", "vec_id", qv, k=20, bits=6)
+
+
+@query("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer, probe the 4 nearest of 16 inverted
+    lists (rows-only — learned centroids aren't SQL-expressible)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return ivf_topk(emb, "embedding", "vec_id", qv, k=20, nlist=16, nprobe=4)
 
 
 @query("similarity_pandas_udf_topk")

@@ -95,3 +95,24 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain = cust.join(orders, "c_custkey").count()
     salted = salted_join(cust, orders, "c_custkey", salt=8).count()
     assert plain == salted
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_topk,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.orderBy("vec_id").first()["embedding"]]
+    exact = {r.vec_id for r in
+             brute_force_cosine_topk(emb, "embedding", "vec_id", qv, k=10).collect()}
+    approx = {r.vec_id for r in
+              ivf_topk(emb, "embedding", "vec_id", qv, k=10,
+                       nlist=8, nprobe=4).collect()}
+    # probing half the lists must recover most of the true top-10,
+    # including the query vector itself (cosine 1.0)
+    assert len(exact & approx) >= 6
+    assert emb.orderBy("vec_id").first()["vec_id"] in approx
