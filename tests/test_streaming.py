@@ -91,3 +91,42 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     result = {r.ws.hour: r.n for r in spark.read.parquet(out).collect()}
     # the 10:00 window closed with 2 rows; the late 10:40 row was dropped
     assert result.get(10) == 2
+
+
+def test_rate_source_stream_matches_batch_schema(spark):
+    """S1 parity: the rate-source feed produces the same transaction schema
+    as the batch generator, live."""
+    import uuid
+
+    from databricks_etl_pipelines_spark.sources.generator import (
+        batch_transactions,
+        stream_transactions,
+    )
+
+    batch_schema = batch_transactions(spark, 10, stamps=False).schema
+    stream = stream_transactions(spark, rows_per_second=500, stamps=False)
+    assert stream.isStreaming
+    # same names/types; nullability flags differ between range and rate
+    assert stream.schema.simpleString() == batch_schema.simpleString()
+
+    sink = f"rate_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {sink}").first()["c"] > 0:
+                break
+            time.sleep(0.5)
+        got = spark.sql(
+            f"SELECT transaction_id, amount, mcc_code FROM {sink} LIMIT 5"
+        ).collect()
+        assert len(got) > 0
+        assert all(r.mcc_code is not None for r in got)
+    finally:
+        q.stop()
