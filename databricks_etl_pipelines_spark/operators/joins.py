@@ -78,6 +78,46 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str | Sequence[str],
+    buckets: int = 32,
+) -> None:
+    """Persist a table bucketed (and sorted) by the join key.
+
+    Two tables bucketed identically on their join key co-locate: Spark plans
+    the join with ZERO Exchange nodes — each task reads bucket i from both
+    sides. At 100 TB this converts every recurring fact⋈fact join on the
+    same key from a full two-sided shuffle into a scan-side merge; the
+    shuffle is paid once at write time. (The same idea the reference gets
+    implicitly from Delta + Z-ORDER clustering on join keys; Spark bucketing
+    is the explicit, planner-visible form.)
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(name)
+    )
+
+
+def bucketed_join(
+    spark_table_a: str,
+    spark_table_b: str,
+    on: str | Sequence[str],
+    spark=None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two pre-bucketed tables (see ``write_bucketed``). Verify with
+    .explain: no Exchange above either scan when bucket specs match."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    return spark.table(spark_table_a).join(spark.table(spark_table_b), on, how)
+
+
 # ---------------------------------------------------------------------------
 # extensions beyond the reference (SURVEY §2.3 "noted as possible
 # extensions"): as-of join and bounded range join — time-series staples the

@@ -65,3 +65,40 @@ def test_range_join_boundary_exact_microseconds(spark):
         lower_seconds=-600, upper_seconds=0,
     )
     assert [r.r_v for r in out.collect()] == [1.0]
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Identically-bucketed tables join with zero Exchange nodes — the
+    pay-shuffle-once pattern for recurring large joins."""
+    from databricks_etl_pipelines_spark.operators.joins import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    write_bucketed(orders, "b_orders", "o_custkey", buckets=8)
+    write_bucketed(customer, "b_customer", "o_custkey", buckets=8)
+    try:
+        joined = bucketed_join("b_orders", "b_customer", "o_custkey", spark)
+        # disable broadcast so the co-location is what's being tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join("b_orders", "b_customer", "o_custkey", spark)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            n = joined.count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert "Exchange" not in plan, plan
+        expected = (
+            orders.join(customer, "o_custkey").count()
+        )
+        assert n == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
