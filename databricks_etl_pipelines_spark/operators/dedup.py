@@ -61,6 +61,36 @@ def _spread_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def _hashed_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, sh: sorted array<bigint>) — the doc's distinct shingles as
+    64-bit hashes. All verification set-ops run on 8-byte longs; see the
+    collision note in ``ngram_jaccard_pairs``.
+
+    Persisted (MEMORY_AND_DISK): every near-dup plan consumes this relation
+    from 2-4 branches (frequency count, ordering, both verification sides);
+    shingling+hashing is the single most expensive projection in the
+    pipeline, so materializing it once halves end-to-end time. Spills to
+    disk beyond memory; released by the context cleaner when the plan is
+    dropped."""
+    return (
+        _spread_input(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        distinct_shingles(text_col, shingle_k),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("sh"),
+        )
+        .persist()
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -191,10 +221,7 @@ def minhash_lsh_dedup_pairs(
     cands = _spread(
         minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
     )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        distinct_shingles(text_col, shingle_k).alias("sh"),
-    )
+    sh = _hashed_shingle_sets(df, text_col, id_col, shingle_k)
     paired = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -323,17 +350,7 @@ def ngram_jaccard_pairs(
     # A cross-doc collision would need two distinct shingles of the SAME doc
     # pair to collide in 64 bits — vanishing even at 100 TB vocabulary, and
     # it could only perturb a pair sitting exactly on the threshold.
-    sh = _spread_input(df).select(
-        F.col(id_col).alias("id"),
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    distinct_shingles(text_col, shingle_k),
-                    lambda s: F.xxhash64(s),
-                )
-            )
-        ).alias("sh"),
-    )
+    sh = _hashed_shingle_sets(df, text_col, id_col, shingle_k)
     tok = sh.select(
         "id", F.size("sh").alias("ln"), F.explode("sh").alias("hs")
     )
