@@ -185,3 +185,18 @@ def streaming_dedup(
     if watermark_col:
         stream = stream.withWatermark(watermark_col, watermark)
     return stream.select(*keys).dropDuplicates(keys)
+
+
+def progress_summary(query: StreamingQuery) -> list[dict]:
+    """T5 stream-health introspection (01:216-218): per-micro-batch
+    batchId / numInputRows / processedRowsPerSecond from recentProgress."""
+    out = []
+    for p in query.recentProgress:
+        out.append(
+            {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "processedRowsPerSecond": p.get("processedRowsPerSecond"),
+            }
+        )
+    return out

@@ -12,6 +12,7 @@ from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
 from databricks_etl_pipelines_spark.streaming.structured import (
     bronze_stream_ingest,
     foreach_batch_merge,
+    progress_summary,
     streaming_events,
 )
 
@@ -128,5 +129,7 @@ def test_rate_source_stream_matches_batch_schema(spark):
         ).collect()
         assert len(got) > 0
         assert all(r.mcc_code is not None for r in got)
+        progress = progress_summary(q)
+        assert progress and progress[-1]["numInputRows"] is not None
     finally:
         q.stop()
