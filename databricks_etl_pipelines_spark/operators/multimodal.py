@@ -65,6 +65,74 @@ def binary_stats(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(stats, STATS_SCHEMA)
 
 
+HISTOGRAM_BINS = 16
+
+FEATURES_SCHEMA = "doc_id bigint, n_bytes bigint, byte_histogram array<double>"
+
+
+def byte_histogram_features(docs: DataFrame) -> DataFrame:
+    """REAL feature extraction over binary payloads: normalized 16-bin byte
+    histogram per payload, numpy-vectorized per Arrow batch.
+
+    This is the exact shape of an image/audio featurizer (binary in, fixed-
+    width float vector out) with a codec-free transform, so the distributed
+    plumbing — batch sizing, vector schema, downstream use as an embedding
+    column (similarity search, dedup) — is exercised for real."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hists = []
+            sizes = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                sizes.append(len(arr))
+                h = np.bincount(arr >> 4, minlength=HISTOGRAM_BINS)
+                hists.append((h / max(len(arr), 1)).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "byte_histogram": hists,
+                }
+            )
+
+    return docs.mapInPandas(feats, FEATURES_SCHEMA)
+
+
+CHUNK_SCHEMA = "doc_id bigint, chunk_id int, chunk_bytes bigint, energy double"
+
+
+def sample_chunks(docs: DataFrame, n_chunks: int = 4) -> DataFrame:
+    """Frame/segment sampling shape: split each payload into ``n_chunks``
+    segments and emit one row per segment with a per-chunk statistic
+    (mean byte value as the stand-in for frame energy). This is the
+    video-frame-sample / audio-window pattern: one binary row fans out to
+    N typed rows inside a single Arrow batch, no shuffle."""
+    import numpy as np
+
+    def chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cids, sizes, energies = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                for i, seg in enumerate(np.array_split(arr, n_chunks)):
+                    ids.append(doc_id)
+                    cids.append(i)
+                    sizes.append(len(seg))
+                    energies.append(float(seg.mean()) if len(seg) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_id": pd.Series(cids, dtype="int32"),
+                    "chunk_bytes": pd.Series(sizes, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="float64"),
+                }
+            )
+
+    return docs.mapInPandas(chunks, CHUNK_SCHEMA)
+
+
 DECODED_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, features binary"
 )

@@ -35,6 +35,8 @@ from databricks_etl_pipelines_spark.operators.dedup import (
 )
 from databricks_etl_pipelines_spark.operators.multimodal import (
     binary_stats,
+    byte_histogram_features,
+    sample_chunks,
     to_binary_docs,
 )
 from databricks_etl_pipelines_spark.operators.similarity import (
@@ -355,3 +357,29 @@ FROM documents
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return binary_stats(to_binary_docs(docs, "text", "doc_id"))
+
+
+@query("multimodal_byte_histogram")
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→fixed-width-vector featurizer over Arrow batches (rows-only:
+    byte-level access isn't ANSI-SQL; exactness pinned by unit test)."""
+    docs = table(spark, sf_dir, "documents")
+    feats = byte_histogram_features(to_binary_docs(docs, "text", "doc_id"))
+    return feats.select(
+        "doc_id", "n_bytes",
+        F.transform("byte_histogram", lambda x: F.round(x, 6)).alias(
+            "byte_histogram"
+        ),
+    )
+
+
+@query("multimodal_chunk_energy")
+def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/segment sampling: 1 binary row → 4 typed chunk rows per doc
+    (rows-only)."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = sample_chunks(to_binary_docs(docs, "text", "doc_id"), n_chunks=4)
+    return chunks.select(
+        "doc_id", "chunk_id", "chunk_bytes",
+        F.round("energy", 6).alias("energy"),
+    )

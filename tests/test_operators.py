@@ -116,3 +116,31 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     # including the query vector itself (cosine 1.0)
     assert len(exact & approx) >= 6
     assert emb.orderBy("vec_id").first()["vec_id"] in approx
+
+
+def test_byte_histogram_exact_values(spark):
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        byte_histogram_features,
+        sample_chunks,
+        to_binary_docs,
+    )
+
+    # "AAAA" = 4×0x41 → all mass in bin 4; "00zz": '0'=0x30 bin 3, 'z'=0x7a bin 7
+    df = spark.createDataFrame(
+        [(1, "AAAA"), (2, "00zz")], "doc_id long, text string"
+    )
+    docs = to_binary_docs(df, "text", "doc_id")
+    got = {
+        r.doc_id: (r.n_bytes, r.byte_histogram)
+        for r in byte_histogram_features(docs).collect()
+    }
+    assert got[1][0] == 4
+    assert got[1][1][4] == 1.0 and sum(got[1][1]) == 1.0
+    assert got[2][1][3] == 0.5 and got[2][1][7] == 0.5
+
+    chunks = sample_chunks(docs, n_chunks=2).collect()
+    by_key = {(r.doc_id, r.chunk_id): r for r in chunks}
+    assert len(chunks) == 4  # 2 docs × 2 chunks
+    assert by_key[(1, 0)].energy == float(ord("A"))
+    assert by_key[(2, 1)].energy == float(ord("z"))
+    assert by_key[(2, 0)].chunk_bytes == 2
