@@ -200,3 +200,58 @@ def progress_summary(query: StreamingQuery) -> list[dict]:
             }
         )
     return out
+
+
+def stateful_user_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    inactivity_timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running totals (event count, value sum) maintained in the state store
+    ACROSS micro-batches — the arbitrary-state form the built-in windowed
+    aggregations can't express (e.g. lifetime per-entity counters, custom
+    session logic, model-state updates).
+
+    Scale notes: state is partitioned by the grouping key (one shuffle per
+    micro-batch, same as any keyed agg); per-key state here is two numbers,
+    so 10⁹ keys ≈ tens of GB across the cluster — bound it with
+    ``inactivity_timeout_ms`` (> 0 evicts idle keys, the streaming analog
+    of a watermark for arbitrary state).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} bigint, events_total bigint, value_total double"
+    )
+    state_schema = "events bigint, total double"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if inactivity_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        events, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            events += int(len(pdf))
+            total += float(pdf[value_col].sum())
+        state.update((events, total))
+        if inactivity_timeout_ms > 0:
+            state.setTimeoutDuration(inactivity_timeout_ms)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "events_total": [events],
+                "value_total": [total],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

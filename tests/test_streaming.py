@@ -133,3 +133,47 @@ def test_rate_source_stream_matches_batch_schema(spark):
         assert progress and progress[-1]["numInputRows"] is not None
     finally:
         q.stop()
+
+
+def test_stateful_user_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-key state must carry across micro-batches
+    (restored from the checkpointed state store on the second drain)."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        stateful_user_totals,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "user_id long, value double"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame([(1, 2.0), (3, 7.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        # later emissions have larger totals; keep the max per user
+        cur = latest.get(r.user_id)
+        if cur is None or r.events_total > cur[0]:
+            latest[r.user_id] = (r.events_total, r.value_total)
+    assert latest[1] == (3, 17.0)   # 2 events batch 1 + 1 event batch 2
+    assert latest[2] == (1, 1.0)
+    assert latest[3] == (1, 7.0)
