@@ -466,3 +466,73 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority), ())
     """)
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — wide-format conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_pivot_status_counts", _PIVOT_ORACLE)
+def agg_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values — explicit values keep
+    the plan single-pass (no extra distinct-collect job at scale)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# null handling: na.fill / coalesce / null-aware aggregation.
+# ---------------------------------------------------------------------------
+
+_NA_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null,
+         o_totalprice
+  FROM orders
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS total_rows,
+  CAST(count(status_or_null) AS BIGINT) AS non_null_rows,
+  CAST(sum(CASE WHEN status_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_rows,
+  CAST(count(DISTINCT coalesce(status_or_null, 'OPEN')) AS BIGINT)
+    AS distinct_filled
+FROM t
+"""
+
+
+@query("agg_null_handling", _NA_ORACLE)
+def agg_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        "o_totalprice",
+    )
+    filled = t.na.fill({"status_or_null": "OPEN"})
+    return t.agg(
+        F.count("*").alias("total_rows"),
+        F.count("status_or_null").alias("non_null_rows"),
+        F.sum(
+            F.when(F.col("status_or_null").isNull(), 1).otherwise(0)
+        ).alias("null_rows"),
+    ).crossJoin(
+        filled.agg(
+            F.countDistinct("status_or_null").alias("distinct_filled")
+        )
+    )

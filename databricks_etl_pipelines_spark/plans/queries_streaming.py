@@ -156,3 +156,56 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- custom stateful operator (applyInPandasWithState) -------------------------
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS events_total,
+  round(sum("value"), 2) AS value_total
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("streaming_stateful_totals", _STATEFUL_ORACLE)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state across micro-batches: after draining the
+    whole stream, each user's final state must equal the batch groupBy —
+    which is exactly what the oracle computes."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        stateful_user_totals,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stateful_")
+    try:
+        out_dir = f"{tmp}/out"
+        q = (
+            stateful_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emitted = spark.read.parquet(out_dir)
+        # keep each key's final (largest) state emission
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("events_total"))
+        final = (
+            emitted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", "events_total",
+                stable_round(F.col("value_total"), 2).alias("value_total"),
+            )
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
