@@ -133,19 +133,31 @@ def minhash_signature(
     id_col: str,
     num_perm: int = 32,
     shingle_k: int = 3,
+    hashed_sets: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — sig[i] = min over shingles of
-    xxhash64(i, shingle). Pure projection: shingling + hashing stay inside
-    codegen; no shuffle."""
-    df = _spread_input(df)
-    sh = distinct_shingles(text_col, shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_perm)
-        ]
+    """(id, sig: array<bigint>) — sig[i] = min over the doc's hashed
+    shingles of xxhash64(i, h). Re-hashing the 64-bit shingle hash with the
+    permutation index is an equally valid MinHash family and lets the
+    num_perm × |shingles| inner loop run over longs, not strings — and the
+    underlying (persisted) hashed-shingle relation is shared with the
+    verification joins, so shingling happens once per document total."""
+    sets = (
+        hashed_sets
+        if hashed_sets is not None
+        else _hashed_shingle_sets(df, text_col, id_col, shingle_k)
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+    def perm_min(i: int) -> F.Column:
+        # NB: capture ``i`` via this factory, NOT a `lambda h, i=i:` default
+        # arg — a two-parameter lambda is interpreted by Spark's transform()
+        # as (element, index), silently replacing the permutation seed with
+        # the array position and collapsing all permutations into one.
+        return F.array_min(
+            F.transform("sh", lambda h: F.xxhash64(F.lit(i), h))
+        )
+
+    sig = F.array(*[perm_min(i) for i in range(num_perm)])
+    return sets.select("id", sig.alias("sig"))
 
 
 def _band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -177,6 +189,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     max_bucket: int = 200,
+    hashed_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from LSH banding.
 
@@ -184,7 +197,9 @@ def minhash_lsh_candidates(
     ``max_bucket`` are dropped (boilerplate guardrail) — at 100 TB a single
     viral doc cluster would otherwise produce a quadratic bucket."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_k)
+    sigs = minhash_signature(
+        df, text_col, id_col, num_perm, shingle_k, hashed_sets=hashed_sets
+    )
     buckets = _band_buckets(sigs, bands, rows_per_band)
     bucket_sizes = buckets.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
@@ -217,11 +232,12 @@ def minhash_lsh_dedup_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold."""
-    df = _spread_input(df)
-    cands = _spread(
-        minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
-    )
     sh = _hashed_shingle_sets(df, text_col, id_col, shingle_k)
+    cands = _spread(
+        minhash_lsh_candidates(
+            df, text_col, id_col, num_perm, bands, shingle_k, hashed_sets=sh
+        )
+    )
     paired = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
