@@ -259,14 +259,28 @@ def minhash_lsh_dedup_pairs(
 SIMHASH_BITS = 60  # stay clear of the sign bit of a 64-bit long
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, simhash) — per-bit majority vote over token xxhash64 values.
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(id, simhash) — per-bit majority vote over feature xxhash64 values.
 
-    Explode to (id, token) then one groupBy(id) with 60 conditional sums;
+    Features are k-shingles (default 3): unigram tokens make the vote
+    collapse onto the corpus-wide shared vocabulary (on template-generated
+    text nearly every doc pair lands within small hamming distance —
+    measured 1958 vs 13 candidate pairs at hamming ≤ 3 on the sf0.01
+    documents); shingles carry local word order, so the signature
+    discriminates. ``shingle_k=1`` recovers plain token SimHash.
+
+    Explode to (id, feature) then one groupBy(id) with 60 conditional sums;
     both steps are codegen hash-aggregates."""
+    feats = (
+        distinct_shingles(text_col, shingle_k)
+        if shingle_k > 1
+        else F.array_distinct(tokens(text_col))
+    )
     exploded = _spread_input(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        F.explode(feats).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = exploded.groupBy("id").agg(
         *[
@@ -291,13 +305,14 @@ def simhash_dedup_pairs(
     id_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    shingle_k: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Blocking: split the signature into ``chunks`` bit-ranges; by pigeonhole
     any pair within hamming ≤ chunks-1 collides on ≥1 exact chunk, so
     candidates come from equi-joins on (chunk_id, chunk_value)."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(df, text_col, id_col, shingle_k)
     bits_per_chunk = SIMHASH_BITS // chunks
     chunk_structs = F.array(
         *[
