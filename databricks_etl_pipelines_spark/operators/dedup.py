@@ -2,25 +2,32 @@
 SimHash, n-gram Jaccard, and embedding-cosine near-dup.
 
 All five are DataFrame combinators with no row-level Python; the quadratic
-pair explosion every near-dup method risks is bounded by *blocking*
-(LSH band buckets / simhash chunk buckets / length buckets) so candidate
-generation is an equi-join, never a cross join.
+pair explosion every near-dup method risks is bounded by *pruned candidate
+generation* (LSH band buckets / simhash chunk buckets / frequency-ordered
+prefix filtering) so candidates always come from an equi-join on small hash
+keys, never a cross join.
 
 Scale design (100 TB documents):
   * exact: one hash-aggregate shuffle on the normalized-text hash.
-  * MinHash-LSH: signatures are a pure projection (k·p hashes per doc,
-    JVM-side xxhash64); banding turns near-dup search into `bands` equi-
-    joins on (band_id, band_hash). Hot buckets (boilerplate docs) are
-    capped — a bucket with > max_bucket pairs is dropped and reported,
-    the standard guardrail against O(n²) blowup inside one bucket.
-  * SimHash: 60-bit signature via per-bit majority vote of token hashes —
-    two aggregations, then banded equi-join + hamming filter (bit_count of
-    xor), all codegen.
-  * n-gram Jaccard: exact verification on blocked candidate pairs via
-    array_intersect/array_union sizes.
-  * embedding cosine: candidate pairs from coarse quantization buckets
-    (sign-bit LSH of leading dims) or, for modest n, blocked self-join;
-    verification is an expression-side cosine.
+  * MinHash-LSH: signatures are a pure projection over the shared
+    hashed-shingle sets (num_perm seeded xxhash64 mins); banding turns
+    near-dup search into `bands` equi-joins on (band_id, band_hash). Hot
+    buckets (boilerplate docs) are capped — a bucket with > max_bucket
+    members is dropped, the standard guardrail against O(n²) blowup
+    inside one bucket.
+  * SimHash: 60-bit signature via per-bit majority vote of shingle hashes
+    (shingles, not unigram tokens — shared template vocabulary collapses
+    token votes) — two aggregations, then pigeonhole chunk equi-join +
+    hamming filter (bit_count of xor), all codegen.
+  * n-gram Jaccard: lossless AllPairs prefix filtering (rarest-first
+    global order + length filter), exact verification on surviving pairs
+    via array_intersect/array_union over hashed sets.
+  * embedding cosine: candidate pairs from sign-bit buckets of leading
+    dims (or brute-force below modest n); verification is an
+    expression-side cosine.
+
+Every method shares ``_hashed_shingle_sets`` — shingling+hashing runs once
+per document and is persisted across the plan's branches.
 """
 
 from __future__ import annotations
