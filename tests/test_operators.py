@@ -144,3 +144,28 @@ def test_byte_histogram_exact_values(spark):
     assert by_key[(1, 0)].energy == float(ord("A"))
     assert by_key[(2, 1)].energy == float(ord("z"))
     assert by_key[(2, 0)].chunk_bytes == 2
+
+
+def test_minhash_consistent_with_exact_jaccard(spark):
+    """Cross-operator consistency: every MinHash-verified pair must also be
+    found by the exact prefix-filtered Jaccard join (same threshold, same
+    hashed-shingle semantics), and recall on this high-similarity corpus
+    must be near-total. Everything is seed-deterministic — no flake."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 0.5, 3).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    assert mh <= exact                  # exact verification ⇒ no false pairs
+    assert len(mh) >= 0.95 * len(exact)  # LSH recall at j≈0.9+ corpus
+    assert len(exact) > 0
