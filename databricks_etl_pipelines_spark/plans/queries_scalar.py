@@ -422,3 +422,35 @@ def scalar_explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot (wide → long): stack() — the inverse of pivot.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH long AS (
+  SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+)
+SELECT measure, CAST(count(*) AS BIGINT) AS n,
+  round(sum(val), 2) AS total
+FROM long GROUP BY measure
+"""
+
+
+@query("scalar_unpivot_stack", _UNPIVOT_ORACLE)
+def scalar_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack() fans each row out to (measure, value) rows INSIDE the
+    projection — unlike a UNION ALL of three scans, the table is read
+    once."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (measure, val)"
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        stable_round(F.sum("val"), 2).alias("total"),
+    )

@@ -217,3 +217,55 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
         stable_round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# -- batch sessionization: lag-gap flag + running sum --------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+    CAST(sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(ts) AS session_start,
+  max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@query("window_sessionize_events", _SESSIONIZE_ORACLE)
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the lag-gap + running-sum composition): one
+    window shuffle on user_id covers both window passes AND pre-partitions
+    the final groupBy — Catalyst reuses the partitioning, so the whole
+    query is a single exchange."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
