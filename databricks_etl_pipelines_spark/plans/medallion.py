@@ -120,7 +120,20 @@ def silver_transform(bronze: DataFrame, stamps: bool = False) -> tuple[DataFrame
 # ---------------------------------------------------------------------------
 
 
-def gold_merchant_risk_summary(silver: DataFrame) -> DataFrame:
+def _distinct_agg(col: str, exact: bool) -> F.Column:
+    """Exact vs sketched distinct count — the documented 100 TB swap
+    (SURVEY §4): ``countDistinct`` costs an Expand + second aggregation
+    pass per distinct column; ``approx_count_distinct`` (HyperLogLog++,
+    default rsd 5%) folds into the single hash-aggregate. With 5+ distinct
+    aggs in one groupBy (the feature table), exact mode multiplies the
+    shuffled rows 5x — at 100 TB the sketch is the default, exact the
+    audit mode."""
+    return F.countDistinct(col) if exact else F.approx_count_distinct(col)
+
+
+def gold_merchant_risk_summary(
+    silver: DataFrame, exact_distinct: bool = True
+) -> DataFrame:
     """4-key merchant rollup (03:40-58): counts, volume, risk mix, pct."""
     agg = silver.groupBy(
         "merchant_name", "mcc_category", "merchant_state", "is_high_risk_mcc"
@@ -128,7 +141,9 @@ def gold_merchant_risk_summary(silver: DataFrame) -> DataFrame:
         F.count("*").alias("txn_count"),
         stable_round(F.sum("amount"), 2).alias("total_volume"),
         stable_round(F.max("amount"), 2).alias("max_amount"),
-        F.countDistinct("cardholder_token").alias("unique_cardholders"),
+        _distinct_agg("cardholder_token", exact_distinct).alias(
+            "unique_cardholders"
+        ),
         F.sum(F.when(F.col("risk_score_raw") >= 50, 1).otherwise(0)).alias(
             "high_risk_txns"
         ),
@@ -161,18 +176,21 @@ def gold_merchant_risk_summary(silver: DataFrame) -> DataFrame:
     )
 
 
-def gold_cardholder_features(silver: DataFrame) -> DataFrame:
+def gold_cardholder_features(
+    silver: DataFrame, exact_distinct: bool = True
+) -> DataFrame:
     """Per-cardholder feature table (03:93-147): wide aggregate + ratios +
-    suspicion label, one shuffle."""
+    suspicion label, one shuffle (5 distinct aggs ⇒ see ``_distinct_agg``
+    for the sketch swap that keeps it a SINGLE pass at scale)."""
     feat = silver.groupBy("cardholder_token").agg(
         F.count("*").alias("txn_count"),
         stable_round(F.sum("amount"), 2).alias("total_spend"),
         stable_round(F.stddev("amount"), 4).alias("stddev_amount"),
         stable_round(F.min("amount"), 2).alias("min_amount"),
         stable_round(F.max("amount"), 2).alias("max_amount"),
-        F.countDistinct("merchant_name").alias("unique_merchants"),
-        F.countDistinct("mcc_category").alias("unique_categories"),
-        F.countDistinct("merchant_state").alias("unique_states"),
+        _distinct_agg("merchant_name", exact_distinct).alias("unique_merchants"),
+        _distinct_agg("mcc_category", exact_distinct).alias("unique_categories"),
+        _distinct_agg("merchant_state", exact_distinct).alias("unique_states"),
         F.sum(F.when(F.col("is_online"), 1).otherwise(0)).alias("online_txns"),
         F.sum(F.when(F.col("is_international"), 1).otherwise(0)).alias(
             "intl_txns"
@@ -188,8 +206,8 @@ def gold_cardholder_features(silver: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("amount_anomaly_flag"), 1).otherwise(0)).alias(
             "anomaly_alerts"
         ),
-        F.countDistinct("card_network").alias("unique_networks"),
-        F.countDistinct("card_type").alias("unique_card_types"),
+        _distinct_agg("card_network", exact_distinct).alias("unique_networks"),
+        _distinct_agg("card_type", exact_distinct).alias("unique_card_types"),
         F.min("event_timestamp").alias("first_seen"),
         F.max("event_timestamp").alias("last_seen"),
     )
@@ -229,14 +247,18 @@ def gold_cardholder_features(silver: DataFrame) -> DataFrame:
     )
 
 
-def gold_hourly_volume(silver: DataFrame) -> DataFrame:
+def gold_hourly_volume(
+    silver: DataFrame, exact_distinct: bool = True
+) -> DataFrame:
     """Hourly volume stats (03:173-183)."""
     return (
         silver.groupBy("event_date", "event_hour", "card_network", "mcc_category")
         .agg(
             F.count("*").alias("txn_count"),
             stable_round(F.sum("amount"), 2).alias("total_volume"),
-            F.countDistinct("cardholder_token").alias("unique_cardholders"),
+            _distinct_agg("cardholder_token", exact_distinct).alias(
+                "unique_cardholders"
+            ),
         )
         .withColumn(
             "avg_amount",

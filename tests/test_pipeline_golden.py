@@ -142,3 +142,29 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert pruned.count() == 200
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
+
+
+def test_gold_approx_distinct_within_tolerance(spark):
+    """The 100 TB swap: sketched distincts track exact within HLL++ rsd,
+    and everything else in the row is identical."""
+    from databricks_etl_pipelines_spark.plans.medallion import (
+        gold_merchant_risk_summary,
+        silver_transform,
+    )
+    from databricks_etl_pipelines_spark.sources.generator import batch_transactions
+
+    silver, _ = silver_transform(batch_transactions(spark, 5000))
+    silver = silver.cache()
+    exact = gold_merchant_risk_summary(silver, exact_distinct=True)
+    approx = gold_merchant_risk_summary(silver, exact_distinct=False)
+    key = ["merchant_name", "mcc_category", "merchant_state"]
+    joined = exact.select(*key, "unique_cardholders", "txn_count").join(
+        approx.selectExpr(*key, "unique_cardholders AS approx_u"), key
+    ).collect()
+    silver.unpersist()
+    assert len(joined) > 0
+    for r in joined:
+        # 10 distinct cardholders max per group — sketch must be within 20%
+        assert abs(r.approx_u - r.unique_cardholders) <= max(
+            1, 0.2 * r.unique_cardholders
+        )
