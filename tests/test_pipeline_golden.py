@@ -168,3 +168,38 @@ def test_gold_approx_distinct_within_tolerance(spark):
         assert abs(r.approx_u - r.unique_cardholders) <= max(
             1, 0.2 * r.unique_cardholders
         )
+
+
+def test_csv_json_source_roundtrip(spark, sf_dir, tmp_path):
+    """Format coverage beyond parquet: gold output written to CSV and JSON
+    reads back value-identical with an explicit schema (no inference in the
+    engine path — schema-on-read is pinned, SURVEY §1)."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources import table
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    expected = {(r.o_orderstatus, r.n, r.total) for r in src.collect()}
+
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.mode("overwrite").option("header", True).csv(csv_dir)
+    src.write.mode("overwrite").json(json_dir)
+
+    schema = "o_orderstatus string, n bigint, total double"
+    got_csv = {
+        (r.o_orderstatus, r.n, r.total)
+        for r in spark.read.schema(schema).option("header", True).csv(csv_dir).collect()
+    }
+    got_json = {
+        (r.o_orderstatus, r.n, r.total)
+        for r in spark.read.schema(schema).json(json_dir).collect()
+    }
+    assert got_csv == expected
+    assert got_json == expected
