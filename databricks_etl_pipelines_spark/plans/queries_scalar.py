@@ -454,3 +454,52 @@ def scalar_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         stable_round(F.sum("val"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# collection functions: sequence/slice/flatten/position/sort + higher-order
+# transform/filter/aggregate — the array algebra the LLM ops build on.
+# ---------------------------------------------------------------------------
+
+_COLLECTION_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  array_to_string(range(1, CAST(l_linenumber AS BIGINT) + 1), ',') AS seq,
+  array_to_string((range(1, CAST(l_linenumber AS BIGINT) + 1))[1:2], ',')
+    AS first_two,
+  CAST(coalesce(list_position([3, 1, 4, 1, 5], CAST(l_linenumber AS INT)), 0)
+       AS BIGINT) AS pos_in_pi,
+  array_to_string(list_sort(range(1, CAST(l_linenumber AS BIGINT) + 1),
+    'DESC'), ',') AS seq_desc,
+  array_to_string(list_transform(range(1, CAST(l_linenumber AS BIGINT) + 1),
+    x -> x * x), ',') AS squares,
+  coalesce(array_to_string(
+    list_filter(range(1, CAST(l_linenumber AS BIGINT) + 1),
+      x -> x % 2 = 0), ','), '') AS evens,
+  CAST(list_sum(range(1, CAST(l_linenumber AS BIGINT) + 1)) AS BIGINT)
+    AS seq_sum
+FROM lineitem
+WHERE l_orderkey % 1000 = 1
+"""
+
+
+@query("scalar_collection_functions", _COLLECTION_ORACLE)
+def scalar_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence / slice / array_position / sort_array / transform / filter /
+    aggregate — all codegen expression-level, no Python."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 1000 == 1)
+    seq = F.sequence(F.lit(1).cast("bigint"), F.col("l_linenumber").cast("bigint"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.array_join(seq, ",").alias("seq"),
+        F.array_join(F.slice(seq, 1, 2), ",").alias("first_two"),
+        F.array_position(
+            F.array(*[F.lit(v) for v in (3, 1, 4, 1, 5)]),
+            F.col("l_linenumber").cast("int"),
+        ).alias("pos_in_pi"),
+        F.array_join(F.sort_array(seq, asc=False), ",").alias("seq_desc"),
+        F.array_join(F.transform(seq, lambda x: x * x), ",").alias("squares"),
+        F.array_join(F.filter(seq, lambda x: x % 2 == 0), ",").alias("evens"),
+        F.aggregate(
+            seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("seq_sum"),
+    )
