@@ -28,6 +28,15 @@ Scale design (100 TB documents):
 
 Every method shares ``_hashed_shingle_sets`` — shingling+hashing runs once
 per document and is persisted across the plan's branches.
+
+Algorithm provenance (public literature): MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997); LSH
+banding (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3);
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", 2002; Manku et al., "Detecting near-duplicates for web
+crawling", 2007); prefix-filtered set-similarity joins (Bayardo et al.,
+"Scaling up all pairs similarity search", 2007; Xiao et al., "Efficient
+similarity joins for near duplicate detection", 2008).
 """
 
 from __future__ import annotations

@@ -12,6 +12,12 @@ the bucketed join shape below is the Spark-side skeleton either way.
 A vectorized Pandas-UDF cosine (`pandas_cosine`) is provided for wide
 vectors where Arrow+numpy beats the expression evaluator; default stays
 expression-side (no Python in the row path).
+
+Algorithm provenance (public literature): random-hyperplane sign LSH
+(Charikar 2002); IVF coarse quantization (Sivic & Zisserman "Video
+Google" 2003 bag-of-words inverted files; Jégou et al., "Product
+quantization for nearest neighbor search", 2011 — IVF without the PQ
+refinement stage).
 """
 
 from __future__ import annotations

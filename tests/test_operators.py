@@ -169,3 +169,26 @@ def test_minhash_consistent_with_exact_jaccard(spark):
     assert mh <= exact                  # exact verification ⇒ no false pairs
     assert len(mh) >= 0.95 * len(exact)  # LSH recall at j≈0.9+ corpus
     assert len(exact) > 0
+
+
+def test_ivf_index_partitioned_probe_prunes(spark, sf_dir, tmp_path):
+    """The IVF scale path: persist assignments partitioned by list_id; a
+    probe of nprobe lists is then a partition-pruned scan (PartitionFilters
+    in the plan), reading nprobe/nlist of the data."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.operators.similarity import ivf_index
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, "embedding", "vec_id", nlist=4)
+    out = str(tmp_path / "ivf")
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(out)
+
+    index = spark.read.parquet(out)
+    probe = index.filter(F.col("list_id").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert probe.count() + index.filter(
+        F.col("list_id").isin([2, 3])
+    ).count() == index.count()
