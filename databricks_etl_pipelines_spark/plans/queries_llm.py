@@ -383,3 +383,14 @@ def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_id", "chunk_bytes",
         F.round("energy", 6).alias("energy"),
     )
+
+
+@query("curation_funnel_report")
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation attrition funnel (rows-only: the near-dup
+    stage is hash-seeded; stage semantics unit-tested in test_curation)."""
+    from databricks_etl_pipelines_spark.operators.curation import curate_corpus
+
+    docs = table(spark, sf_dir, "documents")
+    _, report = curate_corpus(docs)
+    return report

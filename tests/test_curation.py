@@ -1,0 +1,47 @@
+"""Corpus curation pipeline: gates, dedup stages, funnel accounting."""
+
+from __future__ import annotations
+
+from databricks_etl_pipelines_spark.operators.curation import curate_corpus
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the dog "
+    "chases the fox around the old farm yard for a while longer"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, GOOD),                                  # keeper
+        (1, GOOD),                                  # exact dup of 0
+        (2, GOOD + " extra trailing words here"),   # near dup of 0
+        (3, "zz 123 456 789 000 111"),              # low quality
+        (4, "der hund läuft durch den wald und das ist ein langer satz "
+            "mit vielen der die das und noch mehr worten für den test "
+            "damit die qualität hoch genug ist"),   # German, decent quality
+        (5, "a completely different but equally long and wordy document "
+            "about the weather in the mountains where it rains for days "
+            "and the rivers rise slowly over the rocks"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curation_stages_and_funnel(spark):
+    clean, report = curate_corpus(_docs(spark), min_quality=50, langs=("en",))
+    kept = sorted(r.doc_id for r in clean.collect())
+    assert 0 in kept                 # cluster keeper survives
+    assert 1 not in kept             # exact dup dropped
+    assert 2 not in kept             # near dup dropped
+    assert 3 not in kept             # low quality dropped
+    assert 4 not in kept             # wrong language dropped
+    assert 5 in kept                 # healthy unique doc survives
+
+    funnel = {r.stage: r for r in report.collect()}
+    assert funnel["input"].rows_out == 6
+    # each stage's rows_in chains from the previous stage's rows_out
+    order = ["input", "quality_gate", "language_gate", "exact_dedup", "near_dedup"]
+    for prev, cur in zip(order, order[1:]):
+        assert funnel[cur].rows_in == funnel[prev].rows_out
+        assert funnel[cur].rows_dropped == funnel[cur].rows_in - funnel[cur].rows_out
+    assert funnel["near_dedup"].rows_out == len(kept)
