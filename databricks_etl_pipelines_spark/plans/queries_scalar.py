@@ -503,3 +503,27 @@ def scalar_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("seq_sum"),
     )
+
+
+# -- typed JSON parse: from_json → struct (vs get_json_object string pulls) ----
+
+_FROM_JSON_ORACLE = """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS INT) AS k,
+  CAST(json_extract(props, '$.k') AS INT) % 7 AS k_mod
+FROM events
+"""
+
+
+@query("scalar_from_json_struct", _FROM_JSON_ORACLE)
+def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json parses once into a typed struct; downstream references are
+    plain column reads — cheaper than repeated get_json_object string
+    pulls when several fields are used."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k int"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 7).alias("k_mod"),
+    )

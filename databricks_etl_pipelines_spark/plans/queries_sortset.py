@@ -162,3 +162,24 @@ SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# -- intersect all (multiset semantics) ----------------------------------------
+
+_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+@query("setop_intersect_all", _INTERSECT_ALL_ORACLE)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersect: each o_custkey keeps min(count_left, count_right)
+    copies — duplicate-aware, unlike INTERSECT DISTINCT above."""
+    orders = table(spark, sf_dir, "orders")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    low_cust = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    )
+    return open_cust.intersectAll(low_cust)

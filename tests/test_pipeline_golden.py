@@ -203,3 +203,21 @@ def test_csv_json_source_roundtrip(spark, sf_dir, tmp_path):
     }
     assert got_csv == expected
     assert got_json == expected
+
+
+def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
+    """ORC format coverage: write/read value-identical with explicit schema."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources import table
+
+    src = table(spark, sf_dir, "nation")
+    expected = {(r.n_nationkey, r.n_name) for r in src.collect()}
+    orc_dir = str(tmp_path / "orc")
+    src.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    assert {(r.n_nationkey, r.n_name) for r in back.collect()} == expected
+    # predicate pushdown works on ORC scans too
+    plan = back.filter(F.col("n_nationkey") > 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)]" in plan
