@@ -38,8 +38,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The driver harness evaluates queries in registration order and caps the
+# per-round run (round 1 stopped at 50 of 88, leaving every window/set-op/
+# streaming/late-scalar query without a hard CORRECTNESS row). PRIORITY pins
+# the front of the catalog: families with no driver evidence yet come first,
+# then queries changed this round, then a few high-value sentinels. Rotate
+# per round so every query eventually gets a hard-signal row.
+PRIORITY: list[str] = [
+    # round-1 driver-unchecked families (SURVEY §2.5-2.9)
+    "window_topn_per_user",
+    "window_rank_dense_rank",
+    "window_lag_lead",
+    "window_rolling_avg",
+    "window_cumulative_sum",
+    "window_first_last",
+    "window_ntile_percent_rank",
+    "window_sessionize_events",
+    "topk_orders_by_price",
+    "sort_multikey",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except_subtract",
+    "setop_except_all",
+    "distinct_projection",
+    "setop_intersect_all",
+    "streaming_tumbling_hourly",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_dedup_keys",
+    "streaming_foreachbatch_merge",
+    "streaming_stateful_totals",
+    "scalar_datetime_functions",
+    "scalar_math_functions",
+    "scalar_conditional_bucketing",
+    "scalar_conditional_risk_score",
+    "scalar_boolean_or_labeling",
+    "scalar_array_element_at",
+    "scalar_map_literal_lookup",
+    "filter_predicates",
+    "json_extract_events",
+    "scalar_regexp_functions",
+    "scalar_explode_word_counts",
+    "scalar_unpivot_stack",
+    "scalar_collection_functions",
+    "scalar_from_json_struct",
+    # fixed or materially changed this round
+    "multimodal_byte_histogram",
+    "join_anti_customers_without_orders",
+    "merge_upsert_orders",
+    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_cosine_blocked",
+    "curation_funnel_report",
+    # new round-2 queries (registered below if implemented)
+    "similarity_ivf_persisted",
+    "ml_run_history",
+    "sql_text_pricing_summary",
+    # high-value round-1-green sentinels to fill the remaining cap slots
+    "flagship_pricing_risk_summary",
+    "pipeline_silver_enrichment",
+    "agg_entity_features",
+    "join_asof_last_click",
+    "pii_mask_and_tokenize",
+]
+
+
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent), then apply
+    the PRIORITY ordering to both registries in place."""
     from databricks_etl_pipelines_spark.plans import (  # noqa: F401
         queries_aggregates,
         queries_joins,
@@ -48,6 +114,14 @@ def load_all() -> None:
         queries_pipeline,
         queries_scalar,
         queries_sortset,
+        queries_sql,
         queries_streaming,
         queries_windows,
     )
+
+    ordered = [n for n in PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in set(ordered)]
+    for registry in (QUERIES, ORACLES):
+        reordered = {n: registry[n] for n in ordered if n in registry}
+        registry.clear()
+        registry.update(reordered)

@@ -10,9 +10,6 @@ Plan-shape expectations (checked in tests via .explain):
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,6 +24,7 @@ from databricks_etl_pipelines_spark.operators.joins import (
 )
 from databricks_etl_pipelines_spark.sources import table
 from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
 
 # -- inner equi-join + aggregate --------------------------------------------
 
@@ -186,15 +184,20 @@ _ANTI_ORACLE = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer c
 WHERE NOT EXISTS (
-  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 )
 """
 
 
 @query("join_anti_customers_without_orders", _ANTI_ORACLE)
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order. The priority filter keeps the anti
+    side non-empty at every sf (every sf0.01 customer has *some* order, so
+    the unfiltered form matched vacuously on 0 = 0 rows in round 1)."""
     cust, orders = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
-    return anti_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return anti_join(cust, urgent, cust.c_custkey == urgent.o_custkey).select(
         "c_custkey", "c_name", "c_acctbal"
     )
 
@@ -292,17 +295,14 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = updates.unionByName(inserts)
 
-    tmp = tempfile.mkdtemp(prefix="merge_upsert_orders_")
-    try:
-        mt = ManagedTable(tmp)
-        mt.create_or_overwrite(orders)
-        mt.merge_upsert(spark, source, ["o_orderkey"])
-        snapshot = mt.read(spark)
-        # Materialize before the temp dir disappears.
-        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    # Session-scoped scratch (outlives this call): the snapshot comes back
+    # as a lazy parquet read — no driver-side collect at any scale. The
+    # bucketed layout engages the partition-pruned MERGE path (only buckets
+    # containing source keys are rewritten).
+    mt = ManagedTable(scratch_dir("merge_upsert_orders_"))
+    mt.create_or_overwrite(orders, bucket_by=["o_orderkey"])
+    mt.merge_upsert(spark, source, ["o_orderkey"])
+    return mt.read(spark)
 
 
 # ---------------------------------------------------------------------------

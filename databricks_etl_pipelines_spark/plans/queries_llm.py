@@ -40,12 +40,14 @@ from databricks_etl_pipelines_spark.operators.multimodal import (
     to_binary_docs,
 )
 from databricks_etl_pipelines_spark.operators.similarity import (
+    IvfIndex,
     brute_force_cosine_topk,
     ivf_topk,
     lsh_ann_topk,
     pandas_cosine_topk,
 )
 from databricks_etl_pipelines_spark.sources import table
+from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
 
 # SQL fragments shared by the DuckDB oracles -------------------------------
 
@@ -334,6 +336,27 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "embedding", "vec_id", qv, k=20, nlist=16, nprobe=4)
 
 
+_IVF_INDEX_CACHE: dict[str, IvfIndex] = {}
+
+
+@query("similarity_ivf_persisted")
+def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF shape: build the index ONCE (inverted lists persisted
+    hive-partitioned by list_id, centroids as metadata), then answer with a
+    partition-pruned probe — the scan reads only nprobe of nlist list
+    directories (rows-only: learned centroids aren't SQL-expressible)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    idx = _IVF_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = IvfIndex.build(
+            emb, "embedding", "vec_id", scratch_dir("ivf_index_"),
+            nlist=16, seed=42,
+        )
+        _IVF_INDEX_CACHE[sf_dir] = idx
+    return idx.probe(spark, qv, k=20, nprobe=4)
+
+
 @query("similarity_pandas_udf_topk")
 def similarity_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized Pandas-UDF cosine variant (rows-only; values match
@@ -362,14 +385,22 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_byte_histogram")
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary→fixed-width-vector featurizer over Arrow batches (rows-only:
-    byte-level access isn't ANSI-SQL; exactness pinned by unit test)."""
+    byte-level access isn't ANSI-SQL; exactness pinned by unit test).
+
+    The vector is serialized to a CSV string column: the driver's
+    canonicalizer sorts/hashes every column via pandas and cannot handle a
+    raw array<double> (round-1 'unhashable type: list' error)."""
     docs = table(spark, sf_dir, "documents")
     feats = byte_histogram_features(to_binary_docs(docs, "text", "doc_id"))
     return feats.select(
         "doc_id", "n_bytes",
-        F.transform("byte_histogram", lambda x: F.round(x, 6)).alias(
-            "byte_histogram"
-        ),
+        F.array_join(
+            F.transform(
+                "byte_histogram",
+                lambda x: F.round(x, 6).cast("decimal(8,6)").cast("string"),
+            ),
+            ",",
+        ).alias("byte_histogram_csv"),
     )
 
 

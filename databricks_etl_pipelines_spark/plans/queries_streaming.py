@@ -9,9 +9,6 @@ sessionization oracle (the classic SQL re-expression).
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,6 +16,7 @@ from databricks_etl_pipelines_spark.catalog import query
 from databricks_etl_pipelines_spark.functions.numeric import stable_round
 from databricks_etl_pipelines_spark.sources import table
 from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
 from databricks_etl_pipelines_spark.streaming.structured import (
     drain_to_memory,
     foreach_batch_merge,
@@ -140,22 +138,17 @@ FROM events
 @query("streaming_foreachbatch_merge", _FBMERGE_ORACLE)
 def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="fb_merge_")
-    try:
-        target = ManagedTable(f"{tmp}/events_merged")
-        q = foreach_batch_merge(
-            stream, target, ["event_id"], checkpoint_dir=f"{tmp}/ckpt"
-        )
-        q.awaitTermination(300)
-        merged = target.read(spark)
-        out = merged.agg(
-            F.count("*").alias("row_count"),
-            F.countDistinct("user_id").alias("unique_users"),
-            stable_round(F.sum("value"), 2).alias("total_value"),
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    tmp = scratch_dir("fb_merge_")  # outlives this call → lazy result
+    target = ManagedTable(f"{tmp}/events_merged")
+    q = foreach_batch_merge(
+        stream, target, ["event_id"], checkpoint_dir=f"{tmp}/ckpt"
+    )
+    q.awaitTermination(300)
+    return target.read(spark).agg(
+        F.count("*").alias("row_count"),
+        F.countDistinct("user_id").alias("unique_users"),
+        stable_round(F.sum("value"), 2).alias("total_value"),
+    )
 
 
 # -- custom stateful operator (applyInPandasWithState) -------------------------
@@ -179,33 +172,29 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = streaming_events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="stateful_")
-    try:
-        out_dir = f"{tmp}/out"
-        q = (
-            stateful_user_totals(stream)
-            .writeStream.foreachBatch(
-                lambda df, _id: df.write.mode("append").parquet(out_dir)
-            )
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+    tmp = scratch_dir("stateful_")  # outlives this call → lazy result
+    out_dir = f"{tmp}/out"
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out_dir)
         )
-        q.awaitTermination(300)
-        emitted = spark.read.parquet(out_dir)
-        # keep each key's final (largest) state emission
-        from pyspark.sql import Window
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.read.parquet(out_dir)
+    # keep each key's final (largest) state emission
+    from pyspark.sql import Window
 
-        w = Window.partitionBy("user_id").orderBy(F.desc("events_total"))
-        final = (
-            emitted.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "user_id", "events_total",
-                stable_round(F.col("value_total"), 2).alias("value_total"),
-            )
+    w = Window.partitionBy("user_id").orderBy(F.desc("events_total"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "events_total",
+            stable_round(F.col("value_total"), 2).alias("value_total"),
         )
-        return spark.createDataFrame(final.collect(), final.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    )

@@ -264,8 +264,11 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # Explicit casts pin the session bounds to plain TIMESTAMP so the
+    # harness's pandas canonicalization can't see ns-vs-µs dtype drift
+    # between the Spark and DuckDB sides.
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min("ts").cast("timestamp").alias("session_start"),
+        F.max("ts").cast("timestamp").alias("session_end"),
     )
