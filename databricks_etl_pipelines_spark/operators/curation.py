@@ -62,33 +62,60 @@ def curate_corpus(
     min_quality: int = 50,
     langs: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.7,
+    exact_components: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_corpus, report).
 
     report: one row per stage with rows_in / rows_out / rows_dropped —
     the attrition funnel a data-curation run is judged by.
-    """
-    total = docs.count()
 
+    The gate counts (input/quality/language) come from ONE aggregated pass
+    over the scored frame — three nested predicates summed in a single
+    scan, instead of one count() action per stage. ``exact_unique`` is
+    persisted because three downstream consumers share it (its own count,
+    near-dup pair generation, and the final anti-join); it stays cached so
+    actions on the returned corpus don't re-run the dedup shuffle.
+    """
     scored = docs.withColumn("__q", quality_score(text_col)).withColumn(
         "__lang", lang_id(text_col)
     )
-    q_ok = scored.filter(F.col("__q") >= min_quality)
-    n_quality = q_ok.count()
+    q_pred = F.col("__q") >= min_quality
+    lang_pred = F.col("__lang").isin(*langs)
+    gate_counts = scored.agg(
+        F.count("*").alias("total"),
+        F.sum(q_pred.cast("long")).alias("n_quality"),
+        F.sum((q_pred & lang_pred).cast("long")).alias("n_lang"),
+    ).first()
+    total, n_quality, n_lang = (
+        gate_counts["total"] or 0,
+        gate_counts["n_quality"] or 0,
+        gate_counts["n_lang"] or 0,
+    )
 
-    lang_ok = q_ok.filter(F.col("__lang").isin(*langs))
-    n_lang = lang_ok.count()
-
+    lang_ok = scored.filter(q_pred & lang_pred)
     keepers = exact_dedup_groups(lang_ok, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    exact_unique = lang_ok.join(keepers, id_col, "left_semi")
+    exact_unique = lang_ok.join(keepers, id_col, "left_semi").persist()
     n_exact = exact_unique.count()
 
     pairs = minhash_lsh_dedup_pairs(
         exact_unique, text_col, id_col, threshold=near_dup_threshold
     )
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if exact_components:
+        # exact duplicate-cluster resolution: iterative min-propagation CC
+        # keeps exactly the minimum id of every connected component, even
+        # across long sparse chains the one-pass heuristic would over-keep
+        from databricks_etl_pipelines_spark.operators.components import (
+            duplicate_clusters,
+        )
+
+        clusters = duplicate_clusters(pairs)
+        drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     clean = exact_unique.join(drop, id_col, "left_anti").drop("__q", "__lang")
     n_clean = clean.count()
 

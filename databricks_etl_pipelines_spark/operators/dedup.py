@@ -327,7 +327,15 @@ def simhash_dedup_pairs(
 
     Blocking: split the signature into ``chunks`` bit-ranges; by pigeonhole
     any pair within hamming ≤ chunks-1 collides on ≥1 exact chunk, so
-    candidates come from equi-joins on (chunk_id, chunk_value)."""
+    candidates come from equi-joins on (chunk_id, chunk_value). Recall is
+    therefore only guaranteed for ``max_hamming <= chunks - 1`` — reject
+    anything looser instead of silently returning an incomplete pair set."""
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"pigeonhole blocking with chunks={chunks} only guarantees "
+            f"recall for max_hamming <= {chunks - 1}, got {max_hamming}; "
+            "raise `chunks` to widen the radius"
+        )
     sigs = simhash_signatures(df, text_col, id_col, shingle_k)
     bits_per_chunk = SIMHASH_BITS // chunks
     chunk_structs = F.array(
@@ -454,12 +462,15 @@ def embedding_cosine_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    sign_bits: int = 0,
+    sign_bits: int = 8,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold. With sign_bits > 0, blocks by the
-    sign pattern of the leading dims (random-hyperplane-style bucketing
-    with axis-aligned planes) so the self-join is per-bucket; near-dup
-    vectors (cosine ≈ 1) almost surely share the sign pattern."""
+    """Pairs with cosine ≥ threshold. With sign_bits > 0 (the default),
+    blocks by the sign pattern of the leading dims (random-hyperplane-style
+    bucketing with axis-aligned planes) so the self-join is per-bucket;
+    near-dup vectors (cosine ≈ 1) almost surely share the sign pattern.
+
+    ``sign_bits=0`` is the exact brute-force form — an O(n²) crossJoin kept
+    only as the oracle/audit path; callers must opt in explicitly."""
     v = _spread_input(df).select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
     )

@@ -67,7 +67,18 @@ def salted_join(
     reducers instead of melting one.
 
     Keeps only the original columns; the salt columns are internal.
+
+    Only left-preserving join types are allowed: the right side is
+    replicated ``salt`` times, so for right/full/outer joins every unmatched
+    right row would surface ``salt`` times null-extended — wrong results,
+    not just wasted work.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "leftsemi"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, got {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     salted_left = left.withColumn(
         "__salt", (F.xxhash64(*left.columns) % salt + salt) % salt
     )

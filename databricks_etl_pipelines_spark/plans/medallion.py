@@ -64,19 +64,39 @@ def validation_predicate() -> F.Column:
 
 
 def quarantine_reason() -> F.Column:
+    """First failing rule, null-safe: a NULL field fails its own rule (a null
+    amount is non-positive for routing purposes), and a final ``otherwise``
+    guarantees no quarantined row ever carries a NULL reason."""
     return (
         F.when(F.col("transaction_id").isNull(), "null_transaction_id")
-        .when(~(F.col("amount") > 0), "non_positive_amount")
-        .when(F.length("card_number") != 16, "malformed_card_number")
-        .when(~F.col("mcc_code").isin(*MCC_CODES), "invalid_mcc_code")
+        .when(
+            F.col("amount").isNull() | ~(F.col("amount") > 0),
+            "non_positive_amount",
+        )
+        .when(
+            F.col("card_number").isNull() | (F.length("card_number") != 16),
+            "malformed_card_number",
+        )
+        .when(
+            F.col("mcc_code").isNull() | ~F.col("mcc_code").isin(*MCC_CODES),
+            "invalid_mcc_code",
+        )
+        .otherwise("unknown")
     )
 
 
 def split_valid_quarantine(bronze: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantined-with-reason). Direct predicates, not subtract:
-    preserves duplicates and costs one scan per side (vs EXCEPT's shuffle)."""
-    valid = bronze.filter(validation_predicate())
-    quarantined = bronze.filter(~validation_predicate()).withColumn(
+    preserves duplicates and costs one scan per side (vs EXCEPT's shuffle).
+
+    Quarantine takes the NULL-safe complement — ``filter(~pred)`` alone would
+    drop rows where the predicate evaluates to NULL (null amount / card /
+    mcc) from BOTH sides, silently losing them from the audit trail. The
+    reference's ``subtract`` form (02_Silver_Cleanse_PII.py:120) retains such
+    rows; so do we."""
+    pred = validation_predicate()
+    valid = bronze.filter(pred)
+    quarantined = bronze.filter(~F.coalesce(pred, F.lit(False))).withColumn(
         "quarantine_reason", quarantine_reason()
     )
     return valid, quarantined

@@ -63,10 +63,19 @@ def test_simhash_identical_docs_hamming_zero(spark):
     pairs = {
         (r.id_a, r.id_b): r.hamming
         for r in simhash_dedup_pairs(
-            _docs(spark), "text", "doc_id", max_hamming=10
+            _docs(spark), "text", "doc_id", max_hamming=3
         ).collect()
     }
     assert pairs[(0, 1)] == 0
+
+
+def test_simhash_rejects_radius_beyond_pigeonhole_guarantee(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_dedup_pairs(
+            _docs(spark), "text", "doc_id", max_hamming=10, chunks=4
+        )
 
 
 def test_brute_force_topk_self_is_best(spark):
@@ -169,6 +178,59 @@ def test_minhash_consistent_with_exact_jaccard(spark):
     assert mh <= exact                  # exact verification ⇒ no false pairs
     assert len(mh) >= 0.95 * len(exact)  # LSH recall at j≈0.9+ corpus
     assert len(exact) > 0
+
+
+def test_persisted_ivf_index_build_probe(spark, sf_dir, tmp_path):
+    """IvfIndex: one build, partition-pruned probes. The probe scan must
+    prune list directories (PartitionFilters), match the per-call ivf_topk
+    result, and keep good recall vs brute force."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        IvfIndex,
+        brute_force_cosine_topk,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    idx = IvfIndex.build(
+        emb, "embedding", "vec_id", str(tmp_path / "ivf"), nlist=8, seed=42
+    )
+    probe = idx.probe(spark, qv, k=10, nprobe=4)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    exact = {
+        r.vec_id
+        for r in brute_force_cosine_topk(
+            emb, "embedding", "vec_id", qv, k=10
+        ).collect()
+    }
+    got = {r.vec_id for r in probe.collect()}
+    assert len(exact & got) >= 6
+    # a second probe reuses the persisted lists — no rebuild, same result
+    again = {r.vec_id for r in idx.probe(spark, qv, k=10, nprobe=4).collect()}
+    assert again == got
+
+
+def test_persisted_lsh_index_build_probe(spark, sf_dir, tmp_path):
+    """LshIndex: signature as a partition column; the probe reads exactly
+    one bucket directory and always finds the query vector itself."""
+    from databricks_etl_pipelines_spark.operators.similarity import LshIndex
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").first()
+    qv = [float(x) for x in first["embedding"]]
+    idx = LshIndex.build(
+        emb, "embedding", "vec_id", str(tmp_path / "lsh"),
+        dim=len(qv), bits=4, seed=42,
+    )
+    probe = idx.probe(spark, qv, k=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig" in plan
+    rows = probe.collect()
+    assert rows and rows[0].vec_id == first["vec_id"]
+    assert abs(rows[0].cosine_sim - 1.0) < 1e-9
 
 
 def test_ivf_index_partitioned_probe_prunes(spark, sf_dir, tmp_path):

@@ -82,6 +82,43 @@ def test_gold_cardinalities(spark, pipeline):
     assert counts["hourly"] > 0
 
 
+def test_null_rows_route_to_quarantine_not_limbo(spark):
+    """Rows where the validation predicate evaluates to NULL (null amount /
+    card / mcc with non-null id) must land in quarantine with a non-null
+    reason — filter(pred)/filter(~pred) alone loses them from both sides.
+    The generator never emits these nulls, so this is crafted directly."""
+    from databricks_etl_pipelines_spark.plans.medallion import (
+        split_valid_quarantine,
+    )
+    from databricks_etl_pipelines_spark.sources.generator import MCC_CODES
+
+    mcc = MCC_CODES[0]
+    card = "4" * 16
+    rows = [
+        (None, 10.0, card, mcc),      # null id
+        ("t1", None, card, mcc),      # NULL-predicate row: null amount
+        ("t2", 5.0, None, mcc),       # NULL-predicate row: null card
+        ("t3", 5.0, card, None),      # NULL-predicate row: null mcc
+        ("t4", -1.0, card, mcc),      # plain invalid
+        ("t5", 5.0, card, mcc),       # valid
+    ]
+    bronze = spark.createDataFrame(
+        rows, "transaction_id string, amount double, card_number string, mcc_code string"
+    )
+    valid, quarantined = split_valid_quarantine(bronze)
+    assert valid.count() == 1
+    q = {r.transaction_id: r.quarantine_reason for r in quarantined.collect()}
+    assert q == {
+        None: "null_transaction_id",
+        "t1": "non_positive_amount",
+        "t2": "malformed_card_number",
+        "t3": "invalid_mcc_code",
+        "t4": "non_positive_amount",
+    }
+    # nothing lost: every bronze row is in exactly one branch
+    assert valid.count() + quarantined.count() == len(rows)
+
+
 def test_time_travel(spark, pipeline):
     v0 = pipeline.silver.read(spark, version=0).count()
     latest = pipeline.silver.read(spark).count()
@@ -114,16 +151,75 @@ def test_optimize_compaction_and_clustering(spark, tmp_path):
     ops = [r.operation for r in mt.history(spark).collect()]
     assert "optimize compact" in ops
     assert any(op.startswith("optimize zorder") for op in ops)
-    # clustering really narrowed per-file key ranges: each output file holds
-    # at most a couple of distinct k values out of 7
+    # interleaved z-order narrows per-file ranges on BOTH dimensions:
+    # each of the 4 files covers ~half the k domain (7 values) AND ~half
+    # the v domain (100 values) — linear clustering would give the
+    # trailing key its full range in every file.
     import glob
     import os
 
     files = glob.glob(os.path.join(str(tmp_path / "t"), f"_v{v}", "part-*"))
-    per_file_k = [
-        spark.read.parquet(f).select("k").distinct().count() for f in files
-    ]
-    assert max(per_file_k) <= 3
+    assert len(files) >= 2
+    for f in files:
+        stats = (
+            spark.read.parquet(f)
+            .agg(
+                F.countDistinct("k").alias("dk"),
+                (F.max("v") - F.min("v")).alias("vspan"),
+            )
+            .first()
+        )
+        assert stats.dk <= 5          # < 7 = full k domain
+        assert stats.vspan <= 80      # < ~99 = full v domain
+
+
+def test_bucket_pruned_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """MERGE on a bucket_by table: result identical to a full merge, only
+    source-key buckets rewritten, untouched buckets carried over as
+    hardlinks — byte-identical files across versions (the Delta-style
+    file-pruned rewrite, ManagedTable analog)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+        _read_log,
+    )
+
+    mt = ManagedTable(str(tmp_path / "b"))
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    mt.create_or_overwrite(df, bucket_by=["id"], n_buckets=8)
+
+    src = spark.createDataFrame([(5, 999), (2000, 1)], "id long, v long")
+    mt.merge_upsert(spark, src, ["id"])
+
+    back = mt.read(spark)
+    assert back.count() == 1001  # 1000 rows + 1 insert
+    assert back.filter("id = 5").head().v == 999
+    assert back.filter("id = 2000").head().v == 1
+    assert "__bucket" not in back.columns
+
+    log = _read_log(mt.root)
+    assert log[-1]["operation"] == "merge"
+    assert log[-1]["buckets_rewritten"] <= 2  # at most one bucket per key
+
+    # every untouched bucket dir is carried over byte-identically (hardlink
+    # ⇒ same inode); at least 6 of 8 buckets must be untouched
+    v0, v1 = os.path.join(mt.root, "_v0"), os.path.join(mt.root, "_v1")
+    untouched = 0
+    for bdir in glob.glob(os.path.join(v0, "__bucket=*")):
+        new_bdir = os.path.join(v1, os.path.basename(bdir))
+        old_files = sorted(glob.glob(os.path.join(bdir, "part-*")))
+        new_files = sorted(glob.glob(os.path.join(new_bdir, "part-*")))
+        if new_files and [os.path.basename(f) for f in old_files] == [
+            os.path.basename(f) for f in new_files
+        ] and all(
+            os.path.samefile(a, b) for a, b in zip(old_files, new_files)
+        ):
+            untouched += 1
+    assert untouched >= 6
 
 
 def test_partitioned_write_prunes(spark, tmp_path):
