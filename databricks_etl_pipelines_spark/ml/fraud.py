@@ -146,23 +146,45 @@ def evaluate(predictions: DataFrame) -> dict[str, float]:
     return out
 
 
+def classifier_params(clf) -> dict:
+    """The run-loggable hyperparameters of a contender (MLflow log_params
+    analog, 04:141-147): every explicitly-set param plus the seeds."""
+    return {
+        p.name: v
+        for p, v in clf.extractParamMap().items()
+        if p.name in {"maxIter", "maxDepth", "numTrees", "seed", "stepSize"}
+    }
+
+
 def train_compare(
     train: DataFrame,
     test: DataFrame,
     feature_cols: list[str],
     seed: int = DEFAULT_SEED,
+    run_log=None,
 ) -> tuple[str, dict[str, PipelineModel], dict[str, dict[str, float]]]:
     """M5+M6: train every contender, evaluate on held-out test, select the
-    champion by F1 (04:253-260). Returns (best_name, models, metrics)."""
+    champion by F1 (04:253-260). Returns (best_name, models, metrics).
+
+    With ``run_log`` (an ``ml.runlog.RunLog``), each contender's params +
+    metrics + fitted model are recorded and the F1 champion is registered —
+    the MLflow tracking/registry lifecycle of 04:131-193 / 04:253-289."""
     models: dict[str, PipelineModel] = {}
     metrics: dict[str, dict[str, float]] = {}
+    run_ids: dict[str, str] = {}
     train = train.cache()  # reused by every contender's fit
     for name, clf in default_classifiers(seed).items():
         model = make_pipeline(clf, feature_cols).fit(train)
         models[name] = model
         metrics[name] = evaluate(model.transform(test))
+        if run_log is not None:
+            run_ids[name] = run_log.log_run(
+                name, classifier_params(clf), metrics[name], model
+            )
     train.unpersist()
     best = max(metrics, key=lambda n: metrics[n]["f1"])
+    if run_log is not None:
+        run_log.set_champion(run_ids[best])
     return best, models, metrics
 
 

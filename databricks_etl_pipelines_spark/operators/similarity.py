@@ -184,6 +184,166 @@ def ivf_topk(
     )
 
 
+class IvfIndex:
+    """Persisted IVF index: build ONCE (inverted lists written partitioned
+    by ``list_id``, centroids as JSON metadata), probe MANY times with
+    partition-pruned scans.
+
+    This is the production split of ``ivf_topk`` (which re-trains per
+    call): at 100 TB the quantizer is fit on a sample, every vector is
+    assigned and written out hive-partitioned by list, and each query then
+    reads only ``nprobe``/``nlist`` of the data — the scan prunes whole
+    list directories before any IO (PartitionFilters, not a post-scan
+    filter)."""
+
+    LISTS = "lists"
+    META = "ivf_meta.json"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- build --------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        root: str,
+        nlist: int = 64,
+        seed: int = 42,
+        sample_fraction: float | None = None,
+        max_iter: int = 5,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        assigned, centroids = ivf_index(
+            df, vec_col, id_col, nlist=nlist, seed=seed,
+            sample_fraction=sample_fraction, max_iter=max_iter,
+        )
+        (
+            # align the shuffle with the layout: one task per list → ~1
+            # file per list directory
+            assigned.repartition(nlist, "list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(root, cls.LISTS))
+        )
+        with open(os.path.join(root, cls.META), "w") as f:
+            json.dump(
+                {"nlist": nlist, "centroids": centroids.tolist()}, f
+            )
+        return cls(root)
+
+    # -- probe --------------------------------------------------------------
+
+    def _centroids(self) -> np.ndarray:
+        import json
+        import os
+
+        with open(os.path.join(self.root, self.META)) as f:
+            return np.asarray(json.load(f)["centroids"], dtype=float)
+
+    def probe_lists(self, query: Sequence[float], nprobe: int) -> list[int]:
+        centroids = self._centroids()
+        qvec = np.asarray(query, dtype=float)
+        order = np.argsort(((centroids - qvec) ** 2).sum(axis=1))
+        return [int(i) for i in order[:nprobe]]
+
+    def probe(
+        self,
+        spark,
+        query: Sequence[float],
+        k: int = 10,
+        nprobe: int = 8,
+    ) -> DataFrame:
+        """Partition-pruned top-k: scans only the nprobe nearest lists."""
+        import os
+
+        lists = self.probe_lists(query, nprobe)
+        scan = spark.read.parquet(os.path.join(self.root, self.LISTS))
+        q = F.transform(vec_lit(query), lambda x: x.cast("double"))
+        sim = cosine(F.col("v"), q)
+        return (
+            scan.filter(F.col("list_id").isin(lists))
+            .select(F.col("id").alias("vec_id"), sim.alias("cosine_sim"))
+            .orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+            .limit(k)
+        )
+
+
+class LshIndex:
+    """Persisted sign-LSH index: signatures materialized as a partition
+    column (the scale note on ``lsh_ann_topk`` made real). Build writes
+    vectors hive-partitioned by ``sig``; probe reads exactly one bucket
+    directory. Planes are re-derived from (dim, bits, seed) — no stored
+    model state beyond three ints."""
+
+    BUCKETS = "buckets"
+    META = "lsh_meta.json"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        root: str,
+        dim: int,
+        bits: int = 8,
+        seed: int = 42,
+    ) -> "LshIndex":
+        import json
+        import os
+
+        planes = hyperplanes(dim, bits, seed)
+        v = as_double_array(vec_col)
+        base = df.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            _sign_signature(v, planes).alias("sig"),
+        )
+        (
+            base.repartition(2**bits, "sig")
+            .write.mode("overwrite")
+            .partitionBy("sig")
+            .parquet(os.path.join(root, cls.BUCKETS))
+        )
+        with open(os.path.join(root, cls.META), "w") as f:
+            json.dump({"dim": dim, "bits": bits, "seed": seed}, f)
+        return cls(root)
+
+    def probe(
+        self, spark, query: Sequence[float], k: int = 10
+    ) -> DataFrame:
+        import json
+        import os
+
+        with open(os.path.join(self.root, self.META)) as f:
+            meta = json.load(f)
+        planes = hyperplanes(meta["dim"], meta["bits"], meta["seed"])
+        qvec = np.asarray(query, dtype=float)
+        qsig = sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if float(np.dot(qvec, p)) >= 0
+        )
+        scan = spark.read.parquet(os.path.join(self.root, self.BUCKETS))
+        q = F.transform(vec_lit(query), lambda x: x.cast("double"))
+        sim = cosine(F.col("v"), q)
+        return (
+            scan.filter(F.col("sig") == qsig)
+            .select(F.col("id").alias("vec_id"), sim.alias("cosine_sim"))
+            .orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+            .limit(k)
+        )
+
+
 def pandas_cosine(query: Sequence[float]):
     """Arrow-vectorized cosine-to-query as a Pandas UDF (the fast Python
     path when the expression evaluator loses to numpy on wide vectors)."""

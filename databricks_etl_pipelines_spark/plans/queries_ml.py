@@ -20,9 +20,11 @@ from databricks_etl_pipelines_spark.ml.fraud import (
     stratified_split,
     train_compare,
 )
+from databricks_etl_pipelines_spark.ml.runlog import RunLog
 from databricks_etl_pipelines_spark.plans.queries_aggregates import (
     agg_entity_features,
 )
+from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
 
 FEATURE_COLS = [
     "order_count", "total_spend", "avg_order_value", "stddev_order_value",
@@ -51,9 +53,12 @@ def _trained(spark: SparkSession, sf_dir: str):
     if sf_dir not in _TRAIN_CACHE:
         mat = _matrix(spark, sf_dir).cache()
         train, test = stratified_split(mat, id_col="o_custkey")
-        best, models, metrics = train_compare(train, test, FEATURE_COLS)
+        run_log = RunLog(scratch_dir("ml_runs_"))
+        best, models, metrics = train_compare(
+            train, test, FEATURE_COLS, run_log=run_log
+        )
         mat.unpersist()
-        _TRAIN_CACHE[sf_dir] = (best, models, metrics)
+        _TRAIN_CACHE[sf_dir] = (best, models, metrics, run_log)
     return _TRAIN_CACHE[sf_dir]
 
 
@@ -67,14 +72,28 @@ def ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_fraud_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3-M7 end to end: split, train GBT + RF, pick champion by F1, score
     the FULL entity population distributed (04:302-325 equivalent)."""
-    best, models, _ = _trained(spark, sf_dir)
+    best, models, _, _ = _trained(spark, sf_dir)
     return batch_score(models[best], _matrix(spark, sf_dir), id_col="o_custkey")
+
+
+@query("ml_run_history")
+def ml_run_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLflow tracking/registry analog (04:131-193, 253-289): one row per
+    logged training run with params/metrics JSON and a champion flag from
+    the registry pointer (rows-only: learned metric values)."""
+    _, _, _, run_log = _trained(spark, sf_dir)
+    champ = run_log.champion()
+    champ_id = champ["run_id"] if champ else None
+    return run_log.runs(spark).select(
+        "run_id", "model", "params", "metrics",
+        (F.col("run_id") == F.lit(champ_id)).alias("is_champion"),
+    )
 
 
 @query("ml_model_metrics")
 def ml_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5+M6: per-model held-out metrics with the F1 champion flagged."""
-    best, _, metrics = _trained(spark, sf_dir)
+    best, _, metrics, _ = _trained(spark, sf_dir)
     rows = [
         (name, m["accuracy"], m["precision"], m["recall"], m["f1"], m["auc"],
          name == best)

@@ -45,3 +45,31 @@ def test_curation_stages_and_funnel(spark):
         assert funnel[cur].rows_in == funnel[prev].rows_out
         assert funnel[cur].rows_dropped == funnel[cur].rows_in - funnel[cur].rows_out
     assert funnel["near_dedup"].rows_out == len(kept)
+
+
+def test_duplicate_clusters_chain_collapses_to_min(spark):
+    """Min-propagation CC: a 4-long chain plus a separate pair resolve to
+    per-component minimum labels in a bounded number of rounds."""
+    from databricks_etl_pipelines_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_curation_exact_components_matches_heuristic_here(spark):
+    """On this corpus every near-dup pairs directly with the cluster min,
+    so exact CC and the one-pass heuristic agree — and both keep exactly
+    one doc per duplicate cluster."""
+    clean, _ = curate_corpus(
+        _docs(spark), min_quality=50, langs=("en",), exact_components=True
+    )
+    kept = sorted(r.doc_id for r in clean.collect())
+    assert kept == [0, 5]

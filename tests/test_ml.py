@@ -72,6 +72,52 @@ def test_model_metrics_champion_by_f1(spark, sf_dir):
     assert best.is_best
 
 
+def test_run_log_tracks_and_registers_champion(spark, sf_dir, tmp_path):
+    """MLflow analog: training with a RunLog persists one run per contender
+    (params + 5 metrics + model artifact), registers the F1 champion, and
+    the champion model loads back and scores."""
+    import json
+
+    from databricks_etl_pipelines_spark.ml.fraud import (
+        batch_score,
+        stratified_split,
+        train_compare,
+    )
+    from databricks_etl_pipelines_spark.ml.runlog import RunLog
+
+    mat = _matrix(spark, sf_dir).cache()
+    train, test = stratified_split(mat, id_col="o_custkey")
+    log = RunLog(str(tmp_path / "runs"))
+    best, models, metrics = train_compare(
+        train, test, FEATURE_COLS, run_log=log
+    )
+
+    runs = {r.model: r for r in log.runs(spark).collect()}
+    assert set(runs) == {"gradient_boosting", "random_forest"}
+    for name, r in runs.items():
+        logged = json.loads(r.metrics)
+        assert logged == metrics[name]
+        assert set(logged) == {"accuracy", "precision", "recall", "f1", "auc"}
+        assert json.loads(r.params)["seed"] == 42
+        assert r.model_path  # artifact saved
+
+    champ = log.champion()
+    assert champ is not None and champ["model"] == best
+    # registry round-trip: reload the champion artifact and score with it
+    reloaded = log.load_champion_model()
+    preds = batch_score(reloaded, mat, id_col="o_custkey")
+    assert preds.count() == mat.count()
+    mat.unpersist()
+
+
+def test_ml_run_history_query(spark, sf_dir):
+    from databricks_etl_pipelines_spark.plans.queries_ml import ml_run_history
+
+    rows = ml_run_history(spark, sf_dir).collect()
+    assert len(rows) == 2
+    assert sum(1 for r in rows if r.is_champion) == 1
+
+
 def test_generator_cardholders_end_to_end(spark):
     """Reference-parity path: generator silver → 10 cardholder features →
     train/score (README.md:26,29 — 10 features rows, 10 prediction rows)."""
