@@ -420,14 +420,33 @@ def ngram_jaccard_pairs(
     prefix_len = (
         F.col("ln") - F.ceil(F.lit(threshold) * F.col("ln")) + 1
     ).cast("int")
+    # posexplode keeps each prefix element's 1-based position for the PPJoin
+    # positional filter below (Xiao et al., "Efficient Similarity Joins for
+    # Near Duplicate Detection", WWW 2008).
     idx = ordered.select(
-        "id", "ln", F.explode(F.slice("oss", 1, prefix_len)).alias("p")
-    ).select("id", "ln", F.col("p.hs").alias("hs"))
+        "id", "ln",
+        F.posexplode(F.slice("oss", 1, prefix_len)).alias("pos0", "p"),
+    ).select(
+        "id", "ln", (F.col("pos0") + 1).alias("pos"), F.col("p.hs").alias("hs")
+    )
     a = idx.select(
-        F.col("hs"), F.col("id").alias("id_a"), F.col("ln").alias("ln_a")
+        F.col("hs"), F.col("id").alias("id_a"),
+        F.col("ln").alias("ln_a"), F.col("pos").alias("pos_a"),
     )
     b = idx.select(
-        F.col("hs"), F.col("id").alias("id_b"), F.col("ln").alias("ln_b")
+        F.col("hs"), F.col("id").alias("id_b"),
+        F.col("ln").alias("ln_b"), F.col("pos").alias("pos_b"),
+    )
+    # Jaccard ≥ t ⇔ overlap ≥ α = ceil(t/(1+t)·(|a|+|b|)). Positional
+    # filter (lossless): at a shared prefix element sitting at positions
+    # (i, j), overlap ≤ 1 + min(|a|-i, |b|-j); a qualifying pair's FIRST
+    # shared prefix element always satisfies the bound, so filtering
+    # occurrences before the distinct loses nothing.
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("ln_a") + F.col("ln_b"))
+    )
+    ubound = 1 + F.least(
+        F.col("ln_a") - F.col("pos_a"), F.col("ln_b") - F.col("pos_b")
     )
     cands = (
         a.join(b, "hs")
@@ -435,6 +454,7 @@ def ngram_jaccard_pairs(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("ln_a") >= threshold * F.col("ln_b"))
             & (F.col("ln_b") >= threshold * F.col("ln_a"))
+            & (ubound >= alpha)
         )
         .select("id_a", "id_b")
         .distinct()

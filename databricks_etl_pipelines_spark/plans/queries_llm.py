@@ -274,9 +274,33 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding_cosine_blocked")
+# Sign bucketing is axis-aligned (bit i = sign of dim i+1), so the blocked
+# variant is fully SQL-expressible and gets a hard oracle — the bucket join
+# and the recall loss are both replicated exactly.
+_COSINE_BLOCKED_ORACLE = """
+WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    AS cosine_sim
+FROM v a JOIN v b ON a.bkt = b.bkt AND a.id < b.id
+WHERE list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    >= 0.3
+"""
+
+
+@query("dedup_embedding_cosine_blocked", _COSINE_BLOCKED_ORACLE)
 def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-bucket-blocked variant (the 100 TB shape; recall<1 ⇒ rows-only)."""
+    """Sign-bucket-blocked variant (the 100 TB shape): per-bucket self-join
+    instead of a crossJoin; the oracle replicates the bucketing exactly."""
     emb = table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(
         emb, "embedding", "vec_id", threshold=0.3, sign_bits=4
