@@ -245,15 +245,56 @@ class ManagedTable:
     ) -> int:
         spec = self.bucket_spec() if self.exists() else None
         if spec:
-            keys, n = spec
-            df = df.withColumn(BUCKET_COL, _bucket_expr(keys, n))
-            df = self._read_internal(df.sparkSession).unionByName(df)
-            return self._commit(
-                df, "append", [BUCKET_COL], {"bucket_keys": keys, "n_buckets": n}
-            )
+            return self._append_bucket_pruned(df, *spec)
         if self.exists():
             df = self.read(df.sparkSession).unionByName(df)
         return self._commit(df, "append", partition_by)
+
+    def _append_bucket_pruned(
+        self, df: DataFrame, keys: list[str], n_buckets: int
+    ) -> int:
+        """Append on a bucketed table: rewrite only buckets receiving new
+        rows (prior bucket contents unioned in), hardlink the rest — same
+        O(touched/total) write amplification as the pruned MERGE."""
+        spark = df.sparkSession
+        incoming = df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+        touched = sorted(
+            r[0] for r in incoming.select(BUCKET_COL).distinct().collect()
+        )
+        prev_v = self.latest_version()
+        prior_touched = self._read_internal(spark, prev_v).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        combined = prior_touched.unionByName(incoming)
+
+        log = _read_log(self.root)
+        v = log[-1]["version"] + 1
+        path = self._version_dir(v)
+        (
+            combined.repartition(max(len(touched), 1), BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+        touched_set = set(touched)
+        for bdir in glob.glob(
+            os.path.join(self._version_dir(prev_v), f"{BUCKET_COL}=*")
+        ):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            if b not in touched_set:
+                _link_tree(bdir, os.path.join(path, os.path.basename(bdir)))
+        log.append(
+            {
+                "version": v,
+                "operation": "append",
+                "timestamp": time.time(),
+                "bucket_keys": keys,
+                "n_buckets": n_buckets,
+                "buckets_rewritten": len(touched),
+            }
+        )
+        _write_log(self.root, log)
+        return v
 
     def optimize(
         self,

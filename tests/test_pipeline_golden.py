@@ -222,6 +222,45 @@ def test_bucket_pruned_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert untouched >= 6
 
 
+def test_bucket_pruned_append(spark, tmp_path):
+    """Append on a bucketed table rewrites only buckets receiving rows;
+    the rest carry over as hardlinks."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+        _read_log,
+    )
+
+    mt = ManagedTable(str(tmp_path / "a"))
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") + 7).alias("v"))
+    mt.create_or_overwrite(df, bucket_by=["id"], n_buckets=8)
+    mt.append(spark.createDataFrame([(5000, 1)], "id long, v long"))
+
+    back = mt.read(spark)
+    assert back.count() == 1001
+    assert back.filter("id = 5000").count() == 1
+    log = _read_log(mt.root)
+    assert log[-1]["operation"] == "append"
+    assert log[-1]["buckets_rewritten"] == 1
+    v0, v1 = os.path.join(mt.root, "_v0"), os.path.join(mt.root, "_v1")
+    linked = sum(
+        1
+        for bdir in glob.glob(os.path.join(v0, "__bucket=*"))
+        for f in glob.glob(os.path.join(bdir, "part-*"))
+        if os.path.exists(
+            os.path.join(v1, os.path.basename(bdir), os.path.basename(f))
+        )
+        and os.path.samefile(
+            f, os.path.join(v1, os.path.basename(bdir), os.path.basename(f))
+        )
+    )
+    assert linked >= 7  # at least 7 of 8 buckets carried over untouched
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     from pyspark.sql import functions as F
 

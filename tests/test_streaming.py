@@ -228,3 +228,57 @@ def test_incremental_gold_aggregate_matches_batch(spark, sf_dir, tmp_path):
         assert abs(got[k][1] - expected[k][1]) < 1e-6  # fp fold-order drift
     # one gold version per non-empty micro-batch => incremental maintenance
     assert gold.history(spark).count() >= 2
+
+
+def test_streaming_medallion_end_to_end(spark, tmp_path):
+    """Full streaming medallion over the deterministic generator, drained
+    in 3 micro-batches: silver == batch silver, quarantine == expected bad
+    rows, incrementally-folded gold hourly == batch gold from silver."""
+    from databricks_etl_pipelines_spark.plans.medallion import (
+        gold_hourly_volume,
+        silver_transform,
+    )
+    from databricks_etl_pipelines_spark.sources.generator import (
+        batch_transactions,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        StreamingMedallion,
+    )
+
+    n = 3000
+    feed = batch_transactions(spark, n)
+    src = str(tmp_path / "feed")
+    feed.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    m = StreamingMedallion(spark, str(tmp_path / "tables"))
+    q = m.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    batch_silver, batch_quar = silver_transform(feed)
+    assert m.silver.read(spark).count() == batch_silver.count()
+    assert m.quarantine.read(spark).count() == batch_quar.count()
+
+    keys = ["event_date", "event_hour", "card_network", "mcc_category"]
+    expected = {
+        tuple(r[k] for k in keys): (r.txn_count, round(r.total_volume, 2))
+        for r in gold_hourly_volume(batch_silver)
+        .withColumn("total_volume", F.round("total_volume", 2))
+        .collect()
+    }
+    got = {
+        tuple(r[k] for k in keys): (r.txn_count, round(r.total_volume, 2))
+        for r in m.gold_hourly.read(spark)
+        .withColumn("total_volume", F.round("total_volume", 2))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for k, (cnt, vol) in expected.items():
+        assert got[k][0] == cnt
+        assert abs(got[k][1] - vol) < 0.05  # fp fold-order drift
+    # gold history shows one fold per non-empty micro-batch
+    assert m.gold_hourly.history(spark).count() >= 2
