@@ -6,7 +6,11 @@ DuckDB over the same sf dir, then compares row count, column names/order
 sorted by all columns). Reports exact mismatches and float-only drift
 separately so rounding discipline can be judged.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--driver-cap N] [sf_dir] [query_name ...]
+
+``--driver-cap N`` mirrors the harness's per-round query cap: only the
+first N registry entries run, and the rest are listed as CAPPED — so a
+local run predicts exactly which queries will get CORRECTNESS rows.
 """
 
 from __future__ import annotations
@@ -107,11 +111,21 @@ def compare(name, sdf, con, sql, verbose=False):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    cap = None
+    if args and args[0] == "--driver-cap":
+        cap = int(args[1])
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("oracle-check")
     con = duck_connect(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if cap is not None:
+        names = list(qs)
+        for capped in names[cap:]:
+            print(f"[CAPPED] {capped} (registry index >= {cap})")
+        qs = {n: qs[n] for n in names[:cap]}
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
