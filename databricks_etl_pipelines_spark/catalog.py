@@ -94,6 +94,8 @@ PRIORITY: list[str] = [
     "similarity_ivf_persisted",
     "ml_run_history",
     "sql_text_pricing_summary",
+    "text_bpe_token_stats",
+    "text_fingerprint_rolling",
     # high-value round-1-green sentinels to fill the remaining cap slots
     "flagship_pricing_risk_summary",
     "pipeline_silver_enrichment",

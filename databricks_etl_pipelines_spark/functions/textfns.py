@@ -85,6 +85,43 @@ def digit_ratio(col: Column | str) -> Column:
     return (F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))) / F.length(c)
 
 
+# GPT-2-style pre-tokenizer approximation, constrained to syntax both Java
+# regex (Spark) and RE2 (DuckDB oracle) support — contractions, a
+# letter run / digit run / symbol run each with an optional leading space.
+# (The real GPT-2 pattern adds a whitespace lookahead RE2 can't express;
+# dropping the whitespace branches only removes pure-space tokens, which a
+# token COUNT for budgeting shouldn't include anyway.)
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (the unit LLM token budgets count)."""
+    # idx=0 = whole match (the pattern has no capture groups)
+    return F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col)).cast("bigint")
+
+
+ROLLING_BASE = 257
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1: acc*257 + 255 stays well under 2^63
+
+
+def fingerprint_rolling(col: Column | str) -> Column:
+    """Karp-Rabin rolling polynomial hash over the character sequence:
+    h = ((...(c_0·B + c_1)·B + c_2...)·B + c_n) mod M. One codegen
+    aggregate over the char array — an order-sensitive fingerprint (unlike
+    the shingle-set min-hash), so reorderings change it."""
+    chars = F.regexp_extract_all(_c(col), F.lit("."), 0)  # skips newlines,
+    # identically in Java regex and RE2 — keeps the DuckDB oracle exact
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+    )
+
+
 def fingerprint_minhash1(col: Column | str, k: int = 3) -> Column:
     """Document fingerprint: lexicographic-min md5 over the shingle set —
     a 1-permutation MinHash usable as a cheap near-dup blocking key."""

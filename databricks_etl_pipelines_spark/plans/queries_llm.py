@@ -91,6 +91,63 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE-ish token counting + rolling-hash fingerprint ------------------------
+
+_BPE_PATTERN_SQL = (
+    "''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+)
+
+_BPE_STATS_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}')) AS BIGINT)
+    AS bpe_tokens,
+  CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens
+FROM documents
+"""
+
+
+@query("text_bpe_token_stats", _BPE_STATS_ORACLE)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token budgeting: BPE-ish pre-tokenizer count (the unit context
+    windows are priced in) next to the whitespace count."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        bpe_token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").alias("bpe_tokens"),
+        token_count("text").alias("ws_tokens"),
+    )
+
+
+_ROLLING_FP_ORACLE = """
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(regexp_extract_all(text, '.'),
+                     c -> CAST(ord(c) AS BIGINT))),
+    (acc, c) -> (acc * 257 + c) % 2147483647
+  ) AS BIGINT) AS rolling_fp
+FROM documents
+"""
+
+
+@query("text_fingerprint_rolling", _ROLLING_FP_ORACLE)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Karp-Rabin document fingerprint (vs the shingle-SET
+    min-hash fingerprint in text_token_stats)."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_rolling("text").alias("rolling_fp")
+    )
+
+
 # -- quality scoring -----------------------------------------------------------
 
 _EN = _sql_in_list(LANG_STOPWORDS["en"])

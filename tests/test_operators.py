@@ -254,3 +254,39 @@ def test_ivf_index_partitioned_probe_prunes(spark, sf_dir, tmp_path):
     assert probe.count() + index.filter(
         F.col("list_id").isin([2, 3])
     ).count() == index.count()
+
+
+def test_bpe_tokens_and_rolling_fingerprint_exact(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        bpe_tokens,
+        fingerprint_rolling,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "don't stop me now 123!"), (2, "abc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.toks, r.fp)
+        for r in df.select(
+            "doc_id",
+            bpe_tokens("text").alias("toks"),
+            fingerprint_rolling("text").alias("fp"),
+        ).collect()
+    }
+    # GPT-2-ish pretokenization: contraction split, leading-space runs
+    assert got[1][0] == ["don", "'t", " stop", " me", " now", " 123", "!"]
+    # Karp-Rabin over the exact char sequence
+    def kr(s):
+        h = 0
+        for ch in s:
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        return h
+    assert got[1][1] == kr("don't stop me now 123!")
+    assert got[2][1] == kr("abc")
+    # order sensitivity: permuted text hashes differently
+    assert kr("abc") != kr("cab")
