@@ -83,19 +83,23 @@ PRIORITY: list[str] = [
     "scalar_unpivot_stack",
     "scalar_collection_functions",
     "scalar_from_json_struct",
-    # fixed or materially changed this round
+    # round-1 hard error / vacuous evidence — need fresh rows most
     "multimodal_byte_histogram",
     "join_anti_customers_without_orders",
-    "merge_upsert_orders",
-    "dedup_embedding_cosine_pairs",
-    "dedup_embedding_cosine_blocked",
-    "curation_funnel_report",
-    # new round-2 queries (registered below if implemented)
+    # new round-2 queries — no driver rows yet
     "similarity_ivf_persisted",
     "ml_run_history",
     "sql_text_pricing_summary",
     "text_bpe_token_stats",
     "text_fingerprint_rolling",
+    "dedup_incremental_corpus",
+    "join_salted_skew",
+    "join_bucketed_colocated",
+    # changed this round but green (or rows-only) in round 1
+    "dedup_embedding_cosine_blocked",
+    "merge_upsert_orders",
+    "dedup_embedding_cosine_pairs",
+    "curation_funnel_report",
     # high-value round-1-green sentinels to fill the remaining cap slots
     "flagship_pricing_risk_summary",
     "pipeline_silver_enrichment",

@@ -268,6 +268,167 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+class MinHashCorpusIndex:
+    """Persisted MinHash-LSH corpus index for INCREMENTAL dedup.
+
+    The batch operators above answer "which pairs inside this table are
+    near-dups". A training-data pipeline's steady state is different: a
+    CORPUS already exists, and each new crawl batch must be screened
+    against it. Recomputing corpus signatures per batch is O(corpus) work
+    for O(batch) questions; this index persists them once:
+
+        <root>/bands/     (id, band_id, band_hash), partitioned by band_id
+        <root>/shingles/  (id, sh) hashed shingle sets for exact verify
+        <root>/meta.json  num_perm / bands / shingle_k
+
+    ``match_new`` shingles + signs ONLY the incoming batch, equi-joins its
+    band buckets against the persisted band table, and verifies candidates
+    with exact Jaccard against the persisted shingle sets — corpus-side
+    cost is an index scan, never re-shingling. ``add`` appends the new
+    docs' rows so the next batch screens against them too.
+    """
+
+    BANDS = "bands"
+    SHINGLES = "shingles"
+    META = "meta.json"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    @staticmethod
+    def _meta_path(root: str) -> str:
+        import os
+
+        return os.path.join(root, MinHashCorpusIndex.META)
+
+    def _meta(self) -> dict:
+        import json
+
+        with open(self._meta_path(self.root)) as f:
+            return json.load(f)
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        text_col: str,
+        id_col: str,
+        root: str,
+        num_perm: int = 32,
+        bands: int = 8,
+        shingle_k: int = 3,
+    ) -> "MinHashCorpusIndex":
+        import json
+        import os
+
+        idx = cls(root)
+        sh = _hashed_shingle_sets(corpus, text_col, id_col, shingle_k)
+        idx._write(corpus.sparkSession, sh, num_perm, bands, shingle_k,
+                   mode="overwrite")
+        os.makedirs(root, exist_ok=True)
+        with open(cls._meta_path(root), "w") as f:
+            json.dump(
+                {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+                f,
+            )
+        sh.unpersist()
+        return idx
+
+    def _write(
+        self,
+        spark,
+        hashed_sets: DataFrame,
+        num_perm: int,
+        bands: int,
+        shingle_k: int,
+        mode: str,
+    ) -> None:
+        import os
+
+        sigs = minhash_signature(
+            None, "", "", num_perm, shingle_k, hashed_sets=hashed_sets
+        )
+        buckets = _band_buckets(sigs, bands, num_perm // bands)
+        (
+            buckets.repartition(bands, "band_id")
+            .write.mode(mode)
+            .partitionBy("band_id")
+            .parquet(os.path.join(self.root, self.BANDS))
+        )
+        hashed_sets.write.mode(mode).parquet(
+            os.path.join(self.root, self.SHINGLES)
+        )
+
+    def match_new(
+        self,
+        spark,
+        new_docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        threshold: float = 0.7,
+        max_bucket: int = 200,
+    ) -> DataFrame:
+        """(new_id, corpus_id, jaccard) for every new doc near-duplicating
+        an indexed corpus doc. Only the new batch is shingled/signed."""
+        import os
+
+        meta = self._meta()
+        new_sh = _hashed_shingle_sets(
+            new_docs, text_col, id_col, meta["shingle_k"]
+        )
+        new_sigs = minhash_signature(
+            None, "", "", meta["num_perm"], meta["shingle_k"],
+            hashed_sets=new_sh,
+        )
+        new_buckets = _band_buckets(
+            new_sigs, meta["bands"], meta["num_perm"] // meta["bands"]
+        ).withColumnRenamed("id", "new_id")
+
+        corpus_buckets = spark.read.parquet(
+            os.path.join(self.root, self.BANDS)
+        ).withColumnRenamed("id", "corpus_id")
+        # boilerplate guardrail on the corpus side, as in the batch operator
+        sizes = corpus_buckets.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("bucket_n")
+        )
+        bounded = corpus_buckets.join(
+            sizes.filter(F.col("bucket_n") <= max_bucket),
+            ["band_id", "band_hash"],
+        )
+        cands = (
+            new_buckets.join(bounded, ["band_id", "band_hash"])
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+        corpus_sh = spark.read.parquet(
+            os.path.join(self.root, self.SHINGLES)
+        ).withColumnsRenamed({"id": "corpus_id", "sh": "sh_corpus"})
+        paired = _spread(cands).join(
+            new_sh.withColumnsRenamed({"id": "new_id", "sh": "sh_new"}),
+            "new_id",
+        ).join(corpus_sh, "corpus_id")
+        jaccard = F.size(F.array_intersect("sh_new", "sh_corpus")) / F.size(
+            F.array_union("sh_new", "sh_corpus")
+        )
+        return (
+            paired.withColumn("jaccard", jaccard)
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "corpus_id", "jaccard")
+        )
+
+    def add(
+        self, spark, new_docs: DataFrame, text_col: str, id_col: str
+    ) -> None:
+        """Index the new batch's docs so later batches screen against them."""
+        meta = self._meta()
+        sh = _hashed_shingle_sets(new_docs, text_col, id_col, meta["shingle_k"])
+        self._write(
+            spark, sh, meta["num_perm"], meta["bands"], meta["shingle_k"],
+            mode="append",
+        )
+        sh.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

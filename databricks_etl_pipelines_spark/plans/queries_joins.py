@@ -54,6 +54,77 @@ def join_inner_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- salted skew join: same relational answer as the plain join --------------
+
+_SALTED_ORACLE = """
+SELECT
+  o.o_orderpriority,
+  count(*) AS order_count,
+  floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("join_salted_skew", _SALTED_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: the salt columns are internal, so the
+    relational answer is the PLAIN join's — which is exactly what the
+    oracle computes. Hard evidence that salting changes the shuffle
+    layout, not the semantics."""
+    from databricks_etl_pipelines_spark.operators.joins import salted_join
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    joined = salted_join(cust, orders, "c_custkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"),
+        stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# -- bucketed co-located join: zero-Exchange plan, plain-join answer ----------
+
+_BUCKETED_ORACLE = """
+SELECT
+  n.n_name AS nation_name,
+  count(*) AS supplier_count,
+  floor(sum(s.s_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("join_bucketed_colocated", _BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (the pay-the-shuffle-once layout): both
+    sides written bucketBy(8) on the join key, joined with zero Exchange
+    above either scan; the oracle is the plain join. The write happens once
+    per session into the local warehouse."""
+    from databricks_etl_pipelines_spark.operators.joins import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    ta, tb = "bkt_supplier_q", "bkt_nation_q"
+    if not spark.catalog.tableExists(ta):
+        write_bucketed(table(spark, sf_dir, "supplier"), ta, "s_nationkey", 8)
+        write_bucketed(table(spark, sf_dir, "nation"), tb, "n_nationkey", 8)
+    joined = bucketed_join(
+        ta, tb,
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        spark=spark,
+    )
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.count("*").alias("supplier_count"),
+        stable_round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
 # -- broadcast dim join chain (J2 real-join form) ----------------------------
 
 _BROADCAST_ORACLE = """

@@ -27,6 +27,7 @@ from databricks_etl_pipelines_spark.functions.textfns import (
     token_count,
 )
 from databricks_etl_pipelines_spark.operators.dedup import (
+    MinHashCorpusIndex,
     embedding_cosine_pairs,
     exact_dedup_groups,
     minhash_lsh_dedup_pairs,
@@ -296,6 +297,28 @@ def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup_pairs(
         docs, "text", "doc_id", threshold=0.5, num_perm=32, bands=8, shingle_k=3
     )
+
+
+_MH_INDEX_CACHE: dict[str, MinHashCorpusIndex] = {}
+
+
+@query("dedup_incremental_corpus")
+def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state crawl dedup: even-id docs form the indexed corpus (built
+    once, persisted bands + shingle sets); odd-id docs arrive as the new
+    batch and are screened against the index — only the batch is shingled.
+    (rows-only: xxhash64 signatures are engine-specific; recall/exactness
+    pinned by test_minhash_corpus_index_incremental_dedup.)"""
+    docs = table(spark, sf_dir, "documents")
+    idx = _MH_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        idx = MinHashCorpusIndex.build(
+            corpus, "text", "doc_id", scratch_dir("mh_corpus_")
+        )
+        _MH_INDEX_CACHE[sf_dir] = idx
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return idx.match_new(spark, batch, "text", "doc_id", threshold=0.5)
 
 
 # -- SimHash near-dup (rows-only) ----------------------------------------------------

@@ -290,3 +290,49 @@ def test_bpe_tokens_and_rolling_fingerprint_exact(spark):
     assert got[2][1] == kr("abc")
     # order sensitivity: permuted text hashes differently
     assert kr("abc") != kr("cab")
+
+
+def test_minhash_corpus_index_incremental_dedup(spark, tmp_path):
+    """Incremental crawl dedup: build the index over the corpus once, screen
+    a new batch against it (only the batch is re-shingled), then add() and
+    confirm the next batch screens against the newly indexed docs too."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        MinHashCorpusIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (3, OTHER)], "doc_id long, text string"
+    )
+    idx = MinHashCorpusIndex.build(
+        corpus, "text", "doc_id", str(tmp_path / "mh")
+    )
+
+    fresh = (
+        "entirely new sentences about glaciers carving valleys through "
+        "mountain ranges over thousands of patient years"
+    )
+    batch1 = spark.createDataFrame(
+        [(100, NEAR), (101, fresh)], "doc_id long, text string"
+    )
+    matches = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in idx.match_new(
+            spark, batch1, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert (100, 0) in matches          # near-dup of corpus doc 0 caught
+    assert matches[(100, 0)] >= 0.5
+    assert not any(n == 101 for n, _ in matches)  # fresh doc passes
+
+    # index the fresh doc; a later near-copy of it must now be caught
+    idx.add(spark, batch1.filter("doc_id = 101"), "text", "doc_id")
+    batch2 = spark.createDataFrame(
+        [(200, fresh.replace("patient", "quiet"))], "doc_id long, text string"
+    )
+    m2 = {
+        (r.new_id, r.corpus_id)
+        for r in idx.match_new(
+            spark, batch2, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert (200, 101) in m2

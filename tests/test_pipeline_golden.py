@@ -145,21 +145,23 @@ def test_optimize_compaction_and_clustering(spark, tmp_path):
     assert compacted.count() == 10000
     assert compacted.rdd.getNumPartitions() <= 2
 
-    v = mt.optimize(spark, cluster_by=["k", "v"], target_partitions=4)
+    v = mt.optimize(spark, cluster_by=["k", "v"], target_partitions=8)
     clustered = mt.read(spark)
     assert clustered.count() == 10000
     ops = [r.operation for r in mt.history(spark).collect()]
     assert "optimize compact" in ops
     assert any(op.startswith("optimize zorder") for op in ops)
-    # interleaved z-order narrows per-file ranges on BOTH dimensions:
-    # each of the 4 files covers ~half the k domain (7 values) AND ~half
-    # the v domain (100 values) — linear clustering would give the
-    # trailing key its full range in every file.
+    # interleaved z-order narrows per-file ranges on BOTH dimensions —
+    # linear clustering would give the trailing key its full ~99 range in
+    # every file. Margins are loose because range-exchange boundary
+    # sampling is seeded randomly per run (observed dk<=5, vspan<=49 over
+    # trials; full domains are 7 and ~99).
     import glob
     import os
 
     files = glob.glob(os.path.join(str(tmp_path / "t"), f"_v{v}", "part-*"))
-    assert len(files) >= 2
+    assert len(files) >= 4
+    dks, vspans = [], []
     for f in files:
         stats = (
             spark.read.parquet(f)
@@ -169,8 +171,11 @@ def test_optimize_compaction_and_clustering(spark, tmp_path):
             )
             .first()
         )
-        assert stats.dk <= 5          # < 7 = full k domain
-        assert stats.vspan <= 80      # < ~99 = full v domain
+        dks.append(stats.dk)
+        vspans.append(stats.vspan)
+    assert max(dks) <= 6              # every file < full k domain
+    assert max(vspans) <= 70          # every file < full v domain
+    assert sum(vspans) / len(vspans) <= 50  # and typically ~half or less
 
 
 def test_bucket_pruned_merge_rewrites_only_touched_buckets(spark, tmp_path):
