@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     "join_salted_skew",
     "join_bucketed_colocated",
     # changed this round but green (or rows-only) in round 1
+    "ml_feature_matrix",
     "dedup_embedding_cosine_blocked",
     "merge_upsert_orders",
     "dedup_embedding_cosine_pairs",

@@ -88,6 +88,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- bucketed co-located join: zero-Exchange plan, plain-join answer ----------
 
+_BUCKETED_Q_TABLES: dict[str, tuple[str, str]] = {}
+
 _BUCKETED_ORACLE = """
 SELECT
   n.n_name AS nation_name,
@@ -110,10 +112,23 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
-    ta, tb = "bkt_supplier_q", "bkt_nation_q"
-    if not spark.catalog.tableExists(ta):
-        write_bucketed(table(spark, sf_dir, "supplier"), ta, "s_nationkey", 8)
-        write_bucketed(table(spark, sf_dir, "nation"), tb, "n_nationkey", 8)
+    # Unique per process: the in-memory catalog is session-scoped, but the
+    # warehouse DIRECTORY outlives it — a fixed name in a fresh session
+    # fails with LOCATION_ALREADY_EXISTS against the stale dir.
+    tables = _BUCKETED_Q_TABLES.get(sf_dir)
+    if tables is None:
+        import uuid
+
+        suffix = uuid.uuid4().hex[:8]
+        tables = (f"bkt_supplier_{suffix}", f"bkt_nation_{suffix}")
+        write_bucketed(
+            table(spark, sf_dir, "supplier"), tables[0], "s_nationkey", 8
+        )
+        write_bucketed(
+            table(spark, sf_dir, "nation"), tables[1], "n_nationkey", 8
+        )
+        _BUCKETED_Q_TABLES[sf_dir] = tables
+    ta, tb = tables
     joined = bucketed_join(
         ta, tb,
         F.col("s_nationkey") == F.col("n_nationkey"),

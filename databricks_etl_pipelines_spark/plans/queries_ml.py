@@ -22,6 +22,7 @@ from databricks_etl_pipelines_spark.ml.fraud import (
 )
 from databricks_etl_pipelines_spark.ml.runlog import RunLog
 from databricks_etl_pipelines_spark.plans.queries_aggregates import (
+    _FEATURES_ORACLE,
     agg_entity_features,
 )
 from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
@@ -62,7 +63,26 @@ def _trained(spark: SparkSession, sf_dir: str):
     return _TRAIN_CACHE[sf_dir]
 
 
-@query("ml_feature_matrix")
+# M1 is relational (casts + null-drop over the oracled feature table), so
+# unlike the learned-model queries it gets a FULL oracle: wrap the entity-
+# features SQL with the same double casts and the dropna predicate.
+# (ensure_two_classes is a no-op whenever both label classes exist, which
+# holds on this data at every sf; the oracle asserts exactly that shape.)
+_MATRIX_CASTS = ",\n  ".join(
+    f"CAST({c} AS DOUBLE) AS {c}" for c in FEATURE_COLS
+)
+_MATRIX_NOT_NULL = " AND ".join(f"{c} IS NOT NULL" for c in FEATURE_COLS)
+_MATRIX_ORACLE = f"""
+WITH base AS ({_FEATURES_ORACLE})
+SELECT o_custkey,
+  {_MATRIX_CASTS},
+  CAST(is_suspicious AS DOUBLE) AS label
+FROM base
+WHERE {_MATRIX_NOT_NULL}
+"""
+
+
+@query("ml_feature_matrix", _MATRIX_ORACLE)
 def ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: the model-ready matrix (id + 15 double features + label)."""
     return _matrix(spark, sf_dir)
