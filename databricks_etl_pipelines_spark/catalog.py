@@ -95,6 +95,8 @@ PRIORITY: list[str] = [
     "dedup_incremental_corpus",
     "join_salted_skew",
     "join_bucketed_colocated",
+    "curation_stratified_sample",
+    "curation_quota_per_language",
     # changed this round but green (or rows-only) in round 1
     "ml_feature_matrix",
     "dedup_embedding_cosine_blocked",

@@ -55,6 +55,67 @@ def quality_score(text_col: str) -> F.Column:
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing knob of a
+    training-data pipeline (e.g. per-language quotas).
+
+    Unlike ``df.sampleBy`` (Bernoulli on a per-partition RNG, so the kept
+    set changes with the partition layout), membership here is a pure
+    function of (id, seed): keep iff bucket(id, seed) < fraction·1e6,
+    where bucket is the cross-engine rolling hash of md5(id || ':' seed).
+    Reproducible across runs, cluster sizes, AND engines — md5 and the
+    Karp-Rabin fold are bit-identical in DuckDB, so the sample membership
+    itself is differential-testable (xxhash64 would not be)."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    bucket = fingerprint_rolling(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    ) % 1_000_000
+    frac = None
+    for value, p in fractions.items():
+        branch = F.when(F.col(strata_col) == value, F.lit(p))
+        frac = branch if frac is None else frac.when(
+            F.col(strata_col) == value, F.lit(p)
+        )
+    frac = (
+        frac.otherwise(F.lit(default_fraction))
+        if frac is not None
+        else F.lit(default_fraction)
+    )
+    return df.filter(bucket < frac * 1_000_000)
+
+
+def quota_by_quality(
+    df: DataFrame,
+    strata_col: str,
+    order_col: str,
+    quota: int,
+    id_col: str,
+) -> DataFrame:
+    """Keep the top ``quota`` rows per stratum by ``order_col`` (ties break
+    on id): the 'best N documents per language/source' selection step. One
+    window shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc(order_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -520,6 +520,86 @@ def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- corpus mixing: deterministic stratified sample + per-stratum quota -------
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.8, "zh": 0.25}
+
+_STRATIFIED_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lang, source,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5(CAST(doc_id AS VARCHAR) || ':42'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    ) % 1000000 AS bkt
+  FROM documents
+)
+SELECT doc_id, lang, source
+FROM s
+WHERE bkt < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 800000
+                      WHEN 'zh' THEN 250000 ELSE 0 END * 1.0
+"""
+
+
+@query("curation_stratified_sample", _STRATIFIED_ORACLE)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing downsample with per-language fractions. Membership is
+    a pure function of (doc_id, seed) via the cross-engine md5+rolling-hash
+    bucket, so the oracle reproduces the EXACT kept set — not just counts."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, "lang", _SAMPLE_FRACTIONS, "doc_id", seed=42)
+
+
+_QUOTA_ORACLE = f"""
+WITH q AS (
+  SELECT
+    doc_id, lang,
+    (CASE WHEN len({_SQL_TOKS}) BETWEEN 10 AND 1000 THEN 30 ELSE 0 END
+     + CASE WHEN CAST(list_sum(list_transform({_SQL_TOKS}, x -> length(x)))
+              AS BIGINT) / len({_SQL_TOKS}) BETWEEN 3 AND 12 THEN 30 ELSE 0 END
+     + CASE WHEN len(list_filter({_SQL_TOKS}, x -> x IN ({{en}})))
+              / len({_SQL_TOKS}) > 0.05 THEN 20 ELSE 0 END
+     + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+              / length(text) < 0.2
+             AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+              / length(text) < 0.2 THEN 20 ELSE 0 END) AS quality
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, quality,
+    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, lang, CAST(quality AS INT) AS quality FROM r WHERE rn <= 40
+"""
+
+
+@query(
+    "curation_quota_per_language",
+    _QUOTA_ORACLE.replace("{en}", _sql_in_list(LANG_STOPWORDS["en"])),
+)
+def curation_quota_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Best 40 docs per language by quality score' — the per-stratum quota
+    selection step of corpus assembly (one window shuffle on lang)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        quality_score,
+        quota_by_quality,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        quality_score("text").cast("int").alias("quality"),
+    )
+    return quota_by_quality(docs, "lang", "quality", 40, "doc_id")
+
+
 @query("curation_funnel_report")
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation attrition funnel (rows-only: the near-dup

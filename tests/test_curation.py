@@ -73,3 +73,49 @@ def test_curation_exact_components_matches_heuristic_here(spark):
     )
     kept = sorted(r.doc_id for r in clean.collect())
     assert kept == [0, 5]
+
+
+def test_stratified_sample_deterministic_and_partition_independent(spark):
+    from databricks_etl_pipelines_spark.operators.curation import (
+        quota_by_quality,
+        stratified_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept1 = {
+        r.id
+        for r in stratified_sample(
+            df, "lang", {"en": 0.3, "de": 0.9}, "id", seed=7
+        ).collect()
+    }
+    kept2 = {
+        r.id
+        for r in stratified_sample(
+            df.repartition(13), "lang", {"en": 0.3, "de": 0.9}, "id", seed=7
+        ).collect()
+    }
+    assert kept1 == kept2  # pure function of (id, seed), not layout
+    en = sum(1 for i in kept1 if i % 2 == 0) / 1000
+    de = sum(1 for i in kept1 if i % 2 == 1) / 1000
+    assert abs(en - 0.3) < 0.08 and abs(de - 0.9) < 0.08
+    # different seed => different membership
+    kept3 = {
+        r.id
+        for r in stratified_sample(
+            df, "lang", {"en": 0.3, "de": 0.9}, "id", seed=8
+        ).collect()
+    }
+    assert kept3 != kept1
+
+    # quota: exactly N per stratum, highest-ordered rows win
+    scored = df.withColumn("score", (F.col("id") % 100).cast("int"))
+    top = quota_by_quality(scored, "lang", "score", 5, "id").collect()
+    by_lang = {}
+    for r in top:
+        by_lang.setdefault(r.lang, []).append(r.score)
+    assert all(len(v) == 5 for v in by_lang.values())
+    assert all(min(v) >= 98 for v in by_lang.values())  # top scores kept
