@@ -133,6 +133,28 @@ def sample_chunks(docs: DataFrame, n_chunks: int = 4) -> DataFrame:
     return docs.mapInPandas(chunks, CHUNK_SCHEMA)
 
 
+def downsample_payload(docs: DataFrame, factor: int = 4) -> DataFrame:
+    """The resize/downsample stage shape: binary in → smaller binary out,
+    same (id, payload, metadata) schema so stages COMPOSE (downsample →
+    featurize → stats run as chained mapInPandas over the same Arrow
+    batches). The codec-free transform keeps every k-th byte — the exact
+    plumbing an image resize or audio resample uses, with numpy slicing
+    standing in for the codec call."""
+    import numpy as np
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].apply(
+                lambda b: np.frombuffer(bytes(b), dtype=np.uint8)[::factor]
+                .tobytes()
+            )
+            out["media_format"] = pdf["media_format"] + f";ds{factor}"
+            yield out
+
+    return docs.mapInPandas(shrink, BINARY_DOC_SCHEMA)
+
+
 DECODED_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, features binary"
 )

@@ -508,6 +508,21 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_downsample_stats")
+def multimodal_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal stages: downsample (resize analog, every 4th
+    byte) → binary_stats, two chained mapInPandas over the same Arrow
+    batches (rows-only: byte slicing isn't ANSI SQL; exactness pinned by
+    test_downsample_composes_with_stats)."""
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        downsample_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    shrunk = downsample_payload(to_binary_docs(docs, "text", "doc_id"), 4)
+    return binary_stats(shrunk)
+
+
 @query("multimodal_chunk_energy")
 def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame/segment sampling: 1 binary row → 4 typed chunk rows per doc

@@ -336,3 +336,28 @@ def test_minhash_corpus_index_incremental_dedup(spark, tmp_path):
         ).collect()
     }
     assert (200, 101) in m2
+
+
+def test_downsample_composes_with_stats(spark):
+    """Resize-analog plumbing: every-4th-byte downsample chains into
+    binary_stats with exact, predictable values."""
+    import hashlib
+
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        binary_stats,
+        downsample_payload,
+        to_binary_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy")], "doc_id long, text string"
+    )
+    shrunk = downsample_payload(to_binary_docs(df, "text", "doc_id"), 4)
+    got = {r.doc_id: r for r in binary_stats(shrunk).collect()}
+    assert got[1].n_bytes == 3  # bytes at offsets 0,4,8 -> 'a','e','i'
+    assert got[1].payload_sha256 == hashlib.sha256(b"aei").hexdigest()
+    assert got[2].n_bytes == 1
+    assert got[2].payload_sha256 == hashlib.sha256(b"x").hexdigest()
+    # metadata composes too
+    fmt = {r.doc_id: r.media_format for r in shrunk.collect()}
+    assert fmt[1] == "utf-8;ds4"
