@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "streaming_dedup_keys",
     "streaming_foreachbatch_merge",
     "streaming_stateful_totals",
+    "streaming_stream_stream_join",
     "scalar_datetime_functions",
     "scalar_math_functions",
     "scalar_conditional_bucketing",
@@ -87,7 +88,6 @@ PRIORITY: list[str] = [
     "multimodal_byte_histogram",
     "join_anti_customers_without_orders",
     # new round-2 queries — no driver rows yet
-    "similarity_ivf_persisted",
     "sql_text_pricing_summary",
     "text_bpe_token_stats",
     "text_fingerprint_rolling",
@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "dedup_embedding_cosine_blocked",
     "merge_upsert_orders",
     # slow rows-only entries (pytest-pinned) — fine past the cap
+    "similarity_ivf_persisted",
     "dedup_incremental_corpus",
     "ml_run_history",
     "dedup_embedding_cosine_pairs",

@@ -151,6 +151,46 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- stream-stream interval join -----------------------------------------------
+
+_SSJOIN_ORACLE = """
+SELECT
+  c.user_id,
+  c.event_id AS l_event_id,
+  c.ts AS l_ts,
+  e.event_id AS r_event_id,
+  e.ts AS r_ts,
+  date_diff('microsecond', c.ts, e.ts) / 1000000.0 AS lag_seconds
+FROM events c
+JOIN events e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts
+ AND e.ts <= c.ts + INTERVAL 10 MINUTE
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+"""
+
+
+@query("streaming_stream_stream_join", _SSJOIN_ORACLE)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time interval bound + watermarks
+    on both sides (the state-evictable join shape). Drained bounded, the
+    result equals the batch interval join — which the oracle computes."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        stream_stream_interval_join,
+    )
+
+    clicks = streaming_events(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    errors = streaming_events(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    )
+    joined = stream_stream_interval_join(
+        clicks, errors, "user_id", within="10 minutes"
+    )
+    return drain_to_memory(joined, "append")
+
+
 # -- custom stateful operator (applyInPandasWithState) -------------------------
 
 _STATEFUL_ORACLE = """

@@ -38,6 +38,9 @@ def get_spark(app_name: str = "databricks-etl-pipelines-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # statistics-only scans: COUNT/MIN/MAX without filters read parquet
+        # footers instead of data pages (off by default upstream)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     )
     return builder.getOrCreate()

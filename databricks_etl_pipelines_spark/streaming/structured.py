@@ -305,6 +305,46 @@ def streaming_dedup(
     return stream.select(*keys).dropDuplicates(keys)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval: a right
+    event matches a left event with the same key when it lands within
+    ``within`` AFTER it. Both sides carry watermarks + the time bound, so
+    Spark can evict join state — the required shape for unbounded
+    stream-stream joins (state grows without the interval condition).
+    Returns (key, left event/ts, right event/ts, lag_seconds)."""
+    lhs = left.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    rhs = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        F.col("l_ts").cast("timestamp").alias("l_ts"),
+        "r_event_id",
+        F.col("r_ts").cast("timestamp").alias("r_ts"),
+        (F.col("r_ts").cast("double") - F.col("l_ts").cast("double"))
+        .alias("lag_seconds"),
+    )
+
+
 def progress_summary(query: StreamingQuery) -> list[dict]:
     """T5 stream-health introspection (01:216-218): per-micro-batch
     batchId / numInputRows / processedRowsPerSecond from recentProgress."""
