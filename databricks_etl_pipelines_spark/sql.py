@@ -17,6 +17,7 @@ API-first, but users coming from SQL get the same capability here:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,3 +54,47 @@ def optimize_table(
 ) -> int:
     """OPTIMIZE <table> [ZORDER BY (cols)] (reference 03:207-216)."""
     return mt.optimize(spark, cluster_by=zorder_by)
+
+
+_HISTORY_RE = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(?:'([^']+)'|(\S+))\s*$", re.I)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?:'([^']+)'|(\S+))"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$",
+    re.I,
+)
+_TIME_TRAVEL_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(?:'([^']+)'|(\S+))\s+"
+    r"VERSION\s+AS\s+OF\s+(\d+)\s*$",
+    re.I,
+)
+
+
+def run_command(spark: SparkSession, sql: str) -> DataFrame:
+    """The reference's ``%sql`` Delta verbs as actual SQL strings over
+    ManagedTable paths (01:252, 03:207-216):
+
+        DESCRIBE HISTORY '<path>'
+        OPTIMIZE '<path>' [ZORDER BY (col, ...)]
+        SELECT * FROM '<path>' VERSION AS OF <n>
+
+    Anything else falls through to ``spark.sql`` unchanged, so the command
+    surface composes with the registered relational views."""
+    m = _HISTORY_RE.match(sql)
+    if m:
+        return ManagedTable(m.group(1) or m.group(2)).history(spark)
+    m = _OPTIMIZE_RE.match(sql)
+    if m:
+        mt = ManagedTable(m.group(1) or m.group(2))
+        cols = (
+            [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+        )
+        v = mt.optimize(spark, cluster_by=cols)
+        return spark.createDataFrame(
+            [(mt.root, v)], "table string, new_version int"
+        )
+    m = _TIME_TRAVEL_RE.match(sql)
+    if m:
+        return ManagedTable(m.group(1) or m.group(2)).read(
+            spark, version=int(m.group(3))
+        )
+    return spark.sql(sql)

@@ -361,3 +361,34 @@ def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
     plan = back.filter(F.col("n_nationkey") > 10)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)]" in plan
+
+
+def test_sql_command_surface(spark, tmp_path):
+    """EP4 parity: DESCRIBE HISTORY / OPTIMIZE ZORDER / VERSION AS OF as
+    actual SQL strings over a ManagedTable path."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+    from databricks_etl_pipelines_spark.sql import run_command
+
+    root = str(tmp_path / "cmd")
+    mt = ManagedTable(root)
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") % 9).alias("v")
+    )
+    mt.create_or_overwrite(df)
+    mt.append(spark.range(500, 600).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") % 9).alias("v")
+    ))
+
+    hist = run_command(spark, f"DESCRIBE HISTORY '{root}'")
+    assert [r.operation for r in hist.collect()] == ["overwrite", "append"]
+
+    out = run_command(spark, f"OPTIMIZE '{root}' ZORDER BY (k, v)").first()
+    assert out.new_version == 2
+    ops = [r.operation for r in mt.history(spark).collect()]
+    assert ops[-1].startswith("optimize zorder")
+
+    v0 = run_command(spark, f"SELECT * FROM '{root}' VERSION AS OF 0")
+    assert v0.count() == 500
+    assert run_command(spark, "SELECT 41 + 1 AS x").first().x == 42  # fallthrough
