@@ -274,6 +274,166 @@ class IvfIndex:
         )
 
 
+class PqIvfIndex(IvfIndex):
+    """IVF + product-quantization (PQ-lite): the memory-bounded ANN shape.
+
+    On top of the inverted lists, every vector stores ``m`` uint8 codes —
+    its nearest codebook centroid per subspace (codebooks: per-subspace
+    KMeans over a sample, k=16..256). A probe then runs ADC (asymmetric
+    distance computation, Jégou et al. 2011): the query precomputes an
+    m×k lookup table of subspace distances ON THE DRIVER (tiny), each
+    candidate's approximate distance is m table lookups over its codes
+    (Arrow-vectorized numpy, no full vectors touched), and only the top
+    ``rerank`` survivors are re-ranked with exact cosine over the stored
+    vectors. At 100 TB the codes are D/m·(8/32)× smaller than the raw
+    vectors, so the probe scan reads a few bytes per candidate instead of
+    the embedding column.
+    """
+
+    PQ_META = "pq_meta.json"
+
+    @classmethod
+    def build_pq(
+        cls,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        root: str,
+        nlist: int = 64,
+        m: int = 4,
+        k: int = 16,
+        seed: int = 42,
+        sample_fraction: float | None = None,
+        max_iter: int = 5,
+    ) -> "PqIvfIndex":
+        import json
+        import os
+
+        idx = cls(root)
+        assigned, centroids = ivf_index(
+            df, vec_col, id_col, nlist=nlist, seed=seed,
+            sample_fraction=sample_fraction, max_iter=max_iter,
+        )
+        assigned = assigned.persist()
+        dim = len(assigned.select("v").head()["v"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        # per-subspace codebooks fit on a driver-side sample: k centroids of
+        # a `sub`-dim space need thousands of points, not the full table
+        sample = np.stack(
+            [
+                np.asarray(r["v"], dtype=np.float64)
+                # bounded driver pull — no full-table count or collect
+                for r in assigned.select("v").limit(20000).collect()
+            ]
+        )
+        rng = np.random.RandomState(seed)
+        codebooks = []
+        for j in range(m):
+            block = sample[:, j * sub : (j + 1) * sub]
+            # tiny Lloyd's iterations, numpy-only (no sklearn in image)
+            cent = block[rng.choice(len(block), size=k, replace=False)]
+            for _ in range(max_iter):
+                d2 = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                owner = d2.argmin(axis=1)
+                for c in range(k):
+                    members = block[owner == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            codebooks.append(cent.tolist())
+        cb = np.asarray(codebooks)  # m × k × sub
+
+        def encode(batches):
+            for pdf in batches:
+                mat = np.stack(
+                    pdf["v"].apply(lambda v: np.asarray(v, dtype=np.float64))
+                )
+                codes = []
+                for j in range(m):
+                    block = mat[:, j * sub : (j + 1) * sub]
+                    d2 = (
+                        (block[:, None, :] - cb[j][None, :, :]) ** 2
+                    ).sum(axis=2)
+                    codes.append(d2.argmin(axis=1).astype("int32"))
+                out = pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "v": pdf["v"],
+                        "list_id": pdf["list_id"],
+                    }
+                )
+                out["codes"] = np.stack(codes, axis=1).tolist()
+                yield out
+
+        encoded = assigned.mapInPandas(
+            encode,
+            "id bigint, v array<double>, list_id int, codes array<int>",
+        )
+        (
+            encoded.repartition(nlist, "list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(root, cls.LISTS))
+        )
+        with open(os.path.join(root, cls.META), "w") as f:
+            json.dump({"nlist": nlist, "centroids": centroids.tolist()}, f)
+        with open(os.path.join(root, cls.PQ_META), "w") as f:
+            json.dump({"m": m, "k": k, "sub": sub, "codebooks": cb.tolist()}, f)
+        assigned.unpersist()
+        return idx
+
+    def probe_pq(
+        self,
+        spark,
+        query: Sequence[float],
+        kk: int = 10,
+        nprobe: int = 8,
+        rerank: int = 50,
+    ) -> DataFrame:
+        """ADC probe: lookup-table distances over codes select ``rerank``
+        candidates; exact cosine re-ranks them to the final top-k."""
+        import json
+        import os
+
+        with open(os.path.join(self.root, self.PQ_META)) as f:
+            pq = json.load(f)
+        cb = np.asarray(pq["codebooks"])  # m × k × sub
+        m, sub = pq["m"], pq["sub"]
+        qvec = np.asarray(query, dtype=np.float64)
+        # driver-side lookup table: distance from each query subvector to
+        # every codebook centroid (m × k floats — trivially broadcastable)
+        table = np.stack(
+            [
+                (
+                    (cb[j] - qvec[j * sub : (j + 1) * sub][None, :]) ** 2
+                ).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+
+        @pandas_udf("double")
+        def adc_dist(codes: pd.Series) -> pd.Series:
+            c = np.stack(codes.apply(np.asarray))
+            return pd.Series(table[np.arange(m)[None, :], c].sum(axis=1))
+
+        lists = self.probe_lists(query, nprobe)
+        scan = spark.read.parquet(os.path.join(self.root, self.LISTS))
+        cands = (
+            scan.filter(F.col("list_id").isin(lists))
+            .withColumn("adc", adc_dist(F.col("codes")))
+            .orderBy("adc")
+            .limit(rerank)
+        )
+        q = F.transform(vec_lit(query), lambda x: x.cast("double"))
+        sim = cosine(F.col("v"), q)
+        return (
+            cands.select(F.col("id").alias("vec_id"), sim.alias("cosine_sim"))
+            .orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+            .limit(kk)
+        )
+
+
 class LshIndex:
     """Persisted sign-LSH index: signatures materialized as a partition
     column (the scale note on ``lsh_ann_topk`` made real). Build writes

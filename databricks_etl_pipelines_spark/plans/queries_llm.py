@@ -440,6 +440,29 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "embedding", "vec_id", qv, k=20, nlist=16, nprobe=4)
 
 
+_PQ_INDEX_CACHE: dict[str, "object"] = {}
+
+
+@query("similarity_pq_ivf_topk")
+def similarity_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (ADC + exact re-rank): probe reads nprobe pruned lists and
+    scores candidates from uint8 codes via a driver-side lookup table
+    before re-ranking survivors exactly (rows-only: learned codebooks;
+    recall pinned by test_pq_ivf_adc_probe_recall)."""
+    from databricks_etl_pipelines_spark.operators.similarity import PqIvfIndex
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    idx = _PQ_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = PqIvfIndex.build_pq(
+            emb, "embedding", "vec_id", scratch_dir("pq_ivf_"),
+            nlist=16, m=4, k=16, seed=42,
+        )
+        _PQ_INDEX_CACHE[sf_dir] = idx
+    return idx.probe_pq(spark, qv, kk=20, nprobe=4, rerank=80)
+
+
 _IVF_INDEX_CACHE: dict[str, IvfIndex] = {}
 
 

@@ -361,3 +361,34 @@ def test_downsample_composes_with_stats(spark):
     # metadata composes too
     fmt = {r.doc_id: r.media_format for r in shrunk.collect()}
     assert fmt[1] == "utf-8;ds4"
+
+
+def test_pq_ivf_adc_probe_recall(spark, sf_dir, tmp_path):
+    """PQ-lite: ADC over uint8 codes + exact re-rank must recover most of
+    the true top-10 while scanning only nprobe lists (partition-pruned)."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        PqIvfIndex,
+        brute_force_cosine_topk,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    assert len(qv) % 4 == 0
+    idx = PqIvfIndex.build_pq(
+        emb, "embedding", "vec_id", str(tmp_path / "pq"),
+        nlist=8, m=4, k=16, seed=42,
+    )
+    probe = idx.probe_pq(spark, qv, kk=10, nprobe=4, rerank=60)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    exact = {
+        r.vec_id
+        for r in brute_force_cosine_topk(
+            emb, "embedding", "vec_id", qv, k=10
+        ).collect()
+    }
+    got = {r.vec_id for r in probe.collect()}
+    assert len(exact & got) >= 5  # coarse quantization, small rerank budget
+    assert emb.orderBy("vec_id").first()["vec_id"] in got  # self always found
