@@ -98,6 +98,10 @@ PRIORITY: list[str] = [
     # changed this round but green (or rows-only) in round 1
     "ml_feature_matrix",
     "dedup_embedding_cosine_blocked",
+    # change_feed_orders' two-sided diff vs the merge oracle verifies the
+    # merged snapshot completely, so it takes the cap slot; the snapshot
+    # query itself sits just past the cap
+    "change_feed_orders",
     "merge_upsert_orders",
     # slow rows-only entries (pytest-pinned) — fine past the cap
     "similarity_ivf_persisted",

@@ -357,11 +357,18 @@ WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
 """
 
 
-@query("merge_upsert_orders", _MERGE_ORACLE)
-def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materializes orders as a managed table, MERGEs an update+insert batch,
-    and returns the post-merge snapshot (which the oracle recomputes
-    relationally)."""
+_MERGED_ORDERS_CACHE: dict[str, ManagedTable] = {}
+
+
+def _merged_orders_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """orders → bucketed ManagedTable (v0) → MERGE an update+insert batch
+    (v1). Session-scoped scratch (outlives the call → lazy reads, no
+    driver-side collect); cached per sf_dir so the merge-snapshot and
+    change-feed queries share one build. The bucketed layout engages the
+    partition-pruned MERGE path."""
+    mt = _MERGED_ORDERS_CACHE.get(sf_dir)
+    if mt is not None:
+        return mt
     orders = table(spark, sf_dir, "orders")
     updates = orders.filter(F.col("o_orderkey") % 10 == 3).select(
         "o_orderkey",
@@ -380,15 +387,40 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     source = updates.unionByName(inserts)
-
-    # Session-scoped scratch (outlives this call): the snapshot comes back
-    # as a lazy parquet read — no driver-side collect at any scale. The
-    # bucketed layout engages the partition-pruned MERGE path (only buckets
-    # containing source keys are rewritten).
     mt = ManagedTable(scratch_dir("merge_upsert_orders_"))
     mt.create_or_overwrite(orders, bucket_by=["o_orderkey"])
     mt.merge_upsert(spark, source, ["o_orderkey"])
-    return mt.read(spark)
+    _MERGED_ORDERS_CACHE[sf_dir] = mt
+    return mt
+
+
+@query("merge_upsert_orders", _MERGE_ORACLE)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge snapshot (the oracle recomputes the merge relationally)."""
+    return _merged_orders_table(spark, sf_dir).read(spark)
+
+
+_CDF_ORACLE = f"""
+WITH merged AS ({_MERGE_ORACLE})
+SELECT *, 'insert' AS _change_type
+FROM (SELECT * FROM merged EXCEPT ALL SELECT * FROM orders)
+UNION ALL
+SELECT *, 'delete' AS _change_type
+FROM (SELECT * FROM orders EXCEPT ALL SELECT * FROM merged)
+"""
+
+
+@query("change_feed_orders", _CDF_ORACLE)
+def change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between the pre- and post-MERGE versions (Delta CDF
+    analog): updates surface as delete+insert, inserts as insert. On the
+    bucketed layout the diff skips every hardlink-identical bucket — the
+    oracle recomputes both exceptAll directions relationally, verifying
+    the merge AND the pruned diff in one hash check."""
+    from databricks_etl_pipelines_spark.sources.managed_table import ChangeFeed
+
+    mt = _merged_orders_table(spark, sf_dir)
+    return ChangeFeed(mt).read_changes(spark, 0, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -392,3 +392,47 @@ def test_sql_command_surface(spark, tmp_path):
     v0 = run_command(spark, f"SELECT * FROM '{root}' VERSION AS OF 0")
     assert v0.count() == 500
     assert run_command(spark, "SELECT 41 + 1 AS x").first().x == 42  # fallthrough
+
+
+def test_change_feed_bucket_pruned(spark, tmp_path):
+    """CDF analog: changes between versions of a bucketed table come from
+    ONLY the buckets whose files differ; hardlink-identical buckets are
+    skipped without reading. An update shows as delete+insert."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ChangeFeed,
+        ManagedTable,
+    )
+
+    mt = ManagedTable(str(tmp_path / "cdf"))
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    mt.create_or_overwrite(df, bucket_by=["id"], n_buckets=8)
+    src = spark.createDataFrame([(5, 999), (2000, 1)], "id long, v long")
+    mt.merge_upsert(spark, src, ["id"])
+
+    feed = ChangeFeed(mt)
+    changed = feed.changed_buckets(0, 1)
+    assert changed is not None and 1 <= len(changed) <= 2  # of 8 buckets
+
+    rows = {
+        (r.id, r.v, r._change_type)
+        for r in feed.read_changes(spark, 0, 1).collect()
+    }
+    assert rows == {
+        (5, 999, "insert"),   # new version of the updated row
+        (5, 10, "delete"),    # old version of the updated row
+        (2000, 1, "insert"),  # fresh insert
+    }
+
+    # unbucketed fallback: same answer, full-table diff
+    mt2 = ManagedTable(str(tmp_path / "flat"))
+    mt2.create_or_overwrite(df)
+    mt2.merge_upsert(spark, src, ["id"])
+    feed2 = ChangeFeed(mt2)
+    assert feed2.changed_buckets(0, 1) is None
+    rows2 = {
+        (r.id, r.v, r._change_type)
+        for r in feed2.read_changes(spark, 0, 1).collect()
+    }
+    assert rows2 == rows
