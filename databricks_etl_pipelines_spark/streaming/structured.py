@@ -312,12 +312,18 @@ def stream_stream_interval_join(
     ts_col: str = "ts",
     within: str = "10 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by an event-time interval: a right
-    event matches a left event with the same key when it lands within
-    ``within`` AFTER it. Both sides carry watermarks + the time bound, so
-    Spark can evict join state — the required shape for unbounded
-    stream-stream joins (state grows without the interval condition).
+    """Stream-stream join bounded by an event-time interval: a right event
+    matches a left event with the same key when it lands within ``within``
+    AFTER it. Both sides carry watermarks + the time bound, so Spark can
+    evict join state — the required shape for unbounded stream-stream
+    joins (state grows without the interval condition).
+
+    ``how='leftOuter'`` additionally emits unmatched left rows
+    null-extended — but only once the watermark passes their match window
+    (emission happens in a LATER micro-batch than the row itself; a
+    single-batch drain will not surface them).
     Returns (key, left event/ts, right event/ts, lag_seconds)."""
     lhs = left.withWatermark(ts_col, watermark).select(
         F.col(key).alias("l_key"),
@@ -334,7 +340,7 @@ def stream_stream_interval_join(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return lhs.join(rhs, cond, "inner").select(
+    return lhs.join(rhs, cond, how).select(
         F.col("l_key").alias(key),
         "l_event_id",
         F.col("l_ts").cast("timestamp").alias("l_ts"),

@@ -282,3 +282,64 @@ def test_streaming_medallion_end_to_end(spark, tmp_path):
         assert abs(got[k][1] - vol) < 0.05  # fp fold-order drift
     # gold history shows one fold per non-empty micro-batch
     assert m.gold_hourly.history(spark).count() >= 2
+
+
+def test_stream_stream_left_outer_emits_on_watermark_expiry(spark, tmp_path):
+    """Left-outer stream-stream join: a matched left emits immediately; an
+    UNMATCHED left emits null-extended only after a later batch advances
+    the watermark past its match window (state expiry semantics)."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        stream_stream_interval_join,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def drain():
+        base = spark.readStream.schema(schema).parquet(src)
+        clicks = base.filter(F.col("event_type") == "click")
+        errors = base.filter(F.col("event_type") == "error")
+        joined = stream_stream_interval_join(
+            clicks, errors, "user_id",
+            within="10 minutes", watermark="10 minutes", how="leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def rows(data):
+        return spark.createDataFrame(data, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    rows([(1, t(0), 100, "click"), (2, t(1), 200, "click"),
+          (3, t(5), 100, "error")]).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # batch 2: far-future rows on BOTH inputs — the query watermark is the
+    # MIN across the two withWatermark nodes, so a click must advance too
+    rows([(4, dt.datetime(2024, 1, 1, 13, 0), 300, "click"),
+          (5, dt.datetime(2024, 1, 1, 13, 0), 400, "error")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # batch 3: state cleanup runs with batch 2's advanced watermark and
+    # emits the expired unmatched left
+    rows([(6, dt.datetime(2024, 1, 1, 14, 0), 300, "click"),
+          (7, dt.datetime(2024, 1, 1, 14, 0), 400, "error")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (100, 1, 3) in got          # matched within 10 minutes
+    assert (200, 2, None) in got       # unmatched left, emitted on expiry
