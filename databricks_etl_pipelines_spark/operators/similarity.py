@@ -288,6 +288,15 @@ class PqIvfIndex(IvfIndex):
     vectors. At 100 TB the codes are D/m·(8/32)× smaller than the raw
     vectors, so the probe scan reads a few bytes per candidate instead of
     the embedding column.
+
+    ``residual=True`` (default) is the full IVFADC shape from the same
+    paper: each vector is quantized as ``v - coarse_centroid[list_id]``.
+    Residuals concentrate near the origin, so the same codebook budget
+    spends its centroids on a much tighter distribution — quantization
+    error drops (pinned by test_pq_residual_beats_plain_quantization).
+    The probe then needs one lookup table PER PROBED LIST (the query is
+    re-expressed relative to each list's centroid): nprobe × m × k floats,
+    still driver-trivial, gathered per-candidate by list_id.
     """
 
     PQ_META = "pq_meta.json"
@@ -305,6 +314,7 @@ class PqIvfIndex(IvfIndex):
         seed: int = 42,
         sample_fraction: float | None = None,
         max_iter: int = 5,
+        residual: bool = True,
     ) -> "PqIvfIndex":
         import json
         import os
@@ -321,13 +331,13 @@ class PqIvfIndex(IvfIndex):
         sub = dim // m
         # per-subspace codebooks fit on a driver-side sample: k centroids of
         # a `sub`-dim space need thousands of points, not the full table
+        srows = assigned.select("v", "list_id").limit(20000).collect()
         sample = np.stack(
-            [
-                np.asarray(r["v"], dtype=np.float64)
-                # bounded driver pull — no full-table count or collect
-                for r in assigned.select("v").limit(20000).collect()
-            ]
+            # bounded driver pull — no full-table count or collect
+            [np.asarray(r["v"], dtype=np.float64) for r in srows]
         )
+        if residual:
+            sample = sample - centroids[[r["list_id"] for r in srows]]
         rng = np.random.RandomState(seed)
         codebooks = []
         for j in range(m):
@@ -349,6 +359,9 @@ class PqIvfIndex(IvfIndex):
                 mat = np.stack(
                     pdf["v"].apply(lambda v: np.asarray(v, dtype=np.float64))
                 )
+                if residual:
+                    # centroids (nlist × dim) ride the closure — tiny
+                    mat = mat - centroids[pdf["list_id"].to_numpy()]
                 codes = []
                 for j in range(m):
                     block = mat[:, j * sub : (j + 1) * sub]
@@ -379,7 +392,16 @@ class PqIvfIndex(IvfIndex):
         with open(os.path.join(root, cls.META), "w") as f:
             json.dump({"nlist": nlist, "centroids": centroids.tolist()}, f)
         with open(os.path.join(root, cls.PQ_META), "w") as f:
-            json.dump({"m": m, "k": k, "sub": sub, "codebooks": cb.tolist()}, f)
+            json.dump(
+                {
+                    "m": m,
+                    "k": k,
+                    "sub": sub,
+                    "residual": residual,
+                    "codebooks": cb.tolist(),
+                },
+                f,
+            )
         assigned.unpersist()
         return idx
 
@@ -400,28 +422,49 @@ class PqIvfIndex(IvfIndex):
             pq = json.load(f)
         cb = np.asarray(pq["codebooks"])  # m × k × sub
         m, sub = pq["m"], pq["sub"]
+        residual = pq.get("residual", False)
         qvec = np.asarray(query, dtype=np.float64)
-        # driver-side lookup table: distance from each query subvector to
-        # every codebook centroid (m × k floats — trivially broadcastable)
-        table = np.stack(
-            [
-                (
-                    (cb[j] - qvec[j * sub : (j + 1) * sub][None, :]) ** 2
-                ).sum(axis=1)
-                for j in range(m)
-            ]
-        )
+        lists = self.probe_lists(query, nprobe)
+
+        def sub_table(q: np.ndarray) -> np.ndarray:
+            # distance from each query subvector to every codebook centroid
+            return np.stack(
+                [
+                    ((cb[j] - q[j * sub : (j + 1) * sub][None, :]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(m)
+                ]
+            )
+
+        if residual:
+            # one m×k table per probed list (query re-expressed relative to
+            # that list's coarse centroid) — nprobe × m × k floats, indexed
+            # by list_id so the UDF can gather per candidate
+            centroids = self._centroids()
+            tables = np.zeros((len(centroids), m, cb.shape[1]))
+            for li in lists:
+                tables[li] = sub_table(qvec - centroids[li])
+        else:
+            tables = np.broadcast_to(
+                sub_table(qvec), (1, m, cb.shape[1])
+            ).copy()
 
         @pandas_udf("double")
-        def adc_dist(codes: pd.Series) -> pd.Series:
+        def adc_dist(list_id: pd.Series, codes: pd.Series) -> pd.Series:
             c = np.stack(codes.apply(np.asarray))
-            return pd.Series(table[np.arange(m)[None, :], c].sum(axis=1))
+            li = (
+                list_id.to_numpy() if residual
+                else np.zeros(len(c), dtype=int)
+            )
+            return pd.Series(
+                tables[li[:, None], np.arange(m)[None, :], c].sum(axis=1)
+            )
 
-        lists = self.probe_lists(query, nprobe)
         scan = spark.read.parquet(os.path.join(self.root, self.LISTS))
         cands = (
             scan.filter(F.col("list_id").isin(lists))
-            .withColumn("adc", adc_dist(F.col("codes")))
+            .withColumn("adc", adc_dist(F.col("list_id"), F.col("codes")))
             .orderBy("adc")
             .limit(rerank)
         )

@@ -392,3 +392,43 @@ def test_pq_ivf_adc_probe_recall(spark, sf_dir, tmp_path):
     got = {r.vec_id for r in probe.collect()}
     assert len(exact & got) >= 5  # coarse quantization, small rerank budget
     assert emb.orderBy("vec_id").first()["vec_id"] in got  # self always found
+
+
+def test_pq_residual_beats_plain_quantization(spark, sf_dir, tmp_path):
+    """IVFADC residual encoding (quantize v - coarse_centroid) must cut
+    reconstruction error vs quantizing raw vectors with the same codebook
+    budget — the whole point of the residual step (Jégou et al. 2011 §III)."""
+    import json
+
+    import numpy as np
+
+    from databricks_etl_pipelines_spark.operators.similarity import PqIvfIndex
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def recon_mse(root, residual):
+        idx = PqIvfIndex.build_pq(
+            emb, "embedding", "vec_id", root,
+            nlist=8, m=4, k=16, seed=42, residual=residual,
+        )
+        with open(f"{root}/{PqIvfIndex.PQ_META}") as f:
+            pq = json.load(f)
+        assert pq["residual"] is residual  # meta round-trips the flag
+        cb = np.asarray(pq["codebooks"])  # m × k × sub
+        cents = idx._centroids()
+        rows = spark.read.parquet(f"{root}/lists").collect()
+        errs = []
+        for r in rows:
+            v = np.asarray(r["v"])
+            recon = np.concatenate([cb[j][r["codes"][j]] for j in range(4)])
+            if residual:
+                recon = recon + cents[r["list_id"]]
+            errs.append(((v - recon) ** 2).sum())
+        return float(np.mean(errs))
+
+    mse_res = recon_mse(str(tmp_path / "pq_res"), True)
+    mse_plain = recon_mse(str(tmp_path / "pq_plain"), False)
+    # synthetic embeddings are near-uniform, so the coarse residuals only
+    # concentrate mildly (~7% here); pin strict deterministic improvement
+    assert mse_res < mse_plain * 0.99
