@@ -62,6 +62,25 @@ def distinct_shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(word_shingles(col, k))
 
 
+def word_passages(col: Column | str, size: int = 8) -> Column:
+    """Non-overlapping ``size``-word chunks (the last may be shorter).
+
+    The passage is the unit of sub-document dedup in training-data
+    pipelines: boilerplate paragraphs repeat across documents whose full
+    texts differ, so document-level hashing misses them entirely.
+    """
+    toks = tokens(col)
+    n_chunks = F.ceil(F.size(toks) / size).cast("int")
+
+    def chunk(k: Column) -> Column:
+        return F.array_join(F.slice(toks, k * size + 1, size), " ")
+
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def stopword_hits(col: Column | str, stopwords: Sequence[str]) -> Column:
     """# tokens that are in the stopword list (exact match)."""
     return F.size(

@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_etl_pipelines_spark.catalog import query
-from databricks_etl_pipelines_spark.functions.numeric import stable_round
+from databricks_etl_pipelines_spark.functions.numeric import (
+    sql_stable_round,
+    stable_round,
+)
 from databricks_etl_pipelines_spark.functions.textfns import (
     LANG_STOPWORDS,
     avg_token_length,
@@ -647,3 +650,198 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     _, report = curate_corpus(docs)
     return report
+
+
+# -- repetition / passage dedup / contamination -------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+),
+cnt AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+  GROUP BY doc_id, word
+),
+wc AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY doc_id),
+b AS (
+  SELECT doc_id, ws,
+    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs
+  FROM w
+)
+SELECT b.doc_id,
+  CAST(len(ws) AS INT) AS n_words,
+  {sql_stable_round('len(list_distinct(ws)) * 1.0 / len(ws)', 6)}
+    AS distinct_word_ratio,
+  {sql_stable_round('wc.top_cnt * 1.0 / len(ws)', 6)} AS top_word_ratio,
+  {sql_stable_round('1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs)', 6)}
+    AS dup_bigram_ratio
+FROM b JOIN wc ON b.doc_id = wc.doc_id
+"""
+
+
+@query("text_repetition_signals", _REPETITION_ORACLE)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021 §A1.1):
+    distinct-word ratio, most-frequent-word mass, duplicated-bigram mass.
+    Array-local signals come from higher-order functions fused into the
+    scan (no shuffle); only the top-word count needs a (doc_id, word)
+    hash aggregate, which partial-aggregates map-side before one shuffle."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        tokens,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "doc_id",
+            tokens("text").alias("ws"),
+            word_shingles("text", 2).alias("bgs"),
+        )
+        .withColumn("n_words", F.size("ws"))
+    )
+    wc = (
+        base.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return base.join(wc, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        stable_round(
+            F.size(F.array_distinct("ws")) / F.col("n_words"), 6
+        ).alias("distinct_word_ratio"),
+        stable_round(F.col("top_cnt") / F.col("n_words"), 6).alias(
+            "top_word_ratio"
+        ),
+        stable_round(
+            F.lit(1.0) - F.size(F.array_distinct("bgs")) / F.size("bgs"), 6
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+_PASSAGE_SIZE = 8
+
+_PASSAGE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+),
+p AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(0, CAST(ceil(len(ws) / {_PASSAGE_SIZE}.0) AS INT)),
+      k -> array_to_string(
+        ws[k*{_PASSAGE_SIZE}+1 : k*{_PASSAGE_SIZE}+{_PASSAGE_SIZE}], ' ')
+    )) AS passage
+  FROM w
+),
+d AS (
+  SELECT passage FROM p GROUP BY passage
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT p.doc_id,
+  CAST(count(*) AS BIGINT) AS n_passages,
+  CAST(count(d.passage) AS BIGINT) AS n_dup_passages,
+  {sql_stable_round('count(d.passage) * 1.0 / count(*)', 6)}
+    AS dup_passage_ratio
+FROM p LEFT JOIN d ON p.passage = d.passage
+GROUP BY p.doc_id
+"""
+
+
+@query("dedup_passages", _PASSAGE_ORACLE)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage-level) exact dedup: split every document into
+    non-overlapping 8-word chunks, hash each, and report per document how
+    many of its passages also occur in at least one OTHER document.
+    Boilerplate detection that document-level hashing cannot see.
+
+    Scale shape: one hash aggregate over md5(passage) (16-byte shuffle
+    key, map-side partial agg) builds the cross-document duplicate set;
+    one equi-join on the same key attributes it back to documents. No
+    all-pairs step anywhere."""
+    from databricks_etl_pipelines_spark.functions.textfns import word_passages
+
+    docs = table(spark, sf_dir, "documents")
+    pas = docs.select(
+        "doc_id",
+        F.explode(word_passages("text", _PASSAGE_SIZE)).alias("passage"),
+    ).withColumn("h", F.md5("passage"))
+    dup = (
+        pas.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        pas.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.count("is_dup").alias("n_dup_passages"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            stable_round(
+                F.col("n_dup_passages") / F.col("n_passages"), 6
+            ).alias("dup_passage_ratio"),
+        )
+    )
+
+
+_CONTAM_K = 4
+
+_CONTAM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) >= {_CONTAM_K} THEN
+      list_transform(range(1, len(ws) - {_CONTAM_K - 2}),
+        i -> array_to_string(ws[i:i+{_CONTAM_K - 1}], ' '))
+    ELSE [array_to_string(ws, ' ')] END)) AS gram
+  FROM w
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM g c JOIN b USING (gram)
+WHERE c.doc_id % 50 != 0
+GROUP BY c.doc_id
+"""
+
+
+@query("curation_contamination_ngram", _CONTAM_ORACLE)
+def curation_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (the GPT-3 appendix-C n-gram overlap
+    check, Brown et al. 2020): flag training documents sharing any word
+    4-gram with a held-out benchmark set (here: doc_id % 50 == 0 stands in
+    for the benchmark corpus). Returns (doc_id, n_hit_grams) per
+    contaminated document.
+
+    Scale shape: the benchmark gram set is tiny by construction, so it
+    broadcasts — the corpus side streams through a broadcast hash join
+    with no shuffle, then one partial-aggregated count per doc."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        distinct_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(distinct_shingles("text", _CONTAM_K)).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )

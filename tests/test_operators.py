@@ -292,6 +292,56 @@ def test_bpe_tokens_and_rolling_fingerprint_exact(spark):
     assert kr("abc") != kr("cab")
 
 
+def test_repetition_passages_contamination_planted(spark, tmp_path):
+    """Planted-case semantics for the three repetition/contamination
+    queries: exact ratios on a repetitive doc, positional passage sharing,
+    and a benchmark 4-gram hit — plus the broadcast plan shape."""
+    from databricks_etl_pipelines_spark.functions.textfns import word_passages
+    from databricks_etl_pipelines_spark.plans.queries_llm import (
+        curation_contamination_ngram,
+        dedup_passages,
+        text_repetition_signals,
+    )
+
+    shared = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = [
+        (0, "w1 w2 w3 w4 w5"),          # benchmark doc (doc_id % 50 == 0)
+        (1, "z0 w2 w3 w4 w5 z1"),       # shares 4-gram "w2 w3 w4 w5"
+        (2, "a a a a b"),               # repetitive
+        (3, f"{shared} x1 x2"),         # passage boundary match with 4
+        (4, f"{shared} y1 y2 y3"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+
+    # word_passages: positional 8-word chunks, last one shorter
+    got = spark.createDataFrame(
+        [(docs[3][1],)], "text string"
+    ).select(word_passages("text", 8).alias("p")).head()["p"]
+    assert got == [shared, "x1 x2"]
+
+    rep = {r.doc_id: r for r in text_repetition_signals(spark, sf).collect()}
+    assert rep[2].n_words == 5
+    assert rep[2].distinct_word_ratio == 0.4   # {a, b} of 5
+    assert rep[2].top_word_ratio == 0.8        # 'a' ×4
+    assert rep[2].dup_bigram_ratio == 0.5      # {aa, ab} of 4 bigrams
+    assert rep[1].dup_bigram_ratio == 0.0      # all-unique text
+
+    pas = {r.doc_id: r for r in dedup_passages(spark, sf).collect()}
+    for d in (3, 4):
+        assert (pas[d].n_passages, pas[d].n_dup_passages) == (2, 1)
+        assert pas[d].dup_passage_ratio == 0.5
+    assert pas[2].n_dup_passages == 0
+
+    contam = curation_contamination_ngram(spark, sf)
+    plan = contam._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark grams never shuffle
+    rows = contam.collect()
+    assert [(r.doc_id, r.n_hit_grams) for r in rows] == [(1, 1)]
+
+
 def test_minhash_corpus_index_incremental_dedup(spark, tmp_path):
     """Incremental crawl dedup: build the index over the corpus once, screen
     a new batch against it (only the batch is re-shingled), then add() and
