@@ -171,13 +171,23 @@ class StreamingMedallion:
     Checkpoint + keyed MERGE + additive-by-key gold keep every stage
     replay-safe; per-batch cost tracks batch size + aggregate size, never
     table history.
+
+    ``bucket_silver=N`` lays silver out as N key-hash buckets on
+    transaction_id: each micro-batch MERGE then rewrites only the buckets
+    its keys land in and hardlinks the rest, so steady-state write
+    amplification is O(touched/N) of the table per batch instead of O(1)
+    full rewrites — the property that keeps an always-on upsert stream
+    viable against a 100 TB silver table.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, bucket_silver: int | None = None
+    ):
         self.spark = spark
         self.silver = ManagedTable(os.path.join(root, "silver"))
         self.quarantine = ManagedTable(os.path.join(root, "quarantine"))
         self.gold_hourly = ManagedTable(os.path.join(root, "gold_hourly"))
+        self.bucket_silver = bucket_silver
 
     def _fold_gold(self, silver_batch: DataFrame) -> None:
         partial = silver_batch.groupBy(
@@ -214,9 +224,18 @@ class StreamingMedallion:
             # gold fold a third time — cache the enriched batch
             silver_batch = silver_batch.persist()
             self.quarantine.append(quarantined)
-            self.silver.merge_upsert(
-                self.spark, silver_batch, ["transaction_id"]
-            )
+            if self.bucket_silver and not self.silver.exists():
+                # first batch creates the bucket layout; every later MERGE
+                # dispatches onto the bucket-pruned path automatically
+                self.silver.create_or_overwrite(
+                    silver_batch,
+                    bucket_by=["transaction_id"],
+                    n_buckets=self.bucket_silver,
+                )
+            else:
+                self.silver.merge_upsert(
+                    self.spark, silver_batch, ["transaction_id"]
+                )
             self._fold_gold(silver_batch)
             silver_batch.unpersist()
 

@@ -343,3 +343,74 @@ def test_stream_stream_left_outer_emits_on_watermark_expiry(spark, tmp_path):
     }
     assert (100, 1, 3) in got          # matched within 10 minutes
     assert (200, 2, None) in got       # unmatched left, emitted on expiry
+
+
+def test_streaming_medallion_bucketed_silver_write_amplification(
+    spark, tmp_path
+):
+    """An always-on upsert stream against a bucketed silver table must pay
+    O(touched/N) write amplification per micro-batch, not full rewrites:
+    a 3-key update batch rewrites <= 3 of 16 buckets and carries every
+    untouched bucket into the new version as hardlinks (byte-identical,
+    zero IO)."""
+    import glob
+    import os
+
+    from databricks_etl_pipelines_spark.plans.medallion import (
+        silver_transform,
+    )
+    from databricks_etl_pipelines_spark.sources.generator import (
+        batch_transactions,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        BUCKET_COL,
+        _read_log,
+        _same_file_set,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        StreamingMedallion,
+    )
+
+    feed = batch_transactions(spark, 2000)
+    src, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    feed.coalesce(1).write.mode("overwrite").parquet(src)
+
+    m = StreamingMedallion(spark, str(tmp_path / "tables"), bucket_silver=16)
+
+    def drain():
+        stream = spark.readStream.schema(feed.schema).parquet(src)
+        q = m.start(stream, ckpt)
+        q.awaitTermination(120)
+
+    drain()  # batch 1: creates bucketed silver from the full feed
+    v1 = m.silver.latest_version()
+    base_count = m.silver.read(spark).count()
+
+    # batch 2: updates to 3 existing transaction_ids (append a new file;
+    # checkpoint resume processes only it)
+    updates = batch_transactions(spark, 2000).filter(
+        F.col("transaction_id").isin(
+            [r.transaction_id for r in feed.limit(3).collect()]
+        )
+    )
+    updates.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    log = _read_log(m.silver.root)
+    assert log[-1]["operation"] == "merge"
+    assert 1 <= log[-1]["buckets_rewritten"] <= 3
+    assert m.silver.read(spark).count() == base_count  # upsert, no dups
+
+    # untouched buckets: hardlink carry-over, byte-identical across versions
+    v2 = m.silver.latest_version()
+    d1, d2 = m.silver._version_dir(v1), m.silver._version_dir(v2)
+    carried = 0
+    for bdir in glob.glob(os.path.join(d2, f"{BUCKET_COL}=*")):
+        prev = os.path.join(d1, os.path.basename(bdir))
+        if os.path.isdir(prev) and _same_file_set(prev, bdir):
+            carried += 1
+    assert carried >= 16 - log[-1]["buckets_rewritten"]
+
+    # silver still matches the batch-computed truth after the pruned merge
+    expected, _ = silver_transform(feed)
+    assert m.silver.read(spark).count() == expected.count()
