@@ -94,6 +94,42 @@ def stratified_sample(
     return df.filter(bucket < frac * 1_000_000)
 
 
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment — the 'write the
+    training shards' step. Each row gets ``shard_id`` (which output shard)
+    and ``shard_pos`` (its position within that shard), both pure functions
+    of (id, seed) via the cross-engine md5 rolling hash, so the permutation
+    is reproducible across runs, cluster sizes, and engines.
+
+    Scale shape: one window shuffle partitioned on shard_id — the same
+    partitioning the shard writer needs (repartition(shard_id) →
+    sortWithinPartitions(shard_pos) → partitionBy(shard_id) write), so the
+    assignment and the write share a single exchange.
+    """
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    bucket = fingerprint_rolling(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    ) % 1_000_000
+    shard = (bucket % n_shards).cast("int")
+    w = Window.partitionBy("shard_id").orderBy("__bucket", id_col)
+    return (
+        df.withColumn("__bucket", bucket)
+        .withColumn("shard_id", shard)
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+        .drop("__bucket")
+    )
+
+
 def quota_by_quality(
     df: DataFrame,
     strata_col: str,

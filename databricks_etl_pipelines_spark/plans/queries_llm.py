@@ -845,3 +845,98 @@ def curation_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_grams"))
     )
+
+
+_SURPRISAL_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+),
+f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f)
+SELECT doc_id,
+  {sql_stable_round('avg(-ln(c * 1.0 / total))', 6)} AS avg_surprisal,
+  {sql_stable_round('max(-ln(c * 1.0 / total))', 6)} AS max_surprisal
+FROM w JOIN f USING (word) CROSS JOIN t
+GROUP BY doc_id
+"""
+
+
+@query("text_lm_surprisal", _SURPRISAL_ORACLE)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring (the CCNet-style perplexity gate,
+    Wenzek et al. 2020, with the LM trained on the corpus itself): per
+    document, mean and max of -ln p(word). Low mean = templated/common
+    text; high max = contains corpus-rare tokens.
+
+    Scale shape: the unigram table is one hash aggregate on word; the
+    per-doc score is an equi-join back on word (AQE broadcasts it while
+    the vocabulary is small, falls back to a shuffle join when it is not)
+    plus one partial-aggregated per-doc fold. The 1-row total joins in as
+    a broadcast nested loop."""
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    freq = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    surprisal = -F.log(F.col("c") / F.col("total"))
+    return (
+        words.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            stable_round(F.avg(surprisal), 6).alias("avg_surprisal"),
+            stable_round(F.max(surprisal), 6).alias("max_surprisal"),
+        )
+    )
+
+
+_SHARD_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5(CAST(doc_id AS VARCHAR) || ':42'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    ) % 1000000 AS bkt
+  FROM documents
+)
+SELECT doc_id,
+  CAST(bkt % 8 AS INT) AS shard_id,
+  CAST(row_number() OVER (PARTITION BY bkt % 8 ORDER BY bkt, doc_id)
+       AS BIGINT) AS shard_pos
+FROM s
+"""
+
+
+@query("curation_shard_assignment", _SHARD_ORACLE)
+def curation_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle into 8 training shards: shard_id and
+    within-shard position are pure functions of (doc_id, seed), so the
+    oracle reproduces the EXACT permutation — the reproducible 'global
+    shuffle then write shards' step of corpus export."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        shard_assignment,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return shard_assignment(docs, "doc_id", 8, seed=42)
+
+
+@query("curation_pack_sequences")
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing: lay whole documents into 256-token training windows
+    (partition-local greedy fill; rows-only — pack membership depends on
+    the engine hash partitioner; exact semantics pinned by
+    test_pack_sequences_planted_and_invariants)."""
+    from databricks_etl_pipelines_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", window=256,
+                          n_partitions=8)

@@ -119,3 +119,82 @@ def test_stratified_sample_deterministic_and_partition_independent(spark):
         by_lang.setdefault(r.lang, []).append(r.score)
     assert all(len(v) == 5 for v in by_lang.values())
     assert all(min(v) >= 98 for v in by_lang.values())  # top scores kept
+
+
+def test_shard_assignment_is_a_permutation(spark, sf_dir):
+    """Every doc lands in exactly one shard; positions within each shard
+    are 1..len(shard) dense; re-running yields the identical assignment."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        shard_assignment,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    a = shard_assignment(docs, "doc_id", 8).collect()
+    assert len(a) == docs.count()
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    b = shard_assignment(docs, "doc_id", 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_sequences_planted_and_invariants(spark, sf_dir):
+    """Greedy fill semantics on a planted size sequence, then invariants
+    over the real documents table: every doc packed exactly once, every
+    multi-doc pack within budget, contiguous offsets, decent fill."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.functions.textfns import token_count
+    from databricks_etl_pipelines_spark.operators.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    sizes = [60, 50, 40, 30, 200, 10]
+    planted = spark.createDataFrame(
+        list(enumerate(sizes)), "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(
+            planted, "doc_id", "n_tokens", window=100, n_partitions=1
+        ).collect()
+    }
+    base = got[0][0]
+    # doc: (pack relative to first, offset) — overflow starts a new pack,
+    # an oversized doc gets its own, exact fill closes the pack
+    assert {d: (p - base, o) for d, (p, o) in got.items()} == {
+        0: (0, 0), 1: (1, 0), 2: (1, 50), 3: (2, 0), 4: (3, 0), 5: (4, 0),
+    }
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", 256, 8).persist()
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    over = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c"))
+        .filter((F.col("s") > 256) & (F.col("c") > 1))
+    )
+    assert over.count() == 0  # only single oversized docs may exceed
+    # offsets are the running sum within each pack
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pack_id").orderBy("pack_offset")
+    bad = packed.withColumn(
+        "expect",
+        F.coalesce(
+            F.lag(F.col("pack_offset") + F.col("n_tokens")).over(w), F.lit(0)
+        ),
+    ).filter(F.col("pack_offset") != F.col("expect"))
+    assert bad.count() == 0
+    eff = packing_efficiency(packed, 256).head()
+    assert eff.fill_ratio > 0.5
+    packed.unpersist()
