@@ -940,3 +940,71 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_sequences(docs, "doc_id", "n_tokens", window=256,
                           n_partitions=8)
+
+
+_TFIDF_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+),
+dl AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+idf AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+    (tf.c * 1.0 / dl.n_tokens) * ln(nd.n_docs * 1.0 / idf.df) AS tfidf
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.word = idf.word
+  CROSS JOIN nd
+)
+SELECT doc_id, word,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word)
+       AS INT) AS term_rank,
+  {sql_stable_round('tfidf', 6)} AS tfidf
+FROM scored
+QUALIFY term_rank <= 3
+"""
+
+
+@query("text_tfidf_top_terms", _TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 terms per document by tf-idf (term mass
+    in the doc × corpus rarity). Pure scalar IEEE math after exact integer
+    counts, so ranks and rounded scores are bit-stable cross-engine.
+
+    Scale shape: two hash aggregates — (doc, word) term frequencies, then
+    word document frequencies off the first (already-reduced) relation —
+    one equi-join back on word, a 1-row broadcast for the corpus size, and
+    one per-doc window for the rank."""
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    dl = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    idf = tf.groupBy("word").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(idf, "word")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            (F.col("c") / F.col("n_tokens"))
+            * F.log(F.col("n_docs") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            "term_rank",
+            stable_round(F.col("tfidf"), 6).alias("tfidf"),
+        )
+    )

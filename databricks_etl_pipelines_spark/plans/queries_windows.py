@@ -272,3 +272,130 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").cast("timestamp").alias("session_start"),
         F.max("ts").cast("timestamp").alias("session_end"),
     )
+
+
+# -- product analytics: ordered funnel + weekly cohort retention --------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+    OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+    OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+    OVER (PARTITION BY user_id) AS t3
+  FROM s2
+)
+SELECT
+  CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT)
+    AS users_view,
+  CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT)
+    AS users_view_click,
+  CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS BIGINT)
+    AS users_funnel_complete
+FROM s3
+"""
+
+
+@query("window_funnel_ordered", _FUNNEL_ORACLE)
+def window_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage's
+    timestamp is the user's earliest qualifying event STRICTLY AFTER the
+    previous stage (the product-analytics funnel, not mere set
+    membership).
+
+    Scale shape: three same-partitioning window passes — Catalyst plans
+    ONE user_id exchange and reuses it; the final stage counts are a
+    global rollup of per-user flags."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.agg(
+        F.countDistinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).alias("users_view"),
+        F.countDistinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).alias("users_view_click"),
+        F.countDistinct(
+            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        ).alias("users_funnel_complete"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_date
+  FROM events GROUP BY user_id
+)
+SELECT
+  CAST(date_trunc('week', f.first_date) AS TIMESTAMP) AS cohort_week,
+  CAST(floor((CAST(e.ts AS DATE) - f.first_date) / 7.0) AS INT)
+    AS week_offset,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("window_cohort_retention", _RETENTION_ORACLE)
+def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week they first
+    appeared; n_users = how many of each cohort were active k weeks later
+    (offset measured from each user's own first day, so engine week
+    conventions cancel out).
+
+    Scale shape: one user_id aggregate for first-seen dates, an equi-join
+    back (AQE broadcasts the per-user relation when small), one
+    (cohort, offset) aggregate — all partial-aggregated."""
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_date")
+    )
+    return (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .join(first, "user_id")
+        .select(
+            # timestamp, not date: DateType reaches pandas as object cells,
+            # which the driver's canonicalizer may hash differently than
+            # DuckDB's datetime64 — same convention as scalar_datetime
+            F.date_trunc("week", "first_date").alias("cohort_week"),
+            F.floor(F.datediff("d", "first_date") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -436,3 +436,44 @@ def test_change_feed_bucket_pruned(spark, tmp_path):
         for r in feed2.read_changes(spark, 0, 1).collect()
     }
     assert rows2 == rows
+
+
+def test_dynamic_partition_pruning_via_dim_join(spark, sf_dir, tmp_path):
+    """At 100 TB the fact side of a star join must not scan every date
+    partition when the dim filter implies only a few: Spark's dynamic
+    partition pruning injects the dim's date set into the fact scan's
+    PartitionFilters at runtime. Assert the plan carries the DPP subquery
+    and the result matches an explicit-predicate run."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources import table
+
+    events = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    fact_path = str(tmp_path / "events_by_date")
+    # partition-aligned write: one dir per date, one file per dir
+    events.repartition("event_date").write.partitionBy(
+        "event_date"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+
+    dim = events.select("event_date").distinct().withColumn(
+        "is_hot", F.dayofmonth("event_date") <= 3
+    )
+    joined = fact.join(dim.filter("is_hot"), "event_date").groupBy(
+        "event_date"
+    ).agg(F.count("*").alias("n"))
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    got = {(str(r.event_date), r.n) for r in joined.collect()}
+    expected = {
+        (str(r.event_date), r.n)
+        for r in events.filter(F.dayofmonth("event_date") <= 3)
+        .groupBy("event_date")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
