@@ -512,10 +512,32 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_stats(to_binary_docs(docs, "text", "doc_id"))
 
 
-@query("multimodal_byte_histogram")
+_BYTE_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '.'), c -> ord(c) // 16) AS bins,
+    len(regexp_extract_all(text, '.')) AS l
+  FROM documents
+)
+SELECT doc_id, CAST(l AS BIGINT) AS n_bytes,
+  array_to_string(
+    list_transform(range(0, 16), bin ->
+      CAST(CAST(
+        floor((len(list_filter(bins, x -> x = bin)) * 1.0
+               / greatest(l, 1)) * 1000000 + 0.5) / 1000000
+        AS DECIMAL(8,6)) AS VARCHAR)),
+    ',') AS byte_histogram_csv
+FROM b
+"""
+
+
+@query("multimodal_byte_histogram", _BYTE_HISTOGRAM_ORACLE)
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary→fixed-width-vector featurizer over Arrow batches (rows-only:
-    byte-level access isn't ANSI-SQL; exactness pinned by unit test).
+    """Binary→fixed-width-vector featurizer over Arrow batches. The
+    payloads here are UTF-8 text (ASCII at this SF), so the DuckDB oracle
+    reconstructs the exact byte stream with ord() per char and replays the
+    16-bin (byte >> 4) histogram in SQL — a HARD check on the whole Arrow
+    binary path, not just a row count.
 
     The vector is serialized to a CSV string column: the driver's
     canonicalizer sorts/hashes every column via pandas and cannot handle a
@@ -527,19 +549,35 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 "byte_histogram",
-                lambda x: F.round(x, 6).cast("decimal(8,6)").cast("string"),
+                lambda x: stable_round(x, 6).cast("decimal(8,6)").cast(
+                    "string"
+                ),
             ),
             ",",
         ).alias("byte_histogram_csv"),
     )
 
 
-@query("multimodal_downsample_stats")
+_DOWNSAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents
+)
+SELECT doc_id,
+  CAST(len(range(1, len(cs) + 1, 4)) AS BIGINT) AS n_bytes,
+  sha256(array_to_string(
+    list_transform(range(1, len(cs) + 1, 4), i -> cs[i]), ''))
+    AS payload_sha256
+FROM b
+"""
+
+
+@query("multimodal_downsample_stats", _DOWNSAMPLE_ORACLE)
 def multimodal_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed multimodal stages: downsample (resize analog, every 4th
     byte) → binary_stats, two chained mapInPandas over the same Arrow
-    batches (rows-only: byte slicing isn't ANSI SQL; exactness pinned by
-    test_downsample_composes_with_stats)."""
+    batches. The oracle rebuilds the strided byte selection char-by-char
+    in SQL and sha256-compares the reconstructed payloads — end-to-end
+    byte-exactness of the composed pipeline."""
     from databricks_etl_pipelines_spark.operators.multimodal import (
         downsample_payload,
     )
@@ -549,15 +587,44 @@ def multimodal_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_stats(shrunk)
 
 
-@query("multimodal_chunk_energy")
+_CHUNK_ENERGY_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '.'), c -> ord(c)) AS bs
+  FROM documents
+),
+e AS (
+  SELECT doc_id, bs, len(bs) AS l, len(bs) // 4 AS q, len(bs) % 4 AS r,
+    unnest(range(0, 4)) AS chunk_id
+  FROM b
+),
+s AS (
+  SELECT doc_id, chunk_id, bs,
+    chunk_id * q + least(chunk_id, r) AS start0,
+    q + CASE WHEN chunk_id < r THEN 1 ELSE 0 END AS sz
+  FROM e
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+  CAST(sz AS BIGINT) AS chunk_bytes,
+  {sql_stable_round(
+      'CASE WHEN sz = 0 THEN 0.0 ELSE '
+      'list_sum(bs[start0 + 1 : start0 + sz]) * 1.0 / sz END', 6)}
+    AS energy
+FROM s
+"""
+
+
+@query("multimodal_chunk_energy", _CHUNK_ENERGY_ORACLE)
 def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame/segment sampling: 1 binary row → 4 typed chunk rows per doc
-    (rows-only)."""
+    """Frame/segment sampling: 1 binary row → 4 typed chunk rows per doc.
+    The oracle replays numpy's array_split partitioning (first l%n chunks
+    one byte longer) and the per-chunk mean in SQL — integer byte sums are
+    exact in float64 on both engines, so the check is bit-stable."""
     docs = table(spark, sf_dir, "documents")
     chunks = sample_chunks(to_binary_docs(docs, "text", "doc_id"), n_chunks=4)
     return chunks.select(
         "doc_id", "chunk_id", "chunk_bytes",
-        F.round("energy", 6).alias("energy"),
+        stable_round(F.col("energy"), 6).alias("energy"),
     )
 
 
