@@ -440,7 +440,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists (rows-only — learned centroids aren't SQL-expressible)."""
     emb = table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    return ivf_topk(emb, "embedding", "vec_id", qv, k=20, nlist=16, nprobe=4)
+    return ivf_topk(emb, "embedding", "vec_id", qv, k=20, nlist=16, nprobe=4,
+                    # centroid quality needs representative data, not all
+                    # of it: at 100 TB the quantizer fits on a sample
+                    sample_fraction=0.5)
 
 
 _PQ_INDEX_CACHE: dict[str, "object"] = {}
@@ -460,7 +463,7 @@ def similarity_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if idx is None:
         idx = PqIvfIndex.build_pq(
             emb, "embedding", "vec_id", scratch_dir("pq_ivf_"),
-            nlist=16, m=4, k=16, seed=42,
+            nlist=16, m=4, k=16, seed=42, sample_fraction=0.5,
         )
         _PQ_INDEX_CACHE[sf_dir] = idx
     return idx.probe_pq(spark, qv, kk=20, nprobe=4, rerank=80)
@@ -481,7 +484,7 @@ def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if idx is None:
         idx = IvfIndex.build(
             emb, "embedding", "vec_id", scratch_dir("ivf_index_"),
-            nlist=16, seed=42,
+            nlist=16, seed=42, sample_fraction=0.5,
         )
         _IVF_INDEX_CACHE[sf_dir] = idx
     return idx.probe(spark, qv, k=20, nprobe=4)
