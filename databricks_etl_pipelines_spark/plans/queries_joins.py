@@ -506,3 +506,109 @@ def join_range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFram
             stable_round(F.sum("r_value"), 2).alias("click_value_before"),
         )
     )
+
+
+# -- TPC-H-shaped multi-way analytics -----------------------------------------
+
+_LOCAL_SUPPLIER_ORACLE = """
+SELECT n.n_name,
+  floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100
+    AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("join_local_supplier_volume", _LOCAL_SUPPLIER_ORACLE)
+def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier share
+    the nation, restricted to one region and a date window — the 6-table
+    star join that exercises join ordering.
+
+    Scale shape: region→nation is filtered FIRST and broadcast (tiny dim),
+    the o_orderdate window is pushed to the orders scan, and the three
+    fact-side joins (customer⋈orders⋈lineitem⋈supplier) shuffle on their
+    keys under AQE. The c_nationkey = s_nationkey 'local' condition rides
+    the supplier join as a residual predicate, not an extra shuffle."""
+    cust, orders, li, supp, nation, region = (
+        table(spark, sf_dir, t)
+        for t in ("customer", "orders", "lineitem", "supplier", "nation",
+                  "region")
+    )
+    asia_nations = F.broadcast(
+        nation.join(
+            region.filter(F.col("r_name") == "ASIA"),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    joined = (
+        cust.join(window_orders, cust.c_custkey == window_orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(asia_nations, supp.s_nationkey == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+_SMALL_LOT_ORACLE = """
+WITH avg_qty AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS small_lot_lines,
+  floor(sum(l.l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#2' AND l.l_quantity < a.threshold
+"""
+
+
+@query("join_small_lot_revenue", _SMALL_LOT_ORACLE)
+def join_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines whose quantity is below 20% of the part's
+    average — the correlated aggregate subquery, written DECORRELATED: one
+    per-part aggregate, joined back to lineitem on partkey (what a good
+    optimizer rewrites the subquery into; Catalyst never sees a per-row
+    subquery at all).
+
+    Scale shape: the per-part averages reduce lineitem to |part| rows
+    before any join; the brand-filtered part side broadcasts."""
+    li, part = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    brand = F.broadcast(
+        part.filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    )
+    small = (
+        li.join(brand, li.l_partkey == F.col("p_partkey"))
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+    )
+    return small.agg(
+        F.count("*").alias("small_lot_lines"),
+        stable_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
