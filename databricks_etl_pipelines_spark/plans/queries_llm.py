@@ -1078,3 +1078,56 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("tfidf"), 6).alias("tfidf"),
         )
     )
+
+
+_CENTROID_DIM = 64
+
+_CENTROID_ORACLE = f"""
+WITH e AS (
+  SELECT label, unnest(embedding) AS val,
+    generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+m AS (
+  SELECT label, pos, avg(val) AS c FROM e GROUP BY label, pos
+),
+n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT m.label, n.n_vectors,
+  array_to_string(
+    list(CAST(CAST(floor(c * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6))
+              AS VARCHAR) ORDER BY pos), ',') AS centroid_csv
+FROM m JOIN n ON m.label = n.label
+GROUP BY m.label, n.n_vectors
+"""
+
+
+@query("embedding_centroid_per_label", _CENTROID_ORACLE)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-prototype embeddings: the elementwise mean vector per label —
+    the building block of centroid classifiers, cluster summaries, and
+    drift monitoring over embedding tables.
+
+    Scale shape: one hash aggregate computing 64 avg() expressions in a
+    single pass (whole-stage codegen, map-side partials) — NOT an explode
+    to (row × dim) — so the shuffle carries |labels| rows of 64 doubles.
+    Serialized to CSV for the driver's canonicalizer."""
+    emb = table(spark, sf_dir, "embeddings")
+    avgs = [
+        F.avg(F.col("embedding")[i]).alias(f"c{i}")
+        for i in range(_CENTROID_DIM)
+    ]
+    agg = emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"), *avgs
+    )
+    csv = F.array_join(
+        F.array(
+            *[
+                stable_round(F.col(f"c{i}"), 6)
+                .cast("decimal(12,6)")
+                .cast("string")
+                for i in range(_CENTROID_DIM)
+            ]
+        ),
+        ",",
+    )
+    return agg.select("label", "n_vectors", csv.alias("centroid_csv"))

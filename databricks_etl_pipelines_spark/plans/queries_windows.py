@@ -399,3 +399,33 @@ def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+_TRANSITIONS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+  CAST(count(*) AS BIGINT) AS n_transitions
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@query("window_event_transitions", _TRANSITIONS_ORACLE)
+def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov matrix of user
+    journeys): lag over each user's total-ordered event stream, then one
+    (prev, next) aggregate. One user_id window exchange + one partial-
+    aggregated rollup."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )

@@ -94,3 +94,65 @@ def test_asof_join_matches_bruteforce(spark, rows):
         cands = [(rt, rid) for rid, rk, rt, _ in right if rk == k and rt <= t]
         expected = max(cands)[1] if cands else None
         assert got[lid] == expected, (lid, k, t, cands)
+
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "yy"]),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=12))
+def test_passages_partition_the_text(spark, docs):
+    """word_passages is a partition of the token stream: re-joining the
+    chunks reproduces the text, every chunk but the last has exactly
+    `size` words, and none is empty."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        word_passages,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    ).select("doc_id", "text", word_passages("text", 5).alias("p")).collect()
+    for r in rows:
+        assert " ".join(r.p) == r.text
+        assert all(len(c.split(" ")) == 5 for c in r.p[:-1])
+        assert 1 <= len(r.p[-1].split(" ")) <= 5
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(WORDS, min_size=2, max_size=12))
+def test_repetition_ratios_bounded_and_consistent(spark, docs):
+    """Ratios live in [0,1]; a text of one repeated word maximizes all
+    repetition signals; all-distinct words minimize them."""
+    from databricks_etl_pipelines_spark.plans.queries_llm import (
+        text_repetition_signals,
+    )
+
+    docs = docs + [["solo"] * 8, ["a1", "b2", "c3", "d4"]]
+    path_docs = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            path_docs, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {
+            r.doc_id: r
+            for r in text_repetition_signals(spark, td).collect()
+        }
+    for i, ws in enumerate(docs):
+        r = got[i]
+        for v in (r.distinct_word_ratio, r.top_word_ratio,
+                  r.dup_bigram_ratio):
+            assert -1e-9 <= v <= 1 + 1e-9
+        assert r.n_words == len(ws)
+    solo = got[len(docs) - 2]
+    assert solo.distinct_word_ratio == round(1 / 8, 6)
+    assert solo.top_word_ratio == 1.0
+    assert solo.dup_bigram_ratio == round(1 - 1 / 7, 6)
+    uniq = got[len(docs) - 1]
+    assert uniq.distinct_word_ratio == 1.0
+    assert uniq.dup_bigram_ratio == 0.0
