@@ -238,3 +238,59 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("value_total"), 2).alias("value_total"),
         )
     )
+
+
+# -- stream-static join (dimension enrichment, stateless) ----------------------
+
+_EVENT_DIM = [
+    ("view", "engagement", 1.0),
+    ("click", "engagement", 2.0),
+    ("purchase", "conversion", 10.0),
+    ("signup", "conversion", 5.0),
+    ("error", "reliability", 0.0),
+]
+
+_STREAM_STATIC_ORACLE = """
+SELECT
+  CASE event_type
+    WHEN 'view' THEN 'engagement' WHEN 'click' THEN 'engagement'
+    WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
+    ELSE 'reliability' END AS category,
+  CAST(count(*) AS BIGINT) AS event_count,
+  floor(sum("value" * CASE event_type
+    WHEN 'view' THEN 1.0 WHEN 'click' THEN 2.0 WHEN 'purchase' THEN 10.0
+    WHEN 'signup' THEN 5.0 ELSE 0.0 END) * 100 + 0.5) / 100
+    AS weighted_value
+FROM events
+GROUP BY 1
+"""
+
+
+@query("streaming_stream_static_join", _STREAM_STATIC_ORACLE)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: each micro-batch broadcast-hash-
+    joins against a batch dim table (STATELESS — no watermark or join
+    state, unlike stream-stream joins; the static side is re-resolvable
+    per batch, which is how slowly-changing dims work in production).
+    Drained with availableNow, the result equals the batch join — which is
+    exactly what the oracle asserts."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        drain_to_memory,
+        streaming_events,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    dim = spark.createDataFrame(
+        _EVENT_DIM, "event_type string, category string, weight double"
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    agg = enriched.groupBy("category").agg(
+        F.count("*").alias("event_count"),
+        F.sum(F.col("value") * F.col("weight")).alias("wv"),
+    )
+    result = drain_to_memory(agg, "complete")
+    return result.select(
+        "category",
+        "event_count",
+        stable_round(F.col("wv"), 2).alias("weighted_value"),
+    )

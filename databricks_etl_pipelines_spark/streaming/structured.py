@@ -365,8 +365,12 @@ def stream_stream_interval_join(
         F.col("l_ts").cast("timestamp").alias("l_ts"),
         "r_event_id",
         F.col("r_ts").cast("timestamp").alias("r_ts"),
-        (F.col("r_ts").cast("double") - F.col("l_ts").cast("double"))
-        .alias("lag_seconds"),
+        # exact integer-µs subtraction, then one small division: casting
+        # each timestamp to double first loses ~1e-7 s at epoch magnitude
+        # (caught by the sf0.1 differential run — 10 drifted cells)
+        (
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")) / F.lit(1e6)
+        ).alias("lag_seconds"),
     )
 
 
