@@ -130,6 +130,32 @@ def shard_assignment(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    out_dir: str,
+    n_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize ``shard_assignment`` as the actual shard files: one
+    directory per shard_id, rows inside each file ordered by shard_pos —
+    the layout a training loader consumes sequentially.
+
+    One exchange total: repartition on shard_id feeds both the window
+    (same partitioning) and the partitioned write, and the in-partition
+    sort orders rows without a second shuffle. Returns a lazy reader of
+    the written shards."""
+    assigned = shard_assignment(df, id_col, n_shards, seed)
+    (
+        assigned.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    return df.sparkSession.read.parquet(out_dir)
+
+
 def quota_by_quality(
     df: DataFrame,
     strata_col: str,

@@ -198,3 +198,38 @@ def test_pack_sequences_planted_and_invariants(spark, sf_dir):
     eff = packing_efficiency(packed, 256).head()
     assert eff.fill_ratio > 0.5
     packed.unpersist()
+
+
+def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
+    """Shard writer: one directory per shard, ONE file per directory (the
+    exchange is reused by window + write), rows within each shard file
+    ordered by shard_pos, and the readback equals the assignment."""
+    import glob
+
+    from databricks_etl_pipelines_spark.operators.curation import (
+        shard_assignment,
+        write_training_shards,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    back = write_training_shards(docs, "doc_id", out, 4)
+
+    dirs = sorted(glob.glob(f"{out}/shard_id=*"))
+    assert len(dirs) == 4
+    for d in dirs:
+        assert len(glob.glob(f"{d}/part-*")) == 1  # aligned single-file write
+        # within-file order is shard_pos order (training loader reads
+        # sequentially)
+        pos = [r.shard_pos for r in spark.read.parquet(d).collect()]
+        assert pos == sorted(pos)
+
+    expected = {
+        (r.doc_id, r.shard_id, r.shard_pos)
+        for r in shard_assignment(docs, "doc_id", 4).collect()
+    }
+    got = {
+        (r.doc_id, r.shard_id, r.shard_pos) for r in back.collect()
+    }
+    assert got == expected
