@@ -172,6 +172,25 @@ def test_pack_sequences_planted_and_invariants(spark, sf_dir):
         0: (0, 0), 1: (1, 0), 2: (1, 50), 3: (2, 0), 4: (3, 0), 5: (4, 0),
     }
 
+    # split_oversized: a 250-token doc becomes 2 full window fragments +
+    # a 50-token tail whose pack the next doc shares
+    sp = {
+        (r.frag_index): (r.pack_id, r.pack_offset, r.n_tokens, r.tok_start)
+        for r in pack_sequences(
+            spark.createDataFrame(
+                [(0, 250), (1, 30)], "doc_id long, n_tokens long"
+            ),
+            "doc_id", "n_tokens", window=100, n_partitions=1,
+            split_oversized=True,
+        ).filter("doc_id = 0").collect()
+    }
+    b = sp[0][0]
+    assert sp == {
+        0: (b, 0, 100, 0),
+        1: (b + 1, 0, 100, 100),
+        2: (b + 2, 0, 50, 200),
+    }
+
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").alias("n_tokens")
     )
