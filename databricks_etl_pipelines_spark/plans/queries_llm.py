@@ -1131,3 +1131,50 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return agg.select("label", "n_vectors", csv.alias("centroid_csv"))
+
+
+_COMPOSITION_ORACLE = f"""
+WITH g AS (
+  SELECT source, lang,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
+    CAST(sum(length(text)) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_tokens, total_chars,
+  {sql_stable_round(
+      'total_tokens * 1.0 / (sum(total_tokens) OVER ())', 6)}
+    AS token_share,
+  {sql_stable_round('n_docs * 1.0 / (sum(n_docs) OVER ())', 6)}
+    AS doc_share
+FROM g
+"""
+
+
+@query("curation_corpus_composition", _COMPOSITION_ORACLE)
+def curation_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report — the input table of mixture weighting:
+    per (source, language) document/token/byte counts and each cell's
+    share of the whole corpus.
+
+    Scale shape: one partial-aggregated (source, lang) rollup; the share
+    denominators are an unpartitioned window over the already-tiny
+    aggregate (|sources|×|langs| rows), not over the corpus."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    whole = Window.partitionBy()
+    return g.select(
+        "source", "lang", "n_docs", "total_tokens", "total_chars",
+        stable_round(
+            F.col("total_tokens") / F.sum("total_tokens").over(whole), 6
+        ).alias("token_share"),
+        stable_round(
+            F.col("n_docs") / F.sum("n_docs").over(whole), 6
+        ).alias("doc_share"),
+    )
