@@ -147,7 +147,11 @@ def write_training_shards(
     the written shards."""
     assigned = shard_assignment(df, id_col, n_shards, seed)
     (
-        assigned.repartition(n_shards, "shard_id")
+        # bare repartition (no explicit count) matches the window's
+        # HashPartitioning(shard_id) exactly, so EnsureRequirements elides
+        # it — ONE exchange; an explicit n_shards count would force a
+        # second (verified via .explain: 1 Exchange vs 2)
+        assigned.repartition("shard_id")
         .sortWithinPartitions("shard_id", "shard_pos")
         .write.mode("overwrite")
         .partitionBy("shard_id")
