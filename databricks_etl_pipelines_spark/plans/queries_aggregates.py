@@ -536,3 +536,85 @@ def agg_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("status_or_null").alias("distinct_filled")
         )
     )
+
+
+# -- fixed-width value histogram + join-key skew diagnostics ------------------
+
+_HISTOGRAM_ORACLE = """
+-- DuckDB has no width_bucket; spell out its semantics over [0, 600000)
+-- with 12 buckets (width 50000): underflow -> 0, overflow -> 13.
+-- Boundaries are exact multiples of 50000, where both engines' float
+-- forms agree exactly.
+SELECT CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000 THEN 13
+            ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END
+  AS bucket,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  floor(min(o_totalprice) * 100 + 0.5) / 100 AS bucket_min,
+  floor(max(o_totalprice) * 100 + 0.5) / 100 AS bucket_max
+FROM orders
+GROUP BY bucket
+"""
+
+
+@query("agg_value_histogram", _HISTOGRAM_ORACLE)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram via width_bucket — the one-pass
+    distribution profile (map-side partial aggregate on a 12-ary bucket
+    key; no sort, no window)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            stable_round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            stable_round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+_SKEW_ORACLE = """
+WITH k AS (
+  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(max(c) AS BIGINT) AS max_per_key,
+  floor(avg(c) * 10000 + 0.5) / 10000 AS avg_per_key,
+  floor(max(c) / avg(c) * 10000 + 0.5) / 10000 AS skew_factor,
+  CAST(count(CASE WHEN c > 2 * (SELECT avg(c) FROM k) THEN 1 END)
+       AS BIGINT) AS heavy_keys
+FROM k
+"""
+
+
+@query("diag_join_key_skew", _SKEW_ORACLE)
+def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report that decides whether a key
+    needs salting (operators/joins.py::salted_join) or AQE skew-join
+    handles it: per-key counts reduced to key-count stats + how many keys
+    exceed 2× the mean.
+
+    Scale shape: one partial-aggregated key rollup (|keys| rows), then a
+    1-row global fold; the heavy-key threshold joins the tiny aggregate
+    against its own 1-row mean via broadcast."""
+    orders = table(spark, sf_dir, "orders")
+    k = orders.groupBy("o_custkey").agg(F.count("*").alias("c"))
+    mean = k.agg(F.avg("c").alias("mean_c"))
+    return (
+        k.crossJoin(F.broadcast(mean))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.max("c").alias("max_per_key"),
+            stable_round(F.avg("c"), 4).alias("avg_per_key"),
+            stable_round(F.max("c") / F.first("mean_c"), 4).alias(
+                "skew_factor"
+            ),
+            F.count(
+                F.when(F.col("c") > 2 * F.col("mean_c"), 1)
+            ).alias("heavy_keys"),
+        )
+    )
