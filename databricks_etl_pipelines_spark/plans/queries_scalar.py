@@ -527,3 +527,79 @@ def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         (F.col("p.k") % 7).alias("k_mod"),
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS INT) AS k_value,
+  CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS INT) AS k_mod10
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+"""
+
+
+@query("scalar_variant_json", _VARIANT_ORACLE)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse_json
+    once, then typed variant_get paths — the open-ended-schema alternative
+    to from_json's fixed struct (binary-encoded, no schema declared up
+    front, predicate still usable for pruning)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v")).select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k_value"),
+    )
+    return v.filter(F.col("k_value") > 50).select(
+        "event_id",
+        "k_value",
+        (F.col("k_value") % 10).cast("int").alias("k_mod10"),
+    )
+
+
+# -- custom Python data source (Spark 4 DataSource API) -----------------------
+
+def _sql_fold(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_extract_all(md5({expr}), '.'), "
+        "c -> CAST(ord(c) AS BIGINT))), "
+        "(acc, c) -> (acc * 257 + c) % 2147483647)"
+    )
+
+
+_PYSOURCE_ROWS = 200
+
+_PYSOURCE_ORACLE = f"""
+WITH ids AS (SELECT unnest(range(0, {_PYSOURCE_ROWS})) AS doc_id),
+t AS (
+  SELECT doc_id,
+    list_transform(
+      range(0, 5 + {_sql_fold("CAST(doc_id AS VARCHAR) || ':len'")} % 8),
+      j -> (['alpha','bravo','charlie','delta',
+             'echo','foxtrot','golf','hotel'])[
+        {_sql_fold("CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+        % 8 + 1]) AS ws
+  FROM ids
+)
+SELECT doc_id, array_to_string(ws, ' ') AS text,
+  CAST(len(ws) AS INT) AS n_words
+FROM t
+"""
+
+
+@query("source_python_datasource", _PYSOURCE_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector on Spark 4's Python DataSource API
+    (sources/pydatasource.py): 4 InputPartitions generate executor-side.
+    Generation is a pure function of doc_id through the cross-engine md5
+    rolling hash, so the oracle REGENERATES the exact rows in SQL — a
+    full value-hash check on a from-scratch Python source."""
+    from databricks_etl_pipelines_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("rows", _PYSOURCE_ROWS)
+        .option("n_partitions", 4)
+        .load()
+    )

@@ -482,3 +482,32 @@ def test_pq_residual_beats_plain_quantization(spark, sf_dir, tmp_path):
     # synthetic embeddings are near-uniform, so the coarse residuals only
     # concentrate mildly (~7% here); pin strict deterministic improvement
     assert mse_res < mse_plain * 0.99
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """Spark-4 Python DataSource: the reader's InputPartitions become real
+    parallel splits (4 distinct task partitions), ids cover the range
+    exactly once, and two reads are identical."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 100).option("n_partitions", 4).load()
+    )
+    parts = df.select(
+        F.spark_partition_id().alias("p"), "doc_id"
+    ).groupBy("p").count().collect()
+    assert len(parts) == 4 and all(r["count"] == 25 for r in parts)
+    ids = [r.doc_id for r in df.select("doc_id").collect()]
+    assert sorted(ids) == list(range(100))
+    a = {(r.doc_id, r.text) for r in df.collect()}
+    b = {(r.doc_id, r.text) for r in df.collect()}
+    assert a == b
+    # generator-side n_words matches the text it generated
+    bad = df.filter(
+        F.size(F.split("text", " ")) != F.col("n_words")
+    ).count()
+    assert bad == 0
