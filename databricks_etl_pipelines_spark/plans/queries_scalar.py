@@ -603,3 +603,39 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_partitions", 4)
         .load()
     )
+
+
+@query("source_python_stream_datasource", _PYSOURCE_ORACLE)
+def source_python_stream_datasource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING flavor of the custom Python source: offsets are row
+    positions, each availableNow drain consumes one micro-batch through a
+    shared checkpoint, and the looped drain stops when the offset stops
+    advancing. The parquet sink accumulates every row EXACTLY ONCE
+    (checkpointed offsets, deterministic regeneration for replay) — and
+    the oracle regenerates the identical 200 rows in SQL."""
+    import glob
+    import os
+
+    from databricks_etl_pipelines_spark.sources import pydatasource
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+
+    pydatasource.register_stream(spark)
+    root = scratch_dir("pystream_")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    for _ in range(12):  # 200 rows / 60-row batches → 4 productive drains
+        stream = (
+            spark.readStream.format("synthetic_docs_stream")
+            .option("rows", _PYSOURCE_ROWS).option("batch", 60).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        files = glob.glob(os.path.join(out, "*.parquet"))
+        if files and spark.read.parquet(out).count() >= _PYSOURCE_ROWS:
+            break
+    return spark.read.parquet(out)

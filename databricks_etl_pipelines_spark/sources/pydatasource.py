@@ -17,7 +17,12 @@ data source a full value-hash differential check, not just a row count.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 VOCAB = (
     "alpha", "bravo", "charlie", "delta",
@@ -92,3 +97,59 @@ class SyntheticDocsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class SyntheticDocsStreamDataSource(DataSource):
+    """Streaming flavor of the same feed: ``spark.readStream.format(
+    "synthetic_docs_stream")``. Offsets are plain row positions, so
+    checkpointed restarts resume exactly where the last drain stopped —
+    exactly-once consumption of a custom Python source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, n_words int"
+
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(
+            int(self.options.get("rows", 100)),
+            int(self.options.get("batch", 25)),
+        )
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader: each micro-batch serves the next
+    ``batch`` ids; the offset is just the next unread position."""
+
+    def __init__(self, rows: int, batch: int):
+        self.rows, self.batch = rows, batch
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = int(start["i"])
+        if i >= self.rows:
+            return iter([]), {"i": i}
+        end = min(i + self.batch, self.rows)
+        rows = [
+            (j, doc_text(j), len(doc_text(j).split(" ")))
+            for j in range(i, end)
+        ]
+        return iter(rows), {"i": end}
+
+    def readBetweenOffsets(self, start, end):
+        # replay for recovery: regenerate the exact range deterministically
+        return iter(
+            (j, doc_text(j), len(doc_text(j).split(" ")))
+            for j in range(int(start["i"]), int(end["i"]))
+        )
+
+    def commit(self, end):
+        pass
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticDocsStreamDataSource)
