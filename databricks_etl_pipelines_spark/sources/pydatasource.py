@@ -20,8 +20,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 VOCAB = (
@@ -153,3 +155,65 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(SyntheticDocsStreamDataSource)
+
+
+class JsonlSinkDataSource(DataSource):
+    """Custom WRITE path of the Python DataSource API: a JSON-lines sink
+    with a two-phase commit. Each task writes its partition to a ``.tmp``
+    file and returns a WriterCommitMessage; only the driver-side
+    ``commit()`` renames every tmp into place (``abort()`` deletes them).
+    A failed/retried task therefore never publishes partial output — the
+    same task-commit protocol file sinks use for exactly-once writes.
+
+    ``df.write.format("jsonl_sink").option("path", dir).mode("append")``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options["path"])
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = os.path.join(
+            self.out_dir, f"part-{uuid.uuid4().hex}.jsonl.tmp"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            os.rename(m.path, m.path[: -len(".tmp")])
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

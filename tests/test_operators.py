@@ -511,3 +511,28 @@ def test_python_datasource_partitions_and_determinism(spark):
         F.size(F.split("text", " ")) != F.col("n_words")
     ).count()
     assert bad == 0
+
+
+def test_python_datasource_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
+    """Custom Python sink: per-task tmp files publish only at driver-side
+    commit (no .tmp leftovers), and the JSONL round-trips every row."""
+    import glob
+    import json
+
+    from databricks_etl_pipelines_spark.sources import pydatasource, table
+
+    pydatasource.register_sink(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "jsonl")
+    docs.repartition(3).write.format("jsonl_sink").option(
+        "path", out
+    ).mode("append").save()
+
+    assert not glob.glob(f"{out}/*.tmp")  # two-phase: nothing unpublished
+    files = sorted(glob.glob(f"{out}/*.jsonl"))
+    assert len(files) == 3  # one published file per partition
+    rows = [json.loads(line) for f in files for line in open(f)]
+    assert len(rows) == docs.count()
+    assert {r["doc_id"] for r in rows} == {
+        r.doc_id for r in docs.collect()
+    }
