@@ -190,8 +190,15 @@ def curate_corpus(
     langs: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.7,
     exact_components: bool = False,
+    max_dup_bigram: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_corpus, report).
+
+    ``max_dup_bigram`` (0..1) adds a Gopher-style repetition gate after
+    the language gate: drop documents whose duplicated-bigram mass
+    exceeds the threshold. Like the quality/language gates it is a pure
+    Column expression folded into the same single scan — enabling it
+    costs zero extra passes.
 
     report: one row per stage with rows_in / rows_out / rows_dropped —
     the attrition funnel a data-curation run is judged by.
@@ -208,18 +215,31 @@ def curate_corpus(
     )
     q_pred = F.col("__q") >= min_quality
     lang_pred = F.col("__lang").isin(*langs)
+    if max_dup_bigram is not None:
+        from databricks_etl_pipelines_spark.functions.textfns import (
+            word_shingles,
+        )
+
+        bgs = word_shingles(text_col, 2)
+        rep_pred = (
+            F.lit(1.0) - F.size(F.array_distinct(bgs)) / F.size(bgs)
+        ) <= max_dup_bigram
+    else:
+        rep_pred = F.lit(True)
     gate_counts = scored.agg(
         F.count("*").alias("total"),
         F.sum(q_pred.cast("long")).alias("n_quality"),
         F.sum((q_pred & lang_pred).cast("long")).alias("n_lang"),
+        F.sum((q_pred & lang_pred & rep_pred).cast("long")).alias("n_rep"),
     ).first()
-    total, n_quality, n_lang = (
+    total, n_quality, n_lang, n_rep = (
         gate_counts["total"] or 0,
         gate_counts["n_quality"] or 0,
         gate_counts["n_lang"] or 0,
+        gate_counts["n_rep"] or 0,
     )
 
-    lang_ok = scored.filter(q_pred & lang_pred)
+    lang_ok = scored.filter(q_pred & lang_pred & rep_pred)
     keepers = exact_dedup_groups(lang_ok, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
@@ -252,7 +272,14 @@ def curate_corpus(
             ("input", total, total, 0),
             ("quality_gate", total, n_quality, total - n_quality),
             ("language_gate", n_quality, n_lang, n_quality - n_lang),
-            ("exact_dedup", n_lang, n_exact, n_lang - n_exact),
+        ]
+        + (
+            [("repetition_gate", n_lang, n_rep, n_lang - n_rep)]
+            if max_dup_bigram is not None
+            else []
+        )
+        + [
+            ("exact_dedup", n_rep, n_exact, n_rep - n_exact),
             ("near_dedup", n_exact, n_clean, n_exact - n_clean),
         ],
         "stage string, rows_in long, rows_out long, rows_dropped long",

@@ -252,3 +252,35 @@ def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
         (r.doc_id, r.shard_id, r.shard_pos) for r in back.collect()
     }
     assert got == expected
+
+
+def test_repetition_gate_drops_degenerate_docs(spark):
+    """max_dup_bigram gates out a degenerate repeated-word doc that passes
+    the quality gate, reports the stage, and costs no extra stage rows
+    when disabled."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    normal = (
+        "the quick brown fox jumps over the lazy dog and then walks away "
+        "to find a better spot in the warm sun"
+    )
+    spammy = "buy the now " * 12  # high dup-bigram mass, decent length
+    docs = spark.createDataFrame(
+        [(0, normal), (1, spammy.strip())], "doc_id long, text string"
+    )
+
+    clean_off, report_off = curate_corpus(docs, min_quality=0)
+    assert "repetition_gate" not in {
+        r.stage for r in report_off.collect()
+    }
+    kept_off = {r.doc_id for r in clean_off.collect()}
+    assert kept_off == {0, 1}  # no repetition gate -> spam survives
+
+    clean_on, report_on = curate_corpus(
+        docs, min_quality=0, max_dup_bigram=0.5
+    )
+    stages = {r.stage: r for r in report_on.collect()}
+    assert stages["repetition_gate"].rows_dropped == 1
+    assert {r.doc_id for r in clean_on.collect()} == {0}
