@@ -1178,3 +1178,82 @@ def curation_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") / F.sum("n_docs").over(whole), 6
         ).alias("doc_share"),
     )
+
+
+_QUANT_ORACLE = """
+WITH q AS (
+  -- upcast to double FIRST, like the Spark side, so every later op is
+  -- float64 (DuckDB would otherwise do the scale math in float32)
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, dv,
+    list_max(list_transform(dv, x -> abs(x))) AS amax
+  FROM q
+),
+c AS (
+  SELECT vec_id, dv, amax,
+    list_transform(dv,
+      x -> CAST(floor(x / (CASE WHEN amax = 0 THEN 1 ELSE amax END)
+                      * 127 + 0.5) AS INT)) AS codes
+  FROM m
+)
+SELECT vec_id,
+  floor(amax * 1000000 + 0.5) / 1000000 AS scale_amax,
+  CAST(list_max(codes) AS INT) AS code_max,
+  CAST(list_min(codes) AS INT) AS code_min,
+  floor(
+    sqrt(list_sum(list_transform(range(1, len(codes) + 1),
+      i -> pow(dv[i] - CAST(codes[i] AS DOUBLE)
+               * (CASE WHEN amax = 0 THEN 1 ELSE amax END) / 127, 2)))
+      / len(codes)) * 1000000 + 0.5) / 1000000 AS quant_rmse
+FROM c
+"""
+
+
+@query("embedding_int8_quantization", _QUANT_ORACLE)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× storage/IO lever for 100 TB embedding tables (store codes + one
+    per-vector scale; dequantize = code · amax/127). Entirely built-in
+    higher-order functions fused into the scan: no UDF, no shuffle beyond
+    the scan itself. Reports the per-vector scale, code range (must stay
+    within ±127), and dequantization RMSE.
+
+    The float64 math (abs-max, scaled rounding, error fold) is replayed
+    exactly in the DuckDB oracle — a hard check on a lossy-compression
+    operator. embedding is float32 in parquet; both engines upcast the
+    same values, so the per-element arithmetic is bit-identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    safe = F.when(F.col("amax") == 0, F.lit(1.0)).otherwise(F.col("amax"))
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x / safe * 127 + F.lit(0.5)).cast("int"),
+    )
+    base = (
+        emb.select("vec_id", v.alias("v"))
+        .withColumn("amax", amax)
+        .withColumn("codes", codes)
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            "v",
+            "codes",
+            lambda x, c: F.pow(x - c.cast("double") * safe / 127, F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return base.select(
+        "vec_id",
+        stable_round(F.col("amax"), 6).alias("scale_amax"),
+        F.array_max("codes").cast("int").alias("code_max"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        stable_round(
+            F.sqrt(sq_err / F.size("codes")), 6
+        ).alias("quant_rmse"),
+    )
