@@ -185,3 +185,24 @@ def lang_id(col: Column | str, default: str = "unknown") -> Column:
                 cond = cond & (hits[lang] >= hits[other])
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
     return expr.otherwise(default)
+
+
+def sliding_chunks(
+    col: Column | str, size: int = 8, stride: int = 4
+) -> Column:
+    """Overlapping word windows (RAG-ingestion chunking): a chunk of
+    ``size`` words every ``stride`` words, so consecutive chunks share
+    ``size - stride`` words of context. The last window may be shorter;
+    short texts yield one whole-text chunk."""
+    toks = tokens(col)
+    n_chunks = (
+        F.ceil((F.size(toks) - size) / stride).cast("int") + 1
+    )
+
+    def chunk(k: Column) -> Column:
+        return F.array_join(F.slice(toks, k * stride + 1, size), " ")
+
+    return F.when(
+        F.size(toks) > size,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk),
+    ).otherwise(F.array(F.array_join(toks, " ")))

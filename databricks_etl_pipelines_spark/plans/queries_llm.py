@@ -1257,3 +1257,86 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(sq_err / F.size("codes")), 6
         ).alias("quant_rmse"),
     )
+
+
+_SLIDING_ORACLE_CHUNKS = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) > 8 THEN
+      list_transform(
+        range(0, CAST(ceil((len(ws) - 8) / 4.0) AS INT) + 1),
+        k -> array_to_string(ws[k*4+1 : k*4+8], ' '))
+    ELSE [array_to_string(ws, ' ')] END AS chunks
+  FROM w
+)
+SELECT doc_id,
+  CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_index,
+  unnest(chunks) AS chunk,
+  CAST(len(string_split(unnest(chunks), ' ')) AS INT) AS chunk_words
+FROM c
+"""
+
+
+@query("text_sliding_chunks", _SLIDING_ORACLE_CHUNKS)
+def text_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking: overlapping 8-word windows every 4 words
+    (consecutive chunks share half their context), exploded to one row
+    per chunk with its position. Pure HOF windowing fused into the scan;
+    the explode is the only row expansion."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        sliding_chunks,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(sliding_chunks("text", 8, 4)).alias(
+            "chunk_index", "chunk"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("int"),
+        "chunk",
+        F.size(F.split("chunk", " ")).cast("int").alias("chunk_words"),
+    )
+
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS group_size
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(count(CASE WHEN group_size < 5 THEN 1 END) AS BIGINT)
+    AS risky_groups,
+  CAST(coalesce(sum(CASE WHEN group_size < 5 THEN group_size END), 0)
+       AS BIGINT) AS risky_rows,
+  CAST(min(group_size) AS BIGINT) AS min_group_size
+FROM g
+"""
+
+
+@query("privacy_k_anonymity_audit", _KANON_ORACLE)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (market segment × nation):
+    how many equivalence classes fall below k=5, and how many rows they
+    re-identify. The release-gating check that complements the PII
+    mask/tokenize operators — one partial-aggregated rollup + a 1-row
+    fold."""
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("group_size")
+    )
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(F.col("group_size") < 5, 1)).alias("risky_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("group_size") < 5, F.col("group_size"))),
+            F.lit(0),
+        ).alias("risky_rows"),
+        F.min("group_size").alias("min_group_size"),
+    )
