@@ -125,6 +125,7 @@ def load_all() -> None:
         queries_aggregates,
         queries_joins,
         queries_llm,
+        queries_mixture,
         queries_ml,
         queries_pipeline,
         queries_scalar,

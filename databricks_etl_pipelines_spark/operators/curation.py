@@ -285,3 +285,153 @@ def curate_corpus(
         "stage string, rows_in long, rows_out long, rows_dropped long",
     )
     return clean, report
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    priority_col: Column | str,
+    token_col: Column | str,
+    id_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-group token-budget selection: within every ``group_col`` stratum,
+    rank rows by ``priority_col`` descending (``id_col`` ascending as the
+    deterministic tiebreak) and keep the greedy prefix whose running token
+    total stays within ``budget_tokens``.
+
+    This is the "fill each domain's token budget with its best documents"
+    step of corpus mixing (the selection knob behind quality-weighted
+    sampling a la Gopher/FineWeb corpus assembly): quotas are expressed in
+    TOKENS, not documents, because training cost is token-denominated.
+
+    Scale shape: one exchange (hash partition on ``group_col``) plus an
+    in-partition sort — the same single-window plan as any per-group
+    ranking. Each group must sort within one task; with the handful of
+    domain strata a corpus has, per-group data can exceed a task, in which
+    case pre-aggregate to (group, priority-bucket) partial token sums,
+    broadcast the per-group cutoff bucket, and only window the boundary
+    bucket — same answer, bounded task memory. The single-window form here
+    is the exact-semantics reference of that optimization.
+    """
+    from pyspark.sql import Window
+
+    pri = F.col(priority_col) if isinstance(priority_col, str) else priority_col
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(pri.desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tok.cast("bigint")).over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    token_col: Column | str,
+    target_shares: dict[str, float] | None = None,
+    weight_cap: float = 10.0,
+) -> DataFrame:
+    """Per-domain sampling weights that reshape the corpus token
+    distribution toward ``target_shares`` (default: uniform over observed
+    domains) — the DoReMi-style "domain reweighting" bookkeeping step,
+    computed exactly from one aggregation pass.
+
+    weight = min(target_share / actual_token_share, weight_cap); a domain
+    over-represented relative to target gets weight < 1 (downsample), an
+    under-represented one gets weight > 1 (upsample, capped so a tiny
+    domain cannot explode its repetition factor).
+
+    Scale shape: one groupBy(group) token sum (map-side partial agg), then
+    a broadcast join against the single-row global total — no second
+    shuffle of the data. Output is one row per domain (tiny).
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    per_group = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok.cast("bigint")).alias("group_tokens"),
+    )
+    totals = per_group.agg(
+        F.sum("group_tokens").alias("total_tokens"),
+        F.count("*").alias("n_groups"),
+    )
+    joined = per_group.crossJoin(F.broadcast(totals))
+    share = F.col("group_tokens") / F.col("total_tokens")
+    if target_shares is None:
+        target = F.lit(1.0) / F.col("n_groups")
+    else:
+        target = None
+        for value, s in target_shares.items():
+            branch = (
+                F.when(F.col(group_col) == value, F.lit(float(s)))
+                if target is None
+                else target.when(F.col(group_col) == value, F.lit(float(s)))
+            )
+            target = branch
+        target = target.otherwise(F.lit(0.0))
+    return joined.select(
+        group_col,
+        "n_docs",
+        "group_tokens",
+        share.alias("token_share"),
+        target.alias("target_share"),
+        F.least(target / share, F.lit(float(weight_cap))).alias("weight"),
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str,
+    fingerprint_col: Column | str,
+) -> DataFrame:
+    """Pairwise content overlap between corpus slices (sources, snapshots,
+    crawl dumps): for every unordered pair of groups, the number of
+    distinct fingerprints in each, in common, and their exact Jaccard.
+
+    The cross-corpus contamination / provenance diagnostic: "how much of
+    source B is already in source A?" drives both dedup priority and
+    mixture accounting.
+
+    Scale shape: distinct (group, fp) is one hash-agg shuffle keyed on the
+    16-byte fingerprint; the intersection self-join is an equi-join ON THE
+    FINGERPRINT (never group×group row pairs), so its cost tracks the
+    number of cross-group duplicate fingerprints, not corpus size squared.
+    Per-group distinct counts are a tiny aggregate broadcast onto the pair
+    grid, which enumerates group pairs (a handful) — zero-overlap pairs are
+    therefore still reported.
+    """
+    fp = (
+        F.col(fingerprint_col)
+        if isinstance(fingerprint_col, str)
+        else fingerprint_col
+    )
+    gf = df.select(F.col(group_col).alias("g"), fp.alias("fp")).distinct()
+    counts = gf.groupBy("g").agg(F.count("*").alias("n_fp"))
+    a = counts.select(F.col("g").alias("group_a"), F.col("n_fp").alias("fp_a"))
+    b = counts.select(F.col("g").alias("group_b"), F.col("n_fp").alias("fp_b"))
+    grid = a.crossJoin(b).filter(F.col("group_a") < F.col("group_b"))
+    inter = (
+        gf.alias("x")
+        .join(gf.alias("y"), "fp")
+        .filter(F.col("x.g") < F.col("y.g"))
+        .groupBy(
+            F.col("x.g").alias("group_a"), F.col("y.g").alias("group_b")
+        )
+        .agg(F.count("*").alias("fp_common"))
+    )
+    joined = grid.join(
+        F.broadcast(inter), ["group_a", "group_b"], "left"
+    ).withColumn("fp_common", F.coalesce("fp_common", F.lit(0)))
+    union_sz = F.col("fp_a") + F.col("fp_b") - F.col("fp_common")
+    return joined.select(
+        "group_a",
+        "group_b",
+        "fp_a",
+        "fp_b",
+        "fp_common",
+        (F.col("fp_common") / union_sz).alias("jaccard"),
+    )

@@ -675,3 +675,57 @@ def embedding_cosine_pairs(
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al., 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with KMeans, then compare vectors
+    ONLY within their cluster — pairs with cosine ≥ ``threshold`` are
+    semantic duplicates.
+
+    Versus ``embedding_cosine_pairs`` (axis-aligned sign blocking), the
+    blocks here are data-adaptive: learned centroids follow the actual
+    embedding distribution, so near-identical vectors co-locate even when
+    they straddle a coordinate hyperplane. Recall is bounded by cluster
+    assignment (a near-dup pair split across two clusters is missed) — the
+    standard SemDeDup trade, mitigated by keeping clusters coarse.
+
+    Scale shape: quantizer trains on a sample (centroids are tiny driver
+    state); assignment is one model.transform projection; candidate
+    generation is a self-equi-join on ``cluster_id`` — per-cluster n²/k,
+    never corpus n². At 100 TB the assignment is written bucketed by
+    cluster_id once and each cluster joins within its own partition.
+    """
+    from databricks_etl_pipelines_spark.operators.similarity import ivf_index
+
+    assigned, _ = ivf_index(
+        df,
+        vec_col,
+        id_col,
+        nlist=n_clusters,
+        seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    pts = assigned.select("id", "v", F.col("list_id").alias("cluster_id"))
+    a = pts.select(
+        "cluster_id", F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = pts.select(
+        "cluster_id", F.col("id").alias("id_b"), F.col("v").alias("v_b")
+    )
+    sim = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cluster_id", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

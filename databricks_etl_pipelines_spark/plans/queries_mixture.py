@@ -1,0 +1,193 @@
+"""Corpus mixture / assembly queries: token-budget selection, domain
+reweighting, cross-source overlap, and semantic (embedding-cluster) dedup.
+
+These are the "assemble the training mix" steps that sit downstream of the
+cleaning operators in ``plans/queries_llm.py``: once documents are scored
+and deduplicated, a pipeline still has to decide HOW MUCH of each domain to
+take (token budgets, mixture weights) and needs provenance diagnostics
+across corpus slices (overlap). All but the KMeans-backed semantic dedup
+are exactly SQL-expressible and carry DuckDB oracles.
+
+Reference scope: the reference repo's gold layer builds per-entity
+aggregate features (03_Gold_Aggregates_Features.py:93-128) — the same
+aggregate→ratio→join shapes reappear here applied to corpus accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.functions.numeric import (
+    sql_stable_round,
+    stable_round,
+)
+from databricks_etl_pipelines_spark.functions.textfns import (
+    LANG_STOPWORDS,
+    token_count,
+)
+from databricks_etl_pipelines_spark.operators.curation import (
+    domain_mixture_weights,
+    quality_score,
+    source_overlap,
+    token_budget_select,
+)
+from databricks_etl_pipelines_spark.sources import table
+
+# Shared SQL fragments (same forms as plans/queries_llm.py oracles) --------
+
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SQL_NTOK = f"len({_SQL_TOKS})"
+_SQL_EN_STOPWORDS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+# quality score, identical rubric to operators/curation.py:quality_score
+_SQL_QUALITY = f"""
+  (CASE WHEN {_SQL_NTOK} BETWEEN 10 AND 1000 THEN 30 ELSE 0 END
+   + CASE WHEN CAST(list_sum(list_transform({_SQL_TOKS}, x -> length(x)))
+       AS BIGINT) / {_SQL_NTOK} BETWEEN 3 AND 12 THEN 30 ELSE 0 END
+   + CASE WHEN len(list_filter({_SQL_TOKS}, x -> x IN
+       ({_SQL_EN_STOPWORDS})))
+       / {_SQL_NTOK} > 0.05 THEN 20 ELSE 0 END
+   + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '',
+       'g'))) / length(text) < 0.2
+      AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+       / length(text) < 0.2 THEN 20 ELSE 0 END)
+"""
+
+_BUDGET = 2_000
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         {_SQL_NTOK} AS n_tokens,
+         {_SQL_QUALITY} AS quality
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_tokens, quality,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(quality AS BIGINT) AS quality, cum_tokens
+FROM ranked
+WHERE cum_tokens <= {_BUDGET}
+"""
+
+
+@query("curation_token_budget_select", _TOKEN_BUDGET_ORACLE)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill each source's token budget with its best documents: rank by the
+    quality rubric (doc_id tiebreak) and keep the greedy prefix whose
+    running token total stays within the budget. Token-denominated quotas
+    are how training mixes are actually specified; this is the exact
+    single-window reference form (see operator docstring for the
+    bounded-memory two-pass variant at extreme per-source skew)."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").cast("bigint").alias("quality"),
+    )
+    return token_budget_select(
+        scored, "source", "quality", "n_tokens", "doc_id", _BUDGET
+    ).select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+
+
+_MIXTURE_ORACLE = f"""
+WITH per_group AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({_SQL_NTOK}) AS BIGINT) AS group_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(group_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM per_group
+)
+SELECT source, n_docs, group_tokens,
+  {sql_stable_round('group_tokens / total_tokens', 6)} AS token_share,
+  {sql_stable_round('1.0 / n_groups', 6)} AS target_share,
+  {sql_stable_round(
+      'least((1.0 / n_groups) / (group_tokens / total_tokens), 10.0)', 6
+  )} AS weight
+FROM per_group, tot
+"""
+
+
+@query("curation_mixture_weights", _MIXTURE_ORACLE)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighting bookkeeping (DoReMi-style): exact per-source token
+    shares vs a uniform target, emitting the capped up/down-sampling weight
+    per source. One aggregation pass + broadcast of the single-row global
+    total."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", token_count("text").alias("n_tokens"))
+    out = domain_mixture_weights(toks, "source", "n_tokens")
+    return out.select(
+        "source",
+        "n_docs",
+        "group_tokens",
+        stable_round(F.col("token_share"), 6).alias("token_share"),
+        stable_round(F.col("target_share"), 6).alias("target_share"),
+        stable_round(F.col("weight"), 6).alias("weight"),
+    )
+
+
+_OVERLAP_ORACLE = """
+WITH gf AS (
+  SELECT DISTINCT source AS g, md5(text) AS fp FROM documents
+), counts AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_fp FROM gf GROUP BY g
+), grid AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.n_fp AS fp_a, b.n_fp AS fp_b
+  FROM counts a, counts b WHERE a.g < b.g
+), inter AS (
+  SELECT x.g AS group_a, y.g AS group_b,
+         CAST(count(*) AS BIGINT) AS fp_common
+  FROM gf x JOIN gf y ON x.fp = y.fp AND x.g < y.g
+  GROUP BY x.g, y.g
+)
+SELECT grid.group_a, grid.group_b, fp_a, fp_b,
+       CAST(coalesce(fp_common, 0) AS BIGINT) AS fp_common,
+       coalesce(fp_common, 0) / (fp_a + fp_b - coalesce(fp_common, 0))
+         AS jaccard
+FROM grid LEFT JOIN inter
+  ON grid.group_a = inter.group_a AND grid.group_b = inter.group_b
+"""
+
+
+@query("curation_source_overlap", _OVERLAP_ORACLE)
+def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact content overlap between sources on md5 text
+    fingerprints — the cross-slice contamination/provenance report. The
+    intersection join is keyed on the FINGERPRINT (cost tracks duplicate
+    count, not corpus size squared); the pair grid over per-source counts
+    keeps zero-overlap pairs in the report."""
+    docs = table(spark, sf_dir, "documents")
+    return source_overlap(docs, "source", F.md5("text"))
+
+
+@query("dedup_semantic_clusters")
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: KMeans-cluster the
+    embeddings (learned, data-adaptive blocking), exact cosine within each
+    cluster. Rows-only in the harness (KMeans centroids are seeded
+    engine-specific state); pytest pins planted-duplicate recall and the
+    pairs ⊆ brute-force-pairs invariant."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    # threshold 0.3 (not a realistic dup bar) because the synthetic
+    # embeddings are near-uniform — max pairwise cosine at sf0.01 is 0.51,
+    # so a production-style 0.95 returns zero rows and proves nothing
+    return semantic_dedup_pairs(
+        emb, "embedding", "vec_id", n_clusters=8, threshold=0.3
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,158 @@
+"""Corpus mixture operators: token-budget selection, domain reweighting,
+source overlap, and SemDeDup-style semantic dedup — planted-case exactness
+plus the invariants the oracles can't see (cluster-blocking recall)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.operators.curation import (
+    domain_mixture_weights,
+    source_overlap,
+    token_budget_select,
+)
+from databricks_etl_pipelines_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    semantic_dedup_pairs,
+)
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    # group "a": quality-ordered tokens 50, 40, 30 with budget 95 keeps the
+    # first two (cum 50, 90) and cuts the third (cum 120 > 95); once the
+    # budget is crossed NOTHING later re-enters, even if it would fit —
+    # greedy-prefix semantics, not knapsack
+    rows = [
+        ("a", 1, 90, 50),
+        ("a", 2, 80, 40),
+        ("a", 3, 70, 30),
+        ("a", 4, 60, 4),   # would fit after doc 3 is cut — must stay cut
+        ("b", 5, 99, 200),  # single doc over budget: group keeps nothing
+        ("c", 6, 10, 95),   # exactly at budget boundary: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, quality long, n_tokens long"
+    )
+    out = token_budget_select(
+        df, "source", "quality", "n_tokens", "doc_id", 95
+    )
+    kept = {r.doc_id: r.cum_tokens for r in out.collect()}
+    assert kept == {1: 50, 2: 90, 6: 95}
+
+
+def test_token_budget_select_tiebreak_is_doc_id(spark):
+    # equal quality everywhere: selection must be by doc_id ascending
+    rows = [("a", i, 50, 40) for i in (5, 3, 1, 4, 2)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, quality long, n_tokens long"
+    )
+    out = token_budget_select(df, "source", "quality", "n_tokens", "doc_id", 100)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_domain_mixture_weights_uniform_target_and_cap(spark):
+    # tokens: a=800, b=100, c=100 → shares 0.8/0.1/0.1, uniform target 1/3
+    rows = [("a", 800), ("b", 100), ("c", 100)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {
+        r.source: r
+        for r in domain_mixture_weights(df, "source", "n_tokens").collect()
+    }
+    assert math.isclose(out["a"].token_share, 0.8)
+    assert math.isclose(out["a"].weight, (1 / 3) / 0.8)
+    assert math.isclose(out["b"].weight, (1 / 3) / 0.1)  # 3.33 < default cap
+    # tiny domain hits the cap instead of exploding
+    rows = [("a", 10_000), ("b", 10)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {
+        r.source: r
+        for r in domain_mixture_weights(
+            df, "source", "n_tokens", weight_cap=5.0
+        ).collect()
+    }
+    assert out["b"].weight == 5.0
+
+
+def test_domain_mixture_weights_explicit_target(spark):
+    rows = [("web", 300), ("code", 100)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {
+        r.source: r
+        for r in domain_mixture_weights(
+            df, "source", "n_tokens", target_shares={"web": 0.5, "code": 0.5}
+        ).collect()
+    }
+    assert math.isclose(out["web"].weight, 0.5 / 0.75)
+    assert math.isclose(out["code"].weight, 0.5 / 0.25)
+
+
+def test_source_overlap_counts_and_zero_pair(spark):
+    # a: {x, y, z}; b: {y, z, w}; c: {q}  → (a,b) jaccard 2/4,
+    # (a,c) and (b,c) must still appear with jaccard 0
+    rows = [
+        ("a", "x"), ("a", "y"), ("a", "z"), ("a", "z"),  # dup fp collapses
+        ("b", "y"), ("b", "z"), ("b", "w"),
+        ("c", "q"),
+    ]
+    df = spark.createDataFrame(rows, "source string, fp string")
+    out = {
+        (r.group_a, r.group_b): r
+        for r in source_overlap(df, "source", "fp").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab.fp_a, ab.fp_b, ab.fp_common) == (3, 3, 2)
+    assert math.isclose(ab.jaccard, 2 / 4)
+    assert out[("a", "c")].fp_common == 0
+    assert out[("a", "c")].jaccard == 0.0
+
+
+def _planted_embeddings(spark, n_noise=200, n_dup_pairs=8, dim=16, seed=7):
+    rng = random.Random(seed)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows, planted = [], []
+    vid = 0
+    for _ in range(n_noise):
+        rows.append((vid, unit([rng.gauss(0, 1) for _ in range(dim)])))
+        vid += 1
+    for _ in range(n_dup_pairs):
+        base = unit([rng.gauss(0, 1) for _ in range(dim)])
+        near = unit([x + rng.gauss(0, 0.005) for x in base])
+        rows.append((vid, base))
+        rows.append((vid + 1, near))
+        planted.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, planted
+
+
+def test_semantic_dedup_finds_planted_pairs(spark):
+    df, planted = _planted_embeddings(spark)
+    pairs = semantic_dedup_pairs(
+        df, "embedding", "vec_id", n_clusters=8, threshold=0.99
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # near-identical vectors land in the same KMeans cluster, so every
+    # planted pair must be recalled (cosine ≈ 1 >> 0.99)
+    assert set(planted) <= got
+
+
+def test_semantic_dedup_subset_of_brute_force(spark):
+    df, _ = _planted_embeddings(spark)
+    blocked = semantic_dedup_pairs(
+        df, "embedding", "vec_id", n_clusters=8, threshold=0.9
+    )
+    exact = embedding_cosine_pairs(
+        df, "embedding", "vec_id", threshold=0.9, sign_bits=0
+    )
+    got = {(r.id_a, r.id_b) for r in blocked.collect()}
+    truth = {(r.id_a, r.id_b) for r in exact.collect()}
+    # cluster blocking can only LOSE pairs, never invent them
+    assert got <= truth
