@@ -11,8 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.operators.components import duplicate_clusters
 from databricks_etl_pipelines_spark.functions.numeric import (
     sql_stable_round,
     stable_round,
@@ -288,6 +290,87 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", threshold=0.5, shingle_k=3
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("jaccard")
+    )
+
+
+# -- duplicate-cluster representatives (connected components) -----------------------
+
+# The Spark side runs iterative hash-min label propagation
+# (operators/components.py); the oracle replays the SAME edge set through a
+# DuckDB recursive CTE (transitive closure → min reachable id), so an
+# iterative distributed graph algorithm gets a hard value-level check.
+_CLUSTER_REP_ORACLE = f"""
+WITH RECURSIVE prep AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh, len({_SQL_SHINGLES3}) AS ln
+  FROM documents
+),
+pair AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM prep a JOIN prep b
+    ON a.id < b.id AND a.ln >= 0.5 * b.ln AND b.ln >= 0.5 * a.ln
+  WHERE len(list_intersect(a.sh, b.sh))
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+edge AS (
+  SELECT id_a AS src, id_b AS dst FROM pair
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pair
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edge
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edge e ON r.dst = e.src
+),
+lab AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+member AS (
+  SELECT l.id, l.cluster_id, d.n_chars
+  FROM lab l JOIN documents d ON d.doc_id = l.id
+),
+ranked AS (
+  SELECT id, cluster_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, id ASC) AS rn
+  FROM member
+),
+csize AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM member GROUP BY cluster_id
+)
+SELECT r.cluster_id, s.cluster_size, r.id AS rep_doc_id,
+       r.n_chars AS rep_n_chars
+FROM ranked r JOIN csize s USING (cluster_id)
+WHERE r.rn = 1
+"""
+
+
+@query("dedup_cluster_representatives", _CLUSTER_REP_ORACLE)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse near-dup PAIRS into CLUSTERS and pick one keeper per cluster.
+
+    Pairwise dedup under-deletes on chains (a~b, b~c, a!~c is one cluster of
+    three): this runs real connected components (hash-min label propagation,
+    O(diameter) shuffle rounds, lineage cut per round) over the exact n-gram
+    Jaccard edges, then keeps the longest member per component (ties to the
+    smallest doc_id). Reference analog: the silver dedup stage keeps one row
+    per natural key (02_Silver_Cleanse_PII.py:136-147); this is the
+    transitive-duplicate generalization a 100 TB corpus needs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, shingle_k=3)
+    member = duplicate_clusters(pairs).join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    sizes = member.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("id"))
+    rep = member.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return rep.join(sizes, "cluster_id").select(
+        "cluster_id",
+        "cluster_size",
+        F.col("id").alias("rep_doc_id"),
+        F.col("n_chars").alias("rep_n_chars"),
     )
 
 
