@@ -308,11 +308,10 @@ def token_budget_select(
     Scale shape: one exchange (hash partition on ``group_col``) plus an
     in-partition sort — the same single-window plan as any per-group
     ranking. Each group must sort within one task; with the handful of
-    domain strata a corpus has, per-group data can exceed a task, in which
-    case pre-aggregate to (group, priority-bucket) partial token sums,
-    broadcast the per-group cutoff bucket, and only window the boundary
-    bucket — same answer, bounded task memory. The single-window form here
-    is the exact-semantics reference of that optimization.
+    domain strata a corpus has, per-group data can exceed a task — use
+    :func:`token_budget_select_bounded` there, which pre-filters to a
+    budget-sized candidate set before the exact window. This single-window
+    form is the exact-semantics reference of that optimization.
     """
     from pyspark.sql import Window
 
@@ -326,6 +325,93 @@ def token_budget_select(
     return (
         df.withColumn("cum_tokens", F.sum(tok.cast("bigint")).over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+def token_budget_select_bounded(
+    df: DataFrame,
+    group_col: str,
+    priority_col: Column | str,
+    token_col: Column | str,
+    id_col: str,
+    budget_tokens: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Bounded-memory :func:`token_budget_select` — identical result, but no
+    task ever sorts a whole group.
+
+    Plan: (1) one aggregate learns per-group approx priority quantiles
+    (n_buckets-1 cut points); (2) every row gets an order-preserving bucket
+    id (bucket(a) <= bucket(b) whenever priority(a) >= priority(b), equal
+    priorities share a bucket, NULL priorities take the final bucket to
+    match DESC NULLS LAST); (3) a per-(group, bucket) token-sum aggregate —
+    groups x buckets rows, tiny — finds which buckets start before the
+    budget is exhausted: a bucket whose preceding-buckets token total
+    already exceeds the budget cannot contribute a kept row (token counts
+    are non-negative, so the running total is monotone across buckets);
+    (4) the surviving bucket-prefix — ~budget_tokens worth of rows plus at
+    most one boundary bucket — goes through the exact single-window pass.
+
+    The pre-filter only discards rows the exact algorithm would discard,
+    and the survivors form a sort-order prefix of each group, so the
+    windowed ``cum_tokens`` over survivors equals the full-group value:
+    bit-identical output. Worst case (every priority equal → one bucket)
+    degrades to the reference plan, never to a wrong answer.
+
+    Requires non-negative token counts (true for any token-count column).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    if n_buckets < 2:  # no cut points to learn — the reference IS this plan
+        return token_budget_select(
+            df, group_col, priority_col, token_col, id_col, budget_tokens
+        )
+    pri = F.col(priority_col) if isinstance(priority_col, str) else priority_col
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    quantiles = [i / n_buckets for i in range(1, n_buckets)]
+
+    staged = df.withColumn("__pri", pri).withColumn(
+        "__tok", tok.cast("bigint")
+    )
+    bounds = staged.groupBy(group_col).agg(
+        F.percentile_approx("__pri", quantiles).alias("__bounds")
+    )
+    # order-preserving bucket id: count of cut points >= this priority
+    in_bucket = F.aggregate(
+        F.col("__bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("__pri") <= b, 1).otherwise(0),
+    )
+    bucketed = staged.join(broadcast(bounds), group_col).withColumn(
+        "__bucket",
+        F.when(F.col("__pri").isNull(), F.lit(n_buckets)).otherwise(in_bucket),
+    )
+    per_bucket = bucketed.groupBy(group_col, "__bucket").agg(
+        F.sum("__tok").alias("__btok")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    live = (
+        per_bucket.withColumn(
+            "__before", F.sum("__btok").over(wb) - F.col("__btok")
+        )
+        .filter(F.col("__before") <= budget_tokens)
+        .select(group_col, "__bucket")
+    )
+    survivors = bucketed.join(broadcast(live), [group_col, "__bucket"])
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__pri").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors.withColumn("cum_tokens", F.sum("__tok").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .drop("__pri", "__tok", "__bounds", "__bucket")
     )
 
 

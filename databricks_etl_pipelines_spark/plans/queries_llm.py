@@ -354,9 +354,10 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     three): this runs real connected components (hash-min label propagation,
     O(diameter) shuffle rounds, lineage cut per round) over the exact n-gram
     Jaccard edges, then keeps the longest member per component (ties to the
-    smallest doc_id). Reference analog: the silver dedup stage keeps one row
-    per natural key (02_Silver_Cleanse_PII.py:136-147); this is the
-    transitive-duplicate generalization a 100 TB corpus needs.
+    smallest doc_id). Closest reference analog: the keyed MERGE INTO
+    idempotent-upsert keeps one row per natural key
+    (02_Silver_Cleanse_PII.py:174-184); this is the transitive-duplicate
+    generalization a 100 TB corpus needs.
     """
     docs = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, shingle_k=3)

@@ -31,7 +31,7 @@ from databricks_etl_pipelines_spark.operators.curation import (
     domain_mixture_weights,
     quality_score,
     source_overlap,
-    token_budget_select,
+    token_budget_select_bounded,
 )
 from databricks_etl_pipelines_spark.sources import table
 
@@ -84,9 +84,11 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill each source's token budget with its best documents: rank by the
     quality rubric (doc_id tiebreak) and keep the greedy prefix whose
     running token total stays within the budget. Token-denominated quotas
-    are how training mixes are actually specified; this is the exact
-    single-window reference form (see operator docstring for the
-    bounded-memory two-pass variant at extreme per-source skew)."""
+    are how training mixes are actually specified. Runs the bounded-memory
+    two-pass variant (bucket partial sums -> bucket-prefix pre-filter ->
+    exact window over ~budget-sized survivors) so the driver verifies it
+    bit-identical against the single-window oracle SQL; no task sorts a
+    whole source."""
     docs = table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -94,7 +96,7 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         quality_score("text").cast("bigint").alias("quality"),
     )
-    return token_budget_select(
+    return token_budget_select_bounded(
         scored, "source", "quality", "n_tokens", "doc_id", _BUDGET
     ).select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
 

@@ -254,9 +254,12 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is a single exchange."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # Integer µs subtraction — `cast(ts as double)` both loses ~1e-7 s at
+    # epoch magnitude and is an invalid cast on TIMESTAMP_NTZ inputs.
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), 1
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
     sessions = ev.withColumn(
         "session_id",

@@ -31,17 +31,22 @@ TPCH_TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Lazy — no I/O until an action runs.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects (Spark timestamps are µs). We read nanos as raw longs
-    (legacy conf) and rebuild a µs TimestampType column with integer
-    division — no double round-trip, so no precision loss; the testdata has
-    no sub-µs components.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    (Spark timestamps are µs) and we read as raw longs (legacy conf) then
+    rebuild with integer division; and naive TIMESTAMP(MICROS), which Spark
+    4 infers as TIMESTAMP_NTZ — incompatible with watermarks and double
+    casts. The session timezone is pinned to UTC (session.py), so casting
+    NTZ → TIMESTAMP preserves every instant and keeps DuckDB oracle parity.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -41,16 +41,20 @@ def _as_stream_dir(parquet_file: str) -> str:
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table as a file stream (ns timestamps rebuilt to µs, same as
-    the batch scan in sources/tables.py)."""
+    """events table as a file stream, ts normalized to TIMESTAMP exactly as
+    the batch scan in sources/tables.py (ns-as-long rebuild, or NTZ cast —
+    watermarks reject TIMESTAMP_NTZ event-time columns)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
         .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 

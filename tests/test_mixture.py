@@ -13,6 +13,7 @@ from databricks_etl_pipelines_spark.operators.curation import (
     domain_mixture_weights,
     source_overlap,
     token_budget_select,
+    token_budget_select_bounded,
 )
 from databricks_etl_pipelines_spark.operators.dedup import (
     embedding_cosine_pairs,
@@ -51,6 +52,59 @@ def test_token_budget_select_tiebreak_is_doc_id(spark):
     )
     out = token_budget_select(df, "source", "quality", "n_tokens", "doc_id", 100)
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def _tbs_rows(seed, n_groups=4, n_rows=400, dup_every=3, null_every=17):
+    """Adversarial planted data for budget selection: duplicate priorities
+    (tiebreak paths), NULL priorities (DESC NULLS LAST), zero-token rows
+    (boundary semantics), and one group holding half the rows (skew)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        g = "g0" if i % 2 == 0 else f"g{rng.randrange(1, n_groups)}"
+        pri = None if i % null_every == 0 else rng.randrange(0, n_rows // dup_every)
+        tok = 0 if i % 29 == 0 else rng.randrange(1, 120)
+        rows.append((g, i, pri, tok))
+    return rows
+
+
+def test_token_budget_select_bounded_matches_reference(spark):
+    """The bounded two-pass variant must be bit-identical to the
+    single-window reference — including ties, NULL priorities, zero-token
+    boundary rows, and a skewed group — across bucket counts (n_buckets=1
+    degenerates to the reference plan, 256 > distinct priorities)."""
+    for seed in (3, 11):
+        df = spark.createDataFrame(
+            _tbs_rows(seed),
+            "source string, doc_id long, quality long, n_tokens long",
+        )
+        ref = token_budget_select(
+            df, "source", "quality", "n_tokens", "doc_id", 2_000
+        )
+        expect = sorted(map(tuple, ref.collect()))
+        for n_buckets in (1, 8, 256):
+            got = token_budget_select_bounded(
+                df, "source", "quality", "n_tokens", "doc_id", 2_000,
+                n_buckets=n_buckets,
+            )
+            assert sorted(map(tuple, got.select(*ref.columns).collect())) == expect
+
+
+def test_token_budget_select_bounded_prefilters_before_window(spark):
+    """Two-pass shape check: the bounded plan must carry the quantile
+    aggregate and the bucket-prefix join BELOW the exact window, and the
+    pre-filter must actually shrink the window input (here: a 10-row budget
+    prefix out of 400 rows survives to the final window)."""
+    df = spark.createDataFrame(
+        _tbs_rows(5), "source string, doc_id long, quality long, n_tokens long"
+    )
+    out = token_budget_select_bounded(
+        df, "source", "quality", "n_tokens", "doc_id", 200, n_buckets=32
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan
+    # the exact cum_tokens window sits above the bucket-prefix join
+    assert plan.index("Window") < plan.index("Join")
 
 
 def test_domain_mixture_weights_uniform_target_and_cap(spark):

@@ -11,10 +11,33 @@ from pyspark.sql import functions as F
 from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
 from databricks_etl_pipelines_spark.streaming.structured import (
     bronze_stream_ingest,
+    drain_to_memory,
     foreach_batch_merge,
     progress_summary,
     streaming_events,
+    tumbling_window_counts,
 )
+
+
+def test_watermark_runs_on_real_testdata(spark, sf_dir):
+    """Regression gate for testdata timestamp-dtype drift: drain a
+    watermarked tumbling-window agg over the ACTUAL testdata events stream.
+
+    Round 2 shipped `events.ts` as naive-µs parquet (TIMESTAMP_NTZ under
+    Spark 4) and `withWatermark` hard-failed with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — unseen by the suite because every
+    streaming test synthesized its own LTZ frames. This test pins the
+    normalization in streaming_events(): whatever physical encoding the
+    driver regenerates (ns-as-long, naive µs, tz-aware), the stream must
+    expose a plain TIMESTAMP `ts` that watermarks accept.
+    """
+    stream = streaming_events(spark, sf_dir)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    result = drain_to_memory(tumbling_window_counts(stream))
+    n = result.count()
+    assert n > 0
+    total = result.agg(F.sum("event_count")).first()[0]
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
 
 def test_checkpoint_replay_exactly_once(spark, sf_dir, tmp_path):
