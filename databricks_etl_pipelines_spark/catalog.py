@@ -101,10 +101,14 @@ PRIORITY: list[str] = [
     "curation_funnel_report",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
-    # high-value sentinels (r1-green, stable) filling the last cap slots
+    # new round-3 queries — claim cap slots immediately (ADVICE r2)
+    "streaming_curation_ingest",
+    "ml_quality_classifier",
+    # high-value sentinel (r1-green, stable) filling the last cap slot.
+    # agg_entity_features / merge_upsert_orders yield their slots: both are
+    # transitively re-verified by r2-green rows (ml_feature_matrix wraps the
+    # features oracle; change_feed_orders diffs the merged snapshot).
     "flagship_pricing_risk_summary",
-    "agg_entity_features",
-    "merge_upsert_orders",
 ]
 
 

@@ -123,3 +123,21 @@ def ml_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "model string, accuracy double, precision double, "
         "recall double, f1 double, auc double, is_best boolean",
     ).orderBy(F.desc("f1"))
+
+
+@query("ml_quality_classifier")
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus quality filtering (ml/quality.py): hashed-BoW +
+    seeded LogisticRegression trained on the rubric's weak labels, then the
+    whole documents table scored distributed. Rows-only (learned
+    probabilities); the training-free pieces are oracle-checked elsewhere
+    (the rubric via curation/text queries, the corpus itself everywhere)."""
+    from databricks_etl_pipelines_spark.ml.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    model = train_quality_classifier(docs)
+    return score_quality(model, docs)

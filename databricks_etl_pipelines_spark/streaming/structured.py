@@ -58,6 +58,83 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def streaming_documents(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """documents table as a file stream (the arrival feed of a continuous
+    training-data ingest). ``max_files_per_trigger`` splits the drain into
+    one micro-batch per file — the multi-batch path tests use."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+
+
+def curation_ingest(
+    stream: DataFrame,
+    accepted: "ManagedTable",
+    checkpoint_dir: str,
+    min_quality: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming flavor of the curation funnel: continuously ingest
+    documents, gate on the quality rubric, and accept each normalized text
+    exactly once — the steady-state shape of a training-corpus pipeline
+    (new crawl snapshots arrive forever; the corpus must never re-admit a
+    document it already holds).
+
+    Per micro-batch: quality gate -> within-batch exact dedup (min id per
+    md5(normalized text), deterministic) -> anti-join against the accepted
+    table's hashes (first BATCH wins across batches; ties inside a batch go
+    to the smaller id) -> append survivors. Checkpoint + content-hash
+    anti-join make replays idempotent: a re-delivered batch's hashes
+    already exist, so it appends nothing.
+
+    At 100 TB the accepted table should be laid out bucketed by
+    ``text_hash`` so the per-batch anti-join co-locates instead of
+    shuffling the full hash set each batch; the persisted-corpus variant of
+    that layout is operators/dedup.py's incremental corpus index — this
+    operator is the orchestration around it.
+    """
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        normalized_text,
+    )
+    from databricks_etl_pipelines_spark.operators.curation import (
+        quality_score,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hashed = batch_df.filter(
+            quality_score(text_col).cast("bigint") >= min_quality
+        ).withColumn("text_hash", F.md5(normalized_text(text_col)))
+        w = Window.partitionBy("text_hash").orderBy(id_col)
+        first = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if accepted.exists():
+            seen = accepted.read(spark).select("text_hash")
+            first = first.join(seen, "text_hash", "left_anti")
+        if not first.isEmpty():
+            accepted.append(first)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def drain_to_memory(
     df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
 ) -> DataFrame:

@@ -146,3 +146,38 @@ def test_generator_cardholders_end_to_end(spark):
     preds = batch_score(models[best], mat, id_col="cardholder_token")
     assert preds.count() == n
     assert metrics[best]["f1"] >= 0.0
+
+
+def test_quality_classifier_separates_planted_docs(spark):
+    """The weak-label LR must rank an obviously clean planted doc above an
+    obviously junky one, and scoring must be deterministic across refits
+    (stateless featurizer + seeded LR)."""
+    from databricks_etl_pipelines_spark.ml.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is a fine "
+        "thing to see in the morning is it not a good day. " * 4
+    )
+    junk = "@@@@ 1234 5678 !!!! ???? %%%% " * 3
+    rows = [(i, good.replace("fox", w), "en", "web", 1)
+            for i, w in enumerate(["fox", "cat", "owl", "elk", "hen"])]
+    rows += [(100 + i, junk + str(i) * 7, "en", "web", 1) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    model = train_quality_classifier(docs, threshold=90)
+    scored = {r.doc_id: r for r in score_quality(model, docs).collect()}
+    good_p = min(scored[i].p_high_quality for i in range(5))
+    junk_p = max(scored[100 + i].p_high_quality for i in range(5))
+    assert good_p > junk_p
+    assert all(scored[i].weak_label == 1 for i in range(5))
+    assert all(scored[100 + i].weak_label == 0 for i in range(5))
+
+    refit = train_quality_classifier(docs, threshold=90)
+    again = {r.doc_id: r.p_high_quality
+             for r in score_quality(refit, docs).collect()}
+    assert again == {d: r.p_high_quality for d, r in scored.items()}

@@ -437,3 +437,57 @@ def test_streaming_medallion_bucketed_silver_write_amplification(
     # silver still matches the batch-computed truth after the pruned merge
     expected, _ = silver_transform(feed)
     assert m.silver.read(spark).count() == expected.count()
+
+
+def _write_doc_file(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_curation_ingest_first_batch_wins_and_replay_idempotent(spark, tmp_path):
+    """Streaming corpus admission: (1) a duplicate arriving in a LATER
+    micro-batch is rejected even with a smaller doc_id (first-wins, unlike
+    batch min-id dedup); (2) low-quality docs never land; (3) a replay
+    drain with a fresh checkpoint appends nothing (content-hash
+    idempotence)."""
+    from databricks_etl_pipelines_spark.operators.curation import quality_score
+    from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+    from databricks_etl_pipelines_spark.streaming.structured import curation_ingest
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is a fine "
+        "thing to see in the morning, is it not. " * 3
+    )
+    junk = "zzzz!!!! 9999 $$$$"  # fails length/stopword/punct gates
+    src = str(tmp_path / "docs_src")
+    # batch 1: docs 10 (good), 11 (junk)
+    _write_doc_file(spark, src, [(10, good, "en", "web", len(good)),
+                                 (11, junk, "en", "web", len(junk))])
+    # batch 2: doc 1 is an exact dup of doc 10 (whitespace/case differs)
+    # with a SMALLER id, plus a fresh doc 12
+    other = good.replace("morning", "evening")
+    _write_doc_file(spark, src, [(1, good.upper() + "  ", "en", "crawl", 5),
+                                 (12, other, "en", "crawl", len(other))])
+
+    schema = spark.read.parquet(src).schema
+    accepted = ManagedTable(str(tmp_path / "accepted"))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("quality", quality_score("text").cast("bigint"))
+        )
+        q = curation_ingest(stream, accepted, str(tmp_path / ckpt), min_quality=50)
+        q.awaitTermination(120)
+
+    drain("ckpt1")
+    got = {r.doc_id for r in accepted.read(spark).collect()}
+    # doc 10 admitted in batch 1; its later smaller-id dup (1) rejected;
+    # junk (11) gated out; fresh doc (12) admitted
+    assert got == {10, 12}
+
+    drain("ckpt2")  # full reprocess: every hash already accepted
+    assert {r.doc_id for r in accepted.read(spark).collect()} == {10, 12}
