@@ -521,3 +521,59 @@ def source_overlap(
         "fp_common",
         (F.col("fp_common") / union_sz).alias("jaccard"),
     )
+
+
+def corpus_drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    dims: list[str],
+    token_col: Column | str,
+) -> DataFrame:
+    """Composition drift between two corpus snapshots (crawl N vs crawl
+    N+1, or train mix vs eval mix): for every value of every ``dims``
+    column, the doc counts and within-dimension token shares on each side
+    and the share delta — the report that catches "the new snapshot is
+    suddenly 30% one domain" before a training run does.
+
+    Scale shape: each side is ONE scan — ``stack`` unpivots the dim
+    columns in-row (no join, no second pass), then a (dim, key) aggregate;
+    share normalization is a window over the tiny aggregate; the A-B
+    comparison is a full-outer join of two aggregate-sized frames. Keys
+    absent from one side surface with share 0, not silently dropped.
+    """
+    from pyspark.sql import Window
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    stack_expr = F.stack(
+        F.lit(len(dims)),
+        *[c for d in dims for c in (F.lit(d), F.col(d).cast("string"))],
+    ).alias("dim", "key")
+
+    def side(df: DataFrame) -> DataFrame:
+        g = (
+            df.select(stack_expr, tok.cast("bigint").alias("__tok"))
+            .groupBy("dim", "key")
+            .agg(F.count("*").alias("docs"), F.sum("__tok").alias("toks"))
+        )
+        dim_total = F.sum("toks").over(Window.partitionBy("dim"))
+        return g.withColumn("share", F.col("toks") / dim_total)
+
+    a, b = side(df_a), side(df_b)
+    joined = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.dim") == F.col("b.dim")) & (F.col("a.key") == F.col("b.key")),
+        "full_outer",
+    )
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+
+    share_a = F.coalesce(F.col("a.share"), F.lit(0.0))
+    share_b = F.coalesce(F.col("b.share"), F.lit(0.0))
+    return joined.select(
+        F.coalesce(F.col("a.dim"), F.col("b.dim")).alias("dim"),
+        F.coalesce(F.col("a.key"), F.col("b.key")).alias("key"),
+        F.coalesce(F.col("a.docs"), F.lit(0)).alias("docs_a"),
+        F.coalesce(F.col("b.docs"), F.lit(0)).alias("docs_b"),
+        stable_round(share_a, 6).alias("token_share_a"),
+        stable_round(share_b, 6).alias("token_share_b"),
+        stable_round(share_b - share_a, 6).alias("share_delta"),
+    )

@@ -79,3 +79,68 @@ def cumulative_frame(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+
+
+def resample_forward_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-key time-series resampling onto a regular grid with forward fill
+    — the gap-fill operator relational engines ship as RESAMPLE/ASOF and
+    Spark composes from built-ins: bucket timestamps to the step, take the
+    last observation per bucket (total order: ts then ``tiebreak_col``),
+    explode ``sequence(min_bucket, max_bucket, step)`` into the dense grid,
+    left-join observations, and carry the last non-null value forward with
+    ``last(ignorenulls)`` over an unbounded-preceding frame.
+
+    Output: ``key_col``, ``bucket_ts`` (grid point), ``n_events`` (0 on gap
+    rows), ``value_ff`` (forward-filled last value; null until the key's
+    first observation).
+
+    Scale shape: one shuffle on (key, bucket) covers the dedup window AND
+    the per-bucket aggregate; the grid explode is bounded by keys x
+    horizon/step (grid rows, not event rows); the forward fill is one
+    window per key over grid-sized data. No step ever re-shuffles raw
+    events twice.
+    """
+    bucket = F.date_trunc(step.split()[-1], F.col(ts_col))
+    w_last = Window.partitionBy(key_col, "bucket_ts").orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    hourly = (
+        df.withColumn("bucket_ts", bucket)
+        .withColumn("__rn", F.row_number().over(w_last))
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.when(F.col("__rn") == 1, F.col(value_col))).alias("__lastv"),
+        )
+    )
+    grid = (
+        hourly.groupBy(key_col)
+        .agg(F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"interval {step}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    joined = grid.join(hourly, [key_col, "bucket_ts"], "left").select(
+        key_col,
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "__lastv",
+    )
+    w_ff = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(
+        "value_ff", F.last("__lastv", ignorenulls=True).over(w_ff)
+    ).drop("__lastv")

@@ -612,3 +612,54 @@ def join_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("small_lot_lines"),
         stable_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
     )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT l.l_orderkey,
+  floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100
+    AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("join_shipping_priority_topk", _SHIPPING_PRIORITY_ORACLE)
+def join_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment —
+    filter→join→aggregate→global top-k in one plan.
+
+    Scale shape: both date predicates push to the parquet scans
+    (PushedFilters), the segment-filtered customer side broadcasts, the
+    orders⋈lineitem join shuffles on orderkey under AQE, and the final
+    top-10 is TakeOrderedAndProject (per-partition heaps + driver merge of
+    10-row heads), never a global sort."""
+    cust, orders, li = (
+        table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
+    )
+    building = F.broadcast(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    joined = (
+        orders.filter(F.col("o_orderdate") < "1997-06-01")
+        .join(building, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            li.filter(F.col("l_shipdate") > "1997-06-01"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return agg.select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+    ).orderBy(F.desc("revenue"), "l_orderkey").limit(10)

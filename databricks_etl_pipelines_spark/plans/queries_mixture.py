@@ -193,3 +193,58 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         emb, "embedding", "vec_id", n_clusters=8, threshold=0.3
     ).orderBy("id_a", "id_b")
+
+
+# -- corpus drift between snapshots -------------------------------------------
+
+_DRIFT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, lang, {_SQL_NTOK} AS ntok FROM documents
+),
+stacked AS (
+  SELECT doc_id % 2 AS snap, 'source' AS dim, source AS key, ntok FROM d
+  UNION ALL
+  SELECT doc_id % 2 AS snap, 'lang' AS dim, lang AS key, ntok FROM d
+),
+g AS (
+  SELECT snap, dim, key,
+         CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(ntok) AS BIGINT) AS toks
+  FROM stacked GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT *, toks / sum(toks) OVER (PARTITION BY snap, dim) AS share FROM g
+)
+SELECT
+  coalesce(a.dim, b.dim) AS dim,
+  coalesce(a.key, b.key) AS key,
+  coalesce(a.docs, 0) AS docs_a,
+  coalesce(b.docs, 0) AS docs_b,
+  floor(coalesce(a.share, 0) * 1000000 + 0.5) / 1000000 AS token_share_a,
+  floor(coalesce(b.share, 0) * 1000000 + 0.5) / 1000000 AS token_share_b,
+  floor((coalesce(b.share, 0) - coalesce(a.share, 0)) * 1000000 + 0.5)
+    / 1000000 AS share_delta
+FROM (SELECT * FROM t WHERE snap = 0) a
+FULL OUTER JOIN (SELECT * FROM t WHERE snap = 1) b
+  ON a.dim = b.dim AND a.key = b.key
+"""
+
+
+@query("curation_corpus_drift", _DRIFT_ORACLE)
+def curation_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition drift between two corpus snapshots
+    (operators/curation.py:corpus_drift_report) — here the even/odd doc_id
+    halves stand in for crawl N vs crawl N+1. Each side is one scan
+    (stack-unpivot of the dim columns, no self-join), shares normalize
+    over the tiny per-dim aggregate, and the comparison is a full-outer
+    join of aggregate-sized frames."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        corpus_drift_report,
+    )
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "__ntok", token_count("text")
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return corpus_drift_report(a, b, ["source", "lang"], "__ntok")

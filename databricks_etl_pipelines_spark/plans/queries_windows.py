@@ -432,3 +432,58 @@ def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+# -- time-series resample + forward fill --------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, "value",
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+hourly AS (
+  SELECT user_id, h,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(CASE WHEN rn = 1 THEN "value" END) AS lastv
+  FROM ev GROUP BY user_id, h
+),
+bounds AS (
+  SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.h,
+         coalesce(hh.n_events, 0) AS n_events, hh.lastv
+  FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h
+)
+SELECT user_id, h AS bucket_ts, n_events,
+       last_value(lastv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_ff
+FROM joined
+"""
+
+
+@query("window_resample_forward_fill", _RESAMPLE_ORACLE)
+def window_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample of the events feed with forward fill
+    (operators/windows.py:resample_forward_fill): dense grid rows for gap
+    hours with n_events=0 and the last observed value carried forward —
+    the feature-engineering shape behind "state of every entity at every
+    tick" training tables."""
+    from databricks_etl_pipelines_spark.operators.windows import (
+        resample_forward_fill,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return resample_forward_fill(
+        ev, "user_id", "ts", "value", "event_id", step="1 hour"
+    )

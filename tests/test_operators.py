@@ -536,3 +536,68 @@ def test_python_datasource_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in rows} == {
         r.doc_id for r in docs.collect()
     }
+
+
+def test_resample_forward_fill_planted(spark):
+    """Dense grid + forward fill: gap hours appear with n_events=0 carrying
+    the last value; within-hour 'last' follows the (ts, tiebreak) total
+    order; a key's fill never leaks into another key."""
+    from databricks_etl_pipelines_spark.operators.windows import (
+        resample_forward_fill,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:15:00", 101, 1.0),
+        (1, "2024-01-01 10:45:00", 102, 2.0),
+        (1, "2024-01-01 13:05:00", 103, 3.0),
+        (2, "2024-01-01 11:30:00", 104, 9.0),
+        # same-ts tie inside one bucket: higher event_id must win
+        (3, "2024-01-01 00:00:00", 105, 5.0),
+        (3, "2024-01-01 00:00:00", 106, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = resample_forward_fill(df, "user_id", "ts", "value", "event_id")
+    got = {
+        (r.user_id, r.bucket_ts.hour): (r.n_events, r.value_ff)
+        for r in out.collect()
+    }
+    assert got[(1, 10)] == (2, 2.0)
+    assert got[(1, 11)] == (0, 2.0)   # gap hour, filled
+    assert got[(1, 12)] == (0, 2.0)
+    assert got[(1, 13)] == (1, 3.0)
+    assert got[(2, 11)] == (1, 9.0)   # single-bucket key: no gaps
+    assert (2, 12) not in got         # grid ends at the key's max bucket
+    assert got[(3, 0)] == (2, 6.0)    # tie broken by event_id
+    assert len(got) == 6
+
+
+def test_corpus_drift_report_planted(spark):
+    """Share math + full-outer semantics: a key present only in snapshot A
+    (or only B) must surface with the other side's share 0."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        corpus_drift_report,
+    )
+
+    schema = "doc_id long, source string, lang string, ntok long"
+    a = spark.createDataFrame(
+        [(1, "web", "en", 60), (2, "web", "en", 20), (3, "books", "de", 20)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [(4, "web", "en", 50), (5, "code", "en", 50)], schema
+    )
+    out = {
+        (r.dim, r.key): r
+        for r in corpus_drift_report(a, b, ["source", "lang"], "ntok").collect()
+    }
+    web = out[("source", "web")]
+    assert (web.docs_a, web.docs_b) == (2, 1)
+    assert (web.token_share_a, web.token_share_b) == (0.8, 0.5)
+    assert out[("source", "books")].token_share_b == 0.0   # A-only key
+    assert out[("source", "code")].token_share_a == 0.0    # B-only key
+    assert out[("source", "code")].share_delta == 0.5
+    assert out[("lang", "de")].docs_b == 0
+    # distinct (dim, key) pairs: web/books/code + en/de
+    assert len(out) == 5
