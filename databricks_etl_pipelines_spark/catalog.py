@@ -93,7 +93,9 @@ PRIORITY: list[str] = [
     # (c) regression re-checks: green in r1 but code changed since
     "dedup_exact_documents",
     "text_token_stats",
-    "text_quality_score",
+    # (text_quality_score's rubric value is an output column of the
+    # r3-checked curation_token_budget_select AND streaming_curation_ingest
+    # oracles, so its re-check slot goes to a new query instead)
     "similarity_cosine_topk",
     "pipeline_gold_merchant_summary",
     "pipeline_gold_cardholder_features",
@@ -111,6 +113,7 @@ PRIORITY: list[str] = [
     "window_resample_forward_fill",
     "curation_corpus_drift",
     "join_shipping_priority_topk",
+    "text_vocab_encode",
 ]
 
 

@@ -169,7 +169,9 @@ def quota_by_quality(
 ) -> DataFrame:
     """Keep the top ``quota`` rows per stratum by ``order_col`` (ties break
     on id): the 'best N documents per language/source' selection step. One
-    window shuffle on the stratum key."""
+    window shuffle on the stratum key; each stratum sorts in one task —
+    use :func:`quota_by_quality_bounded` when a stratum exceeds task
+    memory."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(strata_col).orderBy(
@@ -180,6 +182,34 @@ def quota_by_quality(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def quota_by_quality_bounded(
+    df: DataFrame,
+    strata_col: str,
+    order_col: str,
+    quota: int,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Bounded-memory :func:`quota_by_quality` — identical keeper set, no
+    whole-stratum sort in any task.
+
+    A count quota IS a token budget with every row weighing 1 token, so
+    this delegates to :func:`token_budget_select_bounded`: learn per-group
+    priority quantiles, discard whole buckets that start past the quota,
+    and rank only the ~quota-sized surviving prefix exactly.
+    """
+    out = token_budget_select_bounded(
+        df.withColumn("__one", F.lit(1)),
+        strata_col,
+        order_col,
+        "__one",
+        id_col,
+        quota,
+        n_buckets=n_buckets,
+    )
+    return out.drop("__one", "cum_tokens")
 
 
 def curate_corpus(

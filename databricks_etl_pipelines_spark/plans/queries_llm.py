@@ -1424,3 +1424,80 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("risky_rows"),
         F.min("group_size").alias("min_group_size"),
     )
+
+
+# -- vocabulary build + integer encoding --------------------------------------
+
+_VOCAB_SIZE = 20
+
+_VOCAB_ENCODE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, i AS pos, list_extract({_SQL_TOKS}, i) AS w
+  FROM documents, unnest(generate_series(1, len({_SQL_TOKS}))) AS u(i)
+),
+vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS BIGINT)
+           AS token_id
+  FROM words GROUP BY w
+  QUALIFY token_id <= {_VOCAB_SIZE}
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_oov,
+  array_to_string(array_agg(coalesce(v.token_id, 0) ORDER BY pos), ',')
+    AS token_ids
+FROM words LEFT JOIN vocab v USING (w)
+GROUP BY doc_id
+"""
+
+
+@query("text_vocab_encode", _VOCAB_ENCODE_ORACLE)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build + integer encoding — tokenize-to-ids, the
+    step between curation and sequence packing: rank words by global count
+    (frequency desc, word asc — fully deterministic), keep the top-V as the
+    vocabulary, re-encode every document as its ordered id sequence with 0
+    for OOV.
+
+    The distributed pattern is explode-with-position -> broadcast-join the
+    vocabulary -> ORDER-PRESERVING re-assembly (collect_list of (pos, id)
+    structs, array_sort, project the ids) — how any per-token transform
+    rebuilds documents without ever sorting a whole partition. The global
+    vocabulary ranking windows over the word-count AGGREGATE (vocab-sized,
+    not corpus-sized); the vocabulary then broadcasts.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    counts = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    vocab = (
+        counts.withColumn(
+            "token_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+            .cast("bigint"),
+        )
+        .filter(F.col("token_id") <= _VOCAB_SIZE)
+        .select("w", "token_id")
+    )
+    encoded = words.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(0)).cast("bigint").alias("tid"),
+    )
+    # id sequence serialized to csv: the harness compares scalar cells, and
+    # a csv string is order-sensitive — exactly what an encoding check needs
+    return encoded.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("bigint")).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s.tid.cast("string"),
+            ),
+            ",",
+        ).alias("token_ids"),
+    )

@@ -210,3 +210,23 @@ def test_semantic_dedup_subset_of_brute_force(spark):
     truth = {(r.id_a, r.id_b) for r in exact.collect()}
     # cluster blocking can only LOSE pairs, never invent them
     assert got <= truth
+
+
+def test_quota_by_quality_bounded_matches_reference(spark):
+    from databricks_etl_pipelines_spark.operators.curation import (
+        quota_by_quality,
+        quota_by_quality_bounded,
+    )
+
+    for seed in (2, 9):
+        df = spark.createDataFrame(
+            _tbs_rows(seed),
+            "source string, doc_id long, quality long, n_tokens long",
+        )
+        ref = quota_by_quality(df, "source", "quality", 40, "doc_id")
+        expect = sorted(map(tuple, ref.collect()))
+        for n_buckets in (1, 8, 256):
+            got = quota_by_quality_bounded(
+                df, "source", "quality", 40, "doc_id", n_buckets=n_buckets
+            )
+            assert sorted(map(tuple, got.select(*ref.columns).collect())) == expect
