@@ -618,3 +618,64 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("heavy_keys"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorize + z-score feature normalization (two-pass: stats → apply)
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH clip AS (
+  SELECT event_type,
+         quantile_cont("value", 0.05) AS p05,
+         quantile_cont("value", 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_id, e.event_type, e."value",
+         least(greatest(e."value", c.p05), c.p95) AS w
+  FROM events e JOIN clip c USING (event_type)
+),
+stats AS (
+  SELECT event_type, avg(w) AS mu, stddev_samp(w) AS sigma
+  FROM clipped GROUP BY event_type
+)
+SELECT cl.event_id, cl.event_type, cl."value",
+  floor(cl.w * 10000 + 0.5) / 10000 AS value_winsorized,
+  floor((cl.w - s.mu) / s.sigma * 10000 + 0.5) / 10000 AS value_z
+FROM clipped cl JOIN stats s USING (event_type)
+"""
+
+
+@query("agg_winsorize_zscore", _WINSORIZE_ORACLE)
+def agg_winsorize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization: winsorize values to the exact
+    [p05, p95] band, then z-score against the winsorized mean/stddev — the
+    outlier-robust scaling step before features feed a model.
+
+    Scale shape: the fact table is never shuffled — plan-verified: every
+    Exchange carries only per-group aggregate state (percentile buffers,
+    avg/m2), and both stats frames broadcast back onto plain fact scans
+    (three cheap columnar scans total; cache the clipped frame to trade
+    memory for one). At extreme group counts swap `percentile` for
+    `percentile_approx` and re-tolerance."""
+    ev = table(spark, sf_dir, "events")
+    clip = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(clip), "event_type").withColumn(
+        "w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    stats = clipped.groupBy("event_type").agg(
+        F.avg("w").alias("mu"), F.stddev_samp("w").alias("sigma")
+    )
+    return clipped.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        stable_round(F.col("w"), 4).alias("value_winsorized"),
+        stable_round((F.col("w") - F.col("mu")) / F.col("sigma"), 4).alias(
+            "value_z"
+        ),
+    )
