@@ -301,6 +301,13 @@ class MinHashCorpusIndex:
 
         return os.path.join(root, MinHashCorpusIndex.META)
 
+    @staticmethod
+    def exists(root: str) -> bool:
+        """True once ``build`` has persisted an index at ``root``."""
+        import os
+
+        return os.path.exists(MinHashCorpusIndex._meta_path(root))
+
     def _meta(self) -> dict:
         import json
 

@@ -351,3 +351,37 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return accepted.read(spark).select(
         "doc_id", "source", "lang", "n_chars", "quality", "text_hash"
     )
+
+
+@query("streaming_curation_neardup")
+def streaming_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup streaming admission
+    (streaming/structured.py:curation_ingest_neardup): the curation funnel
+    with the persisted MinHash corpus index screening each batch for
+    paraphrased re-crawls of already-accepted documents. Rows-only (LSH
+    band hashes are engine-seeded); the multi-batch paraphrase-rejection
+    semantics and replay idempotence are pytest-pinned, and the underlying
+    index recall has its own planted-case tests."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        quality_score,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        curation_ingest_neardup,
+        streaming_documents,
+    )
+
+    stream = streaming_documents(spark, sf_dir).withColumn(
+        "quality", quality_score("text").cast("bigint")
+    )
+    accepted = ManagedTable(scratch_dir("curated_nd_docs_"))
+    q = curation_ingest_neardup(
+        stream,
+        accepted,
+        scratch_dir("curated_nd_index_"),
+        scratch_dir("curated_nd_ckpt_"),
+        min_quality=90,
+    )
+    q.awaitTermination(300)
+    return accepted.read(spark).select(
+        "doc_id", "source", "lang", "n_chars", "quality", "text_hash"
+    )

@@ -135,6 +135,95 @@ def curation_ingest(
     )
 
 
+def curation_ingest_neardup(
+    stream: DataFrame,
+    accepted: "ManagedTable",
+    index_root: str,
+    checkpoint_dir: str,
+    min_quality: int = 50,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """:func:`curation_ingest` upgraded from exact to NEAR-dup admission:
+    each micro-batch is additionally screened against the persisted MinHash
+    corpus index (operators/dedup.MinHashCorpusIndex), so a paraphrased or
+    lightly-edited re-crawl of an accepted document is rejected too.
+
+    Per batch, after the exact stages: (1) in-batch near-dup pairs via
+    banded LSH + exact-Jaccard verify, keep each pair's min id (the batch
+    funnel's one-pass heuristic); (2) ``match_new`` against the index —
+    only the BATCH is shingled/signed, the corpus side is an index scan
+    pruned to the batch's band buckets; (3) survivors append to the
+    accepted table AND ``add`` to the index, so the next batch screens
+    against them. The index is the steady-state cost model a 100 TB corpus
+    needs: per-batch work tracks batch size, never corpus size.
+    """
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        normalized_text,
+    )
+    from databricks_etl_pipelines_spark.operators.curation import (
+        quality_score,
+    )
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        MinHashCorpusIndex,
+        minhash_lsh_dedup_pairs,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hashed = batch_df.filter(
+            quality_score(text_col).cast("bigint") >= min_quality
+        ).withColumn("text_hash", F.md5(normalized_text(text_col)))
+        w = Window.partitionBy("text_hash").orderBy(id_col)
+        first = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if accepted.exists():
+            seen = accepted.read(spark).select("text_hash")
+            first = first.join(seen, "text_hash", "left_anti")
+        # in-batch near-dups: drop the greater id of each verified pair
+        pairs = minhash_lsh_dedup_pairs(
+            first, text_col, id_col, threshold=threshold
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        first = first.join(losers, id_col, "left_anti")
+        # cross-batch near-dups: screen against the persisted corpus index
+        index = MinHashCorpusIndex(index_root)
+        if MinHashCorpusIndex.exists(index_root):
+            matches = index.match_new(
+                spark, first, text_col, id_col, threshold=threshold
+            )
+            dupes = matches.select(F.col("new_id").alias(id_col)).distinct()
+            first = first.join(dupes, id_col, "left_anti")
+        first = first.persist()  # consumed by emptiness probe + append + add
+        try:
+            if not first.isEmpty():
+                accepted.append(first)
+                if MinHashCorpusIndex.exists(index_root):
+                    index.add(spark, first, text_col, id_col)
+                else:
+                    MinHashCorpusIndex.build(
+                        first, text_col, id_col, index_root
+                    )
+        finally:
+            first.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def drain_to_memory(
     df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
 ) -> DataFrame:

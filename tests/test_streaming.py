@@ -491,3 +491,68 @@ def test_curation_ingest_first_batch_wins_and_replay_idempotent(spark, tmp_path)
 
     drain("ckpt2")  # full reprocess: every hash already accepted
     assert {r.doc_id for r in accepted.read(spark).collect()} == {10, 12}
+
+
+def test_curation_ingest_neardup_rejects_paraphrase_across_batches(
+    spark, tmp_path
+):
+    """Near-dup streaming admission: a lightly-edited copy of an accepted
+    doc arriving in a LATER batch is rejected via the persisted MinHash
+    index (only the batch is shingled); in-batch near-dup pairs keep the
+    min id; distinct docs still land; replay admits nothing."""
+    from databricks_etl_pipelines_spark.operators.curation import quality_score
+    from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        curation_ingest_neardup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and that is a fine "
+        "thing to see in the morning for all of us who like to walk "
+        "outside when the sun is up and the air is cool and the birds "
+        "are singing in the trees near the old stone bridge. " * 2
+    )
+    other = (
+        "a completely different report about the annual budget meeting "
+        "where the committee discussed revenue targets and the plan for "
+        "new hiring across the engineering and sales teams during the "
+        "next fiscal year with a focus on sustainable growth. " * 2
+    )
+    third = (
+        "yet another unrelated story that follows a small sailing boat "
+        "across the northern sea through storms and calm nights while "
+        "the crew learns to trust the stars and each other on the long "
+        "voyage home to the harbor where their families wait. " * 2
+    )
+    near_10 = base.replace("fox", "hound")      # ~2 shingles differ
+    near_21 = third.replace("boat", "vessel")
+
+    src = str(tmp_path / "docs_src")
+    _write_doc_file(spark, src, [(10, base, "en", "web", 1),
+                                 (11, other, "en", "web", 1)])
+    _write_doc_file(spark, src, [(20, near_10, "en", "crawl", 1),   # cross-batch near-dup
+                                 (21, third, "en", "crawl", 1),
+                                 (22, near_21, "en", "crawl", 1)])  # in-batch near-dup
+
+    schema = spark.read.parquet(src).schema
+    accepted = ManagedTable(str(tmp_path / "accepted"))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("quality", quality_score("text").cast("bigint"))
+        )
+        q = curation_ingest_neardup(
+            stream, accepted, str(tmp_path / "mh_index"),
+            str(tmp_path / ckpt), min_quality=50,
+        )
+        q.awaitTermination(180)
+
+    drain("ckpt1")
+    got = {r.doc_id for r in accepted.read(spark).collect()}
+    assert got == {10, 11, 21}
+
+    drain("ckpt2")  # replay: exact hashes + index both already know everything
+    assert {r.doc_id for r in accepted.read(spark).collect()} == {10, 11, 21}
