@@ -679,3 +679,138 @@ def agg_winsorize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_z"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-column profiling report (Deequ-style DQ summary, one pass)
+# ---------------------------------------------------------------------------
+
+# numeric min/max ride in dedicated columns (timestamps as unix_micros) so
+# no cross-engine string formatting is ever compared; string columns get
+# lexicographic min/max in their own columns.
+_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS col_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nulls,
+  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+  CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+  CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+  floor(avg(o_orderkey) * 10000 + 0.5) / 10000 AS mean,
+  floor(stddev_samp(o_orderkey) * 10000 + 0.5) / 10000 AS stddev,
+  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT o_custkey) AS BIGINT),
+  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+  floor(avg(o_custkey) * 10000 + 0.5) / 10000,
+  floor(stddev_samp(o_custkey) * 10000 + 0.5) / 10000,
+  NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+  min(o_totalprice), max(o_totalprice),
+  floor(avg(o_totalprice) * 10000 + 0.5) / 10000,
+  floor(stddev_samp(o_totalprice) * 10000 + 0.5) / 10000,
+  NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+  CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+  CAST(epoch_us(max(o_orderdate)) AS DOUBLE),
+  NULL, NULL, NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+  NULL, NULL, NULL, NULL,
+  min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+  NULL, NULL, NULL, NULL,
+  min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
+@query("diag_column_profile", _PROFILE_ORACLE)
+def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling report over orders (the Deequ/ydata-style DQ
+    summary): null count, exact distinct count, numeric min/max/mean/std
+    (timestamps profiled as unix_micros), lexicographic min/max for
+    strings — one row per column.
+
+    Scale shape: ONE aggregation pass computes every metric for every
+    column simultaneously (a single wide agg; the only shuffle carries
+    one row of aggregate state per metric), then the 1×N row unpivots to
+    the long report via stack — no per-column scans, no driver loops. At
+    extreme column counts swap the exact countDistincts for
+    approx_count_distinct.
+    """
+    orders = table(spark, sf_dir, "orders")
+
+    def metrics(c: str, kind: str) -> list:
+        num = (
+            F.col(c).cast("double")
+            if kind == "num"
+            # .cast("timestamp") first: the scan yields TIMESTAMP_NTZ, which
+            # unix_micros refuses; the UTC session tz makes the cast exact
+            else F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+            if kind == "ts"
+            else F.lit(None).cast("double")
+        )
+        return [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__n_nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(num).alias(f"{c}__min_num"),
+            F.max(num).alias(f"{c}__max_num"),
+            (
+                stable_round(F.avg(num), 4)
+                if kind == "num"
+                else F.lit(None).cast("double")
+            ).alias(f"{c}__mean"),
+            (
+                stable_round(F.stddev_samp(num), 4)
+                if kind == "num"
+                else F.lit(None).cast("double")
+            ).alias(f"{c}__stddev"),
+            (
+                F.min(c) if kind == "str" else F.lit(None).cast("string")
+            ).alias(f"{c}__min_str"),
+            (
+                F.max(c) if kind == "str" else F.lit(None).cast("string")
+            ).alias(f"{c}__max_str"),
+        ]
+
+    cols = [
+        ("o_orderkey", "num"), ("o_custkey", "num"), ("o_totalprice", "num"),
+        ("o_orderdate", "ts"), ("o_orderstatus", "str"),
+        ("o_orderpriority", "str"),
+    ]
+    aggs = [m for c, kind in cols for m in metrics(c, kind)]
+    wide = orders.agg(*aggs)
+    fields = [
+        "n_rows", "n_nulls", "n_distinct", "min_num", "max_num",
+        "mean", "stddev", "min_str", "max_str",
+    ]
+    stack_args = [
+        arg
+        for c, _ in cols
+        for arg in (
+            [F.lit(c)] + [F.col(f"{c}__{f}") for f in fields]
+        )
+    ]
+    return wide.select(
+        F.stack(F.lit(len(cols)), *stack_args).alias("col_name", *fields)
+    )
