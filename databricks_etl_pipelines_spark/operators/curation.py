@@ -39,6 +39,7 @@ from databricks_etl_pipelines_spark.functions.textfns import (
 from databricks_etl_pipelines_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
 )
 
 
@@ -606,4 +607,56 @@ def corpus_drift_report(
         stable_round(share_a, 6).alias("token_share_a"),
         stable_round(share_b, 6).alias("token_share_b"),
         stable_round(share_b - share_a, 6).alias("share_delta"),
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    test_fraction: float = 0.1,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Train/test split that cannot leak near-duplicates across the
+    boundary: hash-split by DUPLICATE-CLUSTER, not by document.
+
+    A plain hash split puts a document and its paraphrase on opposite
+    sides ~2·f·(1-f) of the time — silent eval contamination. Here exact
+    n-gram-Jaccard pairs feed connected components; every member of a
+    component shares its ``group_key`` (the component's min id, the doc's
+    own id for singletons), and the split is a pure function of
+    (group_key, seed) via the cross-engine md5+rolling-hash bucket — so
+    near-dups land together BY CONSTRUCTION, membership is reproducible
+    across runs, cluster sizes, and engines, and the exact kept sets are
+    differential-testable.
+
+    Scale shape: pair generation is the prefix-filtered PPJoin (equi-joins
+    on rare-shingle hashes), components are O(diameter) hash-min rounds
+    over the PAIR graph (near-dup edges, a vanishing fraction of the
+    corpus), and the split itself is one scan with a broadcast-sized
+    cluster map joined on id.
+    """
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+    from databricks_etl_pipelines_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_k)
+    clusters = duplicate_clusters(pairs).withColumnRenamed("id", id_col)
+    keyed = df.join(clusters, id_col, "left")
+    group_key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    bucket = fingerprint_rolling(
+        F.md5(F.concat(group_key.cast("string"), F.lit(f":{seed}")))
+    ) % 1_000_000
+    split = F.when(bucket < int(test_fraction * 1_000_000), "test").otherwise(
+        "train"
+    )
+    return (
+        keyed.withColumn("group_key", group_key)
+        .withColumn("split", split)
+        .drop("cluster_id")
     )

@@ -1501,3 +1501,72 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("token_ids"),
     )
+
+
+# -- leakage-safe train/test split --------------------------------------------
+
+# Cluster labels come from a transitive closure in SQL: reach(node, other)
+# walks near-dup edges until fixpoint (UNION dedups, so it terminates), and
+# min(other) per node is exactly the hash-min label the Spark connected-
+# components operator converges to. O(cluster_size^2) closure rows — fine
+# for near-dup clusters at oracle scale (sf0.01); SKIP at sf0.1 (embeds the
+# O(n^2) jaccard CTE).
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE prep AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh, len({_SQL_SHINGLES3}) AS ln
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM prep a JOIN prep b
+    ON a.id < b.id AND a.ln >= 0.5 * b.ln AND b.ln >= 0.5 * a.ln
+  WHERE len(list_intersect(a.sh, b.sh))
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+undirected AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, other) AS (
+  SELECT u, u FROM undirected
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN undirected e ON r.other = e.u
+),
+clusters AS (
+  SELECT node, min(other) AS cluster_id FROM reach GROUP BY node
+),
+keyed AS (
+  SELECT d.doc_id, d.source, d.lang,
+         coalesce(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+)
+SELECT doc_id, source, lang, group_key,
+  CASE WHEN list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        regexp_extract_all(md5(CAST(group_key AS VARCHAR) || ':42'), '.'),
+        c -> CAST(ord(c) AS BIGINT))),
+    (acc, c) -> (acc * 257 + c) % 2147483647
+  ) % 1000000 < 100000 THEN 'test' ELSE 'train' END AS split
+FROM keyed
+"""
+
+
+@query("curation_leakage_safe_split", _LEAKAGE_SPLIT_ORACLE)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split hashed by near-dup CLUSTER, not by document
+    (operators/curation.py:leakage_safe_split): a paraphrase can never land
+    on the opposite side of the eval boundary from its source. The oracle
+    reproduces the EXACT assignment — n-gram Jaccard edges, a recursive-CTE
+    transitive closure for the cluster labels, and the same cross-engine
+    md5+rolling-hash bucket — so the differential check covers the whole
+    composition, including the connected-components labels."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    out = leakage_safe_split(
+        docs, "text", "doc_id", test_fraction=0.1, threshold=0.5, seed=42
+    )
+    return out.select("doc_id", "source", "lang", "group_key", "split")

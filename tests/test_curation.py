@@ -284,3 +284,43 @@ def test_repetition_gate_drops_degenerate_docs(spark):
     stages = {r.stage: r for r in report_on.collect()}
     assert stages["repetition_gate"].rows_dropped == 1
     assert {r.doc_id for r in clean_on.collect()} == {0}
+
+
+def test_leakage_safe_split_keeps_chains_together(spark):
+    """A near-dup CHAIN (a~b, b~c, a!~c) must land on ONE side of the
+    split — the exact case a per-document hash split gets wrong — and the
+    assignment must be a pure function of the data (re-run identical)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+    )
+    words = base.split()
+    mid = " ".join(words[:-4] + ["w1", "w2", "w3", "w4"])
+    far = " ".join(words[4:] + ["w1", "w2", "w3", "w4"])  # ~mid, not ~base
+    rows = [(1, base), (2, mid), (3, far)]
+    # unrelated singleton docs to populate both splits
+    rows += [(100 + i,
+              f"doc{i} " + " ".join(f"tok{i}_{j}" for j in range(20)))
+             for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = leakage_safe_split(docs, "text", "doc_id", test_fraction=0.3)
+    got = {r.doc_id: (r.group_key, r.split) for r in out.collect()}
+    # the chain collapses to one group key (min id) and one split side
+    assert got[1] == got[2] == got[3]
+    assert got[1][0] == 1
+    # split is two-sided on the singleton population
+    sides = {got[100 + i][1] for i in range(40)}
+    assert sides == {"train", "test"}
+
+    again = {
+        r.doc_id: (r.group_key, r.split)
+        for r in leakage_safe_split(
+            docs, "text", "doc_id", test_fraction=0.3
+        ).collect()
+    }
+    assert again == got
