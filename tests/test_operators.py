@@ -601,3 +601,28 @@ def test_corpus_drift_report_planted(spark):
     assert out[("lang", "de")].docs_b == 0
     # distinct (dim, key) pairs: web/books/code + en/de
     assert len(out) == 5
+
+
+def test_round3_query_plan_shapes(spark, sf_dir):
+    """Pin the audited physical-plan properties of the round-3 queries so a
+    refactor can't silently regress them: Q3 must be TakeOrderedAndProject
+    (never a global sort) with both date predicates pushed to the scans;
+    winsorize+zscore must never shuffle fact rows (every Exchange carries
+    only aggregate state)."""
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    q3 = catalog.QUERIES["join_shipping_priority_topk"](spark, sf_dir)
+    plan = q3._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # top-k is heap-merged, not globally sorted
+    assert plan.count("PushedFilters: [IsNotNull") >= 3
+    assert "LessThan(o_orderdate" in plan and "GreaterThan(l_shipdate" in plan
+
+    wz = catalog.QUERIES["agg_winsorize_zscore"](spark, sf_dir)
+    plan = wz._jdf.queryExecution().executedPlan().toString()
+    # hash exchanges exist only between partial/final aggregates — their
+    # inputs are partial_* aggregate states, never raw event rows
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        first_op = chunk.split("+- ")[1].split("(")[0].strip()
+        assert first_op in ("HashAggregate", "ObjectHashAggregate"), first_op
