@@ -248,3 +248,71 @@ def curation_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.filter(F.col("doc_id") % 2 == 0)
     b = docs.filter(F.col("doc_id") % 2 == 1)
     return corpus_drift_report(a, b, ["source", "lang"], "__ntok")
+
+
+@query("streaming_corpus_drift", _DRIFT_ORACLE)
+def streaming_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift report maintained INCREMENTALLY over the documents stream:
+    each micro-batch stack-unpivots its own rows and folds (snap, dim, key)
+    doc/token sums ADDITIVELY into a managed aggregate table
+    (streaming/structured.py:incremental_aggregate) — per-batch cost tracks
+    the batch + the tiny aggregate, never corpus history. The drift
+    projection (within-dim shares, full-outer A-vs-B) then reads ONLY the
+    maintained aggregate. Drained with availableNow the sums equal the
+    batch sums exactly (addition is associative), so the oracle is the
+    SAME SQL as the batch drift report — which is the point: incremental
+    maintenance must be invisible in the result."""
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        incremental_aggregate,
+        streaming_documents,
+    )
+    from pyspark.sql import Window
+
+    stream = streaming_documents(spark, sf_dir)
+
+    def partial(batch: DataFrame) -> DataFrame:
+        stacked = batch.select(
+            (F.col("doc_id") % 2).alias("snap"),
+            F.stack(
+                F.lit(2),
+                F.lit("source"), F.col("source"),
+                F.lit("lang"), F.col("lang"),
+            ).alias("dim", "key"),
+            token_count("text").cast("bigint").alias("__tok"),
+        )
+        return stacked.groupBy("snap", "dim", "key").agg(
+            F.count("*").alias("docs"), F.sum("__tok").alias("toks")
+        )
+
+    target = ManagedTable(scratch_dir("drift_gold_"))
+    q = incremental_aggregate(
+        stream, target, ["snap", "dim", "key"], partial,
+        scratch_dir("drift_ckpt_"),
+    )
+    q.awaitTermination(300)
+
+    g = target.read(spark)
+    dim_total = F.sum("toks").over(Window.partitionBy("snap", "dim"))
+    t = g.withColumn("share", F.col("toks") / dim_total)
+    a = t.filter(F.col("snap") == 0).alias("a")
+    b = t.filter(F.col("snap") == 1).alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.dim") == F.col("b.dim")) & (F.col("a.key") == F.col("b.key")),
+        "full_outer",
+    )
+    share_a = F.coalesce(F.col("a.share"), F.lit(0.0))
+    share_b = F.coalesce(F.col("b.share"), F.lit(0.0))
+    return joined.select(
+        F.coalesce(F.col("a.dim"), F.col("b.dim")).alias("dim"),
+        F.coalesce(F.col("a.key"), F.col("b.key")).alias("key"),
+        F.coalesce(F.col("a.docs"), F.lit(0)).alias("docs_a"),
+        F.coalesce(F.col("b.docs"), F.lit(0)).alias("docs_b"),
+        stable_round(share_a, 6).alias("token_share_a"),
+        stable_round(share_b, 6).alias("token_share_b"),
+        stable_round(share_b - share_a, 6).alias("share_delta"),
+    )
