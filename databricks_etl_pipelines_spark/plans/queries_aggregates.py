@@ -814,3 +814,60 @@ def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.stack(F.lit(len(cols)), *stack_args).alias("col_name", *fields)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit distribution check (expected-distribution DQ)
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  -- floor() explicitly: DuckDB CAST(double AS BIGINT) rounds half-even
+  -- while Spark's cast truncates — floor makes both engines agree
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+SELECT digit, n,
+  floor(n / total * 1000000 + 0.5) / 1000000 AS observed_share,
+  floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000
+    AS expected_share,
+  floor(power(n / total - log10(1.0 + 1.0 / digit), 2)
+        / log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000 AS chisq_term
+FROM obs, tot
+"""
+
+
+@query("agg_benford_first_digit", _BENFORD_ORACLE)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-distribution DQ check: the first-significant-digit histogram
+    of order totals against Benford's law, with per-digit chi-square terms —
+    the classic fabricated-data / broken-upstream-generator tripwire.
+    One hash aggregate on a 1-byte key plus a broadcast of the single-row
+    total; the digit extraction is pure string math fused into the scan."""
+    orders = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = obs.agg(F.sum("n").alias("total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n") / F.col("total")
+    return obs.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        stable_round(share, 6).alias("observed_share"),
+        stable_round(expected, 6).alias("expected_share"),
+        stable_round(
+            F.pow(share - expected, F.lit(2.0)) / expected, 6
+        ).alias("chisq_term"),
+    )

@@ -663,3 +663,48 @@ def join_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
     ).orderBy(F.desc("revenue"), "l_orderkey").limit(10)
+
+
+_FUZZY_MATCH_ORACLE = """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@query("join_fuzzy_name_match", _FUZZY_MATCH_ORACLE)
+def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching — the entity-resolution join: candidate pairs
+    come from an EQUI-join on a blocking key (nation here; phonetic codes /
+    sorted-neighborhood windows in production), and the expensive edit
+    distance evaluates only inside blocks. The quadratic all-pairs
+    comparison never happens: cost is sum of block-size² over blocks, which
+    the blocking scheme keeps bounded — the same guardrail shape as the
+    LSH-bucketed near-dup joins."""
+    cust = table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "c_nationkey")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .filter(dist <= 2)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("edit_distance"),
+        )
+    )
