@@ -106,8 +106,20 @@ def resample_forward_fill(
     horizon/step (grid rows, not event rows); the forward fill is one
     window per key over grid-sized data. No step ever re-shuffles raw
     events twice.
+
+    ``step`` must be a UNIT interval ("1 hour", "1 day", "1 minute"):
+    bucketing uses date_trunc on the unit, which cannot express "30
+    minutes" grids — a non-unit step would silently misalign buckets
+    against the sequence, so it is rejected here.
     """
-    bucket = F.date_trunc(step.split()[-1], F.col(ts_col))
+    count, unit = step.split()
+    unit = unit.rstrip("s")
+    if count != "1" or unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(
+            f"resample_forward_fill requires a unit step like '1 hour'; "
+            f"got {step!r}"
+        )
+    bucket = F.date_trunc(unit, F.col(ts_col))
     w_last = Window.partitionBy(key_col, "bucket_ts").orderBy(
         F.desc(ts_col), F.desc(tiebreak_col)
     )
