@@ -708,3 +708,30 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("edit_distance"),
         )
     )
+
+
+_GDPR_ERASE_ORACLE = """
+SELECT event_id, ts, user_id, event_type, "value", props
+FROM events WHERE user_id % 37 <> 5
+"""
+
+
+@query("privacy_gdpr_erase_users", _GDPR_ERASE_ORACLE)
+def privacy_gdpr_erase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, end to end: events land in a ManagedTable
+    bucketed by user_id, a victim key set is erased with
+    ``delete_keys`` — which rewrites ONLY the buckets the victims hash
+    into and hardlinks every other bucket into the new version — and the
+    post-delete snapshot is returned. The oracle recomputes the survivor
+    set relationally; prior versions still hold the rows for audit until
+    retention drops them (history records op=delete + buckets_rewritten).
+    At 100 TB this is the difference between an O(victim-buckets) commit
+    and a full table rewrite per erasure request."""
+    ev = table(spark, sf_dir, "events")
+    victims = ev.select("user_id").filter(
+        F.col("user_id") % 37 == 5
+    ).distinct()
+    mt = ManagedTable(scratch_dir("gdpr_events_"))
+    mt.create_or_overwrite(ev, bucket_by=["user_id"])
+    mt.delete_keys(spark, victims, ["user_id"])
+    return mt.read(spark)

@@ -373,6 +373,90 @@ class ManagedTable:
         merged = source.unionByName(untouched)
         return self._commit(merged, "merge")
 
+    def delete_where(self, spark: SparkSession, condition: F.Column) -> int:
+        """DELETE FROM semantics (Delta's ``delete``, absent in the
+        reference but implied by its Delta tables): commit a new version
+        without the matching rows. History/time-travel keep the deleted
+        rows in prior versions until a retention pass drops them.
+
+        Generic predicate ⇒ full rewrite (every bucket may match). For
+        key-set deletions on a bucketed table — the GDPR erasure shape —
+        use :meth:`delete_keys`, which rewrites only the victims' buckets.
+        """
+        # SQL DELETE drops only rows where the predicate is TRUE; a NULL
+        # predicate keeps the row — so the survivor filter must be
+        # NOT coalesce(cond, false), not a bare negation.
+        keep = ~F.coalesce(condition, F.lit(False))
+        spec = self.bucket_spec()
+        if spec:
+            keys, n_buckets = spec
+            remaining = self._read_internal(
+                spark, self.latest_version()
+            ).filter(keep)
+            return self._commit(
+                remaining.repartition(n_buckets, BUCKET_COL),
+                "delete",
+                [BUCKET_COL],
+                {"bucket_keys": keys, "n_buckets": n_buckets},
+            )
+        remaining = self.read(spark).filter(keep)
+        return self._commit(remaining, "delete")
+
+    def delete_keys(
+        self, spark: SparkSession, victims: DataFrame, keys: Sequence[str]
+    ) -> int:
+        """Erase all rows whose key appears in ``victims`` (one column per
+        key). On a table bucketed by ``keys`` only the victims' buckets are
+        rewritten (anti-join inside the bucket) and every other bucket
+        hardlinks into the new version — right-to-be-forgotten against a
+        100 TB table costs O(victim buckets), not a table rewrite.
+        """
+        spec = self.bucket_spec()
+        if not spec or list(spec[0]) != list(keys):
+            remaining = self.read(spark).join(
+                victims.select(*keys).distinct(), list(keys), "left_anti"
+            )
+            return self._commit(remaining, "delete")
+        keys, n_buckets = spec
+        vic = victims.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+        touched = sorted(
+            r[0] for r in vic.select(BUCKET_COL).distinct().collect()
+        )
+        prev_v = self.latest_version()
+        target = self._read_internal(spark, prev_v)
+        surviving = target.filter(F.col(BUCKET_COL).isin(touched)).join(
+            vic.select(*keys).distinct(), list(keys), "left_anti"
+        )
+
+        log = _read_log(self.root)
+        v = log[-1]["version"] + 1
+        path = self._version_dir(v)
+        (
+            surviving.repartition(max(len(touched), 1), BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+        touched_set = set(touched)
+        for bdir in glob.glob(
+            os.path.join(self._version_dir(prev_v), f"{BUCKET_COL}=*")
+        ):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            if b not in touched_set:
+                _link_tree(bdir, os.path.join(path, os.path.basename(bdir)))
+        log.append(
+            {
+                "version": v,
+                "operation": "delete",
+                "timestamp": time.time(),
+                "bucket_keys": list(keys),
+                "n_buckets": n_buckets,
+                "buckets_rewritten": len(touched),
+            }
+        )
+        _write_log(self.root, log)
+        return v
+
     def _merge_bucket_pruned(
         self,
         spark: SparkSession,

@@ -477,3 +477,61 @@ def test_dynamic_partition_pruning_via_dim_join(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_bucket_pruned_delete_keys_and_delete_where_semantics(spark, tmp_path):
+    """delete_keys on a bucketed table: victims gone, survivors intact,
+    only victim buckets rewritten (others hardlink-carried), history logs
+    op=delete; prior version still serves the erased rows (time travel).
+    delete_where: a NULL-evaluating predicate keeps the row (SQL DELETE
+    three-valued semantics)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+        _read_log,
+    )
+
+    mt = ManagedTable(str(tmp_path / "g"))
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    mt.create_or_overwrite(df, bucket_by=["id"], n_buckets=8)
+
+    victims = spark.createDataFrame([(5,), (700,)], "id long")
+    mt.delete_keys(spark, victims, ["id"])
+
+    back = mt.read(spark)
+    assert back.count() == 998
+    assert back.filter("id in (5, 700)").count() == 0
+    assert mt.read(spark, version=0).count() == 1000  # audit via time travel
+
+    log = _read_log(mt.root)
+    assert log[-1]["operation"] == "delete"
+    assert log[-1]["buckets_rewritten"] <= 2
+    v0, v1 = os.path.join(mt.root, "_v0"), os.path.join(mt.root, "_v1")
+    carried = 0
+    for bdir in glob.glob(os.path.join(v0, "__bucket=*")):
+        new = os.path.join(v1, os.path.basename(bdir))
+        old_files = sorted(os.path.basename(f) for f in
+                           glob.glob(os.path.join(bdir, "part-*")))
+        new_files = sorted(os.path.basename(f) for f in
+                           glob.glob(os.path.join(new, "part-*")))
+        if new_files and old_files == new_files and all(
+            os.stat(os.path.join(bdir, f)).st_ino
+            == os.stat(os.path.join(new, f)).st_ino
+            for f in old_files
+        ):
+            carried += 1
+    assert carried >= 6  # at most 2 of 8 buckets rewritten
+
+    # delete_where NULL semantics: condition NULL for id=0 row must KEEP it
+    mt2 = ManagedTable(str(tmp_path / "w"))
+    rows = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0)], "id long, x double"
+    )
+    mt2.create_or_overwrite(rows)
+    mt2.delete_where(spark, F.col("x") > 50)  # NULL for id=2
+    kept = sorted(r.id for r in mt2.read(spark).collect())
+    assert kept == [1, 2]
