@@ -735,3 +735,80 @@ def privacy_gdpr_erase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     mt.create_or_overwrite(ev, bucket_by=["user_id"])
     mt.delete_keys(spark, victims, ["user_id"])
     return mt.read(spark)
+
+
+_SHIPMODE_PRIORITY_ORACLE = """
+SELECT l.l_returnflag,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+@query("join_priority_class_counts", _SHIPMODE_PRIORITY_ORACLE)
+def join_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode→returnflag adapted to this schema): join
+    the fact to orders and pivot order-priority classes into conditional
+    sums per group — join + CASE-aggregation in one exchange on the group
+    key, with the date window pushed to the lineitem scan."""
+    orders, li = table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = orders.join(
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        ),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(high.cast("bigint")).alias("high_line_count"),
+        F.sum((~high).cast("bigint")).alias("low_line_count"),
+    )
+
+
+_DISJUNCTIVE_ORACLE = """
+SELECT
+  CAST(count(*) AS BIGINT) AS matched_lines,
+  floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100
+    AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+  (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+   AND l.l_quantity BETWEEN 1 AND 11)
+  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+      AND l.l_quantity BETWEEN 10 AND 20)
+  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+      AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("join_disjunctive_predicates", _DISJUNCTIVE_ORACLE)
+def join_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides.
+    The optimizer-relevant property: Catalyst extracts the common
+    single-side conjuncts from the disjunction (brand/size reach the part
+    scan, quantity bounds reach the lineitem scan as an OR-range) so both
+    scans pre-filter BEFORE the join, and only the residual cross-side
+    disjunction evaluates on joined rows."""
+    li, part = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    arm = lambda brand, max_size, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, max_size)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey")).filter(
+        arm("Brand#1", 15, 1, 11)
+        | arm("Brand#2", 25, 10, 20)
+        | arm("Brand#3", 35, 20, 30)
+    )
+    return joined.agg(
+        F.count("*").alias("matched_lines"),
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
