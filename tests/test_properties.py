@@ -156,3 +156,44 @@ def test_repetition_ratios_bounded_and_consistent(spark, docs):
     uniq = got[len(docs) - 1]
     assert uniq.distinct_word_ratio == 1.0
     assert uniq.dup_bigram_ratio == 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # group id
+            st.one_of(st.none(), st.integers(0, 5)),  # priority (dup-heavy, NULLs)
+            st.integers(0, 30),                     # tokens (zeros included)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 120),                            # budget
+)
+def test_token_budget_bounded_property_matches_reference(spark, rows, budget):
+    """For ARBITRARY small inputs (duplicate priorities, NULLs, zero-token
+    rows, any budget) the bounded two-pass selection must equal the
+    single-window reference exactly — the planted-seed tests sample this
+    space, the property sweeps it."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        token_budget_select,
+        token_budget_select_bounded,
+    )
+
+    data = [(f"g{g}", i, p, t) for i, (g, p, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "source string, doc_id long, quality long, n_tokens long"
+    )
+    ref = sorted(
+        map(tuple, token_budget_select(
+            df, "source", "quality", "n_tokens", "doc_id", budget
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, token_budget_select_bounded(
+            df, "source", "quality", "n_tokens", "doc_id", budget, n_buckets=4
+        ).select("source", "doc_id", "quality", "n_tokens", "cum_tokens")
+        .collect())
+    )
+    assert got == ref
