@@ -165,6 +165,10 @@ class ManagedTable:
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
         v = self.latest_version() if version is None else version
+        if not os.path.isdir(self._version_dir(v)):
+            raise FileNotFoundError(
+                f"version {v} of {self.root} is not on disk (vacuumed?)"
+            )
         return spark.read.parquet(self._version_dir(v))
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -188,6 +192,37 @@ class ManagedTable:
         if log and "bucket_keys" in log[-1]:
             return list(log[-1]["bucket_keys"]), int(log[-1]["n_buckets"])
         return None
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Delta VACUUM analog: drop all but the newest ``keep_last``
+        versions — the retention boundary after which DELETEd rows are
+        physically unrecoverable (until then, time travel can still read
+        them for audit).
+
+        Safe with hardlink carry-over BY CONSTRUCTION: a file shared into
+        a retained version is the same inode under the retained version's
+        directory, so removing the old directory only drops a link count —
+        never bytes a live version can reach. Returns the vacuumed
+        version numbers; their history entries are retained but flagged
+        ``vacuumed`` (lineage stays auditable, data does not).
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        log = _read_log(self.root)
+        if not log:
+            return []
+        cutoff = log[-1]["version"] - keep_last + 1
+        dropped: list[int] = []
+        for entry in log:
+            v = entry["version"]
+            if v < cutoff and not entry.get("vacuumed"):
+                shutil.rmtree(self._version_dir(v), ignore_errors=True)
+                entry["vacuumed"] = True
+                dropped.append(v)
+        _write_log(self.root, log)
+        return dropped
 
     # -- writes -------------------------------------------------------------
 

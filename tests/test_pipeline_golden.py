@@ -535,3 +535,45 @@ def test_bucket_pruned_delete_keys_and_delete_where_semantics(spark, tmp_path):
     mt2.delete_where(spark, F.col("x") > 50)  # NULL for id=2
     kept = sorted(r.id for r in mt2.read(spark).collect())
     assert kept == [1, 2]
+
+
+def test_vacuum_drops_old_versions_keeps_hardlinked_data(spark, tmp_path):
+    """VACUUM analog: old version dirs go away (time travel to them raises,
+    deleted rows become unrecoverable), but the LATEST version — built
+    largely from files hardlinked out of those old dirs — must read back
+    byte-perfect, because links share inodes rather than copy bytes."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+
+    mt = ManagedTable(str(tmp_path / "v"))
+    df = spark.range(0, 800).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    mt.create_or_overwrite(df, bucket_by=["id"], n_buckets=8)            # v0
+    mt.merge_upsert(
+        spark, spark.createDataFrame([(5, -1)], "id long, v long"), ["id"]
+    )                                                                     # v1
+    mt.delete_keys(
+        spark, spark.createDataFrame([(700,)], "id long"), ["id"]
+    )                                                                     # v2
+
+    assert mt.read(spark, version=0).count() == 800  # audit still possible
+    dropped = mt.vacuum(keep_last=1)
+    assert dropped == [0, 1]
+    assert not os.path.isdir(os.path.join(mt.root, "_v0"))
+
+    # latest version intact: v2's untouched buckets are hardlinks whose
+    # source dirs were just removed — inodes must survive
+    back = mt.read(spark)
+    assert back.count() == 799
+    assert back.filter("id = 5").head().v == -1
+    assert back.filter("id = 700").count() == 0
+
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        mt.read(spark, version=0)
+    # idempotent: nothing left to vacuum
+    assert mt.vacuum(keep_last=1) == []
