@@ -67,6 +67,13 @@ _TIME_TRAVEL_RE = re.compile(
     r"VERSION\s+AS\s+OF\s+(\d+)\s*$",
     re.I,
 )
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?:'([^']+)'|(\S+))\s+WHERE\s+(.+?)\s*$", re.I
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?:'([^']+)'|(\S+))(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+    re.I,
+)
 
 
 def run_command(spark: SparkSession, sql: str) -> DataFrame:
@@ -76,9 +83,13 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
         DESCRIBE HISTORY '<path>'
         OPTIMIZE '<path>' [ZORDER BY (col, ...)]
         SELECT * FROM '<path>' VERSION AS OF <n>
+        DELETE FROM '<path>' WHERE <predicate>
+        VACUUM '<path>' [RETAIN <n> VERSIONS]
 
     Anything else falls through to ``spark.sql`` unchanged, so the command
     surface composes with the registered relational views."""
+    from pyspark.sql import functions as F
+
     m = _HISTORY_RE.match(sql)
     if m:
         return ManagedTable(m.group(1) or m.group(2)).history(spark)
@@ -96,5 +107,20 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
     if m:
         return ManagedTable(m.group(1) or m.group(2)).read(
             spark, version=int(m.group(3))
+        )
+    m = _DELETE_RE.match(sql)
+    if m:
+        mt = ManagedTable(m.group(1) or m.group(2))
+        v = mt.delete_where(spark, F.expr(m.group(3)))
+        return spark.createDataFrame(
+            [(mt.root, v)], "table string, new_version int"
+        )
+    m = _VACUUM_RE.match(sql)
+    if m:
+        mt = ManagedTable(m.group(1) or m.group(2))
+        keep = int(m.group(3)) if m.group(3) else 1
+        dropped = mt.vacuum(keep_last=keep)
+        return spark.createDataFrame(
+            [(mt.root, len(dropped))], "table string, versions_vacuumed int"
         )
     return spark.sql(sql)

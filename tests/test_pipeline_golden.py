@@ -393,6 +393,16 @@ def test_sql_command_surface(spark, tmp_path):
     assert v0.count() == 500
     assert run_command(spark, "SELECT 41 + 1 AS x").first().x == 42  # fallthrough
 
+    out = run_command(spark, f"DELETE FROM '{root}' WHERE id >= 550").first()
+    assert out.new_version == 3
+    assert mt.read(spark).count() == 550
+    assert mt.history(spark).tail(1)[0].operation == "delete"
+
+    out = run_command(spark, f"VACUUM '{root}' RETAIN 2 VERSIONS").first()
+    assert out.versions_vacuumed == 2  # v0 + v1 dropped, v2/v3 retained
+    assert mt.read(spark).count() == 550
+    assert mt.read(spark, version=2).count() == 600
+
 
 def test_change_feed_bucket_pruned(spark, tmp_path):
     """CDF analog: changes between versions of a bucketed table come from
