@@ -15,15 +15,17 @@ Architecture, 100 TB-first:
     tokenizer): NO vocabulary fit, so the featurizer is stateless and the
     training data never needs a second pass — the exact property that made
     fastText-style classifiers the standard for corpus filtering.
-  * The model is seeded ``LogisticRegression`` on those sparse vectors;
+  * The model is ``LogisticRegression`` on those sparse vectors;
     fitting is a few distributed gradient passes, scoring is one
     broadcast-model ``transform`` (JVM, no Python in the loop).
   * Weak labels come from the rubric in ``operators/curation.quality_score``
     — a pure Column expression — so label generation is also one scan.
 
-Determinism: tokenizer/hashing are stateless, LR is seeded, and the
-hash-based split mirrors ``ml/fraud.stratified_split``; for a fixed corpus
-the scores are a pure function of the data (rows-only driver check).
+Determinism: tokenizer/hashing are stateless and LBFGS on a fixed
+dataset is deterministic (LogisticRegression exposes no seed — none is
+needed; there is no random state in the pipeline), so for a fixed corpus
+the scores are a pure function of the data (rows-only driver check,
+refit-determinism pytest).
 """
 
 from __future__ import annotations
@@ -36,9 +38,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from databricks_etl_pipelines_spark.operators.curation import quality_score
-
-DEFAULT_SEED = 42
-
 
 def weak_quality_labels(
     df: DataFrame, text_col: str = "text", threshold: int = 90
@@ -54,9 +53,8 @@ def weak_quality_labels(
 def quality_pipeline(
     text_col: str = "text",
     num_features: int = 1 << 15,
-    seed: int = DEFAULT_SEED,
 ) -> Pipeline:
-    """Tokenize -> hashed BoW -> seeded LR. Stateless featurizer: the only
+    """Tokenize -> hashed BoW -> LR. Stateless featurizer: the only
     fitted state is the LR coefficient vector (num_features floats), which
     broadcasts to every executor for scoring."""
     return Pipeline(
@@ -88,11 +86,10 @@ def train_quality_classifier(
     text_col: str = "text",
     threshold: int = 90,
     num_features: int = 1 << 15,
-    seed: int = DEFAULT_SEED,
 ) -> PipelineModel:
     """Fit the classifier on rubric weak labels over ``docs``."""
     labeled = weak_quality_labels(docs, text_col, threshold)
-    return quality_pipeline(text_col, num_features, seed).fit(labeled)
+    return quality_pipeline(text_col, num_features).fit(labeled)
 
 
 def score_quality(

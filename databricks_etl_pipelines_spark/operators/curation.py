@@ -389,10 +389,16 @@ def token_budget_select_bounded(
     bit-identical output. Worst case (every priority equal → one bucket)
     degrades to the reference plan, never to a wrong answer.
 
-    Requires non-negative token counts (true for any token-count column).
+    Requires non-negative token counts (true for any token-count column)
+    and a NUMERIC priority: the quantile pre-filter rests on
+    ``percentile_approx``, which only accepts numeric input, whereas the
+    single-window reference accepts any orderable expression (e.g. a
+    string). A non-numeric priority fails fast here — fall back to
+    :func:`token_budget_select` for those.
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
+    from pyspark.sql.types import NumericType
 
     if n_buckets < 2:  # no cut points to learn — the reference IS this plan
         return token_budget_select(
@@ -405,6 +411,13 @@ def token_budget_select_bounded(
     staged = df.withColumn("__pri", pri).withColumn(
         "__tok", tok.cast("bigint")
     )
+    pri_type = staged.schema["__pri"].dataType
+    if not isinstance(pri_type, NumericType):
+        raise TypeError(
+            "token_budget_select_bounded needs a numeric priority column "
+            f"(got {pri_type.simpleString()}); use token_budget_select for "
+            "non-numeric orderable priorities"
+        )
     bounds = staged.groupBy(group_col).agg(
         F.percentile_approx("__pri", quantiles).alias("__bounds")
     )
@@ -442,7 +455,10 @@ def token_budget_select_bounded(
     return (
         survivors.withColumn("cum_tokens", F.sum("__tok").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
-        .drop("__pri", "__tok", "__bounds", "__bucket")
+        # The bounds join moved group_col to the front; restore the input
+        # column order so this variant is positionally interchangeable
+        # with token_budget_select.
+        .select(*df.columns, "cum_tokens")
     )
 
 

@@ -267,6 +267,7 @@ def streaming_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
     from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
         incremental_aggregate,
         streaming_documents,
     )
@@ -293,7 +294,7 @@ def streaming_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, target, ["snap", "dim", "key"], partial,
         scratch_dir("drift_ckpt_"),
     )
-    q.awaitTermination(300)
+    await_drained(q, 300)
 
     g = target.read(spark)
     dim_total = F.sum("toks").over(Window.partitionBy("snap", "dim"))

@@ -128,7 +128,7 @@ def ml_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ml_quality_classifier")
 def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based corpus quality filtering (ml/quality.py): hashed-BoW +
-    seeded LogisticRegression trained on the rubric's weak labels, then the
+    LogisticRegression trained on the rubric's weak labels, then the
     whole documents table scored distributed. Rows-only (learned
     probabilities); the training-free pieces are oracle-checked elsewhere
     (the rubric via curation/text queries, the corpus itself everywhere)."""

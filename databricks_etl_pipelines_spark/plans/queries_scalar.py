@@ -620,6 +620,9 @@ def source_python_stream_datasource(
 
     from databricks_etl_pipelines_spark.sources import pydatasource
     from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+    )
 
     pydatasource.register_stream(spark)
     root = scratch_dir("pystream_")
@@ -634,7 +637,7 @@ def source_python_stream_datasource(
             .option("path", out).option("checkpointLocation", ckpt)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        await_drained(q, 120)
         files = glob.glob(os.path.join(out, "*.parquet"))
         if files and spark.read.parquet(out).count() >= _PYSOURCE_ROWS:
             break

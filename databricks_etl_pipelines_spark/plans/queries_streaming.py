@@ -18,6 +18,7 @@ from databricks_etl_pipelines_spark.sources import table
 from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
 from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
 from databricks_etl_pipelines_spark.streaming.structured import (
+    await_drained,
     drain_to_memory,
     foreach_batch_merge,
     session_window_stats,
@@ -143,7 +144,7 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = foreach_batch_merge(
         stream, target, ["event_id"], checkpoint_dir=f"{tmp}/ckpt"
     )
-    q.awaitTermination(300)
+    await_drained(q, 300)
     return target.read(spark).agg(
         F.count("*").alias("row_count"),
         F.countDistinct("user_id").alias("unique_users"),
@@ -224,7 +225,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_drained(q, 300)
     emitted = spark.read.parquet(out_dir)
     # keep each key's final (largest) state emission
     from pyspark.sql import Window
@@ -347,7 +348,7 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = curation_ingest(
         stream, accepted, scratch_dir("curated_ckpt_"), min_quality=90
     )
-    q.awaitTermination(300)
+    await_drained(q, 300)
     return accepted.read(spark).select(
         "doc_id", "source", "lang", "n_chars", "quality", "text_hash"
     )
@@ -381,7 +382,7 @@ def streaming_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_dir("curated_nd_ckpt_"),
         min_quality=90,
     )
-    q.awaitTermination(300)
+    await_drained(q, 300)
     return accepted.read(spark).select(
         "doc_id", "source", "lang", "n_chars", "quality", "text_hash"
     )

@@ -218,7 +218,15 @@ class ManagedTable:
         for entry in log:
             v = entry["version"]
             if v < cutoff and not entry.get("vacuumed"):
-                shutil.rmtree(self._version_dir(v), ignore_errors=True)
+                vdir = self._version_dir(v)
+                if os.path.isdir(vdir):
+                    shutil.rmtree(vdir)
+                # The vacuumed flag is the GDPR retention boundary — it must
+                # only ever claim rows are unrecoverable when the bytes are
+                # actually gone, so verify the removal before flagging.
+                if os.path.isdir(vdir):
+                    _write_log(self.root, log)
+                    raise OSError(f"vacuum failed to remove {vdir}")
                 entry["vacuumed"] = True
                 dropped.append(v)
         _write_log(self.root, log)
@@ -406,6 +414,20 @@ class ManagedTable:
             source.select(*keys).distinct(), list(keys), "left_anti"
         )
         merged = source.unionByName(untouched)
+        if spec:
+            # Merge keys differ from the bucket spec ⇒ full rewrite, but
+            # preserve the bucket layout so later bucket-spec operations
+            # stay O(touched buckets) (same rationale as delete_keys).
+            bkeys, nb = spec
+            merged = merged.withColumn(
+                BUCKET_COL, _bucket_expr(bkeys, nb)
+            ).repartition(nb, BUCKET_COL)
+            return self._commit(
+                merged,
+                "merge",
+                [BUCKET_COL],
+                {"bucket_keys": bkeys, "n_buckets": nb},
+            )
         return self._commit(merged, "merge")
 
     def delete_where(self, spark: SparkSession, condition: F.Column) -> int:
@@ -451,6 +473,21 @@ class ManagedTable:
             remaining = self.read(spark).join(
                 victims.select(*keys).distinct(), list(keys), "left_anti"
             )
+            if spec:
+                # Victim keys don't match the bucket spec ⇒ every bucket may
+                # hold a victim, so a full rewrite is unavoidable — but the
+                # table's bucket LAYOUT must survive the rewrite, or every
+                # later merge/delete silently degrades to full-table cost.
+                bkeys, nb = spec
+                remaining = remaining.withColumn(
+                    BUCKET_COL, _bucket_expr(bkeys, nb)
+                ).repartition(nb, BUCKET_COL)
+                return self._commit(
+                    remaining,
+                    "delete",
+                    [BUCKET_COL],
+                    {"bucket_keys": bkeys, "n_buckets": nb},
+                )
             return self._commit(remaining, "delete")
         keys, n_buckets = spec
         vic = victims.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))

@@ -28,6 +28,21 @@ from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
 _STREAM_DIR_CACHE: dict[str, str] = {}
 
 
+def await_drained(q: StreamingQuery, timeout_s: int = 300) -> None:
+    """Block until an availableNow drain finishes, raising on timeout.
+
+    ``awaitTermination(timeout)`` returns False on timeout rather than
+    raising; ignoring that would let a caller read a partially-ingested
+    sink and return silently wrong rows. Hard-fail instead.
+    """
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_s}s "
+            f"(query id {q.id})"
+        )
+
+
 def _as_stream_dir(parquet_file: str) -> str:
     """Spark file streams require a directory; expose a single parquet file
     through a scratch dir containing a symlink to it."""
@@ -238,7 +253,7 @@ def drain_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_drained(q, timeout_s)
     return df.sparkSession.table(name)
 
 

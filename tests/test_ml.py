@@ -151,7 +151,7 @@ def test_generator_cardholders_end_to_end(spark):
 def test_quality_classifier_separates_planted_docs(spark):
     """The weak-label LR must rank an obviously clean planted doc above an
     obviously junky one, and scoring must be deterministic across refits
-    (stateless featurizer + seeded LR)."""
+    (stateless featurizer + deterministic LBFGS fit)."""
     from databricks_etl_pipelines_spark.ml.quality import (
         score_quality,
         train_quality_classifier,

@@ -587,3 +587,46 @@ def test_vacuum_drops_old_versions_keeps_hardlinked_data(spark, tmp_path):
         mt.read(spark, version=0)
     # idempotent: nothing left to vacuum
     assert mt.vacuum(keep_last=1) == []
+
+
+def test_mismatched_key_delete_and_merge_preserve_bucket_layout(spark, tmp_path):
+    """A delete_keys/merge_upsert whose keys differ from the bucket spec
+    must rewrite the table but PRESERVE the bucket layout: bucket_spec()
+    still reports the original spec afterwards, and a subsequent
+    spec-keyed delete is bucket-pruned again (buckets_rewritten logged).
+    Regression: the fallback used to commit without bucket metadata,
+    silently degrading every later operation to full-table rewrites."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+        _read_log,
+    )
+
+    mt = ManagedTable(str(tmp_path / "layout"))
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 9).alias("grp"), (F.col("id") * 2).alias("v")
+    )
+    mt.create_or_overwrite(df, bucket_by=["id"], n_buckets=8)
+
+    # delete by a NON-spec key (grp, not id) -> full rewrite, layout kept
+    mt.delete_keys(
+        spark, spark.createDataFrame([(3,)], "grp long"), ["grp"]
+    )
+    assert mt.bucket_spec() == (["id"], 8)
+    assert mt.read(spark).filter("grp = 3").count() == 0
+
+    # merge by a NON-spec key -> full rewrite, layout kept
+    mt.merge_upsert(
+        spark,
+        spark.createDataFrame([(0, 0, -5)], "id long, grp long, v long"),
+        ["grp"],
+    )
+    assert mt.bucket_spec() == (["id"], 8)
+
+    # the layout surviving means a spec-keyed delete is pruned again
+    mt.delete_keys(spark, spark.createDataFrame([(7,)], "id long"), ["id"])
+    log = _read_log(mt.root)
+    assert log[-1]["operation"] == "delete"
+    assert log[-1]["buckets_rewritten"] <= 1
+    assert mt.read(spark).filter("id = 7").count() == 0
