@@ -45,75 +45,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-3 rotation: CORRECTNESS_r01 ∪ r02 covers 96 of 129 queries.
-    # Front of the cap: (a) the 4 queries that FAILED r2 on the TIMESTAMP_NTZ
-    # testdata drift (fixed this round — need green rows), (b) the 33 queries
-    # with no driver row in any round, (c) regression re-checks of queries
-    # whose code changed since their last green row. Everything r2 verified
-    # moves behind the cap.
-    # (a) r2 FAIL — NTZ normalization fixed, verify under the driver
-    "streaming_tumbling_hourly",
-    "streaming_sliding_window",
-    "streaming_stream_stream_join",
-    "window_sessionize_events",
-    # (b) never driver-checked (33)
-    "similarity_ivf_persisted",
-    "dedup_incremental_corpus",
-    "ml_run_history",
-    "agg_value_histogram",
-    "diag_join_key_skew",
-    "join_local_supplier_volume",
-    "join_small_lot_revenue",
-    "dedup_cluster_representatives",
-    "similarity_pq_ivf_topk",
-    "multimodal_downsample_stats",
-    "text_repetition_signals",
-    "dedup_passages",
-    "curation_contamination_ngram",
-    "text_lm_surprisal",
-    "curation_shard_assignment",
-    "curation_pack_sequences",
-    "text_tfidf_top_terms",
-    "embedding_centroid_per_label",
-    "curation_corpus_composition",
-    "embedding_int8_quantization",
-    "text_sliding_chunks",
-    "privacy_k_anonymity_audit",
-    "curation_token_budget_select",
-    "curation_mixture_weights",
-    "curation_source_overlap",
-    "dedup_semantic_clusters",
-    "scalar_variant_json",
-    "source_python_datasource",
+    # --- round-4 rotation (consolidation): r1∪r2∪r3 covers 135 of 145
+    # registered queries, 0 FAIL. Front of the cap: (a) the 10 late-r3
+    # queries that have never had a driver row (the only evidence gap);
+    # (b) every query whose code changed this round (managed-table
+    # bucket-layout fix, await_drained drains, bounded token-budget column
+    # order, ml fast-path); (c) staleness re-checks — oracle-backed queries
+    # whose latest driver row is r1, oldest evidence first. Everything
+    # r2/r3-green with unchanged code moves behind the cap.
+    # (a) never driver-checked (10) — leakage split last: ~40 s/slot
+    "privacy_gdpr_erase_users",
+    "agg_winsorize_zscore",
+    "diag_column_profile",
+    "agg_benford_first_digit",
+    "join_fuzzy_name_match",
+    "join_priority_class_counts",
+    "join_disjunctive_predicates",
+    "streaming_corpus_drift",
+    "streaming_curation_neardup",
+    "curation_leakage_safe_split",
+    # (b) code changed this round — need fresh rows
+    "merge_upsert_orders",        # managed_table: layout-preserving fallback
+    "change_feed_orders",         # managed_table: same commit surface
+    "curation_token_budget_select",  # bounded variant column-order fix
+    "curation_quota_per_language",   # shares the bounded machinery
+    "streaming_curation_ingest",     # await_drained at every drain site
+    "streaming_foreachbatch_merge",
+    "streaming_stateful_totals",
     "source_python_stream_datasource",
-    "streaming_stream_static_join",
-    "window_funnel_ordered",
-    "window_cohort_retention",
-    "window_event_transitions",
-    # (c) regression re-checks: green in r1 but code changed since
-    "dedup_exact_documents",
-    "text_token_stats",
-    # (text_quality_score's rubric value is an output column of the
-    # r3-checked curation_token_budget_select AND streaming_curation_ingest
-    # oracles, so its re-check slot goes to a new query instead)
-    "similarity_cosine_topk",
-    "pipeline_gold_merchant_summary",
-    "pipeline_gold_cardholder_features",
-    "pipeline_gold_hourly_volume",
-    "dedup_ngram_jaccard_pairs",
-    # new round-3 queries — claim cap slots immediately (ADVICE r2).
-    # Displaced to make room: agg_entity_features / merge_upsert_orders
-    # (transitively re-verified by r2-green ml_feature_matrix /
-    # change_feed_orders), flagship_pricing_risk_summary (the driver's
-    # entry() smoke runs it every round, bench times it), and the rows-only
-    # curation_funnel_report / dedup_minhash_lsh_pairs re-checks (weakest
-    # signal class; pytest-pinned).
-    "streaming_curation_ingest",
-    "ml_quality_classifier",
-    "window_resample_forward_fill",
-    "curation_corpus_drift",
-    "join_shipping_priority_topk",
-    "text_vocab_encode",
+    "ml_quality_classifier",         # seed param removed (rows-only)
+    "ml_run_history",                # driver fast-path (rows-only)
+    "multimodal_decode_image_stats",  # NEW r4: pure-numpy BMP decode
+    # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
+    # oracle-backed only (rows-only re-checks are the weakest signal —
+    # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and
+    # curation_funnel_report stay pytest-pinned behind the cap).
+    "flagship_pricing_risk_summary",
+    "agg_entity_features",
+    "agg_dq_summary",
+    "agg_hourly_volume_stats",
+    "agg_ungrouped_global",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_collect_set",
+    "agg_grouping_sets",
+    "agg_pivot_status_counts",
+    "agg_null_handling",
+    "join_inner_customer_orders",
+    "join_broadcast_dims",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi_urgent_customers",
+    "join_three_way_topk_revenue",
+    "join_asof_last_click",
+    "join_range_clicks_before_error",
+    "text_quality_score",
+    "text_language_id",
+    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_cosine_blocked",
+    "similarity_pandas_udf_topk",
+    "multimodal_binary_stats",
+    "pipeline_silver_enrichment",
+    "pipeline_quarantine_summary",
+    "scalar_string_functions",
+    "pii_mask_and_tokenize",
 ]
 
 

@@ -32,7 +32,6 @@ from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
 from pyspark.ml.evaluation import (
     BinaryClassificationEvaluator,
-    MulticlassClassificationEvaluator,
 )
 from pyspark.ml.feature import StandardScaler, VectorAssembler
 from pyspark.ml.functions import vector_to_array
@@ -110,40 +109,68 @@ def make_pipeline(classifier, feature_cols: list[str]) -> Pipeline:
     return Pipeline(stages=[assembler, scaler, classifier])
 
 
-def default_classifiers(seed: int = DEFAULT_SEED) -> dict[str, object]:
-    """M5: the reference's two contenders (04:131, 04:206)."""
+def default_classifiers(
+    seed: int = DEFAULT_SEED, fast: bool = False
+) -> dict[str, object]:
+    """M5: the reference's two contenders (04:131, 04:206).
+
+    ``fast=True`` shrinks the ensembles (maxIter 20→3, numTrees 100→10)
+    for harness/driver runs where the lifecycle shape — not the fitted
+    metric values — is under test; parity fits keep the defaults.
+    """
     return {
         "gradient_boosting": GBTClassifier(
-            labelCol=LABEL_COL, featuresCol="features", maxIter=20, seed=seed
+            labelCol=LABEL_COL, featuresCol="features",
+            maxIter=3 if fast else 20, seed=seed,
         ),
         "random_forest": RandomForestClassifier(
-            labelCol=LABEL_COL, featuresCol="features", numTrees=100, seed=seed
+            labelCol=LABEL_COL, featuresCol="features",
+            numTrees=10 if fast else 100, seed=seed,
         ),
     }
 
 
 def evaluate(predictions: DataFrame) -> dict[str, float]:
     """M5: accuracy / precision / recall / F1 (positive class, matching
-    sklearn's binary default at 04:158-165) + ROC AUC."""
-    out: dict[str, float] = {}
-    for metric, name in (
-        ("accuracy", "accuracy"),
-        ("precisionByLabel", "precision"),
-        ("recallByLabel", "recall"),
-        ("fMeasureByLabel", "f1"),
-    ):
-        ev = MulticlassClassificationEvaluator(
-            labelCol=LABEL_COL, predictionCol="prediction", metricName=metric
+    sklearn's binary default at 04:158-165) + ROC AUC.
+
+    The four threshold metrics come from ONE confusion-matrix aggregation
+    (a single pass with map-side partial agg) instead of four evaluator
+    passes; they equal MulticlassClassificationEvaluator's
+    accuracy/precisionByLabel/recallByLabel/fMeasureByLabel at
+    metricLabel=1.0, including its 0.0 convention for empty denominators.
+    AUC needs the score ranking, so it stays a BinaryClassificationEvaluator
+    pass.
+    """
+    predictions = predictions.persist()
+    try:
+        pos_pred = F.col("prediction") == 1.0
+        pos_label = F.col(LABEL_COL) == 1.0
+        cm = predictions.agg(
+            F.count("*").alias("n"),
+            F.sum((pos_pred & pos_label).cast("long")).alias("tp"),
+            F.sum((pos_pred & ~pos_label).cast("long")).alias("fp"),
+            F.sum((~pos_pred & pos_label).cast("long")).alias("fn"),
+            F.sum((~pos_pred & ~pos_label).cast("long")).alias("tn"),
+        ).first()
+        precision = cm.tp / (cm.tp + cm.fp) if (cm.tp + cm.fp) else 0.0
+        recall = cm.tp / (cm.tp + cm.fn) if (cm.tp + cm.fn) else 0.0
+        out = {
+            "accuracy": round((cm.tp + cm.tn) / cm.n, 6) if cm.n else 0.0,
+            "precision": round(precision, 6),
+            "recall": round(recall, 6),
+            "f1": round(
+                2 * precision * recall / (precision + recall), 6
+            ) if (precision + recall) else 0.0,
+        }
+        auc = BinaryClassificationEvaluator(
+            labelCol=LABEL_COL, rawPredictionCol="rawPrediction",
+            metricName="areaUnderROC",
         )
-        if metric != "accuracy":
-            ev.setMetricLabel(1.0)
-        out[name] = round(ev.evaluate(predictions), 6)
-    auc = BinaryClassificationEvaluator(
-        labelCol=LABEL_COL, rawPredictionCol="rawPrediction",
-        metricName="areaUnderROC",
-    )
-    out["auc"] = round(auc.evaluate(predictions), 6)
-    return out
+        out["auc"] = round(auc.evaluate(predictions), 6)
+        return out
+    finally:
+        predictions.unpersist()
 
 
 def classifier_params(clf) -> dict:
@@ -162,6 +189,7 @@ def train_compare(
     feature_cols: list[str],
     seed: int = DEFAULT_SEED,
     run_log=None,
+    fast: bool = False,
 ) -> tuple[str, dict[str, PipelineModel], dict[str, dict[str, float]]]:
     """M5+M6: train every contender, evaluate on held-out test, select the
     champion by F1 (04:253-260). Returns (best_name, models, metrics).
@@ -173,7 +201,7 @@ def train_compare(
     metrics: dict[str, dict[str, float]] = {}
     run_ids: dict[str, str] = {}
     train = train.cache()  # reused by every contender's fit
-    for name, clf in default_classifiers(seed).items():
+    for name, clf in default_classifiers(seed, fast=fast).items():
         model = make_pipeline(clf, feature_cols).fit(train)
         models[name] = model
         metrics[name] = evaluate(model.transform(test))
