@@ -11,10 +11,12 @@ Pattern for 100 TB image/audio/video tables:
   * partition by size so batches fit executor memory
     (``spark.sql.files.maxPartitionBytes`` + ``maxRecordsPerBatch``).
 
-The actual codec libraries are not available in this container, so
-``decode_image`` is a clearly-marked stub; ``binary_stats`` implements the
-real plumbing end-to-end (schema, batching, deterministic output) and is
-oracle-checked.
+Codec libraries (PIL/cv2/ffmpeg) are not available in this container, so
+``decode_image`` implements the one mainstream raster format decodable in
+pure numpy — uncompressed 24-bit BMP — for real (header parse, stride
+padding, bottom-up row order, BGR→RGB), and raises ValueError for any
+other codec. ``binary_stats``/``byte_histogram_features``/``sample_chunks``
+exercise the same plumbing codec-free.
 """
 
 from __future__ import annotations
@@ -159,19 +161,195 @@ DECODED_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, features binary"
 )
 
+# ---------------------------------------------------------------------------
+# Real image decode: uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB),
+# pure numpy — the one mainstream raster format decodable without codec
+# libraries. Format reference: the public Windows BMP spec (14-byte file
+# header; 40-byte DIB header; pixel rows bottom-up unless height < 0, each
+# row padded to a 4-byte boundary; samples stored B,G,R).
+# Compressed formats (PNG/JPEG) still need real codec libs; swap the
+# per-batch body for PIL/cv2 where available — the Spark-side contract
+# (mapInPandas over binary batches → typed rows) is unchanged.
+# ---------------------------------------------------------------------------
 
-def decode_image(docs: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """STUB: image decode / feature extraction.
+_BMP_HEADER_LEN = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
 
-    The Spark-side contract (mapInPandas over binary batches → typed
-    feature rows) is identical to ``binary_stats``; only the per-batch
-    function body differs. No image codec libs exist in this container.
-    """
+
+def bmp_encode(rgb) -> bytes:
+    """Serialize an (h, w, 3) uint8 top-down RGB array as a 24-bit BMP."""
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, c = rgb.shape
+    if c != 3:
+        raise ValueError(f"expected 3 channels, got {c}")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    body = rows.tobytes()
+    size = _BMP_HEADER_LEN + len(body)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + _BMP_HEADER_LEN.to_bytes(4, "little")  # pixel-data offset
+        + (40).to_bytes(4, "little")             # DIB header size
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)   # positive: bottom-up
+        + (1).to_bytes(2, "little")              # planes
+        + (24).to_bytes(2, "little")             # bits per pixel
+        + (0).to_bytes(4, "little")              # BI_RGB (uncompressed)
+        + len(body).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4          # ppm + palette fields
+    )
+    return header + body
+
+
+def bmp_decode(buf: bytes):
+    """Parse a 24-bit BI_RGB BMP into an (h, w, 3) uint8 top-down RGB
+    array. Raises ValueError on anything that isn't an uncompressed
+    24-bit BMP (the honest failure mode for unsupported codecs)."""
+    import numpy as np
+
+    buf = bytes(buf)
+    if len(buf) < _BMP_HEADER_LEN or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={comp}); "
+            "only uncompressed 24-bit BI_RGB is decodable without codec libs"
+        )
+    top_down, h = h < 0, abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    stride = (w * 3 + 3) // 4 * 4
+    if len(buf) < pix_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image(docs: DataFrame) -> DataFrame:
+    """Image decode stage: binary BMP payloads → typed pixel rows
+    (width, height, channels, features = raw top-down row-major RGB bytes).
+
+    Real decode, no stub: 24-bit uncompressed BMPs are parsed with numpy
+    per Arrow batch (``bmp_decode``). Unsupported/corrupt payloads raise —
+    route quarantine-vs-fail policy with a filter stage upstream."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires codec libraries (PIL/cv2) not present in "
-            "this environment; swap this body for the real decoder"
-        )
+        for pdf in batches:
+            widths, heights, feats = [], [], []
+            for b in pdf["payload"]:
+                rgb = bmp_decode(bytes(b))
+                heights.append(rgb.shape[0])
+                widths.append(rgb.shape[1])
+                feats.append(rgb.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "channels": pd.Series([3] * len(widths), dtype="int32"),
+                    "features": feats,
+                }
+            )
 
     return docs.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+CHANNEL_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "r_sum bigint, g_sum bigint, b_sum bigint, pos_checksum bigint"
+)
+
+
+def decoded_channel_stats(decoded: DataFrame) -> DataFrame:
+    """Per-image channel statistics over decoded pixel buffers — the
+    feature-extract stage chained after decode (decode → stats compose as
+    two mapInPandas over the same Arrow batches, no shuffle).
+
+    ``pos_checksum`` = Σ_k k·(R+G+B)(k) over top-down row-major pixel
+    index k: channel sums alone are permutation-invariant and would let a
+    row-order (bottom-up) decode bug pass; the position weighting pins the
+    pixel ORDER too."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums, poss = [], []
+            for b in pdf["features"]:
+                px = np.frombuffer(bytes(b), dtype=np.uint8).reshape(-1, 3)
+                sums.append(px.sum(axis=0, dtype=np.int64))
+                tot = px.sum(axis=1, dtype=np.int64)
+                poss.append(int((np.arange(len(tot)) * tot).sum()))
+            arr = (
+                np.stack(sums)
+                if sums
+                else np.zeros((0, 3), dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "channels": pdf["channels"],
+                    "r_sum": pd.Series(arr[:, 0], dtype="int64"),
+                    "g_sum": pd.Series(arr[:, 1], dtype="int64"),
+                    "b_sum": pd.Series(arr[:, 2], dtype="int64"),
+                    "pos_checksum": pd.Series(poss, dtype="int64"),
+                }
+            )
+
+    return decoded.mapInPandas(_stats, CHANNEL_STATS_SCHEMA)
+
+
+def synthetic_bmp_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP test fixtures: for each id, a small 24-bit image
+    whose pixel (k = y*width + x, top-down row-major) channels are
+
+        R(k) = (id*7  + 3k)  % 256
+        G(k) = (id*13 + 5k)  % 256
+        B(k) = (id*31 + 11k) % 256
+
+    with width = 4 + id % 5, height = 3 + id % 4. Closed-form content
+    means an oracle can compute any decoded statistic WITHOUT a decoder —
+    the encode→decode round trip is what's under test."""
+    import numpy as np
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                k = np.arange(w * h, dtype=np.int64)
+                rgb = np.stack(
+                    [
+                        (i * 7 + 3 * k) % 256,
+                        (i * 13 + 5 * k) % 256,
+                        (i * 31 + 11 * k) % 256,
+                    ],
+                    axis=-1,
+                ).reshape(h, w, 3)
+                payloads.append(bmp_encode(rgb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": ["image"] * len(payloads),
+                    "media_format": ["bmp"] * len(payloads),
+                }
+            )
+
+    return ids.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _make, BINARY_DOC_SCHEMA
+    )

@@ -715,6 +715,49 @@ def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECODE_IMAGE_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM g
+)
+SELECT doc_id,
+  CAST(w AS INT) AS width,
+  CAST(h AS INT) AS height,
+  CAST(3 AS INT) AS channels,
+  CAST(SUM((doc_id * 7  + 3  * k) % 256) AS BIGINT) AS r_sum,
+  CAST(SUM((doc_id * 13 + 5  * k) % 256) AS BIGINT) AS g_sum,
+  CAST(SUM((doc_id * 31 + 11 * k) % 256) AS BIGINT) AS b_sum,
+  CAST(SUM(k * ((doc_id * 7  + 3  * k) % 256
+              + (doc_id * 13 + 5  * k) % 256
+              + (doc_id * 31 + 11 * k) % 256)) AS BIGINT) AS pos_checksum
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@query("multimodal_decode_image_stats", _DECODE_IMAGE_ORACLE)
+def multimodal_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: per doc_id a deterministic 24-bit BMP
+    is built (``synthetic_bmp_images`` — closed-form pixel channels), then
+    ``decode_image`` parses the actual BMP byte format (header, 4-byte row
+    stride padding, bottom-up row order, BGR sample order) back to RGB, and
+    ``decoded_channel_stats`` reduces the pixels to per-channel sums. The
+    oracle computes those sums straight from the generating formula —
+    decoder bugs (stride, row flip, channel swap) shift the sums and fail
+    the hash. Three chained mapInPandas stages, zero shuffles."""
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        decode_image,
+        decoded_channel_stats,
+        synthetic_bmp_images,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    bmps = synthetic_bmp_images(docs)
+    return decoded_channel_stats(decode_image(bmps))
+
+
 # -- corpus mixing: deterministic stratified sample + per-stratum quota -------
 
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.8, "zh": 0.25}

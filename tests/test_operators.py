@@ -626,3 +626,83 @@ def test_round3_query_plan_shapes(spark, sf_dir):
     for chunk in plan.split("Exchange hashpartitioning")[1:]:
         first_op = chunk.split("+- ")[1].split("(")[0].strip()
         assert first_op in ("HashAggregate", "ObjectHashAggregate"), first_op
+
+
+def test_bmp_decode_golden_bytes():
+    """Decode a BMP serialized by an INDEPENDENT hand-rolled writer (struct
+    literals, not bmp_encode) so a shared encoder/decoder bug cannot
+    self-certify: stride padding, bottom-up row order, and BGR sample
+    order must all be undone to recover these exact RGB pixels."""
+    import numpy as np
+
+    from databricks_etl_pipelines_spark.operators.multimodal import bmp_decode
+
+    golden = (
+        b"BMN\x00\x00\x00\x00\x00\x00\x006\x00\x00\x00(\x00\x00\x00"
+        b"\x03\x00\x00\x00\x02\x00\x00\x00\x01\x00\x18\x00\x00\x00\x00\x00"
+        b"\x18\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00"
+        b"\x00\x00\x00\x00"
+        b"\x1e\x14\n<2(ZPF\x00\x00\x00"      # bottom row BGR + pad
+        b"\x00\x00\xff\x00\xff\x00\xff\x00\x00\x00\x00\x00"  # top row + pad
+    )
+    rgb = bmp_decode(golden)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+        dtype=np.uint8,
+    )
+    assert rgb.shape == (2, 3, 3)
+    assert (rgb == expect).all()
+
+
+def test_bmp_codec_round_trip_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 4), (5, 7), (2, 2)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (bmp_decode(bmp_encode(rgb)) == rgb).all()
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"XX" + b"\x00" * 60)
+    bad = bytearray(bmp_encode(rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)))
+    bad[28:30] = (8).to_bytes(2, "little")  # claim 8-bit palette BMP
+    with _pytest.raises(ValueError, match="unsupported BMP variant"):
+        bmp_decode(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        bmp_decode(bytes(bmp_encode(
+            rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))[:-8]))
+
+
+def test_decode_image_pipeline_on_spark(spark):
+    """encode → decode → channel stats through the real mapInPandas stages;
+    values checked against the closed-form pixel formula."""
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        decode_image,
+        decoded_channel_stats,
+        synthetic_bmp_images,
+    )
+
+    ids = spark.range(0, 12).selectExpr("id as doc_id")
+    out = decoded_channel_stats(
+        decode_image(synthetic_bmp_images(ids))
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        i = r.doc_id
+        w, h = 4 + i % 5, 3 + i % 4
+        ks = range(w * h)
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.r_sum == sum((i * 7 + 3 * k) % 256 for k in ks)
+        assert r.g_sum == sum((i * 13 + 5 * k) % 256 for k in ks)
+        assert r.b_sum == sum((i * 31 + 11 * k) % 256 for k in ks)
+        assert r.pos_checksum == sum(
+            k * ((i * 7 + 3 * k) % 256 + (i * 13 + 5 * k) % 256
+                 + (i * 31 + 11 * k) % 256) for k in ks
+        )
