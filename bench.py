@@ -37,6 +37,11 @@ HEADLINE = [
     "text_quality_score",
     "pipeline_gold_merchant_summary",
     "streaming_tumbling_hourly",
+    # round-4 additions: heavy round-3/4 surface now carries perf evidence
+    "agg_winsorize_zscore",
+    "join_fuzzy_name_match",
+    "curation_leakage_safe_split",
+    "multimodal_decode_image_stats",
 ]
 
 
