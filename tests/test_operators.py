@@ -706,3 +706,49 @@ def test_decode_image_pipeline_on_spark(spark):
             k * ((i * 7 + 3 * k) % 256 + (i * 13 + 5 * k) % 256
                  + (i * 31 + 11 * k) % 256) for k in ks
         )
+
+
+def test_aqe_skew_join_split_fires_on_skewed_data(spark):
+    """Evidence for the AQE skew path: on a join with one melting-hot key,
+    AQE's OptimizeSkewedJoin must split the skewed partition (final
+    adaptive plan shows `skew=true` on the sort-merge join). This is the
+    zero-code-change remedy; `salted_join` is the fallback when AQE can't
+    apply — right/full outer shapes it refuses, or a skewed AGGREGATION
+    upstream of the join (AQE only splits join inputs, never a groupBy —
+    salting the grouping key is the only fix there)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        # force SMJ (no broadcast), and shrink the skew thresholds so a
+        # local-sized hot partition counts as skewed
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 95% of left rows share key 0 -> one hot shuffle partition
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 20_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's QueryExecution (a write/count would
+        # build a fresh one and leave this plan isFinalPlan=false)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
