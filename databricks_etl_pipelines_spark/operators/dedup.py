@@ -268,6 +268,123 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def minhash_crossengine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a CROSS-ENGINE hash family.
+
+    Identical pipeline to :func:`minhash_lsh_dedup_pairs` — signature →
+    banding → bucket-size cap → equi-join candidates → exact-Jaccard
+    verify — but the permutation hash is ``KarpRabin(md5(i || ':' ||
+    shingle))`` instead of ``xxhash64``, and band keys are the signature
+    slices themselves (comma-joined). Every step is then expressible in
+    ANSI SQL, so a DuckDB oracle can replay the ENTIRE banded pipeline
+    value-for-value — upgrading the LSH machinery from a rows-only check
+    to a hard differential one. The xxhash64 family stays the production
+    default (JVM-codegen long hashing, no string materialization); this
+    variant exists to prove the machinery, at a deliberately smaller
+    num_perm to bound the md5 cost.
+    """
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        distinct_shingles,
+        fingerprint_rolling,
+    )
+
+    rows_per_band = num_perm // bands
+    sh = (
+        _spread_input(df)
+        .select(
+            F.col(id_col).alias("id"),
+            distinct_shingles(text_col, shingle_k).alias("sh"),
+        )
+        .persist()
+    )
+
+    # Signatures via explode → (shingle × permutation) grid → groupBy min,
+    # NOT num_perm nested array_min(transform(...)) expressions per row:
+    # the nested form costs ~25 s of whole-stage-codegen COMPILATION for
+    # 16 permutations (one giant expression tree), while this shape
+    # compiles one small hash expression and scales out as an ordinary
+    # map + partial-agg shuffle of (id, i, hash) rows.
+    grid = sh.select("id", F.explode("sh").alias("s")).select(
+        "id",
+        "s",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(num_perm)])
+        ).alias("i"),
+    )
+    h = fingerprint_rolling(
+        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("s")))
+    )
+    sig_rows = grid.select("id", "i", h.alias("h")).groupBy("id", "i").agg(
+        F.min("h").alias("sig")
+    )
+    sigs = (
+        sig_rows.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "sig"))).alias("ps"))
+        .select("id", F.transform("ps", lambda x: x["sig"]).alias("sig"))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(
+                            "sig", b * rows_per_band + j + 1
+                        ).cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", F.explode(band_structs).alias("band")).select(
+        "id", "band.band_id", "band.band_key"
+    )
+    sizes = buckets.groupBy("band_id", "band_key").agg(
+        F.count("*").alias("bucket_n")
+    )
+    bounded = buckets.join(
+        sizes.filter(F.col("bucket_n") <= max_bucket),
+        ["band_id", "band_key"],
+    ).select("id", "band_id", "band_key")
+    cands = (
+        bounded.withColumnRenamed("id", "id_a")
+        .join(
+            bounded.withColumnRenamed("id", "id_b"),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    paired = cands.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        paired.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 class MinHashCorpusIndex:
     """Persisted MinHash-LSH corpus index for INCREMENTAL dedup.
 

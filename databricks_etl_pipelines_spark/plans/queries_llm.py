@@ -35,6 +35,7 @@ from databricks_etl_pipelines_spark.operators.dedup import (
     MinHashCorpusIndex,
     embedding_cosine_pairs,
     exact_dedup_groups,
+    minhash_crossengine_pairs,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
@@ -290,6 +291,75 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", threshold=0.5, shingle_k=3
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("jaccard")
+    )
+
+
+# -- cross-engine MinHash-LSH (the banded pipeline, hard-verified) -----------------
+
+# KarpRabin(md5(i || ':' || shingle)) — the same rolling-hash idiom as
+# _ROLLING_FP_ORACLE, applied to the md5 hex of the seeded shingle.
+_SQL_PERM_HASH = """
+      CAST(list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(
+            regexp_extract_all(md5(CAST(i AS VARCHAR) || ':' || s), '.'),
+            c -> CAST(ord(c) AS BIGINT))),
+        (acc, c) -> (acc * 257 + c) % 2147483647
+      ) AS BIGINT)
+"""
+
+_MINHASH_XENGINE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh FROM documents
+),
+hs AS (
+  SELECT id, i,
+    list_min(list_transform(sh, s -> {_SQL_PERM_HASH})) AS sig
+  FROM sh, (SELECT unnest(range(16)) AS i) AS perms
+),
+bands AS (
+  SELECT id, CAST(i // 4 AS INT) AS band_id,
+    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM hs GROUP BY id, i // 4
+),
+ok AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING count(*) <= 200
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN ok USING (band_id, band_key)
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+  {sql_stable_round(
+      'len(list_intersect(sa.sh, sb.sh)) * 1.0'
+      ' / len(list_distinct(list_concat(sa.sh, sb.sh)))', 6)} AS jaccard
+FROM cand
+JOIN sh sa ON sa.id = cand.id_a
+JOIN sh sb ON sb.id = cand.id_b
+WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+    / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+"""
+
+
+@query("dedup_minhash_crossengine", _MINHASH_XENGINE_ORACLE)
+def dedup_minhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash-LSH pipeline under a HARD differential check:
+    signature → bands → bucket cap → candidate equi-join → exact-Jaccard
+    verify, with the md5+Karp-Rabin permutation family both engines can
+    compute. The DuckDB oracle replays the whole pipeline (not a brute-
+    force equivalent), so banding/bucketing/verify logic is value-checked
+    end to end; the production operator (dedup_minhash_lsh_pairs) shares
+    this structure with the faster xxhash64 family."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_crossengine_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=4, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", stable_round(F.col("jaccard"), 6).alias("jaccard")
     )
 
 

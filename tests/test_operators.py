@@ -752,3 +752,37 @@ def test_aqe_skew_join_split_fires_on_skewed_data(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_crossengine_subset_of_lossless_jaccard(spark, sf_dir):
+    """The cross-engine LSH variant may only ever MISS pairs relative to
+    the lossless prefix-filtered Jaccard join (banding bounds recall, the
+    verify threshold is identical) — it must never invent one — and its
+    output is deterministic across runs (pure hash family, no seeds)."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        minhash_crossengine_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    xe = {
+        (r.id_a, r.id_b)
+        for r in minhash_crossengine_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    lossless = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert xe <= lossless
+    assert xe  # non-vacuous on the test corpus
+    xe2 = {
+        (r.id_a, r.id_b)
+        for r in minhash_crossengine_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert xe == xe2
