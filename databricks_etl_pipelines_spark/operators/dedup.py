@@ -560,10 +560,34 @@ class MinHashCorpusIndex:
 SIMHASH_BITS = 60  # stay clear of the sign bit of a 64-bit long
 
 
+def crossengine_feature_hash(tok: F.Column) -> F.Column:
+    """60-bit feature hash both engines can compute: two seeded
+    KarpRabin(md5(...)) 30-bit halves packed side by side. Slower than
+    xxhash64 (string md5 + char fold vs one long hash) — exists so the
+    SimHash pipeline can be replayed value-for-value in a SQL oracle."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    half_mask = F.lit((1 << 30) - 1)
+    h1 = fingerprint_rolling(F.md5(F.concat(F.lit("a:"), tok))).bitwiseAND(
+        half_mask
+    )
+    h2 = fingerprint_rolling(F.md5(F.concat(F.lit("b:"), tok))).bitwiseAND(
+        half_mask
+    )
+    return h1.bitwiseOR(F.shiftleft(h2, 30))
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    hash_expr=None,
 ) -> DataFrame:
-    """(id, simhash) — per-bit majority vote over feature xxhash64 values.
+    """(id, simhash) — per-bit majority vote over feature xxhash64 values
+    (or ``hash_expr(tok_col)``, e.g. :func:`crossengine_feature_hash`).
 
     Features are k-shingles (default 3): unigram tokens make the vote
     collapse onto the corpus-wide shared vocabulary (on template-generated
@@ -582,7 +606,10 @@ def simhash_signatures(
     exploded = _spread_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(feats).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h",
+        F.xxhash64("tok") if hash_expr is None else hash_expr(F.col("tok")),
+    )
     votes = exploded.groupBy("id").agg(
         *[
             F.sum(
@@ -607,6 +634,7 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     shingle_k: int = 3,
+    hash_expr=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
@@ -621,7 +649,7 @@ def simhash_dedup_pairs(
             f"recall for max_hamming <= {chunks - 1}, got {max_hamming}; "
             "raise `chunks` to widen the radius"
         )
-    sigs = simhash_signatures(df, text_col, id_col, shingle_k)
+    sigs = simhash_signatures(df, text_col, id_col, shingle_k, hash_expr)
     bits_per_chunk = SIMHASH_BITS // chunks
     chunk_structs = F.array(
         *[

@@ -363,6 +363,93 @@ def dedup_minhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- cross-engine SimHash (per-bit vote + pigeonhole blocking, hard-verified) ------
+
+def _sql_rolling_md5(prefix: str) -> str:
+    """KarpRabin over the md5 hex of '<prefix>' || t (t = the token col)."""
+    return (
+        "CAST(list_reduce("
+        "list_prepend(CAST(0 AS BIGINT),"
+        f"list_transform(regexp_extract_all(md5('{prefix}' || t), '.'),"
+        " c -> CAST(ord(c) AS BIGINT))),"
+        " (acc, c) -> (acc * 257 + c) % 2147483647"
+        ") AS BIGINT)"
+    )
+
+
+def _simhash_xengine_oracle() -> str:
+    half = (1 << 30) - 1
+    vote_cols = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(60)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh FROM documents
+),
+tok AS (
+  SELECT id, unnest(sh) AS t FROM sh
+),
+hashed AS (
+  SELECT id,
+    ({_sql_rolling_md5('a:')} & {half})
+      | (({_sql_rolling_md5('b:')} & {half}) << 30) AS h
+  FROM tok
+),
+votes AS (
+  SELECT id,
+    {vote_cols}
+  FROM hashed GROUP BY id
+),
+sig AS (
+  SELECT id, {sig_terms} AS simhash FROM votes
+),
+chunked AS (
+  SELECT id, simhash, c.c AS chunk_id,
+    (simhash >> CAST(c.c * 15 AS INT)) & 32767 AS chunk_val
+  FROM sig, (SELECT unnest(range(4)) AS c) c
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+    a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunked a
+  JOIN chunked b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+  CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
+@query("dedup_simhash_crossengine", _simhash_xengine_oracle())
+def dedup_simhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash pipeline under a HARD differential check: 60-bit
+    per-bit majority vote → 4-chunk pigeonhole blocking → hamming verify,
+    with a two-half md5+Karp-Rabin feature hash both engines compute
+    (see ``crossengine_feature_hash``). The DuckDB oracle replays bit
+    votes, chunk equi-join, and bit_count(xor) verbatim — value-level
+    evidence for the SimHash machinery that the xxhash64 production
+    operator (dedup_simhash_pairs) shares."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        crossengine_feature_hash,
+        simhash_dedup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(
+        docs, "text", "doc_id", max_hamming=3, chunks=4,
+        hash_expr=crossengine_feature_hash,
+    )
+
+
 # -- duplicate-cluster representatives (connected components) -----------------------
 
 # The Spark side runs iterative hash-min label propagation

@@ -786,3 +786,39 @@ def test_minhash_crossengine_subset_of_lossless_jaccard(spark, sf_dir):
         ).collect()
     }
     assert xe == xe2
+
+
+def test_simhash_crossengine_blocking_recall_equals_brute_force(spark, sf_dir):
+    """Pigeonhole blocking with the cross-engine hash family must find
+    EXACTLY the pairs a brute-force all-pairs hamming scan finds at the
+    guaranteed radius (chunks=4 -> hamming <= 3): blocking is a pure
+    optimization, never a semantics change."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        crossengine_feature_hash,
+        simhash_dedup_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in simhash_dedup_pairs(
+            docs, "text", "doc_id", max_hamming=3, chunks=4,
+            hash_expr=crossengine_feature_hash,
+        ).collect()
+    }
+    sigs = simhash_signatures(
+        docs, "text", "doc_id", hash_expr=crossengine_feature_hash
+    )
+    a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr("bit_count(sa ^ sb)") <= 3)
+        .collect()
+    }
+    assert blocked == brute
