@@ -197,3 +197,27 @@ def test_token_budget_bounded_property_matches_reference(spark, rows, budget):
         .collect())
     )
     assert got == ref
+
+
+@given(
+    st.integers(min_value=1, max_value=13),
+    st.integers(min_value=1, max_value=13),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_codec_round_trip_property(h, w, seed):
+    """encode(decode) identity for arbitrary 24-bit images — every width
+    exercises a different row-stride padding (w*3 mod 4 cycles through
+    all four pad lengths)."""
+    import numpy as np
+
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    back = bmp_decode(bmp_encode(rgb))
+    assert back.shape == rgb.shape
+    assert (back == rgb).all()
