@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     "multimodal_decode_image_stats",  # NEW r4: pure-numpy BMP decode
     "dedup_minhash_crossengine",      # NEW r4: banded LSH, hard-verified
     "dedup_simhash_crossengine",      # NEW r4: simhash vote+pigeonhole, hard-verified
+    "similarity_lsh_ann_topk",        # UPGRADED r4: rows-only -> hard oracle
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

@@ -95,10 +95,18 @@ def lsh_ann_topk(
     are partition-pruned scans instead of full scans + filter."""
     planes = hyperplanes(len(query), bits, seed)
     v = as_double_array(vec_col)
-    qvec = np.asarray(query, dtype=float)
-    qsig = sum(
-        (1 << i) for i, p in enumerate(planes) if float(np.dot(qvec, p)) >= 0
-    )
+    # Strict LEFT-FOLD dot product, mirroring _sign_signature's
+    # aggregate(zip_with(...)) order exactly: a BLAS np.dot may sum in a
+    # different order, and a sign flip on a near-zero dot would put the
+    # query in a different bucket than the same vector stored in the
+    # table (and than a SQL oracle replaying the same left fold).
+    def fold_dot(p) -> float:
+        acc = 0.0
+        for x, y in zip(query, p):
+            acc += float(x) * float(y)
+        return acc
+
+    qsig = sum((1 << i) for i, p in enumerate(planes) if fold_dot(p) >= 0)
     q = F.transform(vec_lit(query), lambda x: x.cast("double"))
     sim = cosine(v, q)
     return (

@@ -667,12 +667,68 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_lsh_ann_topk")
+def _lsh_ann_oracle(bits: int = 6, dim: int = 64) -> str:
+    """Sign-LSH replayed exactly in SQL: the hyperplanes are DETERMINISTIC
+    literals (seeded numpy, computed once at import), so the oracle embeds
+    the same constants and reproduces every sign decision with the same
+    strict left-fold dot product (list_reduce == Spark aggregate(zip_with)
+    == the query-side Python fold — identical IEEE operation order)."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(dim, bits, seed=42)
+
+    def fold_dot(vec_expr: str, plane) -> str:
+        lits = ", ".join(repr(float(p)) for p in plane)
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"j -> {vec_expr}[j] * ([{lits}])[j])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN {fold_dot('v', planes[i])} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    qsig_terms = " + ".join(
+        f"(CASE WHEN {fold_dot('qv', planes[i])} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+),
+qs AS (SELECT {qsig_terms} AS qsig FROM q),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {sig_terms} AS sig FROM v)
+SELECT vec_id,
+  floor(list_dot_product(sig.v, q.qv)
+    / (sqrt(list_dot_product(sig.v, sig.v))
+       * sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000
+    AS cosine_sim
+FROM sig, q, qs
+WHERE sig.sig = qs.qsig
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 20
+"""
+
+
+@query("similarity_lsh_ann_topk", _lsh_ann_oracle())
 def similarity_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (scan-reduction scale path; rows-only)."""
+    """LSH-bucketed approximate top-k (scan-reduction scale path). HARD
+    oracle: the deterministic hyperplane constants are embedded in the SQL
+    and every sign decision + the bucket probe + cosine ranking is
+    replayed value-for-value (see _lsh_ann_oracle)."""
     emb = table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    return lsh_ann_topk(emb, "embedding", "vec_id", qv, k=20, bits=6)
+    topk = lsh_ann_topk(emb, "embedding", "vec_id", qv, k=20, bits=6)
+    return topk.select(
+        "vec_id", stable_round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    ).orderBy(F.desc("cosine_sim"), "vec_id")
 
 
 @query("similarity_ivf_topk")
