@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "dedup_minhash_crossengine",      # NEW r4: banded LSH, hard-verified
     "dedup_simhash_crossengine",      # NEW r4: simhash vote+pigeonhole, hard-verified
     "similarity_lsh_ann_topk",        # UPGRADED r4: rows-only -> hard oracle
+    "similarity_pandas_udf_topk",     # UPGRADED r4: rows-only -> hard oracle
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and
@@ -95,6 +96,8 @@ PRIORITY: list[str] = [
     "agg_grouping_sets",
     "agg_pivot_status_counts",
     "agg_null_handling",
+    "pipeline_silver_enrichment",
+    "pipeline_quarantine_summary",
     "join_inner_customer_orders",
     "join_broadcast_dims",
     "join_left_outer",
@@ -107,10 +110,7 @@ PRIORITY: list[str] = [
     "text_language_id",
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_cosine_blocked",
-    "similarity_pandas_udf_topk",
     "multimodal_binary_stats",
-    "pipeline_silver_enrichment",
-    "pipeline_quarantine_summary",
     "scalar_string_functions",
     "pii_mask_and_tokenize",
 ]

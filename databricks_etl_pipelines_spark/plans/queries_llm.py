@@ -787,13 +787,18 @@ def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.probe(spark, qv, k=20, nprobe=4)
 
 
-@query("similarity_pandas_udf_topk")
+@query("similarity_pandas_udf_topk", _TOPK_COSINE_ORACLE)
 def similarity_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-vectorized Pandas-UDF cosine variant (rows-only; values match
-    the expression form up to float error)."""
+    """Arrow-vectorized Pandas-UDF cosine variant, under the SAME hard
+    oracle as the expression form: numpy's per-row float path lands on
+    identical values at 6-dp stable rounding, so the Arrow UDF transport
+    (batch shapes, dtype mapping, null handling) is value-checked too."""
     emb = table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    return pandas_cosine_topk(emb, "embedding", "vec_id", qv, k=20)
+    topk = pandas_cosine_topk(emb, "embedding", "vec_id", qv, k=20)
+    return topk.select(
+        "vec_id", stable_round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    ).orderBy(F.desc("cosine_sim"), "vec_id")
 
 
 # -- multimodal plumbing -------------------------------------------------------------------
