@@ -80,6 +80,7 @@ PRIORITY: list[str] = [
     "dedup_simhash_crossengine",      # NEW r4: simhash vote+pigeonhole, hard-verified
     "similarity_lsh_ann_topk",        # UPGRADED r4: rows-only -> hard oracle
     "similarity_pandas_udf_topk",     # UPGRADED r4: rows-only -> hard oracle
+    "curation_funnel_crossengine",    # NEW r4: full funnel, hard-verified
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

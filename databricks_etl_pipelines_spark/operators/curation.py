@@ -222,6 +222,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.7,
     exact_components: bool = False,
     max_dup_bigram: float | None = None,
+    pair_fn=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_corpus, report).
 
@@ -277,9 +278,16 @@ def curate_corpus(
     exact_unique = lang_ok.join(keepers, id_col, "left_semi").persist()
     n_exact = exact_unique.count()
 
-    pairs = minhash_lsh_dedup_pairs(
-        exact_unique, text_col, id_col, threshold=near_dup_threshold
-    )
+    # ``pair_fn(df, text_col, id_col, threshold)`` swaps the near-dup pair
+    # generator (default: banded MinHash-LSH with the fast xxhash64
+    # family; pass a cross-engine family to make the whole funnel
+    # SQL-oracle-verifiable).
+    if pair_fn is None:
+        pairs = minhash_lsh_dedup_pairs(
+            exact_unique, text_col, id_col, threshold=near_dup_threshold
+        )
+    else:
+        pairs = pair_fn(exact_unique, text_col, id_col, near_dup_threshold)
     if exact_components:
         # exact duplicate-cluster resolution: iterative min-propagation CC
         # keeps exactly the minimum id of every connected component, even

@@ -308,40 +308,52 @@ _SQL_PERM_HASH = """
       ) AS BIGINT)
 """
 
-_MINHASH_XENGINE_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh FROM documents
+def _minhash_xengine_ctes(src: str, threshold: float) -> str:
+    """CTE chain ``mh_sh → mh_hs → mh_bands → mh_ok → mh_cand → mh_pairs``
+    implementing the cross-engine banded MinHash (16 perms / 4 bands /
+    bucket cap 200) over relation ``src(id, text)``. Compose after a
+    leading WITH; ``mh_pairs`` yields (id_a, id_b, jaccard >= threshold)."""
+    return f"""mh_sh AS (
+  SELECT id, {_SQL_SHINGLES3} AS sh FROM {src}
 ),
-hs AS (
+mh_hs AS (
   SELECT id, i,
     list_min(list_transform(sh, s -> {_SQL_PERM_HASH})) AS sig
-  FROM sh, (SELECT unnest(range(16)) AS i) AS perms
+  FROM mh_sh, (SELECT unnest(range(16)) AS i) AS perms
 ),
-bands AS (
+mh_bands AS (
   SELECT id, CAST(i // 4 AS INT) AS band_id,
     string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
-  FROM hs GROUP BY id, i // 4
+  FROM mh_hs GROUP BY id, i // 4
 ),
-ok AS (
-  SELECT band_id, band_key FROM bands
+mh_ok AS (
+  SELECT band_id, band_key FROM mh_bands
   GROUP BY band_id, band_key HAVING count(*) <= 200
 ),
-cand AS (
+mh_cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a
-  JOIN ok USING (band_id, band_key)
-  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  FROM mh_bands a
+  JOIN mh_ok USING (band_id, band_key)
+  JOIN mh_bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
   WHERE a.id < b.id
-)
-SELECT id_a, id_b,
-  {sql_stable_round(
-      'len(list_intersect(sa.sh, sb.sh)) * 1.0'
-      ' / len(list_distinct(list_concat(sa.sh, sb.sh)))', 6)} AS jaccard
-FROM cand
-JOIN sh sa ON sa.id = cand.id_a
-JOIN sh sb ON sb.id = cand.id_b
-WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
-    / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+),
+mh_pairs AS (
+  SELECT id_a, id_b,
+    len(list_intersect(sa.sh, sb.sh)) * 1.0
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+  FROM mh_cand
+  JOIN mh_sh sa ON sa.id = mh_cand.id_a
+  JOIN mh_sh sb ON sb.id = mh_cand.id_b
+  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+)"""
+
+
+_MINHASH_XENGINE_ORACLE = f"""
+WITH xsrc AS (SELECT doc_id AS id, text FROM documents),
+{_minhash_xengine_ctes('xsrc', 0.5)}
+SELECT id_a, id_b, {sql_stable_round('jaccard', 6)} AS jaccard
+FROM mh_pairs
 """
 
 
@@ -1059,11 +1071,101 @@ def curation_quota_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("curation_funnel_report")
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation attrition funnel (rows-only: the near-dup
-    stage is hash-seeded; stage semantics unit-tested in test_curation)."""
+    stage is hash-seeded; stage semantics unit-tested in test_curation;
+    the crossengine variant below carries the hard oracle)."""
     from databricks_etl_pipelines_spark.operators.curation import curate_corpus
 
     docs = table(spark, sf_dir, "documents")
     _, report = curate_corpus(docs)
+    return report
+
+
+def _funnel_xengine_oracle() -> str:
+    """The ENTIRE curation funnel replayed in SQL: rubric quality gate →
+    language-ID gate → exact dedup on normalized-text hash → one-pass
+    near-dedup over cross-engine banded MinHash pairs. Every stage count
+    in the report is recomputed independently by DuckDB."""
+    hit_cols = ",\n    ".join(
+        f"len(list_filter({_SQL_TOKS}, x -> x IN "
+        f"({_sql_in_list(sw)}))) AS hits_{lang}"
+        for lang, sw in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    cases = []
+    for lang in langs:
+        conds = [f"hits_{lang} > 0"] + [
+            f"hits_{lang} >= hits_{o}" for o in langs if o != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    quality_case = (
+        "(CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 30 ELSE 0 END"
+        " + CASE WHEN avg_tok_len BETWEEN 3 AND 12 THEN 30 ELSE 0 END"
+        " + CASE WHEN stop_ratio > 0.05 THEN 20 ELSE 0 END"
+        " + CASE WHEN punct_r < 0.2 AND digit_r < 0.2 THEN 20 ELSE 0 END)"
+    )
+    return f"""
+WITH sc0 AS (
+  SELECT doc_id AS id, text,
+    len({_SQL_TOKS}) AS n_tokens,
+    CAST(list_sum(list_transform({_SQL_TOKS}, x -> length(x))) AS BIGINT)
+      / len({_SQL_TOKS}) AS avg_tok_len,
+    len(list_filter({_SQL_TOKS}, x -> x IN ({_EN}))) / len({_SQL_TOKS})
+      AS stop_ratio,
+    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+      / length(text) AS punct_r,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+      / length(text) AS digit_r,
+    {hit_cols}
+  FROM documents
+),
+sc AS (
+  SELECT id, text, {quality_case} AS q, {lang_case} AS lang_pred FROM sc0
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+    CAST(SUM(CASE WHEN q >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+    CAST(SUM(CASE WHEN q >= 50 AND lang_pred = 'en' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_lang
+  FROM sc
+),
+lang_ok AS (SELECT id, text FROM sc WHERE q >= 50 AND lang_pred = 'en'),
+keepers AS (
+  SELECT min(id) AS id FROM lang_ok
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+),
+xsrc AS (SELECT l.id, l.text FROM lang_ok l JOIN keepers k ON l.id = k.id),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM xsrc),
+{_minhash_xengine_ctes('xsrc', 0.7)},
+dropped AS (
+  SELECT CAST(count(DISTINCT id_b) AS BIGINT) AS n_drop FROM mh_pairs
+)
+SELECT 'input' AS stage, total AS rows_in, total AS rows_out,
+  CAST(0 AS BIGINT) AS rows_dropped FROM g
+UNION ALL SELECT 'quality_gate', total, n_quality, total - n_quality FROM g
+UNION ALL SELECT 'language_gate', n_quality, n_lang, n_quality - n_lang FROM g
+UNION ALL SELECT 'exact_dedup', n_lang, n_exact, n_lang - n_exact FROM g, ne
+UNION ALL SELECT 'near_dedup', n_exact, n_exact - n_drop, n_drop
+  FROM ne, dropped
+"""
+
+
+@query("curation_funnel_crossengine", _funnel_xengine_oracle())
+def curation_funnel_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel under a HARD differential check: identical
+    gates and exact-dedup as curation_funnel_report, with the near-dup
+    stage swapped to the cross-engine banded MinHash family so DuckDB can
+    recompute every stage's attrition count independently."""
+    from databricks_etl_pipelines_spark.operators.curation import curate_corpus
+
+    docs = table(spark, sf_dir, "documents")
+
+    def pair_fn(d, t, i, thr):
+        return minhash_crossengine_pairs(
+            d, t, i, num_perm=16, bands=4, threshold=thr
+        )
+
+    _, report = curate_corpus(docs, pair_fn=pair_fn)
     return report
 
 
