@@ -81,6 +81,9 @@ PRIORITY: list[str] = [
     "similarity_lsh_ann_topk",        # UPGRADED r4: rows-only -> hard oracle
     "similarity_pandas_udf_topk",     # UPGRADED r4: rows-only -> hard oracle
     "curation_funnel_crossengine",    # NEW r4: full funnel, hard-verified
+    "sql_exists_late_orders",         # NEW r4: EXISTS decorrelation (Q4 shape)
+    "sql_in_having_big_orders",       # NEW r4: IN+HAVING subquery (Q18 shape)
+    "sql_scalar_anti_customers",      # NEW r4: scalar+NOT EXISTS (Q22 shape)
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

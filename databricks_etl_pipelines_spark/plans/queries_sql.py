@@ -33,3 +33,76 @@ def sql_text_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped summary submitted as a SQL STRING over registered
     views — the identical text is the DuckDB oracle."""
     return run_sql(spark, sf_dir, _PRICING_SQL)
+
+
+# -- subquery decorrelation shapes (TPC-H Q4 / Q18 / Q22 analogs) -------------
+# The one Catalyst surface the catalog didn't exercise: correlated EXISTS,
+# IN-with-HAVING, and uncorrelated-scalar + NOT EXISTS subqueries, submitted
+# as SQL TEXT so RewritePredicateSubquery / scalar-subquery planning actually
+# run (the DataFrame API would pre-decorrelate them by hand). Identical text
+# is the DuckDB oracle. Shapes adapted to the testdata schema (lineitem has
+# no commitdate/receiptdate, customer no phone): the correlation structure —
+# what the optimizer must decorrelate — is the TPC-H one.
+
+_EXISTS_LATE_SHIP_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_exists_late_orders", _EXISTS_LATE_SHIP_SQL)
+def sql_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS on BOTH the join key and a date
+    comparison across tables — Catalyst must decorrelate to a left-semi
+    join with a non-equi condition (plan-asserted in pytest)."""
+    return run_sql(spark, sf_dir, _EXISTS_LATE_SHIP_SQL)
+
+
+_IN_HAVING_SQL = """
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+  floor(sum(l.l_quantity) * 100 + 0.5) / 100 AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+"""
+
+
+@query("sql_in_having_big_orders", _IN_HAVING_SQL)
+def sql_in_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over an aggregated-HAVING subquery gating a
+    3-way join — the subquery becomes a semi-join against a pre-aggregated
+    relation (~top 1% of orders by total quantity at this SF)."""
+    return run_sql(spark, sf_dir, _IN_HAVING_SQL)
+
+
+_SCALAR_ANTI_SQL = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+  floor(sum(c_acctbal) * 100 + 0.5) / 100 AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@query("sql_scalar_anti_customers", _SCALAR_ANTI_SQL)
+def sql_scalar_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average,
+    executed once and broadcast) + correlated NOT EXISTS (decorrelated to
+    a left-anti join) — above-average-balance customers with no urgent
+    orders, per market segment (75 rows qualify at sf0.01)."""
+    return run_sql(spark, sf_dir, _SCALAR_ANTI_SQL)

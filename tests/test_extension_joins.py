@@ -102,3 +102,28 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_sql_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """The SQL-text subquery shapes must actually decorrelate: EXISTS ->
+    left-semi join (with the non-equi date condition intact), NOT EXISTS
+    -> left-anti join, and the uncorrelated scalar subquery stays a
+    one-shot subquery (not a per-row rewrite)."""
+    from databricks_etl_pipelines_spark.plans.queries_sql import (
+        sql_exists_late_orders,
+        sql_scalar_anti_customers,
+    )
+
+    exists_plan = (
+        sql_exists_late_orders(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftSemi" in exists_plan
+    assert "ExistenceJoin" not in exists_plan  # fully rewritten, not kept
+
+    anti_plan = (
+        sql_scalar_anti_customers(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftAnti" in anti_plan
+    assert "scalar-subquery" in anti_plan
