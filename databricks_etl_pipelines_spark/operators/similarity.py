@@ -538,12 +538,17 @@ class LshIndex:
         with open(os.path.join(self.root, self.META)) as f:
             meta = json.load(f)
         planes = hyperplanes(meta["dim"], meta["bits"], meta["seed"])
-        qvec = np.asarray(query, dtype=float)
-        qsig = sum(
-            (1 << i)
-            for i, p in enumerate(planes)
-            if float(np.dot(qvec, p)) >= 0
-        )
+        # left-fold dot, matching _sign_signature's aggregate order (same
+        # rationale as lsh_ann_topk: a BLAS np.dot could sum differently
+        # and flip a near-zero sign into a bucket the stored signatures
+        # never used)
+        qsig = 0
+        for i, p in enumerate(planes):
+            acc = 0.0
+            for x, y in zip(query, p):
+                acc += float(x) * float(y)
+            if acc >= 0:
+                qsig |= 1 << i
         scan = spark.read.parquet(os.path.join(self.root, self.BUCKETS))
         q = F.transform(vec_lit(query), lambda x: x.cast("double"))
         sim = cosine(F.col("v"), q)
