@@ -230,3 +230,24 @@ def test_quota_by_quality_bounded_matches_reference(spark):
                 df, "source", "quality", 40, "doc_id", n_buckets=n_buckets
             )
             assert sorted(map(tuple, got.select(*ref.columns).collect())) == expect
+
+
+def test_token_budget_bounded_rejects_non_numeric_priority(spark):
+    """The bounded variant's quantile pre-filter needs a numeric priority
+    (percentile_approx); a non-numeric orderable priority must fail fast
+    with a pointer to the exact single-window form, never silently
+    mis-bucket."""
+    import pytest as _pytest
+
+    from databricks_etl_pipelines_spark.operators.curation import (
+        token_budget_select_bounded,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, "low", 10), ("a", 2, "high", 20)],
+        "source string, doc_id long, pri string, n_tokens long",
+    )
+    with _pytest.raises(TypeError, match="numeric priority"):
+        token_budget_select_bounded(
+            df, "source", "pri", "n_tokens", "doc_id", 25
+        )
