@@ -84,6 +84,8 @@ PRIORITY: list[str] = [
     "sql_exists_late_orders",         # NEW r4: EXISTS decorrelation (Q4 shape)
     "sql_in_having_big_orders",       # NEW r4: IN+HAVING subquery (Q18 shape)
     "sql_scalar_anti_customers",      # NEW r4: scalar+NOT EXISTS (Q22 shape)
+    "curation_pack_concat_chunks",    # NEW r4: concat-then-chunk layout, hard oracle
+    "curation_chunk_manifest",        # NEW r4: loader-side chunk manifest, hard oracle
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

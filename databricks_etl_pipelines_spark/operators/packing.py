@@ -129,3 +129,125 @@ def packing_efficiency(packed: DataFrame, window: int) -> DataFrame:
             / (F.countDistinct("pack_id") * F.lit(window))
         ).alias("fill_ratio"),
     )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    chunk_tokens: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Concatenate-then-chunk layout (the GPT-2/3 pretraining data-prep
+    step): all documents' tokens are conceptually concatenated in
+    ``id_col`` order and the stream is cut every ``chunk_tokens`` tokens;
+    each document then occupies the half-open token range
+    ``[tok_start, tok_start + n_tokens)`` and the chunk range
+    ``[chunk_start, chunk_end]``. Unlike greedy whole-document packing
+    (:func:`pack_sequences`) there is zero padding waste — documents
+    straddle chunk boundaries by design.
+
+    Returns (``id_col``, n_tokens, tok_start, chunk_start, chunk_end,
+    n_chunks); zero-token documents get n_chunks = 0.
+
+    Scale shape — a textbook distributed prefix scan, no global window:
+    (1) range-repartition on ``id_col`` so partitions hold contiguous id
+    ranges; (2) one tiny per-partition token-sum aggregate (one row per
+    partition) is collected and prefix-summed on the driver — bounded by
+    the partition count, never by the data, the same bounded-collect
+    contract as the managed table's bucket-id lists; (3) each partition
+    computes its local running sum under an in-partition window and adds
+    its broadcast base offset. The result is independent of the sampled
+    range boundaries (contiguous ranges make every prefix identical), so
+    the layout is deterministic for any ``n_partitions``.
+    """
+    n = int(
+        n_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    work = (
+        df.select(
+            F.col(id_col),
+            F.col(n_tokens_col).cast("bigint").alias("__nt"),
+        )
+        .repartitionByRange(n, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # persist is load-bearing: repartitionByRange SAMPLES its boundaries,
+    # so the per-partition sums collected below must describe the very same
+    # partitioning the final plan reads. The cached frame is tiny (id + one
+    # bigint per row) and lives only as long as the returned plan.
+    work = work.persist()
+    part_sums = {
+        r["__pid"]: r["__s"]
+        for r in work.groupBy("__pid").agg(F.sum("__nt").alias("__s")).collect()
+    }
+    base, offsets = 0, {}
+    for pid in sorted(part_sums):
+        offsets[pid] = base
+        base += int(part_sums[pid])
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = (
+        work.withColumn(
+            "tok_start",
+            offset_map[F.col("__pid")]
+            + F.coalesce(F.sum("__nt").over(w), F.lit(0)),
+        )
+        # integer div, not floor(double/..): exact past 2^53 tokens
+        .withColumn("chunk_start", F.expr(f"tok_start div {int(chunk_tokens)}"))
+        .withColumn(
+            "chunk_end",
+            F.when(
+                F.col("__nt") > 0,
+                F.col("tok_start") + F.col("__nt") - 1,
+            ).otherwise(F.col("tok_start")),
+        )
+        .withColumn("chunk_end", F.expr(f"chunk_end div {int(chunk_tokens)}"))
+        .withColumn(
+            "n_chunks",
+            F.when(
+                F.col("__nt") > 0,
+                F.col("chunk_end") - F.col("chunk_start") + 1,
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return laid.select(
+        id_col,
+        F.col("__nt").alias("n_tokens"),
+        "tok_start",
+        "chunk_start",
+        "chunk_end",
+        "n_chunks",
+    )
+
+
+def chunk_manifest(layout: DataFrame) -> DataFrame:
+    """Per-chunk membership report over a :func:`pack_concat_chunks`
+    layout: (chunk_id, n_docs, n_starting_docs, first_doc, last_doc).
+    ``n_docs`` counts documents overlapping the chunk, ``n_starting_docs``
+    those whose first token lands in it. Explode is output-bound: a
+    document emits one row per chunk it touches."""
+    spanned = layout.filter(F.col("n_chunks") > 0).select(
+        F.col(layout.columns[0]).alias("__doc"),
+        "chunk_start",
+        F.explode(
+            F.sequence(F.col("chunk_start"), F.col("chunk_end"))
+        ).alias("chunk_id"),
+    )
+    return spanned.groupBy("chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("chunk_start") == F.col("chunk_id"), 1).otherwise(0)
+        ).alias("n_starting_docs"),
+        F.min("__doc").alias("first_doc"),
+        F.max("__doc").alias("last_doc"),
+    )

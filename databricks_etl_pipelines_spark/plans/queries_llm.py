@@ -1459,6 +1459,95 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_partitions=8)
 
 
+# Concatenate-then-chunk packing is pure order arithmetic (no hash
+# partitioner in the semantics), so unlike greedy packing it gets a HARD
+# oracle: DuckDB replays the global token prefix sum with one window.
+_PACK_CONCAT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+  CAST(tok_start // 256 AS BIGINT) AS chunk_start,
+  CAST(CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 256
+       ELSE tok_start // 256 END AS BIGINT) AS chunk_end,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (tok_start + n_tokens - 1) // 256 - tok_start // 256 + 1
+       ELSE 0 END AS BIGINT) AS n_chunks
+FROM c
+"""
+
+
+@query("curation_pack_concat_chunks", _PACK_CONCAT_ORACLE)
+def curation_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk layout: every document's token range and
+    256-token chunk span in the concatenated corpus stream. Distributed
+    prefix scan (range repartition + per-partition offsets), NO global
+    window — the oracle replays the same layout with one SQL window."""
+    from databricks_etl_pipelines_spark.operators.packing import (
+        pack_concat_chunks,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_concat_chunks(docs, "doc_id", "n_tokens", chunk_tokens=256,
+                              n_partitions=8)
+
+
+_CHUNK_MANIFEST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t
+),
+lay AS (
+  SELECT doc_id, CAST(tok_start // 256 AS BIGINT) AS chunk_start,
+    CAST((tok_start + n_tokens - 1) // 256 AS BIGINT) AS chunk_end
+  FROM c WHERE n_tokens > 0
+),
+sp AS (
+  SELECT doc_id, chunk_start,
+    unnest(generate_series(chunk_start, chunk_end)) AS chunk_id
+  FROM lay
+)
+SELECT chunk_id,
+  count(*) AS n_docs,
+  CAST(SUM(CASE WHEN chunk_start = chunk_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_starting_docs,
+  min(doc_id) AS first_doc,
+  max(doc_id) AS last_doc
+FROM sp GROUP BY chunk_id
+"""
+
+
+@query("curation_chunk_manifest", _CHUNK_MANIFEST_ORACLE)
+def curation_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-side manifest for the concat-chunk layout: per 256-token
+    chunk, how many documents overlap it / begin in it and the doc-id
+    range — what a training data loader needs to fetch a chunk's text."""
+    from databricks_etl_pipelines_spark.operators.packing import (
+        chunk_manifest,
+        pack_concat_chunks,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    layout = pack_concat_chunks(docs, "doc_id", "n_tokens",
+                                chunk_tokens=256, n_partitions=8)
+    return chunk_manifest(layout)
+
+
 _TFIDF_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents

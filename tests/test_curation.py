@@ -324,3 +324,54 @@ def test_leakage_safe_split_keeps_chains_together(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_pack_concat_chunks_layout_and_manifest(spark, sf_dir):
+    """Concat-then-chunk layout equals a local serial replay on planted
+    sizes (incl. a zero-token doc and a multi-chunk straddler), is
+    partition-count invariant on the real corpus, and the manifest
+    accounts for every (doc, chunk) incidence exactly once."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.functions.textfns import token_count
+    from databricks_etl_pipelines_spark.operators.packing import (
+        chunk_manifest,
+        pack_concat_chunks,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    sizes = [7, 0, 5, 25, 3, 10]  # chunk=8: doc 3 spans chunks 1..4
+    planted = spark.createDataFrame(
+        list(enumerate(sizes)), "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.tok_start, r.chunk_start, r.chunk_end, r.n_chunks)
+        for r in pack_concat_chunks(
+            planted, "doc_id", "n_tokens", chunk_tokens=8, n_partitions=3
+        ).collect()
+    }
+    start, expect = 0, {}
+    for d, nt in enumerate(sizes):
+        cs = start // 8
+        ce = (start + nt - 1) // 8 if nt else cs
+        expect[d] = (start, cs, ce, ce - cs + 1 if nt else 0)
+        start += nt
+    assert got == expect
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    a = pack_concat_chunks(docs, "doc_id", "n_tokens", 256, 4)
+    b = pack_concat_chunks(docs, "doc_id", "n_tokens", 256, 16)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    man = chunk_manifest(a)
+    total = man.agg(F.sum("n_docs"), F.sum("n_starting_docs")).head()
+    spans = a.filter("n_chunks > 0")
+    assert total[0] == spans.agg(F.sum("n_chunks")).head()[0]
+    assert total[1] == spans.count()
+    # chunk ids are dense 0..max (a nonempty corpus leaves no hole)
+    n_chunks = man.count()
+    assert man.agg(F.min("chunk_id"), F.max("chunk_id")).head() == (
+        0, n_chunks - 1,
+    )
