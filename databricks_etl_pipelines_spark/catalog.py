@@ -86,6 +86,7 @@ PRIORITY: list[str] = [
     "sql_scalar_anti_customers",      # NEW r4: scalar+NOT EXISTS (Q22 shape)
     "curation_pack_concat_chunks",    # NEW r4: concat-then-chunk layout, hard oracle
     "curation_chunk_manifest",        # NEW r4: loader-side chunk manifest, hard oracle
+    "similarity_ivf_crossengine",     # NEW r4: IVF bucket machinery, hard-verified
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

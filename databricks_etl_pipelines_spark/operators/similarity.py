@@ -589,3 +589,93 @@ def pandas_cosine_topk(
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Strict left-fold squared L2 distance: identical IEEE operation order
+    to DuckDB's ``list_reduce(list_prepend(0.0, list_transform(...)))`` and
+    to a Python ``for``-loop accumulation, so argmin decisions replay
+    bit-for-bit across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk_deterministic(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroid_stride: int = 29,
+) -> DataFrame:
+    """IVF ANN with DATA-DERIVED DETERMINISTIC centroids — the
+    cross-engine-verifiable sibling of :func:`ivf_topk`.
+
+    Instead of a learned KMeans quantizer (whose centroids are
+    engine-specific float trajectories), the coarse quantizer is the first
+    ``nlist`` corpus vectors whose id is a multiple of ``centroid_stride``
+    — a pure relational rule any engine replays exactly. Assignment,
+    probe-list selection, and ranking are then the SAME machinery a real
+    IVF uses: nearest-centroid by squared L2 (strict fold, ties to the
+    lower centroid id), scan only the ``nprobe`` nearest inverted lists,
+    exact cosine within them. Recall is below KMeans-IVF (centroids are
+    arbitrary corpus points, not cluster means) — this variant exists so
+    the bucketing/pruning machinery itself gets a hard differential check;
+    production uses :func:`ivf_topk` / :class:`IvfIndex`.
+
+    Scale shape: centroids are a broadcast-joined 16-row frame; the
+    assignment grid is rows × nlist (map-side, no shuffle in), reduced by
+    one hash aggregation on (id, v) taking min(struct(dist, cid)) —
+    explode-grid + groupBy-min, NOT a 16-way nested HOF fold (giant nested
+    lambda expressions whole-stage-compile pathologically; see
+    NOTES_NEXT_ROUND round-4 traps). Query-to-centroid distances fold on
+    the driver over the collected 16-row centroid frame (bounded, like the
+    PQ codebook fit).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    )
+    cent = (
+        base.filter((F.col("id") % centroid_stride) == 0)
+        .orderBy("id")
+        .limit(nlist)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    cent_rows = [(int(r["cid"]), [float(x) for x in r["cv"]])
+                 for r in cent.collect()]
+    qv = [float(x) for x in query]
+
+    def py_sq_l2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)  # same left-fold order
+        return acc
+
+    probe = [
+        cid
+        for cid, _ in sorted(
+            ((cid, py_sq_l2(qv, cv)) for cid, cv in cent_rows),
+            key=lambda t: (t[1], t[0]),
+        )[:nprobe]
+    ]
+    grid = base.join(F.broadcast(cent)).withColumn(
+        "d", sq_l2(F.col("v"), F.col("cv"))
+    )
+    assigned = (
+        grid.groupBy("id", "v")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("id", "v", F.col("m.cid").alias("list_id"))
+    )
+    q = F.transform(vec_lit(query), lambda x: x.cast("double"))
+    return (
+        assigned.filter(F.col("list_id").isin(probe))
+        .select(F.col("id").alias(id_col),
+                cosine(F.col("v"), q).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -743,6 +743,76 @@ def similarity_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("cosine_sim"), "vec_id")
 
 
+def _ivf_crossengine_oracle(dim: int = 64, nlist: int = 16, nprobe: int = 4,
+                            stride: int = 29) -> str:
+    """The whole IVF pipeline replayed in SQL: deterministic strided
+    centroids, strict-left-fold squared-L2 assignment (ties to lower
+    centroid id), nprobe nearest lists, exact cosine ranking. Every
+    distance uses the same list_reduce fold as Spark's aggregate(zip_with)
+    so the argmin/probe decisions are bit-identical."""
+
+    def fold_sq(vec: str, cv: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"j -> ({vec}[j] - {cv}[j]) * ({vec}[j] - {cv}[j]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {nlist}
+),
+v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+grid AS (
+  SELECT v.id, v.v, cent.cid, {fold_sq('v.v', 'cent.cv')} AS d
+  FROM v, cent
+),
+assigned AS (
+  SELECT id, v, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM grid
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (
+  SELECT cent.cid, {fold_sq('q.qv', 'cent.cv')} AS d FROM cent, q
+),
+probe AS (SELECT cid FROM qd ORDER BY d, cid LIMIT {nprobe})
+SELECT a.id AS vec_id,
+  floor(list_dot_product(a.v, q.qv)
+    / (sqrt(list_dot_product(a.v, a.v))
+       * sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000
+    AS cosine_sim
+FROM assigned a JOIN probe p ON a.list_id = p.cid CROSS JOIN q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 20
+"""
+
+
+@query("similarity_ivf_crossengine", _ivf_crossengine_oracle())
+def similarity_ivf_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN under a HARD oracle: deterministic strided centroids make
+    the full bucket machinery (assignment argmin, probe-list pruning,
+    in-list cosine ranking) SQL-replayable value-for-value — the
+    differential check the KMeans IVF variants can't have. Production
+    keeps learned centroids (similarity_ivf_topk / _persisted)."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        ivf_topk_deterministic,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    topk = ivf_topk_deterministic(
+        emb, "embedding", "vec_id", qv, k=20, nlist=16, nprobe=4,
+        centroid_stride=29,
+    )
+    return topk.select(
+        "vec_id", stable_round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    ).orderBy(F.desc("cosine_sim"), "vec_id")
+
+
 @query("similarity_ivf_topk")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer, probe the 4 nearest of 16 inverted

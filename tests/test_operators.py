@@ -822,3 +822,38 @@ def test_simhash_crossengine_blocking_recall_equals_brute_force(spark, sf_dir):
         .collect()
     }
     assert blocked == brute
+
+
+def test_ivf_deterministic_full_probe_equals_brute_force(spark, sf_dir):
+    """Probing EVERY list makes deterministic-centroid IVF exhaustive, so
+    its top-k must equal brute force exactly; a partial probe keeps the
+    query's own vector (cosine 1.0) and stays a subset of the corpus."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_topk_deterministic,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    exact = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_cosine_topk(
+            emb, "embedding", "vec_id", qv, k=10
+        ).collect()
+    ]
+    full = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in ivf_topk_deterministic(
+            emb, "embedding", "vec_id", qv, k=10, nlist=16, nprobe=16
+        ).collect()
+    ]
+    assert full == exact
+    part = {
+        r.vec_id
+        for r in ivf_topk_deterministic(
+            emb, "embedding", "vec_id", qv, k=10, nlist=16, nprobe=4
+        ).collect()
+    }
+    assert emb.orderBy("vec_id").first()["vec_id"] in part
+    assert len(part) == 10
