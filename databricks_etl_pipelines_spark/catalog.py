@@ -87,6 +87,8 @@ PRIORITY: list[str] = [
     "curation_pack_concat_chunks",    # NEW r4: concat-then-chunk layout, hard oracle
     "curation_chunk_manifest",        # NEW r4: loader-side chunk manifest, hard oracle
     "similarity_ivf_crossengine",     # NEW r4: IVF bucket machinery, hard-verified
+    "similarity_batch_topk",          # NEW r4: batch retrieval, hard oracle
+    "curation_mixture_epoch_plan",    # NEW r4: mixture materialization, hard oracle
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

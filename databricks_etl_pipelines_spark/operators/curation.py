@@ -524,6 +524,96 @@ def domain_mixture_weights(
     )
 
 
+def mixture_epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    token_col: Column | str,
+    id_col: str,
+    target_shares: dict[str, float],
+    seed: int = 42,
+    max_epochs: int = 8,
+) -> DataFrame:
+    """Materialize mixture weights into an EPOCH PLAN — the step after
+    :func:`domain_mixture_weights` that actually emits the training rows:
+    a domain with repetition factor f sees each of its documents
+    floor(f) full epochs, plus one extra epoch for the deterministic-hash
+    fraction (f - floor(f)) of its documents. Output is one row per
+    (document, epoch): exactly the sampling-with-replacement schedule a
+    loader consumes, reproducible across runs, cluster sizes, and engines
+    (the fractional-epoch membership is the same cross-engine md5 rolling
+    hash as :func:`shard_assignment`, NOT a random draw).
+
+    f_g = (target_share_g * total_tokens) / group_tokens_g, capped at
+    ``max_epochs`` so a tiny domain cannot explode its repetition count
+    (the same guard as ``domain_mixture_weights``'s weight_cap).
+
+    Scale shape: one groupBy(group) token aggregate + a broadcast join of
+    the per-group plan (groups x 3 numbers) back onto the corpus, then an
+    output-bound explode — no shuffle of the fact rows at all.
+    """
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        tok.cast("bigint").alias("n_tokens"),
+    )
+    per_group = base.groupBy(group_col).agg(
+        F.sum("n_tokens").alias("__gtok")
+    )
+    totals = per_group.agg(F.sum("__gtok").alias("__ttok"))
+    target = None
+    for value, sh in target_shares.items():
+        branch = (
+            F.when(F.col(group_col) == value, F.lit(float(sh)))
+            if target is None
+            else target.when(F.col(group_col) == value, F.lit(float(sh)))
+        )
+        target = branch
+    target = target.otherwise(F.lit(0.0))
+    # op order pinned for oracle parity: (share * total) / group
+    f = (target * F.col("__ttok")) / F.col("__gtok")
+    plan = (
+        per_group.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            F.floor(f).cast("bigint").alias("__full"),
+            # explicit floor: Spark casts by truncation, DuckDB rounds
+            # half-even — floor() agrees everywhere
+            F.floor((f - F.floor(f)) * 1_000_000)
+            .cast("bigint")
+            .alias("__th"),
+        )
+    )
+    bucket = fingerprint_rolling(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    ) % 1_000_000
+    n_epochs = F.least(
+        F.col("__full")
+        + F.when(bucket < F.col("__th"), F.lit(1)).otherwise(F.lit(0)),
+        F.lit(int(max_epochs)),
+    )
+    return (
+        base.join(F.broadcast(plan), group_col)
+        .withColumn("n_epochs", n_epochs)
+        # sequence(0, -1) would yield a DESCENDING [0, -1] in Spark, not
+        # an empty array — excluded documents must be filtered, not
+        # exploded
+        .filter(F.col("n_epochs") > 0)
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_epochs") - 1).cast("int"))
+            ).alias("epoch"),
+        )
+    )
+
+
 def source_overlap(
     df: DataFrame,
     group_col: str,

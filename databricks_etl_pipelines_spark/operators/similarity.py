@@ -679,3 +679,58 @@ def ivf_topk_deterministic(
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def batch_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries_df: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 10,
+    round_sim: int | None = None,
+) -> DataFrame:
+    """Exact top-k per query for a BATCH of query vectors — the retrieval
+    shape serving/eval pipelines actually run (one query at a time wastes
+    a full corpus scan per query). One broadcast nested-loop join of the
+    corpus against the (small) query set, then a per-query window rank:
+    the corpus is scanned ONCE for the whole batch, and the intermediate
+    is |corpus| x |queries| scored rows — linear in the batch size, never
+    corpus x corpus. Ties break on corpus id. For query batches too large
+    to broadcast, shard the batch and union.
+
+    ``round_sim`` rounds the similarity BEFORE ranking (half-up at that
+    many digits) so an engine replaying the ranking from rounded values
+    (a SQL oracle, a downstream consumer of serialized scores) derives
+    identical ranks — ranking on raw doubles and rounding after would
+    let sub-epsilon raw differences reorder equal rounded scores.
+    """
+    from pyspark.sql import Window
+
+    corpus = df.select(
+        F.col(id_col).alias("__cid"), as_double_array(vec_col).alias("__cv")
+    )
+    qs = queries_df.select(
+        F.col(q_id_col).alias("query_id"),
+        as_double_array(q_vec_col).alias("__qv"),
+    )
+    sim = cosine(F.col("__cv"), F.col("__qv"))
+    if round_sim is not None:
+        from databricks_etl_pipelines_spark.functions.numeric import (
+            stable_round,
+        )
+
+        sim = stable_round(sim, round_sim)
+    scored = corpus.join(F.broadcast(qs)).select(
+        "query_id",
+        F.col("__cid").alias(id_col),
+        sim.alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

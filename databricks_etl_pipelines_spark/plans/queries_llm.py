@@ -743,6 +743,46 @@ def similarity_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("cosine_sim"), "vec_id")
 
 
+_BATCH_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 8
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    floor(list_dot_product(v.v, q.qv)
+      / (sqrt(list_dot_product(v.v, v.v))
+         * sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000
+      AS cosine_sim
+  FROM v, q
+)
+SELECT query_id, vec_id, cosine_sim,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@query("similarity_batch_topk", _BATCH_TOPK_ORACLE)
+def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: exact top-5 for EIGHT query vectors in one corpus
+    scan (broadcast the query set, per-query window rank) — the eval/
+    serving shape where per-query scans would cost 8x. Hard oracle: the
+    scored grid and ranking replay exactly in SQL."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        batch_cosine_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    return batch_cosine_topk(
+        emb, "embedding", "vec_id", qs, "vec_id", "embedding", k=5,
+        round_sim=6,
+    )
+
+
 def _ivf_crossengine_oracle(dim: int = 64, nlist: int = 16, nprobe: int = 4,
                             stride: int = 29) -> str:
     """The whole IVF pipeline replayed in SQL: deterministic strided

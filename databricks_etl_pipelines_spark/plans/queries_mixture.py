@@ -317,3 +317,69 @@ def streaming_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(share_b, 6).alias("token_share_b"),
         stable_round(share_b - share_a, 6).alias("share_delta"),
     )
+
+
+
+# Mixture materialization: one row per (document, epoch). The fractional
+# epoch picks documents by the same cross-engine md5 rolling hash as
+# curation_shard_assignment, so the oracle reproduces the exact schedule.
+_EPOCH_PLAN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens
+  FROM documents
+),
+a AS (
+  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS gtok FROM d GROUP BY lang
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ttok FROM d),
+g AS (
+  SELECT a.lang,
+    CAST(floor((0.2 * t.ttok) / a.gtok) AS BIGINT) AS full_epochs,
+    CAST(floor(((0.2 * t.ttok) / a.gtok
+                - floor((0.2 * t.ttok) / a.gtok)) * 1000000) AS BIGINT)
+      AS th
+  FROM a, t
+),
+db AS (
+  SELECT d.*,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5(CAST(doc_id AS VARCHAR) || ':42'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    ) % 1000000 AS bkt
+  FROM d
+),
+n AS (
+  SELECT db.doc_id, db.lang, db.n_tokens,
+    least(g.full_epochs + CASE WHEN db.bkt < g.th THEN 1 ELSE 0 END, 8)
+      AS n_epochs
+  FROM db JOIN g USING (lang)
+)
+SELECT doc_id, lang, n_tokens,
+  CAST(unnest(generate_series(0, CAST(n_epochs AS BIGINT) - 1)) AS INT)
+    AS epoch
+FROM n WHERE n_epochs > 0
+"""
+
+
+@query("curation_mixture_epoch_plan", _EPOCH_PLAN_ORACLE)
+def curation_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture schedule: resample the corpus to a uniform
+    20% token share per language — each doc repeats floor(f) epochs plus
+    a deterministic-hash fractional epoch. The step that turns DoReMi
+    weights (curation_mixture_weights) into actual loader rows; the
+    oracle replays the exact (doc, epoch) schedule."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        mixture_epoch_plan,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return mixture_epoch_plan(
+        docs, "lang", "n_tokens", "doc_id",
+        target_shares={k: 0.2 for k in ("en", "de", "fr", "es", "zh")},
+        seed=42, max_epochs=8,
+    )

@@ -251,3 +251,65 @@ def test_token_budget_bounded_rejects_non_numeric_priority(spark):
         token_budget_select_bounded(
             df, "source", "pri", "n_tokens", "doc_id", 25
         )
+
+
+def test_mixture_epoch_plan_schedule(spark):
+    """Planted two-domain corpus: big domain (800 of 1000 tokens) vs a
+    uniform 50% target -> f = 0.625: no full epoch, a hash-chosen subset
+    once; small domain f = 2.5: 2 full epochs + a hash-chosen third.
+    Epochs per doc form a dense 0..n-1 prefix, group totals match the
+    floor/fraction arithmetic, and the plan reproduces exactly."""
+    import collections
+
+    from databricks_etl_pipelines_spark.operators.curation import (
+        mixture_epoch_plan,
+    )
+
+    rows = [(i, "big", 8) for i in range(100)] + [
+        (i + 100, "small", 2) for i in range(100)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long"
+    )
+
+    def run():
+        return mixture_epoch_plan(
+            docs, "lang", "n_tokens", "doc_id",
+            target_shares={"big": 0.5, "small": 0.5}, seed=42, max_epochs=8,
+        ).collect()
+
+    got = run()
+    per_doc = collections.defaultdict(list)
+    for r in got:
+        per_doc[(r.doc_id, r.lang)].append(r.epoch)
+    for (_, _), es in per_doc.items():
+        assert sorted(es) == list(range(len(es)))
+    big = {d for d, g in per_doc if g == "big"}
+    small_counts = {d: len(per_doc[(d, "small")]) for d, g in per_doc
+                    if g == "small"}
+    # big: f = 0.625 -> every included doc exactly once, strict subset
+    assert all(len(per_doc[(d, "big")]) == 1 for d in big)
+    assert 0 < len(big) < 100
+    # small: f = 2.5 -> every doc 2 or 3 epochs, both kinds present
+    assert set(small_counts.values()) == {2, 3}
+    assert len(small_counts) == 100
+    # deterministic replay
+    assert sorted(map(tuple, got)) == sorted(map(tuple, run()))
+
+
+def test_mixture_epoch_plan_max_epochs_cap(spark):
+    """A tiny domain under a huge target share is capped at max_epochs."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        mixture_epoch_plan,
+    )
+
+    rows = [(0, "tiny", 1)] + [(i + 1, "big", 100) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long"
+    )
+    plan = mixture_epoch_plan(
+        docs, "lang", "n_tokens", "doc_id",
+        target_shares={"tiny": 0.5, "big": 0.5}, seed=42, max_epochs=4,
+    )
+    tiny = plan.filter("lang = 'tiny'").collect()
+    assert sorted(r.epoch for r in tiny) == [0, 1, 2, 3]

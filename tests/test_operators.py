@@ -857,3 +857,33 @@ def test_ivf_deterministic_full_probe_equals_brute_force(spark, sf_dir):
     }
     assert emb.orderBy("vec_id").first()["vec_id"] in part
     assert len(part) == 10
+
+
+def test_batch_cosine_topk_matches_per_query_brute_force(spark, sf_dir):
+    """The batched broadcast form returns, per query, exactly the single-
+    query brute-force top-k (same members, same rank order)."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        batch_cosine_topk,
+        brute_force_cosine_topk,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    batched = batch_cosine_topk(
+        emb, "embedding", "vec_id", qs, "vec_id", "embedding", k=5
+    ).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    assert set(by_q) == {0, 1, 2}
+    for r in qs.collect():
+        single = [
+            x.vec_id
+            for x in brute_force_cosine_topk(
+                emb, "embedding", "vec_id",
+                [float(v) for v in r.embedding], k=5,
+            ).collect()
+        ]
+        assert [v for _, v in sorted(by_q[r.vec_id])] == single
