@@ -42,6 +42,10 @@ HEADLINE = [
     "join_fuzzy_name_match",
     "curation_leakage_safe_split",
     "multimodal_decode_image_stats",
+    # round-4b additions: new hard-oracle surface
+    "curation_pack_concat_chunks",
+    "similarity_batch_topk",
+    "curation_mixture_epoch_plan",
 ]
 
 

@@ -221,3 +221,37 @@ def test_bmp_codec_round_trip_property(h, w, seed):
     back = bmp_decode(bmp_encode(rgb))
     assert back.shape == rgb.shape
     assert (back == rgb).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+             max_size=40),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=6),
+)
+def test_pack_concat_chunks_matches_serial_replay(spark, sizes, chunk, nparts):
+    """For any token-size sequence, chunk size, and partition count, the
+    distributed prefix-scan layout equals a serial Python replay."""
+    from databricks_etl_pipelines_spark.operators.packing import (
+        pack_concat_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(sizes)), "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.tok_start, r.chunk_start, r.chunk_end,
+                   r.n_chunks)
+        for r in pack_concat_chunks(
+            docs, "doc_id", "n_tokens", chunk_tokens=chunk,
+            n_partitions=nparts,
+        ).collect()
+    }
+    start = 0
+    for d, nt in enumerate(sizes):
+        cs = start // chunk
+        ce = (start + nt - 1) // chunk if nt else cs
+        assert got[d] == (nt, start, cs, ce, (ce - cs + 1) if nt else 0)
+        start += nt
+    assert len(got) == len(sizes)
