@@ -734,3 +734,114 @@ def batch_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_adc_topk_deterministic(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    centroid_stride: int = 29,
+    candidates: int = 50,
+) -> DataFrame:
+    """Product-quantization ADC search with DATA-DERIVED DETERMINISTIC
+    codebooks — the cross-engine-verifiable sibling of
+    :class:`PqIvfIndex` (whose learned KMeans codebooks cannot be
+    SQL-replayed).
+
+    Codebook for subspace s = the s-th subvector of the first ``ksub``
+    corpus vectors at a strided id rule (same rule as
+    :func:`ivf_topk_deterministic`). Encoding, the asymmetric-distance
+    lookup (Jégou et al. 2011), the candidate cut, and the exact cosine
+    re-rank are then the REAL PQ machinery, all replayable value-for-value:
+
+    * per-subspace argmin uses the strict left-fold squared L2 (ties to
+      the lower codeword id);
+    * the ADC approximation is the FIXED-ORDER sum qd_0 + qd_1 + ... of
+      the per-subspace query-to-codeword distances (a conditional pivot,
+      not an agg whose float addition order floats), so the candidate
+      ranking is bit-identical across engines;
+    * ``candidates`` survivors (by ADC asc, id) are re-ranked exactly.
+
+    Scale shape: codebooks are m x ksub tiny literals; encoding is an
+    explode-grid (rows x m x ksub) reduced by one hash aggregation —
+    stored codes would be uint8s, scanned instead of full vectors; the
+    ADC scan touches only codes + a broadcast lookup table.
+    """
+    dim = len(query)
+    sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    )
+    cent_rows = [
+        [float(x) for x in r["v"]]
+        for r in base.filter((F.col("id") % centroid_stride) == 0)
+        .orderBy("id")
+        .limit(ksub)
+        .collect()
+    ]
+    qv = [float(x) for x in query]
+
+    def py_sq_l2(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    # query-to-codeword lookup table, driver-side (m x ksub floats)
+    qtab = {
+        (s, c): py_sq_l2(
+            qv[s * sub:(s + 1) * sub], cw[s * sub:(s + 1) * sub]
+        )
+        for s in range(m)
+        for c, cw in enumerate(cent_rows)
+    }
+    spark = df.sparkSession
+    grid_rows = [
+        (s, c, cent_rows[c][s * sub:(s + 1) * sub], float(qtab[(s, c)]))
+        for s in range(m)
+        for c in range(len(cent_rows))
+    ]
+    cb = spark.createDataFrame(
+        grid_rows, "s int, c int, cw array<double>, qd double"
+    )
+    enc_grid = base.join(F.broadcast(cb)).withColumn(
+        "d",
+        sq_l2(
+            F.slice(F.col("v"), F.col("s") * sub + 1, sub), F.col("cw")
+        ),
+    )
+    codes = (
+        enc_grid.groupBy("id", "v", "s")
+        .agg(F.min(F.struct("d", "c", "qd")).alias("mn"))
+        .select("id", "v", "s", F.col("mn.qd").alias("qd"))
+    )
+    # fixed-order ADC sum: one conditional pivot per subspace, then an
+    # explicit left-to-right addition chain
+    pivoted = codes.groupBy("id", "v").agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("qd"))).alias(f"qd{s}")
+            for s in range(m)
+        ]
+    )
+    adc = F.col("qd0")
+    for s in range(1, m):
+        adc = adc + F.col(f"qd{s}")
+    cand = (
+        pivoted.withColumn("adc_dist", adc)
+        .orderBy("adc_dist", "id")
+        .limit(candidates)
+    )
+    q = F.transform(vec_lit(query), lambda x: x.cast("double"))
+    return (
+        cand.select(
+            F.col("id").alias(id_col),
+            F.col("adc_dist"),
+            cosine(F.col("v"), q).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -853,6 +853,101 @@ def similarity_ivf_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("cosine_sim"), "vec_id")
 
 
+def _pq_adc_crossengine_oracle(dim: int = 64, m: int = 4, ksub: int = 16,
+                               stride: int = 29, candidates: int = 50,
+                               k: int = 10) -> str:
+    """The full PQ-ADC pipeline replayed in SQL: strided deterministic
+    codebooks, per-subspace argmin encoding (strict fold, ties to the
+    lower codeword), fixed-order ADC sum, candidate cut, exact cosine
+    re-rank. Every float the ranking depends on is computed with the same
+    IEEE op order on both engines."""
+    sub = dim // m
+
+    def fold_sq(a: str, b: str, off: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {sub + 1}), "
+            f"j -> ({a}[{off} + j] - {b}[{off} + j]) "
+            f"* ({a}[{off} + j] - {b}[{off} + j]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    pivots = ",\n    ".join(
+        f"SUM(CASE WHEN s = {i} THEN qd END) AS qd{i}" for i in range(m)
+    )
+    adc = " + ".join(f"qd{i}" for i in range(m))
+    return f"""
+WITH cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {ksub}
+),
+v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sub AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS s),
+qd AS (
+  SELECT sub.s, cent.c, {fold_sq('q.qv', 'cent.cv', f'sub.s * {sub}')} AS qd
+  FROM sub, cent, q
+),
+enc AS (
+  SELECT v.id, v.v, sub.s, cent.c,
+    {fold_sq('v.v', 'cent.cv', f'sub.s * {sub}')} AS d
+  FROM v, sub, cent
+),
+code AS (
+  SELECT id, v, s, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+wq AS (
+  SELECT code.id, code.v, qd.s, qd.qd
+  FROM code JOIN qd ON code.s = qd.s AND code.c = qd.c
+),
+piv AS (
+  SELECT id, v,
+    {pivots}
+  FROM wq GROUP BY id, v
+),
+cand AS (
+  SELECT id, v, {adc} AS adc_dist FROM piv
+  ORDER BY adc_dist, id LIMIT {candidates}
+)
+SELECT cand.id AS vec_id,
+  floor(cand.adc_dist * 1000000 + 0.5) / 1000000 AS adc_dist,
+  floor(list_dot_product(cand.v, q.qv)
+    / (sqrt(list_dot_product(cand.v, cand.v))
+       * sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000
+    AS cosine_sim
+FROM cand, q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
+@query("similarity_pq_adc_crossengine", _pq_adc_crossengine_oracle())
+def similarity_pq_adc_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC under a HARD oracle: deterministic strided codebooks make
+    encoding, the asymmetric-distance lookup, the candidate cut, and the
+    exact re-rank SQL-replayable — the differential check the learned-
+    codebook PQ index (similarity_pq_ivf_topk) can't have."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        pq_adc_topk_deterministic,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    got = pq_adc_topk_deterministic(
+        emb, "embedding", "vec_id", qv, k=10, m=4, ksub=16,
+        centroid_stride=29, candidates=50,
+    )
+    return got.select(
+        "vec_id",
+        stable_round(F.col("adc_dist"), 6).alias("adc_dist"),
+        stable_round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+    ).orderBy(F.desc("cosine_sim"), "vec_id")
+
+
 @query("similarity_ivf_topk")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer, probe the 4 nearest of 16 inverted

@@ -887,3 +887,41 @@ def test_batch_cosine_topk_matches_per_query_brute_force(spark, sf_dir):
             ).collect()
         ]
         assert [v for _, v in sorted(by_q[r.vec_id])] == single
+
+
+def test_pq_adc_deterministic_full_candidates_equals_brute_force(spark, sf_dir):
+    """With the candidate cut widened to the whole corpus the exact
+    re-rank dominates, so deterministic-codebook PQ-ADC must return
+    brute force's top-k; the default narrow cut keeps the query vector
+    itself (ADC distance 0 to its own codes is not guaranteed, but the
+    re-rank's cosine 1.0 is) and decent overlap."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        pq_adc_topk_deterministic,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    exact = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_cosine_topk(
+            emb, "embedding", "vec_id", qv, k=10
+        ).collect()
+    ]
+    wide = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in pq_adc_topk_deterministic(
+            emb, "embedding", "vec_id", qv, k=10, candidates=n
+        ).collect()
+    ]
+    assert wide == exact
+    narrow = {
+        r.vec_id
+        for r in pq_adc_topk_deterministic(
+            emb, "embedding", "vec_id", qv, k=10, candidates=50
+        ).collect()
+    }
+    assert emb.orderBy("vec_id").first()["vec_id"] in narrow
+    assert len(narrow & {v for v, _ in exact}) >= 3
