@@ -90,6 +90,7 @@ PRIORITY: list[str] = [
     "similarity_batch_topk",          # NEW r4: batch retrieval, hard oracle
     "curation_mixture_epoch_plan",    # NEW r4: mixture materialization, hard oracle
     "similarity_pq_adc_crossengine",  # NEW r4: PQ-ADC machinery, hard-verified
+    "dedup_semdedup_crossengine",     # NEW r4: SemDeDup blocking, hard-verified
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

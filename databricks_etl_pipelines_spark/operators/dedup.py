@@ -881,3 +881,57 @@ def semantic_dedup_pairs(
         .select("id_a", "id_b", "cluster_id", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dedup_pairs_deterministic(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.3,
+    n_clusters: int = 16,
+    centroid_stride: int = 29,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup pairs with a DETERMINISTIC coarse quantizer — the
+    cross-engine-verifiable sibling of :func:`semantic_dedup_pairs`
+    (whose KMeans centroids are seeded engine state). Blocking quality is
+    below learned clusters (centroids are strided corpus points), which
+    only costs RECALL of the blocking stage — the within-cluster cosine
+    stage is exact either way, and here every cluster assignment and
+    every pair decision replays value-for-value in SQL.
+
+    The threshold compares the ROUNDED cosine (stable half-up at
+    ``round_digits``), so a sub-ulp fold-order difference between engines
+    cannot flip membership at the boundary.
+
+    Scale shape: one broadcast assignment (grid + hash agg, zero fact
+    shuffles) + a per-cluster self-join — the same bucketed-join skeleton
+    as the sign-blocked cosine pairs, with data-placed buckets.
+    """
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+    from databricks_etl_pipelines_spark.functions.vectors import cosine
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        assign_deterministic_lists,
+    )
+
+    _, assigned, _ = assign_deterministic_lists(
+        df, vec_col, id_col, nlist=n_clusters,
+        centroid_stride=centroid_stride,
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("__va"),
+        F.col("list_id").alias("cluster_id"),
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("__vb"),
+        F.col("list_id").alias("cluster_id"),
+    )
+    sim = stable_round(
+        cosine(F.col("__va"), F.col("__vb")), round_digits
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cluster_id", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -603,6 +603,41 @@ def sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+def assign_deterministic_lists(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nlist: int = 16,
+    centroid_stride: int = 29,
+) -> tuple[DataFrame, DataFrame, list[tuple[int, list[float]]]]:
+    """Shared coarse quantizer for the cross-engine-verifiable ANN/dedup
+    variants: centroids are the first ``nlist`` corpus vectors at a
+    strided id rule, every vector goes to its nearest centroid by the
+    strict-left-fold squared L2 (ties to the lower centroid id) via
+    explode-grid + groupBy min(struct). Returns (base(id, v),
+    assignments(id, v, list_id), collected [(cid, centroid)] rows)."""
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    )
+    cent = (
+        base.filter((F.col("id") % centroid_stride) == 0)
+        .orderBy("id")
+        .limit(nlist)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    cent_rows = [(int(r["cid"]), [float(x) for x in r["cv"]])
+                 for r in cent.collect()]
+    grid = base.join(F.broadcast(cent)).withColumn(
+        "d", sq_l2(F.col("v"), F.col("cv"))
+    )
+    assigned = (
+        grid.groupBy("id", "v")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("id", "v", F.col("m.cid").alias("list_id"))
+    )
+    return base, assigned, cent_rows
+
+
 def ivf_topk_deterministic(
     df: DataFrame,
     vec_col: str,
@@ -637,17 +672,9 @@ def ivf_topk_deterministic(
     the driver over the collected 16-row centroid frame (bounded, like the
     PQ codebook fit).
     """
-    base = df.select(
-        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    base, assigned, cent_rows = assign_deterministic_lists(
+        df, vec_col, id_col, nlist=nlist, centroid_stride=centroid_stride
     )
-    cent = (
-        base.filter((F.col("id") % centroid_stride) == 0)
-        .orderBy("id")
-        .limit(nlist)
-        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
-    )
-    cent_rows = [(int(r["cid"]), [float(x) for x in r["cv"]])
-                 for r in cent.collect()]
     qv = [float(x) for x in query]
 
     def py_sq_l2(a: list[float], b: list[float]) -> float:
@@ -663,14 +690,6 @@ def ivf_topk_deterministic(
             key=lambda t: (t[1], t[0]),
         )[:nprobe]
     ]
-    grid = base.join(F.broadcast(cent)).withColumn(
-        "d", sq_l2(F.col("v"), F.col("cv"))
-    )
-    assigned = (
-        grid.groupBy("id", "v")
-        .agg(F.min(F.struct("d", "cid")).alias("m"))
-        .select("id", "v", F.col("m.cid").alias("list_id"))
-    )
     q = F.transform(vec_lit(query), lambda x: x.cast("double"))
     return (
         assigned.filter(F.col("list_id").isin(probe))

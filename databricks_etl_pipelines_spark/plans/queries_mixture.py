@@ -195,6 +195,70 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+
+def _semdedup_crossengine_oracle(dim: int = 64, nlist: int = 16,
+                                 stride: int = 29,
+                                 threshold: float = 0.3) -> str:
+    """Assignment replayed with the strict-fold squared L2 (ties to the
+    lower centroid id), then the per-cluster pair scan with the ROUNDED
+    cosine compared against the threshold on both engines."""
+
+    def fold_sq(vec: str, cv: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"j -> ({vec}[j] - {cv}[j]) * ({vec}[j] - {cv}[j]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {nlist}
+),
+v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+grid AS (
+  SELECT v.id, v.v, cent.cid, {fold_sq('v.v', 'cent.cv')} AS d
+  FROM v, cent
+),
+assigned AS (
+  SELECT id, v, cid AS cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM grid
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.cluster_id,
+    floor(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) * 1000000 + 0.5) / 1000000
+      AS cosine_sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.id < b.id
+)
+SELECT id_a, id_b, cluster_id, cosine_sim
+FROM pairs WHERE cosine_sim >= {threshold}
+"""
+
+
+@query("dedup_semdedup_crossengine", _semdedup_crossengine_oracle())
+def dedup_semdedup_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under a HARD oracle: deterministic strided centroids make
+    the cluster blocking + within-cluster cosine pair scan SQL-replayable
+    value-for-value — the differential check the KMeans variant
+    (dedup_semantic_clusters) can't have. Same 0.3 threshold rationale:
+    the synthetic embeddings are near-uniform, a production 0.95 bar
+    would return zero rows and prove nothing."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        semantic_dedup_pairs_deterministic,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs_deterministic(
+        emb, "embedding", "vec_id", threshold=0.3, n_clusters=16,
+        centroid_stride=29,
+    )
+
 # -- corpus drift between snapshots -------------------------------------------
 
 _DRIFT_ORACLE = f"""

@@ -925,3 +925,40 @@ def test_pq_adc_deterministic_full_candidates_equals_brute_force(spark, sf_dir):
     }
     assert emb.orderBy("vec_id").first()["vec_id"] in narrow
     assert len(narrow & {v for v, _ in exact}) >= 3
+
+
+def test_semdedup_deterministic_pairs_subset_of_brute_force(spark, sf_dir):
+    """Deterministic-centroid SemDeDup pairs are a subset of the brute-
+    force cosine pairs at the same threshold (blocking only loses
+    cross-cluster pairs, never invents one), non-vacuous, and with
+    n_clusters=1 the blocked scan IS brute force."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        semantic_dedup_pairs_deterministic,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs_deterministic(
+            emb, "embedding", "vec_id", threshold=0.3, n_clusters=16
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            emb, "embedding", "vec_id", threshold=0.3, sign_bits=0
+        ).collect()
+    }
+    assert blocked
+    assert blocked <= brute
+    single = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs_deterministic(
+            emb, "embedding", "vec_id", threshold=0.3, n_clusters=1
+        ).collect()
+    }
+    assert single == brute
