@@ -864,3 +864,98 @@ def pq_adc_topk_deterministic(
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def hash_embed_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing text embedder (the 'hashing trick', Weinberger et
+    al. 2009): every token hashes to one of ``dim`` buckets with a ±1
+    sign, and a document's embedding is the per-bucket signed token
+    count. Returned SPARSE as (id, bucket, val) rows with INTEGER values
+    — keeping the representation integer-exact makes every downstream
+    dot product / norm an exact BIGINT sum, so similarity scores admit
+    bit-identical cross-engine replay (no float accumulation order
+    anywhere until one final division).
+
+    Token hash = the cross-engine md5 rolling hash (same family as
+    shard_assignment): bucket = h mod dim, sign = bit 0 of (h div dim).
+
+    Scale shape: explode tokens → one hash aggregation on (id, bucket).
+    Sparse beats dense at 100 TB: a doc touches ≤ its token count of
+    buckets, and the retrieval join below only moves touched buckets.
+    """
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+        tokens,
+    )
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("__t"),
+    )
+    h = fingerprint_rolling(F.md5(F.col("__t")))
+    sign = (F.floor(h / dim).cast("bigint") % 2) * 2 - 1
+    return (
+        tok.withColumn("bucket", (h % dim).cast("int"))
+        .withColumn("__sgn", sign.cast("bigint"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("__sgn").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def hash_embed_cosine_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_id,
+    k: int = 10,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """End-to-end text retrieval on the feature-hashed embeddings: cosine
+    top-k against the document ``query_id``, computed RELATIONALLY on the
+    sparse rows — dot products and squared norms are exact BIGINT sums of
+    integer products (one bucket equi-join, no arrays, no float
+    accumulation), with a single stable-rounded double division at the
+    end. The query document itself is excluded from the result.
+
+    Scale shape: norms are one self-aggregate; the query's ≤``dim``
+    bucket rows broadcast onto the corpus rows; candidates are only
+    documents sharing ≥1 bucket with the query (cosine 0 otherwise).
+    """
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+
+    emb = hash_embed_buckets(df, text_col, id_col, dim=dim).persist()
+    norms = emb.groupBy("id").agg(
+        F.sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    q = emb.filter(F.col("id") == query_id).select(
+        "bucket", F.col("val").alias("qval")
+    )
+    qn = norms.filter(F.col("id") == query_id).select(
+        F.col("n2").alias("qn2")
+    )
+    dots = (
+        emb.filter(F.col("id") != query_id)
+        .join(F.broadcast(q), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    sim = stable_round(
+        F.col("dot")
+        / (F.sqrt(F.col("n2").cast("double"))
+           * F.sqrt(F.col("qn2").cast("double"))),
+        round_digits,
+    )
+    return (
+        dots.join(norms, "id")
+        .crossJoin(F.broadcast(qn))
+        .select(F.col("id").alias(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -1753,6 +1753,76 @@ def curation_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_manifest(layout)
 
 
+# Feature-hashing text embedder: integer-exact sparse embeddings, so the
+# whole text -> vector -> retrieval pipeline replays bit-for-bit in SQL
+# (dot products and norms are BIGINT sums; one rounded division at the end).
+_HASH_EMBED_CTE = f"""WITH tok AS (
+  SELECT doc_id AS id, unnest({_SQL_TOKS}) AS t FROM documents
+),
+hv AS (SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(md5(t), '.'), c -> CAST(ord(c) AS BIGINT))), (acc, c) -> (acc * 257 + c) % 2147483647) AS h FROM tok),
+e AS (
+  SELECT id, CAST(h % 64 AS INT) AS bucket,
+    (CAST(floor(h / 64) AS BIGINT) % 2) * 2 - 1 AS sgn
+  FROM hv
+),
+emb AS (
+  SELECT id, bucket, CAST(sum(sgn) AS BIGINT) AS val
+  FROM e GROUP BY id, bucket HAVING sum(sgn) <> 0
+)"""
+
+_HASH_EMBED_ORACLE = _HASH_EMBED_CTE + """
+SELECT id AS doc_id, bucket, val FROM emb
+"""
+
+
+@query("text_hash_embeddings", _HASH_EMBED_ORACLE)
+def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings as sparse integer (doc, bucket,
+    val) rows — integer-exact by construction, so the oracle replays
+    every signed bucket count."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        hash_embed_buckets,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = hash_embed_buckets(docs, "text", "doc_id", dim=64)
+    return out.select(F.col("id").alias("doc_id"), "bucket", "val")
+
+
+_HASH_TOPK_ORACLE = _HASH_EMBED_CTE + """,
+norms AS (
+  SELECT id, CAST(sum(val * val) AS BIGINT) AS n2 FROM emb GROUP BY id
+),
+q AS (SELECT bucket, val AS qval FROM emb WHERE id = 0),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE id = 0),
+dots AS (
+  SELECT e.id, CAST(sum(e.val * q.qval) AS BIGINT) AS dot
+  FROM emb e JOIN q USING (bucket) WHERE e.id <> 0 GROUP BY e.id
+)
+SELECT dots.id AS doc_id,
+  floor(dot / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE)))
+        * 1000000 + 0.5) / 1000000 AS cosine_sim
+FROM dots JOIN norms n ON dots.id = n.id CROSS JOIN qn
+ORDER BY cosine_sim DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("similarity_text_hash_topk", _HASH_TOPK_ORACLE)
+def similarity_text_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text retrieval: feature-hash the corpus, then cosine
+    top-20 neighbors of document 0 computed relationally on the sparse
+    integer rows — embeddings, similarities, and ranking all replay
+    exactly in SQL (the scores are exact-integer ratios)."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        hash_embed_cosine_topk,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = hash_embed_cosine_topk(docs, "text", "doc_id", query_id=0, k=20)
+    return out
+
+
 _TFIDF_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents

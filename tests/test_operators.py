@@ -962,3 +962,37 @@ def test_semdedup_deterministic_pairs_subset_of_brute_force(spark, sf_dir):
         ).collect()
     }
     assert single == brute
+
+
+def test_hash_embed_integer_exact_and_retrieval_sane(spark):
+    """Feature-hash embeddings on a planted corpus: duplicate texts get
+    identical sparse rows and cosine 1.0 to each other; a disjoint-token
+    doc shares no bucket mass with high similarity; values are integers
+    and the embedder is reproducible."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        hash_embed_buckets,
+        hash_embed_cosine_topk,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),   # exact dup of 0
+        (2, "alpha beta gamma delta other words"),    # partial overlap
+        (3, "completely different tokens entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hash_embed_buckets(docs, "text", "doc_id").collect()
+    by_doc = {}
+    for r in emb:
+        assert isinstance(r.val, int)
+        by_doc.setdefault(r.id, {})[r.bucket] = r.val
+    assert by_doc[0] == by_doc[1]
+    topk = hash_embed_cosine_topk(
+        docs, "text", "doc_id", query_id=0, k=3
+    ).collect()
+    ranked = [(r.doc_id, r.cosine_sim) for r in topk]
+    assert ranked[0] == (1, 1.0)                 # the dup, exactly 1.0
+    assert ranked[1][0] == 2                     # partial overlap next
+    assert all(r[1] <= 1.0 for r in ranked)
+    again = hash_embed_buckets(docs, "text", "doc_id").collect()
+    assert sorted(map(tuple, emb)) == sorted(map(tuple, again))
