@@ -150,17 +150,23 @@ def pack_concat_chunks(
     Returns (``id_col``, n_tokens, tok_start, chunk_start, chunk_end,
     n_chunks); zero-token documents get n_chunks = 0.
 
-    Scale shape — a textbook distributed prefix scan, no global window:
-    (1) range-repartition on ``id_col`` so partitions hold contiguous id
-    ranges; (2) one tiny per-partition token-sum aggregate (one row per
-    partition) is collected and prefix-summed on the driver — bounded by
-    the partition count, never by the data, the same bounded-collect
-    contract as the managed table's bucket-id lists; (3) each partition
-    computes its local running sum under an in-partition window and adds
-    its broadcast base offset. The result is independent of the sampled
-    range boundaries (contiguous ranges make every prefix identical), so
-    the layout is deterministic for any ``n_partitions``.
+    Scale shape — a textbook distributed prefix scan with ONE exchange:
+    (1) range-repartition + in-partition sort on ``id_col`` so partitions
+    hold contiguous sorted id ranges; (2) one tiny per-partition
+    token-sum aggregate (one row per partition) is collected and
+    prefix-summed on the driver — bounded by the partition count, never
+    by the data, the same bounded-collect contract as the managed table's
+    bucket-id lists; (3) an Arrow ``mapInPandas`` adds each partition's
+    broadcast base offset to a partition-local numpy cumsum. A
+    ``Window.partitionBy(spark_partition_id())`` would compute the same
+    thing but re-shuffle every row by pid hash (Catalyst cannot know pid
+    is partition-local); the mapInPandas form provably cannot shuffle.
+    The result is independent of the sampled range boundaries (contiguous
+    ranges make every prefix identical), so the layout is deterministic
+    for any ``n_partitions``.
     """
+    import numpy as np
+
     n = int(
         n_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -171,6 +177,7 @@ def pack_concat_chunks(
             F.col(n_tokens_col).cast("bigint").alias("__nt"),
         )
         .repartitionByRange(n, F.col(id_col))
+        .sortWithinPartitions(id_col)
         .withColumn("__pid", F.spark_partition_id())
     )
     # persist is load-bearing: repartitionByRange SAMPLES its boundaries,
@@ -186,48 +193,43 @@ def pack_concat_chunks(
     for pid in sorted(part_sums):
         offsets[pid] = base
         base += int(part_sums[pid])
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    out_schema = (
+        f"{id_col} {dict(df.dtypes)[id_col]}, n_tokens bigint, "
+        "tok_start bigint, chunk_start bigint, chunk_end bigint, "
+        "n_chunks bigint"
     )
-    laid = (
-        work.withColumn(
-            "tok_start",
-            offset_map[F.col("__pid")]
-            + F.coalesce(F.sum("__nt").over(w), F.lit(0)),
-        )
-        # integer div, not floor(double/..): exact past 2^53 tokens
-        .withColumn("chunk_start", F.expr(f"tok_start div {int(chunk_tokens)}"))
-        .withColumn(
-            "chunk_end",
-            F.when(
-                F.col("__nt") > 0,
-                F.col("tok_start") + F.col("__nt") - 1,
-            ).otherwise(F.col("tok_start")),
-        )
-        .withColumn("chunk_end", F.expr(f"chunk_end div {int(chunk_tokens)}"))
-        .withColumn(
-            "n_chunks",
-            F.when(
-                F.col("__nt") > 0,
-                F.col("chunk_end") - F.col("chunk_start") + 1,
-            ).otherwise(F.lit(0)),
-        )
-    )
-    return laid.select(
-        id_col,
-        F.col("__nt").alias("n_tokens"),
-        "tok_start",
-        "chunk_start",
-        "chunk_end",
-        "n_chunks",
-    )
+    c = int(chunk_tokens)
+
+    def scan(batches):
+        # only the running offset crosses Arrow batches: memory stays one
+        # batch regardless of partition size (rows arrive id-sorted)
+        running = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if running is None:
+                running = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            nt = pdf["__nt"].to_numpy(dtype="int64")
+            starts = running + np.concatenate(
+                ([0], np.cumsum(nt[:-1], dtype="int64"))
+            )
+            running = int(starts[-1] + nt[-1])
+            cs = starts // c
+            ce = np.where(nt > 0, (starts + nt - 1) // c, cs)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_tokens": nt,
+                    "tok_start": starts,
+                    "chunk_start": cs,
+                    "chunk_end": ce,
+                    "n_chunks": np.where(nt > 0, ce - cs + 1, 0),
+                }
+            )
+            yield out
+
+    return work.mapInPandas(scan, out_schema)
 
 
 def chunk_manifest(layout: DataFrame) -> DataFrame:
