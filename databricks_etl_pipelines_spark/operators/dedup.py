@@ -268,37 +268,17 @@ def minhash_lsh_dedup_pairs(
     )
 
 
-def minhash_crossengine_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_perm: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-    shingle_k: int = 3,
-    max_bucket: int = 200,
+def xengine_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs with a CROSS-ENGINE hash family.
-
-    Identical pipeline to :func:`minhash_lsh_dedup_pairs` — signature →
-    banding → bucket-size cap → equi-join candidates → exact-Jaccard
-    verify — but the permutation hash is ``KarpRabin(md5(i || ':' ||
-    shingle))`` instead of ``xxhash64``, and band keys are the signature
-    slices themselves (comma-joined). Every step is then expressible in
-    ANSI SQL, so a DuckDB oracle can replay the ENTIRE banded pipeline
-    value-for-value — upgrading the LSH machinery from a rows-only check
-    to a hard differential one. The xxhash64 family stays the production
-    default (JVM-codegen long hashing, no string materialization); this
-    variant exists to prove the machinery, at a deliberately smaller
-    num_perm to bound the md5 cost.
-    """
+    """(id, sh: array<string>) persisted STRING shingle sets for the
+    cross-engine md5+Karp-Rabin family (the permutation hash needs the
+    original shingle text, unlike the xxhash64 family's long sets)."""
     from databricks_etl_pipelines_spark.functions.textfns import (
         distinct_shingles,
-        fingerprint_rolling,
     )
 
-    rows_per_band = num_perm // bands
-    sh = (
+    return (
         _spread_input(df)
         .select(
             F.col(id_col).alias("id"),
@@ -307,13 +287,25 @@ def minhash_crossengine_pairs(
         .persist()
     )
 
-    # Signatures via explode → (shingle × permutation) grid → groupBy min,
-    # NOT num_perm nested array_min(transform(...)) expressions per row:
-    # the nested form costs ~25 s of whole-stage-codegen COMPILATION for
-    # 16 permutations (one giant expression tree), while this shape
-    # compiles one small hash expression and scales out as an ordinary
-    # map + partial-agg shuffle of (id, i, hash) rows.
-    grid = sh.select("id", F.explode("sh").alias("s")).select(
+
+def xengine_band_buckets(
+    shingle_sets: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band_id, band_hash: string) for the cross-engine family.
+
+    Signatures via explode → (shingle × permutation) grid → groupBy min,
+    NOT num_perm nested array_min(transform(...)) expressions per row:
+    the nested form costs ~25 s of whole-stage-codegen COMPILATION for
+    16 permutations (one giant expression tree), while this shape
+    compiles one small hash expression and scales out as an ordinary
+    map + partial-agg shuffle of (id, i, hash) rows. Band keys are the
+    comma-joined signature slices (SQL-replayable, unlike xxhash64)."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    rows_per_band = num_perm // bands
+    grid = shingle_sets.select("id", F.explode("sh").alias("s")).select(
         "id",
         "s",
         F.explode(
@@ -343,26 +335,54 @@ def minhash_crossengine_pairs(
                         ).cast("string")
                         for j in range(rows_per_band)
                     ],
-                ).alias("band_key"),
+                ).alias("band_hash"),
             )
             for b in range(bands)
         ]
     )
-    buckets = sigs.select("id", F.explode(band_structs).alias("band")).select(
-        "id", "band.band_id", "band.band_key"
-    )
-    sizes = buckets.groupBy("band_id", "band_key").agg(
+    return sigs.select(
+        "id", F.explode(band_structs).alias("band")
+    ).select("id", "band.band_id", "band.band_hash")
+
+
+def minhash_crossengine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a CROSS-ENGINE hash family.
+
+    Identical pipeline to :func:`minhash_lsh_dedup_pairs` — signature →
+    banding → bucket-size cap → equi-join candidates → exact-Jaccard
+    verify — but the permutation hash is ``KarpRabin(md5(i || ':' ||
+    shingle))`` instead of ``xxhash64``, and band keys are the signature
+    slices themselves (comma-joined). Every step is then expressible in
+    ANSI SQL, so a DuckDB oracle can replay the ENTIRE banded pipeline
+    value-for-value — upgrading the LSH machinery from a rows-only check
+    to a hard differential one. The xxhash64 family stays the production
+    default (JVM-codegen long hashing, no string materialization); this
+    variant exists to prove the machinery, at a deliberately smaller
+    num_perm to bound the md5 cost.
+    """
+    sh = xengine_shingle_sets(df, text_col, id_col, shingle_k)
+    buckets = xengine_band_buckets(sh, num_perm, bands)
+    sizes = buckets.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
     bounded = buckets.join(
         sizes.filter(F.col("bucket_n") <= max_bucket),
-        ["band_id", "band_key"],
-    ).select("id", "band_id", "band_key")
+        ["band_id", "band_hash"],
+    ).select("id", "band_id", "band_hash")
     cands = (
         bounded.withColumnRenamed("id", "id_a")
         .join(
             bounded.withColumnRenamed("id", "id_b"),
-            ["band_id", "band_key"],
+            ["band_id", "band_hash"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
@@ -431,6 +451,12 @@ class MinHashCorpusIndex:
         with open(self._meta_path(self.root)) as f:
             return json.load(f)
 
+    @staticmethod
+    def _shingle(df, text_col, id_col, shingle_k, family):
+        if family == "crossengine":
+            return xengine_shingle_sets(df, text_col, id_col, shingle_k)
+        return _hashed_shingle_sets(df, text_col, id_col, shingle_k)
+
     @classmethod
     def build(
         cls,
@@ -441,18 +467,24 @@ class MinHashCorpusIndex:
         num_perm: int = 32,
         bands: int = 8,
         shingle_k: int = 3,
+        family: str = "xxhash64",
     ) -> "MinHashCorpusIndex":
+        """``family``: "xxhash64" (production default — JVM long hashing)
+        or "crossengine" (md5+Karp-Rabin over string shingles, slower but
+        SQL-replayable, so the whole incremental screening path admits a
+        hard differential oracle)."""
         import json
         import os
 
         idx = cls(root)
-        sh = _hashed_shingle_sets(corpus, text_col, id_col, shingle_k)
+        sh = cls._shingle(corpus, text_col, id_col, shingle_k, family)
         idx._write(corpus.sparkSession, sh, num_perm, bands, shingle_k,
-                   mode="overwrite")
+                   mode="overwrite", family=family)
         os.makedirs(root, exist_ok=True)
         with open(cls._meta_path(root), "w") as f:
             json.dump(
-                {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+                {"num_perm": num_perm, "bands": bands,
+                 "shingle_k": shingle_k, "family": family},
                 f,
             )
         sh.unpersist()
@@ -466,13 +498,17 @@ class MinHashCorpusIndex:
         bands: int,
         shingle_k: int,
         mode: str,
+        family: str = "xxhash64",
     ) -> None:
         import os
 
-        sigs = minhash_signature(
-            None, "", "", num_perm, shingle_k, hashed_sets=hashed_sets
-        )
-        buckets = _band_buckets(sigs, bands, num_perm // bands)
+        if family == "crossengine":
+            buckets = xengine_band_buckets(hashed_sets, num_perm, bands)
+        else:
+            sigs = minhash_signature(
+                None, "", "", num_perm, shingle_k, hashed_sets=hashed_sets
+            )
+            buckets = _band_buckets(sigs, bands, num_perm // bands)
         (
             buckets.repartition(bands, "band_id")
             .write.mode(mode)
@@ -497,16 +533,22 @@ class MinHashCorpusIndex:
         import os
 
         meta = self._meta()
-        new_sh = _hashed_shingle_sets(
-            new_docs, text_col, id_col, meta["shingle_k"]
+        family = meta.get("family", "xxhash64")
+        new_sh = self._shingle(
+            new_docs, text_col, id_col, meta["shingle_k"], family
         )
-        new_sigs = minhash_signature(
-            None, "", "", meta["num_perm"], meta["shingle_k"],
-            hashed_sets=new_sh,
-        )
-        new_buckets = _band_buckets(
-            new_sigs, meta["bands"], meta["num_perm"] // meta["bands"]
-        ).withColumnRenamed("id", "new_id")
+        if family == "crossengine":
+            new_buckets = xengine_band_buckets(
+                new_sh, meta["num_perm"], meta["bands"]
+            ).withColumnRenamed("id", "new_id")
+        else:
+            new_sigs = minhash_signature(
+                None, "", "", meta["num_perm"], meta["shingle_k"],
+                hashed_sets=new_sh,
+            )
+            new_buckets = _band_buckets(
+                new_sigs, meta["bands"], meta["num_perm"] // meta["bands"]
+            ).withColumnRenamed("id", "new_id")
 
         corpus_buckets = spark.read.parquet(
             os.path.join(self.root, self.BANDS)
@@ -545,10 +587,13 @@ class MinHashCorpusIndex:
     ) -> None:
         """Index the new batch's docs so later batches screen against them."""
         meta = self._meta()
-        sh = _hashed_shingle_sets(new_docs, text_col, id_col, meta["shingle_k"])
+        family = meta.get("family", "xxhash64")
+        sh = self._shingle(
+            new_docs, text_col, id_col, meta["shingle_k"], family
+        )
         self._write(
             spark, sh, meta["num_perm"], meta["bands"], meta["shingle_k"],
-            mode="append",
+            mode="append", family=family,
         )
         sh.unpersist()
 

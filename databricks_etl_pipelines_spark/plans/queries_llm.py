@@ -375,6 +375,78 @@ def dedup_minhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Incremental screening under the same cross-engine family: corpus = even
+# doc_ids (persisted index), batch = odd doc_ids. The bucket-size cap is
+# computed over CORPUS buckets only (exactly what match_new does) and
+# candidates are (batch x corpus) band collisions.
+_INCR_XENGINE_ORACLE = f"""
+WITH xsrc AS (SELECT doc_id AS id, text FROM documents),
+mh_sh AS (
+  SELECT id, {_SQL_SHINGLES3} AS sh FROM xsrc
+),
+mh_hs AS (
+  SELECT id, i,
+    list_min(list_transform(sh, s -> {_SQL_PERM_HASH})) AS sig
+  FROM mh_sh, (SELECT unnest(range(16)) AS i) AS perms
+),
+mh_bands AS (
+  SELECT id, CAST(i // 4 AS INT) AS band_id,
+    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM mh_hs GROUP BY id, i // 4
+),
+mh_ok AS (
+  SELECT band_id, band_key FROM mh_bands WHERE id % 2 = 0
+  GROUP BY band_id, band_key HAVING count(*) <= 200
+),
+mh_cand AS (
+  SELECT DISTINCT b.id AS new_id, a.id AS corpus_id
+  FROM mh_bands a
+  JOIN mh_ok USING (band_id, band_key)
+  JOIN mh_bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.id % 2 = 0 AND b.id % 2 = 1
+),
+mh_pairs AS (
+  SELECT new_id, corpus_id,
+    len(list_intersect(sa.sh, sb.sh)) * 1.0
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+  FROM mh_cand
+  JOIN mh_sh sb ON sb.id = mh_cand.new_id
+  JOIN mh_sh sa ON sa.id = mh_cand.corpus_id
+  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+)
+SELECT new_id, corpus_id, {sql_stable_round('jaccard', 6)} AS jaccard
+FROM mh_pairs
+"""
+
+_MH_XIDX_CACHE: dict[str, MinHashCorpusIndex] = {}
+
+
+@query("dedup_incremental_crossengine", _INCR_XENGINE_ORACLE)
+def dedup_incremental_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL screening path under a HARD oracle: a persisted
+    MinHashCorpusIndex built with the cross-engine family over the even-id
+    corpus, odd-id batch screened via match_new — band persistence, the
+    corpus-side bucket cap, the asymmetric candidate join, and exact
+    verify all replay value-for-value in SQL. The xxhash64-family twin
+    (dedup_incremental_corpus) stays the production default."""
+    docs = table(spark, sf_dir, "documents")
+    idx = _MH_XIDX_CACHE.get(sf_dir)
+    if idx is None:
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        idx = MinHashCorpusIndex.build(
+            corpus, "text", "doc_id", scratch_dir("mh_xcorpus_"),
+            num_perm=16, bands=4, shingle_k=3, family="crossengine",
+        )
+        _MH_XIDX_CACHE[sf_dir] = idx
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = idx.match_new(spark, batch, "text", "doc_id", threshold=0.5)
+    return out.select(
+        "new_id", "corpus_id",
+        stable_round(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
 # -- cross-engine SimHash (per-bit vote + pigeonhole blocking, hard-verified) ------
 
 def _sql_rolling_md5(prefix: str) -> str:

@@ -996,3 +996,44 @@ def test_hash_embed_integer_exact_and_retrieval_sane(spark):
     assert all(r[1] <= 1.0 for r in ranked)
     again = hash_embed_buckets(docs, "text", "doc_id").collect()
     assert sorted(map(tuple, emb)) == sorted(map(tuple, again))
+
+
+def test_crossengine_corpus_index_matches_batch_pipeline(spark, sf_dir, tmp_path):
+    """The crossengine-family persisted index screening equals the batch
+    crossengine pair pipeline restricted to (corpus, batch) pairs — the
+    incremental path loses nothing vs recomputing from scratch."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        MinHashCorpusIndex,
+        minhash_crossengine_pairs,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = MinHashCorpusIndex.build(
+        corpus, "text", "doc_id", str(tmp_path / "xidx"),
+        num_perm=16, bands=4, shingle_k=3, family="crossengine",
+    )
+    incr = {
+        (r.corpus_id, r.new_id, round(r.jaccard, 9))
+        for r in idx.match_new(
+            spark, batch, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_crossengine_pairs(
+            docs, "text", "doc_id", num_perm=16, bands=4, threshold=0.5
+        ).collect()
+        # (even, odd) pairs only; batch pipeline orders id_a < id_b, and
+        # an even corpus id may sit on either side
+    }
+    full_eo = {
+        (a, b, j) if a % 2 == 0 else (b, a, j) for a, b, j in full
+        if (a % 2) != (b % 2)
+    }
+    assert incr == full_eo
+    assert incr  # non-vacuous on the real corpus
