@@ -94,6 +94,7 @@ PRIORITY: list[str] = [
     "text_hash_embeddings",           # NEW r4: hashing-trick embedder, hard oracle
     "similarity_text_hash_topk",      # NEW r4: text->vector->topk, hard oracle
     "dedup_incremental_crossengine",  # NEW r4: incremental screening, hard oracle
+    "curation_length_buckets",        # NEW r4: padding-waste report, hard oracle
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

@@ -1895,6 +1895,68 @@ def similarity_text_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Sequence-length bucketing: pow-2 ladder with padding-waste accounting —
+# the "how much compute does padding burn per batch bucket" report.
+_LEN_BUCKET_CASE = (
+    "CASE WHEN n_tokens < 64 THEN 64 WHEN n_tokens < 128 THEN 128 "
+    "WHEN n_tokens < 256 THEN 256 WHEN n_tokens < 512 THEN 512 "
+    "WHEN n_tokens < 1024 THEN 1024 ELSE 2048 END"
+)
+
+_LEN_BUCKETS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+b AS (SELECT doc_id, n_tokens,
+  CAST({_LEN_BUCKET_CASE} AS BIGINT) AS bucket_cap FROM t)
+SELECT bucket_cap,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+  CAST(sum(bucket_cap - n_tokens) AS BIGINT) AS pad_tokens,
+  {sql_stable_round(
+      'sum(bucket_cap - n_tokens) * 1.0 / (count(*) * bucket_cap)', 6
+  )} AS pad_ratio
+FROM b GROUP BY bucket_cap
+"""
+
+
+@query("curation_length_buckets", _LEN_BUCKETS_ORACLE)
+def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing report: docs binned into a power-of-two
+    token-length ladder with exact padding-waste accounting (pad_tokens =
+    what pad-to-bucket-cap batching would burn; pad_ratio = the wasted
+    fraction of each bucket's compute). The diagnostic behind choosing
+    bucketed batching vs packing — compare with curation_pack_concat_chunks
+    (zero waste) and curation_pack_sequences (bounded waste)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    cap = (
+        F.when(F.col("n_tokens") < 64, 64)
+        .when(F.col("n_tokens") < 128, 128)
+        .when(F.col("n_tokens") < 256, 256)
+        .when(F.col("n_tokens") < 512, 512)
+        .when(F.col("n_tokens") < 1024, 1024)
+        .otherwise(2048)
+        .cast("bigint")
+    )
+    b = t.withColumn("bucket_cap", cap)
+    return b.groupBy("bucket_cap").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("n_tokens")).alias("pad_tokens"),
+        stable_round(
+            F.sum(F.col("bucket_cap") - F.col("n_tokens"))
+            * F.lit(1.0)
+            / (F.count("*") * F.first("bucket_cap")),
+            6,
+        ).alias("pad_ratio"),
+    )
+
+
 _TFIDF_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
