@@ -95,6 +95,9 @@ PRIORITY: list[str] = [
     "similarity_text_hash_topk",      # NEW r4: text->vector->topk, hard oracle
     "dedup_incremental_crossengine",  # NEW r4: incremental screening, hard oracle
     "curation_length_buckets",        # NEW r4: padding-waste report, hard oracle
+    "dedup_duplicate_spans",          # NEW r4c: repeated-span report, hard oracle
+    "curation_dsir_weights",          # NEW r4c: DSIR importance weights, hard oracle
+    "privacy_document_scrub",         # NEW r4c: free-text PII redaction, hard oracle
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

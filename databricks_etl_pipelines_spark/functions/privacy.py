@@ -32,3 +32,32 @@ def tokenize_pii(value: Column | str) -> Column:
     """
     value = F.col(value) if isinstance(value, str) else value
     return F.sha2(F.lower(F.trim(value)), 256)
+
+
+# -- document-corpus PII scrubbing -------------------------------------------
+# Extension beyond the reference's column-level masking: training-data
+# pipelines scrub free-text documents before pretraining. Same expression-
+# builder idiom — Java regex runs JVM-side inside codegen, no per-row
+# Python. Patterns are kept RE2-compatible (no backrefs/lookaround) so a
+# DuckDB oracle evaluates them identically.
+
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_match_count(text: Column | str, pattern: str) -> Column:
+    """How many PII matches a document contains (audit column)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+
+
+def scrub_text_pii(
+    text: Column | str,
+    email_token: str = "[EMAIL]",
+    phone_token: str = "[PHONE]",
+) -> Column:
+    """Redact emails then phone numbers (order fixed so the oracle's
+    replacement sequence is identical)."""
+    text = F.col(text) if isinstance(text, str) else text
+    scrubbed = F.regexp_replace(text, PII_EMAIL_PATTERN, email_token)
+    return F.regexp_replace(scrubbed, PII_PHONE_PATTERN, phone_token)

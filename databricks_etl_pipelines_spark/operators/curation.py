@@ -524,6 +524,90 @@ def domain_mixture_weights(
     )
 
 
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023): score every raw document by how target-like its hashed
+    token distribution is. ``target_pred`` marks the in-domain rows (the
+    quality/target corpus); the weight of doc d with hashed-token counts
+    c_b is
+
+        w(d) = Σ_b c_b · [ln p̂_target(b) − ln p̂_raw(b)]
+
+    with add-one-smoothed bucket probabilities over ``n_buckets`` hashed
+    token features. High-weight docs look like the target domain; a
+    downstream pass feeds the weights to top-k / Gumbel resampling
+    (``token_budget_select`` covers the budgeted-cut step here).
+
+    Scale shape: one explode pass over tokens, two bucket-sized aggregates
+    (n_buckets rows — broadcast), one (doc, bucket) aggregate bounded by
+    n_docs·n_buckets, then a broadcast join of the log-ratios. No shuffle
+    carries more than one row per (doc, bucket). The token hash is the
+    md5+Karp-Rabin cross-engine family so a SQL oracle replays every
+    bucket assignment exactly; at 100 TB you'd swap in xxhash64 (same
+    shape, 10× cheaper hashing).
+    """
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        crossengine_feature_hash,
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn("b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets)))
+    raw = toks.groupBy("b").agg(F.count("*").alias("n_raw"))
+    tgt = (
+        toks.where(F.col("is_target"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n_tgt"))
+    )
+    totals = toks.agg(
+        F.count("*").alias("total_raw"),
+        F.sum(F.col("is_target").cast("long")).alias("total_tgt"),
+    )
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1)
+                    / (F.col("total_tgt") + n_buckets)
+                )
+                - F.log((F.col("n_raw") + 1) / (F.col("total_raw") + n_buckets))
+            ).alias("log_ratio"),
+        )
+    )
+    doc_bucket = toks.groupBy(id_col, "b").agg(F.count("*").alias("c"))
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+
+    return (
+        doc_bucket.join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            stable_round(F.sum(F.col("c") * F.col("log_ratio")), 6).alias(
+                "dsir_weight"
+            ),
+            # Length-normalized form: the raw weight is additive over
+            # tokens, so a long document accumulates penalty/bonus with its
+            # length — comparable cuts across mixed lengths rank on the
+            # mean per-token log-ratio instead.
+            stable_round(
+                F.sum(F.col("c") * F.col("log_ratio")) / F.sum("c"), 6
+            ).alias("dsir_weight_per_token"),
+        )
+    )
+
+
 def mixture_epoch_plan(
     df: DataFrame,
     group_col: str,

@@ -49,6 +49,7 @@ from databricks_etl_pipelines_spark.functions.textfns import (
     normalized_text,
     tokens,
 )
+from databricks_etl_pipelines_spark.functions.numeric import stable_round
 from databricks_etl_pipelines_spark.functions.vectors import as_double_array, cosine
 from databricks_etl_pipelines_spark.session import tune_for_derived_generate
 
@@ -827,6 +828,89 @@ def ngram_jaccard_pairs(
         paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duplicated_span_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span detection at n-gram granularity — the
+    relational re-expression of exact substring deduplication (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022,
+    which uses a suffix array; an n-token sliding window over a shuffle-
+    friendly groupBy finds the same cross-document repeats without any
+    global suffix order).
+
+    A length-``n`` token window is *duplicated* when it occurs in at least
+    ``min_docs`` distinct documents. Per document the report gives: the
+    number of window positions whose n-gram is duplicated (``dup_ngrams``)
+    and the number of token positions covered by at least one duplicated
+    window (``covered_tokens`` — the union of the [pos, pos+n) intervals,
+    computed exactly by exploding each hit to its n positions and counting
+    distinct). ``dup_fraction = covered_tokens / n_tokens`` is the signal a
+    curation pass thresholds on to drop boilerplate-heavy documents.
+
+    Scale (100 TB): two shuffles keyed by the n-gram — the distinct-doc
+    count and the hit join — plus one by id for the final aggregate. The
+    coverage explode is bounded by n·dup_ngrams rows pre-distinct and
+    n_tokens per doc post-distinct, never corpus-quadratic. Hot n-grams
+    (template boilerplate in millions of docs) fan out only as one hit row
+    per occurrence — no pairwise blowup, which is exactly why the report
+    form scales where the pair-listing form cannot. At full scale the gram
+    string would be xxhash64-packed before the shuffles (8-byte keys, as
+    ``ngram_jaccard_pairs`` does); kept as the raw string here so a SQL
+    oracle can replay the pipeline value-for-value.
+    """
+    toks = df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("t"))
+    grams = (
+        toks.where(F.size("t") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.array_join(F.slice("t", i, n), " "),
+                )
+            ).alias("pos", "g"),
+        )
+    )
+    dupg = (
+        grams.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dupg, "g")
+    dupcnt = hits.groupBy(id_col).agg(F.count("*").alias("dup_ngrams"))
+    covered = (
+        hits.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    base = toks.select(id_col, F.size("t").cast("bigint").alias("n_tokens"))
+    cov = F.coalesce(F.col("covered_tokens"), F.lit(0).cast("bigint"))
+    return (
+        base.join(dupcnt, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_ngrams"), F.lit(0).cast("bigint")).alias(
+                "dup_ngrams"
+            ),
+            cov.alias("covered_tokens"),
+            stable_round(cov / F.col("n_tokens"), 6).alias("dup_fraction"),
+        )
     )
 
 

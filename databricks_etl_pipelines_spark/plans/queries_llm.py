@@ -2431,3 +2431,56 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", test_fraction=0.1, threshold=0.5, seed=42
     )
     return out.select("doc_id", "source", "lang", "group_key", "split")
+
+
+# -- cross-document repeated-span report (substring-dedup analog) -------------
+
+_SPAN_N = 8
+
+_DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(t[u.i:u.i+{_SPAN_N - 1}], ' ') AS g
+  FROM toks, unnest(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
+  WHERE len(t) >= {_SPAN_N}
+),
+dupg AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+  GROUP BY g HAVING count(*) >= 2
+),
+hits AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+dupcnt AS (SELECT doc_id, count(*) AS dup_ngrams FROM hits GROUP BY doc_id),
+covered AS (
+  SELECT doc_id, count(*) AS covered_tokens FROM (
+    SELECT DISTINCT doc_id, v.p
+    FROM hits, unnest(generate_series(pos, pos + {_SPAN_N - 1})) AS v(p)
+  ) GROUP BY doc_id
+)
+SELECT toks.doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  COALESCE(dup_ngrams, 0) AS dup_ngrams,
+  COALESCE(covered_tokens, 0) AS covered_tokens,
+  {sql_stable_round('COALESCE(covered_tokens, 0) / len(t)', 6)} AS dup_fraction
+FROM toks
+LEFT JOIN dupcnt USING (doc_id)
+LEFT JOIN covered USING (doc_id)
+"""
+
+
+@query("dedup_duplicate_spans", _DUP_SPANS_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection at 8-token-window granularity — the
+    relational analog of exact substring dedup (suffix-array method of Lee
+    et al. 2022, re-expressed as a sliding-window groupBy; see
+    operators/dedup.py:duplicated_span_report for the scale argument).
+    Per doc: duplicated window positions, exact covered-token union, and
+    the duplicated fraction a curation pass would threshold on."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        duplicated_span_report,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_span_report(docs, "text", "doc_id", n=_SPAN_N, min_docs=2)

@@ -447,3 +447,82 @@ def curation_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_shares={k: 0.2 for k in ("en", "de", "fr", "es", "zh")},
         seed=42, max_epochs=8,
     )
+
+
+# DSIR importance weights: hashed-unigram log-likelihood-ratio scoring of
+# every raw doc against a target domain (sources src1-src3). The md5+
+# Karp-Rabin feature hash is the same cross-engine family as the SimHash
+# oracle, so every bucket assignment replays exactly in SQL.
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET = "source IN ('src1', 'src2', 'src3')"
+
+
+def _sql_rolling_md5_w(prefix: str) -> str:
+    """KarpRabin over md5('<prefix>' || w) — w = the exploded token col."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_extract_all(md5('{prefix}' || w), '.'), "
+        "c -> CAST(ord(c) AS BIGINT))), "
+        "(acc, c) -> (acc * 257 + c) % 2147483647)"
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DSIR_TARGET} AS is_target, unnest({_SQL_TOKS}) AS w
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, is_target,
+    (({_sql_rolling_md5_w('a:')} & 1073741823)
+     | (({_sql_rolling_md5_w('b:')} & 1073741823) << 30))
+      % {_DSIR_BUCKETS} AS b
+  FROM toks
+),
+raw AS (SELECT b, count(*) AS n_raw FROM bucketed GROUP BY b),
+tgt AS (
+  SELECT b, count(*) AS n_tgt FROM bucketed WHERE is_target GROUP BY b
+),
+tot AS (
+  SELECT count(*) AS total_raw,
+    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS total_tgt
+  FROM bucketed
+),
+ratios AS (
+  SELECT raw.b,
+    ln((COALESCE(n_tgt, 0) + 1) / (total_tgt + {_DSIR_BUCKETS}))
+      - ln((n_raw + 1) / (total_raw + {_DSIR_BUCKETS})) AS log_ratio
+  FROM raw LEFT JOIN tgt USING (b), tot
+),
+doc_bucket AS (
+  SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY doc_id, b
+)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  {sql_stable_round('sum(c * log_ratio)', 6)} AS dsir_weight,
+  {sql_stable_round('sum(c * log_ratio) / sum(c)', 6)} AS dsir_weight_per_token
+FROM doc_bucket JOIN ratios USING (b)
+GROUP BY doc_id
+"""
+
+
+@query("curation_dsir_weights", _DSIR_ORACLE)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score raw docs by hashed-
+    unigram importance against the src1-src3 target slice. See
+    operators/curation.py:dsir_importance_weights for the scale shape
+    (bucket-sized aggregates + broadcast log-ratio join; nothing shuffles
+    more than one row per (doc, bucket))."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs,
+        "text",
+        "doc_id",
+        F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=_DSIR_BUCKETS,
+    )

@@ -642,3 +642,76 @@ def source_python_stream_datasource(
         if files and spark.read.parquet(out).count() >= _PYSOURCE_ROWS:
             break
     return spark.read.parquet(out)
+
+
+# -- document-corpus PII scrub (training-data extension of 02:67-73) --------
+# The synthetic corpus carries no real PII, so the query PLANTS
+# deterministic emails/phones on every third document (same construction in
+# both engines), then scrubs them — the differential check covers the regex
+# find/count/replace machinery end-to-end, value-for-value.
+
+from databricks_etl_pipelines_spark.functions.privacy import (  # noqa: E402
+    PII_EMAIL_PATTERN,
+    PII_PHONE_PATTERN,
+    pii_match_count,
+    scrub_text_pii,
+)
+
+_DOC_SCRUB_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example or call '
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL_PATTERN}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_PHONE_PATTERN}')) AS BIGINT)
+    AS n_phones,
+  md5(regexp_replace(
+        regexp_replace(text, '{PII_EMAIL_PATTERN}', '[EMAIL]', 'g'),
+        '{PII_PHONE_PATTERN}', '[PHONE]', 'g')) AS scrubbed_md5,
+  CAST(length(regexp_replace(
+        regexp_replace(text, '{PII_EMAIL_PATTERN}', '[EMAIL]', 'g'),
+        '{PII_PHONE_PATTERN}', '[PHONE]', 'g')) AS BIGINT) AS scrubbed_len
+FROM planted
+"""
+
+
+@query("privacy_document_scrub", _DOC_SCRUB_ORACLE)
+def privacy_document_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII scrub over the documents corpus: count then redact
+    emails/phones with RE2-compatible patterns (functions/privacy.py).
+    Pure regexp expressions — JVM codegen, zero Python per row; at 100 TB
+    this fuses into the scan projection like every other gate."""
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example or call "),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = scrub_text_pii("text")
+    return planted.select(
+        "doc_id",
+        pii_match_count("text", PII_EMAIL_PATTERN).alias("n_emails"),
+        pii_match_count("text", PII_PHONE_PATTERN).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )

@@ -313,3 +313,38 @@ def test_mixture_epoch_plan_max_epochs_cap(spark):
     )
     tiny = plan.filter("lang = 'tiny'").collect()
     assert sorted(r.epoch for r in tiny) == [0, 1, 2, 3]
+
+
+def test_dsir_weights_separate_target_vocab(spark):
+    """Planted DSIR case: target docs draw from vocab A, off-domain docs
+    from vocab B. A raw doc written in vocab A must outscore one written
+    in vocab B, a mixed doc lands between, and weights are finite for
+    buckets never seen in the target (add-one smoothing)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    a = "alpha beta gamma delta epsilon"
+    b = "zork quux blarg fnord wibble"
+    rows = [
+        (0, "tgt", a), (1, "tgt", a), (2, "tgt", a),
+        (3, "raw", a),                      # target-like raw doc
+        (4, "raw", b),                      # off-domain raw doc
+        (5, "raw", a + " " + b),            # mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, kind string, text string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(
+            df, "text", "doc_id", F.col("kind") == "tgt", n_buckets=32
+        ).collect()
+    }
+    assert len(out) == 6
+    assert all(math.isfinite(r.dsir_weight) for r in out.values())
+    # raw additive weight: the pure vocab-A doc beats the pure vocab-B doc
+    assert out[3].dsir_weight > out[4].dsir_weight
+    # per-token form is the length-comparable ranking: A > mixed > B
+    per_tok = {d: r.dsir_weight_per_token for d, r in out.items()}
+    assert per_tok[3] > per_tok[5] > per_tok[4]
+    # identical texts score identically regardless of target membership
+    assert out[0].dsir_weight == out[3].dsir_weight

@@ -1037,3 +1037,32 @@ def test_crossengine_corpus_index_matches_batch_pipeline(spark, sf_dir, tmp_path
     }
     assert incr == full_eo
     assert incr  # non-vacuous on the real corpus
+
+
+def test_duplicated_span_report_planted(spark):
+    """Planted 4-gram repeats: exact dup-window counts and exact interval-
+    UNION coverage (overlapping windows must not double-count tokens)."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        duplicated_span_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),      # shares [a b c d], [b c d e]
+            (1, "x x a b c d y y"),      # shares [a b c d]
+            (2, "p q r s t"),            # nothing shared
+            (3, "a b c d e z z z"),      # shares both with doc 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_span_report(
+            docs, "text", "doc_id", n=4, min_docs=2
+        ).collect()
+    }
+    assert (out[0].dup_ngrams, out[0].covered_tokens) == (2, 5)  # 0..3 U 1..4
+    assert out[0].dup_fraction == 0.625
+    assert (out[1].dup_ngrams, out[1].covered_tokens) == (1, 4)
+    assert (out[2].n_tokens, out[2].dup_ngrams, out[2].covered_tokens) == (5, 0, 0)
+    assert (out[3].dup_ngrams, out[3].covered_tokens) == (2, 5)

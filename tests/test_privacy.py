@@ -61,3 +61,41 @@ def test_raw_pii_never_survives_masking(spark):
     # masked form never leaks more than last 4
     bad = silver.filter(~F.col("card_number_masked").rlike(r"^\*{4}-\*{4}-\*{4}-")).count()
     assert bad == 0
+
+
+def test_document_scrub_removes_all_planted_pii(spark):
+    """Every planted email/phone is found, counted, and redacted; no raw
+    PII substring survives in the scrubbed text."""
+    from databricks_etl_pipelines_spark.functions.privacy import (
+        PII_EMAIL_PATTERN,
+        PII_PHONE_PATTERN,
+        pii_match_count,
+        scrub_text_pii,
+    )
+
+    rows = [
+        (1, "reach me at jo.doe+x@sub.example.org today"),
+        (2, "call 415-555-0133 or 650-555-0199 now"),
+        (3, "mixed a@b.io and 111-222-3333 here"),
+        (4, "no pii at all in this one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_match_count("text", PII_EMAIL_PATTERN).alias("e"),
+            pii_match_count("text", PII_PHONE_PATTERN).alias("p"),
+            scrub_text_pii("text").alias("s"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].p) == (1, 0)
+    assert (out[2].e, out[2].p) == (0, 2)
+    assert (out[3].e, out[3].p) == (1, 1)
+    assert (out[4].e, out[4].p) == (0, 0)
+    assert out[1].s == "reach me at [EMAIL] today"
+    assert out[2].s == "call [PHONE] or [PHONE] now"
+    assert out[3].s == "mixed [EMAIL] and [PHONE] here"
+    assert out[4].s == "no pii at all in this one"
+    for r in out.values():
+        assert "@" not in r.s.replace("[EMAIL]", "")
