@@ -98,6 +98,8 @@ PRIORITY: list[str] = [
     "dedup_duplicate_spans",          # NEW r4c: repeated-span report, hard oracle
     "curation_dsir_weights",          # NEW r4c: DSIR importance weights, hard oracle
     "privacy_document_scrub",         # NEW r4c: free-text PII redaction, hard oracle
+    "text_bpe_train_merges",          # NEW r4c: BPE trainer, unrolled hard oracle
+    "text_bpe_encode_stats",          # NEW r4c: BPE dictionary encode, hard oracle
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

@@ -1,0 +1,202 @@
+"""Distributed BPE tokenizer training + corpus encoding.
+
+Byte-Pair Encoding as introduced for NMT subword units (Sennrich, Haddow,
+Birch, "Neural Machine Translation of Rare Words with Subword Units", ACL
+2016): repeatedly merge the most frequent adjacent symbol pair, starting
+from characters. This is the "train the tokenizer on the corpus" step of a
+pretraining data pipeline — upstream of ``text_vocab_encode`` /
+``curation_pack_sequences``.
+
+Spark-first decomposition (the same split real tokenizer trainers use):
+
+  * the CORPUS-sized work — word frequency counting — is one distributed
+    hash aggregate; a deterministic top-``max_words`` cap (count desc, word
+    asc) bounds everything downstream. At 100 TB the word-frequency table
+    is ~vocabulary-sized (10⁷-10⁸ rows), still a DataFrame, never the
+    corpus.
+  * each merge step is a DICTIONARY-sized job: count adjacent symbol pairs
+    weighted by word frequency (one hash aggregate over the dictionary),
+    take the argmax (deterministic tie-break: count desc, then pair
+    lexicographic), apply the merge. ``num_merges`` steps = ``num_merges``
+    small Spark jobs; only the single winning pair ever reaches the driver
+    per step — the same bounded-model-fit stance as the PQ codebook
+    (operators/similarity.py).
+  * ENCODING rejoins the merged dictionary to the corpus: apply merges
+    once per DISTINCT word, then a dictionary join back to occurrences —
+    dictionary-encoding, not per-occurrence re-derivation.
+
+Merge application uses a cross-engine string trick instead of a per-row
+UDF: a symbol sequence is serialized as every symbol wrapped in single
+spaces (``' a  b  c '`` — two spaces BETWEEN symbols, one at each end), so
+applying merge (l, r) is the plain (non-regex) left-to-right replace of
+``' l  r '`` with ``' lr '``. Non-overlapping left-to-right replacement is
+exactly BPE's application order (``a a a`` + merge(a,a) → ``aa a``), the
+double-space framing keeps one separator on each side of every remaining
+boundary, and both Spark (``F.replace``) and ANSI SQL (``replace``)
+execute it identically — which is what makes the whole trainer replayable
+in a DuckDB oracle with the merge loop unrolled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str, max_words: int = 10_000
+) -> DataFrame:
+    """Distributed word counts, capped to the top ``max_words`` by
+    (count desc, word asc) — the deterministic bound that keeps every
+    later stage dictionary-sized. The global row_number window ranks the
+    AGGREGATE (vocabulary-sized), never the corpus."""
+    freq = (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
+    return freq.withColumn("rk", rk).where(F.col("rk") <= max_words).drop("rk")
+
+
+def wrap_symbols(word: F.Column) -> F.Column:
+    """Initial character-level symbol string: ``' a  b  c '``."""
+    chars = F.regexp_extract_all(word, F.lit("."), 0)
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+
+
+def _symbols(s: F.Column) -> F.Column:
+    return F.split(F.trim(s), r"\s+")
+
+
+def _pair_counts(enc: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the dictionary, weighted by word freq."""
+    sy = _symbols(F.col("s"))
+    idx = F.when(F.size(sy) >= 2, F.sequence(F.lit(0), F.size(sy) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = enc.select(
+        "freq",
+        F.explode(
+            F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.get(sy, j).alias("l"), F.get(sy, j + 1).alias("r")
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.l", "p.r").agg(
+        F.sum("freq").alias("cnt")
+    )
+
+
+def apply_merge(s: F.Column, left: str, right: str) -> F.Column:
+    """One BPE merge on a wrapped symbol string (see module docstring)."""
+    return F.replace(
+        s,
+        F.lit(f" {left}  {right} "),
+        F.lit(f" {left}{right} "),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 8,
+    max_words: int = 10_000,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` merges; returns [(left, right, pair_count)] in
+    merge order. Each iteration runs one distributed pair-count aggregate
+    and ships exactly ONE row (the argmax pair) to the driver."""
+    wf = word_frequencies(df, text_col, max_words).persist()
+    try:
+        enc = wf.select("w", "freq", wrap_symbols(F.col("w")).alias("s"))
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(num_merges):
+            best = (
+                _pair_counts(enc)
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # dictionary fully merged
+            l, r, cnt = best[0].l, best[0].r, best[0].cnt
+            merges.append((l, r, int(cnt)))
+            enc = enc.withColumn("s", apply_merge(F.col("s"), l, r))
+            # Persist each step so step k's pair count doesn't re-apply
+            # merges 1..k-1 through the whole lineage (keeps the loop
+            # linear, not quadratic; dictionary-sized, so cheap).
+            enc = enc.persist()
+        return merges
+    finally:
+        wf.unpersist()
+
+
+def merge_table(
+    spark: SparkSession, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """The learned merges as a DataFrame (merge_rank, left_sym, right_sym,
+    pair_count)."""
+    rows = [
+        (i + 1, l, r, cnt) for i, (l, r, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def encoded_dictionary(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+    max_words: int = 10_000,
+) -> DataFrame:
+    """(w, n_sym): symbol count per dictionary word after all merges.
+    All merges apply in ONE projection of literal replaces — a single
+    codegen stage over the dictionary."""
+    s = wrap_symbols(F.col("w"))
+    for l, r, _ in merges:
+        s = apply_merge(s, l, r)
+    wf = word_frequencies(df, text_col, max_words)
+    return wf.select(
+        "w", F.size(_symbols(s)).cast("bigint").alias("n_sym")
+    )
+
+
+def encode_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str, int]],
+    max_words: int = 10_000,
+) -> DataFrame:
+    """Per-document BPE accounting: words, chars, post-merge token count,
+    chars-per-token compression. Out-of-dictionary words (beyond the
+    ``max_words`` cap) fall back to character granularity — len(word)
+    symbols — so the encoding is total."""
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+
+    dictionary = encoded_dictionary(df, text_col, merges, max_words)
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    )
+    n_sym = F.coalesce(F.col("n_sym"), F.length("w").cast("bigint"))
+    return (
+        words.join(dictionary, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(n_sym).alias("n_bpe_tokens"),
+            stable_round(
+                F.sum(F.length("w")) / F.sum(n_sym), 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -2484,3 +2484,119 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return duplicated_span_report(docs, "text", "doc_id", n=_SPAN_N, min_docs=2)
+
+
+# -- BPE tokenizer training + encoding (cross-engine, merge loop unrolled) ----
+
+_BPE_MERGES = 8
+_BPE_MAXW = 10_000
+
+
+def _bpe_ctes(num_merges: int, max_words: int) -> str:
+    """The WITH-chain replaying the whole BPE trainer: capped word freqs,
+    char-wrapped dictionary, then one (pair-count, argmax, replace) CTE
+    triple per merge step. See operators/bpe.py for the double-space
+    replace trick that makes merge application engine-agnostic."""
+    parts = [
+        f"""w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+  GROUP BY w
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, w) <= {max_words}
+),
+enc0 AS (
+  SELECT w, freq,
+    ' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' ' AS s
+  FROM w0
+)"""
+    ]
+    for i in range(1, num_merges + 1):
+        prev = f"enc{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, list_extract(sy, u.j) AS l, list_extract(sy, u.j + 1) AS r
+    FROM (SELECT freq, string_split_regex(trim(s), '\\s+') AS sy
+          FROM {prev}) t,
+         unnest(generate_series(1, len(sy) - 1)) AS u(j)
+  ) GROUP BY l, r
+),
+b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+enc{i} AS (
+  SELECT w, freq,
+    replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ')
+      AS s
+  FROM {prev}, b{i} b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_BPE_TRAIN_ORACLE = "WITH " + _bpe_ctes(_BPE_MERGES, _BPE_MAXW) + "\n" + (
+    "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+)
+
+_BPE_ENCODE_ORACLE = (
+    "WITH "
+    + _bpe_ctes(_BPE_MERGES, _BPE_MAXW)
+    + f""",
+dict AS (
+  SELECT w, CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_sym
+  FROM enc{_BPE_MERGES}
+),
+docw AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+  CAST(sum(coalesce(n_sym, length(w))) AS BIGINT) AS n_bpe_tokens,
+  {sql_stable_round('sum(length(w)) / sum(coalesce(n_sym, length(w)))', 6)}
+    AS chars_per_token
+FROM docw LEFT JOIN dict USING (w)
+GROUP BY doc_id
+"""
+)
+
+
+@query("text_bpe_train_merges", _BPE_TRAIN_ORACLE)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE tokenizer on the corpus (Sennrich et al. 2016):
+    distributed word-frequency aggregate, then num_merges argmax-merge
+    steps — each one dictionary-sized Spark job shipping exactly one row
+    (the winning pair) to the driver. The oracle replays the ENTIRE
+    training loop unrolled in SQL: same cap, same tie-break (count desc,
+    pair lexicographic), same left-to-right merge application."""
+    from databricks_etl_pipelines_spark.operators.bpe import (
+        merge_table,
+        train_bpe,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe(
+        docs, "text", num_merges=_BPE_MERGES, max_words=_BPE_MAXW
+    )
+    return merge_table(spark, merges)
+
+
+@query("text_bpe_encode_stats", _BPE_ENCODE_ORACLE)
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the trained merges: merges apply once per
+    DISTINCT word in one literal-replace projection, then a dictionary
+    join back to occurrences (dictionary-encoding — per-word work, not
+    per-occurrence). Per doc: word/char/BPE-token counts and the
+    chars-per-token compression the tokenizer achieves."""
+    from databricks_etl_pipelines_spark.operators.bpe import (
+        encode_stats,
+        train_bpe,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe(
+        docs, "text", num_merges=_BPE_MERGES, max_words=_BPE_MAXW
+    )
+    return encode_stats(
+        docs, "text", "doc_id", merges, max_words=_BPE_MAXW
+    )

@@ -1066,3 +1066,92 @@ def test_duplicated_span_report_planted(spark):
     assert (out[1].dup_ngrams, out[1].covered_tokens) == (1, 4)
     assert (out[2].n_tokens, out[2].dup_ngrams, out[2].covered_tokens) == (5, 0, 0)
     assert (out[3].dup_ngrams, out[3].covered_tokens) == (2, 5)
+
+
+def _reference_bpe(word_freqs, num_merges):
+    """Independent pure-Python BPE (Sennrich 2016) — list-walking merge
+    application, dict-based pair counting; shares no code with the
+    operator under test."""
+    enc = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            sy = enc[w]
+            for a, b in zip(sy, sy[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, cnt))
+        for w, sy in enc.items():
+            out, i = [], 0
+            while i < len(sy):
+                if i + 1 < len(sy) and sy[i] == l and sy[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sy[i])
+                    i += 1
+            enc[w] = out
+    return merges, enc
+
+
+def test_bpe_train_matches_independent_reference(spark):
+    """Distributed trainer == list-walking reference on a corpus with
+    known subword structure, including merges that consume earlier merge
+    products and repeated-letter overlap handling."""
+    from databricks_etl_pipelines_spark.operators.bpe import (
+        encode_stats,
+        train_bpe,
+    )
+
+    texts = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new newer"),
+        (2, "wide wider widest wide"),
+        (3, "aaa aaaa aa low new"),       # overlap: merge(a,a) left-to-right
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    words = {}
+    for _, t in texts:
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    ref_merges, ref_enc = _reference_bpe(words, 10)
+    got = train_bpe(df, "text", num_merges=10, max_words=1000)
+    assert got == ref_merges
+    # per-doc token counts after encoding match the reference walk
+    stats = {
+        r.doc_id: r.n_bpe_tokens
+        for r in encode_stats(df, "text", "doc_id", got, 1000).collect()
+    }
+    for doc_id, t in texts:
+        expect = sum(len(ref_enc[w]) for w in t.split())
+        assert stats[doc_id] == expect, (doc_id, stats[doc_id], expect)
+
+
+def test_bpe_merge_application_round_trips(spark):
+    """Stripping separators from the merged symbol string reproduces the
+    original word for every dictionary entry (no symbol ever lost or
+    duplicated by the replace trick), on the real corpus."""
+    from databricks_etl_pipelines_spark.operators.bpe import (
+        apply_merge,
+        train_bpe,
+        word_frequencies,
+        wrap_symbols,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    merges = train_bpe(docs, "text", num_merges=6, max_words=1000)
+    assert len(merges) == 6
+    s = wrap_symbols(F.col("w"))
+    for l, r, _ in merges:
+        s = apply_merge(s, l, r)
+    bad = (
+        word_frequencies(docs, "text", 1000)
+        .select("w", F.replace(s, F.lit(" "), F.lit("")).alias("joined"))
+        .where(F.col("joined") != F.col("w"))
+        .count()
+    )
+    assert bad == 0
