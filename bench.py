@@ -46,6 +46,10 @@ HEADLINE = [
     "curation_pack_concat_chunks",
     "similarity_batch_topk",
     "curation_mixture_epoch_plan",
+    # round-4c additions: span dedup, DSIR selection, BPE training
+    "dedup_duplicate_spans",
+    "curation_dsir_budget_select",
+    "text_bpe_train_merges",
 ]
 
 

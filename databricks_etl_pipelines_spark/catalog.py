@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "privacy_document_scrub",         # NEW r4c: free-text PII redaction, hard oracle
     "text_bpe_train_merges",          # NEW r4c: BPE trainer, unrolled hard oracle
     "text_bpe_encode_stats",          # NEW r4c: BPE dictionary encode, hard oracle
+    "curation_dsir_budget_select",    # NEW r4c: DSIR x token-budget composition
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

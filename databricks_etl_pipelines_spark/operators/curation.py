@@ -524,6 +524,55 @@ def domain_mixture_weights(
     )
 
 
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    group_col: str,
+    weight_col: Column | str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, ``k`` rows per
+    group — the distributed form of weighted reservoir sampling
+    (Efraimidis & Spirakis, "Weighted random sampling with a reservoir",
+    IPL 2006, algorithm A-ES): give every row the key u^(1/w) with
+    u ~ Uniform(0,1) and keep the top-k keys. Ranking by ln(u)/w descending
+    is the same order without the overflow-prone power.
+
+    The uniform draw is a pure function of (id, seed) via the cross-engine
+    md5 rolling hash (same family as ``shard_assignment``), so the sample
+    is reproducible across runs, partitionings, and engines — and a SQL
+    oracle can replay the exact selection. Weights must be > 0.
+
+    Scale shape: one window exchange on ``group_col``; top-k per group
+    never materializes more than the group's rows, and with AQE the
+    rank-filter pushes a partial TakeOrdered into the map side. This is
+    the quality-weighted corpus subsample step (e.g. sampling documents
+    proportionally to a quality score without duplication).
+    """
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    bucket = fingerprint_rolling(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    ) % 1_000_000
+    u = (bucket + 1) / F.lit(1_000_001.0)
+    key = F.log(u) / w
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("__es_key"), F.col(id_col)
+    )
+    return (
+        df.withColumn("__es_key", key)
+        .withColumn("sample_rank", F.row_number().over(win).cast("bigint"))
+        .where(F.col("sample_rank") <= k)
+        .drop("__es_key")
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     text_col: str,

@@ -526,3 +526,117 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src1", "src2", "src3"),
         n_buckets=_DSIR_BUCKETS,
     )
+
+
+# Composition: DSIR weights drive the per-domain token-budget cut — the
+# "select the most target-like documents per source until the token budget
+# fills" step. Ranking uses the ROUNDED per-token weight (identical doubles
+# in both engines) with doc_id as the deterministic tiebreak, so duplicate
+# documents (identical weights) cannot reorder across engines.
+
+_DSIR_SELECT_BUDGET = 2_000
+
+_DSIR_BUDGET_ORACLE = f"""
+WITH dsir AS (SELECT * FROM ({_DSIR_ORACLE})),
+j AS (
+  SELECT d.doc_id, doc.source, d.n_tokens, d.dsir_weight_per_token
+  FROM dsir d JOIN documents doc USING (doc_id)
+),
+sel AS (
+  SELECT *,
+    CAST(sum(n_tokens) OVER (
+      PARTITION BY source
+      ORDER BY dsir_weight_per_token DESC, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM j
+)
+SELECT doc_id, source, n_tokens, dsir_weight_per_token, cum_tokens
+FROM sel WHERE cum_tokens <= {_DSIR_SELECT_BUDGET}
+"""
+
+
+@query("curation_dsir_budget_select", _DSIR_BUDGET_ORACLE)
+def curation_dsir_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets filled in DSIR-weight order: the importance
+    scorer and the greedy budget cut composed end-to-end (both pieces are
+    independently oracle-checked; this checks their composition)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        dsir_importance_weights,
+        token_budget_select,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    weights = dsir_importance_weights(
+        docs,
+        "text",
+        "doc_id",
+        F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=_DSIR_BUCKETS,
+    )
+    joined = weights.join(docs.select("doc_id", "source"), "doc_id")
+    out = token_budget_select(
+        joined,
+        "source",
+        "dsir_weight_per_token",
+        "n_tokens",
+        "doc_id",
+        _DSIR_SELECT_BUDGET,
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "dsir_weight_per_token", "cum_tokens"
+    )
+
+
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES keys):
+# top-k per source by ln(u)/w with a deterministic cross-engine uniform,
+# weights = quality rubric + 1 (strictly positive).
+
+_ES_K = 5
+
+_ES_HASH = """list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5(CAST(doc_id AS VARCHAR) || ':42'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    ) % 1000000"""
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, ({_SQL_QUALITY}) + 1 AS w FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, w,
+    ln(({_ES_HASH} + 1) / 1000001.0) / w AS es_key
+  FROM scored
+)
+SELECT doc_id, source, CAST(w AS BIGINT) AS weight,
+  CAST(row_number() OVER (
+    PARTITION BY source ORDER BY es_key DESC, doc_id) AS BIGINT)
+    AS sample_rank
+FROM keyed
+QUALIFY sample_rank <= {_ES_K}
+"""
+
+
+@query("curation_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample, k docs per source, no
+    replacement — distributed weighted reservoir sampling (A-ES). The
+    deterministic uniform makes the exact selection replayable in SQL;
+    see operators/curation.py:weighted_sample_without_replacement."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", (quality_score("text") + 1).alias("w")
+    )
+    out = weighted_sample_without_replacement(
+        scored, "source", "w", "doc_id", _ES_K, seed=42
+    )
+    return out.select(
+        "doc_id", "source", F.col("w").cast("bigint").alias("weight"),
+        "sample_rank",
+    )

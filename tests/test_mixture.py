@@ -348,3 +348,51 @@ def test_dsir_weights_separate_target_vocab(spark):
     assert per_tok[3] > per_tok[5] > per_tok[4]
     # identical texts score identically regardless of target membership
     assert out[0].dsir_weight == out[3].dsir_weight
+
+
+def _es_python_sample(ids_weights, k, seed):
+    """Pure-Python replay of the A-ES deterministic sampler (hashlib md5 +
+    Karp-Rabin rolling; shares no code with the operator)."""
+    import hashlib
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+        acc = 0
+        for c in h:
+            acc = (acc * 257 + ord(c)) % 2147483647
+        return acc % 1_000_000
+
+    keyed = [
+        (math.log((bucket(i) + 1) / 1_000_001.0) / w, i)
+        for i, w in ids_weights
+    ]
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _, i in keyed[:k]]
+
+
+def test_weighted_sample_matches_python_replay_and_prefers_heavy(spark):
+    """Spark selection == the pure-Python deterministic replay for two
+    seeds, and across 60 seeds (replayed in Python — same formula) the
+    weight-100 item is drawn far more often than any weight-1 item."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        weighted_sample_without_replacement,
+    )
+
+    ids_weights = [(i, 100 if i == 7 else 1) for i in range(20)]
+    rows = [("g", i, w) for i, w in ids_weights]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, w int")
+    for seed in (42, 7):
+        got = sorted(
+            r.doc_id
+            for r in weighted_sample_without_replacement(
+                df, "grp", "w", "doc_id", 5, seed=seed
+            ).collect()
+        )
+        assert got == sorted(_es_python_sample(ids_weights, 5, seed))
+        assert len(set(got)) == 5  # without replacement
+    hits = sum(
+        7 in _es_python_sample(ids_weights, 5, seed) for seed in range(60)
+    )
+    # P(select | w=100 among 19 w=1, k=5) ~ 1; a fair sampler w/o weights
+    # would give ~15/60. Anything >= 45 shows the weight drives selection.
+    assert hits >= 45, hits
