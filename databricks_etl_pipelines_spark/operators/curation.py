@@ -602,15 +602,45 @@ def dsir_importance_weights(
     bucket assignment exactly; at 100 TB you'd swap in xxhash64 (same
     shape, 10× cheaper hashing).
     """
+    ratios = dsir_log_ratios(df, text_col, target_pred, n_buckets)
+    return dsir_score(df, ratios, text_col, id_col, n_buckets)
+
+
+def _dsir_bucketed_tokens(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
     from databricks_etl_pipelines_spark.operators.dedup import (
         crossengine_feature_hash,
     )
 
-    toks = df.select(
+    return df.select(
         F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn(
+        "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
+    )
+
+
+def dsir_log_ratios(
+    df: DataFrame,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The DSIR domain PROFILE: per-bucket smoothed log-likelihood ratios
+    (n_buckets rows). Build once from the reference corpus, broadcast to
+    score any number of candidate documents or stream batches."""
+    toks = df.select(
         target_pred.alias("is_target"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    ).withColumn("b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets)))
+    )
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        crossengine_feature_hash,
+    )
+
+    toks = toks.withColumn(
+        "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
+    )
     raw = toks.groupBy("b").agg(F.count("*").alias("n_raw"))
     tgt = (
         toks.where(F.col("is_target"))
@@ -621,7 +651,7 @@ def dsir_importance_weights(
         F.count("*").alias("total_raw"),
         F.sum(F.col("is_target").cast("long")).alias("total_tgt"),
     )
-    ratios = (
+    return (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(totals))
         .select(
@@ -635,9 +665,24 @@ def dsir_importance_weights(
             ).alias("log_ratio"),
         )
     )
-    doc_bucket = toks.groupBy(id_col, "b").agg(F.count("*").alias("c"))
+
+
+def dsir_score(
+    df: DataFrame,
+    ratios: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Score documents against a prebuilt DSIR profile (broadcast join of
+    the bucket log-ratios; one (doc, bucket) aggregate per input)."""
     from databricks_etl_pipelines_spark.functions.numeric import stable_round
 
+    doc_bucket = (
+        _dsir_bucketed_tokens(df, text_col, id_col, n_buckets)
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
     return (
         doc_bucket.join(F.broadcast(ratios), "b")
         .groupBy(id_col)

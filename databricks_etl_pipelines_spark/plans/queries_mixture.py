@@ -640,3 +640,44 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("w").cast("bigint").alias("weight"),
         "sample_rank",
     )
+
+
+@query("streaming_dsir_scores", _DSIR_ORACLE)
+def streaming_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring as a CONTINUOUS ingest filter: the domain profile is
+    built once from the reference corpus, then every arriving micro-batch
+    is scored against it (stream-static broadcast join + batch-local
+    aggregate; streaming/structured.py:dsir_score_stream). Drained with
+    availableNow over the same corpus, the scores equal the batch DSIR
+    query exactly — the oracle is the SAME SQL, asserting incremental
+    scoring is invisible in the result."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        dsir_log_ratios,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        dsir_score_stream,
+        streaming_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ratios = dsir_log_ratios(
+        docs, "text", F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=_DSIR_BUCKETS,
+    ).persist()
+    try:
+        out = scratch_dir("dsir_scores_")
+        q = dsir_score_stream(
+            streaming_documents(spark, sf_dir),
+            ratios,
+            out,
+            scratch_dir("dsir_ckpt_"),
+            n_buckets=_DSIR_BUCKETS,
+        )
+        await_drained(q, 300)
+        return spark.read.parquet(out).select(
+            "doc_id", "n_tokens", "dsir_weight", "dsir_weight_per_token"
+        )
+    finally:
+        ratios.unpersist()

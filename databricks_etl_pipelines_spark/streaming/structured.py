@@ -627,3 +627,36 @@ def stateful_user_totals(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def dsir_score_stream(
+    stream: DataFrame,
+    ratios: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> StreamingQuery:
+    """Score an incoming document stream against a PREBUILT DSIR domain
+    profile (operators/curation.py:dsir_log_ratios): per micro-batch, a
+    stream-static broadcast join of the bucket log-ratios + a batch-local
+    per-doc aggregate, appended to ``out_dir``. The profile is fixed —
+    the steady-state "is this crawl batch target-like?" filter of a
+    continuous ingest; per-batch cost tracks the batch size, never the
+    corpus. Checkpointed: a replayed batch re-appends nothing new under
+    availableNow + committed offsets."""
+    from databricks_etl_pipelines_spark.operators.curation import dsir_score
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = dsir_score(batch_df, ratios, text_col, id_col, n_buckets)
+        scored.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

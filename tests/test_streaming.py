@@ -556,3 +556,46 @@ def test_curation_ingest_neardup_rejects_paraphrase_across_batches(
 
     drain("ckpt2")  # replay: exact hashes + index both already know everything
     assert {r.doc_id for r in accepted.read(spark).collect()} == {10, 11, 21}
+
+
+def test_streaming_dsir_multibatch_matches_batch(spark, sf_dir, tmp_path):
+    """DSIR stream scoring over 3 micro-batches against a fixed profile
+    must equal the one-shot batch scorer row-for-row (the profile is
+    static, docs don't span batches), and every doc is scored exactly
+    once."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        dsir_importance_weights,
+        dsir_log_ratios,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        dsir_score_stream,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    target = F.col("source").isin("src1", "src2", "src3")
+
+    ratios = dsir_log_ratios(docs, "text", target, n_buckets=32).persist()
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "scores")
+    q = dsir_score_stream(
+        stream, ratios, out, str(tmp_path / "ckpt"), n_buckets=32
+    )
+    await_drained(q, 120)
+    ratios.unpersist()
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, dsir_importance_weights(
+            docs, "text", "doc_id", target, n_buckets=32
+        ).select(*spark.read.parquet(out).columns).collect())
+    )
+    assert got == want
+    assert len(got) == docs.count()
