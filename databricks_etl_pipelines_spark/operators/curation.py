@@ -602,87 +602,77 @@ def dsir_importance_weights(
     bucket assignment exactly; at 100 TB you'd swap in xxhash64 (same
     shape, 10× cheaper hashing).
     """
-    ratios = dsir_log_ratios(df, text_col, target_pred, n_buckets)
-    return dsir_score(df, ratios, text_col, id_col, n_buckets)
+    # One hashing pass over the corpus: aggregate straight to (doc, bucket)
+    # counts, then derive BOTH the bucket profile (a rollup of that
+    # aggregate — n_buckets rows) and the per-doc scores from it. The
+    # md5+Karp-Rabin feature hash is ~the whole cost of this operator, so
+    # branching the raw token frame into profile and scoring plans (which
+    # recomputes the hash per branch) would double the work for nothing.
+    doc_bucket = (
+        _dsir_bucketed_tokens(
+            df.withColumn("__is_target", target_pred), text_col, id_col,
+            n_buckets, extra_cols=("__is_target",),
+        )
+        .groupBy(id_col, "b", "__is_target")
+        .agg(F.count("*").alias("c"))
+    )
+    grouped = doc_bucket.groupBy("b").agg(
+        F.sum("c").alias("n_raw"),
+        F.sum(F.when(F.col("__is_target"), F.col("c")).otherwise(0)).alias(
+            "n_tgt"
+        ),
+    )
+    ratios = _dsir_ratios_from_counts(grouped, n_buckets)
+    return _dsir_weights_from_doc_bucket(doc_bucket, ratios, id_col)
 
 
 def _dsir_bucketed_tokens(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     from databricks_etl_pipelines_spark.operators.dedup import (
+        _spread_input,
         crossengine_feature_hash,
     )
 
-    return df.select(
+    # The md5 feature hash costs far more CPU per byte than the scan; a
+    # single-file table would pin the whole chain to one core (see
+    # dedup.py:_spread_input — a no-op on real multi-split scans).
+    return _spread_input(df).select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).withColumn(
         "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
     )
 
 
-def dsir_log_ratios(
-    df: DataFrame,
-    text_col: str,
-    target_pred: Column,
-    n_buckets: int = 64,
-) -> DataFrame:
-    """The DSIR domain PROFILE: per-bucket smoothed log-likelihood ratios
-    (n_buckets rows). Build once from the reference corpus, broadcast to
-    score any number of candidate documents or stream batches."""
-    toks = df.select(
-        target_pred.alias("is_target"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    )
-    from databricks_etl_pipelines_spark.operators.dedup import (
-        crossengine_feature_hash,
-    )
-
-    toks = toks.withColumn(
-        "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
-    )
-    raw = toks.groupBy("b").agg(F.count("*").alias("n_raw"))
-    tgt = (
-        toks.where(F.col("is_target"))
-        .groupBy("b")
-        .agg(F.count("*").alias("n_tgt"))
-    )
-    totals = toks.agg(
-        F.count("*").alias("total_raw"),
-        F.sum(F.col("is_target").cast("long")).alias("total_tgt"),
+def _dsir_ratios_from_counts(grouped: DataFrame, n_buckets: int) -> DataFrame:
+    """(b, n_raw, n_tgt) → (b, log_ratio) with add-one smoothing; totals
+    come from the same bucket-sized aggregate (no extra corpus pass)."""
+    totals = grouped.agg(
+        F.sum("n_raw").alias("total_raw"), F.sum("n_tgt").alias("total_tgt")
     )
     return (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
+        grouped.crossJoin(F.broadcast(totals))
         .select(
             "b",
             (
-                F.log(
-                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1)
-                    / (F.col("total_tgt") + n_buckets)
-                )
+                F.log((F.col("n_tgt") + 1) / (F.col("total_tgt") + n_buckets))
                 - F.log((F.col("n_raw") + 1) / (F.col("total_raw") + n_buckets))
             ).alias("log_ratio"),
         )
     )
 
 
-def dsir_score(
-    df: DataFrame,
-    ratios: DataFrame,
-    text_col: str,
-    id_col: str,
-    n_buckets: int = 64,
+def _dsir_weights_from_doc_bucket(
+    doc_bucket: DataFrame, ratios: DataFrame, id_col: str
 ) -> DataFrame:
-    """Score documents against a prebuilt DSIR profile (broadcast join of
-    the bucket log-ratios; one (doc, bucket) aggregate per input)."""
     from databricks_etl_pipelines_spark.functions.numeric import stable_round
 
-    doc_bucket = (
-        _dsir_bucketed_tokens(df, text_col, id_col, n_buckets)
-        .groupBy(id_col, "b")
-        .agg(F.count("*").alias("c"))
-    )
     return (
         doc_bucket.join(F.broadcast(ratios), "b")
         .groupBy(id_col)
@@ -700,6 +690,54 @@ def dsir_score(
             ).alias("dsir_weight_per_token"),
         )
     )
+
+
+def dsir_log_ratios(
+    df: DataFrame,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The DSIR domain PROFILE: per-bucket smoothed log-likelihood ratios
+    (n_buckets rows). Build once from the reference corpus, broadcast to
+    score any number of candidate documents or stream batches. One hashing
+    pass: raw and target counts come out of a single conditional
+    aggregate, never two branches over the token frame."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        _spread_input,
+        crossengine_feature_hash,
+    )
+
+    toks = _spread_input(df).select(
+        target_pred.alias("is_target"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    )
+
+    toks = toks.withColumn(
+        "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
+    )
+    grouped = toks.groupBy("b").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("is_target").cast("long")).alias("n_tgt"),
+    )
+    return _dsir_ratios_from_counts(grouped, n_buckets)
+
+
+def dsir_score(
+    df: DataFrame,
+    ratios: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Score documents against a prebuilt DSIR profile (broadcast join of
+    the bucket log-ratios; one (doc, bucket) aggregate per input)."""
+    doc_bucket = (
+        _dsir_bucketed_tokens(df, text_col, id_col, n_buckets)
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    return _dsir_weights_from_doc_bucket(doc_bucket, ratios, id_col)
 
 
 def mixture_epoch_plan(

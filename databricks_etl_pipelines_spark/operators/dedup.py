@@ -865,7 +865,9 @@ def duplicated_span_report(
     ``ngram_jaccard_pairs`` does); kept as the raw string here so a SQL
     oracle can replay the pipeline value-for-value.
     """
-    toks = df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("t"))
+    toks = _spread_input(df).select(
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
     grams = (
         toks.where(F.size("t") >= n)
         .select(
