@@ -1155,3 +1155,32 @@ def test_bpe_merge_application_round_trips(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_round4c_query_plan_shapes(spark, sf_dir):
+    """Physical-plan pins for the round-4c operators: the DSIR log-ratio
+    profile must join as a BROADCAST (bucket-sized build side, never a
+    shuffle of the doc-bucket frame), and the weighted sampler must rank
+    inside a single exchange on the group key (one Window, no extra
+    shuffle of the scored rows)."""
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    dsir = catalog.QUERIES["curation_dsir_weights"](spark, sf_dir)
+    plan = dsir._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    ws = catalog.QUERIES["curation_weighted_sample"](spark, sf_dir)
+    plan = ws._jdf.queryExecution().executedPlan().toString()
+    windows = [
+        ln for ln in plan.splitlines() if ln.split("+- ")[-1].startswith("Window ")
+    ]
+    assert len(windows) == 1, plan
+    assert plan.count("Exchange hashpartitioning(source") == 1
+
+    spans = catalog.QUERIES["dedup_duplicate_spans"](spark, sf_dir)
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    # the dup-gram filter joins hits by gram — equi-joins only, and the
+    # final report re-keys by doc id; nothing may cartesian
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
