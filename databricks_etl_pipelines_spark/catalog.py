@@ -103,6 +103,7 @@ PRIORITY: list[str] = [
     "curation_dsir_budget_select",    # NEW r4c: DSIR x token-budget composition
     "curation_weighted_sample",       # NEW r4c: A-ES weighted sampling, hard oracle
     "streaming_dsir_scores",          # NEW r4c: streaming DSIR vs batch oracle
+    "similarity_chunk_retrieval",     # NEW r4c: RAG chunk->embed->topk, hard oracle
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

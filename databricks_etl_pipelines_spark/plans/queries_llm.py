@@ -2600,3 +2600,107 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_stats(
         docs, "text", "doc_id", merges, max_words=_BPE_MAXW
     )
+
+
+# -- RAG chunk retrieval end-to-end: chunk -> hash-embed -> cosine top-k ------
+
+_RAG_QUERY_TEXT = "spark query join table scan filter merge window batch sort"
+_RAG_CHUNK, _RAG_STRIDE, _RAG_K = 16, 8, 20
+
+_CHUNK_RETRIEVAL_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) > {_RAG_CHUNK} THEN
+      list_transform(
+        range(0, CAST(ceil((len(ws) - {_RAG_CHUNK}) / {_RAG_STRIDE}.0)
+                      AS INT) + 1),
+        k -> array_to_string(
+               ws[k*{_RAG_STRIDE}+1 : k*{_RAG_STRIDE}+{_RAG_CHUNK}], ' '))
+    ELSE [array_to_string(ws, ' ')] END AS chunks
+  FROM w
+),
+allc AS (
+  SELECT CAST(doc_id * 1000 + generate_subscripts(chunks, 1) - 1 AS BIGINT)
+           AS id,
+         unnest(chunks) AS ctext
+  FROM c
+  UNION ALL SELECT CAST(-1 AS BIGINT), '{_RAG_QUERY_TEXT}'
+),
+tok AS (
+  SELECT id, unnest(string_split_regex(trim(ctext), '\\s+')) AS t FROM allc
+),
+hv AS (SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+  list_transform(regexp_extract_all(md5(t), '.'),
+                 c -> CAST(ord(c) AS BIGINT))),
+  (acc, c) -> (acc * 257 + c) % 2147483647) AS h FROM tok),
+e AS (
+  SELECT id, CAST(h % 64 AS INT) AS bucket,
+    (CAST(floor(h / 64) AS BIGINT) % 2) * 2 - 1 AS sgn
+  FROM hv
+),
+emb AS (
+  SELECT id, bucket, CAST(sum(sgn) AS BIGINT) AS val
+  FROM e GROUP BY id, bucket HAVING sum(sgn) <> 0
+),
+norms AS (
+  SELECT id, CAST(sum(val * val) AS BIGINT) AS n2 FROM emb GROUP BY id
+),
+q AS (SELECT bucket, val AS qval FROM emb WHERE id = -1),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE id = -1),
+dots AS (
+  SELECT e.id, CAST(sum(e.val * q.qval) AS BIGINT) AS dot
+  FROM emb e JOIN q USING (bucket) WHERE e.id <> -1 GROUP BY e.id
+),
+ranked AS (
+  SELECT dots.id,
+    floor(dot / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE)))
+          * 1000000 + 0.5) / 1000000 AS cosine_sim
+  FROM dots JOIN norms n ON dots.id = n.id CROSS JOIN qn
+  ORDER BY cosine_sim DESC, dots.id
+  LIMIT {_RAG_K}
+)
+SELECT id // 1000 AS doc_id, CAST(id % 1000 AS INT) AS chunk_index,
+       cosine_sim
+FROM ranked
+"""
+
+
+@query("similarity_chunk_retrieval", _CHUNK_RETRIEVAL_ORACLE)
+def similarity_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full RAG retrieval path composed end-to-end: sliding-window
+    chunking (16-token windows every 8) -> feature-hash each CHUNK ->
+    cosine top-20 chunks for a literal query string, all relational and
+    integer-exact until one rounded division — so chunking, embedding,
+    similarity, and ranking replay value-for-value in SQL. The three
+    pieces are independently oracle-checked; this checks their
+    composition at retrieval granularity (chunks, not documents)."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        sliding_chunks,
+    )
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        hash_embed_cosine_topk,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            sliding_chunks("text", _RAG_CHUNK, _RAG_STRIDE)
+        ).alias("ci", "ctext"),
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("ci")).alias("chunk_id"), "ctext"
+    )
+    qrow = spark.createDataFrame(
+        [(-1, _RAG_QUERY_TEXT)], "chunk_id long, ctext string"
+    )
+    out = hash_embed_cosine_topk(
+        chunks.unionByName(qrow), "ctext", "chunk_id", query_id=-1, k=_RAG_K
+    )
+    return out.select(
+        F.expr("chunk_id DIV 1000").alias("doc_id"),
+        (F.col("chunk_id") % 1000).cast("int").alias("chunk_index"),
+        "cosine_sim",
+    )
