@@ -573,6 +573,78 @@ def weighted_sample_without_replacement(
     )
 
 
+def source_token_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the hashed-unigram token
+    distributions of every two corpus slices — the mixture-design
+    diagnostic that says WHICH domains are linguistically close (candidates
+    to merge or reweight together) vs disjoint. Smoothed add-one over
+    ``n_buckets`` hashed features, so zero-overlap buckets stay finite;
+    JSD is symmetric and bounded by ln 2.
+
+    Scale shape: one token pass into (group, bucket) counts, densified on
+    a (groups × n_buckets) grid (tiny), then a pair self-join of that
+    GRID — never of the corpus. Cost after the first aggregate is
+    O(groups² · n_buckets) on broadcast-sized frames.
+    """
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        _spread_input,
+        crossengine_feature_hash,
+    )
+
+    toks = _spread_input(df).select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn(
+        "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
+    )
+    counts = toks.groupBy("g", "b").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("tot"))
+    grid = (
+        totals.crossJoin(
+            F.broadcast(
+                toks.sparkSession.range(n_buckets).select(
+                    F.col("id").cast("bigint").alias("b")
+                )
+            )
+        )
+        .join(counts, ["g", "b"], "left")
+        .select(
+            "g", "b", "tot",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1)
+             / (F.col("tot") + n_buckets)).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("g").alias("source_a"), "b",
+        F.col("p").alias("pa"), F.col("tot").alias("tokens_a"),
+    )
+    bb = grid.select(
+        F.col("g").alias("source_b"), "b",
+        F.col("p").alias("pb"), F.col("tot").alias("tokens_b"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col(
+        "pb"
+    ) * F.log(F.col("pb") / m)
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+
+    return (
+        a.join(bb, "b")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.first("tokens_a").alias("tokens_a"),
+            F.first("tokens_b").alias("tokens_b"),
+            stable_round(F.sum(term), 6).alias("jsd"),
+        )
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     text_col: str,

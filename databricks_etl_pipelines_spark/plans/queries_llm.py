@@ -2704,3 +2704,78 @@ def similarity_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("chunk_id") % 1000).cast("int").alias("chunk_index"),
         "cosine_sim",
     )
+
+
+# -- corpus statistics: Zipf-law fit over the word-frequency distribution ----
+
+_ZIPF_TOPN = 1_000
+
+_ZIPF_ORACLE = f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT freq,
+    CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rk
+  FROM wf QUALIFY rk <= {_ZIPF_TOPN}
+),
+pts AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        FROM ranked),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+    sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM pts
+)
+SELECT n AS n_ranks,
+  {sql_stable_round('(n*sxy - sx*sy) / (n*sxx - sx*sx)', 6)} AS zipf_slope,
+  {sql_stable_round('(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n', 6)}
+    AS zipf_intercept,
+  {sql_stable_round(
+      '((n*sxy - sx*sy) * (n*sxy - sx*sy))'
+      ' / ((n*sxx - sx*sx) * (n*syy - sy*sy))', 6)} AS r_squared
+FROM s
+"""
+
+
+@query("text_zipf_diagnostics", _ZIPF_ORACLE)
+def text_zipf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency distribution: least-
+    squares slope/intercept/R² of ln(freq) vs ln(rank) for the top ranks
+    — the standard sanity check that a corpus has natural-language token
+    statistics (slope ≈ −1) rather than generator artifacts. One
+    distributed word count; the regression runs on SUMS over the (tiny)
+    ranked head, so every float op has a fixed order in both engines."""
+    from pyspark.sql.window import Window
+
+    from databricks_etl_pipelines_spark.operators.bpe import word_frequencies
+
+    wf = word_frequencies(table(spark, sf_dir, "documents"), "text",
+                          max_words=_ZIPF_TOPN)
+    rk = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
+    pts = wf.withColumn("rk", rk.cast("bigint")).select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_ranks"),
+        stable_round(slope, 6).alias("zipf_slope"),
+        stable_round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+        stable_round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )

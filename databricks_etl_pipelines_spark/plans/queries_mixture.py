@@ -681,3 +681,64 @@ def streaming_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         ratios.unpersist()
+
+
+# Pairwise source JSD over hashed-unigram distributions (mixture design:
+# which domains are linguistically close). Same cross-engine feature hash
+# as DSIR; smoothing keeps every bucket finite.
+
+_JSD_BUCKETS = 64
+
+_SOURCE_JSD_ORACLE = f"""
+WITH toks AS (
+  SELECT source AS g, unnest({_SQL_TOKS}) AS w FROM documents
+),
+bucketed AS (
+  SELECT g,
+    (({_sql_rolling_md5_w('a:')} & 1073741823)
+     | (({_sql_rolling_md5_w('b:')} & 1073741823) << 30))
+      % {_JSD_BUCKETS} AS b
+  FROM toks
+),
+counts AS (SELECT g, b, CAST(count(*) AS BIGINT) AS c
+           FROM bucketed GROUP BY g, b),
+totals AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY g),
+gridkeys AS (
+  SELECT t.g, t.tot, u.b
+  FROM totals t, unnest(generate_series(0, {_JSD_BUCKETS - 1})) AS u(b)
+),
+grid AS (
+  SELECT gk.g, gk.b, gk.tot,
+    (COALESCE(c.c, 0) + 1) / (gk.tot + {_JSD_BUCKETS}) AS p
+  FROM gridkeys gk LEFT JOIN counts c ON c.g = gk.g AND c.b = gk.b
+),
+pairs AS (
+  SELECT a.g AS source_a, bb.g AS source_b,
+    a.tot AS tokens_a, bb.tot AS tokens_b,
+    0.5 * a.p * ln(a.p / ((a.p + bb.p) / 2))
+      + 0.5 * bb.p * ln(bb.p / ((a.p + bb.p) / 2)) AS term
+  FROM grid a JOIN grid bb ON a.b = bb.b AND a.g < bb.g
+)
+SELECT source_a, source_b,
+  CAST(min(tokens_a) AS BIGINT) AS tokens_a,
+  CAST(min(tokens_b) AS BIGINT) AS tokens_b,
+  {sql_stable_round('sum(term)', 6)} AS jsd
+FROM pairs GROUP BY source_a, source_b
+"""
+
+
+@query("curation_source_divergence", _SOURCE_JSD_ORACLE)
+def curation_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    hashed-unigram token distributions (add-one smoothed, bounded by
+    ln 2) — see operators/curation.py:source_token_divergence for the
+    grid-join scale shape (pair join runs on the bucket GRID, never the
+    corpus)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        source_token_divergence,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return source_token_divergence(
+        docs, "source", "text", n_buckets=_JSD_BUCKETS
+    )
