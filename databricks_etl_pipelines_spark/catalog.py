@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "similarity_chunk_retrieval",     # NEW r4c: RAG chunk->embed->topk, hard oracle
     "text_zipf_diagnostics",          # NEW r4c: Zipf-law fit, hard oracle
     "curation_source_divergence",     # NEW r4c: pairwise source JSD, hard oracle
+    "curation_prepare_corpus",        # NEW r4c: full prep pipeline, hard oracle
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

@@ -573,6 +573,80 @@ def weighted_sample_without_replacement(
     )
 
 
+def prepare_pretraining_corpus(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_quality: int = 90,
+    span_n: int = 8,
+    max_span_fraction: float = 0.5,
+    budget_tokens: int = 2_000,
+    n_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """The round-4 pipeline end to end — what a user actually runs to turn
+    a raw crawl into a training mix. Returns (selected, report).
+
+    Stages, in order, each the already-tested operator underneath:
+      1. PII scrub (functions/privacy.py): redact emails/phones in place.
+      2. Quality gate: rubric score ≥ ``min_quality`` on the SCRUBBED
+         text (scrubbing can only change token stats it touched).
+      3. Exact dedup: one survivor (min id) per normalized-text hash.
+      4. Span gate: drop documents whose duplicated-8-gram coverage
+         exceeds ``max_span_fraction`` (computed on the POST-dedup corpus,
+         so surviving boilerplate — not removed copies — drives the cut).
+      5. DSIR budget selection: importance weights against
+         ``target_pred``'s slice (profile built FROM the survivors), then
+         each source's ``budget_tokens`` filled in per-token-weight order.
+
+    report: one row per stage with rows_in / rows_out / rows_dropped —
+    the funnel the run is judged by, every count driver-bounded scalars
+    (same idiom as ``curate_corpus``).
+    """
+    from databricks_etl_pipelines_spark.functions.privacy import (
+        scrub_text_pii,
+    )
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        duplicated_span_report,
+        exact_dedup,
+    )
+
+    scrubbed = docs.withColumn(text_col, scrub_text_pii(text_col))
+    total = scrubbed.count()
+    gated = scrubbed.where(quality_score(text_col) >= min_quality)
+    n_gate = gated.count()
+    unique = exact_dedup(gated, text_col, id_col).persist()
+    n_exact = unique.count()
+    spans = duplicated_span_report(unique, text_col, id_col, n=span_n)
+    keep_ids = spans.where(
+        F.col("dup_fraction") <= max_span_fraction
+    ).select(id_col)
+    span_ok = unique.join(keep_ids, id_col, "left_semi").persist()
+    n_span = span_ok.count()
+    weights = dsir_importance_weights(
+        span_ok, text_col, id_col, target_pred, n_buckets
+    )
+    scored = weights.join(span_ok.select(id_col, source_col), id_col)
+    selected = token_budget_select(
+        scored, source_col, "dsir_weight_per_token", "n_tokens", id_col,
+        budget_tokens,
+    )
+    n_sel = selected.count()
+    report = docs.sparkSession.createDataFrame(
+        [
+            ("input", total, total, 0),
+            ("pii_scrub", total, total, 0),
+            ("quality_gate", total, n_gate, total - n_gate),
+            ("exact_dedup", n_gate, n_exact, n_gate - n_exact),
+            ("span_gate", n_exact, n_span, n_exact - n_span),
+            ("dsir_budget_select", n_span, n_sel, n_span - n_sel),
+        ],
+        "stage string, rows_in bigint, rows_out bigint, rows_dropped bigint",
+    )
+    return selected, report
+
+
 def source_token_divergence(
     df: DataFrame,
     group_col: str,

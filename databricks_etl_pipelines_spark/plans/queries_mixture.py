@@ -742,3 +742,155 @@ def curation_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_divergence(
         docs, "source", "text", n_buckets=_JSD_BUCKETS
     )
+
+
+# The round-4 pipeline end to end: PII scrub -> quality gate -> exact
+# dedup -> repeated-span gate -> DSIR per-source budget selection, with
+# EVERY stage's attrition recomputed independently in SQL. PII is planted
+# deterministically (same construction both engines) so the scrub stage
+# is exercised, not vacuous.
+
+from databricks_etl_pipelines_spark.functions.privacy import (  # noqa: E402
+    PII_EMAIL_PATTERN as _EMAIL_RE,
+    PII_PHONE_PATTERN as _PHONE_RE,
+)
+
+
+def _prepare_corpus_oracle() -> str:
+    dsir_hash = (
+        f"(({_sql_rolling_md5_w('a:')} & 1073741823)"
+        f" | (({_sql_rolling_md5_w('b:')} & 1073741823) << 30)) % 64"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example or call '
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source,
+    regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_PHONE_RE}', '[PHONE]', 'g') AS text
+  FROM planted
+),
+q AS (SELECT doc_id, source, text, ({_SQL_QUALITY}) AS quality
+      FROM scrubbed),
+gated AS (SELECT doc_id, source, text FROM q WHERE quality >= 90),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM gated
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+),
+uniq AS (SELECT g.* FROM gated g JOIN keep k USING (doc_id)),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM uniq
+),
+grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(t[u.i:u.i+7], ' ') AS g
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+dupg AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+  GROUP BY g HAVING count(*) >= 2
+),
+hits AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+covered AS (
+  SELECT doc_id, count(*) AS covered_tokens FROM (
+    SELECT DISTINCT doc_id, v.p
+    FROM hits, unnest(generate_series(pos, pos + 7)) AS v(p)
+  ) GROUP BY doc_id
+),
+spanok AS (
+  SELECT u.doc_id, u.source, u.text FROM uniq u
+  JOIN toks tk USING (doc_id)
+  LEFT JOIN covered c USING (doc_id)
+  WHERE floor(COALESCE(c.covered_tokens, 0) / len(tk.t) * 1000000 + 0.5)
+        / 1000000 <= 0.5
+),
+dtok AS (
+  SELECT doc_id, source IN ('src1', 'src2', 'src3') AS is_target,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM spanok
+),
+bucketed AS (SELECT doc_id, is_target, {dsir_hash} AS b FROM dtok),
+braw AS (SELECT b, count(*) AS n_raw FROM bucketed GROUP BY b),
+btgt AS (SELECT b, count(*) AS n_tgt FROM bucketed WHERE is_target
+         GROUP BY b),
+btot AS (
+  SELECT count(*) AS total_raw,
+    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS total_tgt
+  FROM bucketed
+),
+ratios AS (
+  SELECT braw.b,
+    ln((COALESCE(n_tgt, 0) + 1) / (total_tgt + 64))
+      - ln((n_raw + 1) / (total_raw + 64)) AS log_ratio
+  FROM braw LEFT JOIN btgt USING (b), btot
+),
+doc_bucket AS (
+  SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY doc_id, b
+),
+wts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+    {sql_stable_round('sum(c * log_ratio) / sum(c)', 6)} AS wpt
+  FROM doc_bucket JOIN ratios USING (b) GROUP BY doc_id
+),
+selq AS (
+  SELECT w2.doc_id,
+    CAST(sum(w2.n_tokens) OVER (
+      PARTITION BY s.source ORDER BY w2.wpt DESC, w2.doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM wts w2 JOIN spanok s USING (doc_id)
+),
+c0 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM planted),
+c1 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM gated),
+c2 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uniq),
+c3 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM spanok),
+c4 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM selq WHERE cum <= 300)
+SELECT 'input' AS stage, c0.v AS rows_in, c0.v AS rows_out,
+       CAST(0 AS BIGINT) AS rows_dropped FROM c0
+UNION ALL SELECT 'pii_scrub', c0.v, c0.v, CAST(0 AS BIGINT) FROM c0
+UNION ALL SELECT 'quality_gate', c0.v, c1.v, c0.v - c1.v FROM c0, c1
+UNION ALL SELECT 'exact_dedup', c1.v, c2.v, c1.v - c2.v FROM c1, c2
+UNION ALL SELECT 'span_gate', c2.v, c3.v, c2.v - c3.v FROM c2, c3
+UNION ALL SELECT 'dsir_budget_select', c3.v, c4.v, c3.v - c4.v FROM c3, c4
+"""
+
+
+@query("curation_prepare_corpus", _prepare_corpus_oracle())
+def curation_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pretraining-prep pipeline under one differential
+    check: plant PII, scrub, quality-gate, exact-dedup, span-gate, then
+    fill per-source token budgets in DSIR order — the oracle recomputes
+    every stage's attrition count independently (see
+    operators/curation.py:prepare_pretraining_corpus)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        prepare_pretraining_corpus,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example or call "),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    _, report = prepare_pretraining_corpus(
+        docs, F.col("source").isin("src1", "src2", "src3"),
+        budget_tokens=300,
+    )
+    return report

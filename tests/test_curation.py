@@ -375,3 +375,51 @@ def test_pack_concat_chunks_layout_and_manifest(spark, sf_dir):
     assert man.agg(F.min("chunk_id"), F.max("chunk_id")).head() == (
         0, n_chunks - 1,
     )
+
+
+def test_prepare_pretraining_corpus_funnel_invariants(spark):
+    """End-to-end prep pipeline on a crafted corpus: the funnel chains
+    (each stage's rows_in == previous rows_out), the scrub is verified in
+    the OUTPUT (selected docs carry no raw PII effect: a planted-email doc
+    deduped identically to its scrubbed twin), and each gate drops the
+    planted victim."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.operators.curation import (
+        prepare_pretraining_corpus,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from a warm windowsill in the afternoon sun today")
+    boiler = "copy paste copy paste copy paste copy paste copy paste one"
+    rows = [
+        # two docs identical AFTER scrubbing (different raw emails):
+        (0, "s1", good + " mail a@b.io now"),
+        (1, "s1", good + " mail c@d.io now"),
+        (2, "s1", "another entirely distinct sentence about gardening "
+                  "tulips roses daffodils under spring rain with muddy "
+                  "boots and rusty wheelbarrow"),
+        (3, "s2", "bad"),                     # fails quality (too short)
+        (4, "s2", boiler + " alpha"),         # shares 8-gram boilerplate
+        (5, "s2", boiler + " beta"),          # with doc 4 -> span gate
+        (6, "s2", "numbers and letters combine into pleasant narrative "
+                  "about sailing boats across quiet harbor before dawn "
+                  "arrived yesterday evening"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    selected, report = prepare_pretraining_corpus(
+        df, F.col("source") == "s1", min_quality=60,
+        span_n=8, max_span_fraction=0.5, budget_tokens=10_000, n_buckets=32,
+    )
+    rep = {r.stage: r for r in report.collect()}
+    order = ["input", "pii_scrub", "quality_gate", "exact_dedup",
+             "span_gate", "dsir_budget_select"]
+    for prev, cur in zip(order, order[1:]):
+        assert rep[cur].rows_in == rep[prev].rows_out, (prev, cur)
+        assert rep[cur].rows_out == rep[cur].rows_in - rep[cur].rows_dropped
+    assert rep["quality_gate"].rows_dropped >= 1      # doc 3
+    assert rep["exact_dedup"].rows_dropped == 1       # scrubbed twins 0/1
+    assert rep["span_gate"].rows_dropped == 2         # boilerplate 4,5
+    ids = {r.doc_id for r in selected.collect()}
+    assert 1 not in ids and 3 not in ids and 4 not in ids and 5 not in ids
+    assert 0 in ids  # min-id twin survives

@@ -255,3 +255,48 @@ def test_pack_concat_chunks_matches_serial_replay(spark, sizes, chunk, nparts):
         assert got[d] == (nt, start, cs, ce, (ce - cs + 1) if nt else 0)
         start += nt
     assert len(got) == len(sizes)
+
+
+TOKS3 = st.lists(st.sampled_from("abc"), min_size=1, max_size=12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TOKS3, min_size=2, max_size=10))
+def test_duplicated_span_report_matches_bruteforce(spark, docs):
+    """Span report vs a brute-force Python reference on tiny-alphabet
+    corpora (dense repeats stress the interval-union coverage and the
+    min_docs cross-doc rule, including within-doc-only repeats which must
+    NOT count)."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        duplicated_span_report,
+    )
+
+    n = 3
+    toks = {i: ts for i, ts in enumerate(docs)}
+    grams: dict[str, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            grams.setdefault(" ".join(ts[p:p + n]), set()).add(i)
+    dup = {g for g, s in grams.items() if len(s) >= 2}
+    expect = {}
+    for i, ts in toks.items():
+        hits = [
+            p for p in range(len(ts) - n + 1)
+            if " ".join(ts[p:p + n]) in dup
+        ]
+        covered = set()
+        for p in hits:
+            covered.update(range(p, p + n))
+        expect[i] = (len(ts), len(hits), len(covered))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in toks.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_ngrams, r.covered_tokens)
+        for r in duplicated_span_report(
+            df, "text", "doc_id", n=n, min_docs=2
+        ).collect()
+    }
+    assert got == expect
