@@ -107,6 +107,9 @@ PRIORITY: list[str] = [
     "text_zipf_diagnostics",          # NEW r4c: Zipf-law fit, hard oracle
     "curation_source_divergence",     # NEW r4c: pairwise source JSD, hard oracle
     "curation_prepare_corpus",        # NEW r4c: full prep pipeline, hard oracle
+    "sql_volume_shipping",            # NEW r4c: Q7 shape, identical-text oracle
+    "sql_market_share",               # NEW r4c: Q8 shape, identical-text oracle
+    "sql_waiting_suppliers",          # NEW r4c: Q21 double decorrelation
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and

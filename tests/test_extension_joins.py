@@ -127,3 +127,23 @@ def test_sql_subqueries_decorrelate_to_joins(spark, sf_dir):
     )
     assert "LeftAnti" in anti_plan
     assert "scalar-subquery" in anti_plan
+
+
+def test_sql_q21_double_correlation_decorrelates(spark, sf_dir):
+    """The Q21 shape must rewrite BOTH subqueries — the correlated EXISTS
+    to a left-semi and the doubly-correlated NOT EXISTS (it references
+    l1's keys AND the outer o_orderdate) to a left-anti — with no
+    residual ExistenceJoin, and the result must be non-vacuous."""
+    from databricks_etl_pipelines_spark.plans.queries_sql import (
+        sql_waiting_suppliers,
+    )
+
+    df = sql_waiting_suppliers(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "ExistenceJoin" not in plan
+    # non-vacuous at sf0.01 (the smoke-scale sf dir can have zero
+    # qualifying multi-supplier late orders)
+    rows = sql_waiting_suppliers(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 1 and rows[0].numwait >= 1
