@@ -70,11 +70,6 @@ PRIORITY: list[str] = [
     "curation_token_budget_select",  # bounded variant column-order fix
     "curation_quota_per_language",   # shares the bounded machinery
     "streaming_curation_ingest",     # await_drained at every drain site
-    "streaming_foreachbatch_merge",
-    "streaming_stateful_totals",
-    "source_python_stream_datasource",
-    "ml_quality_classifier",         # seed param removed (rows-only)
-    "ml_run_history",                # driver fast-path (rows-only)
     "multimodal_decode_image_stats",  # NEW r4: pure-numpy BMP decode
     "dedup_minhash_crossengine",      # NEW r4: banded LSH, hard-verified
     "dedup_simhash_crossengine",      # NEW r4: simhash vote+pigeonhole, hard-verified
@@ -110,6 +105,15 @@ PRIORITY: list[str] = [
     "sql_volume_shipping",            # NEW r4c: Q7 shape, identical-text oracle
     "sql_market_share",               # NEW r4c: Q8 shape, identical-text oracle
     "sql_waiting_suppliers",          # NEW r4c: Q21 double decorrelation
+    # (b-tail) deferred behind the new hard-oracle queries: the r4a change
+    # these would re-check is the error-path-only await_drained wrapper
+    # (behavior-identical on a green drain) or rows-only ML knobs — all
+    # pytest-pinned, r2-green, weakest driver signal per slot.
+    "streaming_foreachbatch_merge",
+    "streaming_stateful_totals",
+    "source_python_stream_datasource",
+    "ml_quality_classifier",         # seed param removed (rows-only)
+    "ml_run_history",                # driver fast-path (rows-only)
     # (c) staleness re-checks: latest driver row is r1 (3 rounds old),
     # oracle-backed only (rows-only re-checks are the weakest signal —
     # dedup_minhash/simhash, similarity_lsh/ivf, ml_fraud/metrics and
