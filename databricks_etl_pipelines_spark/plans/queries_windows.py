@@ -487,3 +487,65 @@ def window_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_forward_fill(
         ev, "user_id", "ts", "value", "event_id", step="1 hour"
     )
+
+
+# -- rolling z-score anomaly detection ---------------------------------------
+# The ops-monitoring shape: each event scored against ITS OWN trailing
+# baseline (10 preceding rows, current row excluded so the anomaly can't
+# contaminate its baseline). The |z| threshold compares the ROUNDED score
+# on both engines, so the cut is engine-stable.
+
+_ANOMALY_ORACLE = """
+WITH stats AS (
+  SELECT user_id, event_id, "value",
+    count(*) OVER w AS n_prev,
+    avg("value") OVER w AS mu,
+    stddev_samp("value") OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+  floor("value" * 100 + 0.5) / 100 AS value,
+  floor(mu * 10000 + 0.5) / 10000 AS baseline_mean,
+  floor(("value" - mu) / sd * 10000 + 0.5) / 10000 AS zscore
+FROM stats
+WHERE n_prev >= 5 AND sd > 0.000001
+  AND abs(floor(("value" - mu) / sd * 10000 + 0.5) / 10000) > 2.5
+"""
+
+
+@query("window_anomaly_zscore", _ANOMALY_ORACLE)
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline anomaly detection: flag events whose value sits
+    more than 2.5 sample standard deviations from the mean of the user's
+    previous ≤10 events (≥5 required; the current row is EXCLUDED from
+    its own baseline). One window exchange on user_id; the z cut uses
+    the stable-rounded score so both engines agree at the boundary."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-10, -1)
+    )
+    n_prev = F.count("*").over(w)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = stable_round((F.col("value") - mu) / sd, 4)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            stable_round(F.col("value"), 2).alias("value"),
+            stable_round(mu, 4).alias("baseline_mean"),
+            z.alias("zscore"),
+            n_prev.alias("__n"),
+            sd.alias("__sd"),
+        )
+        .where(
+            (F.col("__n") >= 5)
+            & (F.col("__sd") > 0.000001)
+            & (F.abs(F.col("zscore")) > 2.5)
+        )
+        .drop("__n", "__sd")
+    )

@@ -1184,3 +1184,36 @@ def test_round4c_query_plan_shapes(spark, sf_dir):
     # the dup-gram filter joins hits by gram — equi-joins only, and the
     # final report re-keys by doc id; nothing may cartesian
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_anomaly_zscore_planted_spike(spark):
+    """A planted spike against a mildly-varying baseline is the ONLY
+    flagged event: the spike is excluded from its own baseline (else z
+    would be 0-ish), later rows aren't flagged because the spike inflates
+    their baseline spread, and constant baselines (sd=0) never divide."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.plans.queries_windows import (
+        window_anomaly_zscore,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    vals = [10.0, 11.0, 10.0, 11.0, 10.0, 11.0, 100.0, 11.0, 10.0]
+    for i, v in enumerate(vals):
+        rows.append((1, i, t0 + dt.timedelta(minutes=i), "x", v, "{}"))
+    # user 2: constant values -> sd 0 -> nothing flagged, no div-by-zero
+    for i, v in enumerate([5.0] * 8):
+        rows.append((2, 100 + i, t0 + dt.timedelta(minutes=i), "x", v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = window_anomaly_zscore(spark, d).collect()
+    assert [(r.user_id, r.event_id) for r in out] == [(1, 6)]
+    assert out[0].zscore > 50
