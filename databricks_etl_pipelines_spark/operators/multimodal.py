@@ -353,3 +353,53 @@ def synthetic_bmp_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(F.col(id_col).alias("doc_id")).mapInPandas(
         _make, BINARY_DOC_SCHEMA
     )
+
+
+PATCH_EMB_SCHEMA = "doc_id bigint, dim int, val double"
+
+
+def patch_embeddings(decoded: DataFrame, grid: int = 2) -> DataFrame:
+    """Image → embedding: a ``grid×grid`` patch-mean feature vector per
+    channel (dim = (patch_y·grid + patch_x)·3 + channel), emitted SPARSE
+    as (doc_id, dim, val) rows so retrieval stays a relational join —
+    the same representation the text hash-embedder uses.
+
+    Patch boundaries are arithmetic, not array_split: pixel column x
+    belongs to patch (grid·x)//w (and likewise rows), so an oracle can
+    replay the exact assignment. Means are exact-integer sums divided
+    once in float64 — bit-identical across engines. Vectorized numpy per
+    Arrow batch; composes after ``decode_image`` with no shuffle."""
+    import numpy as np
+
+    def _emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_dim, out_val = [], [], []
+            for doc, w, h, feat in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["features"]
+            ):
+                w, h = int(w), int(h)
+                rgb = (
+                    np.frombuffer(bytes(feat), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                xs = (grid * np.arange(w)) // w
+                ys = (grid * np.arange(h)) // h
+                for py in range(grid):
+                    for px in range(grid):
+                        block = rgb[ys == py][:, xs == px, :]
+                        c = block.shape[0] * block.shape[1]
+                        sums = block.reshape(-1, 3).sum(axis=0)
+                        for ch in range(3):
+                            out_doc.append(int(doc))
+                            out_dim.append((py * grid + px) * 3 + ch)
+                            out_val.append(sums[ch] / c)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "dim": pd.Series(out_dim, dtype="int32"),
+                    "val": pd.Series(out_val, dtype="float64"),
+                }
+            )
+
+    return decoded.mapInPandas(_emb, PATCH_EMB_SCHEMA)

@@ -2779,3 +2779,94 @@ def text_zipf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+# -- multimodal retrieval: decode -> patch-mean embedding -> cosine top-k -----
+
+_PATCH_CAP = 200  # bound the image set per slot; same predicate both sides
+
+_PATCH_RETRIEVAL_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {_PATCH_CAP}
+),
+px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM g),
+p AS (
+  SELECT doc_id,
+    (2 * ((k % w) )) // w AS gx, (2 * (k // w)) // h AS gy,
+    (doc_id * 7  + 3  * k) % 256 AS r,
+    (doc_id * 13 + 5  * k) % 256 AS gc,
+    (doc_id * 31 + 11 * k) % 256 AS b
+  FROM px
+),
+patch AS (
+  SELECT doc_id, CAST(gy * 2 + gx AS INT) AS patch_id,
+    CAST(sum(r) AS BIGINT) AS sr, CAST(sum(gc) AS BIGINT) AS sg,
+    CAST(sum(b) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS c
+  FROM p GROUP BY doc_id, gx, gy
+),
+emb AS (
+  SELECT doc_id, patch_id * 3 + ch.i AS dim,
+    (CASE ch.i WHEN 0 THEN sr WHEN 1 THEN sg ELSE sb END) * 1.0 / c AS val
+  FROM patch, (SELECT unnest(range(0, 3)) AS i) AS ch
+),
+norms AS (SELECT doc_id, sum(val * val) AS n2 FROM emb GROUP BY doc_id),
+q AS (SELECT dim, val AS qval FROM emb WHERE doc_id = 0),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = 0),
+dots AS (
+  SELECT e.doc_id, sum(e.val * q.qval) AS dot
+  FROM emb e JOIN q USING (dim) WHERE e.doc_id <> 0 GROUP BY e.doc_id
+)
+SELECT dots.doc_id,
+  floor(dot / (sqrt(n.n2) * sqrt(qn.qn2)) * 1000000 + 0.5) / 1000000
+    AS cosine_sim
+FROM dots JOIN norms n ON dots.doc_id = n.doc_id CROSS JOIN qn
+ORDER BY cosine_sim DESC, dots.doc_id
+LIMIT 10
+"""
+
+
+@query("multimodal_patch_retrieval", _PATCH_RETRIEVAL_ORACLE)
+def multimodal_patch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image similarity end to end: synthesize BMPs, REAL decode
+    (pure-numpy parser), 2×2 patch-mean RGB embeddings via Arrow
+    mapInPandas, then relational cosine top-10 against image 0. The
+    closed-form pixel functions let the oracle recompute every patch
+    mean, norm, and ranking without any decoder — so the whole
+    decode→featurize→retrieve path is value-checked."""
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        decode_image,
+        patch_embeddings,
+        synthetic_bmp_images,
+    )
+
+    ids = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _PATCH_CAP
+    ).select("doc_id")
+    emb = patch_embeddings(
+        decode_image(synthetic_bmp_images(ids)), grid=2
+    ).persist()
+    norms = emb.groupBy("doc_id").agg(
+        F.sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    q = emb.filter(F.col("doc_id") == 0).select(
+        "dim", F.col("val").alias("qval")
+    )
+    qn = norms.filter(F.col("doc_id") == 0).select(F.col("n2").alias("qn2"))
+    dots = (
+        emb.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "dim")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    sim = stable_round(
+        F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2"))), 6
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select("doc_id", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "doc_id")
+        .limit(10)
+    )
