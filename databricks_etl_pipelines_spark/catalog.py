@@ -107,6 +107,8 @@ PRIORITY: list[str] = [
     "sql_waiting_suppliers",          # NEW r4c: Q21 double decorrelation
     "window_anomaly_zscore",          # NEW r4c: trailing-baseline anomaly flagging
     "multimodal_patch_retrieval",     # NEW r4c: decode->patch-embed->topk
+    "sft_turn_offsets",               # NEW r4c: loss-mask offsets, hard oracle
+    "sft_rendered_conversations",     # NEW r4c: ordered render, md5-pinned
     # (b-tail) deferred behind the new hard-oracle queries: the r4a change
     # these would re-check is the error-path-only await_drained wrapper
     # (behavior-identical on a green drain) or rows-only ML knobs — all

@@ -1,0 +1,88 @@
+"""SFT / instruction-data assembly: render per-entity event sequences into
+training text with a chat-style template, and compute the EXACT character
+spans where loss applies (the "mask everything except assistant turns"
+step every fine-tuning pipeline runs before tokenization).
+
+Relational decomposition — no string assembly is ever needed to know the
+offsets:
+
+  * each turn renders as ``role: payload\\n`` (pure Column concat);
+  * a turn's END offset in the final rendered string is the running sum
+    of rendered lengths over the (ts, id) window — one prefix-sum window,
+    the same single-exchange shape as sessionization;
+  * START = END − length(turn). Loss spans are then just the rows whose
+    role is in the loss set.
+
+The rendered document itself is an ordered aggregation (collect sorted
+structs → join), needed only by the writer — offsets come from the window
+alone, so a 100 TB corpus computes masks without materializing any
+concatenated text in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _turn_text(role_col: str, payload_col: str) -> Column:
+    return F.concat(F.col(role_col), F.lit(": "), F.col(payload_col), F.lit("\n"))
+
+
+def turn_offsets(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    role_col: str,
+    payload_col: str,
+    loss_roles: tuple[str, ...],
+) -> DataFrame:
+    """Per turn: 0-based index, [start_char, end_char) offsets into the
+    rendered conversation, and whether the turn is loss-bearing."""
+    turn = _turn_text(role_col, payload_col)
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    cum = Window.partitionBy(key_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    end = F.sum(F.length(turn).cast("bigint")).over(cum)
+    return df.select(
+        F.col(key_col),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        (end - F.length(turn)).alias("start_char"),
+        end.alias("end_char"),
+        F.col(role_col).isin(*loss_roles).cast("int").alias("in_loss"),
+    )
+
+
+def rendered_conversations(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    role_col: str,
+    payload_col: str,
+    loss_roles: tuple[str, ...],
+) -> DataFrame:
+    """Per conversation: turn count, total rendered chars, loss-covered
+    chars, and the md5 of the fully rendered text (order-pinned via
+    sorted-struct reassembly — the writer-side materialization)."""
+    turn = _turn_text(role_col, payload_col)
+    packed = df.select(
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in order_cols], turn.alias("t")).alias("s"),
+        F.length(turn).cast("bigint").alias("turn_len"),
+        F.when(F.col(role_col).isin(*loss_roles), F.length(turn))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("loss_len"),
+    )
+    rendered = F.array_join(
+        F.transform(F.array_sort(F.collect_list("s")), lambda s: s["t"]), ""
+    )
+    return packed.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum("turn_len").alias("total_chars"),
+        F.sum("loss_len").alias("loss_chars"),
+        F.md5(rendered).alias("rendered_md5"),
+    )

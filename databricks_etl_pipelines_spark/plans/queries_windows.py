@@ -549,3 +549,77 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__n", "__sd")
     )
+
+
+# -- SFT assembly: template rendering + loss-mask char offsets ---------------
+# Events stand in for conversation turns (role = event_type, payload =
+# props); 'click'/'purchase' are the loss-bearing "assistant" roles.
+
+_SFT_ROLES = "('click', 'purchase')"
+
+_SFT_OFFSETS_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+    event_type || ': ' || props || chr(10) AS turn
+  FROM events
+)
+SELECT user_id,
+  CAST(row_number() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+  event_type AS role,
+  CAST(sum(length(turn)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) - length(turn) AS BIGINT) AS start_char,
+  CAST(sum(length(turn)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_char,
+  CASE WHEN event_type IN {_SFT_ROLES} THEN 1 ELSE 0 END AS in_loss
+FROM t
+"""
+
+
+@query("sft_turn_offsets", _SFT_OFFSETS_ORACLE)
+def sft_turn_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask computation for instruction tuning: each turn's EXACT
+    [start, end) character span inside its rendered conversation, from
+    one prefix-sum window — no string is ever concatenated to know the
+    offsets (operators/sft.py)."""
+    from databricks_etl_pipelines_spark.operators.sft import turn_offsets
+
+    ev = table(spark, sf_dir, "events")
+    return turn_offsets(
+        ev, "user_id", ["ts", "event_id"], "event_type", "props",
+        ("click", "purchase"),
+    )
+
+
+_SFT_RENDERED_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+    event_type || ': ' || props || chr(10) AS turn
+  FROM events
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(length(turn)) AS BIGINT) AS total_chars,
+  CAST(sum(CASE WHEN event_type IN {_SFT_ROLES}
+               THEN length(turn) ELSE 0 END) AS BIGINT) AS loss_chars,
+  md5(string_agg(turn, '' ORDER BY ts, event_id)) AS rendered_md5
+FROM t GROUP BY user_id
+"""
+
+
+@query("sft_rendered_conversations", _SFT_RENDERED_ORACLE)
+def sft_rendered_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side conversation materialization: ordered template render
+    (md5-compared cross-engine so the byte-exact text is pinned) plus
+    turn/char/loss-char accounting per conversation."""
+    from databricks_etl_pipelines_spark.operators.sft import (
+        rendered_conversations,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return rendered_conversations(
+        ev, "user_id", ["ts", "event_id"], "event_type", "props",
+        ("click", "purchase"),
+    )

@@ -1217,3 +1217,56 @@ def test_anomaly_zscore_planted_spike(spark):
         out = window_anomaly_zscore(spark, d).collect()
     assert [(r.user_id, r.event_id) for r in out] == [(1, 6)]
     assert out[0].zscore > 50
+
+
+def test_sft_offsets_slice_rendered_text_exactly(spark):
+    """The offsets contract: slicing the independently-rendered
+    conversation string with each turn's [start, end) must reproduce the
+    turn's rendered text, and loss_chars must equal the union of
+    in_loss spans (crafted multi-turn conversation, out-of-order input
+    rows to prove the (ts, id) window ordering)."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.operators.sft import (
+        rendered_conversations,
+        turn_offsets,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [  # deliberately shuffled input order
+        (7, t0 + dt.timedelta(minutes=2), 3, "click", "do the thing"),
+        (7, t0 + dt.timedelta(minutes=1), 2, "view", "page two"),
+        (7, t0 + dt.timedelta(minutes=1), 1, "signup", "hello"),
+        (7, t0 + dt.timedelta(minutes=3), 4, "purchase", "buy it"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long,"
+        " event_type string, props string"
+    )
+    offs = sorted(
+        turn_offsets(
+            df, "user_id", ["ts", "event_id"], "event_type", "props",
+            ("click", "purchase"),
+        ).collect(),
+        key=lambda r: r.turn_idx,
+    )
+    expected_turns = [
+        "signup: hello\n", "view: page two\n",
+        "click: do the thing\n", "purchase: buy it\n",
+    ]
+    rendered = "".join(expected_turns)
+    for r, turn in zip(offs, expected_turns):
+        assert rendered[r.start_char:r.end_char] == turn
+    assert [r.in_loss for r in offs] == [0, 0, 1, 1]
+
+    conv = rendered_conversations(
+        df, "user_id", ["ts", "event_id"], "event_type", "props",
+        ("click", "purchase"),
+    ).collect()[0]
+    import hashlib
+
+    assert conv.rendered_md5 == hashlib.md5(rendered.encode()).hexdigest()
+    assert conv.total_chars == len(rendered)
+    assert conv.loss_chars == sum(
+        r.end_char - r.start_char for r in offs if r.in_loss
+    )
