@@ -109,6 +109,7 @@ PRIORITY: list[str] = [
     "multimodal_patch_retrieval",     # NEW r4c: decode->patch-embed->topk
     "sft_turn_offsets",               # NEW r4c: loss-mask offsets, hard oracle
     "sft_rendered_conversations",     # NEW r4c: ordered render, md5-pinned
+    "text_augment_dropout",           # NEW r4c: seeded dropout, md5-pinned
     # (b-tail) deferred behind the new hard-oracle queries: the r4a change
     # these would re-check is the error-path-only await_drained wrapper
     # (behavior-identical on a green drain) or rows-only ML knobs — all

@@ -2870,3 +2870,89 @@ def multimodal_patch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), "doc_id")
         .limit(10)
     )
+
+
+# -- deterministic text augmentation: seeded word dropout ---------------------
+# Augmentation must be REPRODUCIBLE to be debuggable: each (doc, position)
+# decides its own fate via the cross-engine md5 rolling hash, so the same
+# seed always drops the same words — and the oracle replays the exact
+# augmented text, md5-pinned.
+
+_AUG_SEED = 42
+_AUG_DROP_PCT = 10  # drop ~10% of token positions
+
+_AUG_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, u.i AS pos, list_extract({_SQL_TOKS}, u.i) AS tok
+  FROM documents,
+       unnest(generate_series(1, len({_SQL_TOKS}))) AS u(i)
+),
+keyed AS (
+  SELECT doc_id, pos, tok,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(regexp_extract_all(
+        md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+            || ':{_AUG_SEED}'), '.'),
+        c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647) % 100 AS bkt
+  FROM w
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN bkt < {_AUG_DROP_PCT} THEN 1 ELSE 0 END) AS BIGINT)
+    AS dropped,
+  md5(string_agg(tok, ' ' ORDER BY pos)
+      FILTER (WHERE bkt >= {_AUG_DROP_PCT})) AS augmented_md5
+FROM keyed GROUP BY doc_id
+"""
+
+
+@query("text_augment_dropout", _AUG_ORACLE)
+def text_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded word-dropout augmentation: every (doc, position) hashes to a
+    0-99 bucket and positions under the drop percentage are removed; the
+    surviving tokens reassemble in order (md5-pinned cross-engine).
+    Positional explode → hash → filter → ordered re-agg — the same
+    order-preserving reassembly as text_vocab_encode, fused in one
+    window-free pass."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    bkt = (
+        fingerprint_rolling(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"),
+                    F.col("pos").cast("string"), F.lit(f":{_AUG_SEED}"),
+                )
+            )
+        )
+        % 100
+    )
+    keyed = w.withColumn("bkt", bkt)
+    kept = F.when(F.col("bkt") >= _AUG_DROP_PCT, F.struct("pos", "tok"))
+    return keyed.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("bkt") < _AUG_DROP_PCT).cast("long")).alias("dropped"),
+        # all-dropped edge: SQL's FILTERed string_agg yields NULL, so the
+        # md5 must too (array_join would give md5("") instead)
+        F.when(
+            F.sum((F.col("bkt") >= _AUG_DROP_PCT).cast("long")) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)), lambda s: s["tok"]
+                    ),
+                    " ",
+                )
+            ),
+        ).alias("augmented_md5"),
+    )
