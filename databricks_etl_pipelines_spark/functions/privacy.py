@@ -61,3 +61,37 @@ def scrub_text_pii(
     text = F.col(text) if isinstance(text, str) else text
     scrubbed = F.regexp_replace(text, PII_EMAIL_PATTERN, email_token)
     return F.regexp_replace(scrubbed, PII_PHONE_PATTERN, phone_token)
+
+
+def plant_synthetic_pii(id_col: Column | str, text_col: Column | str) -> Column:
+    """Deterministically plant one email + one phone on every third row —
+    the synthetic corpus carries no real PII, so scrub queries plant the
+    SAME construction in both engines (``SQL_PLANT_PII`` is the SQL twin;
+    keep the two in lockstep — the differential checks are only
+    meaningful while they are byte-identical)."""
+    id_col = F.col(id_col) if isinstance(id_col, str) else id_col
+    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        F.when(
+            id_col % 3 == 0,
+            F.concat(
+                text_col,
+                F.lit(" contact user"),
+                id_col.cast("string"),
+                F.lit("@mail.example or call "),
+                F.lpad((id_col % 1000).cast("string"), 3, "0"),
+                F.lit("-555-"),
+                F.lpad((id_col % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(text_col)
+    )
+
+
+# the SQL twin of plant_synthetic_pii (columns doc_id / text)
+SQL_PLANT_PII = """CASE WHEN doc_id % 3 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example or call '
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END"""

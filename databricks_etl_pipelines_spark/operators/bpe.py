@@ -108,11 +108,19 @@ def train_bpe(
     text_col: str,
     num_merges: int = 8,
     max_words: int = 10_000,
+    word_freqs: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` merges; returns [(left, right, pair_count)] in
     merge order. Each iteration runs one distributed pair-count aggregate
-    and ships exactly ONE row (the argmax pair) to the driver."""
-    wf = word_frequencies(df, text_col, max_words).persist()
+    and ships exactly ONE row (the argmax pair) to the driver. Pass
+    ``word_freqs`` (a ``word_frequencies`` frame) to reuse an
+    already-built dictionary instead of re-counting the corpus."""
+    wf = (
+        word_freqs
+        if word_freqs is not None
+        else word_frequencies(df, text_col, max_words)
+    ).persist()
+    cached: list[DataFrame] = []
     try:
         enc = wf.select("w", "freq", wrap_symbols(F.col("w")).alias("s"))
         merges: list[tuple[str, str, int]] = []
@@ -132,9 +140,17 @@ def train_bpe(
             # merges 1..k-1 through the whole lineage (keeps the loop
             # linear, not quadratic; dictionary-sized, so cheap).
             enc = enc.persist()
+            cached.append(enc)
         return merges
     finally:
-        wf.unpersist()
+        # only the merge LIST leaves this function — release every cached
+        # frame so repeated trainings don't accumulate storage. A
+        # caller-provided word_freqs frame stays cached (the caller owns
+        # its lifecycle — e.g. to reuse it for the encode pass).
+        if word_freqs is None:
+            wf.unpersist()
+        for c in cached:
+            c.unpersist()
 
 
 def merge_table(
@@ -156,14 +172,20 @@ def encoded_dictionary(
     text_col: str,
     merges: list[tuple[str, str, int]],
     max_words: int = 10_000,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """(w, n_sym): symbol count per dictionary word after all merges.
     All merges apply in ONE projection of literal replaces — a single
-    codegen stage over the dictionary."""
+    codegen stage over the dictionary. Pass ``word_freqs`` to reuse the
+    trainer's dictionary instead of re-counting the corpus."""
     s = wrap_symbols(F.col("w"))
     for l, r, _ in merges:
         s = apply_merge(s, l, r)
-    wf = word_frequencies(df, text_col, max_words)
+    wf = (
+        word_freqs
+        if word_freqs is not None
+        else word_frequencies(df, text_col, max_words)
+    )
     return wf.select(
         "w", F.size(_symbols(s)).cast("bigint").alias("n_sym")
     )
@@ -175,14 +197,18 @@ def encode_stats(
     id_col: str,
     merges: list[tuple[str, str, int]],
     max_words: int = 10_000,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BPE accounting: words, chars, post-merge token count,
     chars-per-token compression. Out-of-dictionary words (beyond the
     ``max_words`` cap) fall back to character granularity — len(word)
-    symbols — so the encoding is total."""
+    symbols — so the encoding is total. ``word_freqs`` reuses the
+    trainer's dictionary (skips the second corpus-sized word count)."""
     from databricks_etl_pipelines_spark.functions.numeric import stable_round
 
-    dictionary = encoded_dictionary(df, text_col, merges, max_words)
+    dictionary = encoded_dictionary(
+        df, text_col, merges, max_words, word_freqs=word_freqs
+    )
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),

@@ -624,6 +624,9 @@ def prepare_pretraining_corpus(
     ).select(id_col)
     span_ok = unique.join(keep_ids, id_col, "left_semi").persist()
     n_span = span_ok.count()
+    # span_ok is materialized now; the dedup stage's cache is no longer
+    # reachable from anything returned
+    unique.unpersist()
     weights = dsir_importance_weights(
         span_ok, text_col, id_col, target_pred, n_buckets
     )
@@ -798,12 +801,26 @@ def _dsir_bucketed_tokens(
 
 def _dsir_ratios_from_counts(grouped: DataFrame, n_buckets: int) -> DataFrame:
     """(b, n_raw, n_tgt) → (b, log_ratio) with add-one smoothing; totals
-    come from the same bucket-sized aggregate (no extra corpus pass)."""
+    come from the same bucket-sized aggregate (no extra corpus pass).
+
+    The profile is DENSIFIED to every bucket 0..n_buckets-1: a scored
+    batch (``dsir_score`` / the streaming flavor) may contain tokens
+    whose bucket the reference corpus never produced, and those must get
+    the smoothed unseen ratio — not silently vanish in the score join.
+    """
     totals = grouped.agg(
         F.sum("n_raw").alias("total_raw"), F.sum("n_tgt").alias("total_tgt")
     )
+    all_buckets = grouped.sparkSession.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("b")
+    )
+    dense = all_buckets.join(grouped, "b", "left").select(
+        "b",
+        F.coalesce(F.col("n_raw"), F.lit(0)).alias("n_raw"),
+        F.coalesce(F.col("n_tgt"), F.lit(0)).alias("n_tgt"),
+    )
     return (
-        grouped.crossJoin(F.broadcast(totals))
+        dense.crossJoin(F.broadcast(totals))
         .select(
             "b",
             (

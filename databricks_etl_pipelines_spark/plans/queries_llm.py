@@ -2524,9 +2524,10 @@ enc0 AS (
 b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
 enc{i} AS (
   SELECT w, freq,
-    replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ')
-      AS s
-  FROM {prev}, b{i} b
+    CASE WHEN b.l IS NULL THEN s ELSE
+      replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ')
+    END AS s
+  FROM {prev} LEFT JOIN b{i} b ON TRUE
 )"""
         )
     return ",\n".join(parts)
@@ -2591,14 +2592,19 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_etl_pipelines_spark.operators.bpe import (
         encode_stats,
         train_bpe,
+        word_frequencies,
     )
 
     docs = table(spark, sf_dir, "documents")
+    # one word-count for both passes: train_bpe caches it (caller-owned
+    # lifecycle) and the encode dictionary reuses the cached frame
+    wf = word_frequencies(docs, "text", _BPE_MAXW).persist()
     merges = train_bpe(
-        docs, "text", num_merges=_BPE_MERGES, max_words=_BPE_MAXW
+        docs, "text", num_merges=_BPE_MERGES, max_words=_BPE_MAXW,
+        word_freqs=wf,
     )
     return encode_stats(
-        docs, "text", "doc_id", merges, max_words=_BPE_MAXW
+        docs, "text", "doc_id", merges, max_words=_BPE_MAXW, word_freqs=wf
     )
 
 

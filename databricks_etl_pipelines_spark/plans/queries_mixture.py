@@ -753,6 +753,8 @@ def curation_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 from databricks_etl_pipelines_spark.functions.privacy import (  # noqa: E402
     PII_EMAIL_PATTERN as _EMAIL_RE,
     PII_PHONE_PATTERN as _PHONE_RE,
+    SQL_PLANT_PII as _SQL_PLANT,
+    plant_synthetic_pii,
 )
 
 
@@ -763,13 +765,7 @@ def _prepare_corpus_oracle() -> str:
     )
     return f"""
 WITH planted AS (
-  SELECT doc_id, source,
-    CASE WHEN doc_id % 3 = 0 THEN
-      text || ' contact user' || CAST(doc_id AS VARCHAR)
-           || '@mail.example or call '
-           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'
-           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-    ELSE text END AS text
+  SELECT doc_id, source, {_SQL_PLANT} AS text
   FROM documents
 ),
 scrubbed AS (
@@ -876,18 +872,7 @@ def curation_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@mail.example or call "),
-                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-                F.lit("-555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(F.col("text")).alias("text"),
+        plant_synthetic_pii("doc_id", "text").alias("text"),
     )
     _, report = prepare_pretraining_corpus(
         docs, F.col("source").isin("src1", "src2", "src3"),

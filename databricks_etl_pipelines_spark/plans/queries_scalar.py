@@ -653,19 +653,17 @@ def source_python_stream_datasource(
 from databricks_etl_pipelines_spark.functions.privacy import (  # noqa: E402
     PII_EMAIL_PATTERN,
     PII_PHONE_PATTERN,
+    SQL_PLANT_PII,
     pii_match_count,
+    plant_synthetic_pii,
     scrub_text_pii,
 )
 
+_PLANT = SQL_PLANT_PII
+
 _DOC_SCRUB_ORACLE = f"""
 WITH planted AS (
-  SELECT doc_id,
-    CASE WHEN doc_id % 3 = 0 THEN
-      text || ' contact user' || CAST(doc_id AS VARCHAR)
-           || '@mail.example or call '
-           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'
-           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-    ELSE text END AS text
+  SELECT doc_id, {_PLANT} AS text
   FROM documents
 )
 SELECT doc_id,
@@ -691,21 +689,7 @@ def privacy_document_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     this fuses into the scan projection like every other gate."""
     docs = table(spark, sf_dir, "documents")
     planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@mail.example or call "),
-                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-                F.lit("-555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+        "doc_id", plant_synthetic_pii("doc_id", "text").alias("text")
     )
     scrubbed = scrub_text_pii("text")
     return planted.select(

@@ -644,15 +644,19 @@ def dsir_score_stream(
     per-doc aggregate, appended to ``out_dir``. The profile is fixed —
     the steady-state "is this crawl batch target-like?" filter of a
     continuous ingest; per-batch cost tracks the batch size, never the
-    corpus. Checkpointed: a replayed batch re-appends nothing new under
-    availableNow + committed offsets."""
+    corpus. Replay-idempotent: each batch writes its own
+    ``batch_id=<n>`` partition with OVERWRITE, so a batch re-delivered
+    after a crash between write and checkpoint commit replaces its own
+    output instead of appending duplicates."""
     from databricks_etl_pipelines_spark.operators.curation import dsir_score
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         scored = dsir_score(batch_df, ratios, text_col, id_col, n_buckets)
-        scored.write.mode("append").parquet(out_dir)
+        scored.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -396,3 +396,29 @@ def test_weighted_sample_matches_python_replay_and_prefers_heavy(spark):
     # P(select | w=100 among 19 w=1, k=5) ~ 1; a fair sampler w/o weights
     # would give ~15/60. Anything >= 45 shows the weight drives selection.
     assert hits >= 45, hits
+
+
+def test_dsir_score_counts_unseen_bucket_tokens(spark):
+    """Scoring a NEW batch against a prebuilt profile: tokens hashing to
+    buckets the reference corpus never produced must still be counted
+    (densified profile, smoothed unseen ratio) — n_tokens is the true
+    token count and the weight stays finite."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        dsir_log_ratios,
+        dsir_score,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "tgt", "alpha beta alpha beta"), (1, "raw", "alpha beta gamma")],
+        "doc_id long, kind string, text string",
+    )
+    ratios = dsir_log_ratios(ref, "text", F.col("kind") == "tgt", n_buckets=512)
+    # 512 buckets + 3 ref words -> these 6 novel tokens almost surely hit
+    # buckets with zero reference mass
+    batch = spark.createDataFrame(
+        [(99, "zyx wvu tsr qpo nml kji")], "doc_id long, text string"
+    )
+    out = dsir_score(batch, ratios, "text", "doc_id", n_buckets=512).collect()
+    assert len(out) == 1
+    assert out[0].n_tokens == 6
+    assert math.isfinite(out[0].dsir_weight)

@@ -1270,3 +1270,27 @@ def test_sft_offsets_slice_rendered_text_exactly(spark):
     assert conv.loss_chars == sum(
         r.end_char - r.start_char for r in offs if r.in_loss
     )
+
+
+def test_bpe_merge_exhaustion_matches_reference(spark):
+    """Dictionary fully merges before num_merges: the trainer must stop
+    early (fewer merge rows) and encoding must still apply the learned
+    merges — the case where the unrolled oracle's empty argmax steps
+    must carry the dictionary through unchanged."""
+    from databricks_etl_pipelines_spark.operators.bpe import (
+        encode_stats,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab ab"), (1, "ab")], "doc_id long, text string"
+    )
+    words = {"ab": 3}
+    ref_merges, ref_enc = _reference_bpe(words, 8)
+    got = train_bpe(df, "text", num_merges=8, max_words=100)
+    assert got == ref_merges and len(got) == 1
+    stats = {
+        r.doc_id: r.n_bpe_tokens
+        for r in encode_stats(df, "text", "doc_id", got, 100).collect()
+    }
+    assert stats == {0: 2, 1: 1}

@@ -591,11 +591,14 @@ def test_streaming_dsir_multibatch_matches_batch(spark, sf_dir, tmp_path):
     await_drained(q, 120)
     ratios.unpersist()
 
-    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    cols = ["doc_id", "n_tokens", "dsir_weight", "dsir_weight_per_token"]
+    scores = spark.read.parquet(out)
+    assert "batch_id" in scores.columns  # replay-idempotent partitioned sink
+    got = sorted(map(tuple, scores.select(*cols).collect()))
     want = sorted(
         map(tuple, dsir_importance_weights(
             docs, "text", "doc_id", target, n_buckets=32
-        ).select(*spark.read.parquet(out).columns).collect())
+        ).select(*cols).collect())
     )
     assert got == want
     assert len(got) == docs.count()
