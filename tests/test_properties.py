@@ -300,3 +300,29 @@ def test_duplicated_span_report_matches_bruteforce(spark, docs):
         ).collect()
     }
     assert got == expect
+
+
+WORDS_AB = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(WORDS_AB)
+def test_bpe_trainer_matches_reference_on_repetitive_alphabet(spark, words):
+    """Distributed BPE == list-walking reference on random {a,b}-alphabet
+    corpora — the worst case for the double-space replace trick (runs of
+    identical symbols force maximal overlapping-merge decisions, e.g.
+    'aaaa' + merge(a,a) must give [aa, aa] left-to-right)."""
+    from tests.test_operators import _reference_bpe
+    from databricks_etl_pipelines_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    ref, _ = _reference_bpe(freqs, 6)
+    got = train_bpe(df, "text", num_merges=6, max_words=1000)
+    assert got == ref
