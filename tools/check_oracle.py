@@ -113,8 +113,12 @@ def compare(name, sdf, con, sql, verbose=False):
 def main():
     args = sys.argv[1:]
     cap = None
-    if args and args[0] == "--driver-cap":
-        cap = int(args[1])
+    skip: set[str] = set()
+    while args and args[0] in ("--driver-cap", "--skip"):
+        if args[0] == "--driver-cap":
+            cap = int(args[1])
+        else:
+            skip = set(args[1].split(","))
         args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -129,6 +133,9 @@ def main():
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"[SKIP] {name} (excluded by --skip)")
             continue
         t0 = time.time()
         try:
