@@ -166,6 +166,7 @@ def load_all() -> None:
         queries_ml,
         queries_pipeline,
         queries_scalar,
+        queries_scd,
         queries_sortset,
         queries_sql,
         queries_streaming,

@@ -1,0 +1,225 @@
+"""SCD Type 2 dimension queries (operators/scd.py) — batch derivation,
+order-insensitive incremental maintenance, and the streaming flavor.
+
+The reference keeps dims current-state-only via MERGE (reference
+``02_Silver_Cleanse_PII.py:174-184``); these queries add the historical
+form. All three share one relational core, so DuckDB replays the exact
+window algebra: change-point → running version → run aggregate → interval
+stitch. The incremental and streaming variants are folded through
+ManagedTable logs in deliberately non-chronological batches, and must
+still hash-match the one-shot SQL over the full feed — that equality IS
+the order-insensitivity proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.catalog import query
+from databricks_etl_pipelines_spark.operators.scd import (
+    scd2_apply,
+    scd2_history,
+    scd2_stream_apply,
+)
+from databricks_etl_pipelines_spark.sources import table
+from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+
+# Open-ended intervals use a sentinel end instead of NULL in compared
+# output: the warehouse-conventional high date (capped to 2200 — the
+# harness compares through pandas, whose ns timestamps overflow at 2262),
+# and NULL timestamps would compare NaT != NaT on both sides anyway.
+OPEN_END = "2200-01-01 00:00:00"
+
+
+def _close_open_end(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "effective_to",
+        F.coalesce(
+            F.col("effective_to"), F.lit(OPEN_END).cast("timestamp")
+        ),
+    )
+
+
+def _scd2_oracle(
+    src: str,
+    key: str,
+    attrs: list[str],
+    ts: str,
+    tiebreak: str,
+    with_counts: bool,
+) -> str:
+    """DuckDB replay of scd2_history over table ``src``."""
+    same = " AND ".join(
+        f"{a} IS NOT DISTINCT FROM lag({a}) OVER w" for a in attrs
+    )
+    attr_mins = ",\n         ".join(f"min({a}) AS {a}" for a in attrs)
+    n_obs_sel = (
+        ",\n         CAST(count(*) AS BIGINT) AS n_obs" if with_counts else ""
+    )
+    n_obs_out = ", n_obs" if with_counts else ""
+    return f"""
+WITH obs AS (
+  SELECT {key}, {", ".join(attrs)}, {ts}, {tiebreak},
+    CASE WHEN row_number() OVER w = 1 THEN 1
+         WHEN {same} THEN 0 ELSE 1 END AS chg
+  FROM {src}
+  WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {tiebreak})
+),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER (
+      PARTITION BY {key} ORDER BY {ts}, {tiebreak}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+    ) AS scd_version
+  FROM obs
+),
+hist AS (
+  SELECT {key}, scd_version,
+         min({ts}) AS effective_from,
+         {attr_mins}{n_obs_sel}
+  FROM runs GROUP BY {key}, scd_version
+)
+SELECT {key}, scd_version, effective_from, {", ".join(attrs)}{n_obs_out},
+       coalesce(lead(effective_from) OVER s, TIMESTAMP '{OPEN_END}')
+         AS effective_to,
+       lead(effective_from) OVER s IS NULL AS is_current
+FROM hist
+WINDOW s AS (PARTITION BY {key} ORDER BY scd_version)
+"""
+
+
+_ORDERS_SCD2_ORACLE = _scd2_oracle(
+    "orders",
+    "o_custkey",
+    ["o_orderpriority", "o_orderstatus"],
+    "o_orderdate",
+    "o_orderkey",
+    with_counts=True,
+)
+
+
+@query("dim_scd2_history", _ORDERS_SCD2_ORACLE)
+def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-state history as an SCD2 dimension: each run of
+    consecutive orders with unchanged (priority, status) collapses into
+    one validity interval. Single-Exchange window plan."""
+    orders = table(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders,
+        keys=["o_custkey"],
+        attrs=["o_orderpriority", "o_orderstatus"],
+        ts_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+    )
+    return _close_open_end(hist)
+
+
+_ORDERS_SCD2_NOCOUNT_ORACLE = _scd2_oracle(
+    "orders",
+    "o_custkey",
+    ["o_orderpriority", "o_orderstatus"],
+    "o_orderdate",
+    "o_orderkey",
+    with_counts=False,
+)
+
+_INCR_DIM_CACHE: dict[str, ManagedTable] = {}
+
+
+@query("scd2_incremental_orders", _ORDERS_SCD2_NOCOUNT_ORACLE)
+def scd2_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two scd2_apply folds over an orderkey-PARITY split of the feed —
+    each batch interleaves in event time with the other, so the second
+    fold inserts observations *between* already-applied ones (late-data
+    path). The result must still equal the one-shot SQL history: the
+    oracle checks order-insensitive incremental maintenance itself."""
+    dim = _INCR_DIM_CACHE.get(sf_dir)
+    if dim is None:
+        orders = table(spark, sf_dir, "orders")
+        obs_log = ManagedTable(scratch_dir("scd2_log_"))
+        dim = ManagedTable(scratch_dir("scd2_dim_"))
+        for parity in (0, 1):
+            scd2_apply(
+                spark,
+                obs_log,
+                dim,
+                orders.filter(F.col("o_orderkey") % 2 == parity),
+                keys=["o_custkey"],
+                attrs=["o_orderpriority", "o_orderstatus"],
+                ts_col="o_orderdate",
+                tiebreak=["o_orderkey"],
+            )
+        _INCR_DIM_CACHE[sf_dir] = dim
+    return _close_open_end(
+        dim.read(spark).select(
+            "o_custkey",
+            "scd_version",
+            "effective_from",
+            "o_orderpriority",
+            "o_orderstatus",
+            "effective_to",
+            "is_current",
+        )
+    )
+
+
+_EVENTS_SCD2_ORACLE = _scd2_oracle(
+    "events",
+    "user_id",
+    ["event_type"],
+    "ts",
+    "event_id",
+    with_counts=False,
+)
+
+_STREAM_DIM_CACHE: dict[str, ManagedTable] = {}
+
+
+@query("streaming_scd2_dimension", _EVENTS_SCD2_ORACLE)
+def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2: the events feed drains as 3 micro-batches
+    (repartition(3) files, maxFilesPerTrigger=1 — Spark orders file
+    batches by mtime, NOT event time, so batches interleave arbitrarily).
+    foreachBatch folds each through the same order-insensitive apply; the
+    drained dim must hash-match the one-shot batch SQL over all events."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+    )
+
+    dim = _STREAM_DIM_CACHE.get(sf_dir)
+    if dim is None:
+        events = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        src = scratch_dir("scd2_stream_src_")
+        events.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        obs_log = ManagedTable(scratch_dir("scd2_stream_log_"))
+        dim = ManagedTable(scratch_dir("scd2_stream_dim_"))
+        q = scd2_stream_apply(
+            stream,
+            obs_log,
+            dim,
+            keys=["user_id"],
+            attrs=["event_type"],
+            ts_col="ts",
+            checkpoint_dir=scratch_dir("scd2_stream_ckpt_"),
+            tiebreak=["event_id"],
+        )
+        await_drained(q)
+        _STREAM_DIM_CACHE[sf_dir] = dim
+    return _close_open_end(
+        dim.read(spark).select(
+            "user_id",
+            "scd_version",
+            "effective_from",
+            "event_type",
+            "effective_to",
+            "is_current",
+        )
+    )

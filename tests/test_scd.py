@@ -1,0 +1,174 @@
+"""SCD Type 2 operator tests: crafted-feed semantics, late-data
+order-insensitivity, replay idempotence, and the single-Exchange plan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from databricks_etl_pipelines_spark.operators.scd import (
+    scd2_apply,
+    scd2_history,
+)
+from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+
+
+def _ts(d: int) -> datetime:
+    return datetime(2024, 1, d)
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, attr string, tier int, ts timestamp, obs_id int"
+    )
+
+
+BASE_ROWS = [
+    # key 1: A,A → B → A  (run collapse, change, revert = new version)
+    (1, "A", 1, _ts(1), 1),
+    (1, "A", 1, _ts(2), 2),
+    (1, "B", 1, _ts(3), 3),
+    (1, "A", 1, _ts(4), 4),
+    # key 2: NULL handling — NULL==NULL holds the run open, NULL→X closes
+    (2, None, 5, _ts(1), 5),
+    (2, None, 5, _ts(2), 6),
+    (2, "X", 5, _ts(3), 7),
+    # key 3: single observation stays one open version
+    (3, "Z", 9, _ts(1), 8),
+    # key 4: same-ts tie broken by obs_id (total order across engines)
+    (4, "P", 0, _ts(1), 10),
+    (4, "Q", 0, _ts(1), 9),
+]
+
+
+def test_scd2_history_crafted_feed(spark):
+    hist = scd2_history(
+        _feed(spark, BASE_ROWS),
+        keys=["k"],
+        attrs=["attr", "tier"],
+        ts_col="ts",
+        tiebreak=["obs_id"],
+    )
+    rows = {
+        (r.k, r.scd_version): r
+        for r in hist.orderBy("k", "scd_version").collect()
+    }
+    assert len(rows) == 3 + 2 + 1 + 2
+    k1 = [rows[(1, v)] for v in (1, 2, 3)]
+    assert [r.attr for r in k1] == ["A", "B", "A"]
+    assert k1[0].n_obs == 2 and k1[0].effective_from == _ts(1)
+    assert k1[0].effective_to == _ts(3)  # closed by the B version
+    assert k1[2].is_current and k1[2].effective_to is None
+    # NULL run collapses, then closes when a non-NULL arrives
+    assert rows[(2, 1)].attr is None and rows[(2, 1)].n_obs == 2
+    assert rows[(2, 2)].attr == "X" and rows[(2, 2)].is_current
+    # single observation: open from its own ts
+    assert rows[(3, 1)].is_current and rows[(3, 1)].effective_from == _ts(1)
+    # tie at same ts: obs_id 9 (Q) precedes obs_id 10 (P)
+    assert rows[(4, 1)].attr == "Q" and rows[(4, 2)].attr == "P"
+    assert rows[(4, 2)].is_current
+
+
+def test_scd2_history_plan_single_exchange(spark):
+    hist = scd2_history(
+        _feed(spark, BASE_ROWS),
+        keys=["k"],
+        attrs=["attr", "tier"],
+        ts_col="ts",
+        tiebreak=["obs_id"],
+    )
+    hist.collect()
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_apply_late_data_matches_batch(spark, tmp_path):
+    """Batch 2 delivers observations that fall BETWEEN batch 1's: the
+    incremental dim must equal the one-shot history of the full feed
+    (minus n_obs, which the set-semantics apply path doesn't track)."""
+    late = [r for r in BASE_ROWS if r[4] % 2 == 0]
+    first = [r for r in BASE_ROWS if r[4] % 2 == 1]
+    log = ManagedTable(str(tmp_path / "log"))
+    dim = ManagedTable(str(tmp_path / "dim"))
+    for batch in (first, late):
+        scd2_apply(
+            spark,
+            log,
+            dim,
+            _feed(spark, batch),
+            keys=["k"],
+            attrs=["attr", "tier"],
+            ts_col="ts",
+            tiebreak=["obs_id"],
+        )
+    expected = scd2_history(
+        _feed(spark, BASE_ROWS),
+        keys=["k"],
+        attrs=["attr", "tier"],
+        ts_col="ts",
+        tiebreak=["obs_id"],
+        with_counts=False,
+    )
+    got = dim.read(spark).select(*expected.columns)
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
+    # late arrival split key 1's history: versions were re-stitched
+    assert (
+        dim.read(spark).filter((F.col("k") == 1) & F.col("is_current"))
+        .select("attr").first().attr
+        == "A"
+    )
+
+
+def test_scd2_apply_replay_idempotent(spark, tmp_path):
+    log = ManagedTable(str(tmp_path / "log"))
+    dim = ManagedTable(str(tmp_path / "dim"))
+    for _ in range(2):  # same batch delivered twice (foreachBatch replay)
+        scd2_apply(
+            spark,
+            log,
+            dim,
+            _feed(spark, BASE_ROWS),
+            keys=["k"],
+            attrs=["attr", "tier"],
+            ts_col="ts",
+            tiebreak=["obs_id"],
+        )
+    got = dim.read(spark)
+    expected = scd2_history(
+        _feed(spark, BASE_ROWS),
+        keys=["k"],
+        attrs=["attr", "tier"],
+        ts_col="ts",
+        tiebreak=["obs_id"],
+        with_counts=False,
+    ).select(*got.columns)
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
+
+
+def test_scd2_apply_prunes_untouched_buckets(spark, tmp_path):
+    """A second batch touching one key must not rewrite every dim bucket:
+    the MERGE commit records fewer buckets rewritten than exist."""
+    log = ManagedTable(str(tmp_path / "log"))
+    dim = ManagedTable(str(tmp_path / "dim"))
+    scd2_apply(
+        spark, log, dim, _feed(spark, BASE_ROWS),
+        keys=["k"], attrs=["attr", "tier"], ts_col="ts",
+        tiebreak=["obs_id"],
+    )
+    scd2_apply(
+        spark, log, dim,
+        _feed(spark, [(1, "C", 1, _ts(9), 99)]),
+        keys=["k"], attrs=["attr", "tier"], ts_col="ts",
+        tiebreak=["obs_id"],
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import _read_log
+
+    last = _read_log(dim.root)[-1]
+    assert last["operation"] == "merge"
+    assert last["buckets_rewritten"] == 1
+    cur = dim.read(spark).filter((F.col("k") == 1) & F.col("is_current"))
+    assert cur.select("attr").first().attr == "C"
