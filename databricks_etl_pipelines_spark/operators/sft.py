@@ -86,3 +86,44 @@ def rendered_conversations(
         F.sum("loss_len").alias("loss_chars"),
         F.md5(rendered).alias("rendered_md5"),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    min_margin: int = 0,
+) -> DataFrame:
+    """DPO/RLHF preference-pair assembly: per prompt group, pair the
+    best-scored candidate (chosen) against the worst (rejected), dropping
+    groups with fewer than two candidates or a score margin below
+    ``min_margin``.
+
+    Single hash aggregate — best/worst are lexicographic max/min over a
+    ``(score, -id)`` struct, so ties break deterministically (chosen →
+    smallest id, rejected → largest id) and the whole pairing runs with
+    map-side partial aggregation: no window sort, no self-join, one
+    shuffle of one struct per group regardless of candidates per prompt.
+    """
+    key = F.struct(
+        F.col(score_col).alias("s"),
+        (-F.col(id_col)).alias("ni"),
+        F.col(id_col).alias("i"),
+    )
+    g = df.groupBy(group_col).agg(
+        F.max(key).alias("__b"),
+        F.min(key).alias("__w"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return g.select(
+        group_col,
+        F.col("__b.i").alias("chosen_id"),
+        F.col("__b.s").alias("chosen_score"),
+        F.col("__w.i").alias("rejected_id"),
+        F.col("__w.s").alias("rejected_score"),
+        "n_candidates",
+    ).filter(
+        (F.col("chosen_id") != F.col("rejected_id"))
+        & (F.col("chosen_score") - F.col("rejected_score") >= min_margin)
+    )

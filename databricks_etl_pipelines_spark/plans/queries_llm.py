@@ -205,6 +205,69 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("quality_score", quality)
 
 
+# -- DPO preference-pair assembly ---------------------------------------------
+# Documents hashed into prompt groups stand in for per-prompt candidate
+# pools; the quality rubric is the reward signal. The oracle replays the
+# single-aggregate pairing: lexicographic max/min over (score, -id)
+# structs — DuckDB and Spark order structs identically.
+
+_DPO_SCORE = f"""
+    (CASE WHEN len({_SQL_TOKS}) BETWEEN 10 AND 1000 THEN 30 ELSE 0 END
+     + CASE WHEN CAST(list_sum(list_transform({_SQL_TOKS},
+                x -> length(x))) AS BIGINT) / len({_SQL_TOKS})
+            BETWEEN 3 AND 12 THEN 30 ELSE 0 END
+     + CASE WHEN len(list_filter({_SQL_TOKS}, x -> x IN ({_EN})))
+            / len({_SQL_TOKS}) > 0.05 THEN 20 ELSE 0 END
+     + CASE WHEN (length(text) - length(regexp_replace(text,
+                '[.,;:!?]', '', 'g'))) / length(text) < 0.2
+            AND (length(text) - length(regexp_replace(text,
+                '[0-9]', '', 'g'))) / length(text) < 0.2
+            THEN 20 ELSE 0 END)
+"""
+
+_DPO_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id % 200 AS prompt_id, doc_id, {_DPO_SCORE} AS score
+  FROM documents
+),
+g AS (
+  SELECT prompt_id,
+    max({{'s': score, 'ni': -doc_id, 'i': doc_id}}) AS b,
+    min({{'s': score, 'ni': -doc_id, 'i': doc_id}}) AS w,
+    CAST(count(*) AS BIGINT) AS n_candidates
+  FROM scored GROUP BY prompt_id
+)
+SELECT prompt_id, b.i AS chosen_id, b.s AS chosen_score,
+       w.i AS rejected_id, w.s AS rejected_score, n_candidates
+FROM g
+WHERE b.i != w.i AND b.s - w.s >= 20
+"""
+
+
+@query("sft_dpo_pairs", _DPO_ORACLE)
+def sft_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO pair assembly (operators/sft.py::preference_pairs): best vs
+    worst quality-scored candidate per prompt group, margin >= 20, ties
+    broken by id on both ends. One hash aggregate with map-side partials
+    — no window sort or self-join anywhere in the plan."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        quality_score,
+    )
+    from databricks_etl_pipelines_spark.operators.sft import (
+        preference_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("doc_id") % 200).alias("prompt_id"),
+        "doc_id",
+        quality_score("text").alias("score"),
+    )
+    return preference_pairs(
+        scored, "prompt_id", "doc_id", "score", min_margin=20
+    )
+
+
 # -- language identification -----------------------------------------------------
 
 def _lang_oracle() -> str:

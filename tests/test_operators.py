@@ -1294,3 +1294,30 @@ def test_bpe_merge_exhaustion_matches_reference(spark):
         for r in encode_stats(df, "text", "doc_id", got, 100).collect()
     }
     assert stats == {0: 2, 1: 1}
+
+
+def test_preference_pairs_crafted_pool(spark):
+    """DPO pairing semantics: deterministic tie-breaks on both ends,
+    margin gate, singleton groups dropped."""
+    from databricks_etl_pipelines_spark.operators.sft import preference_pairs
+
+    rows = [
+        # group 1: clear winner/loser, margin 40
+        (1, 11, 90), (1, 12, 50), (1, 13, 70),
+        # group 2: tie at the top (min id wins) and bottom (max id loses)
+        (2, 21, 80), (2, 22, 80), (2, 23, 10), (2, 24, 10),
+        # group 3: margin below the gate
+        (3, 31, 60), (3, 32, 55),
+        # group 4: singleton — never a pair
+        (4, 41, 99),
+    ]
+    df = spark.createDataFrame(rows, "g int, i bigint, s int")
+    got = {
+        r.g: r
+        for r in preference_pairs(df, "g", "i", "s", min_margin=10).collect()
+    }
+    assert set(got) == {1, 2}
+    assert (got[1].chosen_id, got[1].rejected_id) == (11, 12)
+    assert (got[2].chosen_id, got[2].rejected_id) == (21, 24)
+    assert got[2].n_candidates == 4
+    assert got[1].chosen_score - got[1].rejected_score == 40
