@@ -22,8 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# pack_id = spark_partition_id * STRIDE + local pack index: globally unique
-# without any cross-partition coordination.
+# pack_id = packing-stream bucket * STRIDE + local pack index: globally
+# unique without any cross-partition coordination.
 _PACK_STRIDE = 1 << 40
 
 
@@ -34,13 +34,17 @@ def pack_sequences(
     window: int,
     n_partitions: int | None = None,
     split_oversized: bool = False,
+    bucket_expr: F.Column | None = None,
 ) -> DataFrame:
     """Assign each document to a pack (training window) of ``window``
     tokens: returns (``id_col``, pack_id, pack_offset, n_tokens,
     frag_index, tok_start).
 
-    Documents are laid out greedily in hash order within each partition;
-    a document that would overflow the current window starts a new one.
+    Documents are split into ``n_partitions`` independent packing streams
+    by a LOGICAL bucket (default ``pmod(xxhash64(id), n)``; pass
+    ``bucket_expr`` to substitute e.g. the md5/Karp-Rabin cross-engine
+    hash) and laid out greedily in id order within each stream; a
+    document that would overflow the current window starts a new one.
     A document longer than ``window`` either gets a pack of its own
     (``split_oversized=False`` — callers truncate downstream) or is cut
     into window-sized fragments (``split_oversized=True``): each full
@@ -49,20 +53,28 @@ def pack_sequences(
     loader which token range of the document lands where (both 0 for
     unsplit documents).
 
-    Deterministic for a fixed ``n_partitions``: the hash repartition and
-    in-partition sort pin both membership and order.
+    Pack ids derive from the bucket VALUE, not the physical partition, so
+    the layout is a pure function of (ids, sizes, window, n, bucket_expr)
+    — identical on any cluster size or shuffle setting, and replayable by
+    a SQL engine when ``bucket_expr`` is cross-engine.
     """
-    n = n_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
+    n = int(
+        n_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(id_col), F.lit(n))
     )
     work = (
         df.select(
             F.col(id_col),
             F.col(n_tokens_col).cast("bigint").alias("__nt"),
+            bucket.cast("bigint").alias("__bkt"),
         )
-        .repartition(int(n), F.pmod(F.xxhash64(id_col), F.lit(int(n))))
-        .sortWithinPartitions(id_col)
-        .withColumn("__pid", F.spark_partition_id())
+        .repartition(n, "__bkt")
+        .sortWithinPartitions("__bkt", id_col)
     )
     out_schema = (
         f"{id_col} {dict(df.dtypes)[id_col]}, pack_id bigint, "
@@ -73,18 +85,25 @@ def pack_sequences(
             "tok_start"]
 
     def pack(batches):
-        # streaming greedy fill: only (pack_idx, offset) carries across
-        # Arrow batches, so memory stays one batch regardless of partition
-        # size (documents arrive pre-sorted by the in-partition sort)
-        pack_idx, offset = 0, 0
+        # streaming greedy fill: only (bucket, pack_idx, offset) carries
+        # across Arrow batches, so memory stays one batch regardless of
+        # partition size (rows arrive sorted by (bucket, id)); state
+        # resets at each bucket boundary, so a partition may hold many
+        # buckets without their streams interfering
+        cur_bkt, pack_idx, offset = None, 0, 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            pid = int(pdf["__pid"].iloc[0])
-            base = pid * _PACK_STRIDE
             rows = []
-            for doc, nt in zip(pdf[id_col].tolist(), pdf["__nt"].tolist()):
+            for doc, nt, bkt in zip(
+                pdf[id_col].tolist(),
+                pdf["__nt"].tolist(),
+                pdf["__bkt"].tolist(),
+            ):
                 nt = int(nt)
+                if bkt != cur_bkt:
+                    cur_bkt, pack_idx, offset = bkt, 0, 0
+                base = int(bkt) * _PACK_STRIDE
                 if split_oversized and nt > window:
                     if offset > 0:
                         pack_idx += 1

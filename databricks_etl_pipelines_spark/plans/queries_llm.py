@@ -1782,12 +1782,72 @@ def curation_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assignment(docs, "doc_id", 8, seed=42)
 
 
-@query("curation_pack_sequences")
+# Greedy packing is a sequential recurrence per packing stream (the pack
+# counter resets on overflow, so it is NOT a prefix sum) — the oracle
+# replays it with a recursive CTE stepping one document per iteration in
+# every bucket simultaneously: depth = max docs/bucket, linear work.
+# The md5/Karp-Rabin bucket makes stream membership engine-exact.
+_PACK_W = 256
+_PACK_EMIT_PACK = f"""CASE WHEN w.off_after > 0
+  AND w.off_after + r.nt > {_PACK_W}
+  THEN w.pack_after + 1 ELSE w.pack_after END"""
+_PACK_EMIT_OFF = f"""CASE WHEN w.off_after > 0
+  AND w.off_after + r.nt > {_PACK_W} THEN 0 ELSE w.off_after END"""
+
+_PACK_SEQ_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS nt,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5(CAST(doc_id AS VARCHAR) || ':42'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    ) % 8 AS bkt
+  FROM documents
+),
+r AS (
+  SELECT bkt, doc_id, nt,
+    row_number() OVER (PARTITION BY bkt ORDER BY doc_id) AS rn
+  FROM t
+),
+walk AS (
+  SELECT bkt, rn, doc_id, nt,
+    CAST(0 AS BIGINT) AS pack_local,
+    CAST(0 AS BIGINT) AS pack_offset,
+    CASE WHEN nt >= {_PACK_W} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+      END AS pack_after,
+    CASE WHEN nt >= {_PACK_W} THEN CAST(0 AS BIGINT) ELSE nt END AS off_after
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.bkt, r.rn, r.doc_id, r.nt,
+    {_PACK_EMIT_PACK} AS pack_local,
+    {_PACK_EMIT_OFF} AS pack_offset,
+    CASE WHEN ({_PACK_EMIT_OFF}) + r.nt >= {_PACK_W}
+      THEN ({_PACK_EMIT_PACK}) + 1 ELSE ({_PACK_EMIT_PACK}) END AS pack_after,
+    CASE WHEN ({_PACK_EMIT_OFF}) + r.nt >= {_PACK_W}
+      THEN 0 ELSE ({_PACK_EMIT_OFF}) + r.nt END AS off_after
+  FROM walk w JOIN r ON r.bkt = w.bkt AND r.rn = w.rn + 1
+)
+SELECT doc_id, bkt * {1 << 40} + pack_local AS pack_id, pack_offset,
+  nt AS n_tokens, CAST(0 AS INT) AS frag_index,
+  CAST(0 AS BIGINT) AS tok_start
+FROM walk
+"""
+
+
+@query("curation_pack_sequences", _PACK_SEQ_ORACLE)
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample packing: lay whole documents into 256-token training windows
-    (partition-local greedy fill; rows-only — pack membership depends on
-    the engine hash partitioner; exact semantics pinned by
-    test_pack_sequences_planted_and_invariants)."""
+    — 8 independent greedy packing streams keyed by the cross-engine
+    md5/Karp-Rabin bucket, so the ENTIRE layout (membership, pack ids,
+    offsets) is a pure function of the corpus and DuckDB replays it
+    value-for-value with a recursive CTE. Planted-sequence semantics and
+    invariants additionally pinned by
+    test_pack_sequences_planted_and_invariants."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
     from databricks_etl_pipelines_spark.operators.packing import (
         pack_sequences,
     )
@@ -1795,8 +1855,16 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").alias("n_tokens")
     )
-    return pack_sequences(docs, "doc_id", "n_tokens", window=256,
-                          n_partitions=8)
+    bucket = (
+        fingerprint_rolling(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+        )
+        % 8
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", window=256, n_partitions=8,
+        bucket_expr=bucket,
+    )
 
 
 # Concatenate-then-chunk packing is pure order arithmetic (no hash
