@@ -230,3 +230,52 @@ def range_join(
         .filter((rt >= lt + lower_seconds) & (rt < lt + upper_seconds))
         .drop("__b", "__rk")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    grid_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join: pair rows whose [start, end) spans strictly
+    overlap (``l.start < r.end AND r.start < l.end``) within the same
+    ``on`` keys — the range×range shape Spark's equi-join machinery has
+    no native plan for (a raw inequality join degenerates to a per-key
+    nested loop).
+
+    Scalable formulation: each interval explodes to the grid cells it
+    covers (``ceil(len/grid)+1`` cells — choose ``grid_seconds`` near the
+    typical interval length so the blow-up stays ~2×), the join runs as a
+    pure equi-join on ``on + [cell]``, and instead of a distinct to drop
+    multi-cell duplicates each surviving pair is kept ONLY in its anchor
+    cell ``floor(max(starts)/grid)`` — both sides provably emit that cell
+    for a true overlap, and exactly one cell matches, so no dedup shuffle
+    exists in the plan. Non-key columns must be disjoint (pre-alias).
+    """
+    ls, le = left_span
+    rs, re_ = right_span
+
+    def cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / grid_seconds),
+                    F.floor(F.unix_timestamp(F.col(e)) / grid_seconds),
+                )
+            ),
+        )
+
+    overlap = (F.col(ls) < F.col(re_)) & (F.col(rs) < F.col(le))
+    anchor = F.floor(
+        F.greatest(F.unix_timestamp(ls), F.unix_timestamp(rs)) / grid_seconds
+    )
+    return (
+        cells(left, ls, le)
+        .join(cells(right, rs, re_), [*on, "__cell"])
+        .filter(overlap & (F.col("__cell") == anchor))
+        .drop("__cell")
+    )

@@ -424,6 +424,72 @@ def change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# interval-overlap join: range×range via grid binning + anchor-cell dedup
+# (operators/joins.py::interval_overlap_join). DuckDB runs the raw
+# inequality join natively (IEJoin), so the oracle is the direct form the
+# Spark plan deliberately avoids.
+# ---------------------------------------------------------------------------
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id,
+    ts AS p_start, ts + INTERVAL 1 HOUR AS p_end
+  FROM events WHERE event_type = 'purchase'
+),
+x AS (
+  SELECT user_id, event_id AS error_id,
+    ts AS x_start, ts + INTERVAL 30 MINUTE AS x_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id, p.purchase_id, x.error_id,
+  CAST(date_diff('second',
+    greatest(p.p_start, x.x_start),
+    least(p.p_end, x.x_end)) AS BIGINT) AS overlap_seconds
+FROM p JOIN x
+  ON p.user_id = x.user_id
+ AND p.p_start < x.x_end AND x.x_start < p.p_end
+"""
+
+
+@query("join_interval_overlap", _INTERVAL_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase attention windows [ts, ts+1h) overlapped with error
+    windows [ts, ts+30m) per user. The Spark side never runs an
+    inequality join: intervals bin to hour cells, the join is a pure
+    equi-join on (user_id, cell), and the anchor-cell filter replaces
+    the dedup distinct (plan-asserted: no nested-loop, no cartesian)."""
+    from databricks_etl_pipelines_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    x = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("x_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("x_end"),
+    )
+    pairs = interval_overlap_join(
+        p, x, ["user_id"], ("p_start", "p_end"), ("x_start", "x_end"), 3600
+    )
+    return pairs.select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        (
+            F.unix_timestamp(F.least("p_end", "x_end"))
+            - F.unix_timestamp(F.greatest("p_start", "x_start"))
+        ).alias("overlap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # extension joins: as-of + bounded range (operators/joins.py) — the forms
 # SURVEY §2.3 lists as absent from the reference. DuckDB speaks ASOF JOIN
 # natively, so both are fully oracle-checked.

@@ -147,3 +147,44 @@ def test_sql_q21_double_correlation_decorrelates(spark, sf_dir):
     # qualifying multi-supplier late orders)
     rows = sql_waiting_suppliers(spark, "/root/testdata/sf0.01").collect()
     assert len(rows) >= 1 and rows[0].numwait >= 1
+
+
+def test_interval_overlap_join_semantics_and_plan(spark):
+    """Planted intervals: strict overlap only (touching endpoints excluded),
+    each pair exactly once even when it shares several grid cells, and the
+    plan is a pure equi-join — no nested-loop or cartesian anywhere."""
+    from datetime import datetime
+
+    from databricks_etl_pipelines_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, t(1), t(4)),    # 3h span: covers cells 1-4
+            (1, 11, t(6), t(7)),
+            (2, 20, t(1), t(2)),    # same times, other key
+        ],
+        "k int, lid int, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, t(2), t(5)),   # overlaps 10 across cells 2,3,4 -> once
+            (1, 101, t(4), t(5)),   # touches 10's end exactly -> excluded
+            (1, 102, t(6, 30), t(8)),  # overlaps 11
+            (2, 200, t(3), t(4)),   # no overlap for key 2
+        ],
+        "k int, rid int, rs timestamp, re timestamp",
+    )
+    got = interval_overlap_join(
+        left, right, ["k"], ("s", "e"), ("rs", "re"), 3600
+    )
+    pairs = sorted((r.lid, r.rid) for r in got.collect())
+    assert pairs == [(10, 100), (11, 102)]
+
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
