@@ -50,6 +50,10 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "curation_dsir_budget_select",
     "text_bpe_train_merges",
+    # round-4d additions: SCD2 window algebra, DPO pairing, interval join
+    "dim_scd2_history",
+    "sft_dpo_pairs",
+    "join_interval_overlap",
 ]
 
 

@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_etl_pipelines_spark.catalog import query
-from databricks_etl_pipelines_spark.functions.numeric import stable_round
+from databricks_etl_pipelines_spark.functions.numeric import (
+    sql_stable_round,
+    stable_round,
+)
 from databricks_etl_pipelines_spark.operators.joins import (
     asof_join,
     range_join,
@@ -529,6 +532,71 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value",
         F.col("matched_event_id"),
         F.col("matched_value"),
+    )
+
+
+# -- multi-touch attribution: range join + credit windows ---------------------
+# Marketing-analytics staple the reference's medallion gold layer implies
+# but never builds: every purchase credits the user's click/view touches
+# in the preceding 3 days — linear credit 1/n plus a last-touch flag.
+# The candidate pairing reuses the bucketed range join (≤2 probe buckets
+# per conversion); credit needs one window over the purchase id.
+
+_ATTRIBUTION_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type, ts AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.user_id, p.purchase_id, t.touch_id, t.touch_type, t.tts
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.tts >= p.pts - INTERVAL 3 DAYS AND t.tts < p.pts
+)
+SELECT user_id, purchase_id, touch_id, touch_type,
+  {sql_stable_round("1.0 / count(*) OVER (PARTITION BY purchase_id)", 6)}
+    AS linear_credit,
+  row_number() OVER (
+    PARTITION BY purchase_id ORDER BY tts DESC, touch_id DESC) = 1
+    AS is_last_touch
+FROM j
+"""
+
+
+@query("window_attribution_linear", _ATTRIBUTION_ORACLE)
+def window_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear + last-touch attribution per purchase over a 3-day lookback
+    window (operators/joins.py::range_join for the candidate pairs, one
+    window on purchase_id for the credit split)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    pairs = range_join(
+        purchases, touches, "user_id", "ts", "ts", -3 * 86400, 0,
+        right_prefix="t_",
+    )
+    w = Window.partitionBy("event_id")
+    w_last = Window.partitionBy("event_id").orderBy(
+        F.desc("t_ts"), F.desc("t_event_id")
+    )
+    return pairs.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("t_event_id").alias("touch_id"),
+        F.col("t_event_type").alias("touch_type"),
+        stable_round(F.lit(1.0) / F.count("*").over(w), 6).alias(
+            "linear_credit"
+        ),
+        (F.row_number().over(w_last) == 1).alias("is_last_touch"),
     )
 
 
