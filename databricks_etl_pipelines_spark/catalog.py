@@ -106,11 +106,13 @@ PRIORITY: list[str] = [
     "streaming_scd2_dimension",
     "sft_dpo_pairs",
     "join_interval_overlap",
-    # (e) oracle upgraded rows-only -> hard this round; re-check for a
-    # hard hash-matched row
+    "cdc_apply_orders",
+    "window_attribution_linear",
+    # ---------------- 50-slot cap boundary ----------------
+    # oracle upgraded rows-only -> hard this round; re-check for a hard
+    # hash-matched row (these DO have prior driver rows, unlike the 50)
     "similarity_lsh_ann_topk",
     "similarity_pandas_udf_topk",
-    # ---------------- 50-slot cap boundary ----------------
     "curation_pack_sequences",         # upgraded to hard oracle (bucket-keyed)
     # deferred identical-text SQL shapes (plan-asserted in pytest)
     "sql_exists_late_orders",

@@ -193,3 +193,95 @@ def scd2_stream_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_apply(
+    spark: SparkSession,
+    dim: ManagedTable,
+    batch: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    lsn_col: str,
+    op_col: str,
+    delete_op: str = "D",
+    n_buckets: int = 16,
+) -> None:
+    """APPLY CHANGES INTO, SCD Type 1: last-write-wins by event time with
+    delete support (the DLT ``apply_changes`` / Delta CDC-merge shape the
+    reference's MERGE-based silver layer implies).
+
+    Each change row carries an event timestamp and a unique ``lsn_col``
+    tie-break (CDC log sequence number), so "latest" is a total order.
+    Deletes persist as TOMBSTONES (``is_deleted = true``) rather than
+    physical removals — a late-arriving update older than an applied
+    delete must stay dead, which makes the fold order-insensitive across
+    batches: the surviving row per key is argmax(ts, lsn) over ALL
+    changes ever applied, no matter how they were batched. Read the
+    current state via :func:`cdc_read_current`.
+
+    Per batch: one ``max_by`` aggregate picks the batch winner per key,
+    the dim's matching rows (touched buckets only) join in for a second
+    argmax, and one bucket-pruned MERGE commits — O(touched buckets).
+    """
+    keys = list(keys)
+    payload = [
+        c for c in batch.columns
+        if c not in (*keys, ts_col, lsn_col, op_col)
+    ]
+
+    def normalize(df: DataFrame) -> DataFrame:
+        return df.select(
+            *keys,
+            F.col(ts_col),
+            F.col(lsn_col),
+            (F.col(op_col) == delete_op).alias("is_deleted")
+            if op_col in df.columns
+            else F.col("is_deleted"),
+            *payload,
+        )
+
+    def latest(df: DataFrame) -> DataFrame:
+        row = F.struct(
+            F.col(ts_col), F.col(lsn_col), F.col("is_deleted"), *payload
+        )
+        order = F.struct(F.col(ts_col), F.col(lsn_col))
+        won = df.groupBy(*keys).agg(F.max_by(row, order).alias("__r"))
+        return won.select(
+            *keys,
+            F.col(f"__r.{ts_col}").alias(ts_col),
+            F.col(f"__r.{lsn_col}").alias(lsn_col),
+            F.col("__r.is_deleted").alias("is_deleted"),
+            *[F.col(f"__r.{c}").alias(c) for c in payload],
+        )
+
+    incoming = latest(normalize(batch))
+    if not dim.exists():
+        dim.create_or_overwrite(incoming, bucket_by=keys,
+                                n_buckets=n_buckets)
+        return
+    touched = incoming.select(*keys).distinct()
+    spec = dim.bucket_spec()
+    if spec and list(spec[0]) == keys:
+        bkeys, nb = spec
+        bucket_ids = sorted(
+            r[0]
+            for r in touched.select(_bucket_expr(bkeys, nb).alias(BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+        cur = (
+            dim._read_internal(spark, dim.latest_version())
+            .filter(F.col(BUCKET_COL).isin(bucket_ids))
+            .drop(BUCKET_COL)
+        )
+    else:  # pragma: no cover - dims are always created bucketed above
+        cur = dim.read(spark)
+    cur = cur.join(touched, keys, "left_semi")
+    winners = latest(incoming.unionByName(cur))
+    dim.merge_upsert(spark, winners, keys)
+
+
+def cdc_read_current(dim: ManagedTable, spark: SparkSession) -> DataFrame:
+    """Live rows of a :func:`cdc_apply`-maintained dimension (tombstones
+    filtered)."""
+    return dim.read(spark).filter(~F.col("is_deleted"))

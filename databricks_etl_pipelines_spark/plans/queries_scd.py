@@ -223,3 +223,76 @@ def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current",
         )
     )
+
+
+# -- CDC APPLY CHANGES (SCD1 with deletes) -----------------------------------
+
+_CDC_ORACLE = """
+WITH feed AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+    (o_orderkey % 13 = 0) AS is_deleted,
+    o_orderstatus, o_orderpriority, o_totalprice
+  FROM orders
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM feed) WHERE rn = 1
+)
+SELECT o_custkey, o_orderdate AS last_ts, o_orderkey AS last_lsn,
+  o_orderstatus, o_orderpriority, o_totalprice
+FROM latest WHERE NOT is_deleted
+"""
+
+_CDC_DIM_CACHE: dict[str, "ManagedTable"] = {}
+
+
+@query("cdc_apply_orders", _CDC_ORACLE)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO (operators/scd.py::cdc_apply): the orders feed
+    replayed as a CDC stream — every 13th order is a DELETE — folded in
+    two orderkey-PARITY batches, so each batch interleaves in event time
+    with the other and late updates land after already-applied deletes.
+    The surviving state must equal the one-shot latest-per-key SQL with
+    tombstones excluded: that equality checks last-write-wins ordering,
+    tombstone persistence, and order-insensitivity at once."""
+    from databricks_etl_pipelines_spark.operators.scd import (
+        cdc_apply,
+        cdc_read_current,
+    )
+
+    dim = _CDC_DIM_CACHE.get(sf_dir)
+    if dim is None:
+        orders = table(spark, sf_dir, "orders")
+        feed = orders.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        dim = ManagedTable(scratch_dir("cdc_dim_"))
+        for parity in (0, 1):
+            cdc_apply(
+                spark,
+                dim,
+                feed.filter(F.col("o_orderkey") % 2 == parity),
+                keys=["o_custkey"],
+                ts_col="o_orderdate",
+                lsn_col="o_orderkey",
+                op_col="op",
+            )
+        _CDC_DIM_CACHE[sf_dir] = dim
+    return cdc_read_current(dim, spark).select(
+        "o_custkey",
+        F.col("o_orderdate").alias("last_ts"),
+        F.col("o_orderkey").alias("last_lsn"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+    )

@@ -172,3 +172,62 @@ def test_scd2_apply_prunes_untouched_buckets(spark, tmp_path):
     assert last["buckets_rewritten"] == 1
     cur = dim.read(spark).filter((F.col("k") == 1) & F.col("is_current"))
     assert cur.select("attr").first().attr == "C"
+
+
+def test_cdc_apply_tombstones_and_late_updates(spark, tmp_path):
+    """SCD1 APPLY CHANGES: last-write-wins by (ts, lsn), deletes persist
+    as tombstones so a LATE update older than an applied delete stays
+    dead, and replaying a batch changes nothing."""
+    from databricks_etl_pipelines_spark.operators.scd import (
+        cdc_apply,
+        cdc_read_current,
+    )
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows, "k int, ts timestamp, lsn int, op string, v string"
+        )
+
+    dim = ManagedTable(str(tmp_path / "dim"))
+    apply = lambda rows: cdc_apply(  # noqa: E731
+        spark, dim, feed(rows), ["k"], "ts", "lsn", "op"
+    )
+
+    # batch 1: k1 updated then deleted; k2 two updates same ts (lsn wins);
+    # k3 plain update
+    apply([
+        (1, _ts(2), 2, "U", "a"),
+        (1, _ts(5), 5, "D", None),
+        (2, _ts(3), 3, "U", "x"),
+        (2, _ts(3), 4, "U", "y"),
+        (3, _ts(1), 1, "U", "z"),
+    ])
+    cur = {r.k: r for r in cdc_read_current(dim, spark).collect()}
+    assert 1 not in cur              # tombstoned
+    assert cur[2].v == "y"           # ts tie -> higher lsn wins
+    assert cur[3].v == "z"
+
+    # batch 2 (late data): k1 update OLDER than the delete -> stays dead;
+    # k3 newer update wins; k4 appears
+    apply([
+        (1, _ts(3), 3, "U", "ghost"),
+        (3, _ts(9), 9, "U", "z2"),
+        (4, _ts(1), 6, "U", "new"),
+    ])
+    cur = {r.k: r for r in cdc_read_current(dim, spark).collect()}
+    assert 1 not in cur
+    assert cur[3].v == "z2" and cur[4].v == "new"
+
+    # replay batch 2 verbatim: no state change
+    before = sorted(map(tuple, dim.read(spark).collect()))
+    apply([
+        (1, _ts(3), 3, "U", "ghost"),
+        (3, _ts(9), 9, "U", "z2"),
+        (4, _ts(1), 6, "U", "new"),
+    ])
+    assert sorted(map(tuple, dim.read(spark).collect())) == before
+
+    # un-delete: an update NEWER than the tombstone resurrects the key
+    apply([(1, _ts(8), 8, "U", "back")])
+    cur = {r.k: r for r in cdc_read_current(dim, spark).collect()}
+    assert cur[1].v == "back"
