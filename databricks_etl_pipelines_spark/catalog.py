@@ -46,14 +46,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-4 final rotation. The driver checks the FIRST 50 registry
-    # entries per round; r1∪r2∪r3 left 53 registered queries with no
+    # entries per round; r1∪r2∪r3 left 55 registered queries with no
     # driver row (the 10 late-r3 additions + everything new in r4).
-    # In-cap: all of them except 5 identical-text SQL shapes (their
-    # oracle IS the same SQL string and the decorrelation rewrites are
-    # plan-asserted in pytest — the lowest-signal class to defer), plus
-    # 2 re-checks of queries whose oracle was UPGRADED from rows-only
-    # this round. Behind the cap: the deferred SQL shapes first, then
-    # changed-code re-checks, then the stalest r1-latest sentinels.
+    # In-cap: 50 of those 55 — all except 5 identical-text SQL shapes
+    # (their oracle IS the same SQL string and the decorrelation rewrites
+    # are plan-asserted in pytest — the lowest-signal class to defer).
+    # Immediately behind the cap: the deferred SQL shapes and the 3
+    # queries whose oracle was UPGRADED from rows-only this round
+    # (including curation_pack_sequences, whose packing layout changed —
+    # its new code is covered by local check_oracle runs at sf0.01 AND
+    # sf0.1, recorded in NOTES, and by the planted-semantics pytest; a
+    # first-ever driver row beats a re-check in the 50-slot budget).
+    # Then changed-code re-checks, then the stalest r1-latest sentinels.
     # (a) the 10 late-r3 queries — the entire r3 evidence gap
     "privacy_gdpr_erase_users",
     "agg_winsorize_zscore",

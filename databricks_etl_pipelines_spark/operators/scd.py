@@ -35,11 +35,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from databricks_etl_pipelines_spark.sources.managed_table import (
-    BUCKET_COL,
-    ManagedTable,
-    _bucket_expr,
-)
+from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
 
 
 def scd2_history(
@@ -119,39 +115,31 @@ def scd2_apply(
     """
     keys = list(keys)
     cols = [*keys, *attrs, ts_col, *tiebreak]
-    batch = batch.select(*cols)
-    if obs_log.exists():
-        obs_log.append(batch)
-    else:
-        obs_log.create_or_overwrite(batch, bucket_by=keys, n_buckets=n_buckets)
-
-    touched = batch.select(*keys).distinct()
-    spec = obs_log.bucket_spec()
-    if spec and list(spec[0]) == keys:
-        bkeys, nb = spec
-        # Bounded driver traffic: <= nb small ints, the same touched-bucket
-        # mechanism as ManagedTable's pruned MERGE/DELETE.
-        bucket_ids = sorted(
-            r[0]
-            for r in touched.select(_bucket_expr(bkeys, nb).alias(BUCKET_COL))
-            .distinct()
-            .collect()
+    # batch lineage (often a filter/stream micro-batch) feeds three
+    # actions: the log append, the touched-bucket collect, and the semi
+    # join — persist so it computes once
+    batch = batch.select(*cols).persist()
+    try:
+        if obs_log.exists():
+            obs_log.append(batch)
+        else:
+            obs_log.create_or_overwrite(
+                batch, bucket_by=keys, n_buckets=n_buckets
+            )
+        relevant = obs_log.read_for_keys(spark, batch, keys).dropDuplicates(
+            cols
         )
-        log_df = (
-            obs_log._read_internal(spark, obs_log.latest_version())
-            .filter(F.col(BUCKET_COL).isin(bucket_ids))
-            .drop(BUCKET_COL)
+        rebuilt = scd2_history(
+            relevant, keys, attrs, ts_col, tiebreak, with_counts=False
         )
-    else:  # pragma: no cover - logs are always created bucketed above
-        log_df = obs_log.read(spark)
-    relevant = log_df.join(touched, keys, "left_semi").dropDuplicates(cols)
-    rebuilt = scd2_history(
-        relevant, keys, attrs, ts_col, tiebreak, with_counts=False
-    )
-    if dim.exists():
-        dim.merge_upsert(spark, rebuilt, keys)
-    else:
-        dim.create_or_overwrite(rebuilt, bucket_by=keys, n_buckets=n_buckets)
+        if dim.exists():
+            dim.merge_upsert(spark, rebuilt, keys)
+        else:
+            dim.create_or_overwrite(
+                rebuilt, bucket_by=keys, n_buckets=n_buckets
+            )
+    finally:
+        batch.unpersist()
 
 
 def scd2_stream_apply(
@@ -224,19 +212,24 @@ def cdc_apply(
     argmax, and one bucket-pruned MERGE commits — O(touched buckets).
     """
     keys = list(keys)
+    if op_col not in batch.columns:
+        raise ValueError(f"cdc_apply batch is missing op column {op_col!r}")
     payload = [
         c for c in batch.columns
-        if c not in (*keys, ts_col, lsn_col, op_col)
+        if c not in (*keys, ts_col, lsn_col, op_col, "is_deleted")
     ]
 
     def normalize(df: DataFrame) -> DataFrame:
+        # NULL op = an unstamped upsert, never a delete: a bare
+        # (op == delete) would store is_deleted=NULL, which a tombstone
+        # filter drops — the key would be neither live nor dead.
         return df.select(
             *keys,
             F.col(ts_col),
             F.col(lsn_col),
-            (F.col(op_col) == delete_op).alias("is_deleted")
-            if op_col in df.columns
-            else F.col("is_deleted"),
+            F.coalesce(
+                F.col(op_col) == delete_op, F.lit(False)
+            ).alias("is_deleted"),
             *payload,
         )
 
@@ -254,31 +247,20 @@ def cdc_apply(
             *[F.col(f"__r.{c}").alias(c) for c in payload],
         )
 
-    incoming = latest(normalize(batch))
-    if not dim.exists():
-        dim.create_or_overwrite(incoming, bucket_by=keys,
-                                n_buckets=n_buckets)
-        return
-    touched = incoming.select(*keys).distinct()
-    spec = dim.bucket_spec()
-    if spec and list(spec[0]) == keys:
-        bkeys, nb = spec
-        bucket_ids = sorted(
-            r[0]
-            for r in touched.select(_bucket_expr(bkeys, nb).alias(BUCKET_COL))
-            .distinct()
-            .collect()
-        )
-        cur = (
-            dim._read_internal(spark, dim.latest_version())
-            .filter(F.col(BUCKET_COL).isin(bucket_ids))
-            .drop(BUCKET_COL)
-        )
-    else:  # pragma: no cover - dims are always created bucketed above
-        cur = dim.read(spark)
-    cur = cur.join(touched, keys, "left_semi")
-    winners = latest(incoming.unionByName(cur))
-    dim.merge_upsert(spark, winners, keys)
+    # incoming feeds several actions (touched-bucket collect, union,
+    # merge) — persist so the batch aggregate computes once
+    incoming = latest(normalize(batch)).persist()
+    try:
+        if not dim.exists():
+            dim.create_or_overwrite(
+                incoming, bucket_by=keys, n_buckets=n_buckets
+            )
+            return
+        cur = dim.read_for_keys(spark, incoming, keys)
+        winners = latest(incoming.unionByName(cur))
+        dim.merge_upsert(spark, winners, keys)
+    finally:
+        incoming.unpersist()
 
 
 def cdc_read_current(dim: ManagedTable, spark: SparkSession) -> DataFrame:

@@ -159,6 +159,21 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN = _sql_in_list(LANG_STOPWORDS["en"])
 
+# The ONE SQL copy of operators/curation.py::quality_score's 30/30/20/20
+# rubric — every oracle that needs a document quality score composes this
+# (quality exposes its intermediates separately below; quota, DPO, and
+# the funnel reuse the fragment).
+_SQL_QUALITY_SCORE = f"""\
+(CASE WHEN len({_SQL_TOKS}) BETWEEN 10 AND 1000 THEN 30 ELSE 0 END
+     + CASE WHEN CAST(list_sum(list_transform({_SQL_TOKS}, x -> length(x)))
+              AS BIGINT) / len({_SQL_TOKS}) BETWEEN 3 AND 12 THEN 30 ELSE 0 END
+     + CASE WHEN len(list_filter({_SQL_TOKS}, x -> x IN ({_EN})))
+              / len({_SQL_TOKS}) > 0.05 THEN 20 ELSE 0 END
+     + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+              / length(text) < 0.2
+             AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+              / length(text) < 0.2 THEN 20 ELSE 0 END)"""
+
 _QUALITY_ORACLE = f"""
 WITH t AS (
   SELECT
@@ -211,23 +226,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single-aggregate pairing: lexicographic max/min over (score, -id)
 # structs — DuckDB and Spark order structs identically.
 
-_DPO_SCORE = f"""
-    (CASE WHEN len({_SQL_TOKS}) BETWEEN 10 AND 1000 THEN 30 ELSE 0 END
-     + CASE WHEN CAST(list_sum(list_transform({_SQL_TOKS},
-                x -> length(x))) AS BIGINT) / len({_SQL_TOKS})
-            BETWEEN 3 AND 12 THEN 30 ELSE 0 END
-     + CASE WHEN len(list_filter({_SQL_TOKS}, x -> x IN ({_EN})))
-            / len({_SQL_TOKS}) > 0.05 THEN 20 ELSE 0 END
-     + CASE WHEN (length(text) - length(regexp_replace(text,
-                '[.,;:!?]', '', 'g'))) / length(text) < 0.2
-            AND (length(text) - length(regexp_replace(text,
-                '[0-9]', '', 'g'))) / length(text) < 0.2
-            THEN 20 ELSE 0 END)
-"""
-
 _DPO_ORACLE = f"""
 WITH scored AS (
-  SELECT doc_id % 200 AS prompt_id, doc_id, {_DPO_SCORE} AS score
+  SELECT doc_id % 200 AS prompt_id, doc_id, {_SQL_QUALITY_SCORE} AS score
   FROM documents
 ),
 g AS (
@@ -1368,15 +1369,7 @@ _QUOTA_ORACLE = f"""
 WITH q AS (
   SELECT
     doc_id, lang,
-    (CASE WHEN len({_SQL_TOKS}) BETWEEN 10 AND 1000 THEN 30 ELSE 0 END
-     + CASE WHEN CAST(list_sum(list_transform({_SQL_TOKS}, x -> length(x)))
-              AS BIGINT) / len({_SQL_TOKS}) BETWEEN 3 AND 12 THEN 30 ELSE 0 END
-     + CASE WHEN len(list_filter({_SQL_TOKS}, x -> x IN ({{en}})))
-              / len({_SQL_TOKS}) > 0.05 THEN 20 ELSE 0 END
-     + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-              / length(text) < 0.2
-             AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-              / length(text) < 0.2 THEN 20 ELSE 0 END) AS quality
+    {_SQL_QUALITY_SCORE} AS quality
   FROM documents
 ),
 r AS (
@@ -1390,7 +1383,7 @@ SELECT doc_id, lang, CAST(quality AS INT) AS quality FROM r WHERE rn <= 40
 
 @query(
     "curation_quota_per_language",
-    _QUOTA_ORACLE.replace("{en}", _sql_in_list(LANG_STOPWORDS["en"])),
+    _QUOTA_ORACLE,
 )
 def curation_quota_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Best 40 docs per language by quality score' — the per-stratum quota

@@ -176,6 +176,37 @@ class ManagedTable:
         df = self._read_internal(spark, version)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def read_for_keys(
+        self, spark: SparkSession, keys_df: DataFrame, keys: Sequence[str]
+    ) -> DataFrame:
+        """Rows whose key appears in ``keys_df``. On a table bucketed by
+        ``keys`` only the buckets those keys hash into are scanned (the
+        bounded <=n_buckets-int driver list used by pruned MERGE/DELETE);
+        otherwise a full scan feeds the semi join. The incremental-dim
+        operators (operators/scd.py) build their touched-key reads on
+        this."""
+        keys = list(keys)
+        want = keys_df.select(*keys).distinct()
+        spec = self.bucket_spec()
+        if spec and list(spec[0]) == keys:
+            bkeys, nb = spec
+            bucket_ids = sorted(
+                r[0]
+                for r in want.select(
+                    _bucket_expr(bkeys, nb).alias(BUCKET_COL)
+                )
+                .distinct()
+                .collect()
+            )
+            base = (
+                self._read_internal(spark, self.latest_version())
+                .filter(F.col(BUCKET_COL).isin(bucket_ids))
+                .drop(BUCKET_COL)
+            )
+        else:
+            base = self.read(spark)
+        return base.join(want, keys, "left_semi")
+
     def history(self, spark: SparkSession) -> DataFrame:
         """DESCRIBE HISTORY equivalent: one row per committed version."""
         return spark.createDataFrame(
