@@ -113,6 +113,8 @@ PRIORITY: list[str] = [
     "cdc_apply_orders",
     "window_attribution_linear",
     # ---------------- 50-slot cap boundary ----------------
+    "streaming_cdc_dimension",  # shares oracle + machinery with in-cap
+                                # cdc_apply_orders; locally verified
     # oracle upgraded rows-only -> hard this round; re-check for a hard
     # hash-matched row (these DO have prior driver rows, unlike the 50)
     "similarity_lsh_ann_topk",

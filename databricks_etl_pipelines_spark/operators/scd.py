@@ -267,3 +267,44 @@ def cdc_read_current(dim: ManagedTable, spark: SparkSession) -> DataFrame:
     """Live rows of a :func:`cdc_apply`-maintained dimension (tombstones
     filtered)."""
     return dim.read(spark).filter(~F.col("is_deleted"))
+
+
+def cdc_stream_apply(
+    stream: DataFrame,
+    dim: ManagedTable,
+    keys: Sequence[str],
+    ts_col: str,
+    lsn_col: str,
+    op_col: str,
+    checkpoint_dir: str,
+    delete_op: str = "D",
+    n_buckets: int = 16,
+):
+    """Streaming APPLY CHANGES INTO: each micro-batch folds through
+    :func:`cdc_apply`. Last-write-wins by (ts, lsn) with persistent
+    tombstones makes the fold order-insensitive, so the drained dim
+    equals the one-shot latest-per-key state however the source batches
+    the change log."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cdc_apply(
+            batch_df.sparkSession,
+            dim,
+            batch_df,
+            keys,
+            ts_col,
+            lsn_col,
+            op_col,
+            delete_op=delete_op,
+            n_buckets=n_buckets,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

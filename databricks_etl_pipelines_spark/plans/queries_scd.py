@@ -296,3 +296,64 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_totalprice",
     )
+
+
+_STREAM_CDC_CACHE: dict[str, "ManagedTable"] = {}
+
+
+@query("streaming_cdc_dimension", _CDC_ORACLE)
+def streaming_cdc_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming APPLY CHANGES: the orders CDC feed (every 13th order a
+    DELETE) drains as 3 mtime-ordered micro-batches through
+    cdc_stream_apply; the surviving dim must hash-match the same one-shot
+    latest-per-key SQL as the batch fold — same oracle, third engine
+    path (batch parity split == streaming drain == SQL)."""
+    from databricks_etl_pipelines_spark.operators.scd import (
+        cdc_read_current,
+        cdc_stream_apply,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+    )
+
+    dim = _STREAM_CDC_CACHE.get(sf_dir)
+    if dim is None:
+        orders = table(spark, sf_dir, "orders")
+        feed = orders.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        src = scratch_dir("cdc_stream_src_")
+        feed.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        dim = ManagedTable(scratch_dir("cdc_stream_dim_"))
+        q = cdc_stream_apply(
+            stream,
+            dim,
+            keys=["o_custkey"],
+            ts_col="o_orderdate",
+            lsn_col="o_orderkey",
+            op_col="op",
+            checkpoint_dir=scratch_dir("cdc_stream_ckpt_"),
+        )
+        await_drained(q)
+        _STREAM_CDC_CACHE[sf_dir] = dim
+    return cdc_read_current(dim, spark).select(
+        "o_custkey",
+        F.col("o_orderdate").alias("last_ts"),
+        F.col("o_orderkey").alias("last_lsn"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+    )
