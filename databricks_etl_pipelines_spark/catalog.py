@@ -115,6 +115,8 @@ PRIORITY: list[str] = [
     # ---------------- 50-slot cap boundary ----------------
     "streaming_cdc_dimension",  # shares oracle + machinery with in-cap
                                 # cdc_apply_orders; locally verified
+    "similarity_incremental_ivf",  # same oracle family as in-cap
+                                   # similarity_ivf_crossengine
     # oracle upgraded rows-only -> hard this round; re-check for a hard
     # hash-matched row (these DO have prior driver rows, unlike the 50)
     "similarity_lsh_ann_topk",

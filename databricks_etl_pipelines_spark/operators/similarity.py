@@ -26,7 +26,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -676,17 +676,10 @@ def ivf_topk_deterministic(
         df, vec_col, id_col, nlist=nlist, centroid_stride=centroid_stride
     )
     qv = [float(x) for x in query]
-
-    def py_sq_l2(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + (x - y) * (x - y)  # same left-fold order
-        return acc
-
     probe = [
         cid
         for cid, _ in sorted(
-            ((cid, py_sq_l2(qv, cv)) for cid, cv in cent_rows),
+            ((cid, _py_sq_l2(qv, cv)) for cid, cv in cent_rows),
             key=lambda t: (t[1], t[0]),
         )[:nprobe]
     ]
@@ -959,3 +952,120 @@ def hash_embed_cosine_topk(
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def _py_sq_l2(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side squared L2 with the SAME strict left-fold op order as
+    sq_l2 / the DuckDB list_reduce replay — probe decisions must agree."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+class DetIvfIndex:
+    """Persisted deterministic-quantizer IVF index with INCREMENTAL
+    append — the streaming-ingest closure of the cross-engine IVF family.
+
+    The coarse quantizer (strided corpus centroids,
+    :func:`assign_deterministic_lists`) is FROZEN at build; appending a
+    batch argmin-assigns it against those centroids with the identical
+    broadcast-grid + groupBy-min machinery (same IEEE fold order), then
+    appends ONLY the touched list partitions of the hive layout. Probes
+    hive-prune to ``nprobe`` list dirs, so probe cost stays list-bounded
+    no matter how many appends have landed. Because the quantizer is a
+    relational rule, a DuckDB oracle replays build + append + probe
+    value-for-value (`similarity_incremental_ivf`) — the differential
+    check the KMeans :class:`IvfIndex` cannot have; production keeps the
+    learned quantizer and this class's storage/append/probe shape.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    @property
+    def _lists(self) -> str:
+        import os
+
+        return os.path.join(self.root, "lists")
+
+    @property
+    def _meta(self) -> str:
+        import os
+
+        return os.path.join(self.root, "centroids.json")
+
+    def build(
+        self,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        nlist: int = 16,
+        centroid_stride: int = 29,
+    ) -> None:
+        import json
+        import os
+
+        _, assigned, cent_rows = assign_deterministic_lists(
+            df, vec_col, id_col, nlist=nlist, centroid_stride=centroid_stride
+        )
+        assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+            self._lists
+        )
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._meta, "w") as f:
+            json.dump(cent_rows, f)
+
+    def _centroid_rows(self) -> list[tuple[int, list[float]]]:
+        import json
+
+        with open(self._meta) as f:
+            return [(int(c), [float(x) for x in v]) for c, v in json.load(f)]
+
+    def append(self, batch: DataFrame, vec_col: str, id_col: str) -> None:
+        spark = batch.sparkSession
+        cent = spark.createDataFrame(
+            self._centroid_rows(), "cid bigint, cv array<double>"
+        )
+        base = batch.select(
+            F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+        )
+        grid = base.join(F.broadcast(cent)).withColumn(
+            "d", sq_l2(F.col("v"), F.col("cv"))
+        )
+        assigned = (
+            grid.groupBy("id", "v")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("id", "v", F.col("m.cid").alias("list_id"))
+        )
+        assigned.write.partitionBy("list_id").mode("append").parquet(
+            self._lists
+        )
+
+    def probe(
+        self,
+        spark: SparkSession,
+        query: Sequence[float],
+        id_col: str,
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        qv = [float(x) for x in query]
+        probe = [
+            cid
+            for cid, _ in sorted(
+                ((cid, _py_sq_l2(qv, cv)) for cid, cv in self._centroid_rows()),
+                key=lambda t: (t[1], t[0]),
+            )[:nprobe]
+        ]
+        q = F.transform(vec_lit(query), lambda x: x.cast("double"))
+        return (
+            spark.read.parquet(self._lists)
+            .filter(F.col("list_id").isin(probe))
+            .select(
+                F.col("id").alias(id_col),
+                cosine(F.col("v"), q).alias("cosine_sim"),
+            )
+            .orderBy(F.desc("cosine_sim"), F.col(id_col))
+            .limit(k)
+        )

@@ -920,7 +920,8 @@ def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_crossengine_oracle(dim: int = 64, nlist: int = 16, nprobe: int = 4,
-                            stride: int = 29) -> str:
+                            stride: int = 29,
+                            centroid_where: str = "") -> str:
     """The whole IVF pipeline replayed in SQL: deterministic strided
     centroids, strict-left-fold squared-L2 assignment (ties to lower
     centroid id), nprobe nearest lists, exact cosine ranking. Every
@@ -938,7 +939,7 @@ def _ivf_crossengine_oracle(dim: int = 64, nlist: int = 16, nprobe: int = 4,
     return f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-  WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {nlist}
+  WHERE vec_id % {stride} = 0{centroid_where} ORDER BY vec_id LIMIT {nlist}
 ),
 v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 grid AS (
@@ -984,6 +985,46 @@ def similarity_ivf_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", qv, k=20, nlist=16, nprobe=4,
         centroid_stride=29,
     )
+    return topk.select(
+        "vec_id", stable_round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    ).orderBy(F.desc("cosine_sim"), "vec_id")
+
+
+_INCR_IVF_CACHE: dict[str, object] = {}
+
+
+@query(
+    "similarity_incremental_ivf",
+    _ivf_crossengine_oracle(centroid_where=" AND vec_id % 2 = 0"),
+)
+def similarity_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index maintained INCREMENTALLY: build on the even
+    vec_ids (quantizer frozen there), append the odd half with the same
+    argmin machinery, probe — and the result must equal the SQL replay of
+    centroids-from-evens + assignment-of-everything + probe. The
+    streaming-ingest closure of the ANN family: append cost is one
+    broadcast grid over the batch, probe cost stays hive-pruned to nprobe
+    list dirs no matter how many appends landed
+    (operators/similarity.py::DetIvfIndex)."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        DetIvfIndex,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+
+    idx = _INCR_IVF_CACHE.get(sf_dir)
+    if idx is None:
+        emb = table(spark, sf_dir, "embeddings")
+        idx = DetIvfIndex(scratch_dir("det_ivf_"))
+        idx.build(
+            emb.filter(F.col("vec_id") % 2 == 0), "embedding", "vec_id",
+            nlist=16, centroid_stride=29,
+        )
+        idx.append(
+            emb.filter(F.col("vec_id") % 2 == 1), "embedding", "vec_id"
+        )
+        _INCR_IVF_CACHE[sf_dir] = idx
+    qv = _query_vector(spark, sf_dir)
+    topk = idx.probe(spark, qv, "vec_id", k=20, nprobe=4)
     return topk.select(
         "vec_id", stable_round(F.col("cosine_sim"), 6).alias("cosine_sim")
     ).orderBy(F.desc("cosine_sim"), "vec_id")
