@@ -74,6 +74,12 @@ _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?:'([^']+)'|(\S+))(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
     re.I,
 )
+_APPLY_CHANGES_RE = re.compile(
+    r"^\s*APPLY\s+CHANGES\s+INTO\s+(?:'([^']+)'|(\S+))\s+FROM\s+(\S+)\s+"
+    r"KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)\s*,\s*(\w+)"
+    r"(?:\s+APPLY\s+AS\s+DELETE\s+WHEN\s+(\w+)\s*=\s*'([^']*)')?\s*$",
+    re.I,
+)
 
 
 def run_command(spark: SparkSession, sql: str) -> DataFrame:
@@ -85,9 +91,14 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
         SELECT * FROM '<path>' VERSION AS OF <n>
         DELETE FROM '<path>' WHERE <predicate>
         VACUUM '<path>' [RETAIN <n> VERSIONS]
+        APPLY CHANGES INTO '<path>' FROM <view> KEYS (k, ...)
+            SEQUENCE BY <ts>, <lsn>
+            [APPLY AS DELETE WHEN <op> = '<val>']
 
-    Anything else falls through to ``spark.sql`` unchanged, so the command
-    surface composes with the registered relational views."""
+    APPLY CHANGES is the DLT CDC verb over operators/scd.py::cdc_apply
+    (SCD1 last-write-wins + tombstones); it returns the live rows after
+    the fold. Anything else falls through to ``spark.sql`` unchanged, so
+    the command surface composes with the registered relational views."""
     from pyspark.sql import functions as F
 
     m = _HISTORY_RE.match(sql)
@@ -123,4 +134,24 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
         return spark.createDataFrame(
             [(mt.root, len(dropped))], "table string, versions_vacuumed int"
         )
+    m = _APPLY_CHANGES_RE.match(sql)
+    if m:
+        from databricks_etl_pipelines_spark.operators.scd import (
+            cdc_apply,
+            cdc_read_current,
+        )
+
+        mt = ManagedTable(m.group(1) or m.group(2))
+        src = spark.table(m.group(3))
+        keys = [k.strip() for k in m.group(4).split(",")]
+        ts_col, lsn_col = m.group(5), m.group(6)
+        op_col, delete_op = m.group(7), m.group(8)
+        if op_col is None:  # pure-upsert feed: stamp a constant op
+            src = src.withColumn("__op", F.lit("U"))
+            op_col, delete_op = "__op", "D"
+        cdc_apply(
+            spark, mt, src, keys, ts_col, lsn_col, op_col,
+            delete_op=delete_op,
+        )
+        return cdc_read_current(mt, spark)
     return spark.sql(sql)

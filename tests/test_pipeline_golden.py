@@ -403,6 +403,26 @@ def test_sql_command_surface(spark, tmp_path):
     assert mt.read(spark).count() == 550
     assert mt.read(spark, version=2).count() == 600
 
+    # APPLY CHANGES INTO: the DLT CDC verb over cdc_apply
+    cdc_root = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01", 1, "U", "a"),
+            (1, "2024-01-03", 3, "D", None),
+            (2, "2024-01-02", 2, "U", "b"),
+        ],
+        "k int, ts string, lsn int, op string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).createOrReplaceTempView(
+        "cdc_feed"
+    )
+    live = run_command(
+        spark,
+        f"APPLY CHANGES INTO '{cdc_root}' FROM cdc_feed KEYS (k) "
+        "SEQUENCE BY ts, lsn APPLY AS DELETE WHEN op = 'D'",
+    )
+    rows = {r.k: r.v for r in live.collect()}
+    assert rows == {2: "b"}  # k=1 tombstoned by the later delete
+
 
 def test_change_feed_bucket_pruned(spark, tmp_path):
     """CDF analog: changes between versions of a bucketed table come from
