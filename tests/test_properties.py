@@ -326,3 +326,60 @@ def test_bpe_trainer_matches_reference_on_repetitive_alphabet(spark, words):
     ref, _ = _reference_bpe(freqs, 6)
     got = train_bpe(df, "text", num_merges=6, max_words=1000)
     assert got == ref
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),            # key
+            st.sampled_from(["A", "B", None]),  # attr (incl. NULL runs)
+            st.integers(1, 6),            # day
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_scd2_incremental_equals_batch_any_split(spark, tmp_path_factory, obs, rng):
+    """Property: for ANY observation feed and ANY batch partition/order,
+    folding batches through scd2_apply yields exactly the one-shot
+    scd2_history — the order-insensitivity contract, randomized."""
+    from datetime import datetime
+
+    from databricks_etl_pipelines_spark.operators.scd import (
+        scd2_apply,
+        scd2_history,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+
+    rows = [
+        (k, a, datetime(2024, 1, d), i)
+        for i, (k, a, d) in enumerate(obs)
+    ]
+    schema = "k int, attr string, ts timestamp, obs_id int"
+    full = spark.createDataFrame(rows, schema)
+
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    n_batches = rng.randint(1, min(3, len(shuffled)))
+    batches = [shuffled[i::n_batches] for i in range(n_batches)]
+
+    base = tmp_path_factory.mktemp("scd2prop")
+    log = ManagedTable(str(base / "log"))
+    dim = ManagedTable(str(base / "dim"))
+    for b in batches:
+        if b:
+            scd2_apply(
+                spark, log, dim, spark.createDataFrame(b, schema),
+                keys=["k"], attrs=["attr"], ts_col="ts",
+                tiebreak=["obs_id"],
+            )
+    expected = scd2_history(
+        full, ["k"], ["attr"], "ts", ["obs_id"], with_counts=False
+    )
+    got = dim.read(spark).select(*expected.columns)
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
