@@ -77,7 +77,8 @@ _VACUUM_RE = re.compile(
 _APPLY_CHANGES_RE = re.compile(
     r"^\s*APPLY\s+CHANGES\s+INTO\s+(?:'([^']+)'|(\S+))\s+FROM\s+(\S+)\s+"
     r"KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)\s*,\s*(\w+)"
-    r"(?:\s+APPLY\s+AS\s+DELETE\s+WHEN\s+(\w+)\s*=\s*'([^']*)')?\s*$",
+    r"(?:\s+APPLY\s+AS\s+DELETE\s+WHEN\s+(\w+)\s*=\s*'([^']*)')?"
+    r"(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+([12]))?\s*$",
     re.I,
 )
 
@@ -94,10 +95,13 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
         APPLY CHANGES INTO '<path>' FROM <view> KEYS (k, ...)
             SEQUENCE BY <ts>, <lsn>
             [APPLY AS DELETE WHEN <op> = '<val>']
+            [STORED AS SCD TYPE 1|2]
 
-    APPLY CHANGES is the DLT CDC verb over operators/scd.py::cdc_apply
-    (SCD1 last-write-wins + tombstones); it returns the live rows after
-    the fold. Anything else falls through to ``spark.sql`` unchanged, so
+    APPLY CHANGES is the DLT CDC verb over operators/scd.py: SCD TYPE 1
+    (default) folds through cdc_apply (last-write-wins + tombstones) and
+    returns the live rows; SCD TYPE 2 folds through scd2_apply (validity
+    intervals, observation log at '<path>__log') and returns the full
+    history. Anything else falls through to ``spark.sql`` unchanged, so
     the command surface composes with the registered relational views."""
     from pyspark.sql import functions as F
 
@@ -146,6 +150,29 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
         keys = [k.strip() for k in m.group(4).split(",")]
         ts_col, lsn_col = m.group(5), m.group(6)
         op_col, delete_op = m.group(7), m.group(8)
+        scd_type = m.group(9)
+        if scd_type == "2":
+            # STORED AS SCD TYPE 2: full validity-interval history via the
+            # order-insensitive log-rebuild fold; the observation log lives
+            # next to the dim. Delete ops have no SCD2 interval semantics
+            # here — reject rather than silently drop history.
+            if op_col is not None:
+                raise ValueError(
+                    "APPLY AS DELETE is not supported with SCD TYPE 2"
+                )
+            from databricks_etl_pipelines_spark.operators.scd import (
+                scd2_apply,
+            )
+
+            attrs = [
+                c for c in src.columns
+                if c not in (*keys, ts_col, lsn_col)
+            ]
+            scd2_apply(
+                spark, ManagedTable(mt.root + "__log"), mt, src,
+                keys, attrs, ts_col, tiebreak=[lsn_col],
+            )
+            return mt.read(spark)
         if op_col is None:  # pure-upsert feed: stamp a constant op
             src = src.withColumn("__op", F.lit("U"))
             op_col, delete_op = "__op", "D"

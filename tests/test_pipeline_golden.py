@@ -423,6 +423,41 @@ def test_sql_command_surface(spark, tmp_path):
     rows = {r.k: r.v for r in live.collect()}
     assert rows == {2: "b"}  # k=1 tombstoned by the later delete
 
+    # STORED AS SCD TYPE 2: same verb, history-keeping fold
+    scd2_root = str(tmp_path / "scd2cmd")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01", 1, "a"),
+            (1, "2024-01-02", 2, "b"),
+            (2, "2024-01-01", 3, "x"),
+        ],
+        "k int, ts string, lsn int, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).createOrReplaceTempView(
+        "scd2_feed"
+    )
+    hist = run_command(
+        spark,
+        f"APPLY CHANGES INTO '{scd2_root}' FROM scd2_feed KEYS (k) "
+        "SEQUENCE BY ts, lsn STORED AS SCD TYPE 2",
+    )
+    got = {
+        (r.k, r.scd_version): (r.v, r.is_current) for r in hist.collect()
+    }
+    assert got == {
+        (1, 1): ("a", False),
+        (1, 2): ("b", True),
+        (2, 1): ("x", True),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SCD TYPE 2"):
+        run_command(
+            spark,
+            f"APPLY CHANGES INTO '{scd2_root}' FROM scd2_feed KEYS (k) "
+            "SEQUENCE BY ts, lsn APPLY AS DELETE WHEN v = 'a' "
+            "STORED AS SCD TYPE 2",
+        )
+
 
 def test_change_feed_bucket_pruned(spark, tmp_path):
     """CDF analog: changes between versions of a bucketed table come from
