@@ -357,3 +357,97 @@ def streaming_cdc_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_totalprice",
     )
+
+
+# -- point-in-time dimension lookup (the SCD2 read path) ---------------------
+
+_PIT_ORACLE = """
+WITH su AS (
+  SELECT user_id, CAST(floor("value" / 10) AS INT) AS tier, ts, event_id
+  FROM events WHERE event_type = 'signup'
+),
+obs AS (
+  SELECT user_id, tier, ts, event_id,
+    CASE WHEN row_number() OVER w = 1 THEN 1
+         WHEN tier IS NOT DISTINCT FROM lag(tier) OVER w THEN 0 ELSE 1
+    END AS chg
+  FROM su
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+    ) AS scd_version
+  FROM obs
+),
+hist AS (
+  SELECT user_id, scd_version, min(ts) AS effective_from,
+         min(tier) AS tier
+  FROM runs GROUP BY user_id, scd_version
+),
+vis AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, effective_from ORDER BY scd_version DESC
+      ) AS rn
+    FROM hist) WHERE rn = 1
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id,
+  h.tier AS dim_tier, h.scd_version AS dim_version,
+  h.effective_from AS dim_effective_from
+FROM p ASOF JOIN vis h
+  ON p.user_id = h.user_id AND p.ts >= h.effective_from
+"""
+
+
+@query("dim_scd2_point_in_time", _PIT_ORACLE)
+def dim_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 READ path: every purchase looks up the signup-tier dim
+    version valid AT ITS EVENT TIME. History from scd2_history; when two
+    versions start at the same instant only the later one is visible
+    (dedup per (key, effective_from)); the lookup is the union-window
+    as-of join — ONE shuffle, no inequality join, no candidate blowup.
+    DuckDB replays it with a native ASOF JOIN over the same history CTE;
+    purchases before a user's first signup drop on both sides (inner
+    as-of semantics)."""
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.floor(F.col("value") / 10).cast("int").alias("tier"),
+        "ts",
+        "event_id",
+    )
+    hist = scd2_history(
+        signups, ["user_id"], ["tier"], "ts", ["event_id"],
+        with_counts=False,
+    )
+    vis_w = Window.partitionBy("user_id", "effective_from").orderBy(
+        F.desc("scd_version")
+    )
+    vis = (
+        hist.withColumn("__rn", F.row_number().over(vis_w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "scd_version", "effective_from", "tier")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = asof_join(
+        purchases, vis, "user_id", "ts", "effective_from", right_prefix="d_"
+    )
+    return joined.filter(F.col("d_effective_from").isNotNull()).select(
+        "user_id",
+        "purchase_id",
+        F.col("d_tier").alias("dim_tier"),
+        F.col("d_scd_version").alias("dim_version"),
+        F.col("d_effective_from").alias("dim_effective_from"),
+    )
