@@ -315,13 +315,48 @@ class ManagedTable:
         return self._commit(df, "overwrite", partition_by)
 
     def append(
-        self, df: DataFrame, partition_by: Sequence[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+        merge_schema: bool = False,
     ) -> int:
-        spec = self.bucket_spec() if self.exists() else None
+        """``merge_schema`` = Delta's ``mergeSchema``: the committed
+        schema becomes the union of old and new columns, absent columns
+        null-filled on either side. Without it, drifted schemas fail
+        fast. On a bucketed table a widening append pays ONE
+        layout-preserving full rewrite (schema changes are rare events;
+        every version dir stays single-schema so ordinary reads never
+        need parquet schema merging) — subsequent appends/merges are
+        pruned again."""
+        exists = self.exists()
+        spec = self.bucket_spec() if exists else None
+        prior = self.read(df.sparkSession) if exists else None
+        drifted = exists and set(prior.columns) != set(df.columns)
+        if drifted and not merge_schema:
+            raise ValueError(
+                "append schema drift (use merge_schema=True): "
+                f"table={sorted(prior.columns)} incoming={sorted(df.columns)}"
+            )
         if spec:
+            if drifted:
+                keys, nb = spec
+                widened = prior.unionByName(df, allowMissingColumns=True)
+                bucketed = widened.withColumn(
+                    BUCKET_COL, _bucket_expr(keys, nb)
+                ).repartition(nb, BUCKET_COL)
+                return self._commit(
+                    bucketed,
+                    "append",
+                    [BUCKET_COL],
+                    {
+                        "bucket_keys": keys,
+                        "n_buckets": nb,
+                        "schema_evolved": True,
+                    },
+                )
             return self._append_bucket_pruned(df, *spec)
-        if self.exists():
-            df = self.read(df.sparkSession).unionByName(df)
+        if exists:
+            df = prior.unionByName(df, allowMissingColumns=drifted)
         return self._commit(df, "append", partition_by)
 
     def _append_bucket_pruned(

@@ -685,3 +685,54 @@ def test_mismatched_key_delete_and_merge_preserve_bucket_layout(spark, tmp_path)
     assert log[-1]["operation"] == "delete"
     assert log[-1]["buckets_rewritten"] <= 1
     assert mt.read(spark).filter("id = 7").count() == 0
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    """Delta mergeSchema parity: widening appends null-fill both sides;
+    drift without the flag fails fast; a bucketed table keeps its layout
+    through the evolution (later appends prune again)."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+        _read_log,
+    )
+
+    plain = ManagedTable(str(tmp_path / "plain"))
+    plain.create_or_overwrite(
+        spark.range(3).select("id", F.lit("a").alias("v"))
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        plain.append(
+            spark.range(3, 5).select("id", F.lit(1).alias("extra"))
+        )
+    plain.append(
+        spark.range(3, 5).select("id", F.lit(1).alias("extra")),
+        merge_schema=True,
+    )
+    got = plain.read(spark)
+    assert set(got.columns) == {"id", "v", "extra"}
+    assert got.filter(F.col("extra").isNull()).count() == 3  # old rows
+    assert got.filter(F.col("v").isNull()).count() == 2      # new rows
+
+    b = ManagedTable(str(tmp_path / "bucketed"))
+    b.create_or_overwrite(
+        spark.range(100).select("id", F.lit("x").alias("v")),
+        bucket_by=["id"], n_buckets=8,
+    )
+    b.append(
+        spark.range(100, 110).select(
+            "id", F.lit("y").alias("v"), F.lit(7).alias("extra")
+        ),
+        merge_schema=True,
+    )
+    assert b.bucket_spec() == (["id"], 8)          # layout survives
+    assert _read_log(b.root)[-1].get("schema_evolved") is True
+    assert b.read(spark).count() == 110
+    # post-evolution appends are pruned again
+    b.append(spark.range(110, 112).select(
+        "id", F.lit("z").alias("v"), F.lit(8).alias("extra")
+    ))
+    last = _read_log(b.root)[-1]
+    assert last["operation"] == "append"
+    assert last["buckets_rewritten"] < 8
