@@ -119,6 +119,8 @@ PRIORITY: list[str] = [
                                    # similarity_ivf_crossengine
     "dim_scd2_point_in_time",      # SCD2 read path; composes in-cap
                                    # dim_scd2_history + r1-green asof_join
+    "dim_scd2_with_deletes",       # delete-closed intervals; same algebra
+                                   # as in-cap dim_scd2_history
     # oracle upgraded rows-only -> hard this round; re-check for a hard
     # hash-matched row (these DO have prior driver rows, unlike the 50)
     "similarity_lsh_ann_topk",

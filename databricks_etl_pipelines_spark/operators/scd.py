@@ -45,6 +45,8 @@ def scd2_history(
     ts_col: str,
     tiebreak: Sequence[str] = (),
     with_counts: bool = True,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> DataFrame:
     """Collapse an observation feed into SCD2 validity intervals.
 
@@ -54,10 +56,39 @@ def scd2_history(
     is_current``. The comparison is null-safe (NULL == NULL holds a run
     open). ``tiebreak`` must make the per-key order total or versions are
     nondeterministic across engines.
+
+    With ``op_col``, rows whose op equals ``delete_op`` are DELETE
+    events: a delete closes the open interval at the delete's timestamp
+    and leaves a gap (version numbers skip over it) until the next real
+    observation; a key whose last event is a delete has no current row.
+    Internally a delete is a run of its own — attrs nulled, flagged by a
+    marker that participates in change detection so it always breaks
+    runs — stitched BEFORE being filtered out, so the preceding version's
+    ``effective_to`` is the delete time, not the next observation's.
     """
     order = [F.col(ts_col), *(F.col(c) for c in tiebreak)]
     w = Window.partitionBy(*keys).orderBy(*order)
-    same = F.lit(True)
+    deleted = (
+        F.coalesce(F.col(op_col) == delete_op, F.lit(False)).cast("int")
+        if op_col is not None
+        else F.lit(0)
+    )
+    src = df.select(
+        *keys, *attrs, ts_col, *tiebreak, deleted.alias("__del")
+    )
+    # a delete's attrs never open a run of their own
+    src = src.select(
+        *keys,
+        *[
+            F.when(F.col("__del") == 1, F.lit(None)).otherwise(F.col(a))
+            .alias(a)
+            for a in attrs
+        ],
+        ts_col,
+        *tiebreak,
+        "__del",
+    )
+    same = F.col("__del").eqNullSafe(F.lag(F.col("__del")).over(w))
     for a in attrs:
         same = same & F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
     chg = (
@@ -66,24 +97,24 @@ def scd2_history(
         .otherwise(F.lit(1))
     )
     run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    obs = (
-        df.select(*keys, *attrs, ts_col, *tiebreak)
-        .withColumn("__chg", chg)
-        .withColumn("scd_version", F.sum("__chg").over(run_w))
+    obs = src.withColumn("__chg", chg).withColumn(
+        "scd_version", F.sum("__chg").over(run_w)
     )
     aggs = [
         F.min(ts_col).alias("effective_from"),
         # attrs are constant within a run, so min() is just "the value"
         # (and stays NULL for an all-NULL run).
         *(F.min(a).alias(a) for a in attrs),
+        F.max("__del").alias("__del"),
     ]
     if with_counts:
         aggs.append(F.count(F.lit(1)).alias("n_obs"))
     hist = obs.groupBy(*keys, "scd_version").agg(*aggs)
     stitch_w = Window.partitionBy(*keys).orderBy("scd_version")
-    return hist.withColumn(
+    stitched = hist.withColumn(
         "effective_to", F.lead("effective_from").over(stitch_w)
     ).withColumn("is_current", F.col("effective_to").isNull())
+    return stitched.filter(F.col("__del") == 0).drop("__del")
 
 
 def scd2_apply(
@@ -96,6 +127,8 @@ def scd2_apply(
     ts_col: str,
     tiebreak: Sequence[str] = (),
     n_buckets: int = 16,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> None:
     """Fold one observation batch into an SCD2 dimension, incrementally.
 
@@ -115,6 +148,8 @@ def scd2_apply(
     """
     keys = list(keys)
     cols = [*keys, *attrs, ts_col, *tiebreak]
+    if op_col is not None:
+        cols.append(op_col)
     # batch lineage (often a filter/stream micro-batch) feeds three
     # actions: the log append, the touched-bucket collect, and the semi
     # join — persist so it computes once
@@ -130,7 +165,8 @@ def scd2_apply(
             cols
         )
         rebuilt = scd2_history(
-            relevant, keys, attrs, ts_col, tiebreak, with_counts=False
+            relevant, keys, attrs, ts_col, tiebreak, with_counts=False,
+            op_col=op_col, delete_op=delete_op,
         )
         if dim.exists():
             dim.merge_upsert(spark, rebuilt, keys)

@@ -451,3 +451,80 @@ def dim_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_scd_version").alias("dim_version"),
         F.col("d_effective_from").alias("dim_effective_from"),
     )
+
+
+# -- SCD2 with deletes (intervals close at the delete, gaps remain) ----------
+
+_SCD2_DELETES_ORACLE = f"""
+WITH feed AS (
+  SELECT o_custkey, o_orderpriority, o_orderstatus, o_orderdate, o_orderkey,
+    CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS del
+  FROM orders
+),
+src AS (
+  SELECT o_custkey,
+    CASE WHEN del = 1 THEN NULL ELSE o_orderpriority END AS o_orderpriority,
+    CASE WHEN del = 1 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+    o_orderdate, o_orderkey, del
+  FROM feed
+),
+obs AS (
+  SELECT *,
+    CASE WHEN row_number() OVER w = 1 THEN 1
+         WHEN del IS NOT DISTINCT FROM lag(del) OVER w
+          AND o_orderpriority IS NOT DISTINCT FROM lag(o_orderpriority) OVER w
+          AND o_orderstatus IS NOT DISTINCT FROM lag(o_orderstatus) OVER w
+         THEN 0 ELSE 1 END AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+    ) AS scd_version
+  FROM obs
+),
+hist AS (
+  SELECT o_custkey, scd_version, min(o_orderdate) AS effective_from,
+         min(o_orderpriority) AS o_orderpriority,
+         min(o_orderstatus) AS o_orderstatus,
+         max(del) AS del
+  FROM runs GROUP BY o_custkey, scd_version
+),
+stitched AS (
+  SELECT *, lead(effective_from) OVER s AS eff_to FROM hist
+  WINDOW s AS (PARTITION BY o_custkey ORDER BY scd_version)
+)
+SELECT o_custkey, scd_version, effective_from,
+  o_orderpriority, o_orderstatus,
+  coalesce(eff_to, TIMESTAMP '{OPEN_END}') AS effective_to,
+  eff_to IS NULL AS is_current
+FROM stitched WHERE del = 0
+"""
+
+
+@query("dim_scd2_with_deletes", _SCD2_DELETES_ORACLE)
+def dim_scd2_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 with DELETE events (every 13th order): the delete closes the
+    open interval at its own timestamp and leaves a gap — version
+    numbers skip the delete run, a key ending in a delete has no current
+    row. The oracle replays the nulled-attrs + delete-marker run algebra
+    verbatim, stitching BEFORE filtering so effective_to lands on the
+    delete time."""
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "op",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    hist = scd2_history(
+        orders,
+        keys=["o_custkey"],
+        attrs=["o_orderpriority", "o_orderstatus"],
+        ts_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+        with_counts=False,
+        op_col="op",
+    )
+    return _close_open_end(hist)

@@ -154,23 +154,20 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
         if scd_type == "2":
             # STORED AS SCD TYPE 2: full validity-interval history via the
             # order-insensitive log-rebuild fold; the observation log lives
-            # next to the dim. Delete ops have no SCD2 interval semantics
-            # here — reject rather than silently drop history.
-            if op_col is not None:
-                raise ValueError(
-                    "APPLY AS DELETE is not supported with SCD TYPE 2"
-                )
+            # next to the dim. APPLY AS DELETE closes the open interval at
+            # the delete's timestamp (gap until the next observation).
             from databricks_etl_pipelines_spark.operators.scd import (
                 scd2_apply,
             )
 
             attrs = [
                 c for c in src.columns
-                if c not in (*keys, ts_col, lsn_col)
+                if c not in (*keys, ts_col, lsn_col, op_col)
             ]
             scd2_apply(
                 spark, ManagedTable(mt.root + "__log"), mt, src,
                 keys, attrs, ts_col, tiebreak=[lsn_col],
+                op_col=op_col, delete_op=delete_op,
             )
             return mt.read(spark)
         if op_col is None:  # pure-upsert feed: stamp a constant op

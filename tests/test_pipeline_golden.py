@@ -448,15 +448,31 @@ def test_sql_command_surface(spark, tmp_path):
         (1, 2): ("b", True),
         (2, 1): ("x", True),
     }
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="SCD TYPE 2"):
-        run_command(
-            spark,
-            f"APPLY CHANGES INTO '{scd2_root}' FROM scd2_feed KEYS (k) "
-            "SEQUENCE BY ts, lsn APPLY AS DELETE WHEN v = 'a' "
-            "STORED AS SCD TYPE 2",
-        )
+    # SCD TYPE 2 with deletes: the delete closes k=1's open interval at
+    # the delete timestamp and leaves the key with NO current row
+    scd2d_root = str(tmp_path / "scd2del")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01", 1, "U", "a"),
+            (1, "2024-01-04", 4, "D", None),
+            (2, "2024-01-02", 2, "U", "x"),
+        ],
+        "k int, ts string, lsn int, op string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).createOrReplaceTempView(
+        "scd2_del_feed"
+    )
+    hist = run_command(
+        spark,
+        f"APPLY CHANGES INTO '{scd2d_root}' FROM scd2_del_feed KEYS (k) "
+        "SEQUENCE BY ts, lsn APPLY AS DELETE WHEN op = 'D' "
+        "STORED AS SCD TYPE 2",
+    )
+    rows = {(r.k, r.scd_version): r for r in hist.collect()}
+    assert set(rows) == {(1, 1), (2, 1)}  # the delete run itself is gone
+    closed = rows[(1, 1)]
+    assert not closed.is_current
+    assert closed.effective_to.day == 4   # closed AT the delete ts
+    assert rows[(2, 1)].is_current
 
 
 def test_change_feed_bucket_pruned(spark, tmp_path):

@@ -231,3 +231,31 @@ def test_cdc_apply_tombstones_and_late_updates(spark, tmp_path):
     apply([(1, _ts(8), 8, "U", "back")])
     cur = {r.k: r for r in cdc_read_current(dim, spark).collect()}
     assert cur[1].v == "back"
+
+
+def test_scd2_history_with_deletes(spark):
+    """Deletes close intervals at the delete ts and leave gaps: version
+    numbering skips the delete run, re-observation reopens a new
+    version, and a key ending in a delete has no current row."""
+    from databricks_etl_pipelines_spark.operators.scd import scd2_history
+
+    rows = [
+        (1, "A", _ts(1), 1, "U"),
+        (1, None, _ts(3), 2, "D"),   # closes A at day 3
+        (1, "B", _ts(5), 3, "U"),    # reopens after a 2-day gap
+        (2, "X", _ts(1), 4, "U"),
+        (2, None, _ts(2), 5, "D"),   # key 2 ends deleted
+    ]
+    hist = scd2_history(
+        spark.createDataFrame(
+            rows, "k int, attr string, ts timestamp, obs_id int, op string"
+        ),
+        keys=["k"], attrs=["attr"], ts_col="ts", tiebreak=["obs_id"],
+        op_col="op",
+    )
+    got = {(r.k, r.scd_version): r for r in hist.collect()}
+    assert set(got) == {(1, 1), (1, 3), (2, 1)}  # delete runs absent
+    assert got[(1, 1)].effective_to == _ts(3) and not got[(1, 1)].is_current
+    assert got[(1, 3)].effective_from == _ts(5) and got[(1, 3)].is_current
+    assert got[(2, 1)].effective_to == _ts(2)
+    assert not any(r.is_current for r in [got[(2, 1)]])
