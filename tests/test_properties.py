@@ -383,3 +383,67 @@ def test_scd2_incremental_equals_batch_any_split(spark, tmp_path_factory, obs, r
     got = dim.read(spark).select(*expected.columns)
     assert got.exceptAll(expected).isEmpty()
     assert expected.exceptAll(got).isEmpty()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),           # key
+            st.integers(1, 6),           # day
+            st.booleans(),               # delete?
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_cdc_incremental_equals_latest_any_split(spark, tmp_path_factory, chg, rng):
+    """Property: for ANY change log and ANY batch partition/order, the
+    cdc_apply fold's live rows equal the latest-per-(ts, lsn) non-delete
+    state computed directly — tombstone persistence included."""
+    from datetime import datetime
+
+    from databricks_etl_pipelines_spark.operators.scd import (
+        cdc_apply,
+        cdc_read_current,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+
+    rows = [
+        (k, datetime(2024, 1, d), i, "D" if dele else "U", v)
+        for i, (k, d, dele, v) in enumerate(chg)
+    ]
+    schema = "k int, ts timestamp, lsn int, op string, v string"
+
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    n_batches = rng.randint(1, min(3, len(shuffled)))
+    batches = [shuffled[i::n_batches] for i in range(n_batches)]
+
+    dim = ManagedTable(str(tmp_path_factory.mktemp("cdcprop") / "dim"))
+    for b in batches:
+        if b:
+            cdc_apply(
+                spark, dim, spark.createDataFrame(b, schema),
+                ["k"], "ts", "lsn", "op",
+            )
+
+    expected = {}
+    for k, ts, lsn, op, v in rows:
+        cur = expected.get(k)
+        if cur is None or (ts, lsn) > (cur[0], cur[1]):
+            expected[k] = (ts, lsn, op, v)
+    live = {
+        k: (ts, lsn, v)
+        for k, (ts, lsn, op, v) in expected.items()
+        if op != "D"
+    }
+    got = {
+        r.k: (r.ts, r.lsn, r.v)
+        for r in cdc_read_current(dim, spark).collect()
+    }
+    assert got == live
