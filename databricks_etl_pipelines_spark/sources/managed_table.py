@@ -457,7 +457,11 @@ class ManagedTable:
         return self._commit(df, "optimize compact")
 
     def merge_upsert(
-        self, spark: SparkSession, source: DataFrame, keys: Sequence[str]
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: Sequence[str],
+        merge_schema: bool = False,
     ) -> int:
         """Keyed upsert: matched keys take the source row, unmatched target
         rows carry over, new source keys insert (Delta MERGE
@@ -469,17 +473,30 @@ class ManagedTable:
         On a table created with ``bucket_by=keys``, only buckets containing
         source keys are rewritten; untouched buckets are hardlinked into
         the new version (byte-identical carry-over, no read or write IO).
+
+        ``merge_schema`` = Delta's MERGE ``autoMerge``: drifted source
+        schemas widen the table (absent columns null-filled both sides).
+        As with :meth:`append`, a widening merge on a bucketed table pays
+        one layout-preserving full rewrite so version dirs stay
+        single-schema, then prunes again.
         """
         if not self.exists():
             return self._commit(source, "create")
         spec = self.bucket_spec()
-        if spec and list(spec[0]) == list(keys):
-            return self._merge_bucket_pruned(spark, source, spec[0], spec[1])
         target = self.read(spark)
+        drifted = set(target.columns) != set(source.columns)
+        if drifted and not merge_schema:
+            raise ValueError(
+                "merge schema drift (use merge_schema=True): "
+                f"table={sorted(target.columns)} "
+                f"source={sorted(source.columns)}"
+            )
+        if spec and list(spec[0]) == list(keys) and not drifted:
+            return self._merge_bucket_pruned(spark, source, spec[0], spec[1])
         untouched = target.join(
             source.select(*keys).distinct(), list(keys), "left_anti"
         )
-        merged = source.unionByName(untouched)
+        merged = source.unionByName(untouched, allowMissingColumns=drifted)
         if spec:
             # Merge keys differ from the bucket spec ⇒ full rewrite, but
             # preserve the bucket layout so later bucket-spec operations
@@ -488,12 +505,10 @@ class ManagedTable:
             merged = merged.withColumn(
                 BUCKET_COL, _bucket_expr(bkeys, nb)
             ).repartition(nb, BUCKET_COL)
-            return self._commit(
-                merged,
-                "merge",
-                [BUCKET_COL],
-                {"bucket_keys": bkeys, "n_buckets": nb},
-            )
+            meta = {"bucket_keys": bkeys, "n_buckets": nb}
+            if drifted:
+                meta["schema_evolved"] = True
+            return self._commit(merged, "merge", [BUCKET_COL], meta)
         return self._commit(merged, "merge")
 
     def delete_where(self, spark: SparkSession, condition: F.Column) -> int:

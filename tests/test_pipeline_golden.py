@@ -752,3 +752,41 @@ def test_append_schema_evolution(spark, tmp_path):
     last = _read_log(b.root)[-1]
     assert last["operation"] == "append"
     assert last["buckets_rewritten"] < 8
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Delta MERGE autoMerge parity: widening merges null-fill both
+    sides; drift without the flag fails fast; bucketed tables keep
+    their layout through the evolution and prune on later merges."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+        _read_log,
+    )
+
+    mt = ManagedTable(str(tmp_path / "m"))
+    mt.create_or_overwrite(
+        spark.range(100).select("id", F.lit("x").alias("v")),
+        bucket_by=["id"], n_buckets=8,
+    )
+    src = spark.createDataFrame([(5, "y", 7), (200, "z", 8)],
+                                "id long, v string, extra long")
+    with pytest.raises(ValueError, match="schema drift"):
+        mt.merge_upsert(spark, src, ["id"])
+    mt.merge_upsert(spark, src, ["id"], merge_schema=True)
+    got = mt.read(spark)
+    assert set(got.columns) == {"id", "v", "extra"}
+    assert got.count() == 101
+    assert got.filter("id = 5").head().extra == 7
+    assert got.filter("id = 6").head().extra is None  # old row null-filled
+    assert mt.bucket_spec() == (["id"], 8)
+    assert _read_log(mt.root)[-1].get("schema_evolved") is True
+    # post-evolution merges prune again
+    mt.merge_upsert(
+        spark,
+        spark.createDataFrame([(7, "q", 9)], "id long, v string, extra long"),
+        ["id"],
+    )
+    last = _read_log(mt.root)[-1]
+    assert last["operation"] == "merge" and last["buckets_rewritten"] == 1
