@@ -103,23 +103,132 @@ def apply_merge(s: F.Column, left: str, right: str) -> F.Column:
     )
 
 
+def _local_pair_counts(sy: list[str]) -> dict[tuple[str, str], int]:
+    """Adjacent-pair counts of ONE word's symbol list — the driver-side
+    twin of ``_pair_counts``'s per-row explode (position-based, so the
+    overlapping ``a a a`` counts (a,a) twice, exactly as the grid does)."""
+    c: dict[tuple[str, str], int] = {}
+    for j in range(len(sy) - 1):
+        p = (sy[j], sy[j + 1])
+        c[p] = c.get(p, 0) + 1
+    return c
+
+
+def _local_merge_loop(
+    entries: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """The BPE merge loop on the COLLECTED capped dictionary.
+
+    ``entries`` is [(word, freq)] — at most ``max_words`` rows, so it fits
+    in driver memory by construction (the same bounded-model-fit stance as
+    the PQ codebook sample in operators/similarity.py). Semantics are
+    byte-identical to the distributed loop this replaces: per-position
+    adjacent-pair counts weighted by word freq, argmax tie-broken
+    (count desc, left asc, right asc) — Python tuple compare on str is
+    code-point order, which equals Spark's binary UTF8 sort for the
+    well-formed UTF-8 this ever sees — and merge application is the same
+    left-to-right non-overlapping replace of ``' l  r '`` → ``' lr '`` on
+    the double-space-serialized symbol string (``str.replace`` and
+    ``F.replace`` share that contract).
+
+    Cost model: one full count to seed, then each merge touches only the
+    words that CONTAIN the merged pair (``pair_words`` inverted index) and
+    finds the argmax through a lazy-invalidation heap — so a 32k-merge
+    production vocabulary is seconds of driver CPU instead of 32k
+    sequential Spark jobs (the round-4 scale soft spot this closes)."""
+    import heapq
+
+    syms: list[list[str]] = []
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, (w, freq) in enumerate(entries):
+        sy = list(w)
+        syms.append(sy)
+        for p, k in _local_pair_counts(sy).items():
+            pair_counts[p] = pair_counts.get(p, 0) + k * freq
+            pair_words.setdefault(p, set()).add(i)
+    # min-heap over (-cnt, l, r) == Spark's orderBy(cnt desc, l asc, r asc);
+    # stale entries are skipped when their count no longer matches.
+    heap = [(-cnt, p[0], p[1]) for p, cnt in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        best = None
+        while heap:
+            negcnt, l, r = heap[0]
+            if pair_counts.get((l, r), 0) != -negcnt or negcnt == 0:
+                heapq.heappop(heap)  # stale or emptied pair
+                continue
+            best = (l, r, -negcnt)
+            break
+        if best is None:
+            break  # dictionary fully merged
+        l, r, cnt = best
+        merges.append((l, r, cnt))
+        target, repl = f" {l}  {r} ", f" {l}{r} "
+        touched: set[tuple[str, str]] = set()
+        for i in sorted(pair_words.get((l, r), ())):
+            freq = entries[i][1]
+            old = _local_pair_counts(syms[i])
+            s = " " + "  ".join(syms[i]) + " "
+            sy2 = s.replace(target, repl).split()
+            syms[i] = sy2
+            new = _local_pair_counts(sy2)
+            for p in old.keys() | new.keys():
+                d = (new.get(p, 0) - old.get(p, 0)) * freq
+                if d:
+                    pair_counts[p] = pair_counts.get(p, 0) + d
+                    touched.add(p)
+                if new.get(p, 0) > 0:
+                    pair_words.setdefault(p, set()).add(i)
+                else:
+                    pair_words.get(p, set()).discard(i)
+        for p in touched:
+            heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str,
     num_merges: int = 8,
     max_words: int = 10_000,
     word_freqs: DataFrame | None = None,
+    merge_loop: str = "driver",
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` merges; returns [(left, right, pair_count)] in
-    merge order. Each iteration runs one distributed pair-count aggregate
-    and ships exactly ONE row (the argmax pair) to the driver. Pass
-    ``word_freqs`` (a ``word_frequencies`` frame) to reuse an
+    merge order. The corpus-sized work (word counting) is always ONE
+    distributed hash aggregate; the merge loop then runs over the capped
+    dictionary in one of two modes producing identical merges (pinned by
+    tests/test_operators.py::test_bpe_driver_loop_matches_spark_loop):
+
+      * ``merge_loop="driver"`` (default) — collect the ≤``max_words``-row
+        dictionary once and run the loop locally: O(1) Spark jobs total,
+        so deep production vocabularies (32k merges) cost seconds, not
+        32k sequential job round-trips.
+      * ``merge_loop="spark"`` — one dictionary-sized distributed
+        aggregate per merge, exactly one argmax row shipped to the driver
+        per step. Kept for dictionaries too large to collect (a
+        ``max_words`` cap far beyond driver memory).
+
+    Pass ``word_freqs`` (a ``word_frequencies`` frame) to reuse an
     already-built dictionary instead of re-counting the corpus."""
+    if merge_loop not in ("driver", "spark"):
+        raise ValueError(f"merge_loop must be 'driver' or 'spark': {merge_loop}")
     wf = (
         word_freqs
         if word_freqs is not None
         else word_frequencies(df, text_col, max_words)
-    ).persist()
+    )
+    if merge_loop == "driver":
+        # deterministic collect order (freq desc, word asc) for a
+        # reproducible heap seed; the loop itself is order-insensitive
+        # because counts are summed before any argmax.
+        rows = wf.select("w", "freq").orderBy(
+            F.desc("freq"), F.asc("w")
+        ).collect()
+        return _local_merge_loop([(r.w, int(r.freq)) for r in rows], num_merges)
+    wf = wf.persist()
     cached: list[DataFrame] = []
     try:
         enc = wf.select("w", "freq", wrap_symbols(F.col("w")).alias("s"))

@@ -1111,13 +1111,14 @@ def leakage_safe_split(
     threshold: float = 0.5,
     shingle_k: int = 3,
     seed: int = 42,
+    pair_fn=None,
 ) -> DataFrame:
     """Train/test split that cannot leak near-duplicates across the
     boundary: hash-split by DUPLICATE-CLUSTER, not by document.
 
     A plain hash split puts a document and its paraphrase on opposite
-    sides ~2·f·(1-f) of the time — silent eval contamination. Here exact
-    n-gram-Jaccard pairs feed connected components; every member of a
+    sides ~2·f·(1-f) of the time — silent eval contamination. Here
+    near-dup pairs feed connected components; every member of a
     component shares its ``group_key`` (the component's min id, the doc's
     own id for singletons), and the split is a pure function of
     (group_key, seed) via the cross-engine md5+rolling-hash bucket — so
@@ -1125,11 +1126,24 @@ def leakage_safe_split(
     across runs, cluster sizes, and engines, and the exact kept sets are
     differential-testable.
 
-    Scale shape: pair generation is the prefix-filtered PPJoin (equi-joins
-    on rare-shingle hashes), components are O(diameter) hash-min rounds
-    over the PAIR graph (near-dup edges, a vanishing fraction of the
-    corpus), and the split itself is one scan with a broadcast-sized
-    cluster map joined on id.
+    Pair generation is pluggable exactly as in ``curate_corpus``:
+    ``pair_fn(df, text_col, id_col, threshold)`` returns near-dup edges
+    (id_a, id_b, ...). The default is the lossless prefix-filtered PPJoin
+    (``ngram_jaccard_pairs``) — exact, oracle-replayable, correct at test
+    scale. At 100 TB pass ``minhash_lsh_dedup_pairs``: PPJoin's output
+    (and wall) grows with the true-pair count, which is quadratic in the
+    copy multiplicity of replicated docs, while banded MinHash stays
+    bounded by bucket co-occurrence (measured in tools/scale_dedup.py /
+    scale_split.py: 25× rows → PPJoin 87 s vs MinHash 11.5 s). Both
+    generators verify candidates with exact Jaccard ≥ threshold, so at any
+    LSH parameterization with recall ~1 at the threshold the resulting
+    components — and therefore the split — agree (pinned by
+    tests/test_curation.py::test_leakage_split_pair_fn_agreement).
+
+    Scale shape: pair generation is equi-join-based (never all-pairs),
+    components are O(diameter) hash-min rounds over the PAIR graph
+    (near-dup edges, a vanishing fraction of the corpus), and the split
+    itself is one scan with a broadcast-sized cluster map joined on id.
     """
     from databricks_etl_pipelines_spark.functions.textfns import (
         fingerprint_rolling,
@@ -1138,7 +1152,10 @@ def leakage_safe_split(
         duplicate_clusters,
     )
 
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_k)
+    if pair_fn is None:
+        pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_k)
+    else:
+        pairs = pair_fn(df, text_col, id_col, threshold)
     clusters = duplicate_clusters(pairs).withColumnRenamed("id", id_col)
     keyed = df.join(clusters, id_col, "left")
     group_key = F.coalesce(F.col("cluster_id"), F.col(id_col))

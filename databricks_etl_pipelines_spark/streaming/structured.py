@@ -43,6 +43,50 @@ def await_drained(q: StreamingQuery, timeout_s: int = 300) -> None:
         )
 
 
+def stop_after_drained(
+    q: StreamingQuery, expected_rows: int, timeout_s: int = 300
+) -> None:
+    """Bounded drain for a ``processingTime``-triggered query — the
+    reference's PRODUCTION trigger mode (01_DLT_Bronze_Ingestion.py:179,
+    196), which never terminates on its own.
+
+    Polls the progress stream until the query has committed at least
+    ``expected_rows`` input rows across its micro-batches, then stops it
+    cleanly. A micro-batch's ``numInputRows`` is reported only after its
+    sink commit, so when the threshold is reached every counted row is
+    durably in the sink — stopping then cannot lose data. Raises on
+    timeout rather than returning a partially-ingested sink (same
+    hard-fail stance as ``await_drained``).
+
+    Test/bounded-backfill path: production processingTime queries run
+    forever by design; this exists so the processingTime surface is
+    exercisable against finite sources. Uses ``recentProgress`` (a
+    bounded ~100-entry window), so pass sources whose drain fits that
+    many batches — file feeds with maxFilesPerTrigger sized accordingly.
+    """
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        done = sum(p["numInputRows"] for p in q.recentProgress)
+        if done >= expected_rows:
+            q.stop()
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    f"processingTime query did not stop within {timeout_s}s "
+                    f"(query id {q.id})"
+                )
+            return
+        if q.exception() is not None:
+            raise q.exception()
+        _time.sleep(0.2)
+    q.stop()
+    raise TimeoutError(
+        f"processingTime drain saw fewer than {expected_rows} rows within "
+        f"{timeout_s}s (query id {q.id})"
+    )
+
+
 def _as_stream_dir(parquet_file: str) -> str:
     """Spark file streams require a directory; expose a single parquet file
     through a scratch dir containing a symlink to it."""
@@ -262,17 +306,31 @@ def bronze_stream_ingest(
     out_dir: str,
     checkpoint_dir: str,
     partition_by: str = "ingestion_date",
+    processing_time: str | None = None,
 ) -> StreamingQuery:
-    """S2: exactly-once partitioned append sink with availableNow drain."""
-    return (
+    """S2: exactly-once partitioned append sink.
+
+    Default trigger is ``availableNow`` (drain-and-stop — the reference's
+    batch-drain mode, 01:187). Pass ``processing_time`` (e.g.
+    ``"1 second"``) for the reference's PRODUCTION mode (01:179,196): a
+    long-running query that fires a micro-batch per interval and never
+    stops on its own — pair with ``stop_after_drained`` for bounded
+    sources, or leave running against a live feed. Both modes share the
+    checkpoint contract, so results are identical for the same input
+    (pinned by tests/test_streaming.py::
+    test_processing_time_trigger_matches_available_now)."""
+    writer = (
         feed.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy(partition_by)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def foreach_batch_merge(

@@ -326,6 +326,53 @@ def test_leakage_safe_split_keeps_chains_together(spark):
     assert again == got
 
 
+def test_leakage_split_pair_fn_agreement(spark):
+    """The 100 TB pair generator (banded MinHash-LSH) and the exact PPJoin
+    default produce the SAME split on a planted near-dup corpus: every
+    planted pair has Jaccard well above threshold, so any LSH
+    parameterization with recall ~1 there recovers the same components,
+    the same group keys, and therefore byte-identical split assignment."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+    )
+    words = base.split()
+    rows = [(1, base)]
+    # chain: each next doc shifts by 2 words — adjacent Jaccard high,
+    # endpoints unrelated; plus singletons
+    for k in range(2, 6):
+        rows.append(
+            (k, " ".join(words[2 * (k - 1):] +
+                         [f"x{k}_{j}" for j in range(2 * (k - 1))]))
+        )
+    rows += [(100 + i,
+              f"doc{i} " + " ".join(f"tok{i}_{j}" for j in range(20)))
+             for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.doc_id, r.group_key, r.split)
+        for r in leakage_safe_split(
+            docs, "text", "doc_id", test_fraction=0.3, threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r.doc_id, r.group_key, r.split)
+        for r in leakage_safe_split(
+            docs, "text", "doc_id", test_fraction=0.3, threshold=0.5,
+            pair_fn=minhash_lsh_dedup_pairs,
+        ).collect()
+    }
+    assert lsh == exact and len(exact) == len(rows)
+
+
 def test_pack_concat_chunks_layout_and_manifest(spark, sf_dir):
     """Concat-then-chunk layout equals a local serial replay on planted
     sizes (incl. a zero-token doc and a multi-chunk straddler), is

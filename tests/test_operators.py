@@ -1130,6 +1130,29 @@ def test_bpe_train_matches_independent_reference(spark):
         assert stats[doc_id] == expect, (doc_id, stats[doc_id], expect)
 
 
+def test_bpe_driver_loop_matches_spark_loop(spark):
+    """The driver-local merge loop (default, O(1) Spark jobs) learns the
+    EXACT merge sequence of the distributed per-merge-job loop — same
+    argmax, same (count desc, l asc, r asc) tie-break, same left-to-right
+    overlap handling — on the real corpus AND on an adversarial
+    tie/overlap dictionary."""
+    from databricks_etl_pipelines_spark.operators.bpe import train_bpe
+    from databricks_etl_pipelines_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    drv = train_bpe(docs, "text", num_merges=8, max_words=1000,
+                    merge_loop="driver")
+    dist = train_bpe(docs, "text", num_merges=8, max_words=1000,
+                     merge_loop="spark")
+    assert drv == dist and len(drv) == 8
+    ties = spark.createDataFrame(
+        [(0, "ab ab cd cd aaa bbb abab cdcd")], "doc_id long, text string"
+    )
+    drv = train_bpe(ties, "text", num_merges=12, merge_loop="driver")
+    dist = train_bpe(ties, "text", num_merges=12, merge_loop="spark")
+    assert drv == dist
+
+
 def test_bpe_merge_application_round_trips(spark):
     """Stripping separators from the merged symbol string reproduces the
     original word for every dictionary entry (no symbol ever lost or

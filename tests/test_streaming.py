@@ -58,6 +58,38 @@ def test_checkpoint_replay_exactly_once(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_src
 
 
+def test_processing_time_trigger_matches_available_now(spark, sf_dir, tmp_path):
+    """The reference's production trigger (processingTime — 01:179,196)
+    through the same bronze sink: a bounded drain stopped by
+    ``stop_after_drained`` after every source row is committed must equal
+    the availableNow drain byte-for-byte (same rows, same exactly-once
+    checkpoint contract)."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        stop_after_drained,
+    )
+
+    feed = streaming_events(spark, sf_dir).withColumn(
+        "ingestion_date", F.to_date("ts")
+    )
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    out_pt, ckpt_pt = str(tmp_path / "pt"), str(tmp_path / "ckpt_pt")
+    q = bronze_stream_ingest(
+        feed, out_pt, ckpt_pt, processing_time="1 second"
+    )
+    stop_after_drained(q, expected_rows=n_src, timeout_s=120)
+    got_pt = spark.read.parquet(out_pt)
+    assert got_pt.count() == n_src
+
+    out_an, ckpt_an = str(tmp_path / "an"), str(tmp_path / "ckpt_an")
+    q = bronze_stream_ingest(feed, out_an, ckpt_an)
+    q.awaitTermination(120)
+    got_an = spark.read.parquet(out_an)
+    assert got_an.count() == n_src
+    assert got_pt.exceptAll(got_an).count() == 0
+    assert got_an.exceptAll(got_pt).count() == 0
+
+
 def test_foreachbatch_merge_idempotent(spark, sf_dir, tmp_path):
     stream = streaming_events(spark, sf_dir)
     target = ManagedTable(str(tmp_path / "merged"))
