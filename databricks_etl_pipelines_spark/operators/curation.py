@@ -542,7 +542,9 @@ def weighted_sample_without_replacement(
     The uniform draw is a pure function of (id, seed) via the cross-engine
     md5 rolling hash (same family as ``shard_assignment``), so the sample
     is reproducible across runs, partitionings, and engines — and a SQL
-    oracle can replay the exact selection. Weights must be > 0.
+    oracle can replay the exact selection. Weights must be > 0 — enforced:
+    a null or non-positive weight raises from inside the scan rather than
+    silently reordering the selection.
 
     Scale shape: one window exchange on ``group_col``; top-k per group
     never materializes more than the group's rows, and with AQE the
@@ -561,7 +563,24 @@ def weighted_sample_without_replacement(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     ) % 1_000_000
     u = (bucket + 1) / F.lit(1_000_001.0)
-    key = F.log(u) / w
+    # Fail fast on non-positive weights instead of silently corrupting the
+    # sample: w=0 makes the A-ES key null (rows quietly sort last), w<0
+    # INVERTS the preference order. raise_error surfaces the first bad row
+    # from inside the distributed scan — no extra validation pass.
+    w_checked = F.when(
+        w > 0, w
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted_sample_without_replacement: weights must be "
+                    "> 0, got "
+                ),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    key = F.log(u) / w_checked
     win = Window.partitionBy(group_col).orderBy(
         F.desc("__es_key"), F.col(id_col)
     )

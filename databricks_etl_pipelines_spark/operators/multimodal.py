@@ -378,6 +378,15 @@ def patch_embeddings(decoded: DataFrame, grid: int = 2) -> DataFrame:
                 pdf["doc_id"], pdf["width"], pdf["height"], pdf["features"]
             ):
                 w, h = int(w), int(h)
+                if grid > w or grid > h:
+                    # a grid finer than the image would make some patch
+                    # empty (c = 0) and die in a ZeroDivisionError buried
+                    # in a Py4J stack — fail with the actual cause instead
+                    raise ValueError(
+                        f"patch_embeddings: grid={grid} exceeds image "
+                        f"dimensions {w}x{h} for doc_id={int(doc)} — "
+                        "every patch needs at least one pixel"
+                    )
                 rgb = (
                     np.frombuffer(bytes(feat), dtype=np.uint8)
                     .astype(np.int64)

@@ -93,12 +93,17 @@ def preference_pairs(
     group_col: str,
     id_col: str,
     score_col: str,
-    min_margin: int = 0,
+    min_margin: int = 1,
 ) -> DataFrame:
     """DPO/RLHF preference-pair assembly: per prompt group, pair the
     best-scored candidate (chosen) against the worst (rejected), dropping
     groups with fewer than two candidates or a score margin below
     ``min_margin``.
+
+    The default margin is 1, not 0: a tied-score group yields a pair with
+    zero preference signal (chosen and rejected are interchangeable),
+    which silently dilutes a DPO dataset. Pass ``min_margin=0`` to opt
+    into emitting tied pairs explicitly.
 
     Single hash aggregate — best/worst are lexicographic max/min over a
     ``(score, -id)`` struct, so ties break deterministically (chosen →

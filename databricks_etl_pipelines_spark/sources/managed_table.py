@@ -71,6 +71,29 @@ def _bucket_expr(keys: Sequence[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
 
 
+def _check_type_drift(prior: DataFrame, incoming: DataFrame, op: str) -> None:
+    """Fail fast when a SHARED column changes type (e.g. int → string).
+
+    Name-set drift is handled by the ``merge_schema`` gate, but a
+    same-name type change would sail past it and surface later as a
+    confusing unionByName/parquet error — or, worse, a silent numeric
+    coercion. Delta rejects type changes outside explicit ALTER TABLE for
+    the same reason; mirror that with an error naming the offending
+    columns and both types."""
+    prior_types = {f.name: f.dataType for f in prior.schema.fields}
+    bad = [
+        f"{f.name} (table={prior_types[f.name].simpleString()}, "
+        f"incoming={f.dataType.simpleString()})"
+        for f in incoming.schema.fields
+        if f.name in prior_types and f.dataType != prior_types[f.name]
+    ]
+    if bad:
+        raise ValueError(
+            f"{op} type drift on shared columns — cast the incoming frame "
+            f"explicitly: {'; '.join(bad)}"
+        )
+
+
 def _zorder_value(
     df: DataFrame, cols: Sequence[str], bits: int = 8
 ) -> F.Column:
@@ -337,6 +360,8 @@ class ManagedTable:
                 "append schema drift (use merge_schema=True): "
                 f"table={sorted(prior.columns)} incoming={sorted(df.columns)}"
             )
+        if exists:
+            _check_type_drift(prior, df, "append")
         if spec:
             if drifted:
                 keys, nb = spec
@@ -491,6 +516,7 @@ class ManagedTable:
                 f"table={sorted(target.columns)} "
                 f"source={sorted(source.columns)}"
             )
+        _check_type_drift(target, source, "merge")
         if spec and list(spec[0]) == list(keys) and not drifted:
             return self._merge_bucket_pruned(spark, source, spec[0], spec[1])
         untouched = target.join(

@@ -76,7 +76,7 @@ _VACUUM_RE = re.compile(
 )
 _APPLY_CHANGES_RE = re.compile(
     r"^\s*APPLY\s+CHANGES\s+INTO\s+(?:'([^']+)'|(\S+))\s+FROM\s+(\S+)\s+"
-    r"KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)\s*,\s*(\w+)"
+    r"KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)(?:\s*,\s*(\w+))?"
     r"(?:\s+APPLY\s+AS\s+DELETE\s+WHEN\s+(\w+)\s*=\s*'([^']*)')?"
     r"(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+([12]))?\s*$",
     re.I,
@@ -93,7 +93,7 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
         DELETE FROM '<path>' WHERE <predicate>
         VACUUM '<path>' [RETAIN <n> VERSIONS]
         APPLY CHANGES INTO '<path>' FROM <view> KEYS (k, ...)
-            SEQUENCE BY <ts>, <lsn>
+            SEQUENCE BY <ts>[, <lsn>]
             [APPLY AS DELETE WHEN <op> = '<val>']
             [STORED AS SCD TYPE 1|2]
 
@@ -149,6 +149,14 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
         src = spark.table(m.group(3))
         keys = [k.strip() for k in m.group(4).split(",")]
         ts_col, lsn_col = m.group(5), m.group(6)
+        if lsn_col is None:
+            # single-column SEQUENCE BY (valid DLT syntax): the event
+            # timestamp alone orders the feed; synthesize a constant
+            # tiebreak so the two-level fold downstream needs no schema
+            # change (a duplicated ts column would be ambiguous in the
+            # fold's extrema struct).
+            src = src.withColumn("__lsn", F.lit(0))
+            lsn_col = "__lsn"
         op_col, delete_op = m.group(7), m.group(8)
         scd_type = m.group(9)
         if scd_type == "2":

@@ -398,6 +398,26 @@ def test_weighted_sample_matches_python_replay_and_prefers_heavy(spark):
     assert hits >= 45, hits
 
 
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """w=0 would null the A-ES key (rows silently sort last) and w<0 would
+    invert the preference — both must fail fast with a clear message, not
+    silently corrupt the sample."""
+    import pytest
+
+    from databricks_etl_pipelines_spark.operators.curation import (
+        weighted_sample_without_replacement,
+    )
+
+    for bad_w in (0, -3):
+        df = spark.createDataFrame(
+            [("g", 1, 5), ("g", 2, bad_w)], "grp string, doc_id long, w int"
+        )
+        with pytest.raises(Exception, match="weights must be > 0"):
+            weighted_sample_without_replacement(
+                df, "grp", "w", "doc_id", 2
+            ).collect()
+
+
 def test_dsir_score_counts_unseen_bucket_tokens(spark):
     """Scoring a NEW batch against a prebuilt profile: tokens hashing to
     buckets the reference corpus never produced must still be counted

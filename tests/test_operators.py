@@ -708,6 +708,26 @@ def test_decode_image_pipeline_on_spark(spark):
         )
 
 
+def test_patch_embeddings_rejects_oversized_grid(spark):
+    """A grid finer than the image (some patch gets zero pixels) must
+    raise a clear ValueError naming the doc and dimensions, not a
+    ZeroDivisionError buried in a Py4J stack."""
+    import pytest
+
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        decode_image,
+        patch_embeddings,
+        synthetic_bmp_images,
+    )
+
+    ids = spark.range(0, 3).selectExpr("id as doc_id")  # smallest image 3px tall
+    decoded = decode_image(synthetic_bmp_images(ids))
+    with pytest.raises(Exception, match="grid=16 exceeds image dimensions"):
+        patch_embeddings(decoded, grid=16).collect()
+    # a legal grid still works
+    assert patch_embeddings(decoded, grid=2).count() == 3 * 2 * 2 * 3
+
+
 def test_aqe_skew_join_split_fires_on_skewed_data(spark):
     """Evidence for the AQE skew path: on a join with one melting-hot key,
     AQE's OptimizeSkewedJoin must split the skewed partition (final
@@ -1343,6 +1363,14 @@ def test_preference_pairs_crafted_pool(spark):
     assert (got[1].chosen_id, got[1].rejected_id) == (11, 12)
     assert (got[2].chosen_id, got[2].rejected_id) == (21, 24)
     assert got[2].n_candidates == 4
+
+    # default margin is 1: an all-tied group yields a zero-signal pair and
+    # must be dropped unless the caller opts into min_margin=0
+    ties = spark.createDataFrame(
+        [(1, 11, 50), (1, 12, 50)], "g int, i bigint, s int"
+    )
+    assert preference_pairs(ties, "g", "i", "s").count() == 0
+    assert preference_pairs(ties, "g", "i", "s", min_margin=0).count() == 1
     assert got[1].chosen_score - got[1].rejected_score == 40
 
 

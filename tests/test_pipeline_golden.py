@@ -475,6 +475,33 @@ def test_sql_command_surface(spark, tmp_path):
     assert rows[(2, 1)].is_current
 
 
+def test_apply_changes_single_sequence_column(spark, tmp_path):
+    """DLT accepts a single-column SEQUENCE BY; the verb must too (the ts
+    doubles as its own tiebreak) instead of falling through to spark.sql
+    and dying with an unrelated parse error."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sql import run_command
+
+    root = str(tmp_path / "cdc1col")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01", "U", "a"),
+            (1, "2024-01-03", "D", None),
+            (2, "2024-01-02", "U", "b"),
+        ],
+        "k int, ts string, op string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).createOrReplaceTempView(
+        "cdc_feed_1col"
+    )
+    live = run_command(
+        spark,
+        f"APPLY CHANGES INTO '{root}' FROM cdc_feed_1col KEYS (k) "
+        "SEQUENCE BY ts APPLY AS DELETE WHEN op = 'D'",
+    )
+    assert {r.k: r.v for r in live.collect()} == {2: "b"}
+
+
 def test_change_feed_bucket_pruned(spark, tmp_path):
     """CDF analog: changes between versions of a bucketed table come from
     ONLY the buckets whose files differ; hardlink-identical buckets are
@@ -701,6 +728,33 @@ def test_mismatched_key_delete_and_merge_preserve_bucket_layout(spark, tmp_path)
     assert log[-1]["operation"] == "delete"
     assert log[-1]["buckets_rewritten"] <= 1
     assert mt.read(spark).filter("id = 7").count() == 0
+
+
+def test_type_drift_fails_fast(spark, tmp_path):
+    """A same-name TYPE change (int → string) must raise a targeted error
+    from append AND merge_upsert — it slips past the name-set drift gate
+    and would otherwise surface as a confusing union/parquet failure or a
+    silent coercion."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+
+    mt = ManagedTable(str(tmp_path / "typed"))
+    mt.create_or_overwrite(
+        spark.range(3).select("id", F.lit(1).alias("v"))
+    )
+    retyped = spark.range(3, 5).select(
+        "id", F.lit("oops").alias("v")
+    )
+    with pytest.raises(ValueError, match="type drift.*v.*int.*string"):
+        mt.append(retyped)
+    with pytest.raises(ValueError, match="type drift.*v"):
+        mt.merge_upsert(spark, retyped, ["id"])
+    # matching types still append fine
+    mt.append(spark.range(3, 5).select("id", F.lit(2).alias("v")))
+    assert mt.read(spark).count() == 5
 
 
 def test_append_schema_evolution(spark, tmp_path):
