@@ -54,6 +54,8 @@ HEADLINE = [
     "dim_scd2_history",
     "sft_dpo_pairs",
     "join_interval_overlap",
+    # round-5 additions: single-fact-scan winsorize (100 TB form)
+    "agg_winsorize_zscore_onescan",
 ]
 
 
@@ -80,6 +82,51 @@ def main() -> None:
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # Incremental-maintenance shape (the actual 100 TB write path): build
+    # an SCD2 dim from 95% of orders, then time ONLY the small update
+    # batch fold — which must rewrite just the buckets its keys hash to.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.operators.scd import scd2_apply
+    from databricks_etl_pipelines_spark.sources import table
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+        _read_log,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bench_scd_")
+    obs_log = ManagedTable(os.path.join(scratch, "log"))
+    dim = ManagedTable(os.path.join(scratch, "dim"))
+    orders = table(spark, sf_dir, "orders")
+    kw = dict(
+        keys=["o_custkey"],
+        attrs=["o_orderpriority", "o_orderstatus"],
+        ts_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+    )
+    scd2_apply(
+        spark, obs_log, dim, orders.filter(F.col("o_orderkey") % 20 != 0),
+        **kw,
+    )
+    # update batch: the held-out orders of 5 LITERAL custkeys (literal, not
+    # hash-derived — a pmod(xxhash64) key filter would correlate with the
+    # bucket layout and understate buckets_rewritten)
+    upd = orders.filter(
+        (F.col("o_orderkey") % 20 == 0)
+        & F.col("o_custkey").isin(1, 2, 4, 5, 7)
+    )
+    t0 = time.time()
+    scd2_apply(spark, obs_log, dim, upd, **kw)
+    timings["scd2_apply_update_batch"] = round(time.time() - t0, 3)
+    last = _read_log(dim.root)[-1]
+    scd_incr = {
+        "touched_buckets": last.get("buckets_rewritten"),
+        "total_buckets": 16,
+        "update_rows": upd.count(),
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -89,6 +136,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "scd2_incremental": scd_incr,
             }
         )
     )

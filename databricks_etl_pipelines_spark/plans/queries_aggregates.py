@@ -658,7 +658,9 @@ def agg_winsorize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg/m2), and both stats frames broadcast back onto plain fact scans
     (three cheap columnar scans total; cache the clipped frame to trade
     memory for one). At extreme group counts swap `percentile` for
-    `percentile_approx` and re-tolerance."""
+    `percentile_approx` and re-tolerance. At 100 TB the three fact scans
+    dominate — use ``agg_winsorize_zscore_onescan`` below (histogram
+    sketch, one scan per stage) and accept bucket-edge clip bounds."""
     ev = table(spark, sf_dir, "events")
     clip = ev.groupBy("event_type").agg(
         F.percentile("value", 0.05).alias("p05"),
@@ -678,6 +680,139 @@ def agg_winsorize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round((F.col("w") - F.col("mu")) / F.col("sigma"), 4).alias(
             "value_z"
         ),
+    )
+
+
+# One-scan-per-stage winsorize: the 100 TB form. The exact variant above
+# reads the fact table three times (bounds, stats, apply); here ONE
+# aggregate scan builds a per-(group, unit-bucket) histogram carrying
+# (count, sum, sum²), from which BOTH the clip bounds and the clipped
+# moments derive — the trick is snapping bounds to bucket EDGES, which
+# makes the clipped sum/sum² EXACT given those bounds (below-bound rows
+# contribute count·lo, above contribute count·hi, in-band rows their raw
+# sums). The apply stage is then a single fact scan joined to the tiny
+# per-group stats. Bounds are a deterministic histogram quantile (first
+# bucket whose cumulative count reaches ceil(q·n)), so the whole pipeline
+# replays in SQL — approximate vs the exact percentile variant only in
+# where the clip lands (within one bucket width), never in arithmetic.
+_WINSORIZE_1SCAN_ORACLE = """
+WITH h AS (
+  SELECT event_type, CAST(floor("value") AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS c,
+         sum("value") AS s, sum("value" * "value") AS s2
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cc,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+bounds AS (
+  SELECT event_type,
+    CAST(min(CASE WHEN cc >= ceil(0.05 * n) THEN b END) AS DOUBLE) AS lo,
+    CAST(min(CASE WHEN cc >= ceil(0.95 * n) THEN b END) + 1 AS DOUBLE) AS hi
+  FROM cum GROUP BY event_type
+),
+stats AS (
+  SELECT c.event_type, b.lo, b.hi, CAST(max(c.n) AS BIGINT) AS n,
+    sum(CASE WHEN c.b < b.lo THEN c.c ELSE 0 END) * b.lo
+      + sum(CASE WHEN c.b >= b.lo AND c.b < b.hi THEN c.s ELSE 0 END)
+      + sum(CASE WHEN c.b >= b.hi THEN c.c ELSE 0 END) * b.hi AS sw,
+    sum(CASE WHEN c.b < b.lo THEN c.c ELSE 0 END) * b.lo * b.lo
+      + sum(CASE WHEN c.b >= b.lo AND c.b < b.hi THEN c.s2 ELSE 0 END)
+      + sum(CASE WHEN c.b >= b.hi THEN c.c ELSE 0 END) * b.hi * b.hi AS sw2
+  FROM cum c JOIN bounds b USING (event_type)
+  GROUP BY c.event_type, b.lo, b.hi
+)
+SELECT e.event_id, e.event_type, e."value",
+  floor(least(greatest(e."value", s.lo), s.hi) * 10000 + 0.5) / 10000
+    AS value_winsorized,
+  floor((least(greatest(e."value", s.lo), s.hi) - s.sw / s.n)
+        / sqrt((s.sw2 - s.sw * s.sw / s.n) / (s.n - 1)) * 10000 + 0.5)
+    / 10000 AS value_z
+FROM events e JOIN stats s USING (event_type)
+"""
+
+
+@query("agg_winsorize_zscore_onescan", _WINSORIZE_1SCAN_ORACLE)
+def agg_winsorize_zscore_onescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch winsorize+z-score — one fact scan per stage (see
+    the oracle comment for the edge-snapping trick that keeps clipped
+    moments exact). Stage 1's group×bucket aggregate is tiny (groups ×
+    value-range/width rows) and the per-group stats are collected —
+    bounded by the group count, same stance as the BPE dictionary — so
+    the RETURNED plan contains exactly ONE scan of the fact table
+    (plan-pinned in tests/test_operators.py). At high group cardinality
+    keep the stats as a broadcast join instead of collecting (two scans
+    in one plan, still one per stage)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.floor("value").alias("b")
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cc") >= F.ceil(0.05 * F.col("n")), F.col("b"))
+        ).cast("double").alias("lo"),
+        (
+            F.min(
+                F.when(F.col("cc") >= F.ceil(0.95 * F.col("n")), F.col("b"))
+            ) + 1
+        ).cast("double").alias("hi"),
+    )
+    below = F.col("b") < F.col("lo")
+    above = F.col("b") >= F.col("hi")
+    in_band = ~below & ~above
+    stats = (
+        cum.join(bounds, "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.max("n").alias("n"),
+            (
+                F.sum(F.when(below, F.col("c")).otherwise(0)) * F.col("lo")
+                + F.sum(F.when(in_band, F.col("s")).otherwise(0.0))
+                + F.sum(F.when(above, F.col("c")).otherwise(0)) * F.col("hi")
+            ).alias("sw"),
+            (
+                F.sum(F.when(below, F.col("c")).otherwise(0))
+                * F.col("lo") * F.col("lo")
+                + F.sum(F.when(in_band, F.col("s2")).otherwise(0.0))
+                + F.sum(F.when(above, F.col("c")).otherwise(0))
+                * F.col("hi") * F.col("hi")
+            ).alias("sw2"),
+        )
+        .collect()
+    )
+    sdf = spark.createDataFrame(
+        stats,
+        "event_type string, lo double, hi double, n bigint, "
+        "sw double, sw2 double",
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    mu = F.col("sw") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("sw2") - F.col("sw") * F.col("sw") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return ev.join(F.broadcast(sdf), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        stable_round(w, 4).alias("value_winsorized"),
+        stable_round((w - mu) / sigma, 4).alias("value_z"),
     )
 
 

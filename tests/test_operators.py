@@ -1200,6 +1200,36 @@ def test_bpe_merge_application_round_trips(spark):
     assert bad == 0
 
 
+def test_winsorize_onescan_plan_and_agreement(spark, sf_dir):
+    """The histogram-sketch winsorize must (a) contain exactly ONE scan of
+    the fact table in its returned plan — the 100 TB property the exact
+    3-scan variant lacks — and (b) broadcast the per-group stats. The
+    bucket-edge clip bounds must put the correct mass on each side: fewer
+    than ceil(0.05·n) rows strictly below the lower bound, and at least
+    ceil(0.95·n) rows at or below the upper bound, per group."""
+    import math
+
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    one = catalog.QUERIES["agg_winsorize_zscore_onescan"](spark, sf_dir)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    rows = one.collect()
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r.event_type, []).append(r)
+    for grp, rs in by_grp.items():
+        n = len(rs)
+        lo = min(r.value_winsorized for r in rs)
+        hi = max(r.value_winsorized for r in rs)
+        assert sum(r.value < lo for r in rs) < math.ceil(0.05 * n), grp
+        assert sum(r.value <= hi for r in rs) >= math.ceil(0.95 * n), grp
+        # clipped values never exceed the bounds
+        assert all(lo <= r.value_winsorized <= hi for r in rs)
+
+
 def test_round4c_query_plan_shapes(spark, sf_dir):
     """Physical-plan pins for the round-4c operators: the DSIR log-ratio
     profile must join as a BROADCAST (bucket-sized build side, never a
