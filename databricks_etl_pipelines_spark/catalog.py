@@ -45,106 +45,47 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-4 final rotation. The driver checks the FIRST 50 registry
-    # entries per round; r1∪r2∪r3 left 55 registered queries with no
-    # driver row (the 10 late-r3 additions + everything new in r4).
-    # In-cap: 50 of those 55 — all except 5 identical-text SQL shapes
-    # (their oracle IS the same SQL string and the decorrelation rewrites
-    # are plan-asserted in pytest — the lowest-signal class to defer).
-    # Immediately behind the cap: the deferred SQL shapes and the 3
-    # queries whose oracle was UPGRADED from rows-only this round
-    # (including curation_pack_sequences, whose packing layout changed —
-    # its new code is covered by local check_oracle runs at sf0.01 AND
-    # sf0.1, recorded in NOTES, and by the planted-semantics pytest; a
-    # first-ever driver row beats a re-check in the 50-slot budget).
-    # Then changed-code re-checks, then the stalest r1-latest sentinels.
-    # (a) the 10 late-r3 queries — the entire r3 evidence gap
-    "privacy_gdpr_erase_users",
-    "agg_winsorize_zscore",
-    "diag_column_profile",
-    "agg_benford_first_digit",
-    "join_fuzzy_name_match",
-    "join_priority_class_counts",
-    "join_disjunctive_predicates",
-    "streaming_corpus_drift",
-    "streaming_curation_neardup",      # rows-only by nature (seeded LSH)
-    "curation_leakage_safe_split",
-    # (b) new r4a/r4b hard-oracle queries
-    "multimodal_decode_image_stats",
-    "dedup_minhash_crossengine",
-    "dedup_simhash_crossengine",
-    "curation_funnel_crossengine",
-    "curation_pack_concat_chunks",
-    "curation_chunk_manifest",
-    "similarity_ivf_crossengine",
-    "similarity_batch_topk",
-    "curation_mixture_epoch_plan",
-    "similarity_pq_adc_crossengine",
-    "dedup_semdedup_crossengine",
-    "text_hash_embeddings",
-    "similarity_text_hash_topk",
-    "dedup_incremental_crossengine",
-    "curation_length_buckets",
-    # (c) new r4c hard-oracle queries
-    "dedup_duplicate_spans",
-    "curation_dsir_weights",
-    "privacy_document_scrub",
-    "text_bpe_train_merges",
-    "text_bpe_encode_stats",
-    "curation_dsir_budget_select",
-    "curation_weighted_sample",
-    "streaming_dsir_scores",
-    "similarity_chunk_retrieval",
-    "text_zipf_diagnostics",
-    "curation_source_divergence",
-    "curation_prepare_corpus",
-    "sql_waiting_suppliers",           # Q21: hardest decorrelation, keep in-cap
-    "window_anomaly_zscore",
-    "multimodal_patch_retrieval",
-    "sft_turn_offsets",
-    "sft_rendered_conversations",
-    "text_augment_dropout",
-    # (d) new r4d hard-oracle queries (SCD2 family, DPO, interval join)
-    "dim_scd2_history",
-    "scd2_incremental_orders",
-    "streaming_scd2_dimension",
-    "sft_dpo_pairs",
-    "join_interval_overlap",
-    "cdc_apply_orders",
-    "window_attribution_linear",
-    # ---------------- 50-slot cap boundary ----------------
-    "streaming_cdc_dimension",  # shares oracle + machinery with in-cap
-                                # cdc_apply_orders; locally verified
-    "similarity_incremental_ivf",  # same oracle family as in-cap
-                                   # similarity_ivf_crossengine
-    "dim_scd2_point_in_time",      # SCD2 read path; composes in-cap
-                                   # dim_scd2_history + r1-green asof_join
-    "dim_scd2_with_deletes",       # delete-closed intervals; same algebra
-                                   # as in-cap dim_scd2_history
-    # oracle upgraded rows-only -> hard this round; re-check for a hard
-    # hash-matched row (these DO have prior driver rows, unlike the 50)
+    # --- round-5 rotation. The driver checks the FIRST 50 registry
+    # entries per round. r4 landed 49 ok + 1 rows-only / 0 FAIL, so this
+    # round's cap goes to the evidence-staleness tail the r4 verdict
+    # named, in its order, then everything whose CODE changed in round 5,
+    # then the stalest r1-latest sentinels.
+    # (a) oracle upgraded after the latest driver row (pack_sequences'
+    # layout also changed in 4d) — first-ever HARD rows for these
+    "curation_pack_sequences",
     "similarity_lsh_ann_topk",
     "similarity_pandas_udf_topk",
-    "curation_pack_sequences",         # upgraded to hard oracle (bucket-keyed)
-    # deferred identical-text SQL shapes (plan-asserted in pytest)
+    "multimodal_chunk_energy",
+    # (b) never driver-checked (judge-run oracle green in r4's session)
+    "dim_scd2_point_in_time",
+    "dim_scd2_with_deletes",
+    "similarity_incremental_ivf",
+    "streaming_cdc_dimension",
     "sql_exists_late_orders",
     "sql_in_having_big_orders",
     "sql_scalar_anti_customers",
     "sql_volume_shipping",
     "sql_market_share",
-    # changed-code re-checks from r4a (error-path-only drain wrapper /
-    # managed-table layout fix), all r2/r3-green
+    # (c) round-5 code changes: new one-scan winsorize; BPE trainer now
+    # defaults to the driver-local merge loop; leakage split grew a
+    # pluggable pair_fn; weighted sample gained the in-scan weight guard;
+    # preference_pairs default margin; and every query whose write path
+    # crosses the new append/merge type-drift check
+    "agg_winsorize_zscore_onescan",
+    "text_bpe_train_merges",
+    "text_bpe_encode_stats",
+    "curation_leakage_safe_split",
+    "curation_leakage_split_minhash",
+    "curation_weighted_sample",
+    "sft_dpo_pairs",
+    "cdc_apply_orders",
+    "scd2_incremental_orders",
+    "streaming_scd2_dimension",
     "merge_upsert_orders",
     "change_feed_orders",
-    "curation_token_budget_select",
-    "curation_quota_per_language",
-    "streaming_curation_ingest",
     "streaming_foreachbatch_merge",
-    "streaming_stateful_totals",
-    "source_python_stream_datasource",
-    "ml_quality_classifier",
-    "ml_run_history",
-    # stalest sentinels (latest driver row is r1)
+    "streaming_curation_ingest",
+    # (d) stalest sentinels (latest driver row is r1)
     "flagship_pricing_risk_summary",
     "agg_entity_features",
     "agg_dq_summary",
@@ -168,12 +109,22 @@ PRIORITY: list[str] = [
     "join_asof_last_click",
     "join_range_clicks_before_error",
     "text_quality_score",
+    # ---------------- 50-slot cap boundary ----------------
+    # remaining r1-latest sentinels, then r2-latest, for overflow runs
     "text_language_id",
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_cosine_blocked",
     "multimodal_binary_stats",
     "scalar_string_functions",
     "pii_mask_and_tokenize",
+    "privacy_gdpr_erase_users",
+    "curation_prepare_corpus",
+    "curation_token_budget_select",
+    "curation_quota_per_language",
+    "streaming_stateful_totals",
+    "source_python_stream_datasource",
+    "ml_quality_classifier",
+    "ml_run_history",
 ]
 
 

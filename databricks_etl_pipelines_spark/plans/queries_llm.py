@@ -2598,6 +2598,70 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "group_key", "split")
 
 
+# The SAME split driven by the 100 TB pair generator: banded MinHash with
+# the cross-engine md5+Karp-Rabin family. The oracle swaps the brute-force
+# Jaccard pair CTE for the full LSH replay (signature → bands → bucket cap
+# → candidates → exact verify), then runs the identical transitive closure
+# and split hash — so the SCALE path of leakage_safe_split, not just its
+# exactness reference, is differentially tested end to end.
+_LEAKAGE_SPLIT_MINHASH_ORACLE = f"""
+WITH RECURSIVE xsrc AS (SELECT doc_id AS id, text FROM documents),
+{_minhash_xengine_ctes('xsrc', 0.5)},
+undirected AS (
+  SELECT id_a AS u, id_b AS v FROM mh_pairs
+  UNION ALL SELECT id_b, id_a FROM mh_pairs
+),
+reach(node, other) AS (
+  SELECT u, u FROM undirected
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN undirected e ON r.other = e.u
+),
+clusters AS (
+  SELECT node, min(other) AS cluster_id FROM reach GROUP BY node
+),
+keyed AS (
+  SELECT d.doc_id, d.source, d.lang,
+         coalesce(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+)
+SELECT doc_id, source, lang, group_key,
+  CASE WHEN list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        regexp_extract_all(md5(CAST(group_key AS VARCHAR) || ':42'), '.'),
+        c -> CAST(ord(c) AS BIGINT))),
+    (acc, c) -> (acc * 257 + c) % 2147483647
+  ) % 1000000 < 100000 THEN 'test' ELSE 'train' END AS split
+FROM keyed
+"""
+
+
+@query("curation_leakage_split_minhash", _LEAKAGE_SPLIT_MINHASH_ORACLE)
+def curation_leakage_split_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """leakage_safe_split on its 100 TB pair generator (pair_fn =
+    cross-engine banded MinHash-LSH): candidate generation is bounded by
+    band-bucket co-occurrence instead of the true-pair count, and the
+    oracle replays the ENTIRE composition — LSH pairs, connected
+    components, cluster-hash split — value for value."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    def mh_pairs(df, text_col, id_col, threshold):
+        return minhash_crossengine_pairs(
+            df, text_col, id_col, num_perm=16, bands=4, threshold=threshold
+        )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    out = leakage_safe_split(
+        docs, "text", "doc_id", test_fraction=0.1, threshold=0.5, seed=42,
+        pair_fn=mh_pairs,
+    )
+    return out.select("doc_id", "source", "lang", "group_key", "split")
+
+
 # -- cross-document repeated-span report (substring-dedup analog) -------------
 
 _SPAN_N = 8
