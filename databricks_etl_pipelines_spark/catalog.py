@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     "text_bpe_encode_stats",
     "curation_leakage_safe_split",
     "curation_leakage_split_minhash",
+    "curation_pack_split_oversized",
     "curation_weighted_sample",
     "sft_dpo_pairs",
     "cdc_apply_orders",
@@ -108,9 +109,9 @@ PRIORITY: list[str] = [
     "join_three_way_topk_revenue",
     "join_asof_last_click",
     "join_range_clicks_before_error",
-    "text_quality_score",
     # ---------------- 50-slot cap boundary ----------------
     # remaining r1-latest sentinels, then r2-latest, for overflow runs
+    "text_quality_score",
     "text_language_id",
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_cosine_blocked",

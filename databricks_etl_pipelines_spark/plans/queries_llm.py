@@ -1901,6 +1901,108 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# split_oversized variant: a document longer than the window is cut into
+# window-sized fragments — each full fragment owns a pack, the tail opens
+# a pack later documents can share. The recurrence unifies both shapes:
+# a doc either JOINS the open pack (fits entirely) or starts fresh, and
+# from a fresh start the state advance is just (pack += nt // W,
+# off = nt % W) for EVERY doc size. Fragment rows fan out of the walk
+# with generate_series, so the CTE stays one row per doc per step.
+_PACK_SPLIT_W = 64
+
+_PACK_SPLIT_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS nt,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5(CAST(doc_id AS VARCHAR) || ':42'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    ) % 8 AS bkt
+  FROM documents
+),
+r AS (
+  SELECT bkt, doc_id, nt,
+    row_number() OVER (PARTITION BY bkt ORDER BY doc_id) AS rn
+  FROM t
+),
+walk AS (
+  SELECT bkt, rn, doc_id, nt,
+    CAST(0 AS BIGINT) AS pack_emit,
+    CAST(0 AS BIGINT) AS off_emit,
+    nt // {_PACK_SPLIT_W} AS pack_after,
+    nt % {_PACK_SPLIT_W} AS off_after
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.bkt, r.rn, r.doc_id, r.nt,
+    CASE WHEN w.off_after > 0 AND w.off_after + r.nt <= {_PACK_SPLIT_W}
+         THEN w.pack_after
+         WHEN w.off_after > 0 THEN w.pack_after + 1
+         ELSE w.pack_after END AS pack_emit,
+    CASE WHEN w.off_after > 0 AND w.off_after + r.nt <= {_PACK_SPLIT_W}
+         THEN w.off_after ELSE 0 END AS off_emit,
+    CASE WHEN w.off_after > 0 AND w.off_after + r.nt <= {_PACK_SPLIT_W}
+         THEN (CASE WHEN w.off_after + r.nt >= {_PACK_SPLIT_W}
+               THEN w.pack_after + 1 ELSE w.pack_after END)
+         WHEN w.off_after > 0
+         THEN w.pack_after + 1 + r.nt // {_PACK_SPLIT_W}
+         ELSE w.pack_after + r.nt // {_PACK_SPLIT_W} END AS pack_after,
+    CASE WHEN w.off_after > 0 AND w.off_after + r.nt <= {_PACK_SPLIT_W}
+         THEN (CASE WHEN w.off_after + r.nt >= {_PACK_SPLIT_W}
+               THEN 0 ELSE w.off_after + r.nt END)
+         ELSE r.nt % {_PACK_SPLIT_W} END AS off_after
+  FROM walk w JOIN r ON r.bkt = w.bkt AND r.rn = w.rn + 1
+)
+SELECT doc_id,
+  bkt * {1 << 40} + pack_emit
+    + CASE WHEN nt > {_PACK_SPLIT_W} THEN u.j ELSE 0 END AS pack_id,
+  CASE WHEN nt > {_PACK_SPLIT_W} THEN 0 ELSE off_emit END AS pack_offset,
+  CASE WHEN nt <= {_PACK_SPLIT_W} THEN nt
+       WHEN u.j < nt // {_PACK_SPLIT_W} THEN {_PACK_SPLIT_W}
+       ELSE nt % {_PACK_SPLIT_W} END AS n_tokens,
+  CAST(CASE WHEN nt > {_PACK_SPLIT_W} THEN u.j ELSE 0 END AS INT)
+    AS frag_index,
+  CASE WHEN nt > {_PACK_SPLIT_W} THEN u.j * {_PACK_SPLIT_W}
+       ELSE CAST(0 AS BIGINT) END AS tok_start
+FROM walk, unnest(generate_series(0,
+  CASE WHEN nt > {_PACK_SPLIT_W}
+       THEN nt // {_PACK_SPLIT_W}
+            + CASE WHEN nt % {_PACK_SPLIT_W} > 0 THEN 1 ELSE 0 END
+       ELSE 1 END - 1)) AS u(j)
+"""
+
+
+@query("curation_pack_split_oversized", _PACK_SPLIT_ORACLE)
+def curation_pack_split_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy packing with ``split_oversized=True`` at a 64-token window
+    (most documents exceed it, so the fragment path is the COMMON path
+    here): full fragments own their packs, tails open shareable packs,
+    and (frag_index, tok_start) tell the loader which token range lands
+    where. The recursive-CTE oracle replays layout AND fragment fan-out
+    value-for-value under the cross-engine bucket."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+    from databricks_etl_pipelines_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    bucket = (
+        fingerprint_rolling(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+        )
+        % 8
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", window=_PACK_SPLIT_W, n_partitions=8,
+        bucket_expr=bucket, split_oversized=True,
+    )
+
+
 # Concatenate-then-chunk packing is pure order arithmetic (no hash
 # partitioner in the semantics), so unlike greedy packing it gets a HARD
 # oracle: DuckDB replays the global token prefix sum with one window.
