@@ -339,10 +339,14 @@ def foreach_batch_merge(
     keys: list[str],
     checkpoint_dir: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """T3: per-micro-batch MERGE upsert (02:97-184 shape): empty-batch guard,
     optional transform, keyed idempotent merge. Checkpoint + keyed MERGE
-    makes batch replays safe."""
+    makes batch replays safe. ``processing_time`` switches from the
+    availableNow drain to the production interval trigger (01:179,196) —
+    the keyed MERGE is idempotent either way, so the two modes converge
+    to the same table state for the same input."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -350,12 +354,14 @@ def foreach_batch_merge(
         out = transform(batch_df) if transform else batch_df
         target.merge_upsert(batch_df.sparkSession, out, keys)
 
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def incremental_aggregate(

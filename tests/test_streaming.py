@@ -105,6 +105,26 @@ def test_foreachbatch_merge_idempotent(spark, sf_dir, tmp_path):
     assert target.read(spark).count() == n_src
 
 
+def test_foreachbatch_merge_processing_time(spark, sf_dir, tmp_path):
+    """The CDC-shaped foreachBatch MERGE under the production interval
+    trigger: stopped after the bounded source drains, the table state must
+    equal the availableNow drain (idempotent keyed MERGE both ways)."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        stop_after_drained,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    target = ManagedTable(str(tmp_path / "merged_pt"))
+    q = foreach_batch_merge(
+        stream, target, ["event_id"], str(tmp_path / "cpt"),
+        processing_time="1 second",
+    )
+    stop_after_drained(q, expected_rows=n_src, timeout_s=120)
+    assert target.read(spark).count() == n_src
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode tumbling agg with a 10-minute watermark: rows arriving
     after the watermark passed their window are dropped."""
