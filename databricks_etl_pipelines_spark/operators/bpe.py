@@ -276,28 +276,98 @@ def merge_table(
     )
 
 
+def _encode_word_local(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Post-merge symbol count of one word under rank-order application —
+    the standard BPE apply: repeatedly merge ALL occurrences (left to
+    right, non-overlapping) of the lowest-rank adjacent pair present.
+
+    Equivalent to the expr path's sequential full-pass replace chain: a
+    merged token only ever participates in HIGHER-rank rules (a rule's
+    symbols must exist when it is learned, so any rule consuming rule k's
+    output was learned after k), hence applying the global minimum rank
+    first reproduces the in-order pass exactly — pinned by
+    tests/test_operators.py::test_bpe_arrow_encode_matches_expr."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best = None, None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best = rk, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        l, r = best
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
 def encoded_dictionary(
     df: DataFrame,
     text_col: str,
     merges: list[tuple[str, str, int]],
     max_words: int = 10_000,
     word_freqs: DataFrame | None = None,
+    apply_mode: str = "auto",
 ) -> DataFrame:
     """(w, n_sym): symbol count per dictionary word after all merges.
-    All merges apply in ONE projection of literal replaces — a single
-    codegen stage over the dictionary. Pass ``word_freqs`` to reuse the
+
+    Two application paths producing identical counts:
+
+      * ``"expr"`` — ONE projection of nested literal replaces, a single
+        codegen stage, exactly replayable in a SQL oracle. Expression
+        depth grows with the merge count, so this is for shallow merge
+        lists only (a 32k-vocab chain would blow past codegen/JVM method
+        limits).
+      * ``"arrow"`` — Arrow ``mapInPandas`` over the dictionary applying
+        merges rank-ordered per word (see ``_encode_word_local``); depth-
+        independent, the 100 TB path for production vocabularies. The
+        merge table ships once per executor in the closure (32k pairs is
+        KBs).
+
+    ``"auto"`` picks expr for ≤256 merges (oracle-friendly, compile cost
+    negligible) and arrow beyond. Pass ``word_freqs`` to reuse the
     trainer's dictionary instead of re-counting the corpus."""
-    s = wrap_symbols(F.col("w"))
-    for l, r, _ in merges:
-        s = apply_merge(s, l, r)
+    if apply_mode not in ("auto", "expr", "arrow"):
+        raise ValueError(f"apply_mode must be auto|expr|arrow: {apply_mode}")
+    if apply_mode == "auto":
+        apply_mode = "expr" if len(merges) <= 256 else "arrow"
     wf = (
         word_freqs
         if word_freqs is not None
         else word_frequencies(df, text_col, max_words)
     )
-    return wf.select(
-        "w", F.size(_symbols(s)).cast("bigint").alias("n_sym")
-    )
+    if apply_mode == "expr":
+        s = wrap_symbols(F.col("w"))
+        for l, r, _ in merges:
+            s = apply_merge(s, l, r)
+        return wf.select(
+            "w", F.size(_symbols(s)).cast("bigint").alias("n_sym")
+        )
+    ranks = {(l, r): k for k, (l, r, _) in enumerate(merges)}
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_sym": pd.Series(
+                        [_encode_word_local(w, ranks) for w in pdf["w"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return wf.select("w").mapInPandas(enc, "w string, n_sym bigint")
 
 
 def encode_stats(

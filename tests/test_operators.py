@@ -1173,6 +1173,43 @@ def test_bpe_driver_loop_matches_spark_loop(spark):
     assert drv == dist
 
 
+def test_bpe_arrow_encode_matches_expr(spark):
+    """The depth-independent Arrow encode path (rank-ordered per-word
+    apply) must produce the SAME post-merge symbol counts as the expr
+    path's sequential replace chain — including merges that consume
+    earlier merge products and repeated-letter overlap — on a trained-to-
+    exhaustion merge list where deep chains actually occur."""
+    from databricks_etl_pipelines_spark.operators.bpe import (
+        encoded_dictionary,
+        train_bpe,
+        word_frequencies,
+    )
+
+    texts = [
+        (0, "low lower lowest low low aaa aaaa aa"),
+        (1, "new newer newest new newer banana bananas"),
+        (2, "wide wider widest wide abracadabra"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    wf = word_frequencies(df, "text", 1000).persist()
+    merges = train_bpe(df, "text", num_merges=100, word_freqs=wf)
+    assert len(merges) > 20  # deep enough to exercise chained merges
+    expr = {
+        r.w: r.n_sym
+        for r in encoded_dictionary(
+            df, "text", merges, word_freqs=wf, apply_mode="expr"
+        ).collect()
+    }
+    arrow = {
+        r.w: r.n_sym
+        for r in encoded_dictionary(
+            df, "text", merges, word_freqs=wf, apply_mode="arrow"
+        ).collect()
+    }
+    wf.unpersist()
+    assert arrow == expr and len(expr) > 10
+
+
 def test_bpe_merge_application_round_trips(spark):
     """Stripping separators from the merged symbol string reproduces the
     original word for every dictionary entry (no symbol ever lost or
