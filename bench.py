@@ -96,36 +96,41 @@ def main() -> None:
         _read_log,
     )
 
+    import shutil
+
     scratch = tempfile.mkdtemp(prefix="bench_scd_")
-    obs_log = ManagedTable(os.path.join(scratch, "log"))
-    dim = ManagedTable(os.path.join(scratch, "dim"))
-    orders = table(spark, sf_dir, "orders")
-    kw = dict(
-        keys=["o_custkey"],
-        attrs=["o_orderpriority", "o_orderstatus"],
-        ts_col="o_orderdate",
-        tiebreak=["o_orderkey"],
-    )
-    scd2_apply(
-        spark, obs_log, dim, orders.filter(F.col("o_orderkey") % 20 != 0),
-        **kw,
-    )
-    # update batch: the held-out orders of 5 LITERAL custkeys (literal, not
-    # hash-derived — a pmod(xxhash64) key filter would correlate with the
-    # bucket layout and understate buckets_rewritten)
-    upd = orders.filter(
-        (F.col("o_orderkey") % 20 == 0)
-        & F.col("o_custkey").isin(1, 2, 4, 5, 7)
-    )
-    t0 = time.time()
-    scd2_apply(spark, obs_log, dim, upd, **kw)
-    timings["scd2_apply_update_batch"] = round(time.time() - t0, 3)
-    last = _read_log(dim.root)[-1]
-    scd_incr = {
-        "touched_buckets": last.get("buckets_rewritten"),
-        "total_buckets": 16,
-        "update_rows": upd.count(),
-    }
+    try:
+        obs_log = ManagedTable(os.path.join(scratch, "log"))
+        dim = ManagedTable(os.path.join(scratch, "dim"))
+        orders = table(spark, sf_dir, "orders")
+        kw = dict(
+            keys=["o_custkey"],
+            attrs=["o_orderpriority", "o_orderstatus"],
+            ts_col="o_orderdate",
+            tiebreak=["o_orderkey"],
+        )
+        scd2_apply(
+            spark, obs_log, dim,
+            orders.filter(F.col("o_orderkey") % 20 != 0), **kw,
+        )
+        # update batch: the held-out orders of 5 LITERAL custkeys (literal,
+        # not hash-derived — a pmod(xxhash64) key filter would correlate
+        # with the bucket layout and understate buckets_rewritten)
+        upd = orders.filter(
+            (F.col("o_orderkey") % 20 == 0)
+            & F.col("o_custkey").isin(1, 2, 4, 5, 7)
+        )
+        t0 = time.time()
+        scd2_apply(spark, obs_log, dim, upd, **kw)
+        timings["scd2_apply_update_batch"] = round(time.time() - t0, 3)
+        last = _read_log(dim.root)[-1]
+        scd_incr = {
+            "touched_buckets": last.get("buckets_rewritten"),
+            "total_buckets": 16,
+            "update_rows": upd.count(),
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -142,7 +142,11 @@ def _local_merge_loop(
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
     for i, (w, freq) in enumerate(entries):
-        sy = list(w)
+        # char-class parity with wrap_symbols: Java regex '.' excludes
+        # line terminators, so the Spark path silently drops them from
+        # the symbol stream — mirror that here or merges diverge on
+        # corpora containing them
+        sy = [c for c in w if c not in "\n\r\x85\u2028\u2029"]
         syms.append(sy)
         for p, k in _local_pair_counts(sy).items():
             pair_counts[p] = pair_counts.get(p, 0) + k * freq
@@ -171,7 +175,12 @@ def _local_merge_loop(
             freq = entries[i][1]
             old = _local_pair_counts(syms[i])
             s = " " + "  ".join(syms[i]) + " "
-            sy2 = s.replace(target, repl).split()
+            # split on the EXACT double-space separator, not .split():
+            # Python whitespace-split also breaks on NBSP/U+2000-range
+            # chars that are legitimate symbols here (Spark's Java \s+
+            # is ASCII-only), which would silently drop them and diverge
+            # from the distributed loop
+            sy2 = s.replace(target, repl)[1:-1].split("  ")
             syms[i] = sy2
             new = _local_pair_counts(sy2)
             for p in old.keys() | new.keys():

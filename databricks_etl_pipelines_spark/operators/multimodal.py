@@ -384,7 +384,7 @@ def patch_embeddings(decoded: DataFrame, grid: int = 2) -> DataFrame:
                     # in a Py4J stack — fail with the actual cause instead
                     raise ValueError(
                         f"patch_embeddings: grid={grid} exceeds image "
-                        f"dimensions {w}x{h} for doc_id={int(doc)} — "
+                        f"dimensions {w}x{h} for doc_id={doc!r} — "
                         "every patch needs at least one pixel"
                     )
                 rgb = (

@@ -71,6 +71,31 @@ def _bucket_expr(keys: Sequence[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
 
 
+def _normalize_nullability(dt):
+    """Recursively force nullable=True on nested fields/elements so type
+    comparison ignores nullability: parquet read-back marks everything
+    nullable, so a freshly-built frame with non-nullable struct fields
+    would otherwise spuriously mismatch its own committed schema."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _normalize_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_normalize_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _normalize_nullability(dt.keyType),
+            _normalize_nullability(dt.valueType),
+            True,
+        )
+    return dt
+
+
 def _check_type_drift(prior: DataFrame, incoming: DataFrame, op: str) -> None:
     """Fail fast when a SHARED column changes type (e.g. int → string).
 
@@ -79,13 +104,17 @@ def _check_type_drift(prior: DataFrame, incoming: DataFrame, op: str) -> None:
     confusing unionByName/parquet error — or, worse, a silent numeric
     coercion. Delta rejects type changes outside explicit ALTER TABLE for
     the same reason; mirror that with an error naming the offending
-    columns and both types."""
-    prior_types = {f.name: f.dataType for f in prior.schema.fields}
+    columns and both types. Nullability differences are NOT drift (see
+    ``_normalize_nullability``)."""
+    prior_types = {
+        f.name: _normalize_nullability(f.dataType) for f in prior.schema.fields
+    }
     bad = [
         f"{f.name} (table={prior_types[f.name].simpleString()}, "
         f"incoming={f.dataType.simpleString()})"
         for f in incoming.schema.fields
-        if f.name in prior_types and f.dataType != prior_types[f.name]
+        if f.name in prior_types
+        and _normalize_nullability(f.dataType) != prior_types[f.name]
     ]
     if bad:
         raise ValueError(

@@ -154,9 +154,12 @@ def run_command(spark: SparkSession, sql: str) -> DataFrame:
             # timestamp alone orders the feed; synthesize a constant
             # tiebreak so the two-level fold downstream needs no schema
             # change (a duplicated ts column would be ambiguous in the
-            # fold's extrema struct).
-            src = src.withColumn("__lsn", F.lit(0))
+            # fold's extrema struct). Pick a name absent from the source
+            # so withColumn never clobbers real feed data.
             lsn_col = "__lsn"
+            while lsn_col in src.columns:
+                lsn_col += "_"
+            src = src.withColumn(lsn_col, F.lit(0))
         op_col, delete_op = m.group(7), m.group(8)
         scd_type = m.group(9)
         if scd_type == "2":

@@ -218,6 +218,29 @@ def test_pack_sequences_planted_and_invariants(spark, sf_dir):
     assert eff.fill_ratio > 0.5
     packed.unpersist()
 
+    # split_oversized reassembly on the REAL table at a window most docs
+    # exceed: fragments of each doc must tile [0, nt) exactly — token
+    # sums match, tok_start = frag_index·window, no gaps or overlaps
+    split = pack_sequences(
+        docs, "doc_id", "n_tokens", 64, 8, split_oversized=True
+    ).persist()
+    re_sum = (
+        split.groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("s"),
+            F.count("*").alias("nfrag"),
+            F.max("frag_index").alias("maxf"),
+        )
+        .join(docs, "doc_id")
+    )
+    assert re_sum.filter(F.col("s") != F.col("n_tokens")).count() == 0
+    assert re_sum.filter(F.col("nfrag") != F.col("maxf") + 1).count() == 0
+    assert split.filter(
+        F.col("tok_start") != F.col("frag_index") * 64
+    ).count() == 0
+    assert split.filter("frag_index > 0").count() > 0  # non-vacuous
+    split.unpersist()
+
 
 def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
     """Shard writer: one directory per shard, ONE file per directory (the

@@ -1150,7 +1150,7 @@ def test_bpe_train_matches_independent_reference(spark):
         assert stats[doc_id] == expect, (doc_id, stats[doc_id], expect)
 
 
-def test_bpe_driver_loop_matches_spark_loop(spark):
+def test_bpe_driver_loop_matches_spark_loop(spark, sf_dir):
     """The driver-local merge loop (default, O(1) Spark jobs) learns the
     EXACT merge sequence of the distributed per-merge-job loop — same
     argmax, same (count desc, l asc, r asc) tie-break, same left-to-right
@@ -1159,7 +1159,7 @@ def test_bpe_driver_loop_matches_spark_loop(spark):
     from databricks_etl_pipelines_spark.operators.bpe import train_bpe
     from databricks_etl_pipelines_spark.sources import table
 
-    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    docs = table(spark, sf_dir, "documents")
     drv = train_bpe(docs, "text", num_merges=8, max_words=1000,
                     merge_loop="driver")
     dist = train_bpe(docs, "text", num_merges=8, max_words=1000,
@@ -1171,6 +1171,15 @@ def test_bpe_driver_loop_matches_spark_loop(spark):
     drv = train_bpe(ties, "text", num_merges=12, merge_loop="driver")
     dist = train_bpe(ties, "text", num_merges=12, merge_loop="spark")
     assert drv == dist
+    # NBSP (U+00A0) is NOT whitespace to Spark's ASCII-only \s+ tokenizer,
+    # so it is a legitimate symbol — the driver loop must keep it too
+    # (Python .split() would silently drop it and diverge)
+    nbsp = spark.createDataFrame(
+        [(0, "a\xa0abab ab ab a\xa0abab")], "doc_id long, text string"
+    )
+    drv = train_bpe(nbsp, "text", num_merges=5, merge_loop="driver")
+    dist = train_bpe(nbsp, "text", num_merges=5, merge_loop="spark")
+    assert drv == dist and any("\xa0" in l + r for l, r, _ in drv)
 
 
 def test_bpe_arrow_encode_matches_expr(spark):
@@ -1210,7 +1219,7 @@ def test_bpe_arrow_encode_matches_expr(spark):
     assert arrow == expr and len(expr) > 10
 
 
-def test_bpe_merge_application_round_trips(spark):
+def test_bpe_merge_application_round_trips(spark, sf_dir):
     """Stripping separators from the merged symbol string reproduces the
     original word for every dictionary entry (no symbol ever lost or
     duplicated by the replace trick), on the real corpus."""
@@ -1222,7 +1231,7 @@ def test_bpe_merge_application_round_trips(spark):
     )
     from databricks_etl_pipelines_spark.sources import table
 
-    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    docs = table(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", num_merges=6, max_words=1000)
     assert len(merges) == 6
     s = wrap_symbols(F.col("w"))

@@ -756,6 +756,17 @@ def test_type_drift_fails_fast(spark, tmp_path):
     mt.append(spark.range(3, 5).select("id", F.lit(2).alias("v")))
     assert mt.read(spark).count() == 5
 
+    # nullability is NOT drift: parquet read-back marks nested fields
+    # nullable, so re-appending the exact frame that created the table
+    # (non-nullable struct field) must succeed
+    st = ManagedTable(str(tmp_path / "structed"))
+    sdf = spark.range(2).select(
+        "id", F.struct(F.lit(1).alias("a")).alias("s")
+    )
+    st.create_or_overwrite(sdf)
+    st.append(sdf)
+    assert st.read(spark).count() == 4
+
 
 def test_append_schema_evolution(spark, tmp_path):
     """Delta mergeSchema parity: widening appends null-fill both sides;
