@@ -307,6 +307,43 @@ WORDS_AB = st.lists(
 )
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            # includes NBSP — a non-ASCII char Spark's \s+ keeps as a
+            # symbol (the round-5 review bug class) — and enough alphabet
+            # for chained merges
+            st.text(alphabet="ab\xa0c", min_size=1, max_size=10),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_bpe_local_loop_and_encode_match_reference(entries):
+    """PURE-LOCAL property (no Spark, 300 examples): the incremental
+    driver merge loop (inverted index + lazy heap) and the rank-ordered
+    per-word encoder must both equal the naive list-walking reference on
+    arbitrary weighted dictionaries — the machinery where the freq-delta
+    and whitespace-split bugs hid."""
+    from databricks_etl_pipelines_spark.operators.bpe import (
+        _encode_word_local,
+        _local_merge_loop,
+    )
+    from tests.test_operators import _reference_bpe
+
+    freqs: dict[str, int] = {}
+    for w, f in entries:
+        freqs[w] = freqs.get(w, 0) + f
+    ref_merges, ref_enc = _reference_bpe(freqs, 8)
+    got = _local_merge_loop(sorted(freqs.items()), 8)
+    assert got == ref_merges
+    ranks = {(l, r): k for k, (l, r, _) in enumerate(got)}
+    for w in freqs:
+        assert _encode_word_local(w, ranks) == len(ref_enc[w]), w
+
+
 @settings(max_examples=5, deadline=None)
 @given(WORDS_AB)
 def test_bpe_trainer_matches_reference_on_repetitive_alphabet(spark, words):
