@@ -188,12 +188,15 @@ def scd2_stream_apply(
     checkpoint_dir: str,
     tiebreak: Sequence[str] = (),
     n_buckets: int = 16,
+    processing_time: str | None = None,
 ):
     """Streaming SCD2 maintenance: each micro-batch folds through
     :func:`scd2_apply`. Because the apply is order-insensitive and
     replay-safe, the dim after an ``availableNow`` drain equals the
     one-shot batch :func:`scd2_history` of the whole feed no matter how
-    the source splits or orders the micro-batches."""
+    the source splits or orders the micro-batches — and the same holds
+    under the production ``processing_time`` interval trigger (pair with
+    ``streaming.structured.stop_after_drained`` on bounded sources)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -210,13 +213,16 @@ def scd2_stream_apply(
             n_buckets=n_buckets,
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def cdc_apply(
@@ -315,12 +321,15 @@ def cdc_stream_apply(
     checkpoint_dir: str,
     delete_op: str = "D",
     n_buckets: int = 16,
+    processing_time: str | None = None,
 ):
     """Streaming APPLY CHANGES INTO: each micro-batch folds through
     :func:`cdc_apply`. Last-write-wins by (ts, lsn) with persistent
     tombstones makes the fold order-insensitive, so the drained dim
     equals the one-shot latest-per-key state however the source batches
-    the change log."""
+    the change log. ``processing_time`` switches to the production
+    interval trigger (pair with ``stop_after_drained`` on bounded
+    sources); both trigger modes converge to the same dim state."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -337,10 +346,13 @@ def cdc_stream_apply(
             n_buckets=n_buckets,
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

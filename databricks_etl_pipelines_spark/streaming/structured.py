@@ -50,13 +50,18 @@ def stop_after_drained(
     reference's PRODUCTION trigger mode (01_DLT_Bronze_Ingestion.py:179,
     196), which never terminates on its own.
 
-    Polls the progress stream until the query has committed at least
-    ``expected_rows`` input rows across its micro-batches, then stops it
-    cleanly. A micro-batch's ``numInputRows`` is reported only after its
-    sink commit, so when the threshold is reached every counted row is
-    durably in the sink — stopping then cannot lose data. Raises on
-    timeout rather than returning a partially-ingested sink (same
-    hard-fail stance as ``await_drained``).
+    Stops once the source is EXHAUSTED — ``status.isDataAvailable`` false
+    with no trigger in flight — and at least ``expected_rows`` input rows
+    have appeared in the progress stream. The row floor alone is NOT a
+    safe stop condition: under ``foreachBatch``, actions inside the
+    callback can re-scan the micro-batch's file split and inflate
+    ``numInputRows``, so the sum may cross the threshold while later
+    files are still unread (observed: a 6-row/3-file feed reporting
+    4+2 before its third file ran). The status gate is what guarantees
+    every file was consumed and committed; the floor guards the startup
+    window where status is not yet meaningful. Raises on timeout rather
+    than returning a partially-ingested sink (same hard-fail stance as
+    ``await_drained``).
 
     Test/bounded-backfill path: production processingTime queries run
     forever by design; this exists so the processingTime surface is
@@ -68,8 +73,13 @@ def stop_after_drained(
 
     deadline = _time.time() + timeout_s
     while _time.time() < deadline:
+        status = q.status
         done = sum(p["numInputRows"] for p in q.recentProgress)
-        if done >= expected_rows:
+        if (
+            done >= expected_rows
+            and not status["isDataAvailable"]
+            and not status["isTriggerActive"]
+        ):
             q.stop()
             if not q.awaitTermination(timeout_s):
                 raise TimeoutError(

@@ -259,3 +259,62 @@ def test_scd2_history_with_deletes(spark):
     assert got[(1, 3)].effective_from == _ts(5) and got[(1, 3)].is_current
     assert got[(2, 1)].effective_to == _ts(2)
     assert not any(r.is_current for r in [got[(2, 1)]])
+
+
+def test_cdc_stream_apply_processing_time_matches_available_now(
+    spark, tmp_path
+):
+    """Streaming CDC under the production interval trigger: a bounded
+    3-file feed drained via stop_after_drained must yield the same dim
+    state as the availableNow drain (the fold is order-insensitive and
+    replay-safe, so the trigger mode is invisible in the result)."""
+    from databricks_etl_pipelines_spark.operators.scd import (
+        cdc_read_current,
+        cdc_stream_apply,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        stop_after_drained,
+    )
+
+    rows = [
+        (1, _ts(2), 2, "U", "a"),
+        (1, _ts(5), 5, "D", None),
+        (2, _ts(3), 3, "U", "x"),
+        (2, _ts(4), 4, "U", "y"),
+        (3, _ts(1), 1, "U", "z"),
+        (3, _ts(6), 6, "U", "w"),
+    ]
+    feed = spark.createDataFrame(
+        rows, "k int, ts timestamp, lsn int, op string, v string"
+    )
+    src = str(tmp_path / "src")
+    feed.repartition(3).write.parquet(src)
+    n_src = len(rows)
+
+    def run(trigger_kw, drain, dim_name, ckpt_name):
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        dim = ManagedTable(str(tmp_path / dim_name))
+        q = cdc_stream_apply(
+            stream, dim, keys=["k"], ts_col="ts", lsn_col="lsn",
+            op_col="op", checkpoint_dir=str(tmp_path / ckpt_name),
+            **trigger_kw,
+        )
+        drain(q)
+        return {
+            r.k: (r.ts, r.lsn, r.v)
+            for r in cdc_read_current(dim, spark).collect()
+        }
+
+    pt = run(
+        {"processing_time": "1 second"},
+        lambda q: stop_after_drained(q, expected_rows=n_src, timeout_s=120),
+        "dim_pt", "ckpt_pt",
+    )
+    an = run({}, await_drained, "dim_an", "ckpt_an")
+    assert pt == an
+    assert set(pt) == {2, 3}  # k1 tombstoned
