@@ -642,7 +642,7 @@ stats AS (
 )
 SELECT cl.event_id, cl.event_type, cl."value",
   floor(cl.w * 10000 + 0.5) / 10000 AS value_winsorized,
-  floor((cl.w - s.mu) / s.sigma * 10000 + 0.5) / 10000 AS value_z
+  floor((cl.w - s.mu) / nullif(s.sigma, 0) * 10000 + 0.5) / 10000 AS value_z
 FROM clipped cl JOIN stats s USING (event_type)
 """
 
@@ -672,14 +672,19 @@ def agg_winsorize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = clipped.groupBy("event_type").agg(
         F.avg("w").alias("mu"), F.stddev_samp("w").alias("sigma")
     )
+    # nullif guard: a constant group has sigma 0; under ANSI mode the
+    # bare division would RAISE (DuckDB returns NULL) — make both engines
+    # emit NULL z for degenerate groups
     return clipped.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
         "value",
         stable_round(F.col("w"), 4).alias("value_winsorized"),
-        stable_round((F.col("w") - F.col("mu")) / F.col("sigma"), 4).alias(
-            "value_z"
-        ),
+        stable_round(
+            (F.col("w") - F.col("mu"))
+            / F.nullif(F.col("sigma"), F.lit(0.0)),
+            4,
+        ).alias("value_z"),
     )
 
 
@@ -728,7 +733,8 @@ SELECT e.event_id, e.event_type, e."value",
   floor(least(greatest(e."value", s.lo), s.hi) * 10000 + 0.5) / 10000
     AS value_winsorized,
   floor((least(greatest(e."value", s.lo), s.hi) - s.sw / s.n)
-        / sqrt((s.sw2 - s.sw * s.sw / s.n) / (s.n - 1)) * 10000 + 0.5)
+        / nullif(sqrt((s.sw2 - s.sw * s.sw / s.n) / nullif(s.n - 1, 0)), 0)
+        * 10000 + 0.5)
     / 10000 AS value_z
 FROM events e JOIN stats s USING (event_type)
 """
@@ -803,9 +809,15 @@ def agg_winsorize_zscore_onescan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     mu = F.col("sw") / F.col("n")
-    sigma = F.sqrt(
-        (F.col("sw2") - F.col("sw") * F.col("sw") / F.col("n"))
-        / (F.col("n") - 1)
+    # nullif guards: n=1 makes the variance denominator 0 and a constant
+    # group makes sigma 0 — both would RAISE under ANSI mode; both
+    # engines emit NULL z instead
+    sigma = F.nullif(
+        F.sqrt(
+            (F.col("sw2") - F.col("sw") * F.col("sw") / F.col("n"))
+            / F.nullif(F.col("n") - 1, F.lit(0).cast("bigint"))
+        ),
+        F.lit(0.0),
     )
     return ev.join(F.broadcast(sdf), "event_type").select(
         "event_id",
