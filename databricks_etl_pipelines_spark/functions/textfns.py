@@ -93,15 +93,23 @@ def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are common punctuation."""
+    """Fraction of characters that are common punctuation. NULL for empty
+    text: under ANSI mode a bare 0/0 RAISES in Spark while DuckDB yields
+    NULL — nullif makes both engines agree (and quality rubrics score a
+    NULL ratio as zero points through their when/otherwise arms)."""
     c = _c(col)
     stripped = F.regexp_replace(c, r"[.,;:!?'\"()\[\]-]", "")
-    return (F.length(c) - F.length(stripped)) / F.length(c)
+    return (F.length(c) - F.length(stripped)) / F.nullif(
+        F.length(c), F.lit(0)
+    )
 
 
 def digit_ratio(col: Column | str) -> Column:
+    """Fraction of digit characters; NULL for empty text (see punct_ratio)."""
     c = _c(col)
-    return (F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))) / F.length(c)
+    return (
+        F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    ) / F.nullif(F.length(c), F.lit(0))
 
 
 # GPT-2-style pre-tokenizer approximation, constrained to syntax both Java

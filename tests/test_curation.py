@@ -349,6 +349,33 @@ def test_leakage_safe_split_keeps_chains_together(spark):
     assert again == got
 
 
+def test_quality_pipeline_survives_degenerate_docs(spark):
+    """Empty and whitespace-only documents — the first thing raw web text
+    contains — must flow through the rubric and the full curation funnel
+    without a DIVIDE_BY_ZERO (ANSI mode raises where DuckDB yields NULL;
+    the ratio helpers nullif their denominators so both engines agree)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        curate_corpus,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word"),
+         (4, "a perfectly ordinary document with several plain words")],
+        "doc_id long, text string",
+    )
+    scores = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", quality_score("text").alias("q")
+        ).collect()
+    }
+    assert scores[1] == 0 and 0 <= scores[2] <= 20
+    clean, report = curate_corpus(docs, min_quality=1, max_dup_bigram=0.9)
+    assert clean.count() >= 0  # executes without raising
+    assert {r.stage for r in report.collect()} >= {"input", "quality_gate"}
+
+
 def test_leakage_split_pair_fn_agreement(spark):
     """The 100 TB pair generator (banded MinHash-LSH) and the exact PPJoin
     default produce the SAME split on a planted near-dup corpus: every
