@@ -45,8 +45,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """dot(a,b) / (‖a‖·‖b‖) with explicit op order for oracle parity."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """dot(a,b) / (‖a‖·‖b‖) with explicit op order for oracle parity.
+
+    NULL when either vector has zero norm: under ANSI mode the bare 0/0
+    RAISES in Spark while DuckDB yields NULL — nullif aligns the engines,
+    and NULL sorts last under desc so zero-norm rows can never win a
+    top-k (unlike NaN, which Spark orders ABOVE every double)."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -62,6 +67,7 @@ def l2_distance(a: Column, b: Column) -> Column:
 # The DuckDB-side mirror of cosine() — same op order, for oracle SQL reuse.
 def sql_cosine(a: str, b: str) -> str:
     return (
-        f"list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        f"list_dot_product({a}, {b}) / nullif("
+        f"sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))"
+        f", 0)"
     )

@@ -569,9 +569,15 @@ def pandas_cosine(query: Sequence[float]):
     @pandas_udf("double")
     def _cos(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
-        return pd.Series(
-            (m @ q) / (np.linalg.norm(m, axis=1) * qn)
-        )
+        denom = np.linalg.norm(m, axis=1) * qn
+        # zero-norm rows: numpy would emit NaN, which Spark sorts ABOVE
+        # every double — a zero vector would "win" top-k. NULL matches the
+        # expression path's nullif semantics (sorts last under desc).
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (m @ q) / denom
+        out = pd.Series(sims)
+        out[denom == 0] = None
+        return out
 
     return _cos
 

@@ -94,6 +94,27 @@ def test_brute_force_topk_self_is_best(spark):
     assert abs(rows[0].cosine_sim - 1.0) < 1e-12
 
 
+def test_cosine_zero_norm_is_null_and_sorts_last(spark):
+    """A zero-norm embedding (empty doc, dead feature) must yield NULL
+    cosine on BOTH the expression and Arrow paths — not an ANSI
+    DIVIDE_BY_ZERO (expression) or NaN (numpy, which Spark sorts ABOVE
+    every double, letting a zero vector 'win' top-k)."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        pandas_cosine_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.5, 0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = [1.0, 0.0, 0.0]
+    expr = brute_force_cosine_topk(vecs, "embedding", "vec_id", q, 3).collect()
+    arrow = pandas_cosine_topk(vecs, "embedding", "vec_id", q, 3).collect()
+    assert [r.vec_id for r in expr] == [r.vec_id for r in arrow]
+    assert expr[0].vec_id == 1 and expr[-1].vec_id == 0
+    assert expr[-1].cosine_sim is None and arrow[-1].cosine_sim is None
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from databricks_etl_pipelines_spark.sources import table
 
