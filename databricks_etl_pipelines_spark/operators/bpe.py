@@ -315,7 +315,12 @@ def _encode_word_local(word: str, ranks: dict[tuple[str, str], int]) -> int:
                 out.append(syms[i])
                 i += 1
         syms = out
-    return len(syms)
+    # floor of 1: the expr path's split of an empty symbol string yields
+    # one empty token (Spark split("") == [""]), so an empty/filtered-out
+    # word counts 1 symbol there — match it, which also keeps per-doc
+    # symbol sums positive (chars_per_token would otherwise hit 0/0 on
+    # an all-empty document under ANSI mode)
+    return max(1, len(syms))
 
 
 def encoded_dictionary(
