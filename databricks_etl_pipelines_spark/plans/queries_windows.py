@@ -531,7 +531,11 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_prev = F.count("*").over(w)
     mu = F.avg("value").over(w)
     sd = F.stddev_samp("value").over(w)
-    z = stable_round((F.col("value") - mu) / sd, 4)
+    # nullif: a CONSTANT trailing window has sd exactly 0.0, and the z
+    # projection evaluates before the __sd filter can exclude the row —
+    # under ANSI mode the bare division would raise. NULL z is filtered
+    # by the |z| cut, matching DuckDB (0-divide yields NULL there).
+    z = stable_round((F.col("value") - mu) / F.nullif(sd, F.lit(0.0)), 4)
     return (
         ev.select(
             "user_id",
