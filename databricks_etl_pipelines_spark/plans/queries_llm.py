@@ -3105,14 +3105,19 @@ def text_zipf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # nullif guards: a single-rank corpus zeroes the x-variance and a
+    # uniform-frequency head zeroes the y-variance — ANSI mode would
+    # raise where DuckDB's division already yields NULL
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return s.select(
         n.alias("n_ranks"),
         stable_round(slope, 6).alias("zipf_slope"),
         stable_round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
         stable_round(
             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            / F.nullif(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            ),
             6,
         ).alias("r_squared"),
     )
