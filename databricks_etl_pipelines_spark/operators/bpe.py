@@ -296,7 +296,10 @@ def _encode_word_local(word: str, ranks: dict[tuple[str, str], int]) -> int:
     output was learned after k), hence applying the global minimum rank
     first reproduces the in-order pass exactly — pinned by
     tests/test_operators.py::test_bpe_arrow_encode_matches_expr."""
-    syms = list(word)
+    # same char-class parity as _local_merge_loop: Java regex '.' (the
+    # expr path's wrap_symbols) drops line terminators that survive the
+    # \s+ tokenizer — keep the paths byte-identical
+    syms = [c for c in word if c not in "\n\r\x85\u2028\u2029"]
     while len(syms) > 1:
         best_rank, best = None, None
         for i in range(len(syms) - 1):
@@ -406,7 +409,14 @@ def encode_stats(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     )
-    n_sym = F.coalesce(F.col("n_sym"), F.length("w").cast("bigint"))
+    # OOD fallback floored at 1: an EMPTY word (from empty/whitespace
+    # docs) outside the dictionary cap has length 0 — without the floor an
+    # all-empty doc sums n_sym to 0 and chars_per_token hits 0/0 (ANSI
+    # raise). Matches the in-dictionary floor (split("") == [""] => 1).
+    n_sym = F.coalesce(
+        F.col("n_sym"),
+        F.greatest(F.lit(1).cast("bigint"), F.length("w").cast("bigint")),
+    )
     return (
         words.join(dictionary, "w", "left")
         .groupBy(id_col)

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+from databricks_etl_pipelines_spark.streaming.structured import with_trigger
 
 
 def scd2_history(
@@ -218,11 +219,7 @@ def scd2_stream_apply(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
-    if processing_time is None:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    return with_trigger(writer, processing_time).start()
 
 
 def cdc_apply(
@@ -351,8 +348,4 @@ def cdc_stream_apply(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
-    if processing_time is None:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    return with_trigger(writer, processing_time).start()

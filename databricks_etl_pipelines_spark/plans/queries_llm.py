@@ -169,7 +169,7 @@ _SQL_QUALITY_SCORE = f"""\
               AS BIGINT) / len({_SQL_TOKS}) BETWEEN 3 AND 12 THEN 30 ELSE 0 END
      + CASE WHEN len(list_filter({_SQL_TOKS}, x -> x IN ({_EN})))
               / len({_SQL_TOKS}) > 0.05 THEN 20 ELSE 0 END
-     + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+     + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))
               / length(text) < 0.2
              AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
               / length(text) < 0.2 THEN 20 ELSE 0 END)"""
@@ -183,7 +183,7 @@ WITH t AS (
       / len({_SQL_TOKS}) AS avg_tok_len,
     len(list_filter({_SQL_TOKS}, x -> x IN ({_EN}))) / len({_SQL_TOKS})
       AS stop_ratio,
-    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))
       / length(text) AS punct_r,
     (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
       / length(text) AS digit_r
@@ -1486,7 +1486,7 @@ WITH sc0 AS (
       / len({_SQL_TOKS}) AS avg_tok_len,
     len(list_filter({_SQL_TOKS}, x -> x IN ({_EN}))) / len({_SQL_TOKS})
       AS stop_ratio,
-    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))
       / length(text) AS punct_r,
     (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
       / length(text) AS digit_r,
@@ -2884,8 +2884,8 @@ docw AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents)
 SELECT doc_id,
   CAST(count(*) AS BIGINT) AS n_words,
   CAST(sum(length(w)) AS BIGINT) AS n_chars,
-  CAST(sum(coalesce(n_sym, length(w))) AS BIGINT) AS n_bpe_tokens,
-  {sql_stable_round('sum(length(w)) / sum(coalesce(n_sym, length(w)))', 6)}
+  CAST(sum(coalesce(n_sym, greatest(1, length(w)))) AS BIGINT) AS n_bpe_tokens,
+  {sql_stable_round('sum(length(w)) / sum(coalesce(n_sym, greatest(1, length(w))))', 6)}
     AS chars_per_token
 FROM docw LEFT JOIN dict USING (w)
 GROUP BY doc_id

@@ -97,6 +97,15 @@ def stop_after_drained(
     )
 
 
+def with_trigger(writer, processing_time: str | None):
+    """Shared trigger policy for every streaming writer in the package:
+    ``availableNow`` (drain-and-stop) unless a ``processing_time``
+    interval is given — the reference's production mode (01:179,196)."""
+    if processing_time is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=processing_time)
+
+
 def _as_stream_dir(parquet_file: str) -> str:
     """Spark file streams require a directory; expose a single parquet file
     through a scratch dir containing a symlink to it."""
@@ -336,11 +345,7 @@ def bronze_stream_ingest(
         .partitionBy(partition_by)
         .outputMode("append")
     )
-    if processing_time is None:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    return with_trigger(writer, processing_time).start()
 
 
 def foreach_batch_merge(
@@ -367,11 +372,7 @@ def foreach_batch_merge(
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )
-    if processing_time is None:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    return with_trigger(writer, processing_time).start()
 
 
 def incremental_aggregate(

@@ -1203,6 +1203,27 @@ def test_bpe_driver_loop_matches_spark_loop(spark, sf_dir):
     assert drv == dist and any("\xa0" in l + r for l, r, _ in drv)
 
 
+def test_bpe_encode_stats_empty_doc_outside_dictionary(spark):
+    """An empty document whose '' word falls OUTSIDE the dictionary cap
+    must not crash chars_per_token with 0/0 (the OOD fallback floors at
+    1 symbol, matching the in-dictionary split('') == [''] semantics)."""
+    from databricks_etl_pipelines_spark.operators.bpe import (
+        encode_stats,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc cc"), (2, "")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, "text", num_merges=2, max_words=3)
+    stats = {
+        r.doc_id: r.n_bpe_tokens
+        for r in encode_stats(docs, "text", "doc_id", merges,
+                              max_words=3).collect()
+    }
+    assert stats[2] == 1 and stats[1] > 0
+
+
 def test_bpe_arrow_encode_matches_expr(spark):
     """The depth-independent Arrow encode path (rank-ordered per-word
     apply) must produce the SAME post-merge symbol counts as the expr
