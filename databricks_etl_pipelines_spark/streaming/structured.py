@@ -156,6 +156,7 @@ def curation_ingest(
     min_quality: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Streaming flavor of the curation funnel: continuously ingest
     documents, gate on the quality rubric, and accept each normalized text
@@ -204,13 +205,12 @@ def curation_ingest(
         if not first.isEmpty():
             accepted.append(first)
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    return with_trigger(writer, processing_time).start()
 
 
 def curation_ingest_neardup(
@@ -222,6 +222,7 @@ def curation_ingest_neardup(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """:func:`curation_ingest` upgraded from exact to NEAR-dup admission:
     each micro-batch is additionally screened against the persisted MinHash
@@ -293,13 +294,12 @@ def curation_ingest_neardup(
         finally:
             first.unpersist()
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    return with_trigger(writer, processing_time).start()
 
 
 def drain_to_memory(
@@ -381,6 +381,7 @@ def incremental_aggregate(
     keys: list[str],
     partial_agg: Callable[[DataFrame], DataFrame],
     checkpoint_dir: str,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Incrementally-maintained gold aggregate (parity-plus M7 upgrade of
     the reference's full-recompute gold overwrite, 03:62-64): each
@@ -412,13 +413,12 @@ def incremental_aggregate(
             combined = partial
         target.create_or_overwrite(combined)
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    return with_trigger(writer, processing_time).start()
 
 
 class StreamingMedallion:
@@ -470,7 +470,8 @@ class StreamingMedallion:
         self.gold_hourly.create_or_overwrite(partial)
 
     def start(
-        self, stream: DataFrame, checkpoint_dir: str
+        self, stream: DataFrame, checkpoint_dir: str,
+        processing_time: str | None = None,
     ) -> StreamingQuery:
         from databricks_etl_pipelines_spark.plans.medallion import (
             silver_transform,
@@ -499,13 +500,12 @@ class StreamingMedallion:
             self._fold_gold(silver_batch)
             silver_batch.unpersist()
 
-        return (
+        writer = (
             stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
         )
+        return with_trigger(writer, processing_time).start()
 
 
 def tumbling_window_counts(
@@ -712,6 +712,7 @@ def dsir_score_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Score an incoming document stream against a PREBUILT DSIR domain
     profile (operators/curation.py:dsir_log_ratios): per micro-batch, a
@@ -733,9 +734,7 @@ def dsir_score_stream(
             f"{out_dir}/batch_id={batch_id}"
         )
 
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    return with_trigger(writer, processing_time).start()
