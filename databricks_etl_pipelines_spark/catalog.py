@@ -45,87 +45,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-5 rotation. The driver checks the FIRST 50 registry
-    # entries per round. r4 landed 49 ok + 1 rows-only / 0 FAIL, so this
-    # round's cap goes to the evidence-staleness tail the r4 verdict
-    # named, in its order, then everything whose CODE changed in round 5,
-    # then the stalest r1-latest sentinels.
-    # (a) oracle upgraded after the latest driver row (pack_sequences'
-    # layout also changed in 4d) — first-ever HARD rows for these
-    "curation_pack_sequences",
-    "similarity_lsh_ann_topk",
-    "similarity_pandas_udf_topk",
-    "multimodal_chunk_energy",
-    # (b) never driver-checked (judge-run oracle green in r4's session)
-    "dim_scd2_point_in_time",
-    "dim_scd2_with_deletes",
-    "similarity_incremental_ivf",
-    "streaming_cdc_dimension",
-    "sql_exists_late_orders",
-    "sql_in_having_big_orders",
-    "sql_scalar_anti_customers",
-    "sql_volume_shipping",
-    "sql_market_share",
-    # (c) round-5 code changes: new one-scan winsorize; BPE trainer now
-    # defaults to the driver-local merge loop; leakage split grew a
-    # pluggable pair_fn; weighted sample gained the in-scan weight guard;
-    # preference_pairs default margin; and every query whose write path
-    # crosses the new append/merge type-drift check
-    "agg_winsorize_zscore_onescan",
-    "text_bpe_train_merges",
-    "text_bpe_encode_stats",
-    "curation_leakage_safe_split",
-    "curation_leakage_split_minhash",
-    "curation_pack_split_oversized",
-    "curation_weighted_sample",
-    "sft_dpo_pairs",
-    "cdc_apply_orders",
-    "scd2_incremental_orders",
-    "streaming_scd2_dimension",
-    "merge_upsert_orders",
-    "change_feed_orders",
-    "streaming_foreachbatch_merge",
-    "streaming_curation_ingest",
-    # (d) stalest sentinels (latest driver row is r1)
-    "flagship_pricing_risk_summary",
-    "agg_entity_features",
-    "agg_dq_summary",
-    "agg_hourly_volume_stats",
-    "agg_ungrouped_global",
-    "agg_rollup",
-    "agg_cube",
-    "agg_percentiles",
-    "agg_collect_set",
-    "agg_grouping_sets",
-    "agg_pivot_status_counts",
-    "agg_null_handling",
-    "pipeline_silver_enrichment",
-    "pipeline_quarantine_summary",
-    "join_inner_customer_orders",
-    "join_broadcast_dims",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi_urgent_customers",
-    "join_three_way_topk_revenue",
-    "join_asof_last_click",
-    "join_range_clicks_before_error",
-    # ---------------- 50-slot cap boundary ----------------
-    # remaining r1-latest sentinels, then r2-latest, for overflow runs
+    # --- round-6 rotation. r5's 50 slots all landed green, so this cap
+    # refreshes the staleness tail the r5 verdict named:
+    # (a) the NEW hard-oracle query closing the last rows-only LLM gap
+    # (streaming near-dup admission, full per-batch SQL replay)
+    "streaming_curation_neardup_crossengine",
+    # (b) queries whose CODE changed in round 5 but whose latest driver
+    # row predates the change (textfns/vectors ANSI audit, windows, scd,
+    # sft, similarity, multimodal, sql — the verdict's named list)
     "text_quality_score",
-    "text_language_id",
+    "window_anomaly_zscore",
+    "text_zipf_diagnostics",
+    "similarity_cosine_topk",
     "dedup_embedding_cosine_pairs",
     "dedup_embedding_cosine_blocked",
+    "curation_prepare_corpus",
+    "sft_rendered_conversations",
+    "multimodal_patch_retrieval",
+    "sql_waiting_suppliers",
+    # (c) round-6 code change: preference_pairs default-margin plumbing
+    "sft_dpo_pairs",
+    # (d) stalest oracle-backed evidence: driver row is r1
+    "text_language_id",
     "multimodal_binary_stats",
     "scalar_string_functions",
     "pii_mask_and_tokenize",
-    "privacy_gdpr_erase_users",
-    "curation_prepare_corpus",
-    "curation_token_budget_select",
+    # (e) stalest oracle-backed evidence: driver row is r2 — full window
+    # family, co-location/skew joins, curation sampling, streaming
+    # drains, then the scalar family to the 50-slot boundary
+    "window_topn_per_user",
+    "window_rank_dense_rank",
+    "window_lag_lead",
+    "window_rolling_avg",
+    "window_cumulative_sum",
+    "window_first_last",
+    "window_ntile_percent_rank",
+    "join_salted_skew",
+    "join_bucketed_colocated",
+    "join_anti_customers_without_orders",
     "curation_quota_per_language",
+    "curation_stratified_sample",
     "streaming_stateful_totals",
-    "source_python_stream_datasource",
-    "ml_quality_classifier",
-    "ml_run_history",
+    "streaming_session_window",
+    "streaming_dedup_keys",
+    "text_bpe_token_stats",
+    "text_fingerprint_rolling",
+    "multimodal_byte_histogram",
+    "ml_feature_matrix",
+    "scalar_datetime_functions",
+    "scalar_math_functions",
+    "scalar_conditional_bucketing",
+    "scalar_conditional_risk_score",
+    "scalar_boolean_or_labeling",
+    "scalar_array_element_at",
+    "scalar_map_literal_lookup",
+    "filter_predicates",
+    "json_extract_events",
+    "scalar_regexp_functions",
+    "scalar_explode_word_counts",
+    "scalar_unpivot_stack",
+    "scalar_collection_functions",
+    "scalar_from_json_struct",
+    "topk_orders_by_price",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: remaining r1/r2-latest (rows-only first — they only get
+    # weaker rows anyway), then r2 set-ops for overflow runs
+    "agg_approx_count_distinct",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "similarity_ivf_topk",
+    "curation_funnel_report",
+    "ml_fraud_predictions",
+    "ml_model_metrics",
+    "sort_multikey",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except_subtract",
+    "setop_except_all",
+    "distinct_projection",
+    "setop_intersect_all",
+    "sql_text_pricing_summary",
 ]
 
 

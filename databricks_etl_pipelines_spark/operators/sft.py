@@ -88,12 +88,15 @@ def rendered_conversations(
     )
 
 
+_MARGIN_DEFAULT_WARNED = False
+
+
 def preference_pairs(
     df: DataFrame,
     group_col: str,
     id_col: str,
     score_col: str,
-    min_margin: int = 1,
+    min_margin: int | None = None,
 ) -> DataFrame:
     """DPO/RLHF preference-pair assembly: per prompt group, pair the
     best-scored candidate (chosen) against the worst (rejected), dropping
@@ -103,7 +106,11 @@ def preference_pairs(
     The default margin is 1, not 0: a tied-score group yields a pair with
     zero preference signal (chosen and rejected are interchangeable),
     which silently dilutes a DPO dataset. Pass ``min_margin=0`` to opt
-    into emitting tied pairs explicitly.
+    into emitting tied pairs explicitly. The default changed from 0 in
+    round 5; relying on it logs a one-time warning per process so callers
+    migrating from the old behavior get a signal instead of a silently
+    smaller dataset (counting the dropped groups would force an extra
+    action on a lazy plan, so the warning is unconditional).
 
     Single hash aggregate — best/worst are lexicographic max/min over a
     ``(score, -id)`` struct, so ties break deterministically (chosen →
@@ -111,6 +118,18 @@ def preference_pairs(
     map-side partial aggregation: no window sort, no self-join, one
     shuffle of one struct per group regardless of candidates per prompt.
     """
+    if min_margin is None:
+        min_margin = 1
+        global _MARGIN_DEFAULT_WARNED
+        if not _MARGIN_DEFAULT_WARNED:
+            _MARGIN_DEFAULT_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "preference_pairs: default min_margin is 1 (was 0 before "
+                "round 5) — tied-score groups are dropped; pass "
+                "min_margin=0 to emit tied pairs"
+            )
     key = F.struct(
         F.col(score_col).alias("s"),
         (-F.col(id_col)).alias("ni"),

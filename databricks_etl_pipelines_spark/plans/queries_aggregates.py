@@ -740,20 +740,15 @@ FROM events e JOIN stats s USING (event_type)
 """
 
 
-@query("agg_winsorize_zscore_onescan", _WINSORIZE_1SCAN_ORACLE)
-def agg_winsorize_zscore_onescan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Histogram-sketch winsorize+z-score — one fact scan per stage (see
-    the oracle comment for the edge-snapping trick that keeps clipped
-    moments exact). Stage 1's group×bucket aggregate is tiny (groups ×
-    value-range/width rows) and the per-group stats are collected —
-    bounded by the group count, same stance as the BPE dictionary — so
-    the RETURNED plan contains exactly ONE scan of the fact table
-    (plan-pinned in tests/test_operators.py). At high group cardinality
-    keep the stats as a broadcast join instead of collecting (two scans
-    in one plan, still one per stage)."""
+def histogram_winsorize_zscore(ev: DataFrame) -> DataFrame:
+    """The histogram-sketch winsorize+z-score pipeline over any frame with
+    ``(event_id, event_type, value)`` columns — factored out of the
+    registered query so the hypothesis property test can drive it with
+    adversarial generated groups (n=1, constant, negative, single-bucket)
+    and compare against the DuckDB oracle on identical data."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    spark = ev.sparkSession
     h = ev.groupBy(
         "event_type", F.floor("value").alias("b")
     ).agg(
@@ -826,6 +821,20 @@ def agg_winsorize_zscore_onescan(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(w, 4).alias("value_winsorized"),
         stable_round((w - mu) / sigma, 4).alias("value_z"),
     )
+
+
+@query("agg_winsorize_zscore_onescan", _WINSORIZE_1SCAN_ORACLE)
+def agg_winsorize_zscore_onescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch winsorize+z-score — one fact scan per stage (see
+    the oracle comment for the edge-snapping trick that keeps clipped
+    moments exact). Stage 1's group×bucket aggregate is tiny (groups ×
+    value-range/width rows) and the per-group stats are collected —
+    bounded by the group count, same stance as the BPE dictionary — so
+    the RETURNED plan contains exactly ONE scan of the fact table
+    (plan-pinned in tests/test_operators.py). At high group cardinality
+    keep the stats as a broadcast join instead of collecting (two scans
+    in one plan, still one per stage)."""
+    return histogram_winsorize_zscore(table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

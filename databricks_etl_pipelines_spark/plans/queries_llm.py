@@ -169,7 +169,7 @@ _SQL_QUALITY_SCORE = f"""\
               AS BIGINT) / len({_SQL_TOKS}) BETWEEN 3 AND 12 THEN 30 ELSE 0 END
      + CASE WHEN len(list_filter({_SQL_TOKS}, x -> x IN ({_EN})))
               / len({_SQL_TOKS}) > 0.05 THEN 20 ELSE 0 END
-     + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))
+     + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))
               / length(text) < 0.2
              AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
               / length(text) < 0.2 THEN 20 ELSE 0 END)"""
@@ -183,7 +183,7 @@ WITH t AS (
       / len({_SQL_TOKS}) AS avg_tok_len,
     len(list_filter({_SQL_TOKS}, x -> x IN ({_EN}))) / len({_SQL_TOKS})
       AS stop_ratio,
-    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))
+    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))
       / length(text) AS punct_r,
     (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
       / length(text) AS digit_r
@@ -1486,7 +1486,7 @@ WITH sc0 AS (
       / len({_SQL_TOKS}) AS avg_tok_len,
     len(list_filter({_SQL_TOKS}, x -> x IN ({_EN}))) / len({_SQL_TOKS})
       AS stop_ratio,
-    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]-]', '', 'g')))
+    (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))
       / length(text) AS punct_r,
     (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
       / length(text) AS digit_r,

@@ -386,3 +386,206 @@ def streaming_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return accepted.read(spark).select(
         "doc_id", "source", "lang", "n_chars", "quality", "text_hash"
     )
+
+
+# -- streaming near-dup admission under a HARD cross-engine oracle -------------
+
+_ND_XE_BATCHES = 3
+_ND_XE_THRESHOLD = 0.5
+
+
+def _three_batch_documents_feed(spark: SparkSession, sf_dir: str) -> str:
+    """documents written as 3 parquet files, batch b = rows with
+    ``doc_id % 3 == b``, mtimes strictly increasing — so a file stream
+    with maxFilesPerTrigger=1 drains them as 3 DETERMINISTIC micro-batches
+    (Spark's file source orders by modification time). Deterministic batch
+    membership is what lets a SQL oracle replay per-batch admission."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = scratch_dir("nd_xe_feed_")
+    docs = table(spark, sf_dir, "documents")
+    base = time.time()
+    for b in range(_ND_XE_BATCHES):
+        tmp = scratch_dir(f"nd_xe_slice{b}_")
+        (
+            docs.filter(F.col("doc_id") % _ND_XE_BATCHES == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch-{b}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (base + b, base + b))
+    return src
+
+
+def _neardup_xengine_oracle() -> str:
+    """Full SQL replay of ``curation_ingest_neardup(family="crossengine")``
+    over the deterministic 3-batch feed: for each batch, in arrival order —
+    quality gate → within-batch exact dedup (min id per normalized hash) →
+    hash anti-join vs accepted → in-batch banded MinHash-LSH (16 perms /
+    4 bands / bucket cap 200, md5+Karp-Rabin permutations, exact-Jaccard
+    verify, drop each pair's greater id) → persisted-index screen (corpus-
+    side bucket cap, batch×accepted band collisions, exact-Jaccard verify)
+    → union survivors into the accepted set. Band/signature rows are pure
+    per-doc functions, so they're computed ONCE (xbands) and each batch
+    step filters them to the ids the operator would actually sign."""
+    from databricks_etl_pipelines_spark.plans.queries_llm import (
+        _SQL_PERM_HASH,
+        _SQL_SHINGLES3,
+    )
+    from databricks_etl_pipelines_spark.plans.queries_mixture import (
+        _SQL_QUALITY,
+    )
+
+    n = _ND_XE_BATCHES
+    thr = _ND_XE_THRESHOLD
+    parts = [
+        f"""gate AS MATERIALIZED (
+  SELECT doc_id, source, lang, n_chars,
+         CAST({_SQL_QUALITY} AS BIGINT) AS quality,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS text_hash,
+         CAST(doc_id % {n} AS INT) AS batch_id,
+         text
+  FROM documents
+  WHERE CAST({_SQL_QUALITY} AS BIGINT) >= 90
+),
+ek AS MATERIALIZED (
+  SELECT g.* FROM gate g
+  JOIN (SELECT batch_id, text_hash, min(doc_id) AS doc_id
+        FROM gate GROUP BY batch_id, text_hash) k
+    USING (batch_id, text_hash, doc_id)
+),
+xsh AS MATERIALIZED (SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh FROM ek),
+xhs AS (
+  SELECT id, i,
+    list_min(list_transform(sh, s -> {_SQL_PERM_HASH})) AS sig
+  FROM xsh, (SELECT unnest(range(16)) AS i) AS perms
+),
+xbands AS MATERIALIZED (
+  SELECT id, CAST(i // 4 AS INT) AS band_id,
+    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM xhs GROUP BY id, i // 4
+),
+acc0 AS MATERIALIZED (SELECT * FROM ek WHERE 1 = 0)"""
+    ]
+    for b in range(n):
+        parts.append(
+            f"""first{b} AS MATERIALIZED (
+  SELECT e.* FROM ek e
+  WHERE e.batch_id = {b}
+    AND NOT EXISTS (SELECT 1 FROM acc{b} a WHERE a.text_hash = e.text_hash)
+),
+fb{b} AS MATERIALIZED (
+  SELECT x.id, x.band_id, x.band_key
+  FROM xbands x JOIN first{b} f ON x.id = f.doc_id
+),
+okin{b} AS (
+  SELECT band_id, band_key FROM fb{b}
+  GROUP BY band_id, band_key HAVING count(*) <= 200
+),
+candin{b} AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+  FROM fb{b} a
+  JOIN okin{b} USING (band_id, band_key)
+  JOIN fb{b} b2
+    ON a.band_id = b2.band_id AND a.band_key = b2.band_key
+  WHERE a.id < b2.id
+),
+losers{b} AS MATERIALIZED (
+  SELECT DISTINCT c.id_b FROM candin{b} c
+  JOIN xsh sa ON sa.id = c.id_a
+  JOIN xsh sb ON sb.id = c.id_b
+  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {thr}
+),
+surv{b} AS MATERIALIZED (
+  SELECT f.* FROM first{b} f
+  WHERE NOT EXISTS (SELECT 1 FROM losers{b} l WHERE l.id_b = f.doc_id)
+),
+cb{b} AS MATERIALIZED (
+  SELECT x.id, x.band_id, x.band_key
+  FROM xbands x JOIN acc{b} a ON x.id = a.doc_id
+),
+okx{b} AS (
+  SELECT band_id, band_key FROM cb{b}
+  GROUP BY band_id, band_key HAVING count(*) <= 200
+),
+matched{b} AS MATERIALIZED (
+  SELECT DISTINCT nb.id AS new_id
+  FROM (SELECT x.id, x.band_id, x.band_key
+        FROM xbands x JOIN surv{b} s ON x.id = s.doc_id) nb
+  JOIN okx{b} USING (band_id, band_key)
+  JOIN cb{b} c
+    ON nb.band_id = c.band_id AND nb.band_key = c.band_key
+  JOIN xsh sn ON sn.id = nb.id
+  JOIN xsh sc ON sc.id = c.id
+  WHERE len(list_intersect(sn.sh, sc.sh)) * 1.0
+      / len(list_distinct(list_concat(sn.sh, sc.sh))) >= {thr}
+),
+acc{b + 1} AS MATERIALIZED (
+  SELECT * FROM acc{b}
+  UNION ALL
+  SELECT s.* FROM surv{b} s
+  WHERE NOT EXISTS (SELECT 1 FROM matched{b} m WHERE m.new_id = s.doc_id)
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT doc_id, source, lang, n_chars, quality, text_hash "
+        f"FROM acc{n}"
+    )
+
+
+@query("streaming_curation_neardup_crossengine", _neardup_xengine_oracle())
+def streaming_curation_neardup_crossengine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The near-dup streaming admission path under a HARD differential
+    oracle: the same operator as ``streaming_curation_neardup``
+    (streaming/structured.py:curation_ingest_neardup) drained over a
+    DETERMINISTIC 3-batch feed (batch = doc_id % 3, one file per batch,
+    maxFilesPerTrigger=1) with the md5+Karp-Rabin cross-engine MinHash
+    family — so every per-batch decision (exact first-wins, in-batch LSH
+    pair drop, persisted-index paraphrase rejection) is replayed
+    value-for-value by the DuckDB oracle's unrolled per-batch CTE chain.
+    The xxhash64 rows-only sibling stays the production default; this
+    entry exists to close the one remaining rows-only gap in the LLM
+    streaming surface (VERDICT r5 §next-round #1)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        quality_score,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        curation_ingest_neardup,
+    )
+
+    src = _three_batch_documents_feed(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("quality", quality_score("text").cast("bigint"))
+    )
+    accepted = ManagedTable(scratch_dir("curated_ndx_docs_"))
+    q = curation_ingest_neardup(
+        stream,
+        accepted,
+        scratch_dir("curated_ndx_index_"),
+        scratch_dir("curated_ndx_ckpt_"),
+        min_quality=90,
+        threshold=_ND_XE_THRESHOLD,
+        num_perm=16,
+        bands=4,
+        family="crossengine",
+    )
+    await_drained(q, 600)
+    return accepted.read(spark).select(
+        "doc_id", "source", "lang", "n_chars", "quality", "text_hash"
+    )

@@ -65,16 +65,24 @@ def stop_after_drained(
 
     Test/bounded-backfill path: production processingTime queries run
     forever by design; this exists so the processingTime surface is
-    exercisable against finite sources. Uses ``recentProgress`` (a
-    bounded ~100-entry window), so pass sources whose drain fits that
-    many batches — file feeds with maxFilesPerTrigger sized accordingly.
+    exercisable against finite sources. Row counts are accumulated
+    across poll iterations keyed by batchId, so a drain spanning more
+    batches than ``recentProgress`` retains (~100, bounded by
+    spark.sql.streaming.numRecentProgressUpdates) still counts every
+    batch exactly once — re-summing the bounded window alone would
+    undercount long backfills and raise a spurious TimeoutError.
     """
     import time as _time
 
     deadline = _time.time() + timeout_s
+    rows_by_batch: dict[int, int] = {}
     while _time.time() < deadline:
         status = q.status
-        done = sum(p["numInputRows"] for p in q.recentProgress)
+        for p in q.recentProgress:
+            # per-batch numInputRows is final once reported; keyed insert
+            # makes the sum immune to entries aging out of the window
+            rows_by_batch[p["batchId"]] = p["numInputRows"]
+        done = sum(rows_by_batch.values())
         if (
             done >= expected_rows
             and not status["isDataAvailable"]
@@ -223,6 +231,9 @@ def curation_ingest_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     processing_time: str | None = None,
+    num_perm: int = 32,
+    bands: int = 8,
+    family: str = "xxhash64",
 ) -> StreamingQuery:
     """:func:`curation_ingest` upgraded from exact to NEAR-dup admission:
     each micro-batch is additionally screened against the persisted MinHash
@@ -237,6 +248,15 @@ def curation_ingest_neardup(
     accepted table AND ``add`` to the index, so the next batch screens
     against them. The index is the steady-state cost model a 100 TB corpus
     needs: per-batch work tracks batch size, never corpus size.
+
+    ``family`` selects the MinHash hash family for BOTH screens:
+    "xxhash64" (production default — JVM long hashing) or "crossengine"
+    (md5+Karp-Rabin over string shingles), which makes every admission
+    decision replayable in ANSI SQL — the registered
+    ``streaming_curation_neardup_crossengine`` query drains a
+    deterministic 3-batch feed under this family and its DuckDB oracle
+    re-derives the full per-batch funnel (exact dedup → hash anti-join →
+    in-batch banded LSH → persisted-index screen) value-for-value.
     """
     from pyspark.sql import Window
 
@@ -248,6 +268,7 @@ def curation_ingest_neardup(
     )
     from databricks_etl_pipelines_spark.operators.dedup import (
         MinHashCorpusIndex,
+        minhash_crossengine_pairs,
         minhash_lsh_dedup_pairs,
     )
 
@@ -268,9 +289,16 @@ def curation_ingest_neardup(
             seen = accepted.read(spark).select("text_hash")
             first = first.join(seen, "text_hash", "left_anti")
         # in-batch near-dups: drop the greater id of each verified pair
-        pairs = minhash_lsh_dedup_pairs(
-            first, text_col, id_col, threshold=threshold
-        )
+        if family == "crossengine":
+            pairs = minhash_crossengine_pairs(
+                first, text_col, id_col,
+                num_perm=num_perm, bands=bands, threshold=threshold,
+            )
+        else:
+            pairs = minhash_lsh_dedup_pairs(
+                first, text_col, id_col,
+                threshold=threshold, num_perm=num_perm, bands=bands,
+            )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         first = first.join(losers, id_col, "left_anti")
         # cross-batch near-dups: screen against the persisted corpus index
@@ -289,7 +317,8 @@ def curation_ingest_neardup(
                     index.add(spark, first, text_col, id_col)
                 else:
                     MinHashCorpusIndex.build(
-                        first, text_col, id_col, index_root
+                        first, text_col, id_col, index_root,
+                        num_perm=num_perm, bands=bands, family=family,
                     )
         finally:
             first.unpersist()

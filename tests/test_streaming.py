@@ -610,6 +610,121 @@ def test_curation_ingest_neardup_rejects_paraphrase_across_batches(
     assert {r.doc_id for r in accepted.read(spark).collect()} == {10, 11, 21}
 
 
+def test_stop_after_drained_counts_batches_beyond_progress_window():
+    """ADVICE r5: recentProgress retains ~100 entries; a drain spanning
+    more batches must still count every batch's rows exactly once (keyed
+    by batchId), not re-sum the bounded window — which would undercount
+    and raise a spurious TimeoutError. Simulated with a fake query whose
+    progress window holds only the LAST 3 batches of a 10-batch drain."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        stop_after_drained,
+    )
+
+    class FakeQuery:
+        id = "fake"
+
+        def __init__(self):
+            self.calls = 0
+            self.stopped = False
+
+        @property
+        def status(self):
+            drained = self.calls >= 10
+            return {
+                "isDataAvailable": not drained,
+                "isTriggerActive": not drained,
+            }
+
+        @property
+        def recentProgress(self):
+            # one new 5-row batch per poll; window keeps only the last 3
+            if self.calls < 10:
+                self.calls += 1
+            lo = max(0, self.calls - 3)
+            return [
+                {"batchId": b, "numInputRows": 5}
+                for b in range(lo, self.calls)
+            ]
+
+        def exception(self):
+            return None
+
+        def stop(self):
+            self.stopped = True
+
+        def awaitTermination(self, timeout_s):
+            return True
+
+    q = FakeQuery()
+    # 10 batches x 5 rows = 50 expected; any single window sums to <= 15,
+    # so the pre-fix re-sum could never reach the floor
+    stop_after_drained(q, expected_rows=50, timeout_s=30)
+    assert q.stopped and q.calls == 10
+
+
+def test_curation_ingest_neardup_crossengine_family_same_admissions(
+    spark, tmp_path
+):
+    """family="crossengine" (md5+Karp-Rabin, the SQL-replayable hash
+    family behind streaming_curation_neardup_crossengine's oracle) must
+    make the same admission decisions as the planted-corpus scenario the
+    xxhash64 default is pinned to: cross-batch paraphrase rejected via the
+    persisted index, in-batch near-dup pair keeps the min id, distinct
+    docs admitted. Different LSH hash families CAN legitimately differ on
+    borderline pairs — these plants are far from the threshold, so
+    agreement here is a real invariant, not luck."""
+    from databricks_etl_pipelines_spark.operators.curation import quality_score
+    from databricks_etl_pipelines_spark.sources.managed_table import ManagedTable
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        curation_ingest_neardup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and that is a fine "
+        "thing to see in the morning for all of us who like to walk "
+        "outside when the sun is up and the air is cool and the birds "
+        "are singing in the trees near the old stone bridge. " * 2
+    )
+    other = (
+        "a completely different report about the annual budget meeting "
+        "where the committee discussed revenue targets and the plan for "
+        "new hiring across the engineering and sales teams during the "
+        "next fiscal year with a focus on sustainable growth. " * 2
+    )
+    third = (
+        "yet another unrelated story that follows a small sailing boat "
+        "across the northern sea through storms and calm nights while "
+        "the crew learns to trust the stars and each other on the long "
+        "voyage home to the harbor where their families wait. " * 2
+    )
+    near_10 = base.replace("fox", "hound")
+    near_21 = third.replace("boat", "vessel")
+
+    src = str(tmp_path / "docs_src")
+    _write_doc_file(spark, src, [(10, base, "en", "web", 1),
+                                 (11, other, "en", "web", 1)])
+    _write_doc_file(spark, src, [(20, near_10, "en", "crawl", 1),
+                                 (21, third, "en", "crawl", 1),
+                                 (22, near_21, "en", "crawl", 1)])
+
+    schema = spark.read.parquet(src).schema
+    accepted = ManagedTable(str(tmp_path / "accepted"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("quality", quality_score("text").cast("bigint"))
+    )
+    q = curation_ingest_neardup(
+        stream, accepted, str(tmp_path / "mh_index"),
+        str(tmp_path / "ckpt"), min_quality=50,
+        threshold=0.5, num_perm=16, bands=4, family="crossengine",
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in accepted.read(spark).collect()}
+    assert got == {10, 11, 21}
+
+
 def test_streaming_dsir_multibatch_matches_batch(spark, sf_dir, tmp_path):
     """DSIR stream scoring over 3 micro-batches against a fixed profile
     must equal the one-shot batch scorer row-for-row (the profile is
