@@ -63,8 +63,12 @@ PRIORITY: list[str] = [
     "sft_rendered_conversations",
     "multimodal_patch_retrieval",
     "sql_waiting_suppliers",
-    # (c) round-6 code change: preference_pairs default-margin plumbing
+    # (c) round-6 code changes: preference_pairs default-margin plumbing;
+    # the NEW benchmark-decontamination operator; the approx-distinct
+    # sketch upgraded from rows-only to an error-bound hard oracle
     "sft_dpo_pairs",
+    "curation_decontaminate_benchmark",
+    "agg_approx_count_distinct",
     # (d) stalest oracle-backed evidence: driver row is r1
     "text_language_id",
     "multimodal_binary_stats",
@@ -105,12 +109,11 @@ PRIORITY: list[str] = [
     "scalar_explode_word_counts",
     "scalar_unpivot_stack",
     "scalar_collection_functions",
+    # ---------------- 50-slot cap boundary ----------------
     "scalar_from_json_struct",
     "topk_orders_by_price",
-    # ---------------- 50-slot cap boundary ----------------
     # overflow: remaining r1/r2-latest (rows-only first — they only get
     # weaker rows anyway), then r2 set-ops for overflow runs
-    "agg_approx_count_distinct",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "similarity_ivf_topk",

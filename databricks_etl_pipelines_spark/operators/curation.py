@@ -1189,3 +1189,70 @@ def leakage_safe_split(
         .withColumn("split", split)
         .drop("cluster_id")
     )
+
+
+def decontaminate_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many DISTINCT
+    word ``ngram_n``-grams it shares with an evaluation benchmark, and
+    whether that crosses the contamination threshold.
+
+    This is the standard pre-training hygiene stage (the GPT-3 paper's
+    13-gram overlap scrub and The Pile's eval decontamination are the
+    public references): training on text that overlaps the eval set
+    inflates benchmarks silently, so every corpus build must scrub
+    against every benchmark it will ever report. Distinct from
+    ``leakage_safe_split`` (intra-corpus, symmetric, cluster-level):
+    decontamination is ASYMMETRIC — the benchmark side is authoritative
+    and tiny, the corpus side is the 100 TB feed — and uses n-gram
+    CONTAINMENT counts, not Jaccard similarity.
+
+    Scale shape: the benchmark's distinct n-gram set is eval-sized
+    (thousands of docs), never corpus-sized, so it BROADCASTS; the
+    corpus side explodes its n-grams map-side and the broadcast-hash
+    semi-join prunes before any shuffle — the only shuffle is the
+    per-doc hit-count partial aggregate, whose input is only the
+    MATCHING n-grams (a vanishing fraction). One corpus scan for the
+    n-gram pass plus one for the per-doc length column; no corpus-side
+    distinct, no all-pairs anything.
+
+    Returns (id, n_ngrams, bench_hits, contaminated) for every corpus
+    doc — callers filter ``~contaminated`` for the clean corpus or keep
+    the report for audit.
+    """
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        distinct_shingles,
+    )
+
+    bench_ngrams = (
+        benchmark.select(
+            F.explode(distinct_shingles(text_col, ngram_n)).alias("ng")
+        )
+        .distinct()
+    )
+    doc_ngrams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(distinct_shingles(text_col, ngram_n)).alias("ng"),
+    )
+    hits = (
+        doc_ngrams.join(F.broadcast(bench_ngrams), "ng")
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("bench_hits"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(distinct_shingles(text_col, ngram_n))
+        .cast("bigint")
+        .alias("n_ngrams"),
+    )
+    return (
+        base.join(hits, "id", "left")
+        .withColumn("bench_hits", F.coalesce("bench_hits", F.lit(0)))
+        .withColumn("contaminated", F.col("bench_hits") >= min_hits)
+    )

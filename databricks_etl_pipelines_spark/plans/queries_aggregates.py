@@ -430,12 +430,38 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("agg_approx_count_distinct")
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+  TRUE AS approx_within_3pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_approx_count_distinct", _APPROX_DISTINCT_ORACLE)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch under a HARD differential check despite the sketch
+    value itself being engine-specific: the query computes BOTH the
+    rsd=0.01 sketch and the exact distinct count, and exposes the exact
+    count plus a boolean asserting the sketch landed within 3% of it.
+    DuckDB recomputes the exact count and expects the boolean TRUE — so
+    a broken sketch (observed error is ≤0.9% across sf0.001-0.1; 3% is
+    >3× headroom over the configured rsd) flips the flag and fails the
+    hash compare. The raw approx value stays out of the compared columns
+    because no oracle can reproduce another engine's HLL register set."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    within = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        <= 0.03 * F.col("exact_orders")
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        within.alias("approx_within_3pct"),
     )
 
 

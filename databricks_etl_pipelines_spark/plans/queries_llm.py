@@ -2764,6 +2764,61 @@ def curation_leakage_split_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select("doc_id", "source", "lang", "group_key", "split")
 
 
+# -- benchmark decontamination (eval-set n-gram scrub) ------------------------
+
+_DECON_ORACLE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SQL_SHINGLES3}) AS ng
+  FROM documents WHERE source = 'src0'
+),
+corpus AS (
+  SELECT doc_id, {_SQL_SHINGLES3} AS sh
+  FROM documents WHERE source <> 'src0'
+),
+hits AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS bench_hits
+  FROM (SELECT doc_id, unnest(sh) AS ng FROM corpus) c
+  JOIN bench USING (ng)
+  GROUP BY c.doc_id
+)
+SELECT corpus.doc_id,
+  CAST(len(sh) AS BIGINT) AS n_ngrams,
+  COALESCE(h.bench_hits, CAST(0 AS BIGINT)) AS bench_hits,
+  COALESCE(h.bench_hits, 0) >= 5 AS contaminated
+FROM corpus LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("curation_decontaminate_benchmark", _DECON_ORACLE)
+def curation_decontaminate_benchmark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-benchmark decontamination (operators/curation.py::
+    decontaminate_report): src0 plays the held-out benchmark, the other
+    19 sources are the training corpus, and every corpus doc is scored
+    by DISTINCT shared word n-grams against the broadcast benchmark
+    n-gram set. Real pipelines scrub on 13-grams with min_hits=1 (the
+    GPT-3 / The Pile discipline); this registration uses (n=3,
+    min_hits=5) because the synthetic docs are short — at sf0.01 that
+    flags 91 of 475 corpus docs, so BOTH flag values carry oracle
+    weight. Plan-pinned broadcast in tests: the corpus side never
+    shuffles its n-grams."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        decontaminate_report,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    report = decontaminate_report(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        ngram_n=3,
+        min_hits=5,
+    )
+    return report.withColumnRenamed("id", "doc_id")
+
+
 # -- cross-document repeated-span report (substring-dedup analog) -------------
 
 _SPAN_N = 8

@@ -520,3 +520,43 @@ def test_prepare_pretraining_corpus_funnel_invariants(spark):
     ids = {r.doc_id for r in selected.collect()}
     assert 1 not in ids and 3 not in ids and 4 not in ids and 5 not in ids
     assert 0 in ids  # min-id twin survives
+
+
+def test_decontaminate_report_flags_planted_overlap_and_broadcasts(spark):
+    """Benchmark decontamination: a corpus doc embedding a benchmark
+    passage is flagged with the right DISTINCT n-gram hit count; clean
+    docs report 0 hits and keep their n-gram totals; the benchmark side
+    enters the join broadcast (the corpus n-grams must never shuffle —
+    the 100 TB contract)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        decontaminate_report,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    corpus = spark.createDataFrame(
+        [
+            # embeds the benchmark 4-token run "beta gamma delta epsilon"
+            (10, "intro words then beta gamma delta epsilon and more"),
+            (11, "totally unrelated content about sailing the north sea"),
+            (12, bench_text),  # verbatim benchmark copy
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+
+    report = decontaminate_report(
+        corpus, bench, "text", "doc_id", ngram_n=3, min_hits=2
+    )
+    rows = {r.id: r for r in report.collect()}
+
+    # doc 10: shares exactly the 3-grams inside "beta gamma delta epsilon"
+    # = 2 distinct trigrams of the benchmark
+    assert rows[10].bench_hits == 2 and rows[10].contaminated
+    assert rows[11].bench_hits == 0 and not rows[11].contaminated
+    # doc 12: all 4 benchmark trigrams, full containment
+    assert rows[12].bench_hits == 4 and rows[12].contaminated
+    # n_ngrams is the doc's own distinct trigram count (9 tokens -> 7)
+    assert rows[10].n_ngrams == 7
+
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
