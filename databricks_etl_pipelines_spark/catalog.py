@@ -65,10 +65,12 @@ PRIORITY: list[str] = [
     "sql_waiting_suppliers",
     # (c) round-6 code changes: preference_pairs default-margin plumbing;
     # the NEW benchmark-decontamination operator; the approx-distinct
-    # sketch upgraded from rows-only to an error-bound hard oracle
+    # sketch upgraded from rows-only to an error-bound hard oracle; the
+    # NEW ANN recall@k report (both rankings + the recall values replayed)
     "sft_dpo_pairs",
     "curation_decontaminate_benchmark",
     "agg_approx_count_distinct",
+    "similarity_ann_recall",
     # (d) stalest oracle-backed evidence: driver row is r1
     "text_language_id",
     "multimodal_binary_stats",
@@ -108,8 +110,8 @@ PRIORITY: list[str] = [
     "scalar_regexp_functions",
     "scalar_explode_word_counts",
     "scalar_unpivot_stack",
-    "scalar_collection_functions",
     # ---------------- 50-slot cap boundary ----------------
+    "scalar_collection_functions",
     "scalar_from_json_struct",
     "topk_orders_by_price",
     # overflow: remaining r1/r2-latest (rows-only first — they only get

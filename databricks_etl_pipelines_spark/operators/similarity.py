@@ -1075,3 +1075,106 @@ class DetIvfIndex:
             .orderBy(F.desc("cosine_sim"), F.col(id_col))
             .limit(k)
         )
+
+
+def ann_recall_report(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries_df: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroid_stride: int = 29,
+    round_sim: int = 6,
+) -> DataFrame:
+    """Recall@k evaluation of the deterministic-IVF ANN against exact
+    brute-force cosine, per query — the report every ANN deployment needs
+    BEFORE trading exactness for scan reduction (FAISS publishes exactly
+    this curve per index type; a recall number nobody measured is how
+    silent retrieval regressions ship).
+
+    For each query vector: exact top-k over the full corpus
+    (:func:`batch_cosine_topk`, one corpus scan for the whole batch) and
+    ANN top-k through the SAME deterministic coarse quantizer the
+    cross-engine IVF uses (:func:`assign_deterministic_lists`), then
+    ``recall_at_k = |ANN ∩ exact| / k``. Both rankings round the cosine
+    BEFORE ranking (half-up at ``round_sim`` digits, ties to the lower
+    corpus id) so any engine replaying from the same floats derives
+    identical top-k sets — recall itself becomes differentially
+    checkable, not a vibe.
+
+    Scale shape: the corpus is scanned twice (once scored against the
+    broadcast query batch, once through the centroid assignment grid);
+    centroids and the per-query probe lists are broadcast-sized; the only
+    shuffles are the two per-query window ranks over candidate rows
+    (|corpus|·|queries| worst case for exact — shard the query batch to
+    bound it) and the final per-query count. Nothing is ever
+    corpus × corpus.
+    """
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+
+    base, assigned, _ = assign_deterministic_lists(
+        df, vec_col, id_col, nlist=nlist, centroid_stride=centroid_stride
+    )
+    cent = (
+        base.filter((F.col("id") % centroid_stride) == 0)
+        .orderBy("id")
+        .limit(nlist)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    qs = queries_df.select(
+        F.col(q_id_col).alias("query_id"),
+        as_double_array(q_vec_col).alias("qv"),
+    )
+
+    # per-query probe lists: nprobe nearest centroids by the strict fold
+    qgrid = qs.join(F.broadcast(cent)).withColumn(
+        "d", sq_l2(F.col("qv"), F.col("cv"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d", "cid")
+    qprobe = (
+        qgrid.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+
+    # ANN top-k: scan only the probed lists, exact cosine within them
+    cand = assigned.join(
+        F.broadcast(qprobe), assigned.list_id == qprobe.cid
+    ).join(F.broadcast(qs), "query_id")
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("id")
+    )
+    ann = (
+        cand.withColumn(
+            "sim", stable_round(cosine(F.col("v"), F.col("qv")), round_sim)
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("id").alias(id_col), F.lit(1).alias("__hit"))
+    )
+
+    exact = batch_cosine_topk(
+        df, vec_col, id_col, queries_df, q_id_col, q_vec_col,
+        k=k, round_sim=round_sim,
+    ).select("query_id", id_col)
+
+    return (
+        exact.join(ann, ["query_id", id_col], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("exact_k"),
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("bigint")
+            .alias("ann_hits"),
+        )
+        .withColumn(
+            "recall_at_k",
+            F.col("ann_hits").cast("double") / F.col("exact_k"),
+        )
+    )

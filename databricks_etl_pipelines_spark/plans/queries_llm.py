@@ -919,6 +919,113 @@ def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- ANN recall@k report (retrieval-quality eval) -----------------------------
+
+def _ann_recall_oracle(dim: int = 64, nlist: int = 16, nprobe: int = 4,
+                       stride: int = 29, k: int = 10) -> str:
+    """Both rankings — exact brute force AND the deterministic-IVF ANN —
+    replayed in SQL, then recall joined out per query. Same fold / same
+    rounding-before-rank / same id tiebreaks as the Spark side, so the
+    recall NUMBER (not just row counts) is differentially checked."""
+
+    def fold_sq(vec: str, cv: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"j -> ({vec}[j] - {cv}[j]) * ({vec}[j] - {cv}[j]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    def cos6(vec: str, qv: str) -> str:
+        return (
+            f"floor(list_dot_product({vec}, {qv}) "
+            f"/ (sqrt(list_dot_product({vec}, {vec})) "
+            f"* sqrt(list_dot_product({qv}, {qv}))) * 1000000 + 0.5) "
+            "/ 1000000"
+        )
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {nlist}
+),
+v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+grid AS (
+  SELECT v.id, v.v, cent.cid, {fold_sq('v.v', 'cent.cv')} AS d
+  FROM v, cent
+),
+assigned AS (
+  SELECT id, v, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM grid
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 8
+),
+qgrid AS (
+  SELECT q.query_id, cent.cid, {fold_sq('q.qv', 'cent.cv')} AS d
+  FROM q, cent
+),
+qprobe AS (
+  SELECT query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cid)
+      AS rn
+    FROM qgrid
+  ) WHERE rn <= {nprobe}
+),
+ann AS (
+  SELECT query_id, id FROM (
+    SELECT p.query_id, a.id,
+      row_number() OVER (PARTITION BY p.query_id
+        ORDER BY {cos6('a.v', 'q.qv')} DESC, a.id) AS rnk
+    FROM assigned a
+    JOIN qprobe p ON a.list_id = p.cid
+    JOIN q ON q.query_id = p.query_id
+  ) WHERE rnk <= {k}
+),
+exact AS (
+  SELECT query_id, id FROM (
+    SELECT q.query_id, v.id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {cos6('v.v', 'q.qv')} DESC, v.id) AS rnk
+    FROM v, q
+  ) WHERE rnk <= {k}
+)
+SELECT e.query_id,
+  CAST(count(*) AS BIGINT) AS exact_k,
+  CAST(count(a.id) AS BIGINT) AS ann_hits,
+  CAST(count(a.id) AS DOUBLE) / count(*) AS recall_at_k
+FROM exact e
+LEFT JOIN ann a ON a.query_id = e.query_id AND a.id = e.id
+GROUP BY e.query_id
+"""
+
+
+@query("similarity_ann_recall", _ann_recall_oracle())
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the deterministic-IVF ANN vs exact brute-force cosine
+    for an 8-query batch (operators/similarity.py::ann_recall_report) —
+    the retrieval-quality report that must accompany any ANN deployment
+    (an unmeasured recall is how silent retrieval regressions ship). The
+    recall VALUES carry oracle weight, not just the row count: both
+    rankings replay in SQL with identical folds, rounding-before-rank,
+    and id tiebreaks, and nprobe=4/16 lists makes recall genuinely < 1
+    for most queries, so a probe-selection or assignment bug moves the
+    compared numbers."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    return ann_recall_report(
+        emb, "embedding", "vec_id", qs, "vec_id", "embedding",
+        k=10, nlist=16, nprobe=4, centroid_stride=29, round_sim=6,
+    )
+
+
 def _ivf_crossengine_oracle(dim: int = 64, nlist: int = 16, nprobe: int = 4,
                             stride: int = 29,
                             centroid_where: str = "") -> str:

@@ -1539,3 +1539,61 @@ def test_det_ivf_incremental_append_matches_oneshot(spark, sf_dir):
     assert "list_id" in plan and "PartitionFilters: [list_id" in plan.replace(
         "PartitionFilters: [isnotnull(list_id", "PartitionFilters: [list_id"
     )
+
+
+def test_ann_recall_report_full_probe_is_one_partial_is_measured(
+    spark, sf_dir
+):
+    """Recall invariants that hold by construction: probing every list
+    makes the ANN exhaustive, so recall@k == 1.0 for every query; a
+    partial probe reports recall in (0, 1] with exact_k == k, and each
+    query's recall equals the directly-computed |ANN ∩ exact| / k from
+    the underlying top-k operators."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        ann_recall_report,
+        batch_cosine_topk,
+        ivf_topk_deterministic,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding")
+
+    full = ann_recall_report(
+        emb, "embedding", "vec_id", qs, "vec_id", "embedding",
+        k=10, nlist=16, nprobe=16,
+    )
+    assert all(
+        r.recall_at_k == 1.0 and r.exact_k == 10 and r.ann_hits == 10
+        for r in full.collect()
+    )
+
+    part = ann_recall_report(
+        emb, "embedding", "vec_id", qs, "vec_id", "embedding",
+        k=10, nlist=16, nprobe=2,
+    )
+    rows = {r.query_id: r for r in part.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    exact = batch_cosine_topk(
+        emb, "embedding", "vec_id", qs, "vec_id", "embedding",
+        k=10, round_sim=6,
+    ).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid, want in exact_sets.items():
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid)
+                        .first()["embedding"]
+        ]
+        ann = {
+            r.vec_id
+            for r in ivf_topk_deterministic(
+                emb, "embedding", "vec_id", qv, k=10, nlist=16, nprobe=2
+            ).collect()
+        }
+        got = rows[qid]
+        assert 0 < got.recall_at_k <= 1.0
+        assert got.ann_hits == len(ann & want)
+        assert got.recall_at_k == got.ann_hits / 10
