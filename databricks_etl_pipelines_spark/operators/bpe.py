@@ -41,16 +41,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def word_frequencies(
     df: DataFrame, text_col: str, max_words: int = 10_000
 ) -> DataFrame:
     """Distributed word counts, capped to the top ``max_words`` by
-    (count desc, word asc) — the deterministic bound that keeps every
-    later stage dictionary-sized. The global row_number window ranks the
-    AGGREGATE (vocabulary-sized), never the corpus."""
+    (count desc, word asc). ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject — per-partition top-k merged on the driver — so
+    the cap never funnels the full vocabulary (which at corpus scale can
+    be 1e8+ distinct words) through a single-partition global window; the
+    total order on (freq desc, word asc) keeps the selected set identical
+    to a row_number cut."""
     freq = (
         df.select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
@@ -58,8 +60,7 @@ def word_frequencies(
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
-    rk = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
-    return freq.withColumn("rk", rk).where(F.col("rk") <= max_words).drop("rk")
+    return freq.orderBy(F.desc("freq"), F.asc("w")).limit(max_words)
 
 
 def wrap_symbols(word: F.Column) -> F.Column:

@@ -2698,9 +2698,12 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distributed pattern is explode-with-position -> broadcast-join the
     vocabulary -> ORDER-PRESERVING re-assembly (collect_list of (pos, id)
     structs, array_sort, project the ids) — how any per-token transform
-    rebuilds documents without ever sorting a whole partition. The global
-    vocabulary ranking windows over the word-count AGGREGATE (vocab-sized,
-    not corpus-sized); the vocabulary then broadcasts.
+    rebuilds documents without ever sorting a whole partition. The
+    vocabulary cap is a TakeOrderedAndProject (distributed per-partition
+    top-V, driver merge), so the full distinct-word set — 1e8+ rows at
+    corpus scale — never funnels through a one-partition global window;
+    row_number then ranks only the bounded V-row head, and the vocabulary
+    broadcasts.
     """
     docs = table(spark, sf_dir, "documents")
     words = docs.select(
@@ -2708,16 +2711,13 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "w"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
     counts = words.groupBy("w").agg(F.count("*").alias("cnt"))
-    vocab = (
-        counts.withColumn(
-            "token_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cnt"), F.asc("w")))
-            .cast("bigint"),
-        )
-        .filter(F.col("token_id") <= _VOCAB_SIZE)
-        .select("w", "token_id")
-    )
+    head = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(_VOCAB_SIZE)
+    vocab = head.withColumn(
+        "token_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+        .cast("bigint"),
+    ).select("w", "token_id")
     encoded = words.join(F.broadcast(vocab), "w", "left").select(
         "doc_id",
         "pos",
