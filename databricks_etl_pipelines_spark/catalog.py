@@ -71,6 +71,21 @@ PRIORITY: list[str] = [
     "curation_decontaminate_benchmark",
     "agg_approx_count_distinct",
     "similarity_ann_recall",
+    # (c2) late-round-6 code changes: the NEW streaming bottom-k
+    # reservoir sample + KMV distinct sketch (exact-replay oracles);
+    # the connected-components single-scan edge fix (every query that
+    # folds pairs through duplicate_clusters); the vocabulary-cap
+    # TakeOrderedAndProject fix (every word_frequencies / vocab-rank
+    # caller)
+    "streaming_reservoir_sample",
+    "agg_kmv_distinct",
+    "dedup_cluster_representatives",
+    "curation_leakage_safe_split",
+    "curation_leakage_split_minhash",
+    "text_bpe_train_merges",
+    "text_bpe_encode_stats",
+    "text_zipf_diagnostics",
+    "text_vocab_encode",
     # (d) stalest oracle-backed evidence: driver row is r1
     "text_language_id",
     "multimodal_binary_stats",
@@ -101,6 +116,10 @@ PRIORITY: list[str] = [
     "scalar_datetime_functions",
     "scalar_math_functions",
     "scalar_conditional_bucketing",
+    # ---------------- 50-slot cap boundary ----------------
+    # (e-tail) demoted unchanged-since-r2 scalar re-checks to make room
+    # for the (c2) round-6 code changes — their code has no round-6 diff,
+    # so a fresh row adds the least signal of anything above
     "scalar_conditional_risk_score",
     "scalar_boolean_or_labeling",
     "scalar_array_element_at",
@@ -110,7 +129,6 @@ PRIORITY: list[str] = [
     "scalar_regexp_functions",
     "scalar_explode_word_counts",
     "scalar_unpivot_stack",
-    # ---------------- 50-slot cap boundary ----------------
     "scalar_collection_functions",
     "scalar_from_json_struct",
     "topk_orders_by_price",

@@ -95,6 +95,24 @@ def stratified_sample(
     return df.filter(bucket < frac * 1_000_000)
 
 
+def reservoir_key(id_col: str, seed: int = 42) -> Column:
+    """Deterministic uniform sampling key in [0, 2147483647): the
+    cross-engine Karp-Rabin fold of md5(id || ':' || seed) — the same
+    family every sampling operator here uses, at FULL rolling-hash
+    granularity (no % 1e6 bucketing) so bottom-k order statistics and the
+    KMV distinct estimate they imply stay sharp. A pure function of
+    (id, seed): reproducible across runs, partition layouts, batch splits,
+    AND engines — which is what lets a stream-maintained bottom-k sample
+    equal its batch oracle exactly."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    return fingerprint_rolling(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    )
+
+
 def shard_assignment(
     df: DataFrame,
     id_col: str,

@@ -426,7 +426,9 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # approx_count_distinct — the 100 TB swap-in for A3/A5/A7's exact distincts
-# (HLL++, no expand, single pass). Approximate ⇒ rows-only check, no oracle.
+# (HLL++, no expand, single pass). The sketch value is engine-specific, so
+# the oracle pins an error BOUND: exact count + a boolean the sketch must
+# satisfy (see the query docstring).
 # ---------------------------------------------------------------------------
 
 
@@ -462,6 +464,92 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "exact_orders",
         within.alias("approx_within_3pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch — unlike HLL++ above,
+# the DETERMINISTIC cross-engine hash makes the estimate itself exactly
+# SQL-replayable: a sketch under a hard value oracle, not an error bound.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SEED = 7
+_KMV_NUM = (_KMV_K - 1) * 2147483648.0  # (k-1) / u_k with u = (key+1)/2^31
+
+_KMV_HASH = f"""list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(
+            md5(CAST(o_custkey AS VARCHAR) || ':{_KMV_SEED}'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    )"""
+
+_KMV_ORACLE = f"""
+WITH keyed AS (
+  SELECT DISTINCT CAST({_KMV_HASH} AS BIGINT) AS sample_key FROM orders
+),
+bottom AS (SELECT sample_key FROM keyed ORDER BY sample_key LIMIT {_KMV_K}),
+sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         max(sample_key) AS kth_key
+  FROM bottom
+),
+ex AS (
+  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders
+)
+SELECT exact_distinct, n_keys, kth_key,
+  floor((CASE WHEN n_keys < {_KMV_K} THEN CAST(n_keys AS DOUBLE)
+         ELSE {_KMV_NUM} / (kth_key + 1) END) * 10000 + 0.5) / 10000
+    AS kmv_estimate
+FROM sk, ex
+"""
+
+
+@query("agg_kmv_distinct", _KMV_ORACLE)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al., "Counting
+    distinct elements in a data stream", RANDOM 2002): hash every value
+    with the deterministic cross-engine uniform
+    (operators/curation.py::reservoir_key), keep the k smallest distinct
+    hashes, estimate distinct = (k-1)/u_k where u_k normalizes the k-th
+    smallest key. Because the hash is a pure function of (value, seed),
+    the ESTIMATE is bit-replayable in SQL — a hard value oracle where
+    HLL++ (`agg_approx_count_distinct`) can only support an error bound.
+    If fewer than k distinct hashes exist the sketch IS the distinct set
+    and the estimate is exact by convention.
+
+    Scale shape: one hash-distinct shuffle on 8-byte keys + a
+    TakeOrderedAndProject cap — mergeable across partitions/streams (the
+    same bottom-k fold `reservoir_sample_stream` maintains), sketch size
+    k regardless of input size. Relative error ~1/sqrt(k-2) ≈ 6% at
+    k=256; pytest pins the observed accuracy."""
+    orders = table(spark, sf_dir, "orders")
+    from databricks_etl_pipelines_spark.operators.curation import (
+        reservoir_key,
+    )
+
+    keyed = orders.select(
+        reservoir_key("o_custkey", _KMV_SEED).alias("sample_key")
+    ).distinct()
+    bottom = keyed.orderBy("sample_key").limit(_KMV_K)
+    sk = bottom.agg(
+        F.count("*").alias("n_keys"),
+        F.max("sample_key").alias("kth_key"),
+    )
+    ex = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_keys") < _KMV_K, F.col("n_keys").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / (F.col("kth_key") + F.lit(1)))
+    return sk.crossJoin(F.broadcast(ex)).select(
+        "exact_distinct",
+        "n_keys",
+        "kth_key",
+        stable_round(est, 4).alias("kmv_estimate"),
     )
 
 

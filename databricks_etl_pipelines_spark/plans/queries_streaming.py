@@ -589,3 +589,69 @@ def streaming_curation_neardup_crossengine(
     return accepted.read(spark).select(
         "doc_id", "source", "lang", "n_chars", "quality", "text_hash"
     )
+
+
+# -- streaming reservoir sample (bottom-k uniform, deterministic) --------------
+
+_RSV_K = 100
+
+# reservoir_key at full rolling-hash granularity (no % 1e6) — see
+# operators/curation.py:reservoir_key
+_RSV_HASH = """list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5(CAST(doc_id AS VARCHAR) || ':42'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    )"""
+
+# Oracle: the drained stream-maintained sample must equal the ONE-SHOT
+# batch bottom-k over the whole table — bottom-k folding is batch-split
+# invariant, so the 3-micro-batch drain has no visible effect.
+_RESERVOIR_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, lang, CAST({_RSV_HASH} AS BIGINT) AS sample_key
+  FROM documents
+)
+SELECT doc_id, source, lang, sample_key,
+  CAST(row_number() OVER (ORDER BY sample_key, doc_id) AS BIGINT)
+    AS sample_rank
+FROM keyed
+QUALIFY sample_rank <= {_RSV_K}
+"""
+
+
+@query("streaming_reservoir_sample", _RESERVOIR_ORACLE)
+def streaming_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample maintained ACROSS micro-batches
+    (streaming/structured.py:reservoir_sample_stream) — the deterministic
+    bottom-k form of reservoir sampling, drained here over the SAME
+    3-batch deterministic feed the near-dup oracle uses so the fold
+    genuinely runs three times. State is exactly k rows per version;
+    per-batch work is a batch-local TakeOrderedAndProject + a 2k-row
+    merge. The oracle computes the one-shot batch bottom-k over all
+    documents: equality IS the batching-invariance property."""
+    from pyspark.sql.window import Window
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        reservoir_sample_stream,
+    )
+
+    src = _three_batch_documents_feed(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "source", "lang")
+    )
+    sample = ManagedTable(scratch_dir("rsv_sample_"))
+    q = reservoir_sample_stream(
+        stream, sample, scratch_dir("rsv_ckpt_"), k=_RSV_K
+    )
+    await_drained(q, 300)
+    # rank window is partitionless but bounded: the sample is ≤ k rows
+    rk = F.row_number().over(Window.orderBy("sample_key", "doc_id"))
+    return sample.read(spark).select(
+        "doc_id", "source", "lang", "sample_key"
+    ).withColumn("sample_rank", rk.cast("bigint"))

@@ -331,6 +331,68 @@ def curation_ingest_neardup(
     return with_trigger(writer, processing_time).start()
 
 
+def reservoir_sample_stream(
+    stream: DataFrame,
+    sample: "ManagedTable",
+    checkpoint_dir: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Fixed-size uniform corpus sample maintained over an unbounded
+    stream — the distributed, deterministic equivalent of reservoir
+    sampling (Vitter, Algorithm R, TOMS 1985): every row gets the pure
+    (id, seed) uniform key from :func:`operators.curation.reservoir_key`
+    and the sample IS the bottom-k by (key, id). Bottom-k of a union
+    equals bottom-k of per-part bottom-k's (the fold is an idempotent,
+    commutative semigroup), so the maintained sample is independent of
+    how rows were split into micro-batches — after any drain it equals
+    the one-shot batch bottom-k over everything that arrived, which is
+    exactly what the SQL oracle asserts. The same k keys double as a KMV
+    distinct-count sketch (Bar-Yossef et al., RANDOM 2002; see
+    ``agg_kmv_distinct``).
+
+    Per micro-batch: batch-local ``orderBy(key, id).limit(k)`` — a
+    TakeOrderedAndProject, never a global sort — unioned with the ≤k-row
+    persisted sample, re-capped to k, and committed as the new sample
+    version. Per-batch cost tracks batch size + k; state is EXACTLY k
+    rows regardless of stream length, and checkpoint replays are no-ops
+    (re-delivered rows fold to the identical bottom-k). ``id_col`` must
+    be the stream's unique key; re-deliveries are assumed to carry
+    identical payloads (duplicates collapse by id before the cap).
+    """
+    from databricks_etl_pipelines_spark.operators.curation import (
+        reservoir_key,
+    )
+
+    key = reservoir_key(id_col, seed)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cand = (
+            batch_df.withColumn("sample_key", key)
+            .orderBy("sample_key", id_col)
+            .limit(k)
+        )
+        if sample.exists():
+            cand = sample.read(spark).unionByName(cand).dropDuplicates(
+                [id_col]
+            )
+        sample.create_or_overwrite(
+            cand.orderBy("sample_key", id_col).limit(k)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    return with_trigger(writer, processing_time).start()
+
+
 def drain_to_memory(
     df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
 ) -> DataFrame:

@@ -769,3 +769,83 @@ def test_streaming_dsir_multibatch_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert len(got) == docs.count()
+
+
+def test_reservoir_sample_stream_batch_split_invariant(spark, tmp_path):
+    """The stream-maintained bottom-k sample must be INDEPENDENT of how
+    rows were split into micro-batches: draining 40 docs as 4 batches of
+    10 yields exactly the one-shot batch bottom-k by (reservoir_key, id).
+    A replay drain with a fresh checkpoint leaves the sample unchanged
+    (idempotent fold), and the state table never exceeds k rows."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        reservoir_key,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        reservoir_sample_stream,
+    )
+
+    src = str(tmp_path / "rsv_src")
+    rows = [(i, f"document number {i}", "en", "web", 20) for i in range(40)]
+    for b in range(4):  # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+        _write_doc_file(spark, src, rows[b * 10 : (b + 1) * 10])
+
+    schema = spark.read.parquet(src).schema
+    sample = ManagedTable(str(tmp_path / "rsv_sample"))
+    k = 7
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("doc_id", "source")
+        )
+        q = reservoir_sample_stream(
+            stream, sample, str(tmp_path / ckpt), k=k
+        )
+        assert q.awaitTermination(120)
+
+    drain("rsv_ckpt1")
+    got = sorted(
+        (r.doc_id, r.sample_key) for r in sample.read(spark).collect()
+    )
+    assert len(got) == k
+
+    batch = (
+        spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+        .withColumn("sample_key", reservoir_key("doc_id"))
+        .orderBy("sample_key", "doc_id")
+        .limit(k)
+    )
+    want = sorted((r.doc_id, r.sample_key) for r in batch.collect())
+    assert got == want
+
+    drain("rsv_ckpt2")  # replay: identical rows fold to the same bottom-k
+    assert sorted(
+        (r.doc_id, r.sample_key) for r in sample.read(spark).collect()
+    ) == want
+
+
+def test_kmv_distinct_estimate_both_regimes(spark, sf_dir):
+    """agg_kmv_distinct in both sketch regimes. sf0.001 (150 distinct
+    custkeys < k=256): the sketch is NOT full, so it IS the distinct set
+    and the estimate must be exact. sf0.01 (~1000 distinct > k): full
+    sketch, deterministic estimate within 20% of the exact count
+    (theory: ~1/sqrt(k-2) ≈ 6% at k=256; 20% is >3 sigma)."""
+    from databricks_etl_pipelines_spark.plans.queries_aggregates import (
+        _KMV_K,
+        agg_kmv_distinct,
+    )
+
+    small = agg_kmv_distinct(spark, sf_dir).collect()[0]
+    assert small.n_keys < _KMV_K
+    assert small.n_keys == small.exact_distinct
+    assert small.kmv_estimate == float(small.exact_distinct)
+
+    full = agg_kmv_distinct(spark, "/root/testdata/sf0.01").collect()[0]
+    assert full.n_keys == _KMV_K
+    rel = abs(full.kmv_estimate - full.exact_distinct) / full.exact_distinct
+    assert rel < 0.20, (full.kmv_estimate, full.exact_distinct)
