@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     # caller)
     "streaming_reservoir_sample",
     "agg_kmv_distinct",
+    "agg_approx_percentile_bounds",
     "dedup_cluster_representatives",
     "curation_leakage_safe_split",
     "curation_leakage_split_minhash",

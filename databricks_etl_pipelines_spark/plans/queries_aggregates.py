@@ -554,6 +554,69 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# approx percentile under a rank-error-bound oracle — completes the sketch
+# family: KMV (exact replay), HLL++ (error bound), KLL-style quantiles
+# (rank-error bracket).
+# ---------------------------------------------------------------------------
+
+_APCTL_ACC = 1_000  # rank-error guarantee: 1/accuracy = 0.001
+
+_APCTL_ORACLE = """
+SELECT l_returnflag,
+  floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000
+    AS exact_p50,
+  floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5) / 10000
+    AS exact_p95,
+  TRUE AS p50_in_bracket,
+  TRUE AS p95_in_bracket
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_approx_percentile_bounds", _APCTL_ORACLE)
+def agg_approx_percentile_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``percentile_approx`` (the single-pass mergeable quantile sketch —
+    the 100 TB swap-in for the exact sort-based ``percentile``) under a
+    HARD rank-error oracle: the sketch guarantees rank error ≤
+    n/accuracy, so the approximate p-quantile must be a value between
+    the EXACT quantiles at p ± 10/accuracy (10× headroom). The query
+    emits the exact p50/p95 plus booleans asserting the bracket holds;
+    DuckDB recomputes the exact quantiles and expects TRUE — a broken
+    sketch moves a boolean and fails the hash compare. Same discipline
+    as ``agg_approx_count_distinct``: the sketch VALUE is
+    engine-specific, its accuracy CONTRACT is not."""
+    li = table(spark, sf_dir, "lineitem")
+    eps = 10.0 / _APCTL_ACC
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(_APCTL_ACC)
+        ).alias("a50"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.95), F.lit(_APCTL_ACC)
+        ).alias("a95"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+        F.percentile("l_extendedprice", F.lit(0.5 - eps)).alias("lo50"),
+        F.percentile("l_extendedprice", F.lit(0.5 + eps)).alias("hi50"),
+        F.percentile("l_extendedprice", F.lit(0.95 - eps)).alias("lo95"),
+        F.percentile("l_extendedprice", F.lit(0.95 + eps)).alias("hi95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        stable_round(F.col("e50"), 4).alias("exact_p50"),
+        stable_round(F.col("e95"), 4).alias("exact_p95"),
+        (
+            (F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))
+        ).alias("p50_in_bracket"),
+        (
+            (F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))
+        ).alias("p95_in_bracket"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS — the explicit multi-grain form (cube/rollup cousins above).
 # ---------------------------------------------------------------------------
 
