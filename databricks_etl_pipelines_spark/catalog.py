@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     # TakeOrderedAndProject fix (every word_frequencies / vocab-rank
     # caller)
     "streaming_reservoir_sample",
+    "streaming_kmv_distinct",
     "agg_kmv_distinct",
     "agg_approx_percentile_bounds",
     "dedup_cluster_representatives",

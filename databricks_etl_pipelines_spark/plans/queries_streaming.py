@@ -655,3 +655,83 @@ def streaming_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.read(spark).select(
         "doc_id", "source", "lang", "sample_key"
     ).withColumn("sample_rank", rk.cast("bigint"))
+
+
+# -- streaming KMV distinct estimate from the maintained sample ----------------
+
+# The reservoir sample IS a KMV sketch: its k keys are the k smallest
+# distinct hashes seen so far, merged incrementally across micro-batches.
+# Oracle: the estimate recomputed from the one-shot batch bottom-k —
+# equality shows the sketch is mergeable with NO accuracy loss from
+# streaming (the bottom-k fold is lossless, unlike HLL register merges
+# which are lossless too but engine-opaque).
+_KMV_STREAM_NUM = (_RSV_K - 1) * 2147483648.0
+
+_RESERVOIR_KMV_ORACLE = f"""
+WITH keyed AS (
+  SELECT DISTINCT CAST({_RSV_HASH} AS BIGINT) AS sample_key FROM documents
+),
+bottom AS (
+  SELECT sample_key FROM keyed ORDER BY sample_key LIMIT {_RSV_K}
+),
+ex AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct
+  FROM documents
+)
+SELECT exact_distinct,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  max(sample_key) AS kth_key,
+  floor((CASE WHEN count(*) < {_RSV_K} THEN CAST(count(*) AS DOUBLE)
+         ELSE {_KMV_STREAM_NUM} / (max(sample_key) + 1) END)
+    * 10000 + 0.5) / 10000 AS kmv_estimate
+FROM bottom, ex
+GROUP BY exact_distinct
+"""
+
+
+@query("streaming_kmv_distinct", _RESERVOIR_KMV_ORACLE)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation over a STREAM with k-row state: drain
+    the reservoir sample (micro-batch bottom-k folding), then read the
+    KMV estimate straight off the maintained sample's k-th smallest key.
+    The oracle recomputes the estimate from the batch bottom-k — the
+    streaming fold is value-lossless, so the numbers match exactly.
+    This is the streaming counterpart of ``agg_kmv_distinct`` sharing
+    its machinery with ``streaming_reservoir_sample``; at 100 TB the
+    k-row state replaces an unbounded streaming dropDuplicates whose
+    state grows with the true distinct count."""
+    from pyspark.sql.window import Window
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        reservoir_sample_stream,
+    )
+
+    src = _three_batch_documents_feed(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id")
+    )
+    sample = ManagedTable(scratch_dir("rsv_kmv_sample_"))
+    q = reservoir_sample_stream(
+        stream, sample, scratch_dir("rsv_kmv_ckpt_"), k=_RSV_K
+    )
+    await_drained(q, 300)
+    exact = table(spark, sf_dir, "documents").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    sk = sample.read(spark).agg(
+        F.count("*").alias("n_keys"),
+        F.max("sample_key").alias("kth_key"),
+    )
+    est = F.when(
+        F.col("n_keys") < _RSV_K, F.col("n_keys").cast("double")
+    ).otherwise(F.lit(_KMV_STREAM_NUM) / (F.col("kth_key") + F.lit(1)))
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        "n_keys",
+        "kth_key",
+        stable_round(est, 4).alias("kmv_estimate"),
+    )
