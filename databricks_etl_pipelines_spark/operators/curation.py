@@ -103,7 +103,13 @@ def reservoir_key(id_col: str, seed: int = 42) -> Column:
     KMV distinct estimate they imply stay sharp. A pure function of
     (id, seed): reproducible across runs, partition layouts, batch splits,
     AND engines — which is what lets a stream-maintained bottom-k sample
-    equal its batch oracle exactly."""
+    equal its batch oracle exactly.
+
+    ``id_col`` must be non-null: a null id hashes to a NULL key, and the
+    engines then disagree on where it sorts (Spark ascending puts nulls
+    FIRST, DuckDB puts them LAST) — so a null would silently occupy a
+    bottom-k slot on one engine only. Filter or fail nulls upstream, as
+    every id column in this repo's tables already guarantees."""
     from databricks_etl_pipelines_spark.functions.textfns import (
         fingerprint_rolling,
     )
