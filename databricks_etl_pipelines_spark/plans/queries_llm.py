@@ -2851,7 +2851,14 @@ def curation_leakage_split_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     cross-engine banded MinHash-LSH): candidate generation is bounded by
     band-bucket co-occurrence instead of the true-pair count, and the
     oracle replays the ENTIRE composition — LSH pairs, connected
-    components, cluster-hash split — value for value."""
+    components, cluster-hash split — value for value.
+
+    Bench note: this registration pays an ORACLE TAX — the md5+Karp-
+    Rabin signatures SQL can replay cost ~3x the production xxhash64
+    family (measured warm at sf0.1: 10.5 s vs 3.6 s for the identical
+    split via ``minhash_lsh_dedup_pairs``). The headline timing prices
+    the replayable variant; a 100 TB deployment runs the xxhash64 path
+    with the same plan shape."""
     from databricks_etl_pipelines_spark.operators.curation import (
         leakage_safe_split,
     )
