@@ -86,7 +86,8 @@ PRIORITY: list[str] = [
     "curation_leakage_split_minhash",
     "text_bpe_train_merges",
     "text_bpe_encode_stats",
-    "text_zipf_diagnostics",
+    # text_zipf_diagnostics also flows through word_frequencies but is
+    # already pinned above in the (b) r5-rotation group
     "text_vocab_encode",
     # (d) stalest oracle-backed evidence: driver row is r1
     "text_language_id",

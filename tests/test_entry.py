@@ -16,3 +16,23 @@ def test_every_oracle_has_a_query():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 40
+
+
+def test_priority_names_all_resolve():
+    """Every catalog.PRIORITY name must exist in the registry: load_all()
+    silently filters unknown names (``if n in QUERIES``), so a typo'd
+    rotation entry would demote a query out of the driver's 50-slot cap
+    with no error anywhere. Also pin that the cap region is fully
+    oracle-backed — a rows-only query in the first 50 wastes a hard-
+    evidence slot on a weaker check."""
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    missing = [n for n in catalog.PRIORITY if n not in catalog.QUERIES]
+    assert missing == [], f"PRIORITY names not in registry: {missing}"
+    dupes = [n for n in set(catalog.PRIORITY)
+             if catalog.PRIORITY.count(n) > 1]
+    assert dupes == [], f"duplicate PRIORITY entries: {dupes}"
+    cap = list(catalog.QUERIES)[:50]
+    rows_only = [n for n in cap if n not in catalog.ORACLES]
+    assert rows_only == [], f"rows-only queries inside the cap: {rows_only}"
