@@ -36,3 +36,16 @@ def test_priority_names_all_resolve():
     cap = list(catalog.QUERIES)[:50]
     rows_only = [n for n in cap if n not in catalog.ORACLES]
     assert rows_only == [], f"rows-only queries inside the cap: {rows_only}"
+
+
+def test_bench_headline_names_all_resolve():
+    """bench.py indexes catalog.QUERIES[name] directly — an unknown
+    HEADLINE name KeyErrors only when the DRIVER runs the bench, turning
+    a typo into a missing BENCH_r{N}.json. Catch it at pytest time."""
+    import bench
+
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
+    assert missing == [], f"HEADLINE names not in registry: {missing}"
