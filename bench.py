@@ -1,8 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines — a verbose record first (warm + cold timings +
+scd2-incremental stats), then a COMPACT final line:
+  {"metric": "...", "value": N, "unit": "sec", "sf": ..., "queries": {...}}
+The driver captures only the last ~2000 chars of output and parses the
+final line; round 6's single verbose line outgrew that window and left
+BENCH_r06 with ``parsed: null``. The final line therefore carries only
+metric/value/unit/sf plus the warm timings rounded to 2 decimals, with
+no JSON whitespace (~1.2k chars for 32 queries — asserted < 1900 by
+``tests/test_entry.py::test_bench_final_line_fits_driver_tail``); the
+``cold`` dict and scd2 bucket stats live on the verbose first line.
 
 Each query is forced with the noop batch sink (full computation, zero
 driver-side materialization cost), except streaming queries which drain to
@@ -152,6 +160,9 @@ def main() -> None:
         shutil.rmtree(scratch, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # Verbose record first: full-precision warm + cold + scd2 stats. This
+    # line may exceed the driver's tail window — that's fine, it's for
+    # humans / regex recovery.
     print(
         json.dumps(
             {
@@ -164,6 +175,23 @@ def main() -> None:
                 "scd2_incremental": scd_incr,
             }
         )
+    )
+    # Compact FINAL line: must parse from the driver's 2000-char tail
+    # capture, so it carries only the warm timings (2 decimals, no JSON
+    # whitespace) and never the cold dict.
+    print(compact_line(total, sf, timings))
+
+
+def compact_line(total: float, sf: float, timings: dict[str, float]) -> str:
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+        },
+        separators=(",", ":"),
     )
 
 

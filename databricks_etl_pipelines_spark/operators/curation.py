@@ -1239,12 +1239,13 @@ def decontaminate_report(
 
     Scale shape: the benchmark's distinct n-gram set is eval-sized
     (thousands of docs), never corpus-sized, so it BROADCASTS; the
-    corpus side explodes its n-grams map-side and the broadcast-hash
-    semi-join prunes before any shuffle — the only shuffle is the
-    per-doc hit-count partial aggregate, whose input is only the
-    MATCHING n-grams (a vanishing fraction). One corpus scan for the
-    n-gram pass plus one for the per-doc length column; no corpus-side
-    distinct, no all-pairs anything.
+    corpus side sizes its distinct-shingle array BEFORE exploding and
+    carries that through, so the whole report is ONE corpus scan — the
+    per-doc length column never re-executes the (possibly expensive,
+    uncached) upstream plan. The broadcast marker join never shuffles
+    the corpus n-grams; the only shuffle is the per-doc aggregate,
+    which map-side combines to at most one row per doc per partition.
+    No corpus-side distinct, no all-pairs anything.
 
     Returns (id, n_ngrams, bench_hits, contaminated) for every corpus
     doc — callers filter ``~contaminated`` for the clean corpus or keep
@@ -1259,24 +1260,25 @@ def decontaminate_report(
             F.explode(distinct_shingles(text_col, ngram_n)).alias("ng")
         )
         .distinct()
+        .withColumn("bench_hit", F.lit(1))
     )
+    # ONE corpus scan: size the distinct-shingle array before exploding
+    # and carry it through the explode; explode_outer keeps zero-shingle
+    # docs (n_ngrams 0, null ng matches nothing on the left join).
     doc_ngrams = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(distinct_shingles(text_col, ngram_n)).alias("ng"),
-    )
-    hits = (
-        doc_ngrams.join(F.broadcast(bench_ngrams), "ng")
-        .groupBy("id")
-        .agg(F.count("*").cast("bigint").alias("bench_hits"))
-    )
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(distinct_shingles(text_col, ngram_n))
-        .cast("bigint")
-        .alias("n_ngrams"),
+        distinct_shingles(text_col, ngram_n).alias("sh"),
+    ).select(
+        "id",
+        F.size("sh").cast("bigint").alias("n_ngrams"),
+        F.explode_outer("sh").alias("ng"),
     )
     return (
-        base.join(hits, "id", "left")
-        .withColumn("bench_hits", F.coalesce("bench_hits", F.lit(0)))
+        doc_ngrams.join(F.broadcast(bench_ngrams), "ng", "left")
+        .groupBy("id")
+        .agg(
+            F.max("n_ngrams").alias("n_ngrams"),
+            F.count("bench_hit").cast("bigint").alias("bench_hits"),
+        )
         .withColumn("contaminated", F.col("bench_hits") >= min_hits)
     )

@@ -450,7 +450,16 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broken sketch (observed error is ≤0.9% across sf0.001-0.1; 3% is
     >3× headroom over the configured rsd) flips the flag and fails the
     hash compare. The raw approx value stays out of the compared columns
-    because no oracle can reproduce another engine's HLL register set."""
+    because no oracle can reproduce another engine's HLL register set.
+
+    Spark-version sensitivity (deliberate, accepted): the boolean pins
+    the ACCURACY of whatever HLL++ implementation the running Spark
+    ships, so a Spark upgrade that changes sketch internals could in
+    principle flip it with no bug in this repo. The >3× headroom over
+    the configured rsd is the guard — any implementation honoring
+    rsd=0.01 stays far inside 3%; if the driver's Spark version drifts
+    and this flag flips, widen the margin here and in the oracle
+    together (same note on ``agg_approx_percentile_bounds``)."""
     li = table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
@@ -586,7 +595,11 @@ def agg_approx_percentile_bounds(
     DuckDB recomputes the exact quantiles and expects TRUE — a broken
     sketch moves a boolean and fails the hash compare. Same discipline
     as ``agg_approx_count_distinct``: the sketch VALUE is
-    engine-specific, its accuracy CONTRACT is not."""
+    engine-specific, its accuracy CONTRACT is not — and the same
+    Spark-version sensitivity note applies: the ±10/accuracy bracket is
+    10× the documented rank-error guarantee, so any conforming sketch
+    implementation passes; if a future Spark's sketch drifts outside
+    it, widen the bracket here and in the oracle together."""
     li = table(spark, sf_dir, "lineitem")
     eps = 10.0 / _APCTL_ACC
     agg = li.groupBy("l_returnflag").agg(

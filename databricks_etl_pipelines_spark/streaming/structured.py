@@ -47,8 +47,8 @@ def stop_after_drained(
     q: StreamingQuery, expected_rows: int, timeout_s: int = 300
 ) -> None:
     """Bounded drain for a ``processingTime``-triggered query — the
-    reference's PRODUCTION trigger mode (01_DLT_Bronze_Ingestion.py:179,
-    196), which never terminates on its own.
+    reference's PRODUCTION trigger mode (01_Bronze_FinServ_Streaming.py:
+    179,196), which never terminates on its own.
 
     Stops once the source is EXHAUSTED — ``status.isDataAvailable`` false
     with no trigger in flight — and at least ``expected_rows`` input rows
@@ -339,6 +339,7 @@ def reservoir_sample_stream(
     id_col: str = "doc_id",
     seed: int = 42,
     processing_time: str | None = None,
+    keep_versions: int = 8,
 ) -> StreamingQuery:
     """Fixed-size uniform corpus sample maintained over an unbounded
     stream — the distributed, deterministic equivalent of reservoir
@@ -359,8 +360,22 @@ def reservoir_sample_stream(
     version. Per-batch cost tracks batch size + k; state is EXACTLY k
     rows regardless of stream length, and checkpoint replays are no-ops
     (re-delivered rows fold to the identical bottom-k). ``id_col`` must
-    be the stream's unique key; re-deliveries are assumed to carry
-    identical payloads (duplicates collapse by id before the cap).
+    be the stream's unique key; when a re-delivery carries a MUTATED
+    payload for an id already in the sample, the FIRST-delivered payload
+    wins deterministically — the batch's candidates are anti-joined
+    against the persisted sample's ids (a broadcast of ≤k rows) before
+    the union, so an id never overwrites itself. Sample membership is
+    decided purely by the (id, seed) key, which payload mutation cannot
+    change. Pinned by tests/test_streaming.py::
+    test_reservoir_redelivery_first_payload_wins.
+
+    On-disk state is bounded too: each micro-batch commits one new
+    sample version, so after every commit the table is vacuumed down to
+    the ``keep_versions`` most recent (ManagedTable.vacuum) — without
+    this, a long-running stream's version history would grow linearly
+    with batch count even though the LIVE sample is k rows. keep_versions
+    >= 2 keeps the previous version readable for concurrent readers
+    mid-commit; 0/negative disables vacuuming (audit/time-travel use).
     """
     from databricks_etl_pipelines_spark.operators.curation import (
         reservoir_key,
@@ -378,12 +393,21 @@ def reservoir_sample_stream(
             .limit(k)
         )
         if sample.exists():
-            cand = sample.read(spark).unionByName(cand).dropDuplicates(
-                [id_col]
+            # first-delivered payload wins: drop re-delivered ids from the
+            # batch side (anti-join against the ≤k-row persisted sample —
+            # always broadcastable) instead of an arbitrary-winner
+            # dropDuplicates over the union
+            prev = sample.read(spark)
+            cand = prev.unionByName(
+                cand.join(
+                    F.broadcast(prev.select(id_col)), [id_col], "left_anti"
+                )
             )
         sample.create_or_overwrite(
             cand.orderBy("sample_key", id_col).limit(k)
         )
+        if keep_versions > 0:
+            sample.vacuum(keep_last=keep_versions)
 
     writer = (
         stream.writeStream.foreachBatch(process)

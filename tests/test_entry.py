@@ -49,3 +49,23 @@ def test_bench_headline_names_all_resolve():
     catalog.load_all()
     missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
     assert missing == [], f"HEADLINE names not in registry: {missing}"
+
+
+def test_bench_final_line_fits_driver_tail():
+    """The driver parses bench.py's LAST stdout line from a ~2000-char
+    tail capture; round 6's single verbose line outgrew that window and
+    left BENCH_r06 ``parsed: null``. Pin that the compact final line —
+    with every headline timing at a pessimistic 6-char width — stays
+    well inside the window, so adding headline queries can't silently
+    kill the round's perf evidence again."""
+    import bench
+
+    timings = {n: 123.45 for n in bench.HEADLINE}
+    timings["scd2_apply_update_batch"] = 123.45
+    line = bench.compact_line(99999.999, 0.1, timings)
+    assert len(line) < 1900, f"compact bench line {len(line)} chars"
+    import json
+
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(timings)
+    assert "cold" not in parsed

@@ -829,6 +829,63 @@ def test_reservoir_sample_stream_batch_split_invariant(spark, tmp_path):
     ) == want
 
 
+def test_reservoir_redelivery_first_payload_wins(spark, tmp_path):
+    """Pins the reservoir's re-delivery contract: when a later batch
+    re-delivers an id already in the sample with a MUTATED payload, the
+    FIRST-delivered payload survives (the batch side is anti-joined
+    against the persisted sample's ids before the union) — not an
+    arbitrary dropDuplicates winner. Also pins the on-disk state bound:
+    per-batch commits are vacuumed down to ``keep_versions`` live
+    versions, so a long stream's version history cannot grow without
+    bound."""
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+        _read_log,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        reservoir_sample_stream,
+    )
+
+    src = str(tmp_path / "rsv_mut_src")
+    _write_doc_file(
+        spark, src,
+        [(i, f"document number {i}", "en", "web", 20) for i in range(10)],
+    )
+    schema = spark.read.parquet(src).schema
+    sample = ManagedTable(str(tmp_path / "rsv_mut_sample"))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("doc_id", "source")
+        )
+        q = reservoir_sample_stream(
+            stream, sample, str(tmp_path / ckpt), k=20, keep_versions=2
+        )
+        assert q.awaitTermination(120)
+
+    drain("rsv_mut_ckpt")
+    # mutated re-delivery of ids 3-6 plus three genuinely new ids; the
+    # SAME checkpoint means only the new file forms the next micro-batch
+    _write_doc_file(
+        spark, src,
+        [(i, "mutated", "en", "mut", 7) for i in (3, 4, 5, 6, 10, 11, 12)],
+    )
+    drain("rsv_mut_ckpt")
+
+    got = {r.doc_id: r.source for r in sample.read(spark).collect()}
+    # k=20 > 13 distinct ids: every id is in the sample, so the payload
+    # assertion is direct — first delivery wins for 3-6, new ids land
+    assert got == {
+        **{i: "web" for i in range(10)},
+        **{i: "mut" for i in (10, 11, 12)},
+    }
+    live = [e for e in _read_log(sample.root) if not e.get("vacuumed")]
+    assert len(live) <= 2, [e["version"] for e in live]
+
+
 def test_kmv_distinct_estimate_both_regimes(spark, sf_dir):
     """agg_kmv_distinct in both sketch regimes. sf0.001 (150 distinct
     custkeys < k=256): the sketch is NOT full, so it IS the distinct set
@@ -845,7 +902,15 @@ def test_kmv_distinct_estimate_both_regimes(spark, sf_dir):
     assert small.n_keys == small.exact_distinct
     assert small.kmv_estimate == float(small.exact_distinct)
 
-    full = agg_kmv_distinct(spark, "/root/testdata/sf0.01").collect()[0]
+    # full-sketch regime needs more distinct keys than sf0.001 carries:
+    # use the sibling sf0.01 layout next to the fixture dir, skipping on
+    # machines without it rather than hardcoding an absolute path
+    import os
+
+    sf001 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf001):
+        pytest.skip(f"sibling scale factor {sf001} not present")
+    full = agg_kmv_distinct(spark, sf001).collect()[0]
     assert full.n_keys == _KMV_K
     rel = abs(full.kmv_estimate - full.exact_distinct) / full.exact_distinct
     assert rel < 0.20, (full.kmv_estimate, full.exact_distinct)
