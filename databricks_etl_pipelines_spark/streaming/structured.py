@@ -65,44 +65,75 @@ def stop_after_drained(
 
     Test/bounded-backfill path: production processingTime queries run
     forever by design; this exists so the processingTime surface is
-    exercisable against finite sources. Row counts are accumulated
-    across poll iterations keyed by batchId, so a drain spanning more
-    batches than ``recentProgress`` retains (~100, bounded by
-    spark.sql.streaming.numRecentProgressUpdates) still counts every
-    batch exactly once — re-summing the bounded window alone would
-    undercount long backfills and raise a spurious TimeoutError.
+    exercisable against finite sources. Per-batch row counts are
+    accumulated by a StreamingQueryListener keyed by batchId — pushed
+    per batch by the engine, so the count has NO dependency on how many
+    entries ``recentProgress`` retains (~100, bounded by
+    spark.sql.streaming.numRecentProgressUpdates). ``recentProgress``
+    is read once per poll only to SEED batches that completed before
+    the listener registered (this helper attaches to an already-running
+    query), and is the sole source in the degenerate case where no
+    active SparkSession is reachable from this thread; both writers
+    store the same final per-batch value, so overlap is idempotent.
     """
     import time as _time
 
-    deadline = _time.time() + timeout_s
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(q.id)
     rows_by_batch: dict[int, int] = {}
-    while _time.time() < deadline:
-        status = q.status
-        for p in q.recentProgress:
-            # per-batch numInputRows is final once reported; keyed insert
-            # makes the sum immune to entries aging out of the window
-            rows_by_batch[p["batchId"]] = p["numInputRows"]
-        done = sum(rows_by_batch.values())
-        if (
-            done >= expected_rows
-            and not status["isDataAvailable"]
-            and not status["isTriggerActive"]
-        ):
-            q.stop()
-            if not q.awaitTermination(timeout_s):
-                raise TimeoutError(
-                    f"processingTime query did not stop within {timeout_s}s "
-                    f"(query id {q.id})"
-                )
-            return
-        if q.exception() is not None:
-            raise q.exception()
-        _time.sleep(0.2)
-    q.stop()
-    raise TimeoutError(
-        f"processingTime drain saw fewer than {expected_rows} rows within "
-        f"{timeout_s}s (query id {q.id})"
-    )
+
+    class _DrainListener(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            if str(p.id) == qid:
+                # per-batch numInputRows is final once reported; keyed
+                # insert makes the sum count each batch exactly once
+                rows_by_batch[p.batchId] = p.numInputRows
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            pass
+
+    spark = SparkSession.getActiveSession()
+    listener = _DrainListener()
+    if spark is not None:
+        spark.streams.addListener(listener)
+    try:
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            status = q.status
+            for p in q.recentProgress:
+                rows_by_batch[p["batchId"]] = p["numInputRows"]
+            done = sum(rows_by_batch.values())
+            if (
+                done >= expected_rows
+                and not status["isDataAvailable"]
+                and not status["isTriggerActive"]
+            ):
+                q.stop()
+                if not q.awaitTermination(timeout_s):
+                    raise TimeoutError(
+                        f"processingTime query did not stop within "
+                        f"{timeout_s}s (query id {q.id})"
+                    )
+                return
+            if q.exception() is not None:
+                raise q.exception()
+            _time.sleep(0.2)
+        q.stop()
+        raise TimeoutError(
+            f"processingTime drain saw fewer than {expected_rows} rows "
+            f"within {timeout_s}s (query id {q.id})"
+        )
+    finally:
+        if spark is not None:
+            spark.streams.removeListener(listener)
 
 
 def with_trigger(writer, processing_time: str | None):
