@@ -360,17 +360,29 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- cross-engine MinHash-LSH (the banded pipeline, hard-verified) -----------------
 
-# KarpRabin(md5(i || ':' || shingle)) — the same rolling-hash idiom as
-# _ROLLING_FP_ORACLE, applied to the md5 hex of the seeded shingle.
-_SQL_PERM_HASH = """
+# Cross-engine MinHash family (Broder's construction, mirrored
+# constant-for-constant by operators/dedup.py::_xengine_affine): ONE
+# Karp-Rabin rolling hash over md5(shingle) — the same idiom as
+# _ROLLING_FP_ORACLE — then cheap per-permutation affine maps
+# (A_i·h + B_i) mod 2^31-1, instead of one md5 per (permutation,
+# shingle). ~num_perm× less hashing on both engines, same LSH quality.
+_SQL_BASE_HASH = """
       CAST(list_reduce(
         list_prepend(CAST(0 AS BIGINT),
           list_transform(
-            regexp_extract_all(md5(CAST(i AS VARCHAR) || ':' || s), '.'),
+            regexp_extract_all(md5(s), '.'),
             c -> CAST(ord(c) AS BIGINT))),
         (acc, c) -> (acc * 257 + c) % 2147483647
       ) AS BIGINT)
 """
+
+# affine permutation of a base-hash column ``h`` with permutation index
+# ``i`` in scope: A_i = (2654435761·(i+1)) mod P, B_i = (2246822519·i)
+# mod P, P = 2^31-1 (prime, so A_i != 0 for any i < P-1)
+_SQL_AFFINE = """(
+      ((2654435761 * (i + 1)) % 2147483647) * h
+      + (2246822519 * i) % 2147483647
+    ) % 2147483647"""
 
 def _minhash_xengine_ctes(src: str, threshold: float) -> str:
     """CTE chain ``mh_sh → mh_hs → mh_bands → mh_ok → mh_cand → mh_pairs``
@@ -380,10 +392,14 @@ def _minhash_xengine_ctes(src: str, threshold: float) -> str:
     return f"""mh_sh AS (
   SELECT id, {_SQL_SHINGLES3} AS sh FROM {src}
 ),
+mh_base AS (
+  SELECT id, {_SQL_BASE_HASH} AS h
+  FROM (SELECT id, unnest(sh) AS s FROM mh_sh)
+),
 mh_hs AS (
-  SELECT id, i,
-    list_min(list_transform(sh, s -> {_SQL_PERM_HASH})) AS sig
-  FROM mh_sh, (SELECT unnest(range(16)) AS i) AS perms
+  SELECT id, i, min({_SQL_AFFINE}) AS sig
+  FROM mh_base, (SELECT unnest(range(16)) AS i) AS perms
+  GROUP BY id, i
 ),
 mh_bands AS (
   SELECT id, CAST(i // 4 AS INT) AS band_id,
@@ -425,7 +441,7 @@ FROM mh_pairs
 def dedup_minhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banded MinHash-LSH pipeline under a HARD differential check:
     signature → bands → bucket cap → candidate equi-join → exact-Jaccard
-    verify, with the md5+Karp-Rabin permutation family both engines can
+    verify, with the base-md5+affine permutation family both engines can
     compute. The DuckDB oracle replays the whole pipeline (not a brute-
     force equivalent), so banding/bucketing/verify logic is value-checked
     end to end; the production operator (dedup_minhash_lsh_pairs) shares
@@ -449,10 +465,14 @@ WITH xsrc AS (SELECT doc_id AS id, text FROM documents),
 mh_sh AS (
   SELECT id, {_SQL_SHINGLES3} AS sh FROM xsrc
 ),
+mh_base AS (
+  SELECT id, {_SQL_BASE_HASH} AS h
+  FROM (SELECT id, unnest(sh) AS s FROM mh_sh)
+),
 mh_hs AS (
-  SELECT id, i,
-    list_min(list_transform(sh, s -> {_SQL_PERM_HASH})) AS sig
-  FROM mh_sh, (SELECT unnest(range(16)) AS i) AS perms
+  SELECT id, i, min({_SQL_AFFINE}) AS sig
+  FROM mh_base, (SELECT unnest(range(16)) AS i) AS perms
+  GROUP BY id, i
 ),
 mh_bands AS (
   SELECT id, CAST(i // 4 AS INT) AS band_id,
@@ -2853,12 +2873,14 @@ def curation_leakage_split_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     oracle replays the ENTIRE composition — LSH pairs, connected
     components, cluster-hash split — value for value.
 
-    Bench note: this registration pays an ORACLE TAX — the md5+Karp-
-    Rabin signatures SQL can replay cost ~3x the production xxhash64
-    family (measured warm at sf0.1: 10.5 s vs 3.6 s for the identical
-    split via ``minhash_lsh_dedup_pairs``). The headline timing prices
-    the replayable variant; a 100 TB deployment runs the xxhash64 path
-    with the same plan shape."""
+    Bench note: the oracle tax on this registration is now roughly NIL —
+    since the cross-engine family switched to one base Karp-Rabin(md5)
+    hash per shingle + affine permutations (Broder construction, round
+    7), the replayable split runs in ~3.7 s warm at sf0.1 vs ~3.6 s for
+    the identical split via the production xxhash64 family (round 6,
+    with one md5 per (permutation, shingle), it was 10.5 s — a 2.8×
+    win). A 100 TB deployment still runs the xxhash64 path (long-only
+    hashing, no string materialization), same plan shape."""
     from databricks_etl_pipelines_spark.operators.curation import (
         leakage_safe_split,
     )

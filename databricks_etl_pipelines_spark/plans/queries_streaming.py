@@ -428,14 +428,15 @@ def _neardup_xengine_oracle() -> str:
     over the deterministic 3-batch feed: for each batch, in arrival order —
     quality gate → within-batch exact dedup (min id per normalized hash) →
     hash anti-join vs accepted → in-batch banded MinHash-LSH (16 perms /
-    4 bands / bucket cap 200, md5+Karp-Rabin permutations, exact-Jaccard
+    4 bands / bucket cap 200, base-hash+affine permutations, exact-Jaccard
     verify, drop each pair's greater id) → persisted-index screen (corpus-
     side bucket cap, batch×accepted band collisions, exact-Jaccard verify)
     → union survivors into the accepted set. Band/signature rows are pure
     per-doc functions, so they're computed ONCE (xbands) and each batch
     step filters them to the ids the operator would actually sign."""
     from databricks_etl_pipelines_spark.plans.queries_llm import (
-        _SQL_PERM_HASH,
+        _SQL_AFFINE,
+        _SQL_BASE_HASH,
         _SQL_SHINGLES3,
     )
     from databricks_etl_pipelines_spark.plans.queries_mixture import (
@@ -462,10 +463,14 @@ ek AS MATERIALIZED (
     USING (batch_id, text_hash, doc_id)
 ),
 xsh AS MATERIALIZED (SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh FROM ek),
+xbase AS (
+  SELECT id, {_SQL_BASE_HASH} AS h
+  FROM (SELECT id, unnest(sh) AS s FROM xsh)
+),
 xhs AS (
-  SELECT id, i,
-    list_min(list_transform(sh, s -> {_SQL_PERM_HASH})) AS sig
-  FROM xsh, (SELECT unnest(range(16)) AS i) AS perms
+  SELECT id, i, min({_SQL_AFFINE}) AS sig
+  FROM xbase, (SELECT unnest(range(16)) AS i) AS perms
+  GROUP BY id, i
 ),
 xbands AS MATERIALIZED (
   SELECT id, CAST(i // 4 AS INT) AS band_id,
