@@ -699,6 +699,122 @@ def ivf_topk_deterministic(
     )
 
 
+def kmeans_lloyd_deterministic(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    centroid_stride: int = 29,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Distributed Lloyd's k-means whose ENTIRE trajectory — every
+    assignment and every centroid update across every iteration — is
+    bit-replayable in ANSI SQL. This closes the one gap the learned-
+    clustering family had: pyspark.ml KMeans centroids are engine-
+    specific float trajectories (its consumers semdedup_pairs /
+    ivf_topk are rows-only for exactly that reason), while this
+    operator IS the learning loop, under a hard differential oracle
+    (``ml_kmeans_lloyd_crossengine``).
+
+    Determinism recipe (the reason a float-mean iterative algorithm can
+    be cross-engine exact):
+
+    1. Init: centroids are the first ``k`` corpus vectors at a strided
+       id rule — a pure relational rule, like the IVF crossengine
+       quantizer.
+    2. Assignment: strict-left-fold squared L2 (:func:`sq_l2`, the same
+       IEEE operation order as the SQL ``list_reduce`` fold), ties to
+       the lower cluster index; broadcast-grid + one groupBy
+       min(struct) — the proven explode-grid shape, never a k-way
+       nested HOF fold.
+    3. Update — the crux: member coordinates are quantized to the
+       ``2^-scale_bits`` lattice (``floor(x·S + 0.5)`` as BIGINT) and
+       summed as INTEGERS. Integer addition is associative and
+       commutative, so the per-cluster sums are independent of
+       partitioning and visit order on ANY engine — unlike a float
+       sum, whose value depends on reduction order. The new coordinate
+       is then one IEEE division ``CAST(sum AS DOUBLE) / (S · n)``,
+       identical in Spark, Python and DuckDB. Exactness holds while
+       ``n_cluster · max|x| · 2^scale_bits < 2^53`` — ~2^28 vectors
+       per cluster at |x| ≤ 32, far beyond any per-cluster count a
+       sane ``k`` yields at 100 TB (and checkable: widen to
+       DECIMAL/HUGEINT or drop scale_bits if ever violated).
+    4. Next iteration re-broadcasts the k×dim driver-collected
+       centroids (bounded like the IVF/PQ codebooks — k rows of dim
+       doubles, never corpus data). Empty clusters keep their previous
+       centroid (mirrored by the oracle's COALESCE).
+
+    Scale shape per iteration: one corpus scan, a broadcast join
+    against k rows, one hash aggregate with ``dim`` integer-sum columns
+    (map-side combine to ≤k rows per partition), one k-row collect. No
+    iteration-to-iteration lineage growth: each round starts from the
+    parquet scan plus literal centroids, so the plan stays constant-
+    size (no localCheckpoint needed, unlike connected components whose
+    frontier is data-dependent).
+
+    Returns (id, cluster, dist) — the final assignment and its strict-
+    fold squared distance, both engine-exact pre-rounding.
+    """
+    S = float(1 << scale_bits)
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    )
+    cent_rows = [
+        [float(x) for x in r["v"]]
+        for r in base.filter((F.col("id") % centroid_stride) == 0)
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    ]
+    dim = len(cent_rows[0])
+
+    def assigned_against(cent: list[list[float]]) -> DataFrame:
+        cent_df = base.sparkSession.createDataFrame(
+            [(ci, cv) for ci, cv in enumerate(cent)],
+            "cluster long, cv array<double>",
+        )
+        grid = base.join(F.broadcast(cent_df)).withColumn(
+            "d", sq_l2(F.col("v"), F.col("cv"))
+        )
+        return (
+            grid.groupBy("id", "v")
+            .agg(F.min(F.struct("d", "cluster")).alias("m"))
+            .select(
+                "id", "v",
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.d").alias("d"),
+            )
+        )
+
+    for _ in range(iters):
+        scaled = [
+            F.sum(
+                F.floor(
+                    F.element_at("v", j + 1) * F.lit(S) + F.lit(0.5)
+                ).cast("long")
+            ).alias(f"s{j}")
+            for j in range(dim)
+        ]
+        rows = (
+            assigned_against(cent_rows)
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n"), *scaled)
+            .collect()
+        )
+        upd = {}
+        for r in rows:
+            n = int(r["n"])
+            upd[int(r["cluster"])] = [
+                float(r[f"s{j}"]) / (S * float(n)) for j in range(dim)
+            ]
+        cent_rows = [
+            upd.get(ci, cv) for ci, cv in enumerate(cent_rows)
+        ]
+
+    return assigned_against(cent_rows).select("id", "cluster", "d")
+
+
 def batch_cosine_topk(
     df: DataFrame,
     vec_col: str,

@@ -1157,6 +1157,105 @@ def similarity_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("cosine_sim"), "vec_id")
 
 
+def _kmeans_xengine_oracle(k: int = 8, iters: int = 3, dim: int = 64,
+                           stride: int = 29, scale_bits: int = 20) -> str:
+    """Unrolled SQL replay of kmeans_lloyd_deterministic: strided init,
+    then per iteration an assignment CTE (strict-fold squared L2,
+    row_number ties to lower cluster) and an update CTE whose centroid
+    means are EXACT — coordinates quantized to the 2^-scale_bits lattice
+    and summed as BIGINTs (order-independent), one IEEE division at the
+    end, empty clusters COALESCE to their previous centroid. Because
+    every intermediate is integer-exact or a single deterministic float
+    op, the oracle matches Spark's distributed trajectory bit-for-bit."""
+    S = f"{1 << scale_bits}.0"
+
+    def fold_sq(vec: str, cv: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"j -> ({vec}[j] - {cv}[j]) * ({vec}[j] - {cv}[j]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    parts = [f"""v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {k})
+)"""]
+    for t in range(iters):
+        parts.append(f"""a{t} AS (
+  SELECT id, v, cluster FROM (
+    SELECT v.id, v.v, c.cluster,
+      row_number() OVER (
+        PARTITION BY v.id ORDER BY {fold_sq('v.v', 'c.cv')}, c.cluster
+      ) AS rn
+    FROM v, cent{t} c) WHERE rn = 1
+),
+u{t} AS (
+  SELECT cluster, j,
+    CAST(sum(CAST(floor(v[j] * {S} + 0.5) AS BIGINT)) AS DOUBLE)
+      / ({S} * count(*)) AS c
+  FROM a{t}, (SELECT unnest(range(1, {dim + 1})) AS j)
+  GROUP BY cluster, j
+),
+cent{t + 1} AS (
+  SELECT p.cluster, COALESCE(n.cv, p.cv) AS cv
+  FROM cent{t} p
+  LEFT JOIN (SELECT cluster, array_agg(c ORDER BY j) AS cv
+             FROM u{t} GROUP BY cluster) n
+    ON p.cluster = n.cluster
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT id AS vec_id, cluster,
+  floor(d * 1000000 + 0.5) / 1000000 AS dist
+FROM (
+  SELECT v.id, c.cluster, {fold_sq('v.v', 'c.cv')} AS d,
+    row_number() OVER (
+      PARTITION BY v.id ORDER BY {fold_sq('v.v', 'c.cv')}, c.cluster
+    ) AS rn
+  FROM v, cent{iters} c
+) WHERE rn = 1
+"""
+
+
+@query("ml_kmeans_lloyd_crossengine", _kmeans_xengine_oracle())
+def ml_kmeans_lloyd_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means under a HARD differential oracle —
+    the LEARNING LOOP itself replayed in SQL, not just its outputs
+    (operators/similarity.py::kmeans_lloyd_deterministic). The trick is
+    integer-lattice centroid updates: member coordinates quantize to the
+    2^-20 lattice and sum as BIGINTs, so the float-mean trajectory that
+    makes pyspark.ml KMeans engine-specific (semdedup_pairs /
+    similarity_ivf_topk are rows-only for that reason) becomes
+    order-independent and bit-identical across engines, through all 3
+    iterations AND the final assignment of every vector. Production
+    clustering keeps pyspark.ml KMeans; this variant exists so the
+    iterate-assign-update machinery carries oracle weight. Wall-clock
+    at test scale is Spark JOB-COUNT overhead (one driver action per
+    Lloyd iteration — inherent to the algorithm, identical in
+    pyspark.ml), not data cost: each iteration is one scan + one
+    broadcast + dim bounded integer sums."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        kmeans_lloyd_deterministic,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd_deterministic(
+        emb, "embedding", "vec_id", k=8, iters=3, centroid_stride=29
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        stable_round(F.col("d"), 6).alias("dist"),
+    )
+
+
 def _pq_adc_crossengine_oracle(dim: int = 64, m: int = 4, ksub: int = 16,
                                stride: int = 29, candidates: int = 50,
                                k: int = 10) -> str:

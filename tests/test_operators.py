@@ -900,6 +900,47 @@ def test_ivf_deterministic_full_probe_equals_brute_force(spark, sf_dir):
     assert len(part) == 10
 
 
+def test_kmeans_lloyd_planted_clusters_and_empty_cluster(spark):
+    """Planted semantics for the deterministic Lloyd's loop. (a) Three
+    tight well-separated 2-D blobs with one strided seed per blob
+    recover their ground-truth grouping exactly, and after convergence
+    every point sits within the blob radius of its centroid. (b) A
+    corpus of identical points with two coincident seeds: the tie rule
+    sends everything to the lower cluster, so cluster 1 is EMPTY from
+    iteration 1 and must keep its previous centroid via the COALESCE
+    path — distances stay finite-zero instead of NaN-poisoned."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        kmeans_lloyd_deterministic,
+    )
+
+    blobs = {0: (0.0, 0.0), 1: (10.0, 10.0), 2: (-10.0, 5.0)}
+    rows = []
+    for b, (cx, cy) in blobs.items():
+        for j in range(5):
+            rows.append((b * 5 + j, [cx + 0.01 * j, cy - 0.01 * j]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # stride 5 -> seeds are ids 0, 5, 10: one per blob
+    out = kmeans_lloyd_deterministic(
+        emb, "embedding", "vec_id", k=3, iters=3, centroid_stride=5
+    ).collect()
+    got = {r.id: r.cluster for r in out}
+    for b in blobs:
+        assert {got[b * 5 + j] for j in range(5)} == {got[b * 5]}, b
+    assert len({got[0], got[5], got[10]}) == 3
+    # blob diameter is 0.04*sqrt(2): squared dist to the blob mean < 0.004
+    assert all(r.d < 0.004 for r in out)
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = kmeans_lloyd_deterministic(
+        dup, "embedding", "vec_id", k=2, iters=3, centroid_stride=1
+    ).collect()
+    assert {r.cluster for r in out2} == {0}
+    assert all(r.d == 0.0 for r in out2)
+
+
 def test_batch_cosine_topk_matches_per_query_brute_force(spark, sf_dir):
     """The batched broadcast form returns, per query, exactly the single-
     query brute-force top-k (same members, same rank order)."""
