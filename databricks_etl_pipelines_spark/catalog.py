@@ -45,84 +45,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-6 rotation. r5's 50 slots all landed green, so this cap
-    # refreshes the staleness tail the r5 verdict named:
-    # (a) the NEW hard-oracle query closing the last rows-only LLM gap
-    # (streaming near-dup admission, full per-batch SQL replay)
+    # --- round-7 rotation. r6's 50 slots all landed green, so this cap
+    # leads with round-7 code changes, then drains the staleness tail
+    # (every remaining r2-latest row, plus the oldest r3 rows).
+    # (a) round-7 code changes / additions, newest-risk first:
+    # the NEW deterministic Lloyd's k-means (integer-lattice centroid
+    # updates, full iterative SQL replay — first driver row ever)
+    "ml_kmeans_lloyd_crossengine",
+    # the cross-engine MinHash family switched to base-hash + affine
+    # permutations (Broder construction) — every query that replays the
+    # family must carry a post-change row. (dedup_minhash_lsh_pairs
+    # shares the banding machinery but is rows-only by design — its
+    # oracle-backed sibling dedup_minhash_crossengine carries the hard
+    # signal; it is pinned in the overflow tail.)
+    "dedup_minhash_crossengine",
+    "dedup_incremental_crossengine",
+    "curation_funnel_crossengine",
+    "curation_leakage_split_minhash",
     "streaming_curation_neardup_crossengine",
-    # (b) queries whose CODE changed in round 5 but whose latest driver
-    # row predates the change (textfns/vectors ANSI audit, windows, scd,
-    # sft, similarity, multimodal, sql — the verdict's named list)
-    "text_quality_score",
-    "window_anomaly_zscore",
-    "text_zipf_diagnostics",
-    "similarity_cosine_topk",
-    "dedup_embedding_cosine_pairs",
-    "dedup_embedding_cosine_blocked",
-    "curation_prepare_corpus",
-    "sft_rendered_conversations",
-    "multimodal_patch_retrieval",
-    "sql_waiting_suppliers",
-    # (c) round-6 code changes: preference_pairs default-margin plumbing;
-    # the NEW benchmark-decontamination operator; the approx-distinct
-    # sketch upgraded from rows-only to an error-bound hard oracle; the
-    # NEW ANN recall@k report (both rankings + the recall values replayed)
-    "sft_dpo_pairs",
+    # decontaminate_report rewritten to a single corpus scan
     "curation_decontaminate_benchmark",
-    "agg_approx_count_distinct",
-    "similarity_ann_recall",
-    # (c2) late-round-6 code changes: the NEW streaming bottom-k
-    # reservoir sample + KMV distinct sketch (exact-replay oracles);
-    # the connected-components single-scan edge fix (every query that
-    # folds pairs through duplicate_clusters); the vocabulary-cap
-    # TakeOrderedAndProject fix (every word_frequencies / vocab-rank
-    # caller)
+    # reservoir stream: first-delivered-payload anti-join + per-commit
+    # vacuum; KMV reads the maintained sample
     "streaming_reservoir_sample",
     "streaming_kmv_distinct",
-    "agg_kmv_distinct",
-    "agg_approx_percentile_bounds",
-    "dedup_cluster_representatives",
-    "curation_leakage_safe_split",
-    "curation_leakage_split_minhash",
-    "text_bpe_train_merges",
-    "text_bpe_encode_stats",
-    # text_zipf_diagnostics also flows through word_frequencies but is
-    # already pinned above in the (b) r5-rotation group
-    "text_vocab_encode",
-    # (d) stalest oracle-backed evidence: driver row is r1
-    "text_language_id",
-    "multimodal_binary_stats",
-    "scalar_string_functions",
-    "pii_mask_and_tokenize",
-    # (e) stalest oracle-backed evidence: driver row is r2 — full window
-    # family, co-location/skew joins, curation sampling, streaming
-    # drains, then the scalar family to the 50-slot boundary
-    "window_topn_per_user",
-    "window_rank_dense_rank",
-    "window_lag_lead",
-    "window_rolling_avg",
-    "window_cumulative_sum",
-    "window_first_last",
-    "window_ntile_percent_rank",
-    "join_salted_skew",
-    "join_bucketed_colocated",
-    "join_anti_customers_without_orders",
-    "curation_quota_per_language",
-    "curation_stratified_sample",
-    "streaming_stateful_totals",
-    "streaming_session_window",
-    "streaming_dedup_keys",
-    "text_bpe_token_stats",
-    "text_fingerprint_rolling",
-    "multimodal_byte_histogram",
-    "ml_feature_matrix",
-    "scalar_datetime_functions",
-    "scalar_math_functions",
-    "scalar_conditional_bucketing",
-    # ---------------- 50-slot cap boundary ----------------
-    # (e-tail) demoted unchanged-since-r2 scalar re-checks to make room
-    # for the (c2) round-6 code changes — their code has no round-6 diff,
-    # so a fresh row adds the least signal of anything above
+    # word_frequencies caller the r6 verdict named, last row r3
+    "text_tfidf_top_terms",
+    # (b) stalest oracle-backed evidence — the ENTIRE remaining
+    # r2-latest set (22 queries: scalar family, set-ops, sort/topk)
     "scalar_conditional_risk_score",
     "scalar_boolean_or_labeling",
     "scalar_array_element_at",
@@ -134,24 +84,65 @@ PRIORITY: list[str] = [
     "scalar_unpivot_stack",
     "scalar_collection_functions",
     "scalar_from_json_struct",
+    "scalar_conditional_bucketing",
     "topk_orders_by_price",
-    # overflow: remaining r1/r2-latest (rows-only first — they only get
-    # weaker rows anyway), then r2 set-ops for overflow runs
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "similarity_ivf_topk",
-    "curation_funnel_report",
-    "ml_fraud_predictions",
-    "ml_model_metrics",
     "sort_multikey",
     "setop_union_all",
     "setop_union_distinct",
     "setop_intersect",
     "setop_except_subtract",
     "setop_except_all",
-    "distinct_projection",
     "setop_intersect_all",
+    "distinct_projection",
     "sql_text_pricing_summary",
+    # (c) oldest r3-latest rows to the 50-slot boundary: dedup exact/
+    # jaccard/passages, the streaming window family, the window
+    # analytics family, gold pipeline, composition/privacy/token stats
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_passages",
+    "streaming_tumbling_hourly",
+    "streaming_sliding_window",
+    "streaming_stream_stream_join",
+    "streaming_stream_static_join",
+    "window_sessionize_events",
+    "window_funnel_ordered",
+    "window_cohort_retention",
+    "window_resample_forward_fill",
+    "window_event_transitions",
+    "pipeline_gold_merchant_summary",
+    "pipeline_gold_hourly_volume",
+    "pipeline_gold_cardholder_features",
+    "curation_corpus_composition",
+    "privacy_k_anonymity_audit",
+    "text_token_stats",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the rest of the r3-latest set for overflow runs, then
+    # the rows-only siblings of round-7-touched machinery (they only
+    # get weaker rows anyway)
+    "agg_value_histogram",
+    "curation_contamination_ngram",
+    "curation_corpus_drift",
+    "curation_mixture_weights",
+    "curation_shard_assignment",
+    "curation_source_overlap",
+    "curation_token_budget_select",
+    "diag_join_key_skew",
+    "embedding_centroid_per_label",
+    "embedding_int8_quantization",
+    "join_local_supplier_volume",
+    "join_shipping_priority_topk",
+    "join_small_lot_revenue",
+    "multimodal_downsample_stats",
+    "scalar_variant_json",
+    "source_python_datasource",
+    "source_python_stream_datasource",
+    "text_lm_surprisal",
+    "text_repetition_signals",
+    "text_sliding_chunks",
+    "dedup_minhash_lsh_pairs",
+    "dedup_incremental_corpus",
+    "dedup_simhash_pairs",
 ]
 
 
