@@ -71,6 +71,8 @@ PRIORITY: list[str] = [
     "streaming_kmv_distinct",
     # word_frequencies caller the r6 verdict named, last row r3
     "text_tfidf_top_terms",
+    # the NEW boilerplate-removal rewrite (clean_text compared verbatim)
+    "curation_remove_boilerplate",
     # (b) stalest oracle-backed evidence — the ENTIRE remaining
     # r2-latest set (22 queries: scalar family, set-ops, sort/topk)
     "scalar_conditional_risk_score",
@@ -115,11 +117,11 @@ PRIORITY: list[str] = [
     "pipeline_gold_cardholder_features",
     "curation_corpus_composition",
     "privacy_k_anonymity_audit",
-    "text_token_stats",
     # ---------------- 50-slot cap boundary ----------------
     # overflow: the rest of the r3-latest set for overflow runs, then
     # the rows-only siblings of round-7-touched machinery (they only
     # get weaker rows anyway)
+    "text_token_stats",
     "agg_value_histogram",
     "curation_contamination_ngram",
     "curation_corpus_drift",

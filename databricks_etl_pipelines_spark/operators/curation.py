@@ -1282,3 +1282,69 @@ def decontaminate_report(
         )
         .withColumn("contaminated", F.col("bench_hits") >= min_hits)
     )
+
+
+def remove_boilerplate_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_size: int = 8,
+    max_doc_frequency: int = 2,
+) -> DataFrame:
+    """Sub-document boilerplate REMOVAL — the rewrite stage that
+    ``dedup_passages`` only reports on: split every document into
+    non-overlapping ``passage_size``-word passages, compute each
+    passage's corpus document-frequency, drop passages appearing in
+    ``max_doc_frequency`` or more distinct documents, and reassemble
+    the surviving passages IN ORIGINAL ORDER into the cleaned text.
+    This is the public CCNet / C4 discipline (Wenzek et al. 2020 §4.1
+    paragraph-level dedup): navigation chrome, license footers and
+    templated headers repeat across documents whose full texts differ,
+    so document-level dedup never sees them — the only fix is to cut
+    the repeated unit itself and ship the rewritten document.
+
+    Scale shape: one hash aggregate over md5(passage) (16-byte shuffle
+    key, map-side partial agg) builds the document-frequency relation;
+    one equi-join on the same key marks boilerplate; one groupBy(id)
+    rebuilds each document from its kept passages via
+    array_sort(collect_list(struct(pos, passage))) — per-group state is
+    the document's own passages (bounded by document length, the same
+    bound any per-doc text op carries), and collect_list skips the
+    NULL-marked dropped passages for free. No all-pairs step anywhere.
+
+    Returns (id, n_passages, n_dropped, clean_text); a fully-
+    boilerplate document comes back with clean_text '' (callers filter
+    on it), never NULL.
+    """
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        word_passages,
+    )
+
+    pas = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_passages(text_col, passage_size)).alias(
+            "pos", "passage"
+        ),
+    ).withColumn("h", F.md5("passage"))
+    boiler = (
+        pas.groupBy("h")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= max_doc_frequency)
+        .select("h", F.lit(1).alias("b"))
+    )
+    kept = F.when(F.col("b").isNull(), F.struct("pos", "passage"))
+    return (
+        pas.join(boiler, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.count("b").cast("bigint").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda x: x["passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

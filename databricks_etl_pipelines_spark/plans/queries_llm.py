@@ -1911,6 +1911,64 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- boilerplate passage removal (CCNet-style rewrite) ------------------------
+
+_BOILER_DF = 2
+
+_BOILER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+),
+p AS (
+  SELECT doc_id, k AS pos,
+    array_to_string(ws[k*{_PASSAGE_SIZE}+1 : k*{_PASSAGE_SIZE}+{_PASSAGE_SIZE}], ' ')
+      AS passage
+  FROM w, LATERAL unnest(
+    generate_series(0, CAST(ceil(len(ws) / {_PASSAGE_SIZE}.0) AS INT) - 1)
+  ) AS t(k)
+  WHERE len(ws) > 0
+),
+boiler AS (
+  SELECT passage FROM p GROUP BY passage
+  HAVING count(DISTINCT doc_id) >= {_BOILER_DF}
+)
+SELECT p.doc_id,
+  CAST(count(*) AS BIGINT) AS n_passages,
+  CAST(count(b.passage) AS BIGINT) AS n_dropped,
+  coalesce(string_agg(
+    CASE WHEN b.passage IS NULL THEN p.passage END, ' ' ORDER BY p.pos
+  ), '') AS clean_text
+FROM p LEFT JOIN boiler b ON p.passage = b.passage
+GROUP BY p.doc_id
+"""
+
+
+@query("curation_remove_boilerplate", _BOILER_ORACLE)
+def curation_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate passage REMOVAL (operators/curation.py::
+    remove_boilerplate_passages) — where ``dedup_passages`` reports
+    cross-document passage duplication, this is the CCNet/C4-style
+    rewrite stage that actually CUTS the repeated passages and ships
+    the reassembled document. The compared columns include the full
+    cleaned TEXT of every document, so the order-preserving reassembly
+    (posexplode → NULL-marked drop → array_sort(collect_list) →
+    array_join) is value-checked character for character, not just the
+    counts. Registered at the corpus-df≥2 threshold so both dropped and
+    kept passages carry oracle weight at sf0.01."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        remove_boilerplate_passages,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = remove_boilerplate_passages(
+        docs, "text", "doc_id",
+        passage_size=_PASSAGE_SIZE, max_doc_frequency=_BOILER_DF,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_passages", "n_dropped", "clean_text"
+    )
+
+
 _CONTAM_K = 4
 
 _CONTAM_ORACLE = f"""

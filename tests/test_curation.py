@@ -560,3 +560,41 @@ def test_decontaminate_report_flags_planted_overlap_and_broadcasts(spark):
 
     plan = report._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_remove_boilerplate_passages_rewrites_in_order(spark):
+    """Planted semantics for the CCNet-style rewrite: a footer passage
+    shared by 3 docs is cut from all of them, unique passages survive in
+    their ORIGINAL order (including around the cut), a doc that is pure
+    boilerplate comes back as '' (not NULL), and a passage repeated
+    within ONE doc only is kept (document frequency, not occurrence
+    count, is the boilerplate signal)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        remove_boilerplate_passages,
+    )
+
+    footer = "c1 c2 c3 c4 c5 c6 c7 c8"  # one exact 8-word passage
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 a4 a5 a6 a7 a8 {footer} z1 z2 z3 z4 z5 z6 z7 z8"),
+            (2, f"b1 b2 b3 b4 b5 b6 b7 b8 {footer}"),
+            (3, footer),
+            # intra-doc repetition of its own first passage: df == 1
+            (4, "d1 d2 d3 d4 d5 d6 d7 d8 d1 d2 d3 d4 d5 d6 d7 d8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in remove_boilerplate_passages(
+            docs, "text", "doc_id", passage_size=8, max_doc_frequency=2
+        ).collect()
+    }
+    assert out[1].clean_text == (
+        "a1 a2 a3 a4 a5 a6 a7 a8 z1 z2 z3 z4 z5 z6 z7 z8"
+    )
+    assert (out[1].n_passages, out[1].n_dropped) == (3, 1)
+    assert out[2].clean_text == "b1 b2 b3 b4 b5 b6 b7 b8"
+    assert out[3].clean_text == "" and out[3].n_dropped == 1
+    assert out[4].n_dropped == 0
+    assert out[4].clean_text == "d1 d2 d3 d4 d5 d6 d7 d8 d1 d2 d3 d4 d5 d6 d7 d8"
