@@ -78,6 +78,9 @@ HEADLINE = [
     # the persisted incremental IVF (append + hive-pruned probe)
     "curation_leakage_split_minhash",
     "similarity_incremental_ivf",
+    # round-7 addition: CCNet-style boilerplate passage removal (df
+    # aggregate + mark join + order-preserving per-doc reassembly)
+    "curation_remove_boilerplate",
 ]
 
 
