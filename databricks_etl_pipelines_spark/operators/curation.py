@@ -1010,6 +1010,26 @@ def mixture_epoch_plan(
             .alias("__th"),
         )
     )
+    return _materialize_epochs(base, plan, group_col, id_col, seed, max_epochs)
+
+
+def _materialize_epochs(
+    base: DataFrame,
+    plan: DataFrame,
+    group_col: str,
+    id_col: str,
+    seed: int,
+    max_epochs: int,
+) -> DataFrame:
+    """Shared epoch-schedule materialization: ``plan`` carries one row per
+    group with ``__full`` (whole epochs) and ``__th`` (fractional-epoch
+    hash threshold in millionths); the output is one row per (document,
+    epoch), with the fractional epoch decided by the cross-engine md5
+    rolling hash of (id, seed) — a pure function, never an RNG draw."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
     bucket = fingerprint_rolling(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     ) % 1_000_000
@@ -1033,6 +1053,195 @@ def mixture_epoch_plan(
                 F.sequence(F.lit(0), (F.col("n_epochs") - 1).cast("int"))
             ).alias("epoch"),
         )
+    )
+
+
+def temperature_epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    token_col: Column | str,
+    id_col: str,
+    seed: int = 42,
+    max_epochs: int = 8,
+) -> DataFrame:
+    """Temperature-smoothed multilingual resampling at alpha = 0.5 — the
+    exponent XLM (Lample & Conneau 2019) uses, the same smoothing family
+    mT5/XLM-R apply (alpha 0.3/0.2): group g is sampled with probability
+    proportional to ``n_g^alpha``, boosting low-resource groups (which
+    repeat epochs) and damping high-resource ones, at a CONSTANT total
+    token budget (sum over groups of f_g·n_g = total corpus tokens).
+
+    alpha is pinned to 0.5 deliberately: n^0.5 is ``sqrt``, the one power
+    IEEE 754 requires to be correctly rounded — so the smoothed weights
+    are bit-identical on any engine, where a general ``pow(n, 0.3)`` is
+    libm-dependent and could flip a floor() boundary between Spark and
+    the SQL oracle. The weight normalizer is folded in GROUP-NAME order
+    (sorted struct array, strict left fold), never a float SUM whose
+    value depends on visit order.
+
+    The repetition factor f_g = (sqrt(n_g)/W · total)/n_g is materialized
+    into the (document, epoch) loader schedule by the same machinery as
+    :func:`mixture_epoch_plan`: floor(f) whole epochs plus one extra for
+    the deterministic-hash fraction of documents, capped at
+    ``max_epochs``.
+
+    Scale shape: one groupBy(group) token aggregate; the normalizer is a
+    single-row fold over the per-group rows (bounded by the number of
+    groups — languages/sources, never corpus-sized); the plan broadcasts
+    back onto the corpus with an output-bound explode. No shuffle of the
+    fact rows at all.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        tok.cast("bigint").alias("n_tokens"),
+    )
+    per_group = base.groupBy(group_col).agg(
+        F.sum("n_tokens").alias("__gtok")
+    )
+    # Normalizer W = sum over groups of sqrt(n_g), folded in group-name
+    # order so the double is engine-exact (a plain SUM would be
+    # visit-order-dependent). Bounded: one struct per group.
+    norm = per_group.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(group_col).alias("g"),
+                        F.sqrt(F.col("__gtok").cast("double")).alias("w"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("__W"),
+        F.sum("__gtok").alias("__ttok"),
+    )
+    # op order pinned for oracle parity: ((sqrt(n_g) / W) * total) / n_g
+    f = (
+        (F.sqrt(F.col("__gtok").cast("double")) / F.col("__W"))
+        * F.col("__ttok")
+    ) / F.col("__gtok")
+    plan = (
+        per_group.crossJoin(F.broadcast(norm))
+        .select(
+            group_col,
+            F.floor(f).cast("bigint").alias("__full"),
+            # explicit floor: Spark casts by truncation, DuckDB rounds
+            # half-even — floor() agrees everywhere
+            F.floor((f - F.floor(f)) * 1_000_000)
+            .cast("bigint")
+            .alias("__th"),
+        )
+    )
+    return _materialize_epochs(base, plan, group_col, id_col, seed, max_epochs)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    scale_bits: int = 12,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document by its unigram-LM surprisal (LM = the corpus itself), then
+    split EACH language into head / middle / tail terciles — the quality
+    gradient CCNet uses to keep the head and drop or downweight the tail.
+
+    Determinism recipe (why an avg-of-logs ranking can be cross-engine
+    exact): per-word surprisal is quantized to the 2^-scale_bits lattice
+    — ``floor(-ln(c/total) · 2^scale_bits)`` as BIGINT — and summed as
+    INTEGERS per document, so the per-doc score is independent of
+    partitioning and visit order (a float mean would not be). The doc
+    score is then one IEEE division floor(qsum / n_tokens), identical in
+    Spark and DuckDB. The only engine-sensitive op left is ln itself
+    (libm vs java.lang.Math may differ in the last ulp); at the 2^-12
+    lattice a flip needs ln(c/total)·4096 within ~1e-12 of an integer —
+    negligible across the bounded set of distinct counts, and noted here
+    so a future Spark/DuckDB upgrade that moves ln by an ulp is
+    recognized as environment drift, not an operator bug.
+
+    Tercile cutoffs come from a cumulative count over the per-(group,
+    score) HISTOGRAM — never a corpus-sized window: the partitionless
+    risk is bounded by the number of distinct quantized scores per group
+    (≤ a few thousand lattice points), which is also what keeps the
+    shape 100 TB-viable where a per-language row_number() over all
+    documents would funnel a language's whole corpus into one partition.
+    Cutoff rule (ties land LOW, CCNet-style value cutoffs): head iff
+    score ≤ c1, middle iff score ≤ c2, where c_k is the smallest score
+    whose cumulative count reaches k/3 of the group (3·cum ≥ k·n in
+    exact integers).
+
+    Returns (id, group, n_tokens, q_surprisal, bucket).
+    """
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+
+    scale = float(1 << scale_bits)
+    words = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(tokens(text_col)).alias("__w"),
+    )
+    freq = words.groupBy("__w").agg(F.count("*").alias("__c"))
+    total = freq.agg(F.sum("__c").alias("__t"))
+    qs = F.floor(
+        -F.log(F.col("__c") / F.col("__t")) * F.lit(scale)
+    ).cast("bigint")
+    per_doc = (
+        words.join(freq, "__w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, group_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(qs).alias("__qsum"),
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            F.floor(F.col("__qsum") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("q_surprisal"),
+        )
+    )
+    hist = per_doc.groupBy(group_col, "q_surprisal").agg(
+        F.count("*").alias("__hc")
+    )
+    # cumulative over the bounded histogram (≤ distinct lattice scores
+    # per group), NOT over documents
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("q_surprisal")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    marked = (
+        hist.withColumn("__cum", F.sum("__hc").over(w_cum))
+        .withColumn("__n", F.sum("__hc").over(w_all))
+    )
+    cuts = marked.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("__cum") * 3 >= F.col("__n"), F.col("q_surprisal"))
+        ).alias("__c1"),
+        F.min(
+            F.when(
+                F.col("__cum") * 3 >= F.col("__n") * 2, F.col("q_surprisal")
+            )
+        ).alias("__c2"),
+    )
+    return per_doc.join(F.broadcast(cuts), group_col).select(
+        id_col,
+        group_col,
+        "n_tokens",
+        "q_surprisal",
+        F.when(F.col("q_surprisal") <= F.col("__c1"), F.lit("head"))
+        .when(F.col("q_surprisal") <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 

@@ -870,6 +870,92 @@ def batch_cosine_topk(
     )
 
 
+def contrastive_triplets(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    anchors_df: DataFrame,
+    round_sim: int = 6,
+) -> DataFrame:
+    """Hard-example mining for contrastive/embedding training: for every
+    anchor vector, the HARDEST POSITIVE (most-similar same-label vector —
+    the easy positive every batch already contains is useless; the
+    mining literature from FaceNet's semi-hard onward selects by
+    similarity) and the HARDEST NEGATIVE (most-similar DIFFERENT-label
+    vector — the one the model currently confuses). The (anchor,
+    positive, negative) rows are exactly the triplets a triplet/InfoNCE
+    loss consumes, and the margin column is the quantity the loss pushes
+    on.
+
+    ``anchors_df`` must carry the same (id, vec, label) columns as
+    ``df`` and be broadcast-sized (a training batch). Similarities are
+    rounded BEFORE the argmax (same discipline as
+    :func:`batch_cosine_topk`) with ties broken to the smaller corpus
+    id, so an engine replaying from rounded scores derives the same
+    winners. Anchors whose label has no other member yield a NULL
+    positive (kept, not dropped — the caller decides whether label
+    singletons fall back to augmentation pairs).
+
+    Scale shape: ONE corpus scan for the whole anchor batch — a
+    broadcast nested-loop join of corpus x anchors, then a single hash
+    aggregate taking both conditional struct-maxes per anchor
+    (|corpus|·|anchors| scored rows, map-side-combined to |anchors|
+    output rows). Never corpus x corpus; for candidate generation at
+    larger anchor batches, shard the batch and union, or swap the scan
+    for IVF-bucketed candidates as similarity_incremental_ivf does.
+    """
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+    from databricks_etl_pipelines_spark.functions.vectors import (
+        as_double_array,
+        cosine,
+    )
+
+    corpus = df.select(
+        F.col(id_col).alias("__cid"),
+        as_double_array(vec_col).alias("__cv"),
+        F.col(label_col).alias("__clab"),
+    )
+    anchors = anchors_df.select(
+        F.col(id_col).alias("anchor_id"),
+        as_double_array(vec_col).alias("__av"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    sim = stable_round(cosine(F.col("__cv"), F.col("__av")), round_sim)
+    scored = corpus.join(F.broadcast(anchors)).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("__cid"),
+        F.col("__clab"),
+        sim.alias("__sim"),
+    )
+    # argmax by struct(sim, -id): max sim first, smaller id on ties
+    pick = F.struct(F.col("__sim").alias("s"), (-F.col("__cid")).alias("ni"))
+    agg = scored.groupBy("anchor_id", "anchor_label").agg(
+        F.max(
+            F.when(
+                (F.col("__clab") == F.col("anchor_label"))
+                & (F.col("__cid") != F.col("anchor_id")),
+                pick,
+            )
+        ).alias("__p"),
+        F.max(
+            F.when(F.col("__clab") != F.col("anchor_label"), pick)
+        ).alias("__n"),
+    )
+    return agg.select(
+        "anchor_id",
+        "anchor_label",
+        (-F.col("__p.ni")).cast("bigint").alias("positive_id"),
+        F.col("__p.s").alias("positive_sim"),
+        (-F.col("__n.ni")).cast("bigint").alias("negative_id"),
+        F.col("__n.s").alias("negative_sim"),
+        stable_round(
+            F.col("__p.s") - F.col("__n.s"), round_sim
+        ).alias("margin"),
+    )
+
+
 def pq_adc_topk_deterministic(
     df: DataFrame,
     vec_col: str,

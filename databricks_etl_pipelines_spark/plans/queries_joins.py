@@ -957,3 +957,151 @@ def join_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# -- TPC-H Q21 shape: semi + anti self-joins on supplier-order pairs ----------
+
+# "late" = shipped more than 60 days after the order date (this dataset
+# carries no commit/receipt dates, so lateness is defined against
+# o_orderdate — the join/exists structure is Q21's, the predicate is not).
+_BLAME_LATE_ORACLE = """
+WITH pairs AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+blamed AS (
+  SELECT p.ok, p.sk FROM pairs p
+  WHERE p.late = 1
+    AND EXISTS (SELECT 1 FROM pairs q
+                WHERE q.ok = p.ok AND q.sk != p.sk)
+    AND NOT EXISTS (SELECT 1 FROM pairs q
+                    WHERE q.ok = p.ok AND q.sk != p.sk AND q.late = 1)
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM blamed b JOIN supplier s ON b.sk = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_name, s.s_suppkey
+LIMIT 20
+"""
+
+
+@query("join_blame_late_supplier", _BLAME_LATE_ORACLE)
+def join_blame_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's join structure (suppliers who kept orders waiting):
+    for multi-supplier orders, count per supplier the orders where it
+    was the ONLY late shipper — a semi-join (another supplier exists on
+    the order) plus an anti-join (no OTHER supplier was late) over the
+    same supplier-order pair aggregate, then a top-20.
+
+    Scale shape — the Spark-first rewrite: Q21's textbook form is a
+    semi-join (another supplier exists) plus an anti-join (no other late
+    supplier) against the SAME pair set; as an uncached DataFrame that
+    re-executes the expensive pair aggregate once per branch (the round-6
+    double-execution trap), and even cached it shuffles three times. But
+    both EXISTS predicates are functions of per-ORDER counts, so the
+    whole blame rule collapses into the next aggregate up: an order
+    blames supplier s iff it has ≥ 2 suppliers, EXACTLY ONE late one,
+    and that one is s. Two chained hash aggregates, zero self-joins, one
+    scan of lineitem — and ONE shuffle for both aggregates: the explicit
+    repartition on l_orderkey satisfies the (orderkey, suppkey) grouping
+    AND the orderkey grouping (hash partitioning on a subset of the
+    grouping keys clusters both), where the naive chain exchanges twice.
+    The oracle deliberately keeps the literal EXISTS / NOT EXISTS form,
+    so the differential check runs two different algorithms for the same
+    semantics. The final top-20 is a TakeOrderedAndProject, never a
+    global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    blamed = (
+        pairs.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("late").alias("n_late"),
+            F.max(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("blame_sk"),
+        )
+        .filter((F.col("n_suppliers") >= 2) & (F.col("n_late") == 1))
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(
+            F.broadcast(sup), F.col("blame_sk") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name", "s_suppkey")
+        .limit(20)
+    )
+
+
+# -- TPC-H Q22 shape: scalar-subquery filter + anti-join ----------------------
+
+_IDLE_RICH_ORACLE = """
+WITH thr AS (
+  SELECT avg(c_acctbal) AS cutoff FROM customer WHERE c_acctbal > 0.0
+),
+idle AS (
+  SELECT c.c_nationkey, c.c_acctbal
+  FROM customer c CROSS JOIN thr
+  WHERE c.c_acctbal > thr.cutoff
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+  floor(sum(i.c_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+FROM idle i JOIN nation n ON i.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("join_idle_rich_customers", _IDLE_RICH_ORACLE)
+def join_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape (global-customer potential): customers with an
+    above-average positive account balance and NO orders, grouped by
+    nation — a scalar-subquery threshold (1-row broadcast, never a
+    recompute per row) feeding an anti-join against orders, then a
+    broadcast dim join for the nation name.
+
+    The threshold comparison is on raw doubles: the corpus averages are
+    far from any individual balance, so the float-sum visit-order ulp in
+    avg() cannot flip membership on this data (same accepted-risk class
+    as every rounded SUM aggregate in this file)."""
+    cust = table(spark, sf_dir, "customer")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("cutoff"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    nation = table(spark, sf_dir, "nation")
+    idle = (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+    )
+    return (
+        idle.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            stable_round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )

@@ -939,6 +939,65 @@ def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard-example mining: one corpus scan for the whole anchor batch; the
+# argmaxes replay via rounded-before-rank windows with id tiebreaks.
+_TRIPLETS_ORACLE = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS anchor_label
+  FROM embeddings WHERE vec_id < 8
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+s AS (
+  SELECT a.anchor_id, a.anchor_label, v.vec_id, v.label,
+    floor(list_dot_product(v.v, a.av)
+      / (sqrt(list_dot_product(v.v, v.v))
+         * sqrt(list_dot_product(a.av, a.av))) * 1000000 + 0.5) / 1000000
+      AS sim
+  FROM v, a
+),
+pos AS (
+  SELECT anchor_id, vec_id AS positive_id, sim AS positive_sim,
+    row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY sim DESC, vec_id) AS rn
+  FROM s WHERE label = anchor_label AND vec_id != anchor_id
+),
+neg AS (
+  SELECT anchor_id, vec_id AS negative_id, sim AS negative_sim,
+    row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY sim DESC, vec_id) AS rn
+  FROM s WHERE label != anchor_label
+)
+SELECT a.anchor_id, a.anchor_label,
+  p.positive_id, p.positive_sim, n.negative_id, n.negative_sim,
+  floor((p.positive_sim - n.negative_sim) * 1000000 + 0.5) / 1000000
+    AS margin
+FROM a
+LEFT JOIN pos p ON p.anchor_id = a.anchor_id AND p.rn = 1
+LEFT JOIN neg n ON n.anchor_id = a.anchor_id AND n.rn = 1
+"""
+
+
+@query("sft_contrastive_triplets", _TRIPLETS_ORACLE)
+def sft_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example mining for contrastive training: per anchor (an
+    8-vector batch), the hardest positive (most-similar same-label) and
+    hardest negative (most-similar different-label), plus the margin a
+    triplet loss would push on. Hard oracle: the scored grid, both
+    rounded-before-rank argmaxes, and the margin replay exactly in SQL.
+    Scale shape: one corpus scan for the whole batch (broadcast anchors,
+    single conditional-struct-max aggregate) — see
+    operators/similarity.py::contrastive_triplets."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return contrastive_triplets(
+        emb, "embedding", "vec_id", "label", anchors, round_sim=6
+    )
+
+
 # -- ANN recall@k report (retrieval-quality eval) -----------------------------
 
 def _ann_recall_oracle(dim: int = 64, nlist: int = 16, nprobe: int = 4,
@@ -2064,6 +2123,69 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.max(surprisal), 6).alias("max_surprisal"),
         )
     )
+
+
+# CCNet head/middle/tail: per-word surprisal quantized to the 2^-12
+# lattice and INTEGER-summed per doc (order-independent), cutoffs from a
+# cumulative count over the bounded (lang, score) histogram — never a
+# corpus-sized per-language window.
+_PPL_BUCKETS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKS}) AS word FROM documents
+),
+f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f),
+d AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CAST(floor(-ln(c * 1.0 / total) * 4096) AS BIGINT))
+         AS BIGINT) AS qsum
+  FROM w JOIN f USING (word) CROSS JOIN t
+  GROUP BY doc_id, lang
+),
+p AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(floor(qsum / n_tokens) AS BIGINT) AS q_surprisal
+  FROM d
+),
+h AS (
+  SELECT lang, q_surprisal, count(*) AS hc FROM p GROUP BY lang, q_surprisal
+),
+m AS (
+  SELECT lang, q_surprisal,
+    sum(hc) OVER (PARTITION BY lang ORDER BY q_surprisal) AS cum,
+    sum(hc) OVER (PARTITION BY lang) AS n
+  FROM h
+),
+c AS (
+  SELECT lang,
+    min(CASE WHEN cum * 3 >= n THEN q_surprisal END) AS c1,
+    min(CASE WHEN cum * 3 >= n * 2 THEN q_surprisal END) AS c2
+  FROM m GROUP BY lang
+)
+SELECT p.doc_id, p.lang, p.n_tokens, p.q_surprisal,
+  CASE WHEN p.q_surprisal <= c.c1 THEN 'head'
+       WHEN p.q_surprisal <= c.c2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM p JOIN c USING (lang)
+"""
+
+
+@query("curation_perplexity_buckets", _PPL_BUCKETS_ORACLE)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): unigram-LM
+    surprisal per document, then head/middle/tail terciles PER LANGUAGE
+    — the quality gradient CCNet keeps/drops by. The per-doc score is an
+    integer-lattice sum (order-independent), and the tercile cutoffs come
+    from the bounded (lang, score) histogram, so the whole gradient —
+    scores, cutoffs and bucket labels — replays exactly in SQL. See
+    operators/curation.py::perplexity_buckets for the 100 TB shape
+    argument (no per-language corpus-sized window anywhere)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        perplexity_buckets,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id", "lang")
 
 
 _SHARD_ORACLE = """

@@ -449,6 +449,83 @@ def curation_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-smoothed mixture at alpha = 0.5 (XLM): group weights are
+# sqrt(n_g) — the one power IEEE requires correctly rounded, so the
+# smoothed shares are engine-exact — normalized by a GROUP-NAME-ordered
+# fold (array_agg ORDER BY), then materialized by the same epoch
+# machinery as the plan above.
+_TEMPERATURE_EPOCHS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens
+  FROM documents
+),
+a AS (
+  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS gtok FROM d GROUP BY lang
+),
+t AS (
+  SELECT
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        array_agg(sqrt(CAST(gtok AS DOUBLE)) ORDER BY lang)),
+      (acc, x) -> acc + x) AS w,
+    CAST(sum(gtok) AS BIGINT) AS ttok
+  FROM a
+),
+g AS (
+  SELECT a.lang,
+    CAST(floor(((sqrt(CAST(a.gtok AS DOUBLE)) / t.w) * t.ttok) / a.gtok)
+         AS BIGINT) AS full_epochs,
+    CAST(floor((((sqrt(CAST(a.gtok AS DOUBLE)) / t.w) * t.ttok) / a.gtok
+        - floor(((sqrt(CAST(a.gtok AS DOUBLE)) / t.w) * t.ttok) / a.gtok))
+        * 1000000) AS BIGINT) AS th
+  FROM a, t
+),
+db AS (
+  SELECT d.*,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5(CAST(doc_id AS VARCHAR) || ':42'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    ) % 1000000 AS bkt
+  FROM d
+),
+n AS (
+  SELECT db.doc_id, db.lang, db.n_tokens,
+    least(g.full_epochs + CASE WHEN db.bkt < g.th THEN 1 ELSE 0 END, 8)
+      AS n_epochs
+  FROM db JOIN g USING (lang)
+)
+SELECT doc_id, lang, n_tokens,
+  CAST(unnest(generate_series(0, CAST(n_epochs AS BIGINT) - 1)) AS INT)
+    AS epoch
+FROM n WHERE n_epochs > 0
+"""
+
+
+@query("curation_temperature_epochs", _TEMPERATURE_EPOCHS_ORACLE)
+def curation_temperature_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed multilingual resampling (alpha = 0.5, the XLM
+    exponent; same smoothing family as mT5/XLM-R): languages sampled
+    proportional to sqrt(token count), boosting low-resource languages
+    into repeated epochs and damping high-resource ones at a constant
+    total token budget, materialized as the exact (doc, epoch) loader
+    schedule. The oracle replays the whole thing — sqrt weights,
+    group-ordered normalizer fold, repetition factors, hash-fraction
+    epochs."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        temperature_epoch_plan,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return temperature_epoch_plan(
+        docs, "lang", "n_tokens", "doc_id", seed=42, max_epochs=8
+    )
+
+
 # DSIR importance weights: hashed-unigram log-likelihood-ratio scoring of
 # every raw doc against a target domain (sources src1-src3). The md5+
 # Karp-Rabin feature hash is the same cross-engine family as the SimHash

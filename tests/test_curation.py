@@ -598,3 +598,81 @@ def test_remove_boilerplate_passages_rewrites_in_order(spark):
     assert out[3].clean_text == "" and out[3].n_dropped == 1
     assert out[4].n_dropped == 0
     assert out[4].clean_text == "d1 d2 d3 d4 d5 d6 d7 d8 d1 d2 d3 d4 d5 d6 d7 d8"
+
+
+def test_perplexity_buckets_planted_terciles_and_tie_rule(spark):
+    """Planted surprisal gradient: two identical low-surprisal docs (a
+    rounding TIE — both must land in head, the ties-land-LOW rule), one
+    mid, one all-singletons doc in the tail; and the bucketing must be
+    partition-layout independent."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        perplexity_buckets,
+    )
+
+    rows = [
+        (0, "aa aa aa aa", "en"),
+        (1, "aa aa aa aa", "en"),
+        (2, "aa bb aa bb", "en"),
+        (3, "zz yy xx ww", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in perplexity_buckets(docs, "text", "doc_id", "lang").collect()
+    }
+    assert out[0].bucket == "head" and out[1].bucket == "head"
+    assert out[0].q_surprisal == out[1].q_surprisal
+    assert out[2].bucket == "middle"
+    assert out[3].bucket == "tail"
+    assert out[0].q_surprisal < out[2].q_surprisal < out[3].q_surprisal
+    again = {
+        (r.doc_id, r.bucket, r.q_surprisal)
+        for r in perplexity_buckets(
+            docs.repartition(7), "text", "doc_id", "lang"
+        ).collect()
+    }
+    assert again == {
+        (r.doc_id, r.bucket, r.q_surprisal) for r in out.values()
+    }
+
+
+def test_temperature_epochs_boosts_low_resource_and_caps(spark):
+    """alpha=0.5 smoothing: the low-resource group repeats (every doc ≥ 2
+    epochs), the high-resource group is damped (≤ 1 epoch), a one-token
+    group hits the max_epochs cap exactly, and the schedule is a pure
+    function of (id, seed) — identical under any partition layout."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        temperature_epoch_plan,
+    )
+
+    rows = (
+        [(i, "en", 10) for i in range(90)]
+        + [(1000 + i, "zh", 10) for i in range(10)]
+        + [(2000, "xx", 1)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long"
+    )
+    plan = temperature_epoch_plan(
+        docs, "lang", "n_tokens", "doc_id", seed=42, max_epochs=8
+    )
+    rows_out = plan.collect()
+    per_doc: dict[int, int] = {}
+    for r in rows_out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    # every zh doc repeats; every en doc appears at most once
+    assert all(per_doc.get(1000 + i, 0) >= 2 for i in range(10))
+    assert all(per_doc.get(i, 0) <= 1 for i in range(90))
+    # the 1-token group's repetition factor explodes -> capped at 8
+    assert per_doc[2000] == 8
+    # epochs are dense 0..n-1 per doc
+    zh_epochs = sorted(r.epoch for r in rows_out if r.doc_id == 1000)
+    assert zh_epochs == list(range(len(zh_epochs)))
+    again = sorted(
+        (r.doc_id, r.epoch)
+        for r in temperature_epoch_plan(
+            docs.repartition(13), "lang", "n_tokens", "doc_id",
+            seed=42, max_epochs=8,
+        ).collect()
+    )
+    assert again == sorted((r.doc_id, r.epoch) for r in rows_out)

@@ -1694,3 +1694,44 @@ def test_round6_scale_fix_plan_shapes(spark, sf_dir):
     eplan = edges._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in eplan
     assert cc.count() == 3  # sanity: the chain collapses to one cluster
+
+
+def test_contrastive_triplets_planted_hard_examples(spark):
+    """Planted geometry: the hardest positive wins over the easy one with
+    the smaller-id tie-break, the hardest negative can out-rank the
+    positive (negative margin — the case the loss exists for), and a
+    label singleton keeps a NULL positive."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 0.0], 1),    # anchor A
+        (1, [0.9, 0.1], 1),    # hard positive for A
+        (6, [0.9, 0.1], 1),    # identical to 1 -> tie, smaller id wins
+        (2, [0.0, 1.0], 1),    # easy positive (must NOT win)
+        (3, [0.95, 0.05], 2),  # hard negative, closer than the positive
+        (4, [-1.0, 0.0], 2),
+        (5, [0.0, 1.0], 9),    # anchor B: label singleton
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    anchors = emb.filter(F.col("vec_id").isin(0, 5))
+    out = {
+        r.anchor_id: r
+        for r in contrastive_triplets(
+            emb, "embedding", "vec_id", "label", anchors
+        ).collect()
+    }
+    a = out[0]
+    assert a.positive_id == 1          # hard positive, tie broken to id 1
+    assert a.negative_id == 3          # the confusable different-label vec
+    assert a.negative_sim > a.positive_sim
+    assert a.margin < 0                # the case triplet losses push on
+    b = out[5]
+    assert b.positive_id is None and b.positive_sim is None
+    assert b.margin is None
+    assert b.negative_id == 2          # exact-direction match, sim 1.0
+    assert abs(b.negative_sim - 1.0) < 1e-9
