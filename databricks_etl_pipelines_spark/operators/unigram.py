@@ -1,0 +1,192 @@
+"""Unigram-LM subword segmentation (the SentencePiece/Kudo-2018 decode
+side, frequency-scored): build a piece inventory from corpus substring
+statistics, score pieces by their log relative frequency, and segment
+every dictionary word by VITERBI — the maximum-likelihood split under a
+unigram piece model.
+
+Reference parity: the reference repo has no tokenizer at all (its text
+handling is withColumn string ops, e.g. 02_Silver_Cleanse_PII.py's
+regexp chains); this operator extends the training-data surface the
+same way operators/bpe.py does, as SURVEY §2's north-star LLM family
+demands.
+
+Spark-first shape (and why it holds at 100 TB):
+
+* Word counting is the only corpus-sized stage — one explode + hash
+  aggregate, capped to the top ``max_words`` dictionary by
+  TakeOrderedAndProject (never a partitionless window; see
+  operators/bpe.py::word_frequencies for the argument).
+* Piece statistics, vocabulary selection, scoring and Viterbi all run
+  over the DICTIONARY (≤ max_words rows), not the corpus — the same
+  dictionary-sized discipline as the BPE trainer. Candidate explosion
+  is ≤ len·max_piece_len rows per distinct word.
+* Segmentation itself is an Arrow ``mapInPandas`` over dictionary
+  words with the scored vocabulary broadcast as a plain dict — the
+  vocabulary is bounded (``vocab_multi`` + alphabet), so the driver
+  collect is constant-size, like the BPE merge table and the IVF/PQ
+  codebooks. Corpus text is never pulled through Python.
+
+Cross-engine exactness (what makes a Viterbi argmax SQL-replayable):
+
+* Piece scores are INTEGER lattice points: floor(ln(count/total)·4096)
+  as BIGINT. DP values are integer sums — order-independent — and the
+  argmax tie-breaks on the larger split point, a rule both engines
+  implement identically. The only engine-sensitive op is ln (libm vs
+  java.lang.Math can differ in the last ulp); at the 2^-12 lattice a
+  flip needs ln to land within ~1e-12 of a lattice boundary —
+  negligible over the bounded set of distinct piece counts, and noted
+  so an engine upgrade that moves ln by an ulp reads as environment
+  drift, not an operator bug (same note as perplexity_buckets and the
+  sketch-bracket oracles).
+* Every length-1 substring is ALWAYS in the vocabulary (uncapped), so
+  every word is segmentable and the DP never strands; the multi-char
+  cap selects top ``vocab_multi`` by (count desc, piece asc) — a total
+  order, so the selected set is engine-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE_BITS = 12
+_SCALE = float(1 << SCALE_BITS)
+
+
+def piece_candidates(
+    words: DataFrame, max_piece_len: int = 6
+) -> DataFrame:
+    """All substrings (1-based start ``i``, length ``l``) of the
+    dictionary words, one row per occurrence, carrying the word freq —
+    the shared source for piece counting AND the DP candidate grid.
+    Dictionary-sized: ≤ len·max_piece_len rows per distinct word."""
+    return (
+        words.select(
+            "w",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+        )
+        .select(
+            "w",
+            "freq",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(int(max_piece_len)),
+                        F.length("w") - F.col("i") + 1,
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select(
+            "w", "freq", "i", "l",
+            F.expr("substring(w, i, l)").alias("piece"),
+        )
+    )
+
+
+def piece_scores(
+    words: DataFrame,
+    max_piece_len: int = 6,
+    vocab_multi: int = 48,
+) -> DataFrame:
+    """Frequency-scored piece vocabulary: every single character
+    (coverage guarantee) plus the top ``vocab_multi`` multi-char
+    substrings by (occurrence-weighted count desc, piece asc), scored
+    ``floor(ln(count/total)·4096)`` with total = the selected
+    vocabulary's count mass. Returns (piece, cnt, s)."""
+    counts = (
+        piece_candidates(words, max_piece_len)
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    singles = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(int(vocab_multi))
+    )
+    vocab = singles.unionByName(multi)
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.floor(
+            F.log(F.col("cnt") / F.col("total")) * F.lit(_SCALE)
+        ).cast("long").alias("s"),
+    )
+
+
+def _viterbi(word: str, smap: dict[str, int], max_piece_len: int):
+    """Max-score split of ``word`` under piece scores ``smap``; ties on
+    DP value break to the LARGER split point (shorter last piece) —
+    the same rule as the SQL list_reduce fold."""
+    n = len(word)
+    dp: list[int | None] = [0] + [None] * n
+    bp = [0] * (n + 1)
+    for j in range(1, n + 1):
+        best: tuple[int, int] | None = None
+        for i in range(max(0, j - max_piece_len), j):
+            if dp[i] is None:
+                continue
+            s = smap.get(word[i:j])
+            if s is None:
+                continue
+            cand = (dp[i] + s, i)
+            if best is None or cand > best:
+                best = cand
+        if best is not None:
+            dp[j], bp[j] = best
+    pieces: list[str] = []
+    pos = n
+    while pos > 0:
+        pieces.append(word[bp[pos]:pos])
+        pos = bp[pos]
+    pieces.reverse()
+    return pieces, (dp[n] if dp[n] is not None else 0)
+
+
+def segment_dictionary(
+    words: DataFrame,
+    max_piece_len: int = 6,
+    vocab_multi: int = 48,
+) -> DataFrame:
+    """Viterbi-segment every dictionary word under the frequency-scored
+    unigram piece model. Returns (word, freq, n_pieces, pieces, score)
+    — pieces space-joined, score the integer-lattice DP total.
+
+    The scored vocabulary is driver-collected (bounded: alphabet +
+    ``vocab_multi`` rows) and broadcast into an Arrow ``mapInPandas``
+    over the dictionary — the exact pattern of the BPE encoder's
+    rank-apply path."""
+    spark = words.sparkSession
+    scored = piece_scores(words, max_piece_len, vocab_multi)
+    smap = {r["piece"]: int(r["s"]) for r in scored.collect()}
+    bc = spark.sparkContext.broadcast(smap)
+    mpl = int(max_piece_len)
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = bc.value
+        for pdf in batches:
+            out = {
+                "word": [], "freq": [], "n_pieces": [],
+                "pieces": [], "score": [],
+            }
+            for word, freq in zip(pdf["w"], pdf["freq"]):
+                pieces, score = _viterbi(str(word), table, mpl)
+                out["word"].append(word)
+                out["freq"].append(int(freq))
+                out["n_pieces"].append(len(pieces))
+                out["pieces"].append(" ".join(pieces))
+                out["score"].append(int(score))
+            yield pd.DataFrame(out)
+
+    return words.select("w", "freq").mapInPandas(
+        seg,
+        "word string, freq long, n_pieces int, pieces string, score long",
+    )

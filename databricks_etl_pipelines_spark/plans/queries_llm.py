@@ -2125,6 +2125,162 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unigram-LM Viterbi segmentation, fully SQL-replayed: the piece
+# inventory (all substrings of the capped dictionary), the vocabulary
+# cut (all single chars + top multi-char by count), the integer-lattice
+# log scores, the DP itself (a recursive CTE stepping one character per
+# iteration carrying dp/backpointer LISTS), and the backtrack (a second
+# recursive CTE walking the pointers) — so the maximum-likelihood split
+# of every word is differentially checked, not just its statistics.
+_UNIGRAM_P = 6
+_UNIGRAM_VMULTI = 48
+
+
+def _unigram_oracle(P: int = _UNIGRAM_P, V: int = _UNIGRAM_VMULTI) -> str:
+    """The Viterbi DP replayed with SCALAR recursion state: a P-slot
+    sliding window of dp values (p1 = dp[j], …, pP = dp[j-P+1]) and the
+    forward-built segmentation strings for the same positions. A first
+    draft carried dp/backpointer LISTS through the recursion; DuckDB
+    1.0's recursive executor intermittently corrupts nested-list state
+    across vector boundaries once many rows iterate together (verified:
+    single-word recursion exact, all-words recursion nondeterministic
+    run to run with IDENTICAL stable inputs) — scalar columns sidestep
+    the bug and are also the plain-SQL-92 shape. Candidates at position
+    j+1 are the P suffix pieces, each a LEFT JOIN against the score
+    table; NULL (invalid start / out-of-vocab) candidates fall out of
+    greatest(), and the CASE picks the smallest piece length on ties —
+    the same larger-split-point rule as the Python argmax."""
+    # candidate l at position j+1: piece = substring(w, j+2-l, l),
+    # previous dp = p_l (dp[j+1-l]); join guard keeps start >= 1
+    def start(l: int) -> str:
+        return "r.j + 1" if l == 1 else f"r.j - {l - 2}"
+
+    joins = "\n".join(
+        f"    LEFT JOIN sc s{l} ON r.j >= {l - 1}"
+        f" AND s{l}.piece = substring(r.w, {start(l)}, {l})"
+        for l in range(1, P + 1)
+    )
+    vals = ",\n".join(
+        f"      r.p{l} + s{l}.s AS v{l}" for l in range(1, P + 1)
+    )
+    segs = ",\n".join(
+        f"      (CASE WHEN r.g{l} = '' THEN '' ELSE r.g{l} || ' ' END)"
+        f" || substring(r.w, {start(l)}, {l}) AS seg{l}"
+        for l in range(1, P + 1)
+    )
+    vlist = ", ".join(f"v{l}" for l in range(1, P + 1))
+    pick = "\n".join(
+        f"      WHEN v{l} = greatest({vlist}) THEN seg{l}"
+        for l in range(1, P + 1)
+    )
+    base_p = ",\n".join(
+        ["    CAST(0 AS BIGINT) AS p1"]
+        + [f"    CAST(NULL AS BIGINT) AS p{l}" for l in range(2, P + 1)]
+    )
+    base_g = ",\n".join(
+        ["    CAST('' AS VARCHAR) AS g1"]
+        + [f"    CAST(NULL AS VARCHAR) AS g{l}" for l in range(2, P + 1)]
+    )
+    shift_p = ", ".join(f"p{l}" for l in range(1, P))
+    shift_g = ", ".join(f"g{l}" for l in range(1, P))
+    carry_p = ",\n".join(
+        f"      r.p{l} AS p{l}" for l in range(1, P)
+    )
+    carry_g = ",\n".join(
+        f"      r.g{l} AS g{l}" for l in range(1, P)
+    )
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT unnest({_SQL_TOKS}) AS word FROM documents
+),
+wf AS (
+  SELECT word AS w, CAST(count(*) AS BIGINT) AS freq FROM words
+  GROUP BY word ORDER BY freq DESC, w LIMIT 10000
+),
+cand0 AS (
+  SELECT w, freq,
+    unnest(flatten(list_transform(range(1, length(w) + 1), i ->
+      list_transform(range(1, least({P}, length(w) - i + 1) + 1),
+                     l -> struct_pack(i := i, l := l))))) AS il
+  FROM wf
+),
+c2 AS (
+  SELECT w, freq,
+    substring(w, CAST(il.i AS INT), CAST(il.l AS INT)) AS piece
+  FROM cand0
+),
+pc AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM c2 GROUP BY piece
+),
+vocab AS (
+  SELECT piece, cnt FROM pc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM pc WHERE length(piece) >= 2
+    ORDER BY cnt DESC, piece LIMIT {V}
+  )
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+sc AS (
+  SELECT piece,
+    CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 4096) AS BIGINT) AS s
+  FROM vocab CROSS JOIN tot
+),
+wl AS (SELECT w, freq, length(w) AS L FROM wf),
+rec AS (
+  SELECT w, freq, L, 0 AS j,
+{base_p},
+{base_g}
+  FROM wl
+  UNION ALL
+  SELECT w, freq, L, j,
+    greatest({vlist}) AS p1, {shift_p},
+    CASE
+{pick}
+    END AS g1, {shift_g}
+  FROM (
+    SELECT r.w AS w, r.freq AS freq, r.L AS L, r.j + 1 AS j,
+{carry_p},
+{carry_g},
+{vals},
+{segs}
+    FROM rec r
+{joins}
+    WHERE r.j < r.L
+  )
+)
+SELECT w AS word, freq,
+  CAST(CASE WHEN g1 = '' THEN 0
+       ELSE len(string_split(g1, ' ')) END AS INT) AS n_pieces,
+  g1 AS pieces, CAST(p1 AS BIGINT) AS score
+FROM rec WHERE j = L
+"""
+
+
+_UNIGRAM_SEGMENT_ORACLE = _unigram_oracle()
+
+
+@query("text_unigram_segment", _UNIGRAM_SEGMENT_ORACLE)
+def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword segmentation (the SentencePiece decode side,
+    frequency-scored): every dictionary word Viterbi-split under an
+    integer-lattice piece score, with the WHOLE pipeline — piece counts,
+    the vocabulary cut, the log-lattice scores, the DP trajectory and
+    the backtracked split — replayed in SQL (two chained recursive
+    CTEs). Corpus work is one word-count aggregate; everything after is
+    dictionary-sized (see operators/unigram.py for the 100 TB shape)."""
+    from databricks_etl_pipelines_spark.operators.bpe import word_frequencies
+    from databricks_etl_pipelines_spark.operators.unigram import (
+        segment_dictionary,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    words = word_frequencies(docs, "text", max_words=10_000)
+    return segment_dictionary(
+        words, max_piece_len=_UNIGRAM_P, vocab_multi=_UNIGRAM_VMULTI
+    )
+
+
 # CCNet head/middle/tail: per-word surprisal quantized to the 2^-12
 # lattice and INTEGER-summed per doc (order-independent), cutoffs from a
 # cumulative count over the bounded (lang, score) histogram — never a

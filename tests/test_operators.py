@@ -1735,3 +1735,57 @@ def test_contrastive_triplets_planted_hard_examples(spark):
     assert b.margin is None
     assert b.negative_id == 2          # exact-direction match, sim 1.0
     assert abs(b.negative_sim - 1.0) < 1e-9
+
+
+def test_unigram_viterbi_local_tie_breaks_to_larger_split():
+    """Crafted scores: a merged piece wins when strictly better; on an
+    exact DP tie the LARGER split point (shorter last piece) wins — the
+    rule the SQL oracle's CASE implements."""
+    from databricks_etl_pipelines_spark.operators.unigram import _viterbi
+
+    pieces, score = _viterbi("ab", {"a": -10, "b": -10, "ab": -15}, 6)
+    assert pieces == ["ab"] and score == -15
+    pieces, score = _viterbi("ab", {"a": -10, "b": -10, "ab": -20}, 6)
+    assert pieces == ["a", "b"] and score == -20
+
+
+def test_unigram_segment_dictionary_invariants(spark):
+    """Structural invariants over a planted corpus: pieces reassemble
+    every word, respect max_piece_len, a rare word outside the multi-char
+    cap falls back to single chars, scores equal the sum of the scored
+    pieces, and the output is partition-layout independent."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.operators.bpe import word_frequencies
+    from databricks_etl_pipelines_spark.operators.unigram import (
+        piece_scores,
+        segment_dictionary,
+    )
+
+    rows = [(i, "abab abab baba") for i in range(20)] + [(99, "qz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    words = word_frequencies(docs, "text", max_words=100)
+    out = segment_dictionary(words, max_piece_len=3, vocab_multi=2)
+    got = {r.word: r for r in out.collect()}
+    smap = {
+        r.piece: int(r.s)
+        for r in piece_scores(words, max_piece_len=3, vocab_multi=2).collect()
+    }
+    assert len(smap) == len({"a", "b", "q", "z"}) + 2
+    for w, r in got.items():
+        parts = r.pieces.split(" ") if r.pieces else []
+        assert "".join(parts) == w
+        assert all(1 <= len(p) <= 3 for p in parts)
+        assert r.n_pieces == len(parts)
+        assert r.score == sum(smap[p] for p in parts)
+    # 'qz' is unique -> its bigram cannot crack the top-2 multi cut
+    assert got["qz"].pieces == "q z"
+    again = {
+        (r.word, r.pieces, r.score)
+        for r in segment_dictionary(
+            word_frequencies(docs.repartition(5), "text", max_words=100),
+            max_piece_len=3,
+            vocab_multi=2,
+        ).collect()
+    }
+    assert again == {(r.word, r.pieces, r.score) for r in got.values()}
