@@ -73,6 +73,17 @@ PRIORITY: list[str] = [
     "text_tfidf_top_terms",
     # the NEW boilerplate-removal rewrite (clean_text compared verbatim)
     "curation_remove_boilerplate",
+    # NEW round-7 session-2 additions, newest-risk first: the unigram
+    # Viterbi segmenter (scalar-state recursive DP oracle), the CCNet
+    # perplexity terciles, alpha=0.5 temperature epochs, contrastive
+    # triplet mining, and the two TPC-H Q21/Q22 shapes
+    "text_unigram_segment",
+    "text_unigram_doc_stats",
+    "curation_perplexity_buckets",
+    "curation_temperature_epochs",
+    "sft_contrastive_triplets",
+    "join_blame_late_supplier",
+    "join_idle_rich_customers",
     # (b) stalest oracle-backed evidence — the ENTIRE remaining
     # r2-latest set (22 queries: scalar family, set-ops, sort/topk)
     "scalar_conditional_risk_score",
@@ -110,17 +121,17 @@ PRIORITY: list[str] = [
     "window_sessionize_events",
     "window_funnel_ordered",
     "window_cohort_retention",
+    # ---------------- 50-slot cap boundary ----------------
     "window_resample_forward_fill",
     "window_event_transitions",
+    # overflow: the rest of the r3-latest set for overflow runs, then
+    # the rows-only siblings of round-7-touched machinery (they only
+    # get weaker rows anyway)
     "pipeline_gold_merchant_summary",
     "pipeline_gold_hourly_volume",
     "pipeline_gold_cardholder_features",
     "curation_corpus_composition",
     "privacy_k_anonymity_audit",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the rest of the r3-latest set for overflow runs, then
-    # the rows-only siblings of round-7-touched machinery (they only
-    # get weaker rows anyway)
     "text_token_stats",
     "agg_value_histogram",
     "curation_contamination_ngram",

@@ -2249,15 +2249,78 @@ rec AS (
     WHERE r.j < r.L
   )
 )
-SELECT w AS word, freq,
-  CAST(CASE WHEN g1 = '' THEN 0
-       ELSE len(string_split(g1, ' ')) END AS INT) AS n_pieces,
-  g1 AS pieces, CAST(p1 AS BIGINT) AS score
-FROM rec WHERE j = L
+, seg AS (
+  SELECT w AS word, freq,
+    CAST(CASE WHEN g1 = '' THEN 0
+         ELSE len(string_split(g1, ' ')) END AS INT) AS n_pieces,
+    g1 AS pieces, CAST(p1 AS BIGINT) AS score
+  FROM rec WHERE j = L
+)
 """
 
 
-_UNIGRAM_SEGMENT_ORACLE = _unigram_oracle()
+_UNIGRAM_SEGMENT_ORACLE = (
+    _unigram_oracle() + "SELECT word, freq, n_pieces, pieces, score FROM seg"
+)
+
+
+# Doc-level tokenizer eval: fertility (pieces per word) and total piece
+# mass per document, by joining the dictionary segmentation back onto
+# the corpus — the dictionary side is bounded, so the join broadcasts.
+_UNIGRAM_DOC_ORACLE = _unigram_oracle() + f"""
+, dw AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKS}) AS word FROM documents
+)
+SELECT dw.doc_id, dw.lang,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(seg.n_pieces) AS BIGINT) AS n_pieces,
+  CAST(sum(seg.score) AS BIGINT) AS q_score,
+  {sql_stable_round('CAST(sum(seg.n_pieces) AS BIGINT) * 1.0 '
+                    '/ CAST(count(*) AS BIGINT)', 6)} AS fertility
+FROM dw JOIN seg USING (word)
+GROUP BY dw.doc_id, dw.lang
+"""
+
+
+@query("text_unigram_doc_stats", _UNIGRAM_DOC_ORACLE)
+def text_unigram_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenizer eval under the unigram segmenter: token
+    count, total subword pieces, total lattice score, and FERTILITY
+    (pieces per word — the standard multilingual tokenizer-quality
+    metric). Scale shape: the corpus side is one explode + one hash
+    aggregate; the segmentation side is dictionary-sized and broadcasts
+    into the join (documented coverage = the capped dictionary, the
+    trainer's own coverage). The oracle replays segmentation AND the
+    doc rollup."""
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+    from databricks_etl_pipelines_spark.operators.bpe import word_frequencies
+    from databricks_etl_pipelines_spark.operators.unigram import (
+        segment_dictionary,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    words = word_frequencies(docs, "text", max_words=10_000)
+    seg = segment_dictionary(
+        words, max_piece_len=_UNIGRAM_P, vocab_multi=_UNIGRAM_VMULTI
+    ).select(F.col("word").alias("__w"), "n_pieces", "score")
+    dw = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("__w")
+    )
+    return (
+        dw.join(F.broadcast(seg), "__w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("score").alias("q_score"),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens", "n_pieces", "q_score",
+            stable_round(
+                F.col("n_pieces") * 1.0 / F.col("n_tokens"), 6
+            ).alias("fertility"),
+        )
+    )
 
 
 @query("text_unigram_segment", _UNIGRAM_SEGMENT_ORACLE)
