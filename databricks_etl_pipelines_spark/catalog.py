@@ -84,6 +84,7 @@ PRIORITY: list[str] = [
     "sft_contrastive_triplets",
     "join_blame_late_supplier",
     "join_idle_rich_customers",
+    "streaming_decontaminate",
     # (b) stalest oracle-backed evidence — the ENTIRE remaining
     # r2-latest set (22 queries: scalar family, set-ops, sort/topk)
     "scalar_conditional_risk_score",
@@ -120,8 +121,8 @@ PRIORITY: list[str] = [
     "streaming_stream_static_join",
     "window_sessionize_events",
     "window_funnel_ordered",
-    "window_cohort_retention",
     # ---------------- 50-slot cap boundary ----------------
+    "window_cohort_retention",
     "window_resample_forward_fill",
     "window_event_transitions",
     # overflow: the rest of the r3-latest set for overflow runs, then

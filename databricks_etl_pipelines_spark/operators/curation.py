@@ -1460,17 +1460,51 @@ def decontaminate_report(
     doc — callers filter ``~contaminated`` for the clean corpus or keep
     the report for audit.
     """
+    return decontaminate_score(
+        docs,
+        benchmark_ngrams(benchmark, text_col, ngram_n),
+        text_col,
+        id_col,
+        ngram_n,
+        min_hits,
+    )
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str = "text", ngram_n: int = 13
+) -> DataFrame:
+    """The benchmark side of decontamination as a standalone relation
+    (distinct word n-grams + a hit marker) so continuous-ingest callers
+    can build it ONCE, persist it, and score every arriving batch
+    against the same broadcast set."""
     from databricks_etl_pipelines_spark.functions.textfns import (
         distinct_shingles,
     )
 
-    bench_ngrams = (
+    return (
         benchmark.select(
             F.explode(distinct_shingles(text_col, ngram_n)).alias("ng")
         )
         .distinct()
         .withColumn("bench_hit", F.lit(1))
     )
+
+
+def decontaminate_score(
+    docs: DataFrame,
+    bench_ngrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Score ``docs`` against a prebuilt benchmark n-gram relation —
+    the per-batch core shared by the batch report and the streaming
+    admission path (streaming/structured.py::decontaminate_stream)."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        distinct_shingles,
+    )
+
     # ONE corpus scan: size the distinct-shingle array before exploding
     # and carry it through the explode; explode_outer keeps zero-shingle
     # docs (n_ngrams 0, null ng matches nothing on the left join).

@@ -596,6 +596,71 @@ def streaming_curation_neardup_crossengine(
     )
 
 
+# -- streaming eval-benchmark decontamination ---------------------------------
+
+
+from databricks_etl_pipelines_spark.plans.queries_llm import (  # noqa: E402
+    _DECON_ORACLE,
+)
+
+
+@query(
+    "streaming_decontaminate",
+    # deliberately the SAME oracle as curation_decontaminate_benchmark:
+    # per-doc scores carry no cross-batch state, so the union of the
+    # per-batch reports over the 3-batch drain must equal the one-shot
+    # batch report exactly — incremental scoring invisible in the result
+    _DECON_ORACLE,
+)
+def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-benchmark decontamination as a CONTINUOUS ingest gate
+    (streaming/structured.py::decontaminate_stream): the src0 benchmark
+    n-gram set is built ONCE and persisted, then a deterministic 3-batch
+    corpus feed (doc_id % 3, maxFilesPerTrigger=1) is scored batch by
+    batch against the broadcast set. The oracle is the batch
+    decontamination SQL verbatim — per-doc scores have no cross-batch
+    state, so the drained union must equal the one-shot report."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        benchmark_ngrams,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        decontaminate_stream,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bench = benchmark_ngrams(
+        docs.filter(F.col("source") == "src0"), "text", ngram_n=3
+    ).persist()
+    try:
+        bench.count()  # materialize once before the drain
+        src = _three_batch_documents_feed(spark, sf_dir)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("source") != "src0")
+        )
+        out = scratch_dir("decon_stream_")
+        q = decontaminate_stream(
+            stream,
+            bench,
+            out,
+            scratch_dir("decon_ckpt_"),
+            ngram_n=3,
+            min_hits=5,
+        )
+        await_drained(q, 600)
+        return spark.read.parquet(out).select(
+            F.col("id").alias("doc_id"),
+            "n_ngrams",
+            "bench_hits",
+            "contaminated",
+        )
+    finally:
+        bench.unpersist()
+
+
 # -- streaming reservoir sample (bottom-k uniform, deterministic) --------------
 
 _RSV_K = 100

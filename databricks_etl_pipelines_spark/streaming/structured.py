@@ -884,3 +884,50 @@ def dsir_score_stream(
         "checkpointLocation", checkpoint_dir
     )
     return with_trigger(writer, processing_time).start()
+
+
+def decontaminate_stream(
+    stream: DataFrame,
+    bench_ngrams: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 13,
+    min_hits: int = 1,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Eval-benchmark decontamination as a CONTINUOUS ingest gate: every
+    arriving micro-batch is scored against a FIXED, prebuilt benchmark
+    n-gram relation (operators/curation.py::benchmark_ngrams — build
+    once, persist, broadcast into every batch). The online counterpart
+    of decontaminate_report: a corpus that admits documents continuously
+    must scrub them against the eval sets continuously, or contamination
+    lands between quarterly batch scrubs.
+
+    Scale shape per batch: the benchmark set is eval-sized and already
+    materialized, so each batch pays ONE scan of itself — a broadcast
+    marker join plus a per-doc aggregate; cost tracks the batch, never
+    the accumulated corpus (per-doc scores are independent, so there is
+    no cross-batch state at all — unlike near-dup admission).
+    Replay-idempotent: each batch OVERWRITES its own ``batch_id=<n>``
+    partition, so a crash between write and checkpoint commit replaces
+    instead of duplicating."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        decontaminate_score,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = decontaminate_score(
+            batch_df, bench_ngrams, text_col, id_col, ngram_n, min_hits
+        )
+        report.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return with_trigger(writer, processing_time).start()
