@@ -81,6 +81,9 @@ HEADLINE = [
     # round-7 addition: CCNet-style boilerplate passage removal (df
     # aggregate + mark join + order-preserving per-doc reassembly)
     "curation_remove_boilerplate",
+    # round-7 addition: CCNet perplexity terciles (integer-lattice
+    # surprisal + bounded-histogram cutoffs — the quality-gradient gate)
+    "curation_perplexity_buckets",
 ]
 
 
