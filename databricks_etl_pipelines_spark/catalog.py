@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "join_blame_late_supplier",
     "join_idle_rich_customers",
     "streaming_decontaminate",
+    "join_min_cost_supplier",
     # (b) stalest oracle-backed evidence — the ENTIRE remaining
     # r2-latest set (22 queries: scalar family, set-ops, sort/topk)
     "scalar_conditional_risk_score",
@@ -120,8 +121,8 @@ PRIORITY: list[str] = [
     "streaming_stream_stream_join",
     "streaming_stream_static_join",
     "window_sessionize_events",
-    "window_funnel_ordered",
     # ---------------- 50-slot cap boundary ----------------
+    "window_funnel_ordered",
     "window_cohort_retention",
     "window_resample_forward_fill",
     "window_event_transitions",

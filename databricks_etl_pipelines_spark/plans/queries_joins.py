@@ -1105,3 +1105,75 @@ def join_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+# -- TPC-H Q2 shape: argmin-row retrieval via decorrelated per-group MIN ------
+
+_MIN_COST_ORACLE = """
+WITH up AS (
+  SELECT l.l_partkey, l.l_suppkey,
+    l.l_extendedprice / l.l_quantity AS unit_price
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_size < 10
+),
+m AS (
+  SELECT l_partkey, min(unit_price) AS min_price FROM up GROUP BY l_partkey
+)
+SELECT up.l_partkey AS p_partkey, s.s_name, n.n_name,
+  floor(up.unit_price * 10000 + 0.5) / 10000 AS unit_price
+FROM up
+JOIN m ON m.l_partkey = up.l_partkey AND up.unit_price = m.min_price
+JOIN supplier s ON s.s_suppkey = up.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+
+@query("join_min_cost_supplier", _MIN_COST_ORACLE)
+def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape (minimum-cost supplier): for every small part,
+    the supplier(s) achieving the minimum observed unit price — the
+    correlated ``= (SELECT min(...))`` subquery decorrelated into a
+    per-group MIN aggregate joined back with an equality select of the
+    argmin rows (all ties kept, as Q2 does).
+
+    Float-equality note: the unit price is ONE IEEE division of scanned
+    values, computed identically on both engines, and each engine
+    compares only its own values — so the argmin row set is engine-
+    exact; rounding applies to the OUTPUT only, never the selection.
+
+    Scale shape: the part filter broadcasts and prunes the fact scan
+    before anything aggregates; the min relation is (part, double) —
+    shuffled once, then an equi-join back on partkey; supplier and
+    nation broadcast. No per-row subquery, no window."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    up = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    m = up.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
+    return (
+        up.withColumnRenamed("l_partkey", "__pk")
+        .join(
+            m,
+            (F.col("__pk") == F.col("l_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .select(
+            F.col("__pk").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            stable_round(F.col("unit_price"), 4).alias("unit_price"),
+        )
+    )
