@@ -188,3 +188,26 @@ def test_interval_overlap_join_semantics_and_plan(spark):
     got.collect()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_blame_late_supplier_single_shuffle_aggregates(spark, sf_dir):
+    """Pins the Q21-shape scale fix: the explicit repartition on
+    l_orderkey feeds BOTH chained aggregates (pair-level and order-level)
+    from ONE hash partitioning — no second shuffle keyed on
+    (l_orderkey, l_suppkey), and no self-join anywhere in the plan."""
+    import re
+
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    df = catalog.QUERIES["join_blame_late_supplier"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the executed-plan string repeats the tree under AQE (final +
+    # initial) — dedup the partitioning specs before counting
+    shuffles = set(re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan))
+    keyed_on_orderkey = [s for s in shuffles if "l_orderkey" in s]
+    assert len(keyed_on_orderkey) == 1, shuffles
+    assert not any("l_suppkey" in s for s in shuffles), shuffles
+    # the blame rule collapsed into aggregates: no semi/anti self-join
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
