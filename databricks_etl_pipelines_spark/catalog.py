@@ -86,6 +86,8 @@ PRIORITY: list[str] = [
     "join_idle_rich_customers",
     "streaming_decontaminate",
     "join_min_cost_supplier",
+    "text_bigram_surprisal",
+    "streaming_perplexity_gate",
     # (b) stalest oracle-backed evidence — the ENTIRE remaining
     # r2-latest set (22 queries: scalar family, set-ops, sort/topk)
     "scalar_conditional_risk_score",
@@ -119,9 +121,9 @@ PRIORITY: list[str] = [
     "streaming_tumbling_hourly",
     "streaming_sliding_window",
     "streaming_stream_stream_join",
+    # ---------------- 50-slot cap boundary ----------------
     "streaming_stream_static_join",
     "window_sessionize_events",
-    # ---------------- 50-slot cap boundary ----------------
     "window_funnel_ordered",
     "window_cohort_retention",
     "window_resample_forward_fill",

@@ -1176,28 +1176,63 @@ def perplexity_buckets(
 
     Returns (id, group, n_tokens, q_surprisal, bucket).
     """
-    from pyspark.sql import Window
+    scores = perplexity_word_scores(df, text_col, scale_bits)
+    per_doc = perplexity_score(df, scores, text_col, id_col, group_col)
+    cuts = perplexity_cutoffs(per_doc, group_col)
+    return perplexity_label(per_doc, cuts, id_col, group_col)
 
+
+def perplexity_word_scores(
+    df: DataFrame, text_col: str = "text", scale_bits: int = 12
+) -> DataFrame:
+    """The LM half of :func:`perplexity_buckets` as a standalone relation
+    (word → integer-lattice surprisal), so continuous-ingest callers can
+    build the profile ONCE from a reference corpus and score every
+    arriving batch against it. Vocabulary-sized — a table to equi-join
+    (AQE broadcasts it while small), never required to fit the driver."""
     from databricks_etl_pipelines_spark.functions.textfns import tokens
 
     scale = float(1 << scale_bits)
-    words = df.select(
+    freq = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+    )
+    total = freq.agg(F.sum("__c").alias("__t"))
+    return freq.crossJoin(F.broadcast(total)).select(
+        "__w",
+        F.floor(-F.log(F.col("__c") / F.col("__t")) * F.lit(scale))
+        .cast("bigint")
+        .alias("__qs"),
+    )
+
+
+def perplexity_score(
+    docs: DataFrame,
+    word_scores: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-document lattice surprisal against a prebuilt word-score
+    relation: one explode, one equi-join on the word, one aggregate.
+    Stateless per document — which is what makes the streaming flavor's
+    drained union equal the batch result exactly. Words outside the
+    profile are ignored (inner join): the profile defines the LM's
+    vocabulary, as in CCNet's fixed reference model."""
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+
+    words = docs.select(
         F.col(id_col),
         F.col(group_col),
         F.explode(tokens(text_col)).alias("__w"),
     )
-    freq = words.groupBy("__w").agg(F.count("*").alias("__c"))
-    total = freq.agg(F.sum("__c").alias("__t"))
-    qs = F.floor(
-        -F.log(F.col("__c") / F.col("__t")) * F.lit(scale)
-    ).cast("bigint")
-    per_doc = (
-        words.join(freq, "__w")
-        .crossJoin(F.broadcast(total))
+    return (
+        words.join(word_scores, "__w")
         .groupBy(id_col, group_col)
         .agg(
             F.count("*").alias("n_tokens"),
-            F.sum(qs).alias("__qsum"),
+            F.sum("__qs").alias("__qsum"),
         )
         .select(
             id_col,
@@ -1208,6 +1243,14 @@ def perplexity_buckets(
             .alias("q_surprisal"),
         )
     )
+
+
+def perplexity_cutoffs(per_doc: DataFrame, group_col: str) -> DataFrame:
+    """Per-group tercile cutoffs from the bounded (group, score)
+    histogram — never a corpus-sized window (see the
+    :func:`perplexity_buckets` docstring for the rule and the bound)."""
+    from pyspark.sql import Window
+
     hist = per_doc.groupBy(group_col, "q_surprisal").agg(
         F.count("*").alias("__hc")
     )
@@ -1223,7 +1266,7 @@ def perplexity_buckets(
         hist.withColumn("__cum", F.sum("__hc").over(w_cum))
         .withColumn("__n", F.sum("__hc").over(w_all))
     )
-    cuts = marked.groupBy(group_col).agg(
+    return marked.groupBy(group_col).agg(
         F.min(
             F.when(F.col("__cum") * 3 >= F.col("__n"), F.col("q_surprisal"))
         ).alias("__c1"),
@@ -1233,6 +1276,16 @@ def perplexity_buckets(
             )
         ).alias("__c2"),
     )
+
+
+def perplexity_label(
+    per_doc: DataFrame,
+    cuts: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Attach head/middle/tail labels from prebuilt cutoffs (broadcast:
+    one row per group). Ties land LOW — CCNet-style value cutoffs."""
     return per_doc.join(F.broadcast(cuts), group_col).select(
         id_col,
         group_col,

@@ -2344,6 +2344,102 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bigram-LM surprisal (KenLM-lite, add-k smoothing): the context-aware
+# upgrade of the unigram gate — repeated words in NOVEL orders score
+# high where the unigram model is blind. Same integer-lattice
+# discipline: per-bigram surprisal quantized to 2^-12 nats, INTEGER
+# summed per doc (order-independent), one IEEE division at the end.
+_BIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id, u.x.p AS prev, u.x.c AS cur
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(ws)),
+        i -> struct_pack(p := ws[i], c := ws[i + 1]))) AS x
+    FROM t WHERE len(ws) >= 2
+  ) u(doc_id, x)
+),
+cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+       FROM bg GROUP BY prev, cur),
+cc AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY prev),
+v AS (
+  SELECT CAST(count(DISTINCT word) AS BIGINT) AS vsz
+  FROM (SELECT unnest(ws) AS word FROM t)
+),
+q AS (
+  SELECT bg.doc_id,
+    CAST(floor(-ln((cb.c2 + 0.5) / (cc.c1 + 0.5 * v.vsz)) * 4096)
+         AS BIGINT) AS qs
+  FROM bg JOIN cb USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(qs) AS BIGINT) AS q_sum,
+  CAST(floor(sum(qs) / count(*)) AS BIGINT) AS q_surprisal
+FROM q GROUP BY doc_id
+"""
+
+
+@query("text_bigram_surprisal", _BIGRAM_ORACLE)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring (the context-aware sibling of
+    text_lm_surprisal): mean -ln p(w_i | w_{i-1}) per document under an
+    add-0.5-smoothed bigram model trained on the corpus itself —
+    word-salad documents that reuse common words in novel orders score
+    high where the unigram gate is blind. Integer-lattice per-bigram
+    scores summed as BIGINTs keep the doc score visit-order independent
+    (the perplexity_buckets discipline; ln's last-ulp engine drift is
+    the one documented sensitivity).
+
+    Scale shape: bigrams come from ONE transform over the token array
+    (no positional self-join); two hash aggregates build the model; the
+    per-doc score is an equi-join back on the bigram plus one aggregate.
+    The vocabulary size joins in as a 1-row broadcast."""
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ws"))
+    bg = toks.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # 0-based positions of each bigram's first token
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.get("ws", i).alias("prev"),
+                    F.get("ws", i + 1).alias("cur"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.prev").alias("prev"), F.col("x.cur").alias("cur"))
+    cb = bg.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    cc = bg.groupBy("prev").agg(F.count("*").alias("c1"))
+    vsz = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .agg(F.countDistinct("w").alias("vsz"))
+    )
+    p = (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("vsz"))
+    qs = F.floor(-F.log(p) * 4096).cast("long")
+    return (
+        bg.join(cb, ["prev", "cur"])
+        .join(cc, "prev")
+        .crossJoin(F.broadcast(vsz))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(qs).alias("q_sum"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "q_sum",
+            F.floor(F.col("q_sum") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("q_surprisal"),
+        )
+    )
+
+
 # CCNet head/middle/tail: per-word surprisal quantized to the 2^-12
 # lattice and INTEGER-summed per doc (order-independent), cutoffs from a
 # cumulative count over the bounded (lang, score) histogram — never a

@@ -601,7 +601,61 @@ def streaming_curation_neardup_crossengine(
 
 from databricks_etl_pipelines_spark.plans.queries_llm import (  # noqa: E402
     _DECON_ORACLE,
+    _PPL_BUCKETS_ORACLE,
 )
+
+
+@query(
+    "streaming_perplexity_gate",
+    # the batch perplexity-bucket oracle verbatim: the LM profile and
+    # cutoffs are fixed before the drain and per-doc scores are
+    # stateless, so the drained union equals the one-shot bucketing
+    _PPL_BUCKETS_ORACLE,
+)
+def streaming_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail gradient as a CONTINUOUS ingest gate
+    (streaming/structured.py::perplexity_gate_stream): the unigram LM
+    profile and the per-language tercile cutoffs are built once from
+    the reference corpus, persisted, and every micro-batch of the
+    deterministic 3-batch feed is scored and bucketed against them.
+    Oracle = the batch bucketing SQL verbatim."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        perplexity_cutoffs,
+        perplexity_score,
+        perplexity_word_scores,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        perplexity_gate_stream,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scores = perplexity_word_scores(docs, "text").persist()
+    cuts = None
+    try:
+        cuts = perplexity_cutoffs(
+            perplexity_score(docs, scores, "text", "doc_id", "lang"), "lang"
+        ).persist()
+        cuts.count()
+        src = _three_batch_documents_feed(spark, sf_dir)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = scratch_dir("ppl_gate_")
+        q = perplexity_gate_stream(
+            stream, scores, cuts, out, scratch_dir("ppl_gate_ckpt_")
+        )
+        await_drained(q, 600)
+        result = spark.read.parquet(out).select(
+            "doc_id", "lang", "n_tokens", "q_surprisal", "bucket"
+        )
+        return result
+    finally:
+        scores.unpersist()
+        if cuts is not None:
+            cuts.unpersist()
 
 
 @query(

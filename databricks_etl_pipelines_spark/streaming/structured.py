@@ -886,6 +886,53 @@ def dsir_score_stream(
     return with_trigger(writer, processing_time).start()
 
 
+def perplexity_gate_stream(
+    stream: DataFrame,
+    word_scores: DataFrame,
+    cutoffs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """The CCNet quality gradient as a CONTINUOUS ingest gate: the
+    unigram LM profile (word → lattice surprisal) and the per-language
+    tercile cutoffs are built ONCE from a reference corpus
+    (operators/curation.py::perplexity_word_scores / perplexity_cutoffs)
+    and every arriving micro-batch is scored and bucketed against them —
+    the steady-state "is this crawl batch head, middle or tail?" filter.
+
+    Scale shape per batch: one stream-static equi-join against the
+    vocabulary relation (AQE broadcasts it while small), one per-doc
+    aggregate, one broadcast join against the tiny cutoff table; cost
+    tracks the batch, never the corpus. Per-doc scores are stateless, so
+    a drained union equals the batch bucketing exactly (the oracle is
+    the batch SQL verbatim). Replay-idempotent via per-batch OVERWRITE
+    partitions."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        perplexity_label,
+        perplexity_score,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        per_doc = perplexity_score(
+            batch_df, word_scores, text_col, id_col, group_col
+        )
+        labeled = perplexity_label(per_doc, cutoffs, id_col, group_col)
+        labeled.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return with_trigger(writer, processing_time).start()
+
+
 def decontaminate_stream(
     stream: DataFrame,
     bench_ngrams: DataFrame,
