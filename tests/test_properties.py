@@ -576,3 +576,66 @@ def test_histogram_winsorize_matches_oracle_on_adversarial_groups(
         ) if gg == g]
         outs = [got[i][0] for i in ids]
         assert min(outs) >= min(vs) - 1 and max(outs) <= max(vs) + 1
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_unigram_viterbi_matches_bruteforce_enumeration(words, max_piece):
+    """For every word (≤ 6 chars, so all segmentations enumerate), the
+    Viterbi split must achieve the MAXIMUM total score over every legal
+    segmentation, and among score ties pick the one the documented rule
+    picks (larger split points, compared right to left)."""
+    from databricks_etl_pipelines_spark.operators.unigram import _viterbi
+
+    # deterministic fake scores over the words' own substring inventory
+    smap: dict[str, int] = {}
+    for w in words:
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece, len(w)) + 1):
+                piece = w[i:j]
+                smap[piece] = -(
+                    (int(hashlib.md5(piece.encode()).hexdigest(), 16) % 997)
+                    + 1
+                )
+
+    def all_segmentations(w):
+        n = len(w)
+        if n == 0:
+            yield []
+            return
+        for bits in range(1 << max(0, n - 1)):
+            cuts = [0] + [
+                i + 1 for i in range(n - 1) if bits & (1 << i)
+            ] + [n]
+            parts = [w[a:b] for a, b in zip(cuts, cuts[1:])]
+            if all(len(p) <= max_piece and p in smap for p in parts):
+                yield parts
+
+    for w in words:
+        got_pieces, got_score = _viterbi(w, smap, max_piece)
+        assert "".join(got_pieces) == w
+        assert got_score == sum(smap[p] for p in got_pieces)
+        best = None
+        for parts in all_segmentations(w):
+            score = sum(smap[p] for p in parts)
+            # the DP's tie rule: at each position prefer the larger
+            # split point == lexicographically LARGEST reversed cut
+            # vector among max-score segmentations
+            cuts = []
+            pos = len(w)
+            for p in reversed(parts):
+                pos -= len(p)
+                cuts.append(pos)
+            key = (score, tuple(cuts))
+            if best is None or key > best[0]:
+                best = (key, parts)
+        assert best is not None, f"unsegmentable word {w!r}"
+        assert got_score == best[0][0], (w, got_pieces, best[1])
+        assert got_pieces == best[1], (w, got_pieces, best[1])
