@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     # perplexity terciles, alpha=0.5 temperature epochs, contrastive
     # triplet mining, and the two TPC-H Q21/Q22 shapes
     "text_unigram_segment",
+    "text_unigram_em_segment",
     "text_unigram_doc_stats",
     "curation_perplexity_buckets",
     "curation_temperature_epochs",
@@ -120,8 +121,8 @@ PRIORITY: list[str] = [
     "dedup_passages",
     "streaming_tumbling_hourly",
     "streaming_sliding_window",
-    "streaming_stream_stream_join",
     # ---------------- 50-slot cap boundary ----------------
+    "streaming_stream_stream_join",
     "streaming_stream_static_join",
     "window_sessionize_events",
     "window_funnel_ordered",

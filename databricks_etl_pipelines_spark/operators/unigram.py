@@ -151,6 +151,166 @@ def _viterbi(word: str, smap: dict[str, int], max_piece_len: int):
     return pieces, (dp[n] if dp[n] is not None else 0)
 
 
+def _forward(word: str, pmap: dict[str, float], P: int) -> list[float]:
+    """Sum-product forward pass: a[j] = Σ_l a[j-l]·p(w[j-l:j]), the fold
+    running DESCENDING l with a 0.0 initial accumulator and invalid
+    candidates contributing +0.0 — the EXACT order the SQL replay uses
+    (x + 0.0 == x in IEEE for the non-negative values here, so
+    skip-vs-add-zero is equivalence, not approximation)."""
+    n = len(word)
+    a = [0.0] * (n + 1)
+    a[0] = 1.0
+    for j in range(1, n + 1):
+        acc = 0.0
+        for l in range(P, 0, -1):
+            i = j - l
+            if i < 0:
+                continue
+            p = pmap.get(word[i:j])
+            acc = acc + (a[i] * p if p is not None else 0.0)
+        a[j] = acc
+    return a
+
+
+def _backward(word: str, pmap: dict[str, float], P: int) -> list[float]:
+    """Sum-product backward pass, same descending-l fold discipline."""
+    n = len(word)
+    b = [0.0] * (n + 1)
+    b[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        acc = 0.0
+        for l in range(P, 0, -1):
+            j = i + l
+            if j > n:
+                continue
+            p = pmap.get(word[i:j])
+            acc = acc + (p * b[j] if p is not None else 0.0)
+        b[i] = acc
+    return b
+
+
+def em_probabilities(
+    words: DataFrame,
+    max_piece_len: int = 6,
+    vocab_multi: int = 48,
+    iters: int = 2,
+    count_scale_bits: int = 24,
+    max_word_len: int = 16,
+) -> dict[str, float]:
+    """Kudo-2018 EM training of the unigram piece model, made
+    cross-engine replayable — the full training loop, not just decode:
+
+    * Init: p0(piece) = cnt/total over the frequency-selected vocabulary
+      (all single chars + top multi-char, exactly piece_scores' cut).
+    * E-step (per EM iteration): per-word forward/backward sum-product
+      over the segmentation lattice under p_{t-1}; each occurrence
+      (word, i, l) contributes expected count freq·(a[i]·p·b[i+l])/Z.
+      Runs DISTRIBUTED as an Arrow ``mapInPandas`` over the dictionary
+      (per-word lattices are independent), with the current p table
+      broadcast — the BPE/k-means bounded-collect pattern.
+    * The crux (why an EM trajectory can be engine-exact): per-word
+      float work uses PINNED fold orders (descending piece length,
+      left-associated, +0.0 for invalid candidates) so each occurrence
+      posterior is one deterministic IEEE expression; the CROSS-WORD
+      aggregation — the only visit-order-dependent sum — is quantized
+      to the 2^-count_scale_bits lattice and summed as BIGINTs
+      (integer addition commutes), the k-means centroid trick. Add-one
+      smoothing on the integer lattice keeps every piece alive.
+    * M-step: p_t(piece) = qc/QT — one exact-integer division.
+
+    Words longer than ``max_word_len`` are excluded from the dictionary
+    (both engines apply the same filter), bounding lattice depth.
+    Returns the final probability dict (bounded: vocabulary-sized)."""
+    spark = words.sparkSession
+    S = float(1 << count_scale_bits)
+    mpl = int(max_piece_len)
+    wl = words.filter(F.length("w") <= int(max_word_len))
+    counts = (
+        piece_candidates(wl, mpl)
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    singles = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(int(vocab_multi))
+    )
+    vocab_rows = singles.unionByName(multi).collect()
+    total = sum(int(r["cnt"]) for r in vocab_rows)
+    pmap = {r["piece"]: float(int(r["cnt"])) / float(total)
+            for r in vocab_rows}
+
+    for _ in range(int(iters)):
+        bc = spark.sparkContext.broadcast(pmap)
+
+        def estep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            table = bc.value
+            for pdf in batches:
+                pieces: list[str] = []
+                qcontribs: list[int] = []
+                for word, freq in zip(pdf["w"], pdf["freq"]):
+                    w = str(word)
+                    n = len(w)
+                    if n == 0:
+                        continue
+                    a = _forward(w, table, mpl)
+                    b = _backward(w, table, mpl)
+                    z = a[n]
+                    for i in range(n):
+                        for l in range(1, min(mpl, n - i) + 1):
+                            piece = w[i:i + l]
+                            p = table.get(piece)
+                            if p is None:
+                                continue
+                            e = ((a[i] * p) * b[i + l]) / z
+                            q = int((e * float(int(freq))) * S + 0.5)
+                            # int() truncates; floor == truncate for the
+                            # non-negative values here
+                            pieces.append(piece)
+                            qcontribs.append(q)
+                yield pd.DataFrame({"piece": pieces, "qc": qcontribs})
+
+        contrib = wl.select("w", "freq").mapInPandas(
+            estep, "piece string, qc long"
+        )
+        sums = {
+            r["piece"]: int(r["s"])
+            for r in contrib.groupBy("piece")
+            .agg(F.sum("qc").alias("s"))
+            .collect()
+        }
+        qc = {piece: 1 + sums.get(piece, 0) for piece in pmap}
+        qt = sum(qc.values())
+        pmap = {piece: float(c) / float(qt) for piece, c in qc.items()}
+    return pmap
+
+
+def em_segment_dictionary(
+    words: DataFrame,
+    max_piece_len: int = 6,
+    vocab_multi: int = 48,
+    iters: int = 2,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """EM-train the unigram piece model (:func:`em_probabilities`), then
+    Viterbi-segment the dictionary under the trained model — the full
+    SentencePiece train+decode pipeline, all of it SQL-replayable.
+    Scores are the usual ln-lattice integers floor(ln(p)·4096)."""
+    import math
+
+    pmap = em_probabilities(
+        words, max_piece_len, vocab_multi, iters,
+        max_word_len=max_word_len,
+    )
+    smap = {
+        piece: math.floor(math.log(p) * float(1 << SCALE_BITS))
+        for piece, p in pmap.items()
+    }
+    wl = words.filter(F.length("w") <= int(max_word_len))
+    return _segment_with_scores(wl, smap, int(max_piece_len))
+
+
 def segment_dictionary(
     words: DataFrame,
     max_piece_len: int = 6,
@@ -164,10 +324,18 @@ def segment_dictionary(
     ``vocab_multi`` rows) and broadcast into an Arrow ``mapInPandas``
     over the dictionary — the exact pattern of the BPE encoder's
     rank-apply path."""
-    spark = words.sparkSession
     scored = piece_scores(words, max_piece_len, vocab_multi)
     smap = {r["piece"]: int(r["s"]) for r in scored.collect()}
-    bc = spark.sparkContext.broadcast(smap)
+    return _segment_with_scores(words, smap, int(max_piece_len))
+
+
+def _segment_with_scores(
+    words: DataFrame, smap: dict[str, int], max_piece_len: int
+) -> DataFrame:
+    """Viterbi-segment dictionary words under a bounded broadcast score
+    dict via Arrow ``mapInPandas`` (shared by the frequency-scored and
+    the EM-trained paths)."""
+    bc = words.sparkSession.sparkContext.broadcast(smap)
     mpl = int(max_piece_len)
 
     def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

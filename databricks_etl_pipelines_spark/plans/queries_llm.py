@@ -2168,27 +2168,6 @@ def _unigram_oracle(P: int = _UNIGRAM_P, V: int = _UNIGRAM_VMULTI) -> str:
         f" || substring(r.w, {start(l)}, {l}) AS seg{l}"
         for l in range(1, P + 1)
     )
-    vlist = ", ".join(f"v{l}" for l in range(1, P + 1))
-    pick = "\n".join(
-        f"      WHEN v{l} = greatest({vlist}) THEN seg{l}"
-        for l in range(1, P + 1)
-    )
-    base_p = ",\n".join(
-        ["    CAST(0 AS BIGINT) AS p1"]
-        + [f"    CAST(NULL AS BIGINT) AS p{l}" for l in range(2, P + 1)]
-    )
-    base_g = ",\n".join(
-        ["    CAST('' AS VARCHAR) AS g1"]
-        + [f"    CAST(NULL AS VARCHAR) AS g{l}" for l in range(2, P + 1)]
-    )
-    shift_p = ", ".join(f"p{l}" for l in range(1, P))
-    shift_g = ", ".join(f"g{l}" for l in range(1, P))
-    carry_p = ",\n".join(
-        f"      r.p{l} AS p{l}" for l in range(1, P)
-    )
-    carry_g = ",\n".join(
-        f"      r.g{l} AS g{l}" for l in range(1, P)
-    )
     return f"""
 WITH RECURSIVE words AS (
   SELECT unnest({_SQL_TOKS}) AS word FROM documents
@@ -2227,7 +2206,50 @@ sc AS (
   FROM vocab CROSS JOIN tot
 ),
 wl AS (SELECT w, freq, length(w) AS L FROM wf),
-rec AS (
+{_viterbi_tail_sql(P)}
+"""
+
+
+def _viterbi_start(l: int) -> str:
+    """1-based start of the length-l candidate piece ending at j+1."""
+    return "r.j + 1" if l == 1 else f"r.j - {l - 2}"
+
+
+def _viterbi_tail_sql(P: int, sc: str = "sc") -> str:
+    """The Viterbi recursion + seg CTE block (see _unigram_oracle's
+    docstring for the scalar-state design); parametrized on the score
+    table name so the EM oracle can point it at the trained scores."""
+    joins = "\n".join(
+        f"    LEFT JOIN {sc} s{l} ON r.j >= {l - 1}"
+        f" AND s{l}.piece = substring(r.w, {_viterbi_start(l)}, {l})"
+        for l in range(1, P + 1)
+    )
+    vals = ",\n".join(
+        f"      r.p{l} + s{l}.s AS v{l}" for l in range(1, P + 1)
+    )
+    segs = ",\n".join(
+        f"      (CASE WHEN r.g{l} = '' THEN '' ELSE r.g{l} || ' ' END)"
+        f" || substring(r.w, {_viterbi_start(l)}, {l}) AS seg{l}"
+        for l in range(1, P + 1)
+    )
+    vlist = ", ".join(f"v{l}" for l in range(1, P + 1))
+    pick = "\n".join(
+        f"      WHEN v{l} = greatest({vlist}) THEN seg{l}"
+        for l in range(1, P + 1)
+    )
+    base_p = ",\n".join(
+        ["    CAST(0 AS BIGINT) AS p1"]
+        + [f"    CAST(NULL AS BIGINT) AS p{l}" for l in range(2, P + 1)]
+    )
+    base_g = ",\n".join(
+        ["    CAST('' AS VARCHAR) AS g1"]
+        + [f"    CAST(NULL AS VARCHAR) AS g{l}" for l in range(2, P + 1)]
+    )
+    shift_p = ", ".join(f"p{l}" for l in range(1, P))
+    shift_g = ", ".join(f"g{l}" for l in range(1, P))
+    carry_p = ",\n".join(f"      r.p{l} AS p{l}" for l in range(1, P))
+    carry_g = ",\n".join(f"      r.g{l} AS g{l}" for l in range(1, P))
+    return f"""rec AS (
   SELECT w, freq, L, 0 AS j,
 {base_p},
 {base_g}
@@ -2255,13 +2277,183 @@ rec AS (
          ELSE len(string_split(g1, ' ')) END AS INT) AS n_pieces,
     g1 AS pieces, CAST(p1 AS BIGINT) AS score
   FROM rec WHERE j = L
-)
-"""
+)"""
 
 
 _UNIGRAM_SEGMENT_ORACLE = (
     _unigram_oracle() + "SELECT word, freq, n_pieces, pieces, score FROM seg"
 )
+
+_UNIGRAM_EM_ITERS = 2
+_UNIGRAM_EM_SCALE = 1 << 24
+_UNIGRAM_MAXLEN = 16
+
+
+def _em_iteration_sql(t: int, P: int, S: int) -> str:
+    """One EM iteration as CTEs: forward/backward sum-product recursions
+    (scalar sliding-window state — the list-corruption workaround), the
+    occurrence-posterior expected counts quantized to the 2^-24 integer
+    lattice, add-one smoothing, and the renormalized p{t} table. Float
+    fold order is pinned DESCENDING piece length with +0.0 for invalid
+    candidates — x + 0.0 is exact for the non-negative values here, so
+    the SQL sum chain equals the Python loop term for term."""
+    prev = f"p{t - 1}"
+    dbl0 = "CAST(0.0 AS DOUBLE)"
+    # forward: window a{l} = a[j+1-l]; candidates end at j+1
+    fjoins = "\n".join(
+        f"    LEFT JOIN {prev} s{l} ON r.j >= {l - 1}"
+        f" AND s{l}.piece = substring(r.w, {_viterbi_start(l)}, {l})"
+        for l in range(1, P + 1)
+    )
+    fsum = " + ".join(
+        f"coalesce(r.a{l} * s{l}.p, {dbl0})" for l in range(P, 0, -1)
+    )
+    fshift = ", ".join(f"r.a{l}" for l in range(1, P))
+    fbase = ", ".join(
+        ["CAST(1.0 AS DOUBLE) AS a1"]
+        + [f"CAST(NULL AS DOUBLE) AS a{l}" for l in range(2, P + 1)]
+    )
+    # backward: window b{l} = b[j+l-1]; candidates start at char j
+    bjoins = "\n".join(
+        f"    LEFT JOIN {prev} s{l}"
+        f" ON s{l}.piece = substring(r.w, CAST(r.j AS INT), {l})"
+        for l in range(1, P + 1)
+    )
+    bsum = " + ".join(
+        f"coalesce(s{l}.p * r.b{l}, {dbl0})" for l in range(P, 0, -1)
+    )
+    bshift = ", ".join(f"r.b{l}" for l in range(1, P))
+    bbase = ", ".join(
+        ["CAST(1.0 AS DOUBLE) AS b1"]
+        + [f"CAST(NULL AS DOUBLE) AS b{l}" for l in range(2, P + 1)]
+    )
+    return f"""fwd{t} AS (
+  SELECT w, L, 0 AS j, {fbase}
+  FROM wl
+  UNION ALL
+  SELECT r.w, r.L, r.j + 1, ({fsum}) AS a1, {fshift}
+  FROM fwd{t} r
+{fjoins}
+  WHERE r.j < r.L
+),
+bwd{t} AS (
+  SELECT w, L, L AS j, {bbase}
+  FROM wl
+  UNION ALL
+  SELECT r.w, r.L, r.j - 1, ({bsum}) AS b1, {bshift}
+  FROM bwd{t} r
+{bjoins}
+  WHERE r.j > 0
+),
+z{t} AS (SELECT w, a1 AS z FROM fwd{t} WHERE j = L),
+occq{t} AS (
+  SELECT oc.piece,
+    CAST(floor(((((fa.a1 * sp.p) * fb.b1) / z.z)
+                 * CAST(oc.freq AS DOUBLE)) * CAST({S} AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qc
+  FROM oc
+  JOIN {prev} sp USING (piece)
+  JOIN fwd{t} fa ON fa.w = oc.w AND fa.j = oc.i - 1
+  JOIN bwd{t} fb ON fb.w = oc.w AND fb.j = oc.i + oc.l - 1
+  JOIN z{t} z ON z.w = oc.w
+),
+qc{t} AS (
+  SELECT v.piece, 1 + coalesce(CAST(sum(o.qc) AS BIGINT), 0) AS qc
+  FROM vocab v LEFT JOIN occq{t} o USING (piece)
+  GROUP BY v.piece
+),
+qt{t} AS (SELECT CAST(sum(qc) AS BIGINT) AS qt FROM qc{t}),
+p{t} AS MATERIALIZED (
+  SELECT piece, CAST(qc AS DOUBLE) / qt AS p FROM qc{t} CROSS JOIN qt{t}
+)"""
+
+
+def _unigram_em_oracle(
+    P: int = _UNIGRAM_P,
+    V: int = _UNIGRAM_VMULTI,
+    T: int = _UNIGRAM_EM_ITERS,
+    S: int = _UNIGRAM_EM_SCALE,
+    maxlen: int = _UNIGRAM_MAXLEN,
+) -> str:
+    """Full Kudo-2018 EM replay: init probabilities from the frequency
+    cut, T unrolled EM iterations (each a forward recursion, a backward
+    recursion, an integer-lattice expected-count aggregate and a
+    renormalization), then the Viterbi tail under the TRAINED scores."""
+    iters = ",\n".join(_em_iteration_sql(t, P, S) for t in range(1, T + 1))
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT unnest({_SQL_TOKS}) AS word FROM documents
+),
+wf AS (
+  SELECT word AS w, CAST(count(*) AS BIGINT) AS freq FROM words
+  GROUP BY word ORDER BY freq DESC, w LIMIT 10000
+),
+wfl AS MATERIALIZED (SELECT w, freq FROM wf WHERE length(w) <= {maxlen}),
+cand0 AS (
+  SELECT w, freq,
+    unnest(flatten(list_transform(range(1, length(w) + 1), i ->
+      list_transform(range(1, least({P}, length(w) - i + 1) + 1),
+                     l -> struct_pack(i := i, l := l))))) AS il
+  FROM wfl
+),
+oc AS MATERIALIZED (
+  SELECT w, freq, CAST(il.i AS INT) AS i, CAST(il.l AS INT) AS l,
+    substring(w, CAST(il.i AS INT), CAST(il.l AS INT)) AS piece
+  FROM cand0
+),
+pc AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM oc GROUP BY piece
+),
+vocab AS MATERIALIZED (
+  SELECT piece, cnt FROM pc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM pc WHERE length(piece) >= 2
+    ORDER BY cnt DESC, piece LIMIT {V}
+  )
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+p0 AS MATERIALIZED (
+  SELECT piece, CAST(cnt AS DOUBLE) / total AS p FROM vocab CROSS JOIN tot
+),
+wl AS MATERIALIZED (SELECT w, freq, length(w) AS L FROM wfl),
+{iters},
+sc AS MATERIALIZED (
+  SELECT piece, CAST(floor(ln(p) * 4096) AS BIGINT) AS s FROM p{T}
+),
+{_viterbi_tail_sql(P)}
+SELECT word, freq, n_pieces, pieces, score FROM seg
+"""
+
+
+@query("text_unigram_em_segment", _unigram_em_oracle())
+def text_unigram_em_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SentencePiece pipeline under a hard oracle: Kudo-2018 EM
+    TRAINING of the unigram piece model (2 iterations of per-word
+    forward/backward sum-product, expected counts on the 2^-24 integer
+    lattice so the cross-word float sum commutes, add-one smoothing,
+    exact-integer renormalization) followed by Viterbi decode under the
+    trained probabilities. The oracle replays the entire trajectory —
+    init, both EM iterations (as scalar-window recursive CTEs per
+    direction), and the final segmentation. The E-step runs distributed
+    (Arrow mapInPandas over the dictionary, per-word lattices are
+    independent; vocabulary-sized collect per iteration — the k-means /
+    BPE bounded-collect pattern); see operators/unigram.py::
+    em_probabilities for the engine-exactness recipe."""
+    from databricks_etl_pipelines_spark.operators.bpe import word_frequencies
+    from databricks_etl_pipelines_spark.operators.unigram import (
+        em_segment_dictionary,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    words = word_frequencies(docs, "text", max_words=10_000)
+    return em_segment_dictionary(
+        words,
+        max_piece_len=_UNIGRAM_P,
+        vocab_multi=_UNIGRAM_VMULTI,
+        iters=_UNIGRAM_EM_ITERS,
+        max_word_len=_UNIGRAM_MAXLEN,
+    )
 
 
 # Doc-level tokenizer eval: fertility (pieces per word) and total piece

@@ -1789,3 +1789,56 @@ def test_unigram_segment_dictionary_invariants(spark):
         ).collect()
     }
     assert again == {(r.word, r.pieces, r.score) for r in got.values()}
+
+
+def test_unigram_em_training_properties(spark):
+    """EM sanity on a planted corpus: probabilities stay a distribution,
+    every EM iteration cannot DECREASE total corpus log-likelihood (the
+    EM guarantee, checked across 3 iteration counts), the trained model
+    concentrates mass on the dominant piece, and the trained
+    segmentation still reassembles every word."""
+    import math
+
+    from databricks_etl_pipelines_spark.operators.bpe import word_frequencies
+    from databricks_etl_pipelines_spark.operators.unigram import (
+        _forward,
+        em_probabilities,
+        em_segment_dictionary,
+    )
+
+    rows = [(i, "abab abab cd") for i in range(12)] + [(99, "qq")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    words = word_frequencies(docs, "text", max_words=100)
+    wlist = [(r.w, r.freq) for r in words.collect()]
+
+    def loglik(pmap):
+        total = 0.0
+        for w, freq in wlist:
+            z = _forward(w, pmap, 3)[len(w)]
+            total += freq * math.log(z)
+        return total
+
+    lls = []
+    for t in (0, 1, 2):
+        pmap = em_probabilities(
+            words, max_piece_len=3, vocab_multi=2, iters=t
+        )
+        assert abs(sum(pmap.values()) - 1.0) < 1e-9
+        assert all(p > 0 for p in pmap.values())
+        lls.append(loglik(pmap))
+    # monotone non-decreasing up to the lattice-quantization epsilon
+    assert lls[1] >= lls[0] - 1e-6
+    assert lls[2] >= lls[1] - 1e-6
+    # 'ab' dominates the corpus -> EM gives it more mass than any char
+    p2 = em_probabilities(words, max_piece_len=3, vocab_multi=2, iters=2)
+    assert "ab" in p2 and p2["ab"] == max(p2.values())
+    seg = {
+        r.word: r
+        for r in em_segment_dictionary(
+            words, max_piece_len=3, vocab_multi=2, iters=2
+        ).collect()
+    }
+    for w, _ in wlist:
+        parts = seg[w].pieces.split(" ") if seg[w].pieces else []
+        assert "".join(parts) == w
+    assert seg["abab"].pieces == "ab ab"
