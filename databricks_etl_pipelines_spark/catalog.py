@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     # triplet mining, and the two TPC-H Q21/Q22 shapes
     "text_unigram_segment",
     "text_unigram_em_segment",
+    "text_unigram_em_pruned",
     "text_unigram_doc_stats",
     "curation_perplexity_buckets",
     "curation_temperature_epochs",

@@ -196,6 +196,7 @@ def em_probabilities(
     iters: int = 2,
     count_scale_bits: int = 24,
     max_word_len: int = 16,
+    prune_per_iter: int = 0,
 ) -> dict[str, float]:
     """Kudo-2018 EM training of the unigram piece model, made
     cross-engine replayable — the full training loop, not just decode:
@@ -217,6 +218,15 @@ def em_probabilities(
       (integer addition commutes), the k-means centroid trick. Add-one
       smoothing on the integer lattice keeps every piece alive.
     * M-step: p_t(piece) = qc/QT — one exact-integer division.
+
+    * Pruning (``prune_per_iter`` > 0, Kudo's vocabulary shrink): after
+      each M-step, the ``prune_per_iter`` MULTI-char pieces with the
+      smallest (p, piece) are dropped (single chars are protected —
+      they are the coverage guarantee) and the survivors renormalized
+      by a PIECE-ORDERED fold (a plain float sum would be visit-order
+      dependent; the ordered fold is one deterministic IEEE chain both
+      engines replay). The next E-step's smoothing runs over the
+      SURVIVING vocabulary only, so pruned pieces stay dead.
 
     Words longer than ``max_word_len`` are excluded from the dictionary
     (both engines apply the same filter), bounding lattice depth.
@@ -283,6 +293,21 @@ def em_probabilities(
         qc = {piece: 1 + sums.get(piece, 0) for piece in pmap}
         qt = sum(qc.values())
         pmap = {piece: float(c) / float(qt) for piece, c in qc.items()}
+        if prune_per_iter > 0:
+            multi = sorted(
+                (p, piece) for piece, p in pmap.items() if len(piece) >= 2
+            )
+            drop = {piece for _, piece in multi[: int(prune_per_iter)]}
+            kept = {
+                piece: p
+                for piece, p in pmap.items()
+                if len(piece) == 1 or piece not in drop
+            }
+            # piece-ordered renormalization fold (engine-replayable)
+            s = 0.0
+            for piece in sorted(kept):
+                s = s + kept[piece]
+            pmap = {piece: p / s for piece, p in kept.items()}
     return pmap
 
 
@@ -292,6 +317,7 @@ def em_segment_dictionary(
     vocab_multi: int = 48,
     iters: int = 2,
     max_word_len: int = 16,
+    prune_per_iter: int = 0,
 ) -> DataFrame:
     """EM-train the unigram piece model (:func:`em_probabilities`), then
     Viterbi-segment the dictionary under the trained model — the full
@@ -301,7 +327,7 @@ def em_segment_dictionary(
 
     pmap = em_probabilities(
         words, max_piece_len, vocab_multi, iters,
-        max_word_len=max_word_len,
+        max_word_len=max_word_len, prune_per_iter=prune_per_iter,
     )
     smap = {
         piece: math.floor(math.log(p) * float(1 << SCALE_BITS))

@@ -2289,15 +2289,18 @@ _UNIGRAM_EM_SCALE = 1 << 24
 _UNIGRAM_MAXLEN = 16
 
 
-def _em_iteration_sql(t: int, P: int, S: int) -> str:
+def _em_iteration_sql(t: int, P: int, S: int, prev: str,
+                      prune: int = 0) -> str:
     """One EM iteration as CTEs: forward/backward sum-product recursions
     (scalar sliding-window state — the list-corruption workaround), the
     occurrence-posterior expected counts quantized to the 2^-24 integer
     lattice, add-one smoothing, and the renormalized p{t} table. Float
     fold order is pinned DESCENDING piece length with +0.0 for invalid
     candidates — x + 0.0 is exact for the non-negative values here, so
-    the SQL sum chain equals the Python loop term for term."""
-    prev = f"p{t - 1}"
+    the SQL sum chain equals the Python loop term for term. With
+    ``prune`` > 0, Kudo's vocabulary shrink follows the M-step: the
+    prune smallest-(p, piece) MULTI-char pieces drop (single chars
+    protected) and survivors renormalize by a PIECE-ORDERED fold."""
     dbl0 = "CAST(0.0 AS DOUBLE)"
     # forward: window a{l} = a[j+1-l]; candidates end at j+1
     fjoins = "\n".join(
@@ -2327,7 +2330,7 @@ def _em_iteration_sql(t: int, P: int, S: int) -> str:
         ["CAST(1.0 AS DOUBLE) AS b1"]
         + [f"CAST(NULL AS DOUBLE) AS b{l}" for l in range(2, P + 1)]
     )
-    return f"""fwd{t} AS (
+    body = f"""fwd{t} AS (
   SELECT w, L, 0 AS j, {fbase}
   FROM wl
   UNION ALL
@@ -2359,13 +2362,32 @@ occq{t} AS (
 ),
 qc{t} AS (
   SELECT v.piece, 1 + coalesce(CAST(sum(o.qc) AS BIGINT), 0) AS qc
-  FROM vocab v LEFT JOIN occq{t} o USING (piece)
+  FROM (SELECT piece FROM {prev}) v LEFT JOIN occq{t} o USING (piece)
   GROUP BY v.piece
 ),
 qt{t} AS (SELECT CAST(sum(qc) AS BIGINT) AS qt FROM qc{t}),
 p{t} AS MATERIALIZED (
   SELECT piece, CAST(qc AS DOUBLE) / qt AS p FROM qc{t} CROSS JOIN qt{t}
 )"""
+    if prune > 0:
+        body += f""",
+pr{t} AS (
+  SELECT piece, p FROM p{t}
+  WHERE length(piece) = 1
+     OR piece NOT IN (
+          SELECT piece FROM p{t} WHERE length(piece) >= 2
+          ORDER BY p ASC, piece ASC LIMIT {prune})
+),
+nr{t} AS (
+  SELECT list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE), array_agg(p ORDER BY piece)),
+    (a, b) -> a + b) AS s
+  FROM pr{t}
+),
+pp{t} AS MATERIALIZED (
+  SELECT piece, p / s AS p FROM pr{t} CROSS JOIN nr{t}
+)"""
+    return body
 
 
 def _unigram_em_oracle(
@@ -2374,12 +2396,21 @@ def _unigram_em_oracle(
     T: int = _UNIGRAM_EM_ITERS,
     S: int = _UNIGRAM_EM_SCALE,
     maxlen: int = _UNIGRAM_MAXLEN,
+    prune: int = 0,
 ) -> str:
     """Full Kudo-2018 EM replay: init probabilities from the frequency
     cut, T unrolled EM iterations (each a forward recursion, a backward
     recursion, an integer-lattice expected-count aggregate and a
     renormalization), then the Viterbi tail under the TRAINED scores."""
-    iters = ",\n".join(_em_iteration_sql(t, P, S) for t in range(1, T + 1))
+    def out_tab(t: int) -> str:
+        return f"pp{t}" if prune > 0 else f"p{t}"
+
+    iters = ",\n".join(
+        _em_iteration_sql(
+            t, P, S, "p0" if t == 1 else out_tab(t - 1), prune
+        )
+        for t in range(1, T + 1)
+    )
     return f"""
 WITH RECURSIVE words AS (
   SELECT unnest({_SQL_TOKS}) AS word FROM documents
@@ -2419,7 +2450,7 @@ p0 AS MATERIALIZED (
 wl AS MATERIALIZED (SELECT w, freq, length(w) AS L FROM wfl),
 {iters},
 sc AS MATERIALIZED (
-  SELECT piece, CAST(floor(ln(p) * 4096) AS BIGINT) AS s FROM p{T}
+  SELECT piece, CAST(floor(ln(p) * 4096) AS BIGINT) AS s FROM {out_tab(T)}
 ),
 {_viterbi_tail_sql(P)}
 SELECT word, freq, n_pieces, pieces, score FROM seg
@@ -2629,6 +2660,36 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("q_surprisal"),
         )
+    )
+
+
+_UNIGRAM_EM_PRUNE = 6
+
+
+@query("text_unigram_em_pruned", _unigram_em_oracle(prune=_UNIGRAM_EM_PRUNE))
+def text_unigram_em_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Kudo-2018 algorithm: EM training WITH vocabulary
+    pruning — after each M-step the 6 lowest-probability multi-char
+    pieces are dropped (single chars protected: they are the coverage
+    guarantee) and the survivors renormalized by a piece-ordered fold,
+    so the next E-step's smoothing runs over the shrunken vocabulary
+    only. The oracle replays the full shrink trajectory — both EM
+    iterations, both prune+renormalize steps, and the Viterbi decode
+    under the surviving trained pieces."""
+    from databricks_etl_pipelines_spark.operators.bpe import word_frequencies
+    from databricks_etl_pipelines_spark.operators.unigram import (
+        em_segment_dictionary,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    words = word_frequencies(docs, "text", max_words=10_000)
+    return em_segment_dictionary(
+        words,
+        max_piece_len=_UNIGRAM_P,
+        vocab_multi=_UNIGRAM_VMULTI,
+        iters=_UNIGRAM_EM_ITERS,
+        max_word_len=_UNIGRAM_MAXLEN,
+        prune_per_iter=_UNIGRAM_EM_PRUNE,
     )
 
 

@@ -1842,3 +1842,35 @@ def test_unigram_em_training_properties(spark):
         parts = seg[w].pieces.split(" ") if seg[w].pieces else []
         assert "".join(parts) == w
     assert seg["abab"].pieces == "ab ab"
+
+
+def test_unigram_em_pruning_shrinks_vocabulary(spark):
+    """Kudo pruning semantics: each EM iteration drops exactly
+    prune_per_iter multi-char pieces (the lowest-probability ones),
+    single chars are never pruned, the survivors renormalize to a
+    distribution, and segmentation still reassembles every word."""
+    from databricks_etl_pipelines_spark.operators.bpe import word_frequencies
+    from databricks_etl_pipelines_spark.operators.unigram import (
+        em_probabilities,
+        em_segment_dictionary,
+    )
+
+    rows = [(i, "abab abab cd xyxy") for i in range(10)] + [(99, "qq")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    words = word_frequencies(docs, "text", max_words=100)
+    plain = em_probabilities(words, max_piece_len=3, vocab_multi=8, iters=2)
+    pruned = em_probabilities(
+        words, max_piece_len=3, vocab_multi=8, iters=2, prune_per_iter=2
+    )
+    n_multi = lambda d: sum(1 for k in d if len(k) >= 2)  # noqa: E731
+    assert n_multi(plain) - n_multi(pruned) == 4  # 2 per iteration
+    assert all(k in pruned for k in plain if len(k) == 1)
+    assert abs(sum(pruned.values()) - 1.0) < 1e-9
+    # the dominant piece survives the shrink
+    assert "ab" in pruned
+    seg = em_segment_dictionary(
+        words, max_piece_len=3, vocab_multi=8, iters=2, prune_per_iter=2
+    ).collect()
+    for r in seg:
+        parts = r.pieces.split(" ") if r.pieces else []
+        assert "".join(parts) == r.word
