@@ -89,6 +89,7 @@ PRIORITY: list[str] = [
     "streaming_decontaminate",
     "join_min_cost_supplier",
     "text_bigram_surprisal",
+    "curation_bigram_buckets",
     "streaming_perplexity_gate",
     # (b) stalest oracle-backed evidence — the ENTIRE remaining
     # r2-latest set (22 queries: scalar family, set-ops, sort/topk)

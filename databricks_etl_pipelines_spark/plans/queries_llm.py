@@ -2693,6 +2693,120 @@ def text_unigram_em_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bigram perplexity terciles: the bigram LM's per-doc lattice scores
+# composed with the same bounded-histogram cutoff machinery as the
+# unigram buckets — the context-aware CCNet gradient.
+_BIGRAM_BUCKETS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, u.x.p AS prev, u.x.c AS cur
+  FROM (
+    SELECT doc_id, lang,
+      unnest(list_transform(range(1, len(ws)),
+        i -> struct_pack(p := ws[i], c := ws[i + 1]))) AS x
+    FROM t WHERE len(ws) >= 2
+  ) u
+),
+cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+       FROM bg GROUP BY prev, cur),
+cc AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY prev),
+v AS (
+  SELECT CAST(count(DISTINCT word) AS BIGINT) AS vsz
+  FROM (SELECT unnest(ws) AS word FROM t)
+),
+p AS (
+  SELECT bg.doc_id, bg.lang,
+    CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(floor(sum(CAST(floor(-ln((cb.c2 + 0.5) / (cc.c1 + 0.5 * v.vsz))
+                              * 4096) AS BIGINT))
+               / count(*)) AS BIGINT) AS q_surprisal
+  FROM bg JOIN cb USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
+  GROUP BY bg.doc_id, bg.lang
+),
+h AS (
+  SELECT lang, q_surprisal, count(*) AS hc FROM p GROUP BY lang, q_surprisal
+),
+m AS (
+  SELECT lang, q_surprisal,
+    sum(hc) OVER (PARTITION BY lang ORDER BY q_surprisal) AS cum,
+    sum(hc) OVER (PARTITION BY lang) AS n
+  FROM h
+),
+c AS (
+  SELECT lang,
+    min(CASE WHEN cum * 3 >= n THEN q_surprisal END) AS c1,
+    min(CASE WHEN cum * 3 >= n * 2 THEN q_surprisal END) AS c2
+  FROM m GROUP BY lang
+)
+SELECT p.doc_id, p.lang, p.n_bigrams, p.q_surprisal,
+  CASE WHEN p.q_surprisal <= c.c1 THEN 'head'
+       WHEN p.q_surprisal <= c.c2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM p JOIN c USING (lang)
+"""
+
+
+@query("curation_bigram_buckets", _BIGRAM_BUCKETS_ORACLE)
+def curation_bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware CCNet gradient: per-language head/middle/tail
+    terciles over BIGRAM-LM surprisal — word-salad documents sink to
+    the tail even when their unigram statistics look fluent. Composes
+    text_bigram_surprisal's lattice scores with the perplexity_buckets
+    cutoff machinery (bounded-histogram cutoffs, never a per-language
+    corpus-sized window); the whole gradient replays in SQL."""
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+    from databricks_etl_pipelines_spark.operators.curation import (
+        perplexity_cutoffs,
+        perplexity_label,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens("text").alias("ws"))
+    bg = toks.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.get("ws", i).alias("prev"),
+                    F.get("ws", i + 1).alias("cur"),
+                ),
+            )
+        ).alias("x"),
+    ).select(
+        "doc_id", "lang",
+        F.col("x.prev").alias("prev"), F.col("x.cur").alias("cur"),
+    )
+    cb = bg.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    cc = bg.groupBy("prev").agg(F.count("*").alias("c1"))
+    vsz = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .agg(F.countDistinct("w").alias("vsz"))
+    )
+    prob = (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("vsz"))
+    qs = F.floor(-F.log(prob) * 4096).cast("long")
+    per_doc = (
+        bg.join(cb, ["prev", "cur"])
+        .join(cc, "prev")
+        .crossJoin(F.broadcast(vsz))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tokens"), F.sum(qs).alias("__qsum"))
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.floor(F.col("__qsum") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("q_surprisal"),
+        )
+    )
+    cuts = perplexity_cutoffs(per_doc, "lang")
+    return perplexity_label(per_doc, cuts, "doc_id", "lang").withColumnRenamed(
+        "n_tokens", "n_bigrams"
+    )
+
+
 # CCNet head/middle/tail: per-word surprisal quantized to the 2^-12
 # lattice and INTEGER-summed per doc (order-independent), cutoffs from a
 # cumulative count over the bounded (lang, score) histogram — never a
