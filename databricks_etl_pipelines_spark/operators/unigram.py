@@ -234,7 +234,12 @@ def em_probabilities(
     spark = words.sparkSession
     S = float(1 << count_scale_bits)
     mpl = int(max_piece_len)
-    wl = words.filter(F.length("w") <= int(max_word_len))
+    # persist the (bounded, ≤ max_words-row) dictionary: the piece
+    # inventory, every E-step pass and the final read all consume it —
+    # without the persist each consumption re-runs the corpus-sized
+    # word-count aggregate upstream, making a dictionary-bound loop
+    # silently corpus-bound (measured 2x at 10x corpus before the fix)
+    wl = words.filter(F.length("w") <= int(max_word_len)).persist()
     counts = (
         piece_candidates(wl, mpl)
         .groupBy("piece")
@@ -308,6 +313,7 @@ def em_probabilities(
             for piece in sorted(kept):
                 s = s + kept[piece]
             pmap = {piece: p / s for piece, p in kept.items()}
+    wl.unpersist()
     return pmap
 
 

@@ -12,6 +12,9 @@ dictionary, exactly like a larger crawl of the same language) and time
     broadcast join + one corpus aggregate: expected ~linear;
   * text_unigram_segment       - dictionary-sized end to end: expected
     ~FLAT (the corpus only contributes one word-count aggregate);
+  * unigram EM training        - same claim for the TRAINED model:
+    per-iteration cost is dictionary x lattice work + a vocabulary-
+    sized collect, independent of corpus rows;
   * decontaminate_score        - broadcast marker join: ~linear.
 
 Usage: python tools/scale_unigram.py [reps...]   (default: 1 5 10)
@@ -37,6 +40,7 @@ from databricks_etl_pipelines_spark.operators.curation import (  # noqa: E402
     perplexity_buckets,
 )
 from databricks_etl_pipelines_spark.operators.unigram import (  # noqa: E402
+    em_segment_dictionary,
     segment_dictionary,
 )
 from databricks_etl_pipelines_spark.session import get_spark  # noqa: E402
@@ -81,6 +85,11 @@ def main() -> None:
         row["unigram_segment"] = timed(
             lambda: segment_dictionary(words, 6, 48).count()
         )
+        row["unigram_em"] = timed(
+            lambda: em_segment_dictionary(
+                words, 6, 48, iters=2, prune_per_iter=6
+            ).count()
+        )
         seg = segment_dictionary(words, 6, 48).select(
             F.col("word").alias("__w"), "n_pieces"
         )
@@ -111,7 +120,8 @@ def main() -> None:
         "ratios": {
             k: round(last[k] / max(base[k], 0.01), 2)
             for k in ("perplexity_buckets", "unigram_segment",
-                      "unigram_doc_stats", "decontaminate_score")
+                      "unigram_em", "unigram_doc_stats",
+                      "decontaminate_score")
         },
     }))
 
