@@ -84,6 +84,7 @@ PRIORITY: list[str] = [
     "curation_perplexity_buckets",
     "curation_temperature_epochs",
     "sft_contrastive_triplets",
+    "embedding_jl_projection",
     "join_blame_late_supplier",
     "join_idle_rich_customers",
     "streaming_decontaminate",

@@ -870,6 +870,99 @@ def batch_cosine_topk(
     )
 
 
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    scale_bits: int = 20,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with the Achlioptas
+    (2003) sparse projection: R[i][j] ∈ {+1 (1/6), 0 (2/3), −1 (1/6)},
+    entries a pure function of (i, j, seed) via the cross-engine md5
+    rolling hash — so the ENTIRE projection replays in SQL, and the
+    2/3-sparsity means 2/3 of the multiply-adds vanish. The embedding
+    pipeline's shrink step: 64-dim vectors become 16-dim before ANN
+    indexing / clustering, with pairwise geometry preserved in
+    expectation (E[‖y‖²] = ‖x‖²·k/3 for unscaled ±1 entries).
+
+    Exactness recipe: input coordinates quantize to the 2^-scale_bits
+    integer lattice (parquet floats are identical bits everywhere, so
+    the quantization is engine-exact), and the projection is then pure
+    INTEGER arithmetic — sums commute, no fold-order pinning needed.
+    Bounds: |q| ≤ |x|·2^20, |yq_j| ≤ in_dim·|q|, Σ yq² ≤ k·(in_dim·|q|)²
+    — far inside int64 for unit-scale embeddings.
+
+    Scale shape: one posexplode of the corpus (rows × in_dim) joined to
+    the BROADCAST in_dim × out_dim entry relation, one (id, j) integer
+    aggregate, one per-id rollup. Linear in corpus size; never any
+    pairwise work. Returns (id, x2, y2, jl_ratio) — quantized input and
+    projected squared norms plus the (3/k)-corrected ratio the JL lemma
+    says concentrates at 1."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    S = float(1 << scale_bits)
+    spark = df.sparkSession
+    entries = (
+        spark.range(1, in_dim + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(out_dim).select(F.col("id").alias("j")))
+    )
+    h = fingerprint_rolling(
+        F.md5(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.col("i").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        )
+    ) % 6
+    entries = entries.select(
+        "i", "j",
+        F.when(h == 0, F.lit(1))
+        .when(h == 1, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("r"),
+    )
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            as_double_array(vec_col),
+            lambda e: F.floor(e * F.lit(S) + F.lit(0.5)).cast("long"),
+        ).alias("qx"),
+    )
+    exploded = q.select(
+        "id", F.posexplode("qx").alias("pos", "qi")
+    ).select("id", (F.col("pos") + 1).alias("i"), "qi")
+    proj = (
+        exploded.join(F.broadcast(entries), "i")
+        .groupBy("id", "j")
+        .agg(F.sum(F.col("qi") * F.col("r")).alias("yq"))
+    )
+    y2 = proj.groupBy("id").agg(F.sum(F.col("yq") * F.col("yq")).alias("y2"))
+    x2 = q.select(
+        "id",
+        F.aggregate(
+            F.transform("qx", lambda a: a * a),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ).alias("x2"),
+    )
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+
+    ratio = (F.col("y2").cast("double") * F.lit(3.0)) / (
+        F.col("x2").cast("double") * F.lit(float(out_dim))
+    )
+    return x2.join(y2, "id").select(
+        "id", "x2", "y2", stable_round(ratio, 6).alias("jl_ratio")
+    )
+
+
 def contrastive_triplets(
     df: DataFrame,
     vec_col: str,

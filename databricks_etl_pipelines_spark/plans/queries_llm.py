@@ -998,6 +998,83 @@ def sft_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Achlioptas JL projection: the whole matrix is a pure hash function of
+# (i, j), inputs quantize to the integer lattice, and the projection is
+# then exact integer arithmetic — fully replayable, order-free sums.
+_JL_IN, _JL_OUT = 64, 16
+_JL_HASH = """list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5('jl:' || i || ':' || j), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647) % 6"""
+
+_JL_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+q AS (
+  SELECT vec_id,
+    list_transform(x, e -> CAST(floor(e * CAST(1048576 AS DOUBLE)
+                                      + CAST(0.5 AS DOUBLE)) AS BIGINT))
+      AS qx
+  FROM v
+),
+ij AS (
+  SELECT a.i, b.j
+  FROM (SELECT unnest(range(1, {_JL_IN + 1})) AS i) a,
+       (SELECT unnest(range(0, {_JL_OUT})) AS j) b
+),
+r AS (
+  SELECT i, j,
+    CASE ({_JL_HASH}) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
+  FROM ij
+),
+prj AS (
+  SELECT q.vec_id, r.j,
+    CAST(sum(q.qx[CAST(r.i AS INT)] * r.r) AS BIGINT) AS yq
+  FROM q CROSS JOIN r GROUP BY q.vec_id, r.j
+),
+ny AS (SELECT vec_id, CAST(sum(yq * yq) AS BIGINT) AS y2
+       FROM prj GROUP BY vec_id),
+nx AS (
+  SELECT vec_id,
+    CAST(list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform(qx, a -> a * a)),
+      (acc, t) -> acc + t) AS BIGINT) AS x2
+  FROM q
+)
+SELECT nx.vec_id, nx.x2, ny.y2,
+  {sql_stable_round(
+      '(CAST(ny.y2 AS DOUBLE) * CAST(3 AS DOUBLE))'
+      f' / (CAST(nx.x2 AS DOUBLE) * CAST({_JL_OUT} AS DOUBLE))', 6)}
+    AS jl_ratio
+FROM nx JOIN ny USING (vec_id)
+"""
+
+
+@query("embedding_jl_projection", _JL_ORACLE)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss shrink for embedding pipelines: 64-dim
+    vectors projected to 16 dims with the Achlioptas sparse ±1 matrix
+    (entries a pure md5-hash function of (i, j) — 2/3 of them zero).
+    Inputs quantize to the 2^-20 integer lattice, so the projection is
+    exact integer arithmetic and the oracle replays the matrix, every
+    projected coordinate, and the norm-preservation ratio the JL lemma
+    says concentrates at 1. Scale shape: posexplode + broadcast
+    entry-relation join + two integer aggregates — linear, no pairs
+    (operators/similarity.py::jl_project)."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        jl_project,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = jl_project(
+        emb, "embedding", "vec_id", out_dim=_JL_OUT, in_dim=_JL_IN
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "x2", "y2", "jl_ratio"
+    )
+
+
 # -- ANN recall@k report (retrieval-quality eval) -----------------------------
 
 def _ann_recall_oracle(dim: int = 64, nlist: int = 16, nprobe: int = 4,

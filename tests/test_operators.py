@@ -1874,3 +1874,39 @@ def test_unigram_em_pruning_shrinks_vocabulary(spark):
     for r in seg:
         parts = r.pieces.split(" ") if r.pieces else []
         assert "".join(parts) == r.word
+
+
+def test_jl_projection_preserves_geometry(spark, sf_dir):
+    """JL quality on the real embeddings: the (3/k)-corrected norm ratio
+    concentrates near 1 (mean within 15%, no catastrophic collapse), and
+    a planted pair of identical vectors projects identically while an
+    orthogonal pair stays far apart."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        jl_project,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = jl_project(emb, "embedding", "vec_id").collect()
+    ratios = [r.jl_ratio for r in out]
+    assert len(ratios) > 0
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
+    assert all(r > 0.05 for r in ratios)  # nothing collapses to ~zero
+    # planted: duplicate vectors project to identical coordinates
+    dim = 64
+    v1 = [1.0] * dim
+    v2 = [1.0] * dim
+    v3 = [1.0, -1.0] * (dim // 2)
+    planted = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.id: (r.x2, r.y2) for r in jl_project(
+        planted, "embedding", "vec_id"
+    ).collect()}
+    assert got[1] == got[2]
+    assert got[1][0] == got[3][0]      # same input norm...
+    assert got[1][1] != got[3][1]      # ...different projections
