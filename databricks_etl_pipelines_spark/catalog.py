@@ -85,6 +85,8 @@ PRIORITY: list[str] = [
     "curation_temperature_epochs",
     "sft_contrastive_triplets",
     "embedding_jl_projection",
+    "similarity_jl_recall",
+    "agg_countmin_words",
     "join_blame_late_supplier",
     "join_idle_rich_customers",
     "streaming_decontaminate",
@@ -115,16 +117,15 @@ PRIORITY: list[str] = [
     "setop_except_all",
     "setop_intersect_all",
     "distinct_projection",
-    "sql_text_pricing_summary",
     # (c) oldest r3-latest rows to the 50-slot boundary: dedup exact/
     # jaccard/passages, the streaming window family, the window
     # analytics family, gold pipeline, composition/privacy/token stats
     "dedup_exact_documents",
+    # ---------------- 50-slot cap boundary ----------------
     "dedup_ngram_jaccard_pairs",
     "dedup_passages",
     "streaming_tumbling_hourly",
     "streaming_sliding_window",
-    # ---------------- 50-slot cap boundary ----------------
     "streaming_stream_stream_join",
     "streaming_stream_static_join",
     "window_sessionize_events",
@@ -163,8 +164,7 @@ PRIORITY: list[str] = [
     "text_sliding_chunks",
     "dedup_minhash_lsh_pairs",
     "dedup_incremental_corpus",
-    "dedup_simhash_pairs",
-]
+    "dedup_simhash_pairs",]
 
 
 def load_all() -> None:

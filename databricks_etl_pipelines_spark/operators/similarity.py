@@ -905,7 +905,57 @@ def jl_project(
         fingerprint_rolling,
     )
 
+    q = _jl_quantized(df, vec_col, id_col, scale_bits)
+    proj = jl_project_coords(df, vec_col, id_col, out_dim, in_dim,
+                             scale_bits, seed)
+    y2 = proj.groupBy("id").agg(F.sum(F.col("yq") * F.col("yq")).alias("y2"))
+    x2 = q.select(
+        "id",
+        F.aggregate(
+            F.transform("qx", lambda a: a * a),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ).alias("x2"),
+    )
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+
+    ratio = (F.col("y2").cast("double") * F.lit(3.0)) / (
+        F.col("x2").cast("double") * F.lit(float(out_dim))
+    )
+    return x2.join(y2, "id").select(
+        "id", "x2", "y2", stable_round(ratio, 6).alias("jl_ratio")
+    )
+
+
+def _jl_quantized(
+    df: DataFrame, vec_col: str, id_col: str, scale_bits: int
+) -> DataFrame:
     S = float(1 << scale_bits)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            as_double_array(vec_col),
+            lambda e: F.floor(e * F.lit(S) + F.lit(0.5)).cast("long"),
+        ).alias("qx"),
+    )
+
+
+def jl_project_coords(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    scale_bits: int = 20,
+    seed: str = "jl",
+) -> DataFrame:
+    """The projected coordinates themselves, (id, j, yq) with yq exact
+    BIGINT — the relation downstream ANN/clustering consumes (and what
+    :func:`jl_project`'s norm report rolls up)."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
     spark = df.sparkSession
     entries = (
         spark.range(1, in_dim + 1)
@@ -929,37 +979,13 @@ def jl_project(
         .otherwise(F.lit(0))
         .alias("r"),
     )
-    q = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            as_double_array(vec_col),
-            lambda e: F.floor(e * F.lit(S) + F.lit(0.5)).cast("long"),
-        ).alias("qx"),
-    )
-    exploded = q.select(
+    exploded = _jl_quantized(df, vec_col, id_col, scale_bits).select(
         "id", F.posexplode("qx").alias("pos", "qi")
     ).select("id", (F.col("pos") + 1).alias("i"), "qi")
-    proj = (
+    return (
         exploded.join(F.broadcast(entries), "i")
         .groupBy("id", "j")
         .agg(F.sum(F.col("qi") * F.col("r")).alias("yq"))
-    )
-    y2 = proj.groupBy("id").agg(F.sum(F.col("yq") * F.col("yq")).alias("y2"))
-    x2 = q.select(
-        "id",
-        F.aggregate(
-            F.transform("qx", lambda a: a * a),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
-        ).alias("x2"),
-    )
-    from databricks_etl_pipelines_spark.functions.numeric import stable_round
-
-    ratio = (F.col("y2").cast("double") * F.lit(3.0)) / (
-        F.col("x2").cast("double") * F.lit(float(out_dim))
-    )
-    return x2.join(y2, "id").select(
-        "id", "x2", "y2", stable_round(ratio, 6).alias("jl_ratio")
     )
 
 

@@ -563,6 +563,119 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# in fixed d×w state. The deterministic cross-engine hash rows make the
+# ESTIMATES exactly SQL-replayable (like KMV, unlike HLL), and the
+# one-sided guarantee (never undercounts) is asserted as a compared
+# column on the exact top-20 heavy hitters.
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 64
+
+
+def _cm_sql_hash(word_expr: str, r_expr: str = "r") -> str:
+    return f"""list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5('cm' || {r_expr} || ':' || {word_expr}),
+                             '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647) % {_CM_W}"""
+
+
+_CM_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+rows_r AS (SELECT unnest(range(0, {_CM_D})) AS r),
+cm AS (
+  SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT rr.r AS r, {_cm_sql_hash('w.word')} AS b
+    FROM w, rows_r rr
+  ) GROUP BY r, b
+),
+ex AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS exact FROM w
+  GROUP BY word ORDER BY exact DESC, word LIMIT 20
+),
+est AS (
+  SELECT ex.word, ex.exact, min(cm.c) AS cm_estimate
+  FROM ex CROSS JOIN rows_r rr
+  JOIN cm ON cm.r = rr.r AND cm.b = ({_cm_sql_hash('ex.word', 'rr.r')})
+  GROUP BY ex.word, ex.exact
+)
+SELECT word, exact, CAST(cm_estimate AS BIGINT) AS cm_estimate,
+  CAST(cm_estimate - exact AS BIGINT) AS overcount,
+  cm_estimate >= exact AS never_undercounts
+FROM est
+"""
+
+
+@query("agg_countmin_words", _CM_ORACLE)
+def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus vocabulary: 4 hash
+    rows × 64 counters (fixed 256-cell state however large the stream —
+    counters are mergeable by addition, the same property that makes it
+    a streaming/distributed heavy-hitter structure). Estimates for the
+    exact top-20 words, their one-sided overcount, and the
+    never-undercounts guarantee — all exactly replayed in SQL because
+    the row hashes are the deterministic cross-engine family.
+
+    Scale shape: the sketch build is one corpus×d explode into a
+    256-group hash aggregate (map-side combined to ≤256 rows per
+    partition); the heavy-hitter probe is a TakeOrderedAndProject cap
+    joined against the broadcast 256-row sketch."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+        tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("word"))
+    rs = spark.range(_CM_D).select(F.col("id").alias("r"))
+
+    def bucket(word_col: F.Column) -> F.Column:
+        return fingerprint_rolling(
+            F.md5(
+                F.concat(
+                    F.lit("cm"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    word_col,
+                )
+            )
+        ) % _CM_W
+
+    cm = (
+        words.crossJoin(F.broadcast(rs))
+        .select("r", bucket(F.col("word")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    ex = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("word"))
+        .limit(20)
+    )
+    est = (
+        ex.crossJoin(F.broadcast(rs))
+        .select("word", "exact", "r", bucket(F.col("word")).alias("b"))
+        .join(F.broadcast(cm), ["r", "b"])
+        .groupBy("word", "exact")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "word",
+        "exact",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact")).alias("overcount"),
+        (F.col("cm_estimate") >= F.col("exact")).alias("never_undercounts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # approx percentile under a rank-error-bound oracle — completes the sketch
 # family: KMV (exact replay), HLL++ (error bound), KLL-style quantiles
 # (rank-error bracket).

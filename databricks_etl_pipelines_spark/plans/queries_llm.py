@@ -1009,7 +1009,7 @@ _JL_HASH = """list_reduce(
           c -> CAST(ord(c) AS BIGINT))),
       (acc, c) -> (acc * 257 + c) % 2147483647) % 6"""
 
-_JL_ORACLE = f"""
+_JL_PREFIX = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
 q AS (
   SELECT vec_id,
@@ -1028,13 +1028,15 @@ r AS (
     CASE ({_JL_HASH}) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
   FROM ij
 ),
-prj AS (
+prj AS MATERIALIZED (
   SELECT q.vec_id, r.j,
     CAST(sum(q.qx[CAST(r.i AS INT)] * r.r) AS BIGINT) AS yq
   FROM q CROSS JOIN r GROUP BY q.vec_id, r.j
 ),
-ny AS (SELECT vec_id, CAST(sum(yq * yq) AS BIGINT) AS y2
-       FROM prj GROUP BY vec_id),
+ny AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(yq * yq) AS BIGINT) AS y2
+  FROM prj GROUP BY vec_id
+),
 nx AS (
   SELECT vec_id,
     CAST(list_reduce(
@@ -1042,6 +1044,9 @@ nx AS (
       (acc, t) -> acc + t) AS BIGINT) AS x2
   FROM q
 )
+"""
+
+_JL_ORACLE = _JL_PREFIX + f"""
 SELECT nx.vec_id, nx.x2, ny.y2,
   {sql_stable_round(
       '(CAST(ny.y2 AS DOUBLE) * CAST(3 AS DOUBLE))'
@@ -1072,6 +1077,122 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         F.col("id").alias("vec_id"), "x2", "y2", "jl_ratio"
+    )
+
+
+# JL-space retrieval recall: top-10 by projected cosine vs exact cosine
+# in the original space — measures what the 4x shrink costs retrieval.
+_JL_RECALL_ORACLE = _JL_PREFIX + """
+, pd AS (
+  SELECT c.vec_id AS id, a.vec_id AS query_id,
+    CAST(sum(c.yq * a.yq) AS BIGINT) AS dot
+  FROM prj c JOIN prj a ON a.j = c.j AND a.vec_id < 8
+  GROUP BY c.vec_id, a.vec_id
+),
+ps AS (
+  SELECT query_id, id,
+    floor(CAST(pd.dot AS DOUBLE)
+          / (sqrt(CAST(cy.y2 AS DOUBLE)) * sqrt(CAST(ay.y2 AS DOUBLE)))
+          * 1000000 + 0.5) / 1000000 AS sim
+  FROM pd
+  JOIN ny cy ON cy.vec_id = pd.id
+  JOIN ny ay ON ay.vec_id = pd.query_id
+),
+prank AS (
+  SELECT query_id, id,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
+  FROM ps
+),
+es AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS id,
+    floor(list_dot_product(c.x, a.x)
+      / (sqrt(list_dot_product(c.x, c.x))
+         * sqrt(list_dot_product(a.x, a.x))) * 1000000 + 0.5) / 1000000
+      AS sim
+  FROM v c, v a WHERE a.vec_id < 8
+),
+erank AS (
+  SELECT query_id, id,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn
+  FROM es
+)
+SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+  floor(CAST(count(*) AS DOUBLE) / CAST(10 AS DOUBLE) * 1000000 + 0.5)
+    / 1000000 AS recall_at_10
+FROM (SELECT query_id, id FROM prank WHERE rn <= 10) p
+JOIN (SELECT query_id, id FROM erank WHERE rn <= 10) e
+  USING (query_id, id)
+GROUP BY p.query_id
+"""
+
+
+@query("similarity_jl_recall", _JL_RECALL_ORACLE)
+def similarity_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the JL shrink costs retrieval: per anchor (8-query batch),
+    recall@10 of top-10 by PROJECTED-space cosine (16-dim integer
+    vectors, exact BIGINT dots) against exact original-space cosine.
+    Both rankings and the recall numbers replay in SQL — the same
+    measured-not-assumed discipline as similarity_ann_recall, applied
+    to the dimensionality-reduction path."""
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        batch_cosine_topk,
+        jl_project_coords,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    proj = jl_project_coords(emb, "embedding", "vec_id")
+    ny = proj.groupBy("id").agg(
+        F.sum(F.col("yq") * F.col("yq")).alias("y2")
+    )
+    anchors = proj.filter(F.col("id") < 8).select(
+        F.col("id").alias("query_id"), "j", F.col("yq").alias("aq")
+    )
+    dots = (
+        proj.join(F.broadcast(anchors), "j")
+        .groupBy("id", "query_id")
+        .agg(F.sum(F.col("yq") * F.col("aq")).alias("dot"))
+    )
+    sim = stable_round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("y2").cast("double"))
+           * F.sqrt(F.col("ay2").cast("double"))),
+        6,
+    )
+    scored = (
+        dots.join(ny, "id")
+        .join(
+            F.broadcast(
+                ny.select(F.col("id").alias("query_id"),
+                          F.col("y2").alias("ay2"))
+            ),
+            "query_id",
+        )
+        .select("query_id", "id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("id"))
+    ptop = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "id")
+    )
+    qs = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    etop = batch_cosine_topk(
+        emb, "embedding", "vec_id", qs, "vec_id", "embedding",
+        k=10, round_sim=6,
+    ).select("query_id", F.col("vec_id").alias("id"))
+    return (
+        ptop.join(etop, ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            stable_round(
+                F.col("n_overlap").cast("double") / F.lit(10.0), 6
+            ).alias("recall_at_10"),
+        )
     )
 
 

@@ -1910,3 +1910,28 @@ def test_jl_projection_preserves_geometry(spark, sf_dir):
     assert got[1] == got[2]
     assert got[1][0] == got[3][0]      # same input norm...
     assert got[1][1] != got[3][1]      # ...different projections
+
+
+def test_countmin_guarantee_and_accuracy(spark, sf_dir):
+    """Count-Min one-sided guarantee on real data: estimates never
+    undercount, and with d=4 rows the min-estimate overcount stays well
+    under the single-row worst case (N/w per row)."""
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    rows = catalog.QUERIES["agg_countmin_words"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.never_undercounts for r in rows)
+    n_tokens = sum(r.exact for r in rows)  # lower bound on stream size N
+    from databricks_etl_pipelines_spark.sources import table
+    from pyspark.sql import functions as F
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+
+    N = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .count()
+    )
+    assert n_tokens <= N
+    # loose sanity: min over 4 rows beats the per-row expectation N/64
+    assert max(r.overcount for r in rows) <= 2 * N / 64
