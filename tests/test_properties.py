@@ -639,3 +639,63 @@ def test_unigram_viterbi_matches_bruteforce_enumeration(words, max_piece):
         assert best is not None, f"unsegmentable word {w!r}"
         assert got_score == best[0][0], (w, got_pieces, best[1])
         assert got_pieces == best[1], (w, got_pieces, best[1])
+
+
+def _kr_md5_bucket(s: str) -> int:
+    """The cross-engine md5 rolling hash (functions/textfns.py::
+    fingerprint_rolling over md5 hex), reimplemented independently."""
+    acc = 0
+    for ch in hashlib.md5(s.encode()).hexdigest():
+        acc = (acc * 257 + ord(ch)) % 2147483647
+    return acc
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),        # group id
+            st.integers(1, 40),       # tokens
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_temperature_epochs_matches_pure_python_replay(spark, rows):
+    """Cross-implementation pin for the alpha=0.5 temperature schedule:
+    a pure-Python replay of the WHOLE rule (sqrt weights, group-ordered
+    normalizer fold, pinned op order, md5 hash fraction, cap) must equal
+    the Spark operator exactly on arbitrary small corpora."""
+    import math
+
+    from databricks_etl_pipelines_spark.operators.curation import (
+        temperature_epoch_plan,
+    )
+
+    data = [(i, f"g{g}", t) for i, (g, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, n_tokens long")
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in temperature_epoch_plan(
+            df, "lang", "n_tokens", "doc_id", seed=42, max_epochs=8
+        ).collect()
+    )
+    # local replay with the exact op orders
+    gtok: dict[str, int] = {}
+    for _, g, t in data:
+        gtok[g] = gtok.get(g, 0) + t
+    total = sum(gtok.values())
+    w = 0.0
+    for g in sorted(gtok):
+        w = w + math.sqrt(float(gtok[g]))
+    plan = {}
+    for g, gt in gtok.items():
+        f = ((math.sqrt(float(gt)) / w) * float(total)) / float(gt)
+        plan[g] = (math.floor(f), math.floor((f - math.floor(f)) * 1_000_000))
+    expected = []
+    for i, g, t in data:
+        full, th = plan[g]
+        bucket = _kr_md5_bucket(f"{i}:42") % 1_000_000
+        n = min(full + (1 if bucket < th else 0), 8)
+        expected.extend((i, e) for e in range(n))
+    assert got == sorted(expected)
