@@ -767,6 +767,13 @@ def kmeans_lloyd_deterministic(
         .limit(k)
         .collect()
     ]
+    if len(cent_rows) < k:
+        raise ValueError(
+            f"kmeans_lloyd_deterministic: only {len(cent_rows)} of {k} "
+            f"requested centroids satisfy id % {centroid_stride} == 0 — "
+            "lower centroid_stride (or k) so the strided init rule "
+            "selects enough seed vectors"
+        )
     dim = len(cent_rows[0])
 
     def assigned_against(cent: list[list[float]]) -> DataFrame:
@@ -900,11 +907,9 @@ def jl_project(
     aggregate, one per-id rollup. Linear in corpus size; never any
     pairwise work. Returns (id, x2, y2, jl_ratio) — quantized input and
     projected squared norms plus the (3/k)-corrected ratio the JL lemma
-    says concentrates at 1."""
-    from databricks_etl_pipelines_spark.functions.textfns import (
-        fingerprint_rolling,
-    )
-
+    says concentrates at 1. A zero-norm input vector (x2 = 0) yields a
+    NULL jl_ratio rather than an ANSI divide-by-zero error (mirrored by
+    the oracle's NULLIF)."""
     q = _jl_quantized(df, vec_col, id_col, scale_bits)
     proj = jl_project_coords(df, vec_col, id_col, out_dim, in_dim,
                              scale_bits, seed)
@@ -919,8 +924,8 @@ def jl_project(
     )
     from databricks_etl_pipelines_spark.functions.numeric import stable_round
 
-    ratio = (F.col("y2").cast("double") * F.lit(3.0)) / (
-        F.col("x2").cast("double") * F.lit(float(out_dim))
+    ratio = (F.col("y2").cast("double") * F.lit(3.0)) / F.nullif(
+        F.col("x2").cast("double") * F.lit(float(out_dim)), F.lit(0.0)
     )
     return x2.join(y2, "id").select(
         "id", "x2", "y2", stable_round(ratio, 6).alias("jl_ratio")

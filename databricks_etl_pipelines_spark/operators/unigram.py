@@ -125,7 +125,12 @@ def piece_scores(
 def _viterbi(word: str, smap: dict[str, int], max_piece_len: int):
     """Max-score split of ``word`` under piece scores ``smap``; ties on
     DP value break to the LARGER split point (shorter last piece) —
-    the same rule as the SQL list_reduce fold."""
+    the same rule as the SQL list_reduce fold.
+
+    Raises ``ValueError`` if ``word`` cannot be segmented from ``smap``
+    (unreachable from the shipped trainers, whose vocabularies always
+    contain every single character — but a direct caller with a pruned
+    alphabet must not silently receive a fabricated one-piece split)."""
     n = len(word)
     dp: list[int | None] = [0] + [None] * n
     bp = [0] * (n + 1)
@@ -142,6 +147,12 @@ def _viterbi(word: str, smap: dict[str, int], max_piece_len: int):
                 best = cand
         if best is not None:
             dp[j], bp[j] = best
+    if n > 0 and dp[n] is None:
+        raise ValueError(
+            f"_viterbi: {word!r} is unsegmentable under the given "
+            f"vocabulary (max_piece_len={max_piece_len}) — the piece "
+            "inventory must cover every character of the word"
+        )
     pieces: list[str] = []
     pos = n
     while pos > 0:
@@ -217,6 +228,18 @@ def em_probabilities(
       to the 2^-count_scale_bits lattice and summed as BIGINTs
       (integer addition commutes), the k-means centroid trick. Add-one
       smoothing on the integer lattice keeps every piece alive.
+      Int64 headroom (the k-means-style bound, stated explicitly): a
+      word of length n contributes ≤ n·max_piece_len occurrence
+      posteriors each ≤ 1, so a piece's quantized count sum is at most
+      corpus_tokens · max_word_len · 2^count_scale_bits; with the
+      defaults (16 · 2^24 ≈ 2^28) that overflows int64 only past ~2^35
+      ≈ 3·10^10 occurrences OF ONE PIECE in the training dictionary —
+      and the dictionary aggregates unique words, so its total freq
+      mass, not the raw corpus, is the n in the bound. At a 100 TB
+      corpus train the tokenizer on a sampled/capped dictionary (as
+      real SentencePiece does) or lower count_scale_bits to 16
+      (headroom ~2^43); the lattice only needs enough resolution to
+      order pieces, not to carry probability precision.
     * M-step: p_t(piece) = qc/QT — one exact-integer division.
 
     * Pruning (``prune_per_iter`` > 0, Kudo's vocabulary shrink): after

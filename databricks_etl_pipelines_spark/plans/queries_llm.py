@@ -1050,7 +1050,8 @@ _JL_ORACLE = _JL_PREFIX + f"""
 SELECT nx.vec_id, nx.x2, ny.y2,
   {sql_stable_round(
       '(CAST(ny.y2 AS DOUBLE) * CAST(3 AS DOUBLE))'
-      f' / (CAST(nx.x2 AS DOUBLE) * CAST({_JL_OUT} AS DOUBLE))', 6)}
+      f' / NULLIF(CAST(nx.x2 AS DOUBLE) * CAST({_JL_OUT} AS DOUBLE),'
+      ' CAST(0 AS DOUBLE))', 6)}
     AS jl_ratio
 FROM nx JOIN ny USING (vec_id)
 """
@@ -2347,25 +2348,9 @@ def _unigram_oracle(P: int = _UNIGRAM_P, V: int = _UNIGRAM_VMULTI) -> str:
     j+1 are the P suffix pieces, each a LEFT JOIN against the score
     table; NULL (invalid start / out-of-vocab) candidates fall out of
     greatest(), and the CASE picks the smallest piece length on ties —
-    the same larger-split-point rule as the Python argmax."""
-    # candidate l at position j+1: piece = substring(w, j+2-l, l),
-    # previous dp = p_l (dp[j+1-l]); join guard keeps start >= 1
-    def start(l: int) -> str:
-        return "r.j + 1" if l == 1 else f"r.j - {l - 2}"
-
-    joins = "\n".join(
-        f"    LEFT JOIN sc s{l} ON r.j >= {l - 1}"
-        f" AND s{l}.piece = substring(r.w, {start(l)}, {l})"
-        for l in range(1, P + 1)
-    )
-    vals = ",\n".join(
-        f"      r.p{l} + s{l}.s AS v{l}" for l in range(1, P + 1)
-    )
-    segs = ",\n".join(
-        f"      (CASE WHEN r.g{l} = '' THEN '' ELSE r.g{l} || ' ' END)"
-        f" || substring(r.w, {start(l)}, {l}) AS seg{l}"
-        for l in range(1, P + 1)
-    )
+    the same larger-split-point rule as the Python argmax. The DP block
+    itself is emitted by :func:`_viterbi_tail_sql` (shared with the EM
+    oracle)."""
     return f"""
 WITH RECURSIVE words AS (
   SELECT unnest({_SQL_TOKS}) AS word FROM documents
