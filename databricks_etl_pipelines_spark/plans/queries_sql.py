@@ -201,3 +201,104 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier order"). Catalyst must rewrite both to left-semi /
     left-anti joins; identical text is the oracle."""
     return run_sql(spark, sf_dir, _WAITING_SUPPLIERS_SQL)
+
+
+# -- round-8 decorrelation shapes (TPC-H Q20 / Q11 / Q15 analogs) -------------
+# Three Catalyst rewrite paths the SQL-text surface had not yet exercised:
+# a correlated scalar subquery UNDER an Aggregate's HAVING inside a nested
+# IN chain (Q20 — RewriteCorrelatedScalarSubquery must pull the per-part
+# total up through the grouping), an uncorrelated scalar aggregate gating a
+# HAVING (Q11), and a CTE referenced twice with a scalar MAX over one
+# instance (Q15). All thresholds compare sums of l_quantity — integers
+# stored as doubles, so the sums are EXACT (< 2^53) and visit-order
+# independent on both engines; a price-sum threshold would be last-ulp
+# order-dependent and could flip a boundary group between engines.
+# partsupp does not exist in the testdata; "availqty share" is restated as
+# "shipped more than 45% of the part's 1996 volume", which preserves the
+# correlation structure (the scalar subquery correlates on the grouping
+# column l_partkey) — the part the optimizer must decorrelate.
+
+_EXCESS_SHARE_SQL = """
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l1.l_suppkey FROM lineitem l1
+  WHERE l1.l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l1.l_suppkey, l1.l_partkey
+  HAVING sum(l1.l_quantity) > (
+    SELECT 0.45 * sum(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+      AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l2.l_shipdate < TIMESTAMP '1997-01-01')
+)
+ORDER BY s.s_name
+"""
+
+
+@query("sql_excess_share_suppliers", _EXCESS_SHARE_SQL)
+def sql_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape as SQL text: suppliers who shipped > 45% of some
+    red part's 1996 volume — an IN over a grouped subquery whose HAVING
+    references a CORRELATED scalar subquery (correlated on the grouping
+    column l_partkey). Catalyst must decorrelate the scalar aggregate to
+    a per-part join under the group-by, then the IN to a semi-join; the
+    identical text is the oracle. Selective at every SF (68/100
+    suppliers at sf0.01, 627/1000 at sf0.1). Reference parity:
+    slysik/databricks-etl-pipelines exposes its query surface as SQL
+    strings over registered tables; this exercises the same entry
+    point on the hardest remaining subquery topology."""
+    return run_sql(spark, sf_dir, _EXCESS_SHARE_SQL)
+
+
+_IMPORTANT_PARTS_SQL = """
+SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_quantity) > (
+  SELECT 0.0008 * sum(l_quantity) FROM lineitem)
+ORDER BY total_qty DESC, l_partkey
+"""
+
+
+@query("sql_important_parts", _IMPORTANT_PARTS_SQL)
+def sql_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape as SQL text: parts whose shipped quantity exceeds
+    a fixed fraction of the GLOBAL shipped quantity — an uncorrelated
+    scalar aggregate subquery inside HAVING. The scalar executes once
+    (one extra pass over lineitem, broadcast as a literal into the
+    post-aggregation filter), never per-group; the quantity sums are
+    exact integers in doubles so the threshold comparison cannot flip
+    between engines."""
+    return run_sql(spark, sf_dir, _IMPORTANT_PARTS_SQL)
+
+
+_TOP_SUPPLIER_SQL = """
+WITH qty AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, q.total_qty
+FROM supplier s
+JOIN qty q ON s.s_suppkey = q.supplier_no
+WHERE q.total_qty = (SELECT max(total_qty) FROM qty)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("sql_top_supplier_quarter", _TOP_SUPPLIER_SQL)
+def sql_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape as SQL text: the revenue view restated on exact
+    quantity sums — a CTE consumed TWICE (once as the join input, once
+    under a scalar MAX), with ties kept by the equality. Exercises
+    Catalyst's CTE deduplication/inlining decision plus a scalar
+    subquery over an aggregated derived table; identical text is the
+    oracle."""
+    return run_sql(spark, sf_dir, _TOP_SUPPLIER_SQL)

@@ -149,6 +149,54 @@ def test_sql_q21_double_correlation_decorrelates(spark, sf_dir):
     assert len(rows) >= 1 and rows[0].numwait >= 1
 
 
+def test_sql_q20_correlated_scalar_in_having_decorrelates(spark):
+    """The Q20 shape's correlated scalar subquery (per-part 1996 total,
+    correlated on the GROUPING column inside HAVING) must decorrelate to
+    a plain join carrying the threshold comparison — no scalar-subquery
+    expression and no ExistenceJoin may survive — and the nested IN
+    chains must both become left-semi joins. Also non-vacuous AND
+    selective at sf0.01 (a strict subset of the 100 suppliers)."""
+    from databricks_etl_pipelines_spark.plans.queries_sql import (
+        sql_excess_share_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    df = sql_excess_share_suppliers(spark, sf)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") >= 2  # supplier IN + part IN
+    assert "scalar-subquery" not in plan  # fully pulled up into a join
+    assert "ExistenceJoin" not in plan
+    rows = df.collect()
+    assert 1 <= len(rows) < 100
+
+
+def test_sql_q11_q15_scalar_subqueries_stay_one_shot(spark):
+    """Q11's global-total HAVING threshold and Q15's MAX over the shared
+    CTE are UNCORRELATED scalars: they must remain one-shot subqueries
+    (executed once, folded into the filter), not be rewritten into
+    per-row joins. Q15 keeps ties by equality — every returned supplier
+    carries the same maximal total_qty."""
+    from databricks_etl_pipelines_spark.plans.queries_sql import (
+        sql_important_parts,
+        sql_top_supplier_quarter,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    p11 = (
+        sql_important_parts(spark, sf)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "scalar-subquery" in p11
+    assert "Join" not in p11  # single-table aggregate + filter, no join
+
+    df15 = sql_top_supplier_quarter(spark, sf)
+    p15 = df15._jdf.queryExecution().optimizedPlan().toString()
+    assert "scalar-subquery" in p15
+    rows = df15.collect()
+    assert len(rows) >= 1
+    assert len({r.total_qty for r in rows}) == 1
+
+
 def test_interval_overlap_join_semantics_and_plan(spark):
     """Planted intervals: strict overlap only (touching endpoints excluded),
     each pair exactly once even when it shares several grid cells, and the
