@@ -563,6 +563,213 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Theta sketch SET OPERATIONS (Dasgupta/Lang/Rhodes, "A framework for
+# estimating stream expression cardinalities" — the Apache DataSketches
+# theta framework): bottom-k sketches of two populations support
+# union/intersection cardinality estimates WITHOUT rescanning either
+# population, the property that makes sketch families composable across
+# shards and days at 100 TB. The deterministic cross-engine hash makes
+# every retained key, both thetas, and all four estimates exactly
+# SQL-replayable — a hard value oracle over the full set algebra.
+# ---------------------------------------------------------------------------
+
+_THETA_K = 256
+_THETA_SEED = 11
+_THETA_FULL = 2147483648  # 2^31: theta for an exact-mode (n < k) sketch
+
+
+def _theta_hash_sql(col: str) -> str:
+    return f"""list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(
+            md5(CAST({col} AS VARCHAR) || ':{_THETA_SEED}'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    )"""
+
+
+def _theta_cte(name: str, where: str) -> str:
+    """Bottom-k sketch CTE pair: ``{name}`` holds the retained keys,
+    ``{name}_t`` its exclusive theta (DataSketches convention: in
+    estimation mode theta is the k-th smallest key and only keys < theta
+    are retained; in exact mode theta = 2^31 and everything is)."""
+    return f"""{name}_keys AS (
+  SELECT DISTINCT CAST({_theta_hash_sql('o_custkey')} AS BIGINT) AS hk
+  FROM orders WHERE {where}
+),
+{name}_bk AS (SELECT hk FROM {name}_keys ORDER BY hk LIMIT {_THETA_K}),
+{name}_t AS (
+  SELECT CASE WHEN count(*) < {_THETA_K} THEN {_THETA_FULL}
+         ELSE max(hk) END AS theta
+  FROM {name}_bk
+),
+{name} AS (SELECT hk FROM {name}_bk, {name}_t WHERE hk < theta)"""
+
+
+_THETA_EST = f"CAST({_THETA_FULL} AS DOUBLE) / CAST(theta AS DOUBLE)"
+
+_THETA_ORACLE = f"""
+WITH {_theta_cte('sa', "o_orderpriority = '1-URGENT'")},
+{_theta_cte('sb', "year(o_orderdate) = 1995")},
+t AS (
+  SELECT least((SELECT theta FROM sa_t), (SELECT theta FROM sb_t))
+    AS theta
+),
+sa2 AS (SELECT hk FROM sa, t WHERE hk < theta),
+sb2 AS (SELECT hk FROM sb, t WHERE hk < theta),
+est AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM sa) AS retained_a,
+    (SELECT CAST(count(*) AS BIGINT) FROM sb) AS retained_b,
+    floor((SELECT count(*) FROM sa) *
+          CAST({_THETA_FULL} AS DOUBLE)
+          / (SELECT CAST(theta AS DOUBLE) FROM sa_t) * 10000 + 0.5)
+      / 10000 AS est_a,
+    floor((SELECT count(*) FROM sb) *
+          CAST({_THETA_FULL} AS DOUBLE)
+          / (SELECT CAST(theta AS DOUBLE) FROM sb_t) * 10000 + 0.5)
+      / 10000 AS est_b,
+    floor((SELECT count(*) FROM (
+             SELECT hk FROM sa2 UNION SELECT hk FROM sb2)) *
+          CAST({_THETA_FULL} AS DOUBLE)
+          / (SELECT CAST(theta AS DOUBLE) FROM t) * 10000 + 0.5)
+      / 10000 AS est_union,
+    floor((SELECT count(*) FROM sa2 JOIN sb2 USING (hk)) *
+          CAST({_THETA_FULL} AS DOUBLE)
+          / (SELECT CAST(theta AS DOUBLE) FROM t) * 10000 + 0.5)
+      / 10000 AS est_intersect
+),
+ex AS (
+  SELECT
+    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+     WHERE o_orderpriority = '1-URGENT') AS exact_a,
+    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+     WHERE year(o_orderdate) = 1995) AS exact_b,
+    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+     WHERE o_orderpriority = '1-URGENT'
+        OR year(o_orderdate) = 1995) AS exact_union,
+    (SELECT CAST(count(*) AS BIGINT) FROM
+      (SELECT DISTINCT o_custkey FROM orders
+       WHERE o_orderpriority = '1-URGENT') ia
+      JOIN (SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1995) ib
+      USING (o_custkey)) AS exact_intersect
+)
+SELECT exact_a, retained_a, est_a, exact_b, retained_b, est_b,
+       exact_union, est_union, exact_intersect, est_intersect
+FROM est, ex
+"""
+
+
+@query("agg_theta_sketch_setops", _THETA_ORACLE)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over two customer populations (urgent-
+    order customers vs 1995 customers): each side is a bottom-k sketch
+    of the deterministic key hash; union and intersection cardinalities
+    are then estimated FROM THE SKETCHES ALONE under the min of the two
+    thetas (DataSketches a-not-b/union/intersect semantics) — never by
+    rescanning the populations. Because the hash is the cross-engine
+    Karp-Rabin family, thetas, retained sets and all four estimates
+    replay exactly in SQL.
+
+    Scale shape: each sketch is one filter + hash-distinct shuffle +
+    TakeOrderedAndProject cap (fixed k rows out, whatever the input
+    size); the set algebra then runs on ≤ 2k retained keys — broadcast-
+    trivial. Sketches are mergeable (bottom-k of a union = bottom-k of
+    the parts' bottom-k), so per-shard/per-day sketches compose at
+    100 TB without reshuffling raw keys. Reference parity: extends the
+    sketch family (HLL bound / KMV exact / quantile bracket / Count-Min)
+    with the set-expression layer; cf. reference test coverage of
+    distinct aggregation (03_Gold:118-150)."""
+    from databricks_etl_pipelines_spark.operators.curation import (
+        reservoir_key,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    pop_a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    pop_b = orders.filter(F.year("o_orderdate") == 1995)
+
+    def sketch(pop: DataFrame) -> tuple[DataFrame, DataFrame]:
+        keys = pop.select(
+            reservoir_key("o_custkey", _THETA_SEED).alias("hk")
+        ).distinct()
+        bk = keys.orderBy("hk").limit(_THETA_K)
+        theta = bk.agg(
+            F.when(F.count("*") < _THETA_K, F.lit(_THETA_FULL))
+            .otherwise(F.max("hk"))
+            .alias("theta")
+        )
+        retained = bk.crossJoin(F.broadcast(theta)).filter(
+            F.col("hk") < F.col("theta")
+        ).select("hk")
+        return retained, theta
+
+    sa, ta = sketch(pop_a)
+    sb, tb = sketch(pop_b)
+    t = ta.crossJoin(
+        F.broadcast(tb.withColumnRenamed("theta", "theta_b"))
+    ).select(F.least("theta", "theta_b").alias("theta"))
+    sa2 = sa.crossJoin(F.broadcast(t)).filter(
+        F.col("hk") < F.col("theta")
+    ).select("hk")
+    sb2 = sb.crossJoin(F.broadcast(t)).filter(
+        F.col("hk") < F.col("theta")
+    ).select("hk")
+
+    full = F.lit(float(_THETA_FULL))
+
+    def est_over(counted: DataFrame, theta: DataFrame, name: str
+                 ) -> DataFrame:
+        return (
+            counted.agg(F.count("*").alias("n"))
+            .crossJoin(F.broadcast(theta))
+            .select(
+                F.col("n"),
+                stable_round(
+                    F.col("n") * full / F.col("theta").cast("double"), 4
+                ).alias(name),
+            )
+        )
+
+    ea = est_over(sa, ta, "est_a").withColumnRenamed("n", "retained_a")
+    eb = est_over(sb, tb, "est_b").withColumnRenamed("n", "retained_b")
+    eu = est_over(
+        sa2.unionByName(sb2).distinct(), t, "est_union"
+    ).drop("n")
+    ei = est_over(sa2.join(sb2, "hk"), t, "est_intersect").drop("n")
+
+    da = pop_a.select("o_custkey").distinct()
+    db = pop_b.select("o_custkey").distinct()
+    ex = (
+        da.agg(F.count("*").alias("exact_a"))
+        .crossJoin(db.agg(F.count("*").alias("exact_b")))
+        .crossJoin(
+            da.unionByName(db).distinct().agg(
+                F.count("*").alias("exact_union")
+            )
+        )
+        .crossJoin(
+            da.join(db, "o_custkey").agg(
+                F.count("*").alias("exact_intersect")
+            )
+        )
+    )
+    return (
+        ex.crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(ei))
+        .select(
+            "exact_a", "retained_a", "est_a",
+            "exact_b", "retained_b", "est_b",
+            "exact_union", "est_union",
+            "exact_intersect", "est_intersect",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
 # in fixed d×w state. The deterministic cross-engine hash rows make the
 # ESTIMATES exactly SQL-replayable (like KMV, unlike HLL), and the

@@ -1935,3 +1935,39 @@ def test_countmin_guarantee_and_accuracy(spark, sf_dir):
     assert n_tokens <= N
     # loose sanity: min over 4 rows beats the per-row expectation N/64
     assert max(r.overcount for r in rows) <= 2 * N / 64
+
+
+def test_theta_sketch_set_algebra_both_regimes(spark):
+    """Theta-sketch set operations in both sketch regimes. sf0.001: every
+    population is under k, so theta = 2^31 (exact mode) and all four
+    estimates must EQUAL the exact cardinalities. sf0.01: estimation
+    mode — retained counts are exactly k-1 (theta is the exclusive k-th
+    key) and every estimate lands within 25% of truth (k=256 gives
+    ~1/sqrt(k) ≈ 6% per-sketch error; intersections compound)."""
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    fn = catalog.QUERIES["agg_theta_sketch_setops"]
+
+    small = fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert small.est_a == float(small.exact_a)
+    assert small.est_b == float(small.exact_b)
+    assert small.est_union == float(small.exact_union)
+    assert small.est_intersect == float(small.exact_intersect)
+    assert small.retained_a == small.exact_a
+
+    big = fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert big.retained_a == 255 and big.retained_b == 255
+    for est, exact in [
+        (big.est_a, big.exact_a),
+        (big.est_b, big.exact_b),
+        (big.est_union, big.exact_union),
+        (big.est_intersect, big.exact_intersect),
+    ]:
+        assert abs(est - exact) / exact < 0.25
+    # set-algebra consistency on the estimates themselves:
+    # |A| + |B| = |A ∪ B| + |A ∩ B| holds under a COMMON theta, and the
+    # per-sketch estimates use their own thetas — so assert the loose
+    # inclusion bounds instead of the exact identity
+    assert big.est_union <= big.est_a + big.est_b
+    assert big.est_intersect <= min(big.est_a, big.est_b) * 1.05
