@@ -822,6 +822,92 @@ FROM est
 """
 
 
+def countmin_bucket(word_col: F.Column) -> F.Column:
+    """Row-r bucket of ``word_col`` under the deterministic cross-engine
+    hash family (expects an ``r`` column in scope, as produced by
+    :func:`countmin_cells`' range explode)."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    return fingerprint_rolling(
+        F.md5(
+            F.concat(
+                F.lit("cm"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                word_col,
+            )
+        )
+    ) % _CM_W
+
+
+def countmin_cells(word_counts: DataFrame) -> DataFrame:
+    """(r, b, c) Count-Min counter cells from a (word, n) vocabulary
+    relation — c[r][b] = Σ n over words hashing to b, identical to
+    hashing every occurrence but with hash work ∝ distinct words. Cells
+    are MERGEABLE BY ADDITION: summing per-shard / per-batch cells gives
+    exactly the one-shot counters, which is what lets the streaming
+    variant (`streaming_countmin_heavy_hitters`) share this builder and
+    the batch oracle."""
+    rs = word_counts.sparkSession.range(_CM_D).select(
+        F.col("id").alias("r")
+    )
+    return (
+        word_counts.crossJoin(F.broadcast(rs))
+        .select("r", countmin_bucket(F.col("word")).alias("b"), "n")
+        .groupBy("r", "b")
+        .agg(F.sum("n").alias("c"))
+    )
+
+
+def countmin_probe(ex: DataFrame, cm: DataFrame) -> DataFrame:
+    """Heavy-hitter probe: estimates for the (word, exact) rows of
+    ``ex`` against the ≤ d·w-cell counter relation ``cm`` — min over the
+    d row-estimates, plus the one-sided overcount columns."""
+    rs = ex.sparkSession.range(_CM_D).select(F.col("id").alias("r"))
+    est = (
+        ex.crossJoin(F.broadcast(rs))
+        .select("word", "exact", "r",
+                countmin_bucket(F.col("word")).alias("b"))
+        .join(F.broadcast(cm), ["r", "b"])
+        .groupBy("word", "exact")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "word",
+        "exact",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact")).alias("overcount"),
+        (F.col("cm_estimate") >= F.col("exact")).alias(
+            "never_undercounts"
+        ),
+    )
+
+
+def countmin_merge_probe_words(
+    spark: SparkSession, sf_dir: str, cm: DataFrame
+) -> DataFrame:
+    """Probe an externally built counter relation (e.g. the read-time
+    merge of a stream's partial cells) with the exact top-20 words of
+    the documents table — the shared tail of the batch and streaming
+    Count-Min queries."""
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+
+    wc = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    ex = (
+        wc.select("word", F.col("n").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("word"))
+        .limit(20)
+    )
+    return countmin_probe(ex, cm)
+
+
 @query("agg_countmin_words", _CM_ORACLE)
 def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch over the corpus vocabulary: 4 hash
@@ -840,53 +926,18 @@ def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (map-side combined), then a vocab×d explode into the
     256-cell hash aggregate; the heavy-hitter probe is a
     TakeOrderedAndProject cap joined against the broadcast sketch."""
-    from databricks_etl_pipelines_spark.functions.textfns import (
-        fingerprint_rolling,
-        tokens,
-    )
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
 
     docs = table(spark, sf_dir, "documents")
     words = docs.select(F.explode(tokens("text")).alias("word"))
-    rs = spark.range(_CM_D).select(F.col("id").alias("r"))
-
-    def bucket(word_col: F.Column) -> F.Column:
-        return fingerprint_rolling(
-            F.md5(
-                F.concat(
-                    F.lit("cm"),
-                    F.col("r").cast("string"),
-                    F.lit(":"),
-                    word_col,
-                )
-            )
-        ) % _CM_W
-
     wc = words.groupBy("word").agg(F.count("*").alias("n"))
-    cm = (
-        wc.crossJoin(F.broadcast(rs))
-        .select("r", bucket(F.col("word")).alias("b"), "n")
-        .groupBy("r", "b")
-        .agg(F.sum("n").alias("c"))
-    )
+    cm = countmin_cells(wc)
     ex = (
         wc.select("word", F.col("n").alias("exact"))
         .orderBy(F.desc("exact"), F.asc("word"))
         .limit(20)
     )
-    est = (
-        ex.crossJoin(F.broadcast(rs))
-        .select("word", "exact", "r", bucket(F.col("word")).alias("b"))
-        .join(F.broadcast(cm), ["r", "b"])
-        .groupBy("word", "exact")
-        .agg(F.min("c").alias("cm_estimate"))
-    )
-    return est.select(
-        "word",
-        "exact",
-        "cm_estimate",
-        (F.col("cm_estimate") - F.col("exact")).alias("overcount"),
-        (F.col("cm_estimate") >= F.col("exact")).alias("never_undercounts"),
-    )
+    return countmin_probe(ex, cm)
 
 
 # ---------------------------------------------------------------------------

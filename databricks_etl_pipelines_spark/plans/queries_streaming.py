@@ -859,3 +859,54 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kth_key",
         stable_round(est, 4).alias("kmv_estimate"),
     )
+
+
+# -- streaming Count-Min heavy hitters -----------------------------------------
+
+from databricks_etl_pipelines_spark.plans.queries_aggregates import (  # noqa: E402
+    _CM_ORACLE,
+    countmin_merge_probe_words,
+)
+
+
+@query(
+    "streaming_countmin_heavy_hitters",
+    # deliberately the SAME oracle as agg_countmin_words: CM counters
+    # are mergeable by addition, so the per-batch partial cells summed
+    # at read time equal the one-shot batch sketch bit-for-bit — the
+    # equality IS the mergeability property under a hard oracle
+    _CM_ORACLE,
+)
+def streaming_countmin_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-Min frequency sketch maintained over a STREAM
+    (streaming/structured.py::countmin_stream): the deterministic
+    3-batch documents feed drains through a foreachBatch that reduces
+    each batch to vocabulary-side partial counter cells in its own
+    replay-idempotent ``batch_id`` partition; the final sketch is the
+    read-time sum of partials. The heavy-hitter probe (exact top-20
+    words) then reads ESTIMATES identical to the batch sketch's — the
+    oracle is ``agg_countmin_words``'s SQL verbatim. At 100 TB this is
+    the shape frequency monitoring wants: per-batch work ∝ batch
+    vocabulary, stream-length-independent d·w state, and no mutable
+    accumulator (addition is not idempotent, so partials + read-time
+    merge replace in-place updates)."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        countmin_merge,
+        countmin_stream,
+    )
+
+    src = _three_batch_documents_feed(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("text")
+    )
+    out = scratch_dir("cm_stream_")
+    q = countmin_stream(stream, out, scratch_dir("cm_stream_ckpt_"))
+    await_drained(q, 300)
+    cm = countmin_merge(spark, out)
+    return countmin_merge_probe_words(spark, sf_dir, cm)

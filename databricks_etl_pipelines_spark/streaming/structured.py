@@ -978,3 +978,64 @@ def decontaminate_stream(
         "checkpointLocation", checkpoint_dir
     )
     return with_trigger(writer, processing_time).start()
+
+
+def countmin_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Count-Min sketch maintained over an unbounded document stream:
+    each micro-batch reduces to its (word, n) vocabulary, hashes it into
+    d×w PARTIAL counter cells (plans/queries_aggregates.py:
+    countmin_cells — hash work ∝ batch vocabulary, never batch tokens),
+    and writes them to its own ``batch_id=<n>`` partition. Counters are
+    mergeable BY ADDITION, so summing the per-batch partials gives
+    bit-exactly the one-shot batch sketch however the stream was split —
+    the property the hard oracle asserts (same SQL as
+    ``agg_countmin_words``).
+
+    Replay-idempotent: CM addition is NOT idempotent (a re-delivered
+    batch would double-count), so partials go to per-batch OVERWRITE
+    partitions — the same exactly-once recipe as dsir_score_stream —
+    and the merge happens at READ time, not in a mutable accumulator.
+    State per batch is ≤ d·w cells; the drained sketch is ≤ d·w rows
+    whatever the stream length."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+    from databricks_etl_pipelines_spark.plans.queries_aggregates import (
+        countmin_cells,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        wc = (
+            batch_df.select(F.explode(tokens(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("n"))
+        )
+        countmin_cells(wc).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return with_trigger(writer, processing_time).start()
+
+
+def countmin_merge(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge the per-batch partial cells written by
+    :func:`countmin_stream` into the final (r, b, c) counters — one sum
+    per cell over ≤ n_batches·d·w partial rows."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )

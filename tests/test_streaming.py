@@ -914,3 +914,53 @@ def test_kmv_distinct_estimate_both_regimes(spark, sf_dir):
     assert full.n_keys == _KMV_K
     rel = abs(full.kmv_estimate - full.exact_distinct) / full.exact_distinct
     assert rel < 0.20, (full.kmv_estimate, full.exact_distinct)
+
+
+def test_countmin_partials_merge_to_one_shot_sketch(spark, sf_dir):
+    """CM mergeability, the property the streaming oracle rides on:
+    splitting the corpus into arbitrary parts, building partial cells
+    per part, and summing them at read time must equal the one-shot
+    sketch cell-for-cell. Also pins the replay recipe: writing a batch's
+    partials TWICE (overwrite) leaves the merged counters unchanged —
+    the exactly-once guarantee of the batch_id=<n> OVERWRITE layout."""
+    import pyspark.sql.functions as F
+
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+    from databricks_etl_pipelines_spark.plans.queries_aggregates import (
+        countmin_cells,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+
+    docs = table(spark, sf_dir, "documents")
+
+    def cells_of(df):
+        wc = (
+            df.select(F.explode(tokens("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("n"))
+        )
+        return countmin_cells(wc)
+
+    one_shot = {
+        (r.r, r.b): r.c for r in cells_of(docs).collect()
+    }
+
+    out = scratch_dir("cm_merge_test_")
+    for part in range(3):
+        cells_of(docs.filter(F.col("doc_id") % 3 == part)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch_id={part}")
+    # replay batch 1: overwrite its partition a second time
+    cells_of(docs.filter(F.col("doc_id") % 3 == 1)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch_id=1")
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        countmin_merge,
+    )
+
+    merged = {
+        (r.r, r.b): r.c for r in countmin_merge(spark, out).collect()
+    }
+    assert merged == one_shot
