@@ -412,3 +412,128 @@ def patch_embeddings(decoded: DataFrame, grid: int = 2) -> DataFrame:
             )
 
     return decoded.mapInPandas(_emb, PATCH_EMB_SCHEMA)
+
+
+AHASH_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, "
+    "b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+)
+
+AHASH_BITS = 64
+AHASH_BANDS = 4
+
+
+def ahash_features(docs: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over binary payloads — the
+    classic image near-duplicate fingerprint (mean-threshold bitmap of a
+    downsampled grid), applied codec-free to the raw byte stream: 64
+    strided sample positions p_i = ⌊i·L/64⌋ stand in for the 8×8
+    downsampled grid, bit_i = (byte_i > mean). The mean comparison runs
+    as exact integers (byte·64 > Σbytes — no division), so every bit is
+    engine-replayable. Bits pack into 4 big-endian 16-bit band values:
+    the LSH banding key for :func:`ahash_neardup_pairs` AND a compact
+    4×int64 storage shape (a real pHash deployment stores exactly such
+    words per image).
+
+    Numpy-vectorized per Arrow batch like every featurizer here; with a
+    real codec the byte stream would be the decoded grayscale grid —
+    the sampling/threshold/packing stages are identical."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, bands = [], [], [[], [], [], []]
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    continue
+                # strided positions ⌊i·L/64⌋ need i·L/64 < L, true for
+                # i < 64; dtype int64 avoids overflow for any payload
+                idx = (
+                    np.arange(AHASH_BITS, dtype=np.int64) * len(arr)
+                ) // AHASH_BITS
+                vals = arr[idx].astype(np.int64)
+                total = int(vals.sum())
+                bits = (vals * AHASH_BITS > total).astype(np.int64)
+                ids.append(int(doc_id))
+                sizes.append(len(arr))
+                w = AHASH_BITS // AHASH_BANDS
+                for k in range(AHASH_BANDS):
+                    seg = bits[k * w:(k + 1) * w]
+                    val = 0
+                    for bit in seg:
+                        val = val * 2 + int(bit)
+                    bands[k].append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "b0": pd.Series(bands[0], dtype="int64"),
+                    "b1": pd.Series(bands[1], dtype="int64"),
+                    "b2": pd.Series(bands[2], dtype="int64"),
+                    "b3": pd.Series(bands[3], dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(feats, AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(
+    feats: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Banded-LSH near-duplicate pairs over aHash fingerprints: two
+    payloads within ``max_hamming`` of each other on 64 bits must agree
+    EXACTLY on at least one 16-bit band whenever max_hamming < 4·... —
+    strictly: differing in ≤ max_hamming bits, the pigeonhole puts some
+    band at ≤ ⌊max_hamming/4⌋ differing bits, so recall is partial for
+    max_hamming ≥ 4 but candidate generation never scans all pairs —
+    the standard Hamming-LSH tradeoff (band equality = probe key).
+    Candidates equi-join per band, dedup, then the exact 64-bit Hamming
+    distance (XOR + popcount on the 4 band words) filters to
+    ``hamming <= max_hamming``.
+
+    Scale shape: one explode to 4 band rows per doc, one shuffle on
+    (band index, band value), pair dedup, a broadcast-friendly feature
+    join back — never O(n²)."""
+    bands = feats.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "k", "band_val"
+        ),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("c"),
+            on=[
+                F.col("a.k") == F.col("c.k"),
+                F.col("a.band_val") == F.col("c.band_val"),
+                F.col("a.doc_id") < F.col("c.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(AHASH_BANDS)],
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(AHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
+        for k in range(AHASH_BANDS)
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

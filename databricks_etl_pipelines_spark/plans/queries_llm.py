@@ -1854,6 +1854,77 @@ def multimodal_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return decoded_channel_stats(decode_image(bmps))
 
 
+_PHASH_ORACLE = """
+WITH b AS (
+  SELECT doc_id, regexp_extract_all(text, '.') AS cs,
+         len(regexp_extract_all(text, '.')) AS L
+  FROM documents WHERE len(text) >= 1
+),
+s AS (
+  SELECT doc_id,
+    list_transform(range(0, 64),
+      i -> ord(cs[CAST(i * L // 64 AS INT) + 1])) AS bytes64
+  FROM b
+),
+bits AS (
+  SELECT doc_id,
+    list_transform(bytes64, x -> CASE WHEN x * 64 >
+      list_reduce(bytes64, (a, c) -> a + c) THEN 1 ELSE 0 END) AS bv
+  FROM s
+),
+bands AS (
+  SELECT doc_id, bv, k,
+    list_reduce(list_transform(range(1, 17),
+      j -> bv[CAST(k * 16 + j AS INT)]), (a, c) -> a * 2 + c) AS band_val
+  FROM bits, (SELECT unnest(range(0, 4)) AS k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.k = c.k AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+)
+SELECT cand.doc_a, cand.doc_b,
+  CAST(len(list_filter(range(1, 65),
+    i -> x.bv[CAST(i AS INT)] <> y.bv[CAST(i AS INT)])) AS BIGINT)
+    AS hamming
+FROM cand JOIN bits x ON x.doc_id = cand.doc_a
+          JOIN bits y ON y.doc_id = cand.doc_b
+WHERE len(list_filter(range(1, 65),
+    i -> x.bv[CAST(i AS INT)] <> y.bv[CAST(i AS INT)])) <= 8
+"""
+
+
+@query("multimodal_phash_neardup", _PHASH_ORACLE)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over BINARY payloads —
+    the image-dedup counterpart of the MinHash text family: aHash
+    fingerprints (64 strided byte samples, exact-integer mean threshold,
+    4×16-bit band words) via Arrow mapInPandas
+    (operators/multimodal.py::ahash_features), then Hamming-LSH banding
+    (band equality as the probe key) and an exact XOR+popcount distance
+    filter at ≤ 8 of 64 bits (operators/multimodal.py::
+    ahash_neardup_pairs). With a real codec the payload would be the
+    decoded grayscale grid; every stage after the bytes — sampling,
+    thresholding, packing, banding, distance — is identical, and the
+    oracle replays all of them bit-for-bit from the characters.
+
+    Scale shape: fingerprints are one mapInPandas scan; candidates come
+    from a 4-row-per-doc band shuffle, never an all-pairs comparison —
+    the same never-O(n²) discipline as dedup_minhash_lsh_pairs. 204
+    pairs at sf0.1, 3 at sf0.01 — sensitive to any bit-packing or
+    banding drift."""
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        ahash_features,
+        ahash_neardup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1
+    )
+    feats = ahash_features(to_binary_docs(docs, "text", "doc_id"))
+    return ahash_neardup_pairs(feats, max_hamming=8)
+
+
 # -- corpus mixing: deterministic stratified sample + per-stratum quota -------
 
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.8, "zh": 0.25}

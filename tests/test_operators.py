@@ -1971,3 +1971,42 @@ def test_theta_sketch_set_algebra_both_regimes(spark):
     # inclusion bounds instead of the exact identity
     assert big.est_union <= big.est_a + big.est_b
     assert big.est_intersect <= min(big.est_a, big.est_b) * 1.05
+
+
+def test_ahash_neardup_planted_geometry(spark):
+    """Planted payloads pin the aHash fingerprint + banding semantics:
+    identical payloads collide at hamming 0; a payload perturbed in a
+    couple of sampled bytes lands at a small nonzero hamming and is
+    still recalled (pigeonhole: ≤ 3 differing bits leave ≥ 1 of the 4
+    bands identical); an unrelated payload never pairs at ≤ 8."""
+    from databricks_etl_pipelines_spark.operators.multimodal import (
+        ahash_features,
+        ahash_neardup_pairs,
+    )
+
+    base = "abcdefgh" * 32  # 256 bytes, varied values
+    # flip ONE sampled position hard: position 0 is always sampled
+    tweaked = "z" + base[1:]
+    unrelated = "".join(
+        chr(33 + (i * 37) % 90) for i in range(256)
+    )
+    rows = [
+        (1, base.encode()),
+        (2, base.encode()),
+        (3, tweaked.encode()),
+        (4, unrelated.encode()),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, payload binary"
+    )
+    feats = ahash_features(docs)
+    got = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in feats.collect()}
+    assert got[1] == got[2]
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in ahash_neardup_pairs(feats, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 8
+    assert not any(4 in p for p in pairs)
