@@ -45,97 +45,47 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-7 rotation. r6's 50 slots all landed green, so this cap
-    # leads with round-7 code changes, then drains the staleness tail
-    # (every remaining r2-latest row, plus the oldest r3 rows).
-    # (a) round-7 code changes / additions, newest-risk first:
-    # the NEW deterministic Lloyd's k-means (integer-lattice centroid
-    # updates, full iterative SQL replay — first driver row ever)
+    # --- round-8 rotation. r7's 50 slots all landed green, so this cap
+    # leads with round-8 additions/changes, then drains the staleness
+    # tail: the ONE remaining r2-latest row, then the entire r3-latest
+    # oracle-backed set (window family, streaming windows, gold
+    # pipeline, composition — the rows the r7 verdict named) minus two
+    # overflow spills.
+    # (a) round-8 NEW queries, newest-risk first: aHash near-dup
+    # banding, the streaming Count-Min merge, theta-sketch set algebra,
+    # and the three SQL-text decorrelation shapes (Q20/Q11/Q15)
+    "multimodal_phash_neardup",
+    "streaming_countmin_heavy_hitters",
+    "agg_theta_sketch_setops",
+    "sql_excess_share_suppliers",
+    "sql_important_parts",
+    "sql_top_supplier_quarter",
+    # (a') round-8 code changes: Count-Min rebuilt on the vocabulary
+    # relation (both engines), the JL ratio gained a NULLIF (both
+    # engines), k-means gained an init guard, the unigram helpers a
+    # sentinel — every touched query re-rows this round
+    "agg_countmin_words",
+    "embedding_jl_projection",
+    "similarity_jl_recall",
     "ml_kmeans_lloyd_crossengine",
-    # the cross-engine MinHash family switched to base-hash + affine
-    # permutations (Broder construction) — every query that replays the
-    # family must carry a post-change row. (dedup_minhash_lsh_pairs
-    # shares the banding machinery but is rows-only by design — its
-    # oracle-backed sibling dedup_minhash_crossengine carries the hard
-    # signal; it is pinned in the overflow tail.)
-    "dedup_minhash_crossengine",
-    "dedup_incremental_crossengine",
-    "curation_funnel_crossengine",
-    "curation_leakage_split_minhash",
-    "streaming_curation_neardup_crossengine",
-    # decontaminate_report rewritten to a single corpus scan
-    "curation_decontaminate_benchmark",
-    # reservoir stream: first-delivered-payload anti-join + per-commit
-    # vacuum; KMV reads the maintained sample
-    "streaming_reservoir_sample",
-    "streaming_kmv_distinct",
-    # word_frequencies caller the r6 verdict named, last row r3
-    "text_tfidf_top_terms",
-    # the NEW boilerplate-removal rewrite (clean_text compared verbatim)
-    "curation_remove_boilerplate",
-    # NEW round-7 session-2 additions, newest-risk first: the unigram
-    # Viterbi segmenter (scalar-state recursive DP oracle), the CCNet
-    # perplexity terciles, alpha=0.5 temperature epochs, contrastive
-    # triplet mining, and the two TPC-H Q21/Q22 shapes
     "text_unigram_segment",
     "text_unigram_em_segment",
     "text_unigram_em_pruned",
     "text_unigram_doc_stats",
-    "curation_perplexity_buckets",
-    "curation_temperature_epochs",
-    "sft_contrastive_triplets",
-    "embedding_jl_projection",
-    "similarity_jl_recall",
-    "agg_countmin_words",
-    "join_blame_late_supplier",
-    "join_idle_rich_customers",
-    "streaming_decontaminate",
-    "join_min_cost_supplier",
-    "text_bigram_surprisal",
-    "curation_bigram_buckets",
-    "streaming_perplexity_gate",
-    # (b) stalest oracle-backed evidence — the ENTIRE remaining
-    # r2-latest set (22 queries: scalar family, set-ops, sort/topk)
-    "scalar_conditional_risk_score",
-    "scalar_boolean_or_labeling",
-    "scalar_array_element_at",
-    "scalar_map_literal_lookup",
-    "filter_predicates",
-    "json_extract_events",
-    "scalar_regexp_functions",
-    "scalar_explode_word_counts",
-    "scalar_unpivot_stack",
-    "scalar_collection_functions",
-    "scalar_from_json_struct",
-    "scalar_conditional_bucketing",
-    "topk_orders_by_price",
-    "sort_multikey",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except_subtract",
-    "setop_except_all",
-    "setop_intersect_all",
-    "distinct_projection",
-    # (c) oldest r3-latest rows to the 50-slot boundary: dedup exact/
-    # jaccard/passages, the streaming window family, the window
-    # analytics family, gold pipeline, composition/privacy/token stats
-    "dedup_exact_documents",
-    # ---------------- 50-slot cap boundary ----------------
-    "dedup_ngram_jaccard_pairs",
-    "dedup_passages",
-    "streaming_tumbling_hourly",
-    "streaming_sliding_window",
-    "streaming_stream_stream_join",
-    "streaming_stream_static_join",
+    # (b) stalest oracle-backed evidence: the last r2-latest row
+    "sql_text_pricing_summary",
+    # (c) the r3-latest oracle-backed set. Verdict-named families
+    # first (window analytics, streaming windows, gold pipeline,
+    # composition), then the rest alphabetical-ish to the cap.
     "window_sessionize_events",
     "window_funnel_ordered",
     "window_cohort_retention",
     "window_resample_forward_fill",
     "window_event_transitions",
-    # overflow: the rest of the r3-latest set for overflow runs, then
-    # the rows-only siblings of round-7-touched machinery (they only
-    # get weaker rows anyway)
+    "streaming_tumbling_hourly",
+    "streaming_sliding_window",
+    "streaming_stream_stream_join",
+    "streaming_stream_static_join",
     "pipeline_gold_merchant_summary",
     "pipeline_gold_hourly_volume",
     "pipeline_gold_cardholder_features",
@@ -149,22 +99,43 @@ PRIORITY: list[str] = [
     "curation_shard_assignment",
     "curation_source_overlap",
     "curation_token_budget_select",
-    "diag_join_key_skew",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_passages",
     "embedding_centroid_per_label",
     "embedding_int8_quantization",
     "join_local_supplier_volume",
     "join_shipping_priority_topk",
     "join_small_lot_revenue",
     "multimodal_downsample_stats",
-    "scalar_variant_json",
     "source_python_datasource",
     "source_python_stream_datasource",
     "text_lm_surprisal",
     "text_repetition_signals",
     "text_sliding_chunks",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the two r3 spills, then the r1-latest rows-only set
+    # (weaker rows by design — each has an oracle-backed sibling that
+    # IS fresh), then round-7-fresh sentinels
+    "diag_join_key_skew",
+    "scalar_variant_json",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "curation_funnel_report",
+    "ml_fraud_predictions",
+    "ml_model_metrics",
+    "similarity_ivf_topk",
     "dedup_incremental_corpus",
-    "dedup_simhash_pairs",]
+    "dedup_exact_documents",
+    "dedup_minhash_crossengine",
+    "curation_perplexity_buckets",
+    "curation_temperature_epochs",
+    "sft_contrastive_triplets",
+    "join_blame_late_supplier",
+    "join_idle_rich_customers",
+    "join_min_cost_supplier",
+    "text_bigram_surprisal",
+    "curation_bigram_buckets",
+    "streaming_perplexity_gate",]
 
 
 def load_all() -> None:
