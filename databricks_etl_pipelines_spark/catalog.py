@@ -60,6 +60,7 @@ PRIORITY: list[str] = [
     "sql_excess_share_suppliers",
     "sql_important_parts",
     "sql_top_supplier_quarter",
+    "text_bm25_topk",
     # (a') round-8 code changes: Count-Min rebuilt on the vocabulary
     # relation (both engines), the JL ratio gained a NULLIF (both
     # engines), k-means gained an init guard, the unigram helpers a
@@ -111,11 +112,11 @@ PRIORITY: list[str] = [
     "source_python_stream_datasource",
     "text_lm_surprisal",
     "text_repetition_signals",
-    "text_sliding_chunks",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the two r3 spills, then the r1-latest rows-only set
+    # overflow: the three r3 spills, then the r1-latest rows-only set
     # (weaker rows by design — each has an oracle-backed sibling that
     # IS fresh), then round-7-fresh sentinels
+    "text_sliding_chunks",
     "diag_join_key_skew",
     "scalar_variant_json",
     "dedup_minhash_lsh_pairs",

@@ -3634,6 +3634,192 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BM25 retrieval ------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "spark", "vector", "window")  # rare + 3 common
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+# Okapi BM25 with Lucene's positive-clamped idf, ln(1 + (N-df+0.5)/(df+0.5)).
+# Determinism: tf/dl/df/N are exact integers; avgdl is ONE division of
+# exact values; each term's score is a single pinned IEEE expression; the
+# 4-term sum folds in alphabetical term order, left-associated, with
+# absent terms contributing exact +0.0 — so the total is one
+# deterministic expression per doc on both engines (ln() is last-ulp
+# libm-sensitive, absorbed by round-6 like text_tfidf_top_terms).
+# DuckDB literals are CAST to DOUBLE (bare 2.2 would be DECIMAL).
+
+
+def _bm25_tf_sql(t: str) -> str:
+    return (
+        f"coalesce(max(CASE WHEN tf.word = '{t}' THEN tf.c END), 0)"
+        f" AS tf_{t}"
+    )
+
+
+def _bm25_term_sql(t: str) -> str:
+    k1 = f"CAST({_BM25_K1} AS DOUBLE)"
+    one_b = f"CAST({1.0 - _BM25_B} AS DOUBLE)"
+    b = f"CAST({_BM25_B} AS DOUBLE)"
+    k1p1 = f"CAST({_BM25_K1 + 1.0} AS DOUBLE)"
+    return (
+        f"idf.idf_{t} * ((p.tf_{t} * {k1p1}) / (p.tf_{t} + {k1} * "
+        f"({one_b} + {b} * (p.n_tokens / "
+        f"(CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))"
+    )
+
+
+_BM25_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+),
+dl AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM w
+  WHERE word IN {str(tuple(_BM25_TERMS))}
+  GROUP BY doc_id, word
+),
+stats AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+    (SELECT CAST(sum(n_tokens) AS BIGINT) FROM dl) AS sum_dl
+),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+idf AS (
+  SELECT
+    {", ".join(
+        "max(CASE WHEN word = '" + t + "' THEN "
+        "ln(CAST(1 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - df + "
+        "CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) END) "
+        "AS idf_" + t
+        for t in _BM25_TERMS)}
+  FROM df, stats
+),
+piv AS (
+  SELECT dl.doc_id, dl.n_tokens,
+    {", ".join(_bm25_tf_sql(t) for t in _BM25_TERMS)}
+  FROM dl LEFT JOIN tf ON dl.doc_id = tf.doc_id
+  GROUP BY dl.doc_id, dl.n_tokens
+),
+scored AS (
+  SELECT p.doc_id, p.n_tokens,
+    {", ".join("p.tf_" + t for t in _BM25_TERMS)},
+    {" + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)} AS score
+  FROM piv p, stats s, idf
+)
+SELECT doc_id, n_tokens,
+  {", ".join("tf_" + t for t in _BM25_TERMS)},
+  {sql_stable_round('score', 6)} AS score_bm25
+FROM scored
+QUALIFY row_number() OVER (
+  ORDER BY {sql_stable_round('score', 6)} DESC, doc_id) <= {_BM25_TOPK}
+"""
+
+
+@query("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson/Walker, TREC-3; Lucene's
+    positive-clamped idf): top-20 documents for a fixed 4-term query —
+    one rare discriminative term plus three common ones, so both the
+    idf spread and the tf/length saturation genuinely move the ranking.
+    Scores are pinned-order IEEE expressions over exact integer corpus
+    statistics; the oracle replays idf, saturation, fold order, and the
+    round-before-rank top-k.
+
+    Scale shape: ONE corpus scan for (doc, term) frequencies filtered
+    to the query terms (predicate BEFORE the aggregate — tf state is
+    #docs × #query-terms, not #docs × vocab), one bounded df/N/avgdl
+    side relation broadcast back, and a TakeOrderedAndProject for the
+    top-k. Per-query cost at 100 TB is the token scan; a real search
+    deployment would precompute the (word, doc, tf) inverted relation
+    once and equi-join the query terms into it — which is exactly the
+    tf CTE here with the filter pushed into the index scan."""
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    )
+    dl = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    tf = (
+        words.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_dl"),
+    )
+    df_rel = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = df_rel.crossJoin(F.broadcast(stats)).groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("word") == t,
+                    F.log(
+                        F.lit(1.0)
+                        + (
+                            F.col("n_docs").cast("double")
+                            - F.col("df")
+                            + F.lit(0.5)
+                        )
+                        / (F.col("df") + F.lit(0.5))
+                    ),
+                )
+            ).alias(f"idf_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    piv = (
+        dl.join(tf, "doc_id", "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("word") == t, F.col("c"))),
+                    F.lit(0).cast("bigint"),
+                ).alias(f"tf_{t}")
+                for t in _BM25_TERMS
+            ]
+        )
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def term_score(t: str) -> F.Column:
+        tf_c = F.col(f"tf_{t}")
+        return F.col(f"idf_{t}") * (
+            (tf_c * F.lit(_BM25_K1 + 1.0))
+            / (
+                tf_c
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0 - _BM25_B)
+                    + F.lit(_BM25_B) * (F.col("n_tokens") / avgdl)
+                )
+            )
+        )
+    # left-associated alphabetical fold — same order as the oracle text
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    scored = (
+        piv.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(idf))
+        .select(
+            "doc_id",
+            "n_tokens",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            stable_round(score, 6).alias("score_bm25"),
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (never a global
+    # sort); the compared rows are exactly the oracle's QUALIFY top-k
+    return scored.orderBy(F.desc("score_bm25"), "doc_id").limit(
+        _BM25_TOPK
+    )
+
+
 _CENTROID_DIM = 64
 
 _CENTROID_ORACLE = f"""

@@ -2010,3 +2010,42 @@ def test_ahash_neardup_planted_geometry(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 8
     assert not any(4 in p for p in pairs)
+
+
+def test_bm25_plan_and_semantics(spark):
+    """BM25 plan discipline + ranking semantics: the top-k compiles to
+    TakeOrderedAndProject (no global Sort), the rare term ('dup',
+    df≈5% of docs) dominates the ranking — every returned doc containing
+    it outscores every returned doc without it at similar length — and
+    scores saturate in tf (k1 bound: each term contributes at most
+    idf·(k1+1))."""
+    import math
+    import re
+
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    df = catalog.QUERIES["text_bm25_topk"](
+        spark, "/root/testdata/sf0.01"
+    )
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert not re.findall(r"\bSort\b", plan)
+
+    assert len(rows) == 20
+    assert all(
+        rows[i].score_bm25 >= rows[i + 1].score_bm25
+        for i in range(len(rows) - 1)
+    )
+    # the rare term carries idf ≈ ln(1 + 475.5/25.5) ≈ 2.98 vs ≈ 0.27
+    # for the common ones: docs WITH 'dup' fill the head of the list
+    with_dup = [r.score_bm25 for r in rows if r.tf_dup > 0]
+    without = [r.score_bm25 for r in rows if r.tf_dup == 0]
+    assert with_dup
+    assert not without or min(with_dup) > max(without)
+    # saturation: no score exceeds the sum of idf·(k1+1) caps
+    n, dfd = 500, 25
+    idf_dup = math.log(1 + (n - dfd + 0.5) / (dfd + 0.5))
+    cap = (idf_dup + 3 * math.log(1 + (500 - 390 + 0.5) / 390.5)) * 2.2
+    assert all(r.score_bm25 < cap for r in rows)
