@@ -84,6 +84,11 @@ HEADLINE = [
     # round-7 addition: CCNet perplexity terciles (integer-lattice
     # surprisal + bounded-histogram cutoffs — the quality-gradient gate)
     "curation_perplexity_buckets",
+    # round-8 additions: BM25 retrieval (token scan + bounded side
+    # relations + TakeOrderedAndProject) and aHash banded near-dup
+    # (mapInPandas fingerprints + Hamming-LSH band shuffle)
+    "text_bm25_topk",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -49,7 +49,7 @@ PRIORITY: list[str] = [
     # leads with round-8 additions/changes, then drains the staleness
     # tail: the ONE remaining r2-latest row, then the entire r3-latest
     # oracle-backed set (window family, streaming windows, gold
-    # pipeline, composition — the rows the r7 verdict named) minus two
+    # pipeline, composition — the rows the r7 verdict named) minus four
     # overflow spills.
     # (a) round-8 NEW queries, newest-risk first: aHash near-dup
     # banding, the streaming Count-Min merge, theta-sketch set algebra,
@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "sql_important_parts",
     "sql_top_supplier_quarter",
     "text_bm25_topk",
+    "dedup_containment_pairs",
     # (a') round-8 code changes: Count-Min rebuilt on the vocabulary
     # relation (both engines), the JL ratio gained a NULLIF (both
     # engines), k-means gained an init guard, the unigram helpers a
@@ -111,11 +112,11 @@ PRIORITY: list[str] = [
     "source_python_datasource",
     "source_python_stream_datasource",
     "text_lm_surprisal",
-    "text_repetition_signals",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the three r3 spills, then the r1-latest rows-only set
+    # overflow: the four r3 spills, then the r1-latest rows-only set
     # (weaker rows by design — each has an oracle-backed sibling that
     # IS fresh), then round-7-fresh sentinels
+    "text_repetition_signals",
     "text_sliding_chunks",
     "diag_join_key_skew",
     "scalar_variant_json",

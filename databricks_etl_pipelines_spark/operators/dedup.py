@@ -847,6 +847,111 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """ALL ordered pairs where the smaller document's shingle set is
+    ≥ ``threshold`` CONTAINED in the larger's: C(a→b) = |Sa ∩ Sb| / |Sa|
+    — the asymmetric sibling of :func:`ngram_jaccard_pairs`. Jaccard
+    misses sub-duplication (a paragraph wrapped in boilerplate, a quoted
+    email inside a thread, a doc embedded in a crawl page): when
+    |Sb| ≫ |Sa| the union dilutes Jaccard below any threshold while
+    containment stays at 1. Training-data pipelines dedup on BOTH.
+
+    Lossless pruning (the asymmetric AllPairs containment join):
+    C ≥ t ⇔ overlap ≥ ⌈t·|Sa|⌉, so the CONTAINED side probes with only
+    its first |Sa| − ⌈t·|Sa|⌉ + 1 shingles in global df-ascending order
+    (rarest first — any qualifying pair must share one of them), while
+    the CONTAINER side is indexed on ALL its shingles (no symmetric
+    prefix exists: b's extra mass is unbounded). The positional bound
+    overlap ≤ 1 + min(|Sa|−i, |Sb|−j) at the first shared (i, j) prunes
+    candidates before the exact verify, losslessly (Xiao et al., WWW
+    2008, adapted to the containment measure).
+
+    Scale shape: candidate volume is bounded by co-occurrence of RARE
+    probe shingles × container df — never O(n²); the verify joins the
+    ≤-candidate pairs back to the hashed shingle sets. Orientation:
+    (contained, container) with ln_a < ln_b, ties broken id_a < id_b
+    (equal-size sets have symmetric containment)."""
+    sh = _hashed_shingle_sets(df, text_col, id_col, shingle_k)
+    tok = sh.select(
+        "id", F.size("sh").alias("ln"), F.explode("sh").alias("hs")
+    )
+    dfreq = tok.groupBy("hs").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(dfreq, "hs")
+        .groupBy("id", "ln")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "hs"))).alias("oss")
+        )
+    )
+    probe_len = (
+        F.col("ln") - F.ceil(F.lit(threshold) * F.col("ln")) + 1
+    ).cast("int")
+    probe = ordered.select(
+        "id", "ln",
+        F.posexplode(F.slice("oss", 1, probe_len)).alias("pos0", "p"),
+    ).select(
+        "id", "ln", (F.col("pos0") + 1).alias("pos"),
+        F.col("p.hs").alias("hs"),
+    )
+    index = ordered.select(
+        "id", "ln",
+        F.posexplode("oss").alias("pos0", "p"),
+    ).select(
+        "id", "ln", (F.col("pos0") + 1).alias("pos"),
+        F.col("p.hs").alias("hs"),
+    )
+    a = probe.select(
+        "hs", F.col("id").alias("id_a"),
+        F.col("ln").alias("ln_a"), F.col("pos").alias("pos_a"),
+    )
+    b = index.select(
+        "hs", F.col("id").alias("id_b"),
+        F.col("ln").alias("ln_b"), F.col("pos").alias("pos_b"),
+    )
+    alpha = F.ceil(F.lit(threshold) * F.col("ln_a"))
+    ubound = 1 + F.least(
+        F.col("ln_a") - F.col("pos_a"), F.col("ln_b") - F.col("pos_b")
+    )
+    cands = (
+        a.join(b, "hs")
+        .filter(
+            (
+                (F.col("ln_a") < F.col("ln_b"))
+                | (
+                    (F.col("ln_a") == F.col("ln_b"))
+                    & (F.col("id_a") < F.col("id_b"))
+                )
+            )
+            & (ubound >= alpha)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    paired = (
+        _spread(cands)
+        .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    containment = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        "sh_a"
+    )
+    return (
+        paired.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            "containment",
+        )
+    )
+
+
 def duplicated_span_report(
     df: DataFrame,
     text_col: str,

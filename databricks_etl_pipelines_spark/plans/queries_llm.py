@@ -358,6 +358,47 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- asymmetric containment near-dup (sub-duplication) -------------------------
+
+# Oracle is the brute-force containment join (all pairs oriented
+# smaller-into-larger, then exact |Sa ∩ Sb| ≥ ⌈t·|Sa|⌉) — O(n²)-ish like
+# the Jaccard oracle, fine in DuckDB at sf0.01 and on the documented
+# heavy-oracle sf0.1 skip list. The Spark side reaches the same answer
+# via the asymmetric prefix filter (probe prefix × full index).
+_CONTAINMENT_ORACLE = f"""
+WITH prep AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh, len({_SQL_SHINGLES3}) AS ln
+  FROM documents
+)
+SELECT a.id AS contained_id, b.id AS container_id,
+  len(list_intersect(a.sh, b.sh)) / a.ln AS containment
+FROM prep a JOIN prep b
+  ON (a.ln < b.ln OR (a.ln = b.ln AND a.id < b.id))
+  AND len(list_intersect(a.sh, b.sh)) >= ceil(0.8 * a.ln)
+"""
+
+
+@query("dedup_containment_pairs", _CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-duplication detection: ordered (contained, container) pairs
+    with shingle-set containment |Sa ∩ Sb| / |Sa| ≥ 0.8 — the asymmetric
+    measure Jaccard cannot see (boilerplate-wrapped paragraphs, quoted
+    emails, docs embedded in crawl pages dilute the union but not the
+    containment). Spark runs the lossless asymmetric prefix-filter join
+    (operators/dedup.py::containment_pairs — probe prefix of the
+    contained side × full index of the container side, positional bound
+    pruning); the oracle brute-forces the same measure. The containment
+    value is ONE int/int division on both engines — bit-identical."""
+    docs = table(spark, sf_dir, "documents")
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        docs, "text", "doc_id", threshold=0.8, shingle_k=3
+    )
+
+
 # -- cross-engine MinHash-LSH (the banded pipeline, hard-verified) -----------------
 
 # Cross-engine MinHash family (Broder's construction, mirrored

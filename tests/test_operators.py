@@ -2049,3 +2049,38 @@ def test_bm25_plan_and_semantics(spark):
     idf_dup = math.log(1 + (n - dfd + 0.5) / (dfd + 0.5))
     cap = (idf_dup + 3 * math.log(1 + (500 - 390 + 0.5) / 390.5)) * 2.2
     assert all(r.score_bm25 < cap for r in rows)
+
+
+def test_containment_catches_subdup_jaccard_misses(spark):
+    """The reason containment exists: a paragraph wrapped in heavy
+    boilerplate is ≥ 0.8 contained in the wrapper while the union
+    dilutes Jaccard below 0.5 — so jaccard-only dedup keeps the pair,
+    containment flags it. Also pins orientation (smaller doc is the
+    contained side) and that unrelated docs never pair."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    para = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = " ".join(f"nav{i} menu{i} footer{i}" for i in range(12))
+    rows = [
+        (1, para),
+        (2, boiler + " " + para + " " + boiler),
+        (3, "totally different words entirely here and now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.8
+    assert all(3 not in pair for pair in cont)
+
+    jac = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert not [r for r in jac if {r.id_a, r.id_b} == {1, 2}]
