@@ -770,6 +770,174 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — the classic membership sketch, here in the
+# role Spark itself uses it for (runtime join pruning à la
+# InjectRuntimeFilter): build a fixed-size bit set over the small side's
+# keys, probe the big side, and let "definitely not present" skip rows
+# before the join. Hand-rolled on the deterministic cross-engine hash
+# family, so every bit, every hit, and the false-positive count replay
+# exactly in SQL — where Spark's builtin bloom_filter_agg is
+# engine-opaque.
+# ---------------------------------------------------------------------------
+
+_BF_K = 3       # hash functions
+_BF_M = 4096    # bits
+
+
+def _bf_pos_sql(key: str, i_expr: str = "i") -> str:
+    return f"""list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(
+            md5('bf' || {i_expr} || ':' || CAST({key} AS VARCHAR)), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647) % {_BF_M}"""
+
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+hs AS (SELECT unnest(range(0, {_BF_K})) AS i),
+bits AS (
+  SELECT DISTINCT CAST({_bf_pos_sql('o_custkey')} AS BIGINT) AS pos
+  FROM build, hs
+),
+probe AS (
+  SELECT c.c_custkey,
+    CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS exact_member,
+    CASE WHEN (
+      SELECT count(*) FROM hs
+      WHERE CAST({_bf_pos_sql('c.c_custkey')} AS BIGINT) IN
+        (SELECT pos FROM bits)
+    ) = {_BF_K} THEN 1 ELSE 0 END AS bloom_hit
+  FROM customer c LEFT JOIN build b ON c.c_custkey = b.o_custkey
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_probed,
+  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+  CAST(sum(exact_member) AS BIGINT) AS exact_members,
+  CAST(sum(bloom_hit) AS BIGINT) AS bloom_hits,
+  CAST(sum(CASE WHEN bloom_hit = 1 AND exact_member = 0
+       THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+  CAST(sum(CASE WHEN bloom_hit = 0 AND exact_member = 1
+       THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+FROM probe
+"""
+
+
+@query("agg_bloom_filter_prune", _BLOOM_ORACLE)
+def agg_bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pruning: a k=3 / m=4096 filter built over
+    the urgent-order customer keys, probed by every customer — the
+    runtime-filter join-pruning shape (Spark's InjectRuntimeFilter /
+    bloom_filter_agg) with a HAND-ROLLED deterministic bit set, so the
+    oracle replays the bits, every hit, and the false-positive count
+    value-for-value. ``false_negatives`` is compared AND must be 0: the
+    one-sided Bloom guarantee as a hard oracle column (the Count-Min
+    never-undercounts sibling).
+
+    Scale shape: the build side reduces to ≤ m DISTINCT bit positions
+    (broadcast-sized however many keys stream in — bits saturate, they
+    don't grow); the probe is k hash expressions per row against the
+    broadcast bit set — a map-side filter, no shuffle of the big side.
+    At 100 TB this is exactly the semi-join prune you want BEFORE a
+    shuffle join; Spark injects the same construct automatically when
+    spark.sql.optimizer.runtimeFilter.bloomFilter.enabled is on, but
+    opaquely — this keeps the bits auditable."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    hs = spark.range(_BF_K).select(F.col("id").alias("i"))
+
+    def pos(key: F.Column) -> F.Column:
+        return fingerprint_rolling(
+            F.md5(
+                F.concat(
+                    F.lit("bf"),
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    key.cast("string"),
+                )
+            )
+        ) % _BF_M
+
+    bits = (
+        build.crossJoin(F.broadcast(hs))
+        .select(pos(F.col("o_custkey")).alias("pos"))
+        .distinct()
+    )
+    probes = (
+        customer.select("c_custkey")
+        .crossJoin(F.broadcast(hs))
+        .select("c_custkey", pos(F.col("c_custkey")).alias("pos"))
+    )
+    hit_counts = (
+        probes.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("k_hits"))
+    )
+    probe = (
+        customer.select("c_custkey")
+        .join(
+            hit_counts.filter(F.col("k_hits") == _BF_K)
+            .select("c_custkey", F.lit(1).alias("bloom_hit")),
+            "c_custkey",
+            "left",
+        )
+        .join(
+            build.select(
+                F.col("o_custkey").alias("c_custkey"),
+                F.lit(1).alias("exact_member"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce("bloom_hit", F.lit(0)).alias("bloom_hit"),
+            F.coalesce("exact_member", F.lit(0)).alias("exact_member"),
+        )
+    )
+    nbits = bits.agg(F.count("*").alias("bits_set"))
+    return (
+        probe.agg(
+            F.count("*").alias("n_probed"),
+            F.sum("exact_member").alias("exact_members"),
+            F.sum("bloom_hit").alias("bloom_hits"),
+            F.sum(
+                F.when(
+                    (F.col("bloom_hit") == 1)
+                    & (F.col("exact_member") == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("false_positives"),
+            F.sum(
+                F.when(
+                    (F.col("bloom_hit") == 0)
+                    & (F.col("exact_member") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("false_negatives"),
+        )
+        .crossJoin(F.broadcast(nbits))
+        .select(
+            "n_probed", "bits_set", "exact_members", "bloom_hits",
+            "false_positives", "false_negatives",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
 # in fixed d×w state. The deterministic cross-engine hash rows make the
 # ESTIMATES exactly SQL-replayable (like KMV, unlike HLL), and the

@@ -302,3 +302,30 @@ def sql_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery over an aggregated derived table; identical text is the
     oracle."""
     return run_sql(spark, sf_dir, _TOP_SUPPLIER_SQL)
+
+
+_CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("sql_customer_distribution", _CUSTOMER_DISTRIBUTION_SQL)
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape as SQL text: the distribution-of-a-distribution —
+    customers grouped by how many qualifying orders they have, then the
+    histogram of those counts. Exercises LEFT OUTER JOIN with an extra
+    non-key join predicate (the filter must stay IN the join condition:
+    pushing it to a WHERE would silently drop zero-order customers) and
+    count(column) null semantics (unmatched customers count 0, not 1).
+    Identical text is the oracle; the two chained aggregates share no
+    key, so the plan is join → agg → agg with one shuffle each — the
+    shape AQE coalesces well at scale."""
+    return run_sql(spark, sf_dir, _CUSTOMER_DISTRIBUTION_SQL)
