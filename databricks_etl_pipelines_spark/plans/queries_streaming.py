@@ -910,3 +910,122 @@ def streaming_countmin_heavy_hitters(
     await_drained(q, 300)
     cm = countmin_merge(spark, out)
     return countmin_merge_probe_words(spark, sf_dir, cm)
+
+
+# -- streaming Bloom dedup gate (bounded-state approximate dedup) ---------------
+
+_BFD_K = 3
+_BFD_M = 32768
+
+_BFD_POS = """list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5('bfd' || i || ':' || key), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647) % {m}""".format(m=_BFD_M)
+
+# Oracle: per-batch Bloom admission replayed over the deterministic
+# 3-batch feed (batch b = doc_id % 3): batch-local exact dedup first,
+# then each rep probes the positions set by EARLIER batches only — the
+# same first_batch < batch_id rule the replay-safe state enforces.
+_BLOOM_DEDUP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS batch_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
+  FROM documents
+),
+reps AS (
+  SELECT batch_id, key, min(doc_id) AS doc_id
+  FROM d GROUP BY batch_id, key
+),
+hs AS (SELECT unnest(range(0, {_BFD_K})) AS i),
+pos AS (
+  SELECT r.batch_id, r.key, r.doc_id,
+    CAST({_BFD_POS} AS BIGINT) AS pos
+  FROM reps r, hs
+),
+probe AS (
+  SELECT p.batch_id, p.key, p.doc_id,
+    sum(CASE WHEN EXISTS (
+      SELECT 1 FROM pos q
+      WHERE q.batch_id < p.batch_id AND q.pos = p.pos
+    ) THEN 1 ELSE 0 END) AS hits
+  FROM pos p GROUP BY p.batch_id, p.key, p.doc_id
+),
+seen AS (
+  SELECT r.batch_id, r.key,
+    CASE WHEN EXISTS (
+      SELECT 1 FROM reps e
+      WHERE e.key = r.key AND e.batch_id < r.batch_id
+    ) THEN 1 ELSE 0 END AS seen_before
+  FROM reps r
+)
+SELECT p.doc_id, p.batch_id,
+  CAST(CASE WHEN p.hits = {_BFD_K} THEN 1 ELSE 0 END AS INT)
+    AS bloom_rejected,
+  CAST(s.seen_before AS INT) AS seen_before,
+  CAST(CASE WHEN p.hits = {_BFD_K} AND s.seen_before = 0
+       THEN 1 ELSE 0 END AS INT) AS false_drop
+FROM probe p JOIN seen s ON s.batch_id = p.batch_id AND s.key = p.key
+"""
+
+
+@query("streaming_bloom_dedup", _BLOOM_DEDUP_ORACLE)
+def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate streaming dedup with BOUNDED state
+    (streaming/structured.py::bloom_dedup_stream): the 3-batch feed
+    drains through a Bloom gate whose bit-set state is ≤ m rows however
+    long the stream runs — the 100 TB answer to dropDuplicates'
+    per-key state store. Every admission decision, the exact
+    seen-before accounting, and the false-drop count (uniques lost to
+    hash collisions — the accuracy price of bounded state) replay
+    value-for-value in SQL. Bloom insertion is idempotent (set union),
+    but the state pins (pos, first_batch) so a REPLAYED batch never
+    probes bits it inserted itself before a crash — the at-least-once
+    hazard the oracle's earlier-batches-only rule mirrors."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        bloom_dedup_stream,
+    )
+
+    src = _three_batch_documents_feed(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "text")
+    )
+    out = scratch_dir("bfd_out_")
+    state = ManagedTable(scratch_dir("bfd_state_"))
+    q = bloom_dedup_stream(
+        stream, state, out, scratch_dir("bfd_ckpt_"),
+        k=_BFD_K, m=_BFD_M,
+    )
+    await_drained(q, 300)
+    dec = spark.read.parquet(out).drop("b")
+    earlier = dec.select(
+        F.col("key").alias("e_key"), F.col("batch_id").alias("e_batch")
+    )
+    seen = (
+        dec.join(
+            earlier,
+            (F.col("key") == F.col("e_key"))
+            & (F.col("e_batch") < F.col("batch_id")),
+            "left",
+        )
+        .groupBy("doc_id", "batch_id", "key", "bloom_rejected")
+        .agg(
+            F.max(
+                F.when(F.col("e_key").isNotNull(), 1).otherwise(0)
+            ).alias("seen_before")
+        )
+    )
+    return seen.select(
+        "doc_id",
+        "batch_id",
+        F.col("bloom_rejected").cast("int").alias("bloom_rejected"),
+        F.col("seen_before").cast("int").alias("seen_before"),
+        (
+            (F.col("bloom_rejected") == 1) & (F.col("seen_before") == 0)
+        ).cast("int").alias("false_drop"),
+    )

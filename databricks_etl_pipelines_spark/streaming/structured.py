@@ -1039,3 +1039,129 @@ def countmin_merge(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("r", "b")
         .agg(F.sum("c").alias("c"))
     )
+
+
+BLOOM_DEDUP_K = 3
+BLOOM_DEDUP_M = 32768
+
+
+def bloom_dedup_stream(
+    stream: DataFrame,
+    state: "ManagedTable",
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = BLOOM_DEDUP_K,
+    m: int = BLOOM_DEDUP_M,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Approximate streaming dedup with BOUNDED state: a Bloom filter
+    over normalized-text keys replaces dropDuplicates' per-key state
+    store (which grows with the true distinct count — unbounded on an
+    unbounded stream). Per micro-batch: batch-local exact dedup (min id
+    per key), probe the persisted bit set, write per-rep admission
+    decisions to a replay-idempotent ``batch_id=<n>`` partition, then
+    fold the batch's bit positions into the state.
+
+    Replay safety is different from Count-Min's and worth the contrast:
+    Bloom INSERTION is idempotent (set union — a re-delivered batch
+    re-sets the same bits), but a replayed batch must not PROBE bits it
+    inserted itself before the crash, so the state stores
+    (pos, first_batch) with min-fold and the probe only consults
+    positions with ``first_batch < batch_id``. State is ≤ m rows
+    (positions saturate, never grow — the 100 TB property); a saturated
+    filter degrades to rejecting, so size m to the expected distinct
+    keys (k·n ≈ 0.7·m for the classic 50% load).
+
+    False drops (a unique doc rejected on hash collisions) are the
+    accuracy price; the caller reads them off the decisions by joining
+    against exact history — `streaming_bloom_dedup`'s oracle compares
+    that accounting value-for-value."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+        normalized_text,
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        hs = df.sparkSession.range(k).select(F.col("id").alias("i"))
+        return df.crossJoin(F.broadcast(hs)).select(
+            "key",
+            "doc_id",
+            (
+                fingerprint_rolling(
+                    F.md5(
+                        F.concat(
+                            F.lit("bfd"),
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("key"),
+                        )
+                    )
+                )
+                % m
+            ).alias("pos"),
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        reps = (
+            batch_df.select(
+                F.md5(normalized_text(text_col)).alias("key"),
+                F.col(id_col).alias("doc_id"),
+            )
+            .groupBy("key")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        pos = positions(reps)
+        if state.exists():
+            prior = state.read(spark).filter(
+                F.col("first_batch") < F.lit(batch_id)
+            )
+        else:
+            prior = spark.createDataFrame(
+                [], "pos bigint, first_batch bigint"
+            )
+        hits = (
+            pos.join(
+                F.broadcast(prior.select("pos")), "pos", "left_semi"
+            )
+            .groupBy("key", "doc_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        decisions = (
+            pos.select("key", "doc_id")
+            .distinct()
+            .join(hits, ["key", "doc_id"], "left")
+            .select(
+                "doc_id",
+                "key",
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                (F.coalesce("hits", F.lit(0)) == k).cast("int").alias(
+                    "bloom_rejected"
+                ),
+            )
+        )
+        # partition dir named b=<n> (not batch_id=<n>): decisions carry
+        # batch_id as a DATA column, and a same-named partition column
+        # would shadow it with an int32 at read time
+        decisions.write.mode("overwrite").parquet(
+            f"{out_dir}/b={batch_id}"
+        )
+        batch_bits = pos.select(
+            "pos", F.lit(batch_id).cast("bigint").alias("first_batch")
+        )
+        merged = (
+            (state.read(spark) if state.exists() else batch_bits.limit(0))
+            .unionByName(batch_bits)
+            .groupBy("pos")
+            .agg(F.min("first_batch").alias("first_batch"))
+        )
+        state.create_or_overwrite(merged)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return with_trigger(writer, processing_time).start()
