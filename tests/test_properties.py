@@ -699,3 +699,46 @@ def test_temperature_epochs_matches_pure_python_replay(spark, rows):
         n = min(full + (1 if bucket < th else 0), 8)
         expected.extend((i, e) for e in range(n))
     assert got == sorted(expected)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKS3, min_size=2, max_size=8))
+def test_containment_pairs_match_bruteforce(spark, docs):
+    """Asymmetric containment join vs a brute-force Python reference on
+    tiny-alphabet corpora (dense shingle collisions stress the prefix
+    filter's losslessness, the length-tie orientation rule, and the
+    single-shingle short-doc path)."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    t = 0.8
+
+    def shingles(ts):
+        if len(ts) >= 3:
+            return {" ".join(ts[p:p + 3]) for p in range(len(ts) - 2)}
+        return {" ".join(ts)}
+
+    sets = {i: shingles(ts) for i, ts in enumerate(docs)}
+    expect = {}
+    import math
+
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if not (len(sa) < len(sb) or (len(sa) == len(sb) and a < b)):
+                continue
+            inter = len(sa & sb)
+            if inter >= math.ceil(t * len(sa)):
+                expect[(a, b)] = inter / len(sa)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=t, shingle_k=3
+        ).collect()
+    }
+    assert got == expect
