@@ -49,13 +49,14 @@ PRIORITY: list[str] = [
     # leads with round-8 additions/changes, then drains the staleness
     # tail: the ONE remaining r2-latest row, then the entire r3-latest
     # oracle-backed set (window family, streaming windows, gold
-    # pipeline, composition — the rows the r7 verdict named) minus seven
+    # pipeline, composition — the rows the r7 verdict named) minus eight
     # overflow spills.
     # (a) round-8 NEW queries, newest-risk first: aHash near-dup
     # banding, the streaming Count-Min merge, theta-sketch set algebra,
     # four SQL-text shapes (Q20/Q11/Q15/Q13), BM25 retrieval, the
-    # containment near-dup join, the deterministic Bloom prune, and the
-    # bounded-state streaming Bloom dedup gate
+    # containment near-dup join, the deterministic Bloom prune, the
+    # bounded-state streaming Bloom dedup gate, and the curriculum
+    # interleave schedule
     "multimodal_phash_neardup",
     "streaming_countmin_heavy_hitters",
     "agg_theta_sketch_setops",
@@ -67,6 +68,7 @@ PRIORITY: list[str] = [
     "agg_bloom_filter_prune",
     "sql_customer_distribution",
     "streaming_bloom_dedup",
+    "curation_curriculum_interleave",
     # (a') round-8 code changes: Count-Min rebuilt on the vocabulary
     # relation (both engines), the JL ratio gained a NULLIF (both
     # engines), k-means gained an init guard, the unigram helpers a
@@ -113,11 +115,11 @@ PRIORITY: list[str] = [
     "join_local_supplier_volume",
     "join_shipping_priority_topk",
     "join_small_lot_revenue",
-    "multimodal_downsample_stats",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the seven r3 spills, then the r1-latest rows-only set
+    # overflow: the eight r3 spills, then the r1-latest rows-only set
     # (weaker rows by design — each has an oracle-backed sibling that
     # IS fresh), then round-7-fresh sentinels
+    "multimodal_downsample_stats",
     "source_python_datasource",
     "source_python_stream_datasource",
     "text_lm_surprisal",

@@ -2867,7 +2867,7 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # high where the unigram model is blind. Same integer-lattice
 # discipline: per-bigram surprisal quantized to 2^-12 nats, INTEGER
 # summed per doc (order-independent), one IEEE division at the end.
-_BIGRAM_ORACLE = f"""
+_BIGRAM_Q_CTES = f"""
 WITH t AS (
   SELECT doc_id, {_SQL_TOKS} AS ws FROM documents
 ),
@@ -2892,7 +2892,9 @@ q AS (
     CAST(floor(-ln((cb.c2 + 0.5) / (cc.c1 + 0.5 * v.vsz)) * 4096)
          AS BIGINT) AS qs
   FROM bg JOIN cb USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
-)
+)"""
+
+_BIGRAM_ORACLE = _BIGRAM_Q_CTES + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
   CAST(sum(qs) AS BIGINT) AS q_sum,
   CAST(floor(sum(qs) / count(*)) AS BIGINT) AS q_surprisal
@@ -2955,6 +2957,102 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("q_surprisal"),
         )
+    )
+
+
+# Curriculum ordering: difficulty-ranked docs interleaved across sources
+# by ARITHMETIC, not a global sort — the loader-facing total order a
+# curriculum-learning run wants (Bengio et al., ICML 2009), computed
+# without any corpus-wide window.
+_CURRICULUM_ORACLE = _BIGRAM_Q_CTES + """,
+diff AS (
+  SELECT doc_id,
+    CAST(floor(sum(qs) / count(*)) AS BIGINT) AS q_surprisal
+  FROM q GROUP BY doc_id
+),
+srcs AS (
+  SELECT source,
+    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS s_idx,
+    CAST(count(*) OVER () AS BIGINT) AS n_sources
+  FROM (SELECT DISTINCT source FROM documents)
+),
+ranked AS (
+  SELECT d.doc_id, d.source, f.q_surprisal,
+    CAST(row_number() OVER (
+      PARTITION BY d.source ORDER BY f.q_surprisal, d.doc_id
+    ) AS BIGINT) AS source_rank
+  FROM documents d JOIN diff f ON f.doc_id = d.doc_id
+)
+SELECT r.doc_id, r.source, r.q_surprisal, r.source_rank,
+  CAST((r.source_rank - 1) * s.n_sources + s.s_idx + 1 AS BIGINT)
+    AS global_pos
+FROM ranked r JOIN srcs s ON s.source = r.source
+"""
+
+
+@query("curation_curriculum_interleave", _CURRICULUM_ORACLE)
+def curation_curriculum_interleave(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum data ordering: documents ranked easy→hard per source
+    by bigram-LM surprisal (the context-aware difficulty signal —
+    text_bigram_surprisal's integer-lattice score), then interleaved
+    round-robin across sources into one global loader position. The
+    crux at 100 TB: the total order is ARITHMETIC —
+    ``global_pos = (source_rank − 1)·n_sources + source_index + 1`` —
+    so the only shuffles are the per-source rank windows (partitioned
+    by source) and the model aggregates; there is NO corpus-wide sort
+    or partitionless window anywhere. Positions are gapped after the
+    smallest source exhausts (the loader skips gaps); monotone in
+    difficulty within every source, round-robin across sources at every
+    depth — the standard balanced-interleave schedule. Docs with < 2
+    tokens carry no bigram score and are excluded on both engines."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    diff = text_bigram_surprisal(spark, sf_dir).select(
+        "doc_id", "q_surprisal"
+    )
+    srcs_w = Window.orderBy("source")
+    # partitionless window, bounded: DISTINCT source is a handful of
+    # rows (corpus sources, not corpus docs)
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(srcs_w) - 1).cast("bigint").alias(
+                "s_idx"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                docs.select("source").distinct().agg(
+                    F.count("*").alias("n_sources")
+                )
+            )
+        )
+    )
+    rank_w = Window.partitionBy("source").orderBy(
+        "q_surprisal", "doc_id"
+    )
+    ranked = (
+        docs.select("doc_id", "source")
+        .join(diff, "doc_id")
+        .withColumn(
+            "source_rank", F.row_number().over(rank_w).cast("bigint")
+        )
+    )
+    return ranked.join(F.broadcast(srcs), "source").select(
+        "doc_id",
+        "source",
+        "q_surprisal",
+        "source_rank",
+        (
+            (F.col("source_rank") - 1) * F.col("n_sources")
+            + F.col("s_idx")
+            + 1
+        ).cast("bigint").alias("global_pos"),
     )
 
 

@@ -2084,3 +2084,38 @@ def test_containment_catches_subdup_jaccard_misses(spark):
         docs, "text", "doc_id", threshold=0.5
     ).collect()
     assert not [r for r in jac if {r.id_a, r.id_b} == {1, 2}]
+
+
+def test_curriculum_interleave_invariants(spark, sf_dir):
+    """Loader-order invariants of the curriculum schedule: positions
+    are globally unique; within a source they are strictly increasing
+    in difficulty rank (easy→hard); at every rank depth the sources
+    occupy consecutive arithmetic slots in source-index order (the
+    round-robin property); and the easiest doc of the first source sits
+    at position 1."""
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    rows = catalog.QUERIES["curation_curriculum_interleave"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    pos = [r.global_pos for r in rows]
+    assert len(pos) == len(set(pos))
+    srcs = sorted({r.source for r in rows})
+    s_idx = {s: i for i, s in enumerate(srcs)}
+    n = len(srcs)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for s, rs in by_src.items():
+        rs.sort(key=lambda r: r.source_rank)
+        assert all(
+            a.q_surprisal <= b.q_surprisal for a, b in zip(rs, rs[1:])
+        )
+        # the arithmetic schedule: pos = (rank-1)*n + s_idx + 1
+        assert all(
+            r.global_pos == (r.source_rank - 1) * n + s_idx[s] + 1
+            for r in rs
+        )
+    assert min(pos) == 1
