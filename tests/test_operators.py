@@ -2119,3 +2119,28 @@ def test_curriculum_interleave_invariants(spark, sf_dir):
             for r in rs
         )
     assert min(pos) == 1
+
+
+def test_bm25_index_probe_prunes_partitions_and_matches_full_scan(spark):
+    """The persisted BM25 index must (a) prune at the PARTITION level —
+    the probe's scan carries PartitionFilters on wb and reads at most
+    one bucket directory per query term — and (b) reproduce the
+    full-scan query's top-20 EXACTLY (same docs, same rounded scores):
+    the index is a layout, not a semantics change."""
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    sf = "/root/testdata/sf0.01"
+    full = catalog.QUERIES["text_bm25_topk"](spark, sf).collect()
+    probe_df = catalog.QUERIES["text_bm25_indexed"](spark, sf)
+    probe = probe_df.collect()
+    assert [(r.doc_id, r.score_bm25) for r in full] == [
+        (r.doc_id, r.score_bm25) for r in probe
+    ]
+    import re
+
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    prunes = re.findall(r"PartitionFilters: \[wb#\d+ IN \(([^)]*)\)\]", plan)
+    assert prunes, plan[:500]
+    # 4 query terms hash into at most 4 of the 64 bucket directories
+    assert all(len(p.split(",")) <= 4 for p in prunes)
