@@ -3809,7 +3809,7 @@ def _bm25_term_sql(t: str) -> str:
     )
 
 
-_BM25_ORACLE = f"""
+_BM25_PREFIX = f"""
 WITH w AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
 ),
@@ -3835,12 +3835,14 @@ idf AS (
         for t in _BM25_TERMS)}
   FROM df, stats
 ),
-piv AS (
+piv AS MATERIALIZED (
   SELECT dl.doc_id, dl.n_tokens,
     {", ".join(_bm25_tf_sql(t) for t in _BM25_TERMS)}
   FROM dl LEFT JOIN tf ON dl.doc_id = tf.doc_id
   GROUP BY dl.doc_id, dl.n_tokens
-),
+)"""
+
+_BM25_ORACLE = _BM25_PREFIX + f""",
 scored AS (
   SELECT p.doc_id, p.n_tokens,
     {", ".join("p.tf_" + t for t in _BM25_TERMS)},
@@ -3856,24 +3858,14 @@ QUALIFY row_number() OVER (
 """
 
 
-@query("text_bm25_topk", _BM25_ORACLE)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 retrieval (Robertson/Walker, TREC-3; Lucene's
-    positive-clamped idf): top-20 documents for a fixed 4-term query —
-    one rare discriminative term plus three common ones, so both the
-    idf spread and the tf/length saturation genuinely move the ranking.
-    Scores are pinned-order IEEE expressions over exact integer corpus
-    statistics; the oracle replays idf, saturation, fold order, and the
-    round-before-rank top-k.
-
-    Scale shape: ONE corpus scan for (doc, term) frequencies filtered
-    to the query terms (predicate BEFORE the aggregate — tf state is
-    #docs × #query-terms, not #docs × vocab), one bounded df/N/avgdl
-    side relation broadcast back, and a TakeOrderedAndProject for the
-    top-k. Per-query cost at 100 TB is the token scan; a real search
-    deployment would precompute the (word, doc, tf) inverted relation
-    once and equi-join the query terms into it — which is exactly the
-    tf CTE here with the filter pushed into the index scan."""
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, b: float = _BM25_B
+) -> DataFrame:
+    """Every document scored under Okapi BM25 (rounded 6dp) — the shared
+    relation behind text_bm25_topk (b=0.75) and text_rbo_rankings'
+    b=0 comparison arm. With b=0 the literals fold so the length-norm
+    factor is exactly 1.0 and the denominator is bit-identically
+    tf + k1, matching the oracle's explicitly dl-free b0 expression."""
     from databricks_etl_pipelines_spark.functions.textfns import tokens
 
     docs = table(spark, sf_dir, "documents")
@@ -3927,22 +3919,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def term_score(t: str) -> F.Column:
         tf_c = F.col(f"tf_{t}")
-        return F.col(f"idf_{t}") * (
-            (tf_c * F.lit(_BM25_K1 + 1.0))
-            / (
-                tf_c
-                + F.lit(_BM25_K1)
-                * (
-                    F.lit(1.0 - _BM25_B)
-                    + F.lit(_BM25_B) * (F.col("n_tokens") / avgdl)
-                )
+        if b == 0.0:
+            denom = tf_c + F.lit(_BM25_K1)
+        else:
+            denom = tf_c + F.lit(_BM25_K1) * (
+                F.lit(1.0 - b) + F.lit(b) * (F.col("n_tokens") / avgdl)
             )
+        return F.col(f"idf_{t}") * (
+            (tf_c * F.lit(_BM25_K1 + 1.0)) / denom
         )
+
     # left-associated alphabetical fold — same order as the oracle text
     score = term_score(_BM25_TERMS[0])
     for t in _BM25_TERMS[1:]:
         score = score + term_score(t)
-    scored = (
+    return (
         piv.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(idf))
         .select(
@@ -3952,11 +3943,176 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(score, 6).alias("score_bm25"),
         )
     )
-    # orderBy+limit compiles to TakeOrderedAndProject (never a global
-    # sort); the compared rows are exactly the oracle's QUALIFY top-k
+
+
+@query("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson/Walker, TREC-3; Lucene's
+    positive-clamped idf): top-20 documents for a fixed 4-term query —
+    one rare discriminative term plus three common ones, so both the
+    idf spread and the tf/length saturation genuinely move the ranking.
+    Scores are pinned-order IEEE expressions over exact integer corpus
+    statistics; the oracle replays idf, saturation, fold order, and the
+    round-before-rank top-k.
+
+    Scale shape: ONE corpus scan for (doc, term) frequencies filtered
+    to the query terms (predicate BEFORE the aggregate — tf state is
+    #docs × #query-terms, not #docs × vocab), one bounded df/N/avgdl
+    side relation broadcast back, and a TakeOrderedAndProject for the
+    top-k (never a global sort — the compared rows are exactly the
+    oracle's QUALIFY top-k). Per-query cost at 100 TB is the token
+    scan; text_bm25_indexed is the precomputed-posting-list production
+    split."""
+    scored = _bm25_scored(spark, sf_dir, _BM25_B)
     return scored.orderBy(F.desc("score_bm25"), "doc_id").limit(
         _BM25_TOPK
     )
+
+
+# Rank-biased overlap (Webber/Moffat/Zobel, TOIS 2010) between the BM25
+# ranking and the raw TF-sum baseline — the IR-evaluation metric for
+# "how much did the idf/length machinery change the ranking". p is
+# PINNED to 1/2: every weight p^(d-1) is an exact power of two carried
+# by a halving accumulator (no libm pow — the temperature-alpha=0.5
+# discipline), and the depth fold runs in ascending-d order on both
+# engines (array fold, not a visit-order SQL sum).
+_RBO_K = _BM25_TOPK
+
+def _bm25_term_b0_sql(t: str) -> str:
+    k1 = f"CAST({_BM25_K1} AS DOUBLE)"
+    k1p1 = f"CAST({_BM25_K1 + 1.0} AS DOUBLE)"
+    return f"idf.idf_{t} * ((p.tf_{t} * {k1p1}) / (p.tf_{t} + {k1}))"
+
+
+_RBO_ORACLE = _BM25_PREFIX + f""",
+sa AS (
+  SELECT p.doc_id,
+    {" + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)} AS score
+  FROM piv p, stats s, idf
+),
+a AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY {sql_stable_round('score', 6)} DESC, doc_id) AS ra
+  FROM sa
+  QUALIFY ra <= {_RBO_K}
+),
+sb AS (
+  SELECT p.doc_id,
+    {" + ".join(_bm25_term_b0_sql(t) for t in _BM25_TERMS)} AS score
+  FROM piv p, idf
+),
+b AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY {sql_stable_round('score', 6)} DESC, doc_id) AS rb
+  FROM sb
+  QUALIFY rb <= {_RBO_K}
+),
+ov AS (
+  SELECT d.d, CAST(count(a.doc_id) AS BIGINT) AS overlap
+  FROM (SELECT unnest(range(1, {_RBO_K} + 1)) AS d) d
+  LEFT JOIN (a JOIN b USING (doc_id))
+    ON a.ra <= d.d AND b.rb <= d.d
+  GROUP BY d.d
+),
+arr AS (
+  SELECT list(struct_pack(d := d, ov := overlap) ORDER BY d) AS xs
+  FROM ov
+),
+folded AS (
+  SELECT
+    (SELECT overlap FROM ov WHERE d = 5) AS overlap_5,
+    (SELECT overlap FROM ov WHERE d = 10) AS overlap_10,
+    (SELECT overlap FROM ov WHERE d = {_RBO_K}) AS overlap_k,
+    list_reduce(
+      list_prepend(struct_pack(s := CAST(0 AS DOUBLE),
+                               w := CAST(0.5 AS DOUBLE)),
+        list_transform(xs, x ->
+          struct_pack(s := CAST(x.ov AS DOUBLE) / x.d,
+                      w := CAST(0 AS DOUBLE)))),
+      (acc, x) -> struct_pack(s := acc.s + acc.w * x.s,
+                              w := acc.w * CAST(0.5 AS DOUBLE))
+    ).s AS rbo_raw
+  FROM arr
+)
+SELECT overlap_5, overlap_10, overlap_k,
+  floor(rbo_raw * 1000000 + 0.5) / 1000000 AS rbo
+FROM folded
+"""
+
+
+@query("text_rbo_rankings", _RBO_ORACLE)
+def text_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the BM25 top-20 and the SAME query
+    scored WITHOUT length normalization (b=0) — the top-weighted
+    ranking-similarity metric (Webber et al., truncated RBO at p=1/2:
+    exact halving weights, ascending-d array fold on both engines).
+    Isolates exactly what the dl/avgdl factor changes in the ranking
+    (observed 1/2/16 shared docs at depths 5/10/20 at sf0.01 — the
+    numbers genuinely move under any scoring or ranking drift, unlike
+    a near-zero or near-one comparison). Completes the
+    retrieval-evaluation family next to recall@k
+    (similarity_ann_recall / similarity_jl_recall).
+
+    Scale shape: both rankings are TakeOrderedAndProject caps over the
+    shared scored relation; the overlap grid is 20 × ≤20 joined rows;
+    the fold runs over a bounded 20-element array — nothing downstream
+    of the two top-k's touches corpus-sized data."""
+    from pyspark.sql import Window
+
+    # bounded partitionless windows: both inputs are ≤ k-row top-k caps
+    a = (
+        _bm25_scored(spark, sf_dir, _BM25_B)
+        .orderBy(F.desc("score_bm25"), "doc_id")
+        .limit(_RBO_K)
+    )
+    wa = Window.orderBy(F.desc("score_bm25"), "doc_id")
+    a = a.select("doc_id", F.row_number().over(wa).alias("ra"))
+    b = (
+        _bm25_scored(spark, sf_dir, 0.0)
+        .orderBy(F.desc("score_bm25"), "doc_id")
+        .limit(_RBO_K)
+    )
+    wb = Window.orderBy(F.desc("score_bm25"), "doc_id")
+    b = b.select("doc_id", F.row_number().over(wb).alias("rb"))
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    both = a.join(b, "doc_id")
+    ov = (
+        depths.join(
+            F.broadcast(both),
+            (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("doc_id").alias("overlap"))
+    )
+    arr = ov.agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "overlap"))
+        ).alias("xs")
+    )
+    fold = F.aggregate(
+        F.transform(
+            "xs",
+            lambda x: (x["overlap"].cast("double") / x["d"]),
+        ),
+        F.struct(
+            F.lit(0.0).alias("s"), F.lit(0.5).alias("w")
+        ),
+        lambda acc, v: F.struct(
+            (acc["s"] + acc["w"] * v).alias("s"),
+            (acc["w"] * F.lit(0.5)).alias("w"),
+        ),
+    )["s"]
+    at = {
+        d: F.max(
+            F.when(F.col("d") == d, F.col("overlap"))
+        ).alias(f"overlap_{'k' if d == _RBO_K else d}")
+        for d in (5, 10, _RBO_K)
+    }
+    picks = ov.groupBy().agg(*at.values())
+    return picks.crossJoin(
+        F.broadcast(arr.select(stable_round(fold, 6).alias("rbo")))
+    ).select("overlap_5", "overlap_10", "overlap_k", "rbo")
 
 
 _BM25_INDEX_CACHE: dict[str, "object"] = {}

@@ -329,3 +329,32 @@ def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, so the plan is join → agg → agg with one shuffle each — the
     shape AQE coalesces well at scale."""
     return run_sql(spark, sf_dir, _CUSTOMER_DISTRIBUTION_SQL)
+
+
+_PARTS_SUPPLIER_CNT_SQL = """
+SELECT p.p_brand, p.p_type,
+  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size >= 5
+  AND l.l_suppkey NOT IN (
+    SELECT CASE WHEN s.s_acctbal < -1000000 THEN NULL
+           ELSE s.s_suppkey END
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2'))
+GROUP BY p.p_brand, p.p_type
+"""
+
+
+@query("sql_parts_supplier_count", _PARTS_SUPPLIER_CNT_SQL)
+def sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape as SQL text: supplier counts per (brand, type)
+    excluding a supplier set via NOT IN — with the subquery column made
+    NULLABLE by a CASE the optimizer cannot prove never fires. That
+    forces Catalyst down the NULL-AWARE anti-join path (x NOT IN S is
+    NULL — row dropped — if S contains any NULL and x unmatched; a
+    plain anti-join would silently return wrong rows the moment a NULL
+    appeared): the single-key null-aware case plans as a
+    BroadcastHashJoin LeftAnti with isNullAware=true, plan-asserted in
+    pytest. count(DISTINCT) over the surviving join adds Q16's
+    distinct-aggregate. Identical text is the oracle."""
+    return run_sql(spark, sf_dir, _PARTS_SUPPLIER_CNT_SQL)

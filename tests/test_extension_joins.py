@@ -259,3 +259,24 @@ def test_blame_late_supplier_single_shuffle_aggregates(spark, sf_dir):
     assert not any("l_suppkey" in s for s in shuffles), shuffles
     # the blame rule collapsed into aggregates: no semi/anti self-join
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
+
+
+def test_sql_q16_not_in_plans_null_aware_anti_join(spark):
+    """The Q16 shape's NOT IN over a NULLABLE subquery column must plan
+    as a NULL-AWARE anti join (BroadcastHashJoin ... LeftAnti, ...,
+    true — the isNullAware flag): a plain anti-join would return wrong
+    rows the moment the subquery produced a NULL. Non-vacuous at
+    sf0.01 (150 groups survive)."""
+    import re
+
+    from databricks_etl_pipelines_spark.plans.queries_sql import (
+        sql_parts_supplier_count,
+    )
+
+    df = sql_parts_supplier_count(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert len(rows) == 150
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"BroadcastHashJoin .*LeftAnti, BuildRight, true", plan
+    ), plan[:800]
