@@ -99,6 +99,64 @@ class InvertedTextIndex:
             )
         return cls(root)
 
+    def append(
+        self, docs: DataFrame, text_col: str, id_col: str
+    ) -> "InvertedTextIndex":
+        """Incremental index maintenance: add a batch of NEW documents
+        without rebuilding — postings are per-(doc, word), so a new
+        doc's rows are disjoint from every existing row and a plain
+        partitioned append lands them in the right bucket directories;
+        the corpus scalars fold additively (N' = N + n, Σdl' = Σdl +
+        σdl). Document frequencies need no stored state at all: probes
+        derive df from the postings they read, so df is correct the
+        instant the rows land. A probe after append must equal a probe
+        of the index rebuilt from scratch on the union corpus —
+        ``text_bm25_incremental``'s oracle asserts exactly that.
+        ``docs`` must be new ids (a re-send would double-count tf; the
+        exactly-once discipline lives in the ingest layer, e.g. the
+        streaming batch_id partitions)."""
+        from databricks_etl_pipelines_spark.functions.textfns import (
+            fingerprint_rolling,
+            token_count,
+            tokens,
+        )
+
+        with open(os.path.join(self.root, self.META)) as f:
+            meta = json.load(f)
+        n_buckets = meta["n_buckets"]
+        words = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("word"),
+        )
+        dl = docs.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(text_col).alias("n_tokens"),
+        )
+        tf = words.groupBy("doc_id", "word").agg(
+            F.count("*").alias("tf")
+        )
+        postings = tf.join(dl, "doc_id").select(
+            "word",
+            "doc_id",
+            "tf",
+            "n_tokens",
+            (fingerprint_rolling(F.md5("word")) % n_buckets).alias("wb"),
+        )
+        (
+            postings.repartition(n_buckets, "wb")
+            .write.mode("append")
+            .partitionBy("wb")
+            .parquet(os.path.join(self.root, self.POSTINGS))
+        )
+        stats = dl.agg(
+            F.count("*").alias("n"), F.sum("n_tokens").alias("s")
+        ).collect()[0]
+        meta["n_docs"] += int(stats["n"])
+        meta["sum_dl"] += int(stats["s"])
+        with open(os.path.join(self.root, self.META), "w") as f:
+            json.dump(meta, f)
+        return self
+
     def probe_bm25(
         self,
         spark: SparkSession,

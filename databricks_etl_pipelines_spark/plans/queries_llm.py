@@ -4115,6 +4115,46 @@ def text_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("overlap_5", "overlap_10", "overlap_k", "rbo")
 
 
+_BM25_INCR_CACHE: dict[str, "object"] = {}
+
+
+@query(
+    "text_bm25_incremental",
+    # the SAME oracle again: build-on-two-thirds + append-one-third must
+    # be indistinguishable from one build over everything — postings are
+    # per-(doc, word) disjoint rows, corpus scalars fold additively, and
+    # df is derived at probe time, so incremental maintenance cannot
+    # shift a single score
+    _BM25_ORACLE,
+)
+def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance
+    (operators/retrieval.py::InvertedTextIndex.append): the index is
+    built on docs with doc_id % 3 ≠ 2, a later batch (doc_id % 3 = 2)
+    is APPENDED — new postings land in the existing bucket layout, the
+    corpus scalars fold additively, df needs no stored state — and the
+    probe must reproduce the full-corpus scan's top-20 bit-for-bit
+    (oracle: text_bm25_topk's SQL verbatim). The production refresh
+    path: a daily crawl lands as an append, never a rebuild; probe IO
+    stays partition-pruned to the query terms' buckets."""
+    from databricks_etl_pipelines_spark.operators.retrieval import (
+        InvertedTextIndex,
+    )
+
+    idx = _BM25_INCR_CACHE.get(sf_dir)
+    if idx is None:
+        docs = table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 3 != 2)
+        late = docs.filter(F.col("doc_id") % 3 == 2)
+        idx = InvertedTextIndex.build(
+            base, "text", "doc_id", scratch_dir("bm25_incr_")
+        ).append(late, "text", "doc_id")
+        _BM25_INCR_CACHE[sf_dir] = idx
+    return idx.probe_bm25(
+        spark, _BM25_TERMS, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 _BM25_INDEX_CACHE: dict[str, "object"] = {}
 
 
