@@ -49,7 +49,7 @@ PRIORITY: list[str] = [
     # leads with round-8 additions/changes, then drains the staleness
     # tail: the ONE remaining r2-latest row, then the entire r3-latest
     # oracle-backed set (window family, streaming windows, gold
-    # pipeline, composition — the rows the r7 verdict named) minus twelve
+    # pipeline, composition — the rows the r7 verdict named) minus fourteen
     # overflow spills.
     # (a) round-8 NEW queries, newest-risk first: aHash near-dup
     # banding, the streaming Count-Min merge, theta-sketch set algebra,
@@ -73,6 +73,8 @@ PRIORITY: list[str] = [
     "text_rbo_rankings",
     "sql_parts_supplier_count",
     "text_bm25_incremental",
+    "graph_pagerank_bipartite",
+    "privacy_l_diversity_audit",
     # (a') round-8 code changes: Count-Min rebuilt on the vocabulary
     # relation (both engines), the JL ratio gained a NULLIF (both
     # engines), k-means gained an init guard, the unigram helpers a
@@ -113,12 +115,12 @@ PRIORITY: list[str] = [
     "curation_source_overlap",
     "curation_token_budget_select",
     "dedup_ngram_jaccard_pairs",
-    "dedup_passages",
-    "embedding_centroid_per_label",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the twelve r3 spills, then the r1-latest rows-only set
+    # overflow: the fourteen r3 spills, then the r1-latest rows-only set
     # (weaker rows by design — each has an oracle-backed sibling that
     # IS fresh), then round-7-fresh sentinels
+    "dedup_passages",
+    "embedding_centroid_per_label",
     "embedding_int8_quantization",
     "join_local_supplier_volume",
     "join_shipping_priority_topk",

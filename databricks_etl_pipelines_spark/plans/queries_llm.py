@@ -4458,6 +4458,95 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LDIV_L = 3
+_LDIV_BAND = 4000
+
+_LDIV_ORACLE = f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+    CAST(floor(c_acctbal / {_LDIV_BAND}) AS BIGINT) AS band,
+    CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+q AS (
+  SELECT c_mktsegment, c_nationkey,
+    CAST(count(*) AS BIGINT) AS l_distinct,
+    CAST(sum(n) AS BIGINT) AS rows_in_group,
+    CAST(max(n) AS BIGINT) AS top_band_rows
+  FROM g GROUP BY 1, 2
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(count(CASE WHEN l_distinct < {_LDIV_L} THEN 1 END) AS BIGINT)
+    AS weak_groups,
+  CAST(count(CASE WHEN l_distinct = 1 THEN 1 END) AS BIGINT)
+    AS homogeneous_groups,
+  CAST(coalesce(sum(CASE WHEN l_distinct < {_LDIV_L}
+                    THEN rows_in_group END), 0) AS BIGINT)
+    AS exposed_rows,
+  CAST(min(l_distinct) AS BIGINT) AS min_l,
+  floor(max(CAST(top_band_rows AS DOUBLE) / rows_in_group)
+        * 1000000 + 0.5) / 1000000 AS worst_top_share
+FROM q
+"""
+
+
+@query("privacy_l_diversity_audit", _LDIV_ORACLE)
+def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    release gate k-anonymity misses: a k-anonymous group whose rows all
+    share one SENSITIVE value still leaks it. Per quasi-identifier
+    group (market segment × nation), the sensitive attribute is the
+    account-balance band; the audit reports groups with fewer than l=3
+    distinct bands, fully homogeneous groups, the rows they expose, and
+    the worst single-band share (the homogeneity-attack success rate —
+    an exact rational). Explicit floor() for the band on both engines
+    (CAST(double AS BIGINT) rounds half-even in DuckDB, truncates in
+    Spark).
+
+    Scale shape: one (QI, band) partial-aggregated rollup, one QI
+    rollup off it, one 1-row fold — no shuffle touches raw rows twice."""
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / _LDIV_BAND)
+        .cast("bigint")
+        .alias("band"),
+    ).agg(F.count("*").alias("n"))
+    q = g.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("l_distinct"),
+        F.sum("n").alias("rows_in_group"),
+        F.max("n").alias("top_band_rows"),
+    )
+    return q.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(F.col("l_distinct") < _LDIV_L, 1)).alias(
+            "weak_groups"
+        ),
+        F.count(F.when(F.col("l_distinct") == 1, 1)).alias(
+            "homogeneous_groups"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("l_distinct") < _LDIV_L,
+                    F.col("rows_in_group"),
+                )
+            ),
+            F.lit(0),
+        ).alias("exposed_rows"),
+        F.min("l_distinct").alias("min_l"),
+        stable_round(
+            F.max(
+                F.col("top_band_rows").cast("double")
+                / F.col("rows_in_group")
+            ),
+            6,
+        ).alias("worst_top_share"),
+    )
+
+
 # -- vocabulary build + integer encoding --------------------------------------
 
 _VOCAB_SIZE = 20

@@ -157,3 +157,107 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     model = train_quality_classifier(docs)
     return score_quality(model, docs)
+
+
+# -- deterministic PageRank (graph analytics under a hard oracle) -------------
+
+_PR_ITERS = 3
+_PR_SCALE_BITS = 20
+_PR_S = 1 << _PR_SCALE_BITS
+_PR_DAMP = 85
+_PR_BASE = ((100 - _PR_DAMP) * _PR_S) // 100
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f""",
+{cur} AS MATERIALIZED (
+  SELECT n.node,
+    CAST({_PR_BASE} + coalesce(s.in_sum, 0) AS BIGINT) AS r_int
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(sum(({_PR_DAMP} * r.r_int) // (100 * d.deg)) AS BIGINT)
+        AS in_sum
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                  l.l_suppkey * 2 + 1 AS s_node
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+r0 AS (SELECT node, CAST({_PR_S} AS BIGINT) AS r_int FROM nodes)
+{"".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))}
+SELECT node,
+  CAST(node % 2 AS BIGINT) AS is_supplier,
+  r_int,
+  CAST(r_int AS DOUBLE) / {_PR_S} AS rank
+FROM r{_PR_ITERS}
+"""
+
+
+@query("graph_pagerank_bipartite", _PAGERANK_ORACLE)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier purchase graph (who buys
+    from whom, via orders⋈lineitem; symmetric edges, disjoint node ids
+    c·2 / s·2+1) — power iteration made cross-engine EXACT by the
+    integer-lattice discipline (operators/components.py::
+    pagerank_deterministic): ranks are BIGINTs on the 2^-20 lattice,
+    every edge contribution is one exact integer division, so all
+    three iterations replay bit-identically in an unrolled CTE chain —
+    the graph-analytics sibling of the k-means hard oracle (iterative
+    float algorithms become replayable when the cross-row arithmetic
+    is integer). The float ``rank`` readout is an exact power-of-two
+    division — identical bits on both engines, no rounding needed.
+
+    Scale shape per iteration: one shuffle join of ranks onto edges +
+    one map-side-combined integer sum — the standard Pregel-free
+    DataFrame PageRank, constant plan size per round."""
+    from databricks_etl_pipelines_spark.operators.components import (
+        pagerank_deterministic,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+        )
+    )
+    pr = pagerank_deterministic(
+        edges, iters=_PR_ITERS, scale_bits=_PR_SCALE_BITS,
+        damping_pct=_PR_DAMP,
+    )
+    return pr.select(
+        "node",
+        (F.col("node") % 2).alias("is_supplier"),
+        "r_int",
+        "rank",
+    )

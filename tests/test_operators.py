@@ -2144,3 +2144,38 @@ def test_bm25_index_probe_prunes_partitions_and_matches_full_scan(spark):
     assert prunes, plan[:500]
     # 4 query terms hash into at most 4 of the 64 bucket directories
     assert all(len(p.split(",")) <= 4 for p in prunes)
+
+
+def test_pagerank_matches_python_replay_and_ranks_hub(spark):
+    """pagerank_deterministic vs a pure-Python replay of the integer
+    recurrence on a planted graph (hub + 3 leaves + a detached pair):
+    every lattice value equal after 3 rounds, and the hub outranks
+    every leaf (it receives 3 contributions per round)."""
+    from databricks_etl_pipelines_spark.operators.components import (
+        pagerank_deterministic,
+    )
+
+    und = [(0, 1), (0, 2), (0, 3), (10, 11)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.r_int
+        for r in pagerank_deterministic(df, iters=3).collect()
+    }
+
+    S, damp = 1 << 20, 85
+    base = ((100 - damp) * S) // 100
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for a, _ in edges:
+        deg[a] += 1
+    r = {n: S for n in deg}
+    for _ in range(3):
+        nxt = {n: base for n in deg}
+        for a, b in edges:
+            nxt[b] += (damp * r[a]) // (100 * deg[a])
+        r = nxt
+    assert got == r
+    assert got[0] > max(got[1], got[2], got[3])
+    assert got[10] == got[11]
