@@ -437,7 +437,12 @@ def ahash_features(docs: DataFrame) -> DataFrame:
 
     Numpy-vectorized per Arrow batch like every featurizer here; with a
     real codec the byte stream would be the decoded grayscale grid —
-    the sampling/threshold/packing stages are identical."""
+    the sampling/threshold/packing stages are identical.
+
+    EMPTY payloads are DROPPED (no fingerprint row — a zero-byte blob
+    has no mean to threshold): callers joining fingerprints back must
+    either pre-filter empties (as multimodal_phash_neardup does) or
+    expect the missing rows."""
     import numpy as np
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

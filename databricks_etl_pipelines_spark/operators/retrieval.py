@@ -44,15 +44,14 @@ class InvertedTextIndex:
     def __init__(self, root: str):
         self.root = root
 
-    @classmethod
-    def build(
-        cls,
-        docs: DataFrame,
-        text_col: str,
-        id_col: str,
-        root: str,
-        n_buckets: int = 64,
-    ) -> "InvertedTextIndex":
+    @staticmethod
+    def _postings(
+        docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """(postings, dl): the bit-compatibility-critical core shared by
+        build and append — the bucket hash here MUST stay identical to
+        the probe's driver-side :func:`_kr_fold` routing, so it exists
+        exactly once."""
         from databricks_etl_pipelines_spark.functions.textfns import (
             fingerprint_rolling,
             token_count,
@@ -77,6 +76,27 @@ class InvertedTextIndex:
             "n_tokens",
             (fingerprint_rolling(F.md5("word")) % n_buckets).alias("wb"),
         )
+        return postings, dl
+
+    def _write_meta(self, meta: dict) -> None:
+        """Atomic metadata publish: write to a tmp file, rename over the
+        old one — a reader never sees a torn JSON."""
+        tmp = os.path.join(self.root, self.META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.root, self.META))
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        root: str,
+        n_buckets: int = 64,
+    ) -> "InvertedTextIndex":
+        idx = cls(root)
+        postings, dl = cls._postings(docs, text_col, id_col, n_buckets)
         (
             # one task per bucket → ~one file per bucket directory
             postings.repartition(n_buckets, "wb")
@@ -88,16 +108,14 @@ class InvertedTextIndex:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("sum_dl"),
         ).collect()[0]
-        with open(os.path.join(root, cls.META), "w") as f:
-            json.dump(
-                {
-                    "n_buckets": n_buckets,
-                    "n_docs": int(stats["n_docs"]),
-                    "sum_dl": int(stats["sum_dl"]),
-                },
-                f,
-            )
-        return cls(root)
+        idx._write_meta(
+            {
+                "n_buckets": n_buckets,
+                "n_docs": int(stats["n_docs"]),
+                "sum_dl": int(stats["sum_dl"]),
+            }
+        )
+        return idx
 
     def append(
         self, docs: DataFrame, text_col: str, id_col: str
@@ -114,36 +132,24 @@ class InvertedTextIndex:
         ``text_bm25_incremental``'s oracle asserts exactly that.
         ``docs`` must be new ids (a re-send would double-count tf; the
         exactly-once discipline lives in the ingest layer, e.g. the
-        streaming batch_id partitions)."""
-        from databricks_etl_pipelines_spark.functions.textfns import (
-            fingerprint_rolling,
-            token_count,
-            tokens,
-        )
+        streaming batch_id partitions).
 
+        Crash-safety contract: the posting append and the meta update
+        are TWO steps — the meta publish itself is atomic (tmp +
+        rename), but a crash between the committed append and the meta
+        rename leaves postings ahead of (n_docs, Σdl), and re-running
+        the append double-writes (parquet append is not idempotent).
+        A production ingest therefore drives this from an exactly-once
+        wrapper — e.g. foreachBatch with per-batch_id bookkeeping, the
+        dsir_score_stream / countmin_stream recipe — and treats a torn
+        append as rebuild-the-index; this helper does not hide that."""
         with open(os.path.join(self.root, self.META)) as f:
             meta = json.load(f)
-        n_buckets = meta["n_buckets"]
-        words = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(text_col)).alias("word"),
-        )
-        dl = docs.select(
-            F.col(id_col).alias("doc_id"),
-            token_count(text_col).alias("n_tokens"),
-        )
-        tf = words.groupBy("doc_id", "word").agg(
-            F.count("*").alias("tf")
-        )
-        postings = tf.join(dl, "doc_id").select(
-            "word",
-            "doc_id",
-            "tf",
-            "n_tokens",
-            (fingerprint_rolling(F.md5("word")) % n_buckets).alias("wb"),
+        postings, dl = self._postings(
+            docs, text_col, id_col, meta["n_buckets"]
         )
         (
-            postings.repartition(n_buckets, "wb")
+            postings.repartition(meta["n_buckets"], "wb")
             .write.mode("append")
             .partitionBy("wb")
             .parquet(os.path.join(self.root, self.POSTINGS))
@@ -153,8 +159,7 @@ class InvertedTextIndex:
         ).collect()[0]
         meta["n_docs"] += int(stats["n"])
         meta["sum_dl"] += int(stats["s"])
-        with open(os.path.join(self.root, self.META), "w") as f:
-            json.dump(meta, f)
+        self._write_meta(meta)
         return self
 
     def probe_bm25(
@@ -179,10 +184,14 @@ class InvertedTextIndex:
         with open(os.path.join(self.root, self.META)) as f:
             meta = json.load(f)
         n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+        # dedupe (duplicate terms would alias two idf_t/tf_t aggregate
+        # columns into an ambiguous reference AND double-count the term)
+        ordered = tuple(sorted(set(terms)))
+        if not ordered:
+            raise ValueError("probe_bm25: at least one query term")
         buckets = sorted(
-            {_kr_fold(t) % meta["n_buckets"] for t in terms}
+            {_kr_fold(t) % meta["n_buckets"] for t in ordered}
         )
-        ordered = tuple(sorted(terms))
         postings = (
             spark.read.parquet(os.path.join(self.root, self.POSTINGS))
             .filter(F.col("wb").isin(buckets))
@@ -223,7 +232,9 @@ class InvertedTextIndex:
 
         def term_score(t: str) -> F.Column:
             tf_c = F.col(f"tf_{t}")
-            return F.col(f"idf_{t}") * (
+            # a term absent from the WHOLE corpus has no df row → NULL
+            # idf; it must contribute exact +0.0, not poison the sum
+            return F.coalesce(F.col(f"idf_{t}"), F.lit(0.0)) * (
                 (tf_c * F.lit(k1 + 1.0))
                 / (
                     tf_c

@@ -3014,8 +3014,10 @@ def curation_curriculum_interleave(
         "doc_id", "q_surprisal"
     )
     srcs_w = Window.orderBy("source")
-    # partitionless window, bounded: DISTINCT source is a handful of
-    # rows (corpus sources, not corpus docs)
+    # partitionless windows, bounded: DISTINCT source is a handful of
+    # rows (corpus sources, not corpus docs) — and BOTH the index and
+    # the count come off that ONE distinct relation (a second
+    # docs.distinct() branch would re-scan the corpus)
     srcs = (
         docs.select("source")
         .distinct()
@@ -3024,13 +3026,10 @@ def curation_curriculum_interleave(
             (F.row_number().over(srcs_w) - 1).cast("bigint").alias(
                 "s_idx"
             ),
-        )
-        .crossJoin(
-            F.broadcast(
-                docs.select("source").distinct().agg(
-                    F.count("*").alias("n_sources")
-                )
-            )
+            F.count("*")
+            .over(Window.partitionBy())
+            .cast("bigint")
+            .alias("n_sources"),
         )
     )
     rank_w = Window.partitionBy("source").orderBy(

@@ -47,8 +47,9 @@ def build_docs(spark, rep: int, root: str) -> str:
             "doc_id", "text",
             F.explode(F.array(*[F.lit(c) for c in range(rep)])).alias("c"),
         )
+        mult = max(rep, 1000)  # ids collide past rep=1000 otherwise
         out = copies.select(
-            (F.col("doc_id") * 1000 + F.col("c")).alias("doc_id"), "text"
+            (F.col("doc_id") * mult + F.col("c")).alias("doc_id"), "text"
         )
         out.repartition(32).write.mode("overwrite").parquet(path)
     return path
@@ -62,9 +63,10 @@ def build_orders(spark, rep: int, root: str) -> str:
             "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate",
             F.explode(F.array(*[F.lit(c) for c in range(rep)])).alias("c"),
         )
+        mult = max(rep, 1000)  # ids collide past rep=1000 otherwise
         out = copies.select(
-            (F.col("o_orderkey") * 1000 + F.col("c")).alias("o_orderkey"),
-            (F.col("o_custkey") * 1000 + F.col("c")).alias("o_custkey"),
+            (F.col("o_orderkey") * mult + F.col("c")).alias("o_orderkey"),
+            (F.col("o_custkey") * mult + F.col("c")).alias("o_custkey"),
             "o_orderpriority", "o_orderdate",
         )
         out.repartition(32).write.mode("overwrite").parquet(path)
