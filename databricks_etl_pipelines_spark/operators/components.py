@@ -120,12 +120,32 @@ def pagerank_deterministic(
     relation each round, no lineage growth). ``edges`` must contain
     BOTH directions for an undirected walk; every node must appear as a
     src (no dangling handling — true here because edges are symmetric).
+    That precondition is ENFORCED, not assumed: the node set derives
+    from src, so a dst-only node (an asymmetric / directed edge list)
+    would silently lose the mass routed to it — the groupBy(dst) in-sum
+    exists but the left join back onto the src-derived node relation
+    drops it, producing plausible wrong ranks. One bounded anti-join
+    count over the distinct-node relations (node-set-sized, not
+    edge-sized) turns that into a loud ValueError.
 
     Returns (node, r_int, rank) — the lattice integer and its float
     readout r_int / S."""
     S = 1 << scale_bits
     base = ((100 - damping_pct) * S) // 100
     nodes = edges.select(F.col(src).alias("node")).distinct()
+    n_dangling = (
+        edges.select(F.col(dst).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_anti")
+        .count()
+    )
+    if n_dangling:
+        raise ValueError(
+            f"pagerank_deterministic: {n_dangling} node(s) appear as "
+            f"{dst!r} but never as {src!r} — rank mass routed to them "
+            "would vanish. Pass a symmetric edge list (both directions "
+            "of every edge) or add explicit dangling-node self-loops."
+        )
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     ranks = nodes.select("node", F.lit(S).cast("long").alias("r_int"))
     for _ in range(iters):

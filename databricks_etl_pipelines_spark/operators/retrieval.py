@@ -35,14 +35,49 @@ def _kr_fold(s: str) -> int:
     return acc
 
 
+class TornIndexError(RuntimeError):
+    """An append started but its commit never landed in the metadata —
+    postings may be ahead of (n_docs, Σdl). The index must be rebuilt
+    (or the pending batch adjudicated) before probes can be trusted."""
+
+
 class InvertedTextIndex:
     """Build-once / probe-many BM25 index."""
 
     POSTINGS = "postings"
     META = "bm25_meta.json"
+    PENDING = "pending"
 
     def __init__(self, root: str):
         self.root = root
+
+    def _check_not_torn(self) -> None:
+        """Torn-append detection, O(#pending-files) — no data scan.
+        ``append`` writes a pending manifest BEFORE touching postings
+        and removes it only AFTER the meta commit names the batch; a
+        leftover manifest whose batch id is NOT in meta['batches'] means
+        the crash window between posting-append and meta-publish was
+        hit (or an append is racing right now) — either way the scalars
+        cannot be trusted against the postings, so fail loudly instead
+        of returning plausibly-wrong BM25 scores. A leftover manifest
+        whose id IS committed (crash after commit, before cleanup) is
+        harmless and garbage-collected here."""
+        pend_dir = os.path.join(self.root, self.PENDING)
+        if not os.path.isdir(pend_dir):
+            return
+        with open(os.path.join(self.root, self.META)) as f:
+            committed = set(json.load(f).get("batches", []))
+        for name in os.listdir(pend_dir):
+            bid = name.removesuffix(".json")
+            if bid in committed:
+                os.unlink(os.path.join(pend_dir, name))
+            else:
+                raise TornIndexError(
+                    f"uncommitted append batch {bid!r} in {pend_dir}: "
+                    "postings and corpus scalars may disagree — rebuild "
+                    "the index (or delete the manifest ONLY if the "
+                    "posting append verifiably never committed)"
+                )
 
     @staticmethod
     def _postings(
@@ -108,11 +143,17 @@ class InvertedTextIndex:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("sum_dl"),
         ).collect()[0]
+        # a rebuild supersedes any torn prior state: drop stale manifests
+        pend_dir = os.path.join(root, cls.PENDING)
+        if os.path.isdir(pend_dir):
+            for name in os.listdir(pend_dir):
+                os.unlink(os.path.join(pend_dir, name))
         idx._write_meta(
             {
                 "n_buckets": n_buckets,
                 "n_docs": int(stats["n_docs"]),
                 "sum_dl": int(stats["sum_dl"]),
+                "batches": [],
             }
         )
         return idx
@@ -139,27 +180,42 @@ class InvertedTextIndex:
         rename), but a crash between the committed append and the meta
         rename leaves postings ahead of (n_docs, Σdl), and re-running
         the append double-writes (parquet append is not idempotent).
-        A production ingest therefore drives this from an exactly-once
-        wrapper — e.g. foreachBatch with per-batch_id bookkeeping, the
-        dsir_score_stream / countmin_stream recipe — and treats a torn
-        append as rebuild-the-index; this helper does not hide that."""
+        That torn window is now DETECTED, not just documented: a
+        pending manifest (batch id + delta scalars) is written BEFORE
+        the posting append and removed only after the meta commit lists
+        the batch — ``probe_bm25``/``append`` refuse with
+        :class:`TornIndexError` while an uncommitted manifest exists,
+        directing the caller to rebuild. A production ingest still
+        drives this from an exactly-once wrapper (foreachBatch with
+        per-batch_id bookkeeping, the dsir_score_stream /
+        countmin_stream recipe); the manifest turns the residual crash
+        window from silent drift into a loud stop."""
+        self._check_not_torn()
         with open(os.path.join(self.root, self.META)) as f:
             meta = json.load(f)
         postings, dl = self._postings(
             docs, text_col, id_col, meta["n_buckets"]
         )
+        stats = dl.agg(
+            F.count("*").alias("n"), F.sum("n_tokens").alias("s")
+        ).collect()[0]
+        bid = f"b{len(meta.get('batches', []))}"
+        pend_dir = os.path.join(self.root, self.PENDING)
+        os.makedirs(pend_dir, exist_ok=True)
+        pend_path = os.path.join(pend_dir, f"{bid}.json")
+        with open(pend_path, "w") as f:
+            json.dump({"n_docs": int(stats["n"]), "sum_dl": int(stats["s"])}, f)
         (
             postings.repartition(meta["n_buckets"], "wb")
             .write.mode("append")
             .partitionBy("wb")
             .parquet(os.path.join(self.root, self.POSTINGS))
         )
-        stats = dl.agg(
-            F.count("*").alias("n"), F.sum("n_tokens").alias("s")
-        ).collect()[0]
         meta["n_docs"] += int(stats["n"])
         meta["sum_dl"] += int(stats["s"])
+        meta.setdefault("batches", []).append(bid)
         self._write_meta(meta)
+        os.unlink(pend_path)
         return self
 
     def probe_bm25(
@@ -169,18 +225,29 @@ class InvertedTextIndex:
         k: int = 20,
         k1: float = 1.2,
         b: float = 0.75,
+        strict: bool = True,
     ) -> DataFrame:
         """Top-k documents for ``terms`` under Okapi BM25 with Lucene's
         positive-clamped idf — numerically IDENTICAL to the full-scan
         query (same pinned fold order: alphabetical terms,
         left-associated, absent terms +0.0), but reading only the query
-        terms' posting buckets. Requires ≥ k documents matching at
-        least one term (a real deployment unions a zero-score tail for
-        degenerate queries; every SF here matches thousands)."""
+        terms' posting buckets.
+
+        The index holds only documents matching ≥ 1 posting, while the
+        full-scan ranking pads its top-k with zero-score documents when
+        fewer than k match — so for a degenerate query the two top-k
+        sets DIVERGE. ``strict=True`` (default) makes that divergence
+        loud: the matched-doc count is verified ≥ k (one extra count
+        over the already-pruned buckets) and ValueError raised
+        otherwise, directing the caller to the full-scan query or to a
+        zero-score tail union. ``strict=False`` skips the check for
+        callers that accept < k rows (and know they lose full-scan
+        parity there)."""
         from databricks_etl_pipelines_spark.functions.numeric import (
             stable_round,
         )
 
+        self._check_not_torn()
         with open(os.path.join(self.root, self.META)) as f:
             meta = json.load(f)
         n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
@@ -243,6 +310,16 @@ class InvertedTextIndex:
                 )
             )
 
+        if strict:
+            matched = piv.count()
+            if matched < k:
+                raise ValueError(
+                    f"probe_bm25: only {matched} documents match any of "
+                    f"{ordered} but k={k} — the indexed top-k would "
+                    "diverge from the full-scan ranking (which pads with "
+                    "zero-score docs). Use the full-scan query, lower k, "
+                    "or pass strict=False to accept fewer rows."
+                )
         score = term_score(ordered[0])
         for t in ordered[1:]:
             score = score + term_score(t)

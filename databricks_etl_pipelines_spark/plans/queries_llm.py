@@ -360,21 +360,45 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- asymmetric containment near-dup (sub-duplication) -------------------------
 
-# Oracle is the brute-force containment join (all pairs oriented
-# smaller-into-larger, then exact |Sa ∩ Sb| ≥ ⌈t·|Sa|⌉) — O(n²)-ish like
-# the Jaccard oracle, fine in DuckDB at sf0.01 and on the documented
-# heavy-oracle sf0.1 skip list. The Spark side reaches the same answer
-# via the asymmetric prefix filter (probe prefix × full index).
+# Oracle replays the BLOCKED candidate generation, not the O(n²) pair
+# CTE (the r8 brute-force form capped this oracle at sf0.01): the same
+# lossless asymmetric prefix filter the Spark side runs — probe prefix
+# of the contained side (rarest ln − ⌈t·ln⌉ + 1 shingles) joined to the
+# FULL index of the container side on the shared shingle, positional
+# upper bound ≥ ⌈t·ln_a⌉ — then the exact |Sa ∩ Sb| verify. Because the
+# filter is lossless for ANY fixed global shingle order, the engines may
+# break df ties differently (Spark orders hashed shingles, SQL raw
+# strings) yet the VERIFIED pair set is identical to brute force on
+# both. Candidate volume is Σ_s probe(s)·df(s), never n² — sf0.1-safe.
 _CONTAINMENT_ORACLE = f"""
 WITH prep AS (
   SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh, len({_SQL_SHINGLES3}) AS ln
   FROM documents
+),
+tok AS (
+  SELECT id, ln, unnest(sh) AS hs FROM prep
+),
+dfreq AS (
+  SELECT hs, count(*) AS df FROM tok GROUP BY hs
+),
+ord AS (
+  SELECT t.id, t.ln, t.hs,
+    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.hs) AS pos
+  FROM tok t JOIN dfreq d USING (hs)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM ord a JOIN ord b ON a.hs = b.hs
+  WHERE a.pos <= a.ln - ceil(0.8 * a.ln) + 1
+    AND (a.ln < b.ln OR (a.ln = b.ln AND a.id < b.id))
+    AND 1 + least(a.ln - a.pos, b.ln - b.pos) >= ceil(0.8 * a.ln)
 )
-SELECT a.id AS contained_id, b.id AS container_id,
-  len(list_intersect(a.sh, b.sh)) / a.ln AS containment
-FROM prep a JOIN prep b
-  ON (a.ln < b.ln OR (a.ln = b.ln AND a.id < b.id))
-  AND len(list_intersect(a.sh, b.sh)) >= ceil(0.8 * a.ln)
+SELECT c.id_a AS contained_id, c.id_b AS container_id,
+  len(list_intersect(x.sh, y.sh)) / x.ln AS containment
+FROM cand c
+JOIN prep x ON x.id = c.id_a
+JOIN prep y ON y.id = c.id_b
+WHERE len(list_intersect(x.sh, y.sh)) >= ceil(0.8 * x.ln)
 """
 
 
@@ -387,7 +411,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment). Spark runs the lossless asymmetric prefix-filter join
     (operators/dedup.py::containment_pairs — probe prefix of the
     contained side × full index of the container side, positional bound
-    pruning); the oracle brute-forces the same measure. The containment
+    pruning); since r9 the oracle replays that SAME blocked candidate
+    generation (losslessness makes the verified output order-invariant,
+    so both engines equal brute force) — which lifts the oracle off the
+    heavy sf0.01-only list and verifies at sf0.1. The containment
     value is ONE int/int division on both engines — bit-identical."""
     docs = table(spark, sf_dir, "documents")
     from databricks_etl_pipelines_spark.operators.dedup import (
@@ -1895,11 +1922,20 @@ def multimodal_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return decoded_channel_stats(decode_image(bmps))
 
 
+# Constraint (both engines): the Spark side hashes raw UTF-8 BYTES while
+# this oracle samples CODEPOINTS via regexp_extract_all(text, '.') — '.'
+# drops newlines and a multi-byte char is one unit. The two sequences are
+# identical exactly for ASCII-and-newline-free text, so BOTH sides filter
+# to that domain explicitly (Spark: rlike '^[ -~]*$'; here:
+# regexp_matches) instead of silently relying on the testdata being
+# clean. Real image payloads are raw bytes, not text — the text-domain
+# restriction exists only so the oracle can replay the bytes in SQL.
 _PHASH_ORACLE = """
 WITH b AS (
   SELECT doc_id, regexp_extract_all(text, '.') AS cs,
          len(regexp_extract_all(text, '.')) AS L
-  FROM documents WHERE len(text) >= 1
+  FROM documents
+  WHERE len(text) >= 1 AND regexp_matches(text, '^[ -~]*$')
 ),
 s AS (
   SELECT doc_id,
@@ -1949,6 +1985,13 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholding, packing, banding, distance — is identical, and the
     oracle replays all of them bit-for-bit from the characters.
 
+    Domain constraint (enforced, not assumed): the payload here is the
+    document's UTF-8 bytes, but the SQL oracle can only sample
+    CODEPOINTS — identical sequences iff the text is ASCII and
+    newline-free, so both sides filter to '^[ -~]*$' explicitly. A doc
+    outside that domain drops out of the comparison on BOTH engines
+    rather than silently diverging.
+
     Scale shape: fingerprints are one mapInPandas scan; candidates come
     from a 4-row-per-doc band shuffle, never an all-pairs comparison —
     the same never-O(n²) discipline as dedup_minhash_lsh_pairs. 204
@@ -1960,7 +2003,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").filter(
-        F.length("text") >= 1
+        (F.length("text") >= 1) & F.col("text").rlike("^[ -~]*$")
     )
     feats = ahash_features(to_binary_docs(docs, "text", "doc_id"))
     return ahash_neardup_pairs(feats, max_hamming=8)

@@ -2179,3 +2179,101 @@ def test_pagerank_matches_python_replay_and_ranks_hub(spark):
     assert got == r
     assert got[0] > max(got[1], got[2], got[3])
     assert got[10] == got[11]
+
+
+def test_pagerank_rejects_dangling_dst(spark):
+    """r9 ADVICE closure: a directed/asymmetric edge list (a node that
+    appears as dst but never as src) must raise, not silently vanish
+    the mass routed to it — the node set derives from src, so without
+    the guard the dst-only node's in-sum is computed then dropped."""
+    import pytest as _pytest
+
+    from databricks_etl_pipelines_spark.operators.components import (
+        pagerank_deterministic,
+    )
+
+    directed = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src long, dst long"
+    )
+    with _pytest.raises(ValueError, match="never as 'src'"):
+        pagerank_deterministic(directed, iters=1)
+
+
+def _tiny_bm25_index(spark, tmp_path, n_docs=6):
+    from databricks_etl_pipelines_spark.operators.retrieval import (
+        InvertedTextIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(n_docs)],
+        "doc_id long, text string",
+    )
+    return InvertedTextIndex.build(
+        docs, "text", "doc_id", str(tmp_path / "idx")
+    )
+
+
+def test_bm25_probe_underfill_is_loud_not_silent(spark, tmp_path):
+    """r9 ADVICE closure: the index only holds docs matching >=1
+    posting, while the full-scan ranking pads its top-k with zero-score
+    docs — so a probe that cannot fill k must raise under the default
+    strict mode (divergence is loud), and strict=False opts into the
+    smaller result set explicitly."""
+    import pytest as _pytest
+
+    idx = _tiny_bm25_index(spark, tmp_path, n_docs=3)
+    with _pytest.raises(ValueError, match="only 3 documents match"):
+        idx.probe_bm25(spark, ("alpha",), k=20)
+    rows = idx.probe_bm25(spark, ("alpha",), k=20, strict=False).collect()
+    assert len(rows) == 3
+    # a filling probe is unaffected by the check
+    assert len(idx.probe_bm25(spark, ("alpha",), k=3).collect()) == 3
+
+
+def test_bm25_torn_append_detected_and_committed_manifest_gcd(
+    spark, tmp_path
+):
+    """r9 ADVICE closure: a pending append manifest whose batch id is
+    NOT committed in the meta means postings may be ahead of the corpus
+    scalars — probe and append must refuse with TornIndexError. A
+    leftover manifest for a COMMITTED batch (crash after meta publish,
+    before cleanup) is harmless and silently garbage-collected. A
+    rebuild supersedes torn state entirely."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from databricks_etl_pipelines_spark.operators.retrieval import (
+        InvertedTextIndex,
+        TornIndexError,
+    )
+
+    idx = _tiny_bm25_index(spark, tmp_path)
+    late = spark.createDataFrame(
+        [(100, "alpha delta epsilon")], "doc_id long, text string"
+    )
+    idx.append(late, "text", "doc_id")  # clean append: no leftovers
+    pend = os.path.join(idx.root, idx.PENDING)
+    assert os.listdir(pend) == []
+
+    # simulate the crash window: manifest written, meta never committed
+    with open(os.path.join(pend, "b1.json"), "w") as f:
+        json.dump({"n_docs": 1, "sum_dl": 3}, f)
+    with _pytest.raises(TornIndexError, match="uncommitted append"):
+        idx.probe_bm25(spark, ("alpha",), k=3)
+    with _pytest.raises(TornIndexError):
+        idx.append(late, "text", "doc_id")
+
+    # crash AFTER commit: manifest for an already-committed batch id
+    os.replace(
+        os.path.join(pend, "b1.json"), os.path.join(pend, "b0.json")
+    )
+    assert len(idx.probe_bm25(spark, ("alpha",), k=3).collect()) == 3
+    assert os.listdir(pend) == []  # GC'd, not raised
+
+    # a rebuild clears torn state
+    with open(os.path.join(pend, "b9.json"), "w") as f:
+        json.dump({"n_docs": 1, "sum_dl": 3}, f)
+    idx2 = _tiny_bm25_index(spark, tmp_path)
+    assert os.listdir(os.path.join(idx2.root, idx2.PENDING)) == []
