@@ -4157,6 +4157,138 @@ def text_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("overlap_5", "overlap_10", "overlap_k", "rbo")
 
 
+# Reciprocal rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of the
+# lexical BM25 top-20 and the semantic hash-embedding cosine top-20 —
+# the standard hybrid-retrieval combiner (rank-based, so the two
+# incomparable score scales never mix). Determinism: both input
+# rankings order by their ROUNDED scores then doc_id (exactly what each
+# ranking's own oracle compares), each RRF contribution is one double
+# division 1/(C + rank) of exact integers, and the fused score is a
+# TWO-term pinned-order sum (bm25 + cosine) — identical IEEE doubles on
+# both engines, so ranking on the unrounded sum cannot diverge.
+_RRF_C = 60
+
+_RRF_ORACLE = (
+    _BM25_PREFIX
+    + f""",
+scored AS (
+  SELECT p.doc_id,
+    {" + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)} AS score
+  FROM piv p, stats s, idf
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY {sql_stable_round('score', 6)} DESC, doc_id) AS rank_bm25
+  FROM scored
+  QUALIFY rank_bm25 <= {_BM25_TOPK}
+),
+"""
+    + _HASH_EMBED_CTE.removeprefix("WITH ")
+    + f""",
+norms AS (
+  SELECT id, CAST(sum(val * val) AS BIGINT) AS n2 FROM emb GROUP BY id
+),
+q AS (SELECT bucket, val AS qval FROM emb WHERE id = 0),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE id = 0),
+dots AS (
+  SELECT e2.id, CAST(sum(e2.val * q.qval) AS BIGINT) AS dot
+  FROM emb e2 JOIN q USING (bucket) WHERE e2.id <> 0 GROUP BY e2.id
+),
+cz AS (
+  SELECT dots.id AS doc_id, row_number() OVER (ORDER BY
+      floor(dot / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE)))
+            * 1000000 + 0.5) / 1000000 DESC,
+      dots.id) AS rank_cos
+  FROM dots JOIN norms n ON dots.id = n.id CROSS JOIN qn
+  QUALIFY rank_cos <= {_BM25_TOPK}
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, cz.doc_id) AS doc_id,
+    CAST(bm.rank_bm25 AS BIGINT) AS rank_bm25,
+    CAST(cz.rank_cos AS BIGINT) AS rank_cos,
+    coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + bm.rank_bm25),
+             CAST(0 AS DOUBLE))
+      + coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + cz.rank_cos),
+                 CAST(0 AS DOUBLE)) AS rrf
+  FROM bm FULL JOIN cz ON bm.doc_id = cz.doc_id
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+    AS fused_rank,
+  doc_id, rank_bm25, rank_cos,
+  {sql_stable_round('rrf', 9)} AS rrf_score
+FROM fused
+"""
+)
+
+
+@query("similarity_rrf_fusion", _RRF_ORACLE)
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal rank fusion of the BM25 lexical
+    top-20 (text_bm25_topk's 4-term query) and the hash-embedding
+    cosine top-20 (similarity_text_hash_topk's query doc 0) — RRF(d) =
+    Σ_lists 1/(60 + rank_d), the rank-based combiner that needs no
+    score normalization between the incomparable BM25 and cosine
+    scales. A doc absent from one list contributes exact +0.0 for it
+    (standard truncated-list RRF). The oracle replays BOTH underlying
+    rankings (idf/saturation scoring and integer-exact sparse cosine),
+    the full-outer rank join, and the fused ordering.
+
+    Scale shape: both inputs are TakeOrderedAndProject k-caps over
+    their (already scale-shaped) scoring relations; everything after —
+    the rank windows, the full-outer join, the fused sort — runs on
+    ≤ 2k = 40 rows. The partitionless windows here are over those
+    bounded top-k caps only (ranking caps, cited bound k=20 each)."""
+    from pyspark.sql import Window
+
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        hash_embed_cosine_topk,
+    )
+
+    bm = (
+        _bm25_scored(spark, sf_dir, _BM25_B)
+        .orderBy(F.desc("score_bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+    ra = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_bm25"), "doc_id"))
+        .cast("long")
+        .alias("rank_bm25"),
+    )
+    docs = table(spark, sf_dir, "documents")
+    cz = hash_embed_cosine_topk(
+        docs, "text", "doc_id", query_id=0, k=_BM25_TOPK
+    )
+    rb = cz.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine_sim"), "doc_id"))
+        .cast("long")
+        .alias("rank_cos"),
+    )
+    fused = ra.join(rb, "doc_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_bm25")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_cos")), F.lit(0.0)
+    )
+    out = fused.select(
+        "doc_id", "rank_bm25", "rank_cos", rrf.alias("rrf")
+    )
+    return out.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf"), "doc_id"))
+        .cast("long")
+        .alias("fused_rank"),
+        "doc_id",
+        "rank_bm25",
+        "rank_cos",
+        stable_round(F.col("rrf"), 9).alias("rrf_score"),
+    )
+
+
 _BM25_INCR_CACHE: dict[str, "object"] = {}
 
 
@@ -5396,4 +5528,141 @@ def text_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("augmented_md5"),
+    )
+
+
+# -- t-closeness audit (the release gate after k-anonymity + l-diversity) -----
+
+# Earth-mover's distance for an ORDERED sensitive attribute over m bands
+# is the mean absolute cumulative difference: EMD(P,Q) =
+# Σ_i |Σ_{j≤i}(p_j − q_j)| / (m−1)  (Li/Li/Venkatasubramanian, ICDE 2007,
+# eq. for numerical attributes). Kept EXACT by clearing denominators:
+# p_j − q_j = (c_gj·N − C_j·n_g) / (n_g·N), so the cumulative terms and
+# their |·|-sum are INTEGERS; the t = 0.2 violation test is the integer
+# cross-multiplication 5·num > n_g·N·(m−1) — no float ever decides a
+# flag. Int64 headroom: num ≤ m·n_g·N ≤ m·N², so N up to ~6·10⁸ rows at
+# m ≈ 25 bands; beyond that, reduce the fraction per group (gcd) or
+# compute per-partition partial cumsums on the band-dense grid.
+_TCLOSE_BAND = _LDIV_BAND
+_TCLOSE_ORACLE = f"""
+WITH b AS (
+  SELECT c_mktsegment, c_nationkey,
+    CAST(floor(c_acctbal / {_TCLOSE_BAND}) AS BIGINT) AS band,
+    CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+grp AS (
+  SELECT c_mktsegment, c_nationkey, CAST(sum(c) AS BIGINT) AS n_g
+  FROM b GROUP BY 1, 2
+),
+gbands AS (
+  SELECT band, CAST(sum(c) AS BIGINT) AS cg FROM b GROUP BY 1
+),
+scal AS (
+  SELECT CAST(sum(cg) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m
+  FROM gbands
+),
+grid AS (
+  SELECT g.c_mktsegment, g.c_nationkey, g.n_g, gl.band, gl.cg,
+    coalesce(bb.c, 0) AS c0
+  FROM grp g CROSS JOIN gbands gl
+  LEFT JOIN b bb ON bb.c_mktsegment = g.c_mktsegment
+    AND bb.c_nationkey = g.c_nationkey AND bb.band = gl.band
+),
+cum AS (
+  SELECT c_mktsegment, c_nationkey, n_g, s.n, s.m,
+    SUM(c0 * s.n - cg * n_g) OVER (
+      PARTITION BY c_mktsegment, c_nationkey ORDER BY band) AS cd
+  FROM grid, scal s
+),
+per AS (
+  SELECT c_mktsegment, c_nationkey, n_g, n, m,
+    CAST(SUM(abs(cd)) AS BIGINT) AS num
+  FROM cum GROUP BY 1, 2, 3, 4, 5
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(count(CASE WHEN 5 * num > n_g * n * (m - 1) THEN 1 END) AS BIGINT)
+    AS violating_groups,
+  CAST(coalesce(sum(CASE WHEN 5 * num > n_g * n * (m - 1) THEN n_g END),
+                0) AS BIGINT) AS exposed_rows,
+  floor(max(CAST(num AS DOUBLE) / NULLIF(n_g * n * (m - 1), 0))
+        * 1000000 + 0.5) / 1000000 AS worst_emd
+FROM per
+"""
+
+
+@query("privacy_t_closeness_audit", _TCLOSE_ORACLE)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t = 0.2) over the same quasi-identifier groups
+    and ordered sensitive bands as the l-diversity audit — the release
+    gate l-diversity misses: a group can hold l distinct bands yet
+    still skew heavily toward one tail of the global distribution,
+    leaking the sensitive attribute probabilistically. EMD between each
+    group's band distribution and the global one is computed EXACTLY on
+    integers (cleared denominators; see oracle comment), the t-test is
+    an integer cross-multiplication, and only the reported worst_emd
+    takes one float division at the end.
+
+    Scale shape: one hash-agg to (QI, band) counts; the global band
+    relation (m rows, m bounded by the attribute's range/band-width —
+    4 here) broadcasts onto the group relation for the dense grid; the
+    cumulative window is partitioned per QI group over ≤ m rows. No
+    partitionless window, no corpus-sized collect; completes the
+    k-anonymity → l-diversity → t-closeness gate family."""
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    b = (
+        cust.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / _TCLOSE_BAND)
+            .cast("long")
+            .alias("band"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "band")
+        .agg(F.count("*").alias("c"))
+    )
+    grp = b.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("c").alias("n_g")
+    )
+    glob = b.groupBy("band").agg(F.sum("c").alias("cg"))
+    scal = glob.agg(
+        F.sum("cg").alias("n"), F.count("*").alias("m")
+    )
+    # m-row band dimension (m = 4 here, bounded by range/band-width) and
+    # the two corpus scalars broadcast onto the group relation
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(scal))
+        .join(
+            b.withColumnRenamed("c", "c0"),
+            ["c_mktsegment", "c_nationkey", "band"],
+            "left",
+        )
+        .withColumn("c0", F.coalesce(F.col("c0"), F.lit(0)))
+    )
+    w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy("band")
+    cum = grid.withColumn(
+        "cd",
+        F.sum(F.col("c0") * F.col("n") - F.col("cg") * F.col("n_g")).over(w),
+    )
+    per = cum.groupBy(
+        "c_mktsegment", "c_nationkey", "n_g", "n", "m"
+    ).agg(F.sum(F.abs("cd")).alias("num"))
+    den = F.col("n_g") * F.col("n") * (F.col("m") - F.lit(1))
+    viol = (F.lit(5) * F.col("num")) > den
+    return per.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(viol, 1)).alias("violating_groups"),
+        F.coalesce(
+            F.sum(F.when(viol, F.col("n_g"))), F.lit(0)
+        ).alias("exposed_rows"),
+        stable_round(
+            F.max(
+                F.col("num").cast("double")
+                / F.nullif(den, F.lit(0)).cast("double")
+            ),
+            6,
+        ).alias("worst_emd"),
     )

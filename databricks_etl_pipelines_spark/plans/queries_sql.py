@@ -358,3 +358,35 @@ def sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest. count(DISTINCT) over the surviving join adds Q16's
     distinct-aggregate. Identical text is the oracle."""
     return run_sql(spark, sf_dir, _PARTS_SUPPLIER_CNT_SQL)
+
+
+_AVG_YEARLY_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS small_lot_lines,
+  floor(sum(l.l_extendedprice) / CAST(7 AS DOUBLE) * 100 + 0.5) / 100
+    AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("sql_avg_yearly_revenue", _AVG_YEARLY_SQL)
+def sql_avg_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape as SQL TEXT: a correlated scalar AVG subquery in
+    WHERE, correlated through the JOINED dimension's column
+    (l2.l_partkey = p.p_partkey) — the one scalar-decorrelation
+    topology the sql_* family didn't exercise (Q20 correlates inside
+    HAVING on a grouping column; Q11/Q15 are uncorrelated one-shots).
+    Catalyst must pull the per-part average up into an aggregate
+    joined on partkey — no per-row subquery, no ExistenceJoin
+    (plan-asserted in pytest). join_small_lot_revenue is the
+    hand-decorrelated DataFrame twin; this submits the raw correlated
+    text a SQL user would write. Determinism: the threshold is one
+    division of exact-integer sums times an explicitly-CAST 0.2 (both
+    engines fold the identical doubles); the revenue sum rounds at 2dp
+    after the /7 annualization, the Q17 discipline the DataFrame twin
+    already proved hash-stable."""
+    return run_sql(spark, sf_dir, _AVG_YEARLY_SQL)

@@ -627,3 +627,78 @@ def sft_rendered_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", ["ts", "event_id"], "event_type", "props",
         ("click", "purchase"),
     )
+
+
+# -- per-key exponential moving average (ordered fold, dyadic alphas) ---------
+
+# EMA is a sequential recurrence (s_i = α·x_i + (1−α)·s_{i−1}) — not a
+# commutative aggregate — so it is computed as a PINNED-ORDER fold over
+# each key's time-ordered series, the replayable-without-a-lattice case
+# from the trap notes (visit order is explicit, not shuffle-dependent).
+# Alphas are dyadic (1/2, 1/4): every step is mul/add/exact-halving —
+# deterministic identical IEEE on both engines. DuckDB's list_reduce
+# seeds with the first element, so Spark seeds aggregate() with x₁ and
+# folds the tail — the standard s₀ = x₀ initialization on both sides.
+_EMA_ORACLE = """
+WITH s AS (
+  SELECT user_id, list("value" ORDER BY ts, event_id) AS xs,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+  floor(xs[len(xs)] * 1000000 + 0.5) / 1000000 AS last_value,
+  floor(list_reduce(xs, (acc, x) -> (acc + x) / CAST(2 AS DOUBLE))
+        * 1000000 + 0.5) / 1000000 AS ema_half,
+  floor(list_reduce(xs, (acc, x) ->
+          (acc * CAST(3 AS DOUBLE) + x) / CAST(4 AS DOUBLE))
+        * 1000000 + 0.5) / 1000000 AS ema_quarter
+FROM s
+"""
+
+
+@query("window_ema_smoothing", _EMA_ORACLE)
+def window_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values at two dyadic
+    smoothing factors (α = 1/2 and 1/4) — the streaming-metrics
+    smoother (latency/spend EMAs) the frame-based rolling_avg family
+    cannot express, because EMA weights decay multiplicatively over the
+    WHOLE history rather than cutting off at a frame boundary.
+
+    Semantics: series ordered by (ts, event_id) — a total order, so the
+    fold order is engine-independent; s₀ = x₀; α dyadic so every step
+    is one multiply, one add, one exact power-of-two division —
+    bit-identical IEEE on both engines with no rounding lattice needed
+    (only cross-row SUMS with unknown visit order need lattices; this
+    fold's visit order is pinned).
+
+    Scale shape: one shuffle on user_id; each key's series is collected
+    and folded WITHIN its group (collect_list bounded by per-user
+    activity — the same per-key bound as sessionize/funnel; a key with
+    millions of events would need a chunked scan-EMA, not this). No
+    partitionless window anywhere."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    g = ev.groupBy("user_id").agg(
+        arr.alias("rs"), F.count("*").alias("n_events")
+    )
+    xs = F.transform("rs", lambda r: r["value"])
+    tail = F.slice(xs, F.lit(2), F.size(xs) - 1)
+    ema_h = F.aggregate(
+        tail,
+        F.element_at(xs, 1),
+        lambda acc, x: (acc + x) / F.lit(2.0),
+    )
+    ema_q = F.aggregate(
+        tail,
+        F.element_at(xs, 1),
+        lambda acc, x: (acc * F.lit(3.0) + x) / F.lit(4.0),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        stable_round(F.element_at(xs, -1), 6).alias("last_value"),
+        stable_round(ema_h, 6).alias("ema_half"),
+        stable_round(ema_q, 6).alias("ema_quarter"),
+    )

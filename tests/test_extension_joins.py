@@ -280,3 +280,24 @@ def test_sql_q16_not_in_plans_null_aware_anti_join(spark):
     assert re.search(
         r"BroadcastHashJoin .*LeftAnti, BuildRight, true", plan
     ), plan[:800]
+
+
+def test_sql_q17_correlated_scalar_in_where_decorrelates(spark):
+    """The Q17 shape's correlated scalar AVG (correlated through the
+    JOINED dimension's column, in WHERE not HAVING) must decorrelate to
+    a per-part aggregate joined back on partkey — no scalar-subquery
+    expression and no ExistenceJoin may survive — and stay non-vacuous
+    at sf0.01."""
+    from databricks_etl_pipelines_spark.plans.queries_sql import (
+        sql_avg_yearly_revenue,
+    )
+
+    df = sql_avg_yearly_revenue(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "scalar-subquery" not in plan
+    assert "ExistenceJoin" not in plan
+    # the decorrelated per-part average survives as an Aggregate under
+    # a join keyed on partkey
+    assert "Aggregate [l_partkey" in plan
+    rows = df.collect()
+    assert rows[0].small_lot_lines > 0

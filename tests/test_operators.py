@@ -2277,3 +2277,100 @@ def test_bm25_torn_append_detected_and_committed_manifest_gcd(
         json.dump({"n_docs": 1, "sum_dl": 3}, f)
     idx2 = _tiny_bm25_index(spark, tmp_path)
     assert os.listdir(os.path.join(idx2.root, idx2.PENDING)) == []
+
+
+def test_ema_smoothing_planted_recurrence(spark):
+    """window_ema_smoothing vs the hand-computed recurrence on a planted
+    series (order scrambled in the input — the (ts, event_id) sort must
+    restore it): alpha=1/2 folds (acc+x)/2, alpha=1/4 folds
+    (3*acc+x)/4, seeded with the first value."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows = [
+        (3, dt.datetime(2024, 1, 1, 0, 3), 7, "e", 3.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 0, 1), 7, "e", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 0, 4), 7, "e", 4.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 2), 7, "e", 2.0, "{}"),
+        (9, dt.datetime(2024, 1, 1, 0, 9), 8, "e", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r.user_id: r
+            for r in QUERIES["window_ema_smoothing"](spark, d).collect()
+        }
+    # user 7: series 1,2,3,4
+    s = 1.0
+    for x in (2.0, 3.0, 4.0):
+        s = (s + x) / 2
+    assert out[7].ema_half == round(s, 6) == 3.125
+    q = 1.0
+    for x in (2.0, 3.0, 4.0):
+        q = (3 * q + x) / 4
+    assert out[7].ema_quarter == q == 2.265625
+    assert out[7].n_events == 4 and out[7].last_value == 4.0
+    # single-event key: EMA is the value itself under both alphas
+    assert out[8].ema_half == out[8].ema_quarter == 5.0
+
+
+def test_t_closeness_audit_invariants_and_group_parity(spark, sf_dir):
+    """t-closeness invariants at sf0.01: the QI partition is the same
+    one k-anonymity audits (group counts equal), normalized ordered EMD
+    lies in [0, 1], and the violation accounting is internally
+    consistent (violators <= groups, exposed rows positive iff any
+    violator)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.01"
+    t = QUERIES["privacy_t_closeness_audit"](spark, sf).collect()[0]
+    k = QUERIES["privacy_k_anonymity_audit"](spark, sf).collect()[0]
+    assert t.n_groups == k.n_groups
+    assert 0.0 <= t.worst_emd <= 1.0
+    assert 0 <= t.violating_groups <= t.n_groups
+    assert (t.exposed_rows > 0) == (t.violating_groups > 0)
+
+
+def test_rrf_fusion_arithmetic_and_membership(spark):
+    """similarity_rrf_fusion self-consistency at sf0.01: every fused row
+    carries at least one source rank, the fused score equals
+    1/(60+rank_bm25) + 1/(60+rank_cos) recomputed from the reported
+    ranks (absent list -> +0), fused_rank is a 1..n permutation ordered
+    by (score desc, doc_id), and both source lists contribute their full
+    top-20 membership."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["similarity_rrf_fusion"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert [r.fused_rank for r in rows] == sorted(
+        r.fused_rank for r in rows
+    )
+    assert sorted(r.fused_rank for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
+    assert sum(r.rank_bm25 is not None for r in rows) == 20
+    assert sum(r.rank_cos is not None for r in rows) == 20
+    prev = None
+    for r in rows:
+        assert r.rank_bm25 is not None or r.rank_cos is not None
+        expect = (1.0 / (60 + r.rank_bm25) if r.rank_bm25 else 0.0) + (
+            1.0 / (60 + r.rank_cos) if r.rank_cos else 0.0
+        )
+        import math
+
+        assert math.isclose(r.rrf_score, expect, abs_tol=1e-9)
+        if prev is not None:
+            assert prev >= r.rrf_score
+        prev = r.rrf_score
