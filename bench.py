@@ -89,6 +89,11 @@ HEADLINE = [
     # (mapInPandas fingerprints + Hamming-LSH band shuffle)
     "text_bm25_topk",
     "multimodal_phash_neardup",
+    # round-9 additions: hybrid-retrieval RRF fusion (two k-capped
+    # rankings + a 40-row fuse) and the per-key EMA ordered fold (one
+    # user_id shuffle + in-group array folds)
+    "similarity_rrf_fusion",
+    "window_ema_smoothing",
 ]
 
 

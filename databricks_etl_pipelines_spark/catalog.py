@@ -45,94 +45,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-8 rotation. r7's 50 slots all landed green, so this cap
-    # leads with round-8 additions/changes, then drains the staleness
-    # tail: the ONE remaining r2-latest row, then the entire r3-latest
-    # oracle-backed set (window family, streaming windows, gold
-    # pipeline, composition — the rows the r7 verdict named) minus fourteen
-    # overflow spills.
-    # (a) round-8 NEW queries, newest-risk first: aHash near-dup
-    # banding, the streaming Count-Min merge, theta-sketch set algebra,
-    # four SQL-text shapes (Q20/Q11/Q15/Q13), BM25 retrieval, the
-    # containment near-dup join, the deterministic Bloom prune, the
-    # bounded-state streaming Bloom dedup gate, and the curriculum
-    # interleave schedule
-    "multimodal_phash_neardup",
-    "streaming_countmin_heavy_hitters",
-    "agg_theta_sketch_setops",
-    "sql_excess_share_suppliers",
-    "sql_important_parts",
-    "sql_top_supplier_quarter",
-    "text_bm25_topk",
-    "dedup_containment_pairs",
-    "agg_bloom_filter_prune",
-    "sql_customer_distribution",
-    "streaming_bloom_dedup",
-    "curation_curriculum_interleave",
-    "text_bm25_indexed",
-    "text_rbo_rankings",
-    "sql_parts_supplier_count",
-    "text_bm25_incremental",
-    "graph_pagerank_bipartite",
-    "privacy_l_diversity_audit",
-    # (a') round-8 code changes: Count-Min rebuilt on the vocabulary
-    # relation (both engines), the JL ratio gained a NULLIF (both
-    # engines), k-means gained an init guard, the unigram helpers a
-    # sentinel — every touched query re-rows this round
-    "agg_countmin_words",
-    "embedding_jl_projection",
-    "similarity_jl_recall",
-    "ml_kmeans_lloyd_crossengine",
-    "text_unigram_segment",
-    "text_unigram_em_segment",
-    "text_unigram_em_pruned",
-    "text_unigram_doc_stats",
-    # (b) stalest oracle-backed evidence: the last r2-latest row
-    "sql_text_pricing_summary",
-    # (c) the r3-latest oracle-backed set. Verdict-named families
-    # first (window analytics, streaming windows, gold pipeline,
-    # composition), then the rest alphabetical-ish to the cap.
-    "window_sessionize_events",
-    "window_funnel_ordered",
-    "window_cohort_retention",
-    "window_resample_forward_fill",
-    "window_event_transitions",
-    "streaming_tumbling_hourly",
-    "streaming_sliding_window",
-    "streaming_stream_stream_join",
-    "streaming_stream_static_join",
-    "pipeline_gold_merchant_summary",
-    "pipeline_gold_hourly_volume",
-    "pipeline_gold_cardholder_features",
-    "curation_corpus_composition",
-    "privacy_k_anonymity_audit",
-    "text_token_stats",
-    "agg_value_histogram",
-    "curation_contamination_ngram",
-    "curation_corpus_drift",
-    "curation_mixture_weights",
-    "curation_shard_assignment",
-    "curation_source_overlap",
-    "curation_token_budget_select",
-    "dedup_ngram_jaccard_pairs",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the fourteen r3 spills, then the r1-latest rows-only set
-    # (weaker rows by design — each has an oracle-backed sibling that
-    # IS fresh), then round-7-fresh sentinels
+    # --- round-9 rotation, exactly the r8 verdict's prescription: the
+    # 46 stalest oracle-backed driver rows (14 r3-latest + 32
+    # r4-latest) fill the cap, the remaining 4 slots go to this round's
+    # NEW queries. The r8-touched queries that also changed this round
+    # (phash domain filter, containment blocked oracle, BM25 index
+    # robustness, pagerank guard) hold fresh r8 rows and re-verify in
+    # the full sweep; they rotate back in r10.
+    # (a) round-9 NEW queries, newest-risk first
+    "similarity_rrf_fusion",
+    "privacy_t_closeness_audit",
+    "window_ema_smoothing",
+    "sql_avg_yearly_revenue",
+    # (b) the 14 r3-latest rows
     "dedup_passages",
+    "diag_join_key_skew",
     "embedding_centroid_per_label",
     "embedding_int8_quantization",
     "join_local_supplier_volume",
     "join_shipping_priority_topk",
     "join_small_lot_revenue",
     "multimodal_downsample_stats",
+    "scalar_variant_json",
     "source_python_datasource",
     "source_python_stream_datasource",
     "text_lm_surprisal",
     "text_repetition_signals",
     "text_sliding_chunks",
-    "diag_join_key_skew",
-    "scalar_variant_json",
+    # (c) the 32 r4-latest rows
+    "agg_benford_first_digit",
+    "agg_winsorize_zscore",
+    "curation_chunk_manifest",
+    "curation_dsir_budget_select",
+    "curation_dsir_weights",
+    "curation_length_buckets",
+    "curation_mixture_epoch_plan",
+    "curation_pack_concat_chunks",
+    "curation_source_divergence",
+    "dedup_duplicate_spans",
+    "dedup_semdedup_crossengine",
+    "dedup_simhash_crossengine",
+    "diag_column_profile",
+    "dim_scd2_history",
+    "join_disjunctive_predicates",
+    "join_fuzzy_name_match",
+    "join_interval_overlap",
+    "join_priority_class_counts",
+    "multimodal_decode_image_stats",
+    "privacy_document_scrub",
+    "privacy_gdpr_erase_users",
+    "sft_turn_offsets",
+    "similarity_batch_topk",
+    "similarity_chunk_retrieval",
+    "similarity_ivf_crossengine",
+    "similarity_pq_adc_crossengine",
+    "similarity_text_hash_topk",
+    "streaming_corpus_drift",
+    "streaming_dsir_scores",
+    "text_augment_dropout",
+    "text_hash_embeddings",
+    "window_attribution_linear",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: first the r9-touched queries with fresh r8 rows (would
+    # re-row if the cap ever widens), then the r1-latest rows-only set
+    # (weaker rows by design — each has an oracle-backed sibling; see
+    # COVERAGE.md rows-only map), then r5-fresh sentinels.
+    "multimodal_phash_neardup",
+    "dedup_containment_pairs",
+    "text_bm25_indexed",
+    "text_bm25_incremental",
+    "graph_pagerank_bipartite",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "curation_funnel_report",
