@@ -106,10 +106,14 @@ PRIORITY: list[str] = [
     "text_hash_embeddings",
     "window_attribution_linear",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: first the r9-touched queries with fresh r8 rows (would
-    # re-row if the cap ever widens), then the r1-latest rows-only set
+    # overflow: the fifth r9-new query first (rotates into the cap in
+    # r10 — the 46 stale rows outrank it this round per the r8
+    # verdict's prescription), then the r9-touched queries with fresh
+    # r8 rows (would re-row if the cap ever widens), then the r1-latest
+    # rows-only set
     # (weaker rows by design — each has an oracle-backed sibling; see
     # COVERAGE.md rows-only map), then r5-fresh sentinels.
+    "streaming_ema_incremental",
     "multimodal_phash_neardup",
     "dedup_containment_pairs",
     "text_bm25_indexed",

@@ -1029,3 +1029,91 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bloom_rejected") == 1) & (F.col("seen_before") == 0)
         ).cast("int").alias("false_drop"),
     )
+
+
+# -- streaming incremental EMA (stateful running-value operator) ---------------
+
+_EMA_CUTS = ("2024-01-11", "2024-01-21")
+
+
+def _three_batch_events_feed(spark: SparkSession, sf_dir: str) -> str:
+    """events written as 3 parquet files split CHRONOLOGICALLY at fixed
+    date cutpoints (events span 2024-01; batches = [min, 01-11),
+    [01-11, 01-21), [01-21, max]), mtimes strictly increasing so
+    maxFilesPerTrigger=1 drains them in event-time order. EMA is a
+    sequential fold, so unlike the documents feed's doc_id%3 split the
+    batches here MUST partition the (ts, event_id) total order into
+    contiguous ranges — that is what makes batch-sequential folding
+    equal the one-shot fold the oracle runs."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = scratch_dir("ema_feed_")
+    ev = table(spark, sf_dir, "events")
+    c1, c2 = [F.lit(c).cast("timestamp") for c in _EMA_CUTS]
+    slices = [
+        ev.filter(F.col("ts") < c1),
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.filter(F.col("ts") >= c2),
+    ]
+    base = time.time()
+    for b, sl in enumerate(slices):
+        tmp = scratch_dir(f"ema_slice{b}_")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch-{b}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (base + b, base + b))
+    return src
+
+
+# deliberately the SAME oracle as window_ema_smoothing: a sequential
+# recurrence maintained incrementally over chronological batches must be
+# indistinguishable from the one-shot fold — raw IEEE state doubles and
+# all, since the op sequence is identical. The equality IS the
+# incremental-maintenance property, the running-value sibling of the
+# Count-Min partials (additive) and Bloom bit-set (idempotent) oracles.
+from databricks_etl_pipelines_spark.plans.queries_windows import (  # noqa: E402
+    _EMA_ORACLE,
+)
+
+
+@query("streaming_ema_incremental", _EMA_ORACLE)
+def streaming_ema_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EMA (alphas 1/2, 1/4) maintained over a STREAM
+    (streaming/structured.py::ema_stream): the chronological 3-batch
+    events feed drains through a foreachBatch that seeds each key from
+    the previous state snapshot and folds the batch's (ts, event_id)-
+    ordered values on top, writing full per-batch state snapshots to
+    replay-idempotent ``b=<n>`` OVERWRITE partitions (a running value
+    can't use additive partials — a re-delivered batch recomputes from
+    the prior snapshot instead of double-folding). The drained state
+    must equal ``window_ema_smoothing``'s one-shot fold bit-for-bit —
+    the oracle is that query's SQL verbatim. State is one row per key
+    per snapshot; per-batch work is the batch plus a keyed join onto
+    the previous snapshot — stream-length-independent."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        ema_final,
+        ema_stream,
+    )
+
+    src = _three_batch_events_feed(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    state_root = scratch_dir("ema_state_")
+    q = ema_stream(stream, state_root, scratch_dir("ema_ckpt_"))
+    await_drained(q, 300)
+    return ema_final(spark, state_root).select(
+        F.col("k").alias("user_id"),
+        "n_events",
+        stable_round(F.col("last_value"), 6).alias("last_value"),
+        stable_round(F.col("ema_half"), 6).alias("ema_half"),
+        stable_round(F.col("ema_quarter"), 6).alias("ema_quarter"),
+    )

@@ -1165,3 +1165,129 @@ def bloom_dedup_stream(
         "checkpointLocation", checkpoint_dir
     )
     return with_trigger(writer, processing_time).start()
+
+
+def ema_stream(
+    stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Per-key exponential moving average maintained INCREMENTALLY over
+    a stream — the stateful closure of the batch
+    ``window_ema_smoothing`` fold (dyadic alphas 1/2 and 1/4). EMA is a
+    sequential recurrence, NOT a commutative aggregate, so neither the
+    Count-Min additive-partials recipe nor Bloom's idempotent-set
+    recipe applies; the state is a RUNNING VALUE. The replay-safe shape
+    for that third kind of operator: per-batch state SNAPSHOTS. Batch N
+    reads the latest snapshot BELOW N, folds its own rows on top
+    (within-batch order (ts, id) — the same total order as the batch
+    query), and writes the full keyed state to ``b=N`` with OVERWRITE —
+    a re-delivered batch N recomputes from N−1's snapshot and
+    overwrites b=N with identical bytes, never double-folds.
+
+    Correctness contract (the daily-ingest discipline): batches must
+    arrive in event-time order — every row of batch N after every row
+    of batch N−1 in the (ts, id) total order. Then batch-sequential
+    folding is ASSOCIATIVELY equal to the one-shot fold (same op
+    sequence, same IEEE doubles — fold values are stored raw, rounding
+    happens only at read), which is exactly what the hard oracle
+    asserts. State per snapshot is one row per key (the floor for any
+    per-key stateful op); snapshots are pruned to the latest at read
+    and old ones are retention, not state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def _latest_snapshot(spark, below: int):
+        if not os.path.isdir(state_root):
+            return None
+        bs = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_root)
+            if d.startswith("b=") and int(d.split("=", 1)[1]) < below
+        ]
+        if not bs:
+            return None
+        return spark.read.parquet(f"{state_root}/b={max(bs)}")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        o1, o2 = order_cols
+        arr = F.array_sort(
+            F.collect_list(F.struct(o1, o2, value_col))
+        )
+        g = batch_df.groupBy(F.col(key_col).alias("k")).agg(
+            arr.alias("rs"), F.count("*").alias("bn")
+        )
+        xs = F.transform("rs", lambda r: r[value_col])
+        prev = _latest_snapshot(spark, batch_id)
+        if prev is None:
+            prev = spark.createDataFrame(
+                [],
+                "k long, ema_half double, ema_quarter double,"
+                " n_events long, last_value double",
+            )
+        j = g.join(prev, "k", "full")
+        # keys with prior state seed from it and fold the WHOLE batch
+        # array; fresh keys seed from their first value and fold the
+        # tail — bit-identical to the one-shot fold's s0 = x0
+        seeded = F.col("ema_half").isNotNull()
+        xs_eff = F.when(seeded, xs).otherwise(
+            F.slice(xs, F.lit(2), F.size(xs) - 1)
+        )
+        init_h = F.coalesce(F.col("ema_half"), F.element_at(xs, 1))
+        init_q = F.coalesce(F.col("ema_quarter"), F.element_at(xs, 1))
+        in_batch = F.col("rs").isNotNull()
+        snap = j.select(
+            "k",
+            F.when(
+                in_batch,
+                F.aggregate(
+                    xs_eff, init_h, lambda a, x: (a + x) / F.lit(2.0)
+                ),
+            )
+            .otherwise(F.col("ema_half"))
+            .alias("ema_half"),
+            F.when(
+                in_batch,
+                F.aggregate(
+                    xs_eff,
+                    init_q,
+                    lambda a, x: (a * F.lit(3.0) + x) / F.lit(4.0),
+                ),
+            )
+            .otherwise(F.col("ema_quarter"))
+            .alias("ema_quarter"),
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("bn"), F.lit(0))
+            ).alias("n_events"),
+            F.when(in_batch, F.element_at(xs, -1))
+            .otherwise(F.col("last_value"))
+            .alias("last_value"),
+        )
+        snap.write.mode("overwrite").parquet(f"{state_root}/b={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return with_trigger(writer, processing_time).start()
+
+
+def ema_final(spark: SparkSession, state_root: str) -> DataFrame:
+    """Read the latest EMA state snapshot written by :func:`ema_stream`
+    (raw fold values; callers round at presentation)."""
+    import os
+
+    bs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_root)
+        if d.startswith("b=")
+    ]
+    return spark.read.parquet(f"{state_root}/b={max(bs)}")

@@ -964,3 +964,77 @@ def test_countmin_partials_merge_to_one_shot_sketch(spark, sf_dir):
         (r.r, r.b): r.c for r in countmin_merge(spark, out).collect()
     }
     assert merged == one_shot
+
+
+def test_ema_stream_replay_idempotent_and_carryover(spark, tmp_path):
+    """The streaming EMA's snapshot discipline, driven directly through
+    the foreachBatch handler semantics on a planted feed:
+
+    - batch-sequential folding equals the hand-computed one-shot fold;
+    - a key ABSENT from a later batch carries its state over unchanged;
+    - re-delivering a batch (crash replay) recomputes from the prior
+      snapshot and leaves the final state byte-identical — the
+      running-value analog of CM's overwrite-partition idempotence."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        ema_final,
+        ema_stream,
+    )
+
+    def ev(eid, minute, uid, val):
+        return (eid, dt.datetime(2024, 1, 1, 0, minute), uid, val)
+
+    b0 = [ev(1, 1, 7, 1.0), ev(2, 2, 7, 2.0), ev(3, 1, 8, 10.0)]
+    b1 = [ev(4, 11, 7, 3.0), ev(5, 12, 7, 4.0)]  # user 8 absent
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    import os
+    import time
+
+    base = time.time()
+    for i, rows in enumerate((b0, b1)):
+        tmp = tmp_path / f"slice{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp)
+        )
+        part = next(tmp.glob("part-*.parquet"))
+        dst = feed / f"batch-{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (base + i, base + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    state = str(tmp_path / "state")
+    q = ema_stream(stream, state, str(tmp_path / "ckpt"))
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+    )
+
+    await_drained(q, 120)
+    got = {r.k: r for r in ema_final(spark, state).collect()}
+    # user 7 one-shot: 1,2,3,4 -> ema_half 3.125 (the planted series
+    # from the batch test); user 8: untouched since batch 0
+    assert got[7].ema_half == 3.125 and got[7].n_events == 4
+    assert got[7].last_value == 4.0
+    assert got[8].ema_half == 10.0 and got[8].n_events == 1
+
+    # crash replay of the LAST batch: re-run its fold from snapshot 0
+    # — b=1 must be rewritten with identical content
+    before = {r.k: r for r in spark.read.parquet(f"{state}/b=1").collect()}
+    # drive the handlers the way a restarted checkpoint would: same
+    # batch ids, same inputs, prior state on disk
+    q2 = ema_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed)),
+        state,
+        str(tmp_path / "ckpt2"),  # fresh checkpoint -> batches replay 0,1
+    )
+    await_drained(q2, 120)
+    after = {r.k: r for r in spark.read.parquet(f"{state}/b=1").collect()}
+    assert before == after
+    assert {r.k: r for r in ema_final(spark, state).collect()} == got
