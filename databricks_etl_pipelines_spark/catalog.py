@@ -114,6 +114,7 @@ PRIORITY: list[str] = [
     # (weaker rows by design — each has an oracle-backed sibling; see
     # COVERAGE.md rows-only map), then r5-fresh sentinels.
     "streaming_ema_incremental",
+    "ml_feature_woe_iv",
     "multimodal_phash_neardup",
     "dedup_containment_pairs",
     "text_bm25_indexed",

@@ -261,3 +261,108 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_int",
         "rank",
     )
+
+
+# -- supervised feature binning: WOE / Information Value ----------------------
+
+# Weight-of-evidence credit-scoring discipline (Siddiqi, "Credit Risk
+# Scorecards"): per fixed-width feature bucket, WOE = ln(smoothed event
+# share / smoothed non-event share) and IV = Σ (share diff) · WOE — the
+# standard supervised pre-screen for which features carry signal before
+# any estimator trains. Determinism: all counts are exact integers; the
+# four shares are single divisions of exact values; the ln() is the one
+# libm-sensitive op and is absorbed by round-6 exactly like tfidf/BM25;
+# +0.5 Laplace smoothing keeps empty-side buckets finite on both
+# engines identically. Int64/double headroom: count ratios stay exact
+# in doubles up to 2^53 rows per class — any real corpus.
+_WOE_BUCKET = 10000
+
+_WOE_ORACLE = f"""
+WITH l AS (
+  SELECT CAST(floor(l_extendedprice / {_WOE_BUCKET}) AS BIGINT) AS bucket,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+b AS (
+  SELECT bucket,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_event
+  FROM l GROUP BY bucket
+),
+t AS (
+  SELECT CAST(sum(n_event) AS BIGINT) AS pos_tot,
+    CAST(sum(n - n_event) AS BIGINT) AS neg_tot
+  FROM b
+),
+w AS (
+  SELECT bucket, n, n_event, (n - n_event) AS n_nonevent,
+    ln(((n_event + CAST(0.5 AS DOUBLE)) / (pos_tot + CAST(0.5 AS DOUBLE)))
+       / ((n - n_event + CAST(0.5 AS DOUBLE))
+          / (neg_tot + CAST(0.5 AS DOUBLE)))) AS woe_raw,
+    (CAST(n_event AS DOUBLE) / pos_tot
+     - CAST(n - n_event AS DOUBLE) / neg_tot) AS share_diff
+  FROM b, t
+)
+SELECT bucket, n, n_event, n_nonevent,
+  floor(woe_raw * 1000000 + 0.5) / 1000000 AS woe,
+  floor(share_diff * woe_raw * 1000000 + 0.5) / 1000000 AS iv_contrib
+FROM w
+"""
+
+
+@query("ml_feature_woe_iv", _WOE_ORACLE)
+def ml_feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / Information-Value feature binning for the
+    return-risk label (l_returnflag = 'R') over fixed-width price
+    buckets — the supervised feature pre-screen that ranks candidate
+    features by IV = Σ iv_contrib before any estimator trains, and the
+    binning that scorecard models consume directly. Laplace-smoothed
+    (+0.5) so single-class buckets stay finite.
+
+    Scale shape: ONE hash aggregate of the fact table to (bucket,
+    count, event_count) — ~11 rows here, bounded by range/width — then
+    a broadcast of the two class totals; every share, WOE, and IV term
+    is computed on that bounded relation. The per-class totals derive
+    from the SAME aggregate (no second fact scan)."""
+    from databricks_etl_pipelines_spark.functions.numeric import (
+        stable_round,
+    )
+    from databricks_etl_pipelines_spark.sources import table
+
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.floor(F.col("l_extendedprice") / _WOE_BUCKET)
+            .cast("long")
+            .alias("bucket"),
+            (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("n_event"))
+    )
+    t = b.agg(
+        F.sum("n_event").alias("pos_tot"),
+        F.sum(F.col("n") - F.col("n_event")).alias("neg_tot"),
+    )
+    w = b.crossJoin(F.broadcast(t))
+    woe_raw = F.log(
+        (
+            (F.col("n_event") + F.lit(0.5))
+            / (F.col("pos_tot") + F.lit(0.5))
+        )
+        / (
+            (F.col("n") - F.col("n_event") + F.lit(0.5))
+            / (F.col("neg_tot") + F.lit(0.5))
+        )
+    )
+    share_diff = F.col("n_event").cast("double") / F.col(
+        "pos_tot"
+    ) - (F.col("n") - F.col("n_event")).cast("double") / F.col("neg_tot")
+    return w.select(
+        "bucket",
+        "n",
+        "n_event",
+        (F.col("n") - F.col("n_event")).alias("n_nonevent"),
+        stable_round(woe_raw, 6).alias("woe"),
+        stable_round(share_diff * woe_raw, 6).alias("iv_contrib"),
+    )

@@ -181,3 +181,29 @@ def test_quality_classifier_separates_planted_docs(spark):
     again = {r.doc_id: r.p_high_quality
              for r in score_quality(refit, docs).collect()}
     assert again == {d: r.p_high_quality for d, r in scored.items()}
+
+
+def test_woe_iv_accounting_and_signal_direction(spark, sf_dir):
+    """WOE/IV internal consistency at sf0.01: bucket counts partition
+    the fact table, event counts partition the positive class, WOE sign
+    agrees with the share-difference sign away from the smoothing
+    epsilon, and the feature carries positive total IV (price buckets
+    do separate returns from non-returns in this data — a dead feature
+    would score ~0)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["ml_feature_woe_iv"](spark, sf).collect()
+    n_total = spark.read.parquet(f"{sf}/lineitem.parquet").count()
+    assert sum(r.n for r in rows) == n_total
+    pos_tot = sum(r.n_event for r in rows)
+    assert 0 < pos_tot < n_total
+    for r in rows:
+        assert r.n_event + r.n_nonevent == r.n
+        if abs(r.woe) > 1e-3:  # outside smoothing-epsilon territory
+            share_diff = r.n_event / pos_tot - r.n_nonevent / (
+                n_total - pos_tot
+            )
+            assert (r.woe > 0) == (share_diff > 0)
+    assert sum(r.iv_contrib for r in rows) > 0
