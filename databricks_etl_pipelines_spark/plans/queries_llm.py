@@ -5622,6 +5622,12 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_mktsegment", "c_nationkey", "band")
         .agg(F.count("*").alias("c"))
+        # b feeds four consumers (grp, global bands, scalars, grid
+        # join); persisting the BOUNDED (QI × band) count relation
+        # (segments·nations·bands ≈ 500 rows) keeps the corpus-sized
+        # customer scan to exactly ONE pass — unpersisted, Spark
+        # re-scanned the fact table 4×
+        .persist()
     )
     grp = b.groupBy("c_mktsegment", "c_nationkey").agg(
         F.sum("c").alias("n_g")
