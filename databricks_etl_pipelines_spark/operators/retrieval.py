@@ -70,7 +70,13 @@ class InvertedTextIndex:
         for name in os.listdir(pend_dir):
             bid = name.removesuffix(".json")
             if bid in committed:
-                os.unlink(os.path.join(pend_dir, name))
+                # tolerant GC: a concurrent probe may have unlinked it
+                # first, and on a read-only mount a probe must still
+                # succeed — the leftover is harmless either way
+                try:
+                    os.unlink(os.path.join(pend_dir, name))
+                except OSError:
+                    pass
             else:
                 raise TornIndexError(
                     f"uncommitted append batch {bid!r} in {pend_dir}: "
@@ -311,8 +317,14 @@ class InvertedTextIndex:
             )
 
         if strict:
+            # persist so the count job's scan is REUSED by the scoring
+            # pass instead of re-reading the posting buckets (piv is
+            # bounded by docs matching ≥1 query term × (2 + |terms|)
+            # columns — the same tf-state bound the scoring carries)
+            piv = piv.persist()
             matched = piv.count()
             if matched < k:
+                piv.unpersist()
                 raise ValueError(
                     f"probe_bm25: only {matched} documents match any of "
                     f"{ordered} but k={k} — the indexed top-k would "

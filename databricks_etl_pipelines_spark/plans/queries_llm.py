@@ -2003,7 +2003,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").filter(
-        (F.length("text") >= 1) & F.col("text").rlike("^[ -~]*$")
+        # \A..\z, not ^..$: Java's $ matches BEFORE a final line
+        # terminator, so 'abc\n' would pass here yet fail the oracle's
+        # RE2 $ (end-of-text) — the exact engine divergence this filter
+        # exists to prevent
+        (F.length("text") >= 1) & F.col("text").rlike(r"\A[ -~]*\z")
     )
     feats = ahash_features(to_binary_docs(docs, "text", "doc_id"))
     return ahash_neardup_pairs(feats, max_hamming=8)
@@ -5622,13 +5626,13 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_mktsegment", "c_nationkey", "band")
         .agg(F.count("*").alias("c"))
-        # b feeds four consumers (grp, global bands, scalars, grid
-        # join); persisting the BOUNDED (QI × band) count relation
-        # (segments·nations·bands ≈ 500 rows) keeps the corpus-sized
-        # customer scan to exactly ONE pass — unpersisted, Spark
-        # re-scanned the fact table 4×
-        .persist()
     )
+    # b feeds four consumers (grp, global bands, scalars, grid join);
+    # materialize the BOUNDED (QI × band) count relation once on the
+    # driver (≤ segments·nations·bands ≈ 500 rows — the audit's state
+    # floor) and rebuild it as a local frame: exactly ONE corpus scan,
+    # and unlike persist() no cache entry outlives the query
+    b = spark.createDataFrame(b.collect(), b.schema)
     grp = b.groupBy("c_mktsegment", "c_nationkey").agg(
         F.sum("c").alias("n_g")
     )

@@ -394,33 +394,45 @@ _ND_XE_BATCHES = 3
 _ND_XE_THRESHOLD = 0.5
 
 
+def _write_batched_feed(slices, prefix: str) -> str:
+    """Write slice DataFrames as a deterministic micro-batch feed: one
+    parquet FILE per slice (coalesce(1)), named batch-<n>.parquet with
+    STRICTLY INCREASING mtimes — Spark's file source orders by
+    modification time, so a reader with maxFilesPerTrigger=1 drains
+    them as exactly these micro-batches in exactly this order. This
+    invariant (one part file, batch-N naming, mtime stamping) is shared
+    by every deterministic-feed oracle; keep it in one place."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = scratch_dir(f"{prefix}feed_")
+    base = time.time()
+    for b, sl in enumerate(slices):
+        tmp = scratch_dir(f"{prefix}slice{b}_")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch-{b}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (base + b, base + b))
+    return src
+
+
 def _three_batch_documents_feed(spark: SparkSession, sf_dir: str) -> str:
     """documents written as 3 parquet files, batch b = rows with
     ``doc_id % 3 == b``, mtimes strictly increasing — so a file stream
     with maxFilesPerTrigger=1 drains them as 3 DETERMINISTIC micro-batches
     (Spark's file source orders by modification time). Deterministic batch
     membership is what lets a SQL oracle replay per-batch admission."""
-    import glob
-    import os
-    import shutil
-    import time
-
-    src = scratch_dir("nd_xe_feed_")
     docs = table(spark, sf_dir, "documents")
-    base = time.time()
-    for b in range(_ND_XE_BATCHES):
-        tmp = scratch_dir(f"nd_xe_slice{b}_")
-        (
+    return _write_batched_feed(
+        [
             docs.filter(F.col("doc_id") % _ND_XE_BATCHES == b)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch-{b}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (base + b, base + b))
-    return src
+            for b in range(_ND_XE_BATCHES)
+        ],
+        "nd_xe_",
+    )
 
 
 def _neardup_xengine_oracle() -> str:
@@ -1045,28 +1057,16 @@ def _three_batch_events_feed(spark: SparkSession, sf_dir: str) -> str:
     batches here MUST partition the (ts, event_id) total order into
     contiguous ranges — that is what makes batch-sequential folding
     equal the one-shot fold the oracle runs."""
-    import glob
-    import os
-    import shutil
-    import time
-
-    src = scratch_dir("ema_feed_")
     ev = table(spark, sf_dir, "events")
     c1, c2 = [F.lit(c).cast("timestamp") for c in _EMA_CUTS]
-    slices = [
-        ev.filter(F.col("ts") < c1),
-        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
-        ev.filter(F.col("ts") >= c2),
-    ]
-    base = time.time()
-    for b, sl in enumerate(slices):
-        tmp = scratch_dir(f"ema_slice{b}_")
-        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch-{b}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (base + b, base + b))
-    return src
+    return _write_batched_feed(
+        [
+            ev.filter(F.col("ts") < c1),
+            ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+            ev.filter(F.col("ts") >= c2),
+        ],
+        "ema_",
+    )
 
 
 # deliberately the SAME oracle as window_ema_smoothing: a sequential

@@ -1195,9 +1195,15 @@ def ema_stream(
     folding is ASSOCIATIVELY equal to the one-shot fold (same op
     sequence, same IEEE doubles — fold values are stored raw, rounding
     happens only at read), which is exactly what the hard oracle
-    asserts. State per snapshot is one row per key (the floor for any
-    per-key stateful op); snapshots are pruned to the latest at read
-    and old ones are retention, not state."""
+    asserts. That contract is ENFORCED, not assumed: each key's
+    snapshot carries its last folded (ts, id), and a batch containing a
+    row at-or-before a key's watermark raises ValueError instead of
+    silently folding old values after new ones into plausible-wrong
+    EMAs — the same loud-failure discipline as the pagerank input
+    guard and the index TornIndexError (one bounded keys-in-batch
+    count per micro-batch). State per snapshot is one row per key (the
+    floor for any per-key stateful op); snapshots are pruned to the
+    latest at read and old ones are retention, not state."""
     import os
 
     from pyspark.sql import functions as F
@@ -1231,9 +1237,36 @@ def ema_stream(
             prev = spark.createDataFrame(
                 [],
                 "k long, ema_half double, ema_quarter double,"
-                " n_events long, last_value double",
+                " n_events long, last_value double,"
+                " last_ts timestamp, last_eid long",
             )
         j = g.join(prev, "k", "full")
+        # enforce the chronological contract: a batch row at-or-before
+        # a key's folded watermark would silently corrupt the
+        # recurrence — fail loudly instead (bounded: keys in batch)
+        bmin = F.element_at(F.col("rs"), 1)
+        stale = j.filter(
+            F.col("rs").isNotNull()
+            & F.col("last_ts").isNotNull()
+            & (
+                F.struct(
+                    bmin[o1].alias("a"), bmin[o2].alias("b")
+                )
+                <= F.struct(
+                    F.col("last_ts").alias("a"),
+                    F.col("last_eid").alias("b"),
+                )
+            )
+        ).count()
+        if stale:
+            raise ValueError(
+                f"ema_stream: batch {batch_id} contains {stale} key(s) "
+                f"with rows at or before their folded ({o1}, {o2}) "
+                "watermark — batches must partition the event-time "
+                "order into contiguous ranges (the daily-ingest "
+                "contract); folding out-of-order input would produce "
+                "silently wrong EMAs"
+            )
         # keys with prior state seed from it and fold the WHOLE batch
         # array; fresh keys seed from their first value and fold the
         # tail — bit-identical to the one-shot fold's s0 = x0
@@ -1271,6 +1304,12 @@ def ema_stream(
             F.when(in_batch, F.element_at(xs, -1))
             .otherwise(F.col("last_value"))
             .alias("last_value"),
+            F.when(in_batch, F.element_at(F.col("rs"), -1)[o1])
+            .otherwise(F.col("last_ts"))
+            .alias("last_ts"),
+            F.when(in_batch, F.element_at(F.col("rs"), -1)[o2])
+            .otherwise(F.col("last_eid"))
+            .alias("last_eid"),
         )
         snap.write.mode("overwrite").parquet(f"{state_root}/b={batch_id}")
 

@@ -1038,3 +1038,44 @@ def test_ema_stream_replay_idempotent_and_carryover(spark, tmp_path):
     after = {r.k: r for r in spark.read.parquet(f"{state}/b=1").collect()}
     assert before == after
     assert {r.k: r for r in ema_final(spark, state).collect()} == got
+
+
+def test_ema_stream_rejects_out_of_order_batch(spark, tmp_path):
+    """The chronological contract is enforced, not assumed: a feed whose
+    second batch contains a row at-or-before a key's folded
+    (ts, event_id) watermark must fail the drain loudly instead of
+    folding old values after new ones into plausible-wrong EMAs."""
+    import datetime as dt
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        ema_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    b0 = [(2, dt.datetime(2024, 1, 1, 0, 20), 7, 2.0)]
+    b1 = [(1, dt.datetime(2024, 1, 1, 0, 10), 7, 1.0)]  # EARLIER than b0
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base = time.time()
+    for i, rows in enumerate((b0, b1)):
+        tmp = tmp_path / f"slice{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp)
+        )
+        dst = feed / f"batch-{i}.parquet"
+        next(tmp.glob("part-*.parquet")).rename(dst)
+        os.utime(dst, (base + i, base + i))
+    q = ema_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed)),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    with _pytest.raises(Exception, match="ema_stream: batch"):
+        await_drained(q, 120)
