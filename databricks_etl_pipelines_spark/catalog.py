@@ -115,6 +115,7 @@ PRIORITY: list[str] = [
     # COVERAGE.md rows-only map), then r5-fresh sentinels.
     "streaming_ema_incremental",
     "ml_feature_woe_iv",
+    "agg_weighted_median_twophase",
     "multimodal_phash_neardup",
     "dedup_containment_pairs",
     "text_bm25_indexed",

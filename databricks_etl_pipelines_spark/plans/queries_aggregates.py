@@ -1763,3 +1763,141 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(share - expected, F.lit(2.0)) / expected, 6
         ).alias("chisq_term"),
     )
+
+
+# -- exact WEIGHTED median, bounded-histogram two-phase ------------------------
+
+# The weighted sibling of agg_percentiles (exact but group-sized sort
+# state) and agg_winsorize_zscore_onescan (histogram quantile, bucket-
+# edge approximate): EXACT weighted median in two bounded passes. Phase
+# 1 aggregates the fact table to a (group, price-bucket) weight
+# histogram and picks the bucket where the running weight crosses half
+# (integer test 2·cw ≥ W — no division, no float). Phase 2 rescans ONLY
+# rows in the chosen bucket, aggregates to in-bucket distinct values,
+# and finds the smallest value whose cumulative weight (seeded with the
+# weight BEFORE the bucket) crosses half — the exact lower weighted
+# median, not a bucket edge. All weights/cums are exact integers; the
+# reported median is a raw scanned data value, bit-identical on both
+# engines. Window state: ≤ #buckets rows per group in phase 1,
+# in-bucket distinct values in phase 2 — never a group-sized sort.
+_WMEDIAN_BUCKET = 1000
+
+_WMEDIAN_ORACLE = f"""
+WITH f AS (
+  SELECT l_returnflag AS g,
+    CAST(floor(l_extendedprice / {_WMEDIAN_BUCKET}) AS BIGINT) AS b,
+    l_extendedprice AS v,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+h AS (
+  SELECT g, b, CAST(sum(w) AS BIGINT) AS ws FROM f GROUP BY g, b
+),
+cum AS (
+  SELECT g, b, ws,
+    CAST(sum(ws) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cw
+  FROM h
+),
+tot AS (SELECT g, CAST(sum(ws) AS BIGINT) AS tw FROM h GROUP BY g),
+pick AS (
+  SELECT c.g, min(c.b) AS bstar, CAST(max(t.tw) AS BIGINT) AS tw
+  FROM cum c JOIN tot t ON c.g = t.g
+  WHERE 2 * c.cw >= t.tw
+  GROUP BY c.g
+),
+pickfull AS (
+  SELECT p.g, p.bstar, p.tw,
+    CAST(c.cw - c.ws AS BIGINT) AS prev
+  FROM pick p JOIN cum c ON c.g = p.g AND c.b = p.bstar
+),
+vals AS (
+  SELECT f.g, f.v, p.prev, p.tw, CAST(sum(f.w) AS BIGINT) AS vw
+  FROM f JOIN pickfull p ON f.g = p.g AND f.b = p.bstar
+  GROUP BY f.g, f.v, p.prev, p.tw
+),
+cum2 AS (
+  SELECT g, v, tw,
+    prev + CAST(sum(vw) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+      AS cw2
+  FROM vals
+)
+SELECT g AS l_returnflag,
+  CAST(max(tw) AS BIGINT) AS total_weight,
+  min(v) AS weighted_median
+FROM cum2 WHERE 2 * cw2 >= tw GROUP BY g
+"""
+
+
+@query("agg_weighted_median_twophase", _WMEDIAN_ORACLE)
+def agg_weighted_median_twophase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact quantity-WEIGHTED median price per return flag — the
+    robust statistic the unweighted percentile family can't express
+    (each line counts by its quantity, the "median unit price paid"
+    question), computed at 100 TB shape: two fact scans, bounded
+    window state, integer threshold tests (see oracle comment).
+    Both phases replay in SQL; the median itself is a raw data value."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") / _WMEDIAN_BUCKET)
+        .cast("long")
+        .alias("b"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    h = f.groupBy("g", "b").agg(F.sum("w").alias("ws"))
+    cum = h.withColumn(
+        "cw", F.sum("ws").over(Window.partitionBy("g").orderBy("b"))
+    )
+    tot = h.groupBy("g").agg(F.sum("ws").alias("tw"))
+    pick = (
+        cum.join(F.broadcast(tot), "g")
+        .filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("b").alias("bstar"), F.max("tw").alias("tw"))
+    )
+    pickfull = pick.join(
+        cum.select("g", F.col("b").alias("bstar"), "cw", "ws"),
+        ["g", "bstar"],
+    ).select(
+        "g", "bstar", "tw", (F.col("cw") - F.col("ws")).alias("prev")
+    )
+    # rename the (tiny, broadcast) pick side before joining back onto
+    # the fact projection it derives from — avoids the self-join
+    # ambiguity on g/b
+    picked = pickfull.select(
+        F.col("g").alias("pg"),
+        F.col("bstar").alias("pb"),
+        "tw",
+        "prev",
+    )
+    vals = (
+        f.join(
+            F.broadcast(picked),
+            (F.col("g") == F.col("pg")) & (F.col("b") == F.col("pb")),
+        )
+        .groupBy("g", "v", "prev", "tw")
+        .agg(F.sum("w").alias("vw"))
+    )
+    cum2 = vals.withColumn(
+        "cw2",
+        F.col("prev")
+        + F.sum("vw").over(Window.partitionBy("g").orderBy("v")),
+    )
+    return (
+        cum2.filter(F.lit(2) * F.col("cw2") >= F.col("tw"))
+        .groupBy("g")
+        .agg(
+            F.max("tw").alias("total_weight"),
+            F.min("v").alias("weighted_median"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "total_weight",
+            "weighted_median",
+        )
+    )

@@ -2374,3 +2374,47 @@ def test_rrf_fusion_arithmetic_and_membership(spark):
         if prev is not None:
             assert prev >= r.rrf_score
         prev = r.rrf_score
+
+
+def test_weighted_median_twophase_matches_brute_force(spark, tmp_path):
+    """Two-phase exact weighted median vs the definitional brute force
+    (expand each row by its weight, take the lower median) on a planted
+    table spanning several histogram buckets, including a group whose
+    median lands mid-bucket and one whose crossing sits exactly on a
+    bucket edge."""
+    import statistics
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows = []
+    planted = {
+        "A": [(500.0, 3), (1500.0, 1), (2500.0, 1)],   # median mid-low
+        "N": [(999.0, 1), (1000.0, 1), (1001.0, 2)],   # edge crossing
+        "R": [(100.0, 5), (99999.0, 5)],               # even total tie
+    }
+    k = 0
+    for g, vs in planted.items():
+        for v, w in vs:
+            rows.append((k, g, v, float(w)))
+            k += 1
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_extendedprice double,"
+        " l_quantity double",
+    )
+    d = tmp_path / "li"
+    df.write.parquet(f"{d}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.total_weight, r.weighted_median)
+        for r in QUERIES["agg_weighted_median_twophase"](
+            spark, str(d)
+        ).collect()
+    }
+    for g, vs in planted.items():
+        expanded = sorted(
+            v for v, w in vs for _ in range(int(w))
+        )
+        # lower weighted median: smallest v with 2*cumw >= W
+        lower = statistics.median_low(expanded)
+        assert got[g] == (len(expanded), lower), (g, got[g], lower)
