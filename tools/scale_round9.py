@@ -137,6 +137,29 @@ def run_scale(spark, rep: int, root: str) -> dict:
         )
 
     r["woe_s"], r["woe_buckets"] = timed(woe)
+
+    def wmedian() -> int:
+        from pyspark.sql import Window
+
+        f2 = li.select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("b"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        h2 = f2.groupBy("g", "b").agg(F.sum("w").alias("ws"))
+        cum = h2.withColumn(
+            "cw", F.sum("ws").over(Window.partitionBy("g").orderBy("b"))
+        )
+        tot = h2.groupBy("g").agg(F.sum("ws").alias("tw"))
+        return (
+            cum.join(F.broadcast(tot), "g")
+            .filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+            .groupBy("g")
+            .agg(F.min("b"))
+            .count()
+        )
+
+    r["wmedian_phase1_s"], r["wmedian_groups"] = timed(wmedian)
     return r
 
 
