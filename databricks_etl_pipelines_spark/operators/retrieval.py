@@ -341,4 +341,18 @@ class InvertedTextIndex:
             *[f"tf_{t}" for t in ordered],
             stable_round(score, 6).alias("score_bm25"),
         )
-        return scored.orderBy(F.desc("score_bm25"), "doc_id").limit(k)
+        ranked = scored.orderBy(F.desc("score_bm25"), "doc_id").limit(k)
+        if strict:
+            # materialize the (≤ k-row) top-k while piv is cached, then
+            # unpersist — otherwise every successful strict probe leaks a
+            # cached relation for the lifetime of the context (a
+            # probe-many service would accumulate them). The returned
+            # local relation carries the identical schema and values;
+            # k rows on the driver is the same bound the caller's
+            # .collect() pays anyway.
+            try:
+                rows = ranked.collect()
+            finally:
+                piv.unpersist()
+            return spark.createDataFrame(rows, ranked.schema)
+        return ranked

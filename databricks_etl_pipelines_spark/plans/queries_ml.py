@@ -299,8 +299,8 @@ w AS (
     ln(((n_event + CAST(0.5 AS DOUBLE)) / (pos_tot + CAST(0.5 AS DOUBLE)))
        / ((n - n_event + CAST(0.5 AS DOUBLE))
           / (neg_tot + CAST(0.5 AS DOUBLE)))) AS woe_raw,
-    (CAST(n_event AS DOUBLE) / pos_tot
-     - CAST(n - n_event AS DOUBLE) / neg_tot) AS share_diff
+    (CAST(n_event AS DOUBLE) / NULLIF(pos_tot, 0)
+     - CAST(n - n_event AS DOUBLE) / NULLIF(neg_tot, 0)) AS share_diff
   FROM b, t
 )
 SELECT bucket, n, n_event, n_nonevent,
@@ -355,9 +355,15 @@ def ml_feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("neg_tot") + F.lit(0.5))
         )
     )
-    share_diff = F.col("n_event").cast("double") / F.col(
-        "pos_tot"
-    ) - (F.col("n") - F.col("n_event")).cast("double") / F.col("neg_tot")
+    # NULLIF on the RAW class totals (the +0.5-smoothed WOE denominators
+    # can never be zero, but these two are): on a degenerate single-class
+    # corpus both engines then agree on NULL shares instead of diverging
+    # on double division-by-zero semantics (t-closeness precedent)
+    share_diff = F.col("n_event").cast("double") / F.nullif(
+        F.col("pos_tot"), F.lit(0)
+    ) - (F.col("n") - F.col("n_event")).cast("double") / F.nullif(
+        F.col("neg_tot"), F.lit(0)
+    )
     return w.select(
         "bucket",
         "n",

@@ -1203,10 +1203,27 @@ def ema_stream(
     guard and the index TornIndexError (one bounded keys-in-batch
     count per micro-batch). State per snapshot is one row per key (the
     floor for any per-key stateful op); snapshots are pruned to the
-    latest at read and old ones are retention, not state."""
+    latest at read and old ones are retention, not state.
+
+    Run ownership: ``state_root`` belongs to exactly one streaming
+    query. Batch 0 of a query TAKES ownership — it removes any ``b>0``
+    snapshots left by a different (possibly longer) previous run and
+    records its checkpoint in ``_run.json`` — so :func:`ema_final` can
+    never return a stale higher-numbered snapshot from an earlier run;
+    batches > 0 verify the marker and fail loudly if the state_root
+    was seeded by a different checkpoint (two live queries pointed at
+    one state_root, or a restarted query aimed at foreign state)."""
+    import json as _json
     import os
+    import shutil
 
     from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     def _latest_snapshot(spark, below: int):
         if not os.path.isdir(state_root):
@@ -1220,7 +1237,40 @@ def ema_stream(
             return None
         return spark.read.parquet(f"{state_root}/b={max(bs)}")
 
+    def _claim_or_verify_run(batch_id: int) -> None:
+        marker = os.path.join(state_root, "_run.json")
+        if batch_id == 0:
+            # a fresh checkpoint always starts at batch 0: any b>0
+            # snapshot under state_root is from a DIFFERENT run and
+            # would otherwise win max(b) at read time. Clearing them
+            # preserves crash-replay semantics (a replayed batch N
+            # recomputes b=N from b=N-1, so removed snapshots that
+            # belong to THIS feed are rebuilt byte-identical).
+            os.makedirs(state_root, exist_ok=True)
+            for d in os.listdir(state_root):
+                if d.startswith("b=") and int(d.split("=", 1)[1]) > 0:
+                    shutil.rmtree(os.path.join(state_root, d))
+            with open(marker, "w") as fh:
+                _json.dump({"checkpoint": checkpoint_dir}, fh)
+            return
+        owner = None
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                owner = _json.load(fh).get("checkpoint")
+        if owner != checkpoint_dir:
+            raise ValueError(
+                f"ema_stream: state_root {state_root!r} is owned by "
+                f"checkpoint {owner!r}, not {checkpoint_dir!r} — "
+                "snapshots from a different run cannot be folded on; "
+                "point the query at its own state_root or clear this "
+                "one"
+            )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # ownership runs even for empty batches: an empty batch 0 must
+        # still invalidate a previous run's leftover snapshots before
+        # batch 1 folds on top of them
+        _claim_or_verify_run(batch_id)
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -1234,11 +1284,24 @@ def ema_stream(
         xs = F.transform("rs", lambda r: r[value_col])
         prev = _latest_snapshot(spark, batch_id)
         if prev is None:
+            # first-batch empty seed: derive key/order/value types from
+            # the batch itself (a hardcoded long/timestamp DDL would
+            # break the full join or the watermark struct comparison
+            # for a string key or non-timestamp order columns)
+            bt = {f.name: f.dataType for f in batch_df.schema.fields}
             prev = spark.createDataFrame(
                 [],
-                "k long, ema_half double, ema_quarter double,"
-                " n_events long, last_value double,"
-                " last_ts timestamp, last_eid long",
+                StructType(
+                    [
+                        StructField("k", bt[key_col]),
+                        StructField("ema_half", DoubleType()),
+                        StructField("ema_quarter", DoubleType()),
+                        StructField("n_events", LongType()),
+                        StructField("last_value", bt[value_col]),
+                        StructField("last_ts", bt[o1]),
+                        StructField("last_eid", bt[o2]),
+                    ]
+                ),
             )
         j = g.join(prev, "k", "full")
         # enforce the chronological contract: a batch row at-or-before

@@ -2139,7 +2139,26 @@ def test_bm25_index_probe_prunes_partitions_and_matches_full_scan(spark):
     ]
     import re
 
-    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    # the strict (default) probe returns an eagerly-materialized local
+    # relation (so the count-pass cache can be unpersisted — no leaked
+    # cache entry per probe); the pruning property lives on the LAZY
+    # plan, inspected via the strict=False surface of the same index
+    from databricks_etl_pipelines_spark.plans.queries_llm import (
+        _BM25_B,
+        _BM25_INDEX_CACHE,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+    )
+
+    lazy = _BM25_INDEX_CACHE[sf].probe_bm25(
+        spark, _BM25_TERMS, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B,
+        strict=False,
+    )
+    assert [(r.doc_id, r.score_bm25) for r in lazy.collect()] == [
+        (r.doc_id, r.score_bm25) for r in full
+    ]
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     prunes = re.findall(r"PartitionFilters: \[wb#\d+ IN \(([^)]*)\)\]", plan)
     assert prunes, plan[:500]
     # 4 query terms hash into at most 4 of the 64 bucket directories
