@@ -45,100 +45,119 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-9 rotation, exactly the r8 verdict's prescription: the
-    # 46 stalest oracle-backed driver rows (14 r3-latest + 32
-    # r4-latest) fill the cap, the remaining 4 slots go to this round's
-    # NEW queries. The r8-touched queries that also changed this round
-    # (phash domain filter, containment blocked oracle, BM25 index
-    # robustness, pagerank guard) hold fresh r8 rows and re-verify in
-    # the full sweep; they rotate back in r10.
-    # (a) round-9 NEW queries, newest-risk first
-    "similarity_rrf_fusion",
-    "privacy_t_closeness_audit",
-    "window_ema_smoothing",
-    "sql_avg_yearly_revenue",
-    # (b) the 14 r3-latest rows
-    "dedup_passages",
-    "diag_join_key_skew",
-    "embedding_centroid_per_label",
-    "embedding_int8_quantization",
-    "join_local_supplier_volume",
-    "join_shipping_priority_topk",
-    "join_small_lot_revenue",
-    "multimodal_downsample_stats",
-    "scalar_variant_json",
-    "source_python_datasource",
-    "source_python_stream_datasource",
-    "text_lm_surprisal",
-    "text_repetition_signals",
-    "text_sliding_chunks",
-    # (c) the 32 r4-latest rows
-    "agg_benford_first_digit",
-    "agg_winsorize_zscore",
-    "curation_chunk_manifest",
-    "curation_dsir_budget_select",
-    "curation_dsir_weights",
-    "curation_length_buckets",
-    "curation_mixture_epoch_plan",
-    "curation_pack_concat_chunks",
-    "curation_source_divergence",
-    "dedup_duplicate_spans",
-    "dedup_semdedup_crossengine",
-    "dedup_simhash_crossengine",
-    "diag_column_profile",
-    "dim_scd2_history",
-    "join_disjunctive_predicates",
-    "join_fuzzy_name_match",
-    "join_interval_overlap",
-    "join_priority_class_counts",
-    "multimodal_decode_image_stats",
-    "privacy_document_scrub",
-    "privacy_gdpr_erase_users",
-    "sft_turn_offsets",
-    "similarity_batch_topk",
-    "similarity_chunk_retrieval",
-    "similarity_ivf_crossengine",
-    "similarity_pq_adc_crossengine",
-    "similarity_text_hash_topk",
-    "streaming_corpus_drift",
-    "streaming_dsir_scores",
-    "text_augment_dropout",
-    "text_hash_embeddings",
-    "window_attribution_linear",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the fifth r9-new query first (rotates into the cap in
-    # r10 — the 46 stale rows outrank it this round per the r8
-    # verdict's prescription), then the r9-touched queries with fresh
-    # r8 rows (would re-row if the cap ever widens), then the r1-latest
-    # rows-only set
-    # (weaker rows by design — each has an oracle-backed sibling; see
-    # COVERAGE.md rows-only map), then r5-fresh sentinels.
-    "streaming_ema_incremental",
+    # --- round-10 rotation, the r9 verdict's prescription with one
+    # documented swap: the cap's last two slots go to this round's TWO
+    # new queries (agg_weighted_quantiles, sql_product_type_profit)
+    # instead of two r6 rows — the verdict's binding done-criterion is
+    # "zero oracle-backed queries with no driver row ever", which new
+    # queries outside the cap would violate, while the r6 rows stay
+    # r6-fresh ("nothing stale beyond r6" holds either way). Cap-50 =
+    # 2 r10-new + the 3 never-driver-tested r9 queries + all 45
+    # r5-latest rows.
+    # (a) round-10 NEW queries, newest-risk first
+    "agg_weighted_quantiles",
+    "sql_product_type_profit",
+    # (b) the 3 r9 queries added after the r9 cap rotation (judge-green
+    # at sf0.01+sf0.1 but zero driver evidence — r9 verdict item 1)
     "ml_feature_woe_iv",
+    "streaming_ema_incremental",
     "agg_weighted_median_twophase",
-    "multimodal_phash_neardup",
-    "dedup_containment_pairs",
-    "text_bm25_indexed",
-    "text_bm25_incremental",
-    "graph_pagerank_bipartite",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "curation_funnel_report",
-    "ml_fraud_predictions",
-    "ml_model_metrics",
-    "similarity_ivf_topk",
-    "dedup_incremental_corpus",
-    "dedup_exact_documents",
-    "dedup_minhash_crossengine",
-    "curation_perplexity_buckets",
-    "curation_temperature_epochs",
-    "sft_contrastive_triplets",
-    "join_blame_late_supplier",
-    "join_idle_rich_customers",
-    "join_min_cost_supplier",
-    "text_bigram_surprisal",
-    "curation_bigram_buckets",
-    "streaming_perplexity_gate",]
+    # (c) the 45 r5-latest rows
+    "agg_collect_set",
+    "agg_cube",
+    "agg_dq_summary",
+    "agg_entity_features",
+    "agg_grouping_sets",
+    "agg_hourly_volume_stats",
+    "agg_null_handling",
+    "agg_percentiles",
+    "agg_pivot_status_counts",
+    "agg_rollup",
+    "agg_ungrouped_global",
+    "agg_winsorize_zscore_onescan",
+    "cdc_apply_orders",
+    "change_feed_orders",
+    "curation_pack_sequences",
+    "curation_pack_split_oversized",
+    "curation_weighted_sample",
+    "dim_scd2_point_in_time",
+    "dim_scd2_with_deletes",
+    "flagship_pricing_risk_summary",
+    "join_asof_last_click",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_inner_customer_orders",
+    "join_left_outer",
+    "join_range_clicks_before_error",
+    "join_semi_urgent_customers",
+    "join_three_way_topk_revenue",
+    "merge_upsert_orders",
+    "multimodal_chunk_energy",
+    "pipeline_quarantine_summary",
+    "pipeline_silver_enrichment",
+    "scd2_incremental_orders",
+    "similarity_incremental_ivf",
+    "similarity_lsh_ann_topk",
+    "similarity_pandas_udf_topk",
+    "sql_exists_late_orders",
+    "sql_in_having_big_orders",
+    "sql_market_share",
+    "sql_scalar_anti_customers",
+    "sql_volume_shipping",
+    "streaming_cdc_dimension",
+    "streaming_curation_ingest",
+    "streaming_foreachbatch_merge",
+    "streaming_scd2_dimension",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the r6-latest rows lead (stalest after this rotation —
+    # they fill the cap in r11), then r7-fresh sentinels and the
+    # rows-only set (weaker rows by design — each has an oracle-backed
+    # sibling; see COVERAGE.md rows-only map).
+    "agg_approx_count_distinct",
+    "agg_approx_percentile_bounds",
+    "agg_kmv_distinct",
+    "curation_leakage_safe_split",
+    "curation_prepare_corpus",
+    "curation_quota_per_language",
+    "curation_stratified_sample",
+    "dedup_cluster_representatives",
+    "dedup_embedding_cosine_blocked",
+    "dedup_embedding_cosine_pairs",
+    "join_anti_customers_without_orders",
+    "join_bucketed_colocated",
+    "join_salted_skew",
+    "ml_feature_matrix",
+    "multimodal_binary_stats",
+    "multimodal_byte_histogram",
+    "multimodal_patch_retrieval",
+    "pii_mask_and_tokenize",
+    "scalar_datetime_functions",
+    "scalar_math_functions",
+    "scalar_string_functions",
+    "sft_dpo_pairs",
+    "sft_rendered_conversations",
+    "similarity_ann_recall",
+    "similarity_cosine_topk",
+    "sql_waiting_suppliers",
+    "streaming_dedup_keys",
+    "streaming_session_window",
+    "streaming_stateful_totals",
+    "text_bpe_encode_stats",
+    "text_bpe_token_stats",
+    "text_bpe_train_merges",
+    "text_fingerprint_rolling",
+    "text_language_id",
+    "text_quality_score",
+    "text_vocab_encode",
+    "text_zipf_diagnostics",
+    "window_anomaly_zscore",
+    "window_cumulative_sum",
+    "window_first_last",
+    "window_lag_lead",
+    "window_ntile_percent_rank",
+    "window_rank_dense_rank",
+    "window_rolling_avg",
+    "window_topn_per_user",]
 
 
 def load_all() -> None:

@@ -1901,3 +1901,172 @@ def agg_weighted_median_twophase(
             "weighted_median",
         )
     )
+
+
+# -- exact weighted quantiles (p10/p50/p90) from ONE shared histogram ---------
+
+# Generalization of agg_weighted_median_twophase: the 2·cw ≥ W median
+# crossing is the p = 50 instance of the integer test 100·cw ≥ p·W
+# (lower weighted p-quantile: smallest v whose cumulative weight
+# reaches p% of the total). All three quantiles share the SAME phase-1
+# histogram — one fact hash-agg + one bounded per-group cumulative —
+# then cross-join the ≤ |groups|·|buckets| cum relation with the
+# 3-row quantile literal set to pick each quantile's bucket. Phase 2 is
+# again ONE fact rescan, joined to the broadcast (group, p, bucket)
+# picks (a bucket picked by several quantiles re-aggregates per p —
+# still ≤ 3 bucket-loads of rows per group). Integer headroom:
+# 100·cw ≤ 100·Σ l_quantity ≈ 1.5e15 at 100 TB, far under 2^63; every
+# threshold test is exact integer arithmetic, and the reported
+# quantiles are raw scanned data values — bit-identical cross-engine
+# with no rounding lattice. This is the length/quality tail-trim
+# primitive (weighted p10/p90 cuts) the text-analysis north star uses.
+_WQUANT_PS = (10, 50, 90)
+
+_WQUANT_ORACLE = f"""
+WITH f AS (
+  SELECT l_returnflag AS g,
+    CAST(floor(l_extendedprice / {_WMEDIAN_BUCKET}) AS BIGINT) AS b,
+    l_extendedprice AS v,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+h AS (
+  SELECT g, b, CAST(sum(w) AS BIGINT) AS ws FROM f GROUP BY g, b
+),
+cum AS (
+  SELECT g, b, ws,
+    CAST(sum(ws) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cw
+  FROM h
+),
+tot AS (SELECT g, CAST(sum(ws) AS BIGINT) AS tw FROM h GROUP BY g),
+ps AS (
+  SELECT CAST(p AS BIGINT) AS p
+  FROM (VALUES ({_WQUANT_PS[0]}), ({_WQUANT_PS[1]}), ({_WQUANT_PS[2]}))
+    AS t(p)
+),
+pick AS (
+  SELECT c.g, ps.p, min(c.b) AS bstar, CAST(max(t.tw) AS BIGINT) AS tw
+  FROM cum c JOIN tot t ON c.g = t.g CROSS JOIN ps
+  WHERE 100 * c.cw >= ps.p * t.tw
+  GROUP BY c.g, ps.p
+),
+pickfull AS (
+  SELECT p.g, p.p, p.bstar, p.tw,
+    CAST(c.cw - c.ws AS BIGINT) AS prev
+  FROM pick p JOIN cum c ON c.g = p.g AND c.b = p.bstar
+),
+vals AS (
+  SELECT f.g, pk.p, f.v, pk.prev, pk.tw, CAST(sum(f.w) AS BIGINT) AS vw
+  FROM f JOIN pickfull pk ON f.g = pk.g AND f.b = pk.bstar
+  GROUP BY f.g, pk.p, f.v, pk.prev, pk.tw
+),
+cum2 AS (
+  SELECT g, p, v, tw,
+    prev + CAST(sum(vw) OVER (PARTITION BY g, p ORDER BY v) AS BIGINT)
+      AS cw2
+  FROM vals
+),
+qv AS (
+  SELECT g, p, min(v) AS v
+  FROM cum2 WHERE 100 * cw2 >= p * tw GROUP BY g, p
+)
+SELECT t.g AS l_returnflag,
+  CAST(t.tw AS BIGINT) AS total_weight,
+  max(CASE WHEN qv.p = 10 THEN qv.v END) AS p10,
+  max(CASE WHEN qv.p = 50 THEN qv.v END) AS p50,
+  max(CASE WHEN qv.p = 90 THEN qv.v END) AS p90
+FROM qv JOIN tot t ON qv.g = t.g
+GROUP BY t.g, t.tw
+"""
+
+
+@query("agg_weighted_quantiles", _WQUANT_ORACLE)
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted {p10, p50, p90} of price per return
+    flag in the SAME two bounded passes as the weighted median (shared
+    phase-1 histogram; the median is the p=50 instance of the integer
+    crossing 100·cw ≥ p·W) — the weighted tail-cut primitive for
+    length/quality trims. See the oracle comment for the scale
+    argument; p50 here is definitionally equal to
+    agg_weighted_median_twophase (pinned in pytest)."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") / _WMEDIAN_BUCKET)
+        .cast("long")
+        .alias("b"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    h = f.groupBy("g", "b").agg(F.sum("w").alias("ws"))
+    cum = h.withColumn(
+        "cw", F.sum("ws").over(Window.partitionBy("g").orderBy("b"))
+    )
+    tot = h.groupBy("g").agg(F.sum("ws").alias("tw"))
+    ps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in _WQUANT_PS])
+        ).alias("p0")
+    ).select(F.col("p0").cast("long").alias("p"))
+    pick = (
+        cum.join(F.broadcast(tot), "g")
+        .crossJoin(F.broadcast(ps))
+        .filter(F.lit(100) * F.col("cw") >= F.col("p") * F.col("tw"))
+        .groupBy("g", "p")
+        .agg(F.min("b").alias("bstar"), F.max("tw").alias("tw"))
+    )
+    pickfull = pick.join(
+        cum.select("g", F.col("b").alias("bstar"), "cw", "ws"),
+        ["g", "bstar"],
+    ).select(
+        "g", "p", "bstar", "tw",
+        (F.col("cw") - F.col("ws")).alias("prev"),
+    )
+    # rename the (tiny, broadcast) pick side before joining back onto
+    # the fact projection it derives from — same self-join-ambiguity
+    # discipline as the median
+    picked = pickfull.select(
+        F.col("g").alias("pg"),
+        F.col("p").alias("pp"),
+        F.col("bstar").alias("pb"),
+        "tw",
+        "prev",
+    )
+    vals = (
+        f.join(
+            F.broadcast(picked),
+            (F.col("g") == F.col("pg")) & (F.col("b") == F.col("pb")),
+        )
+        .groupBy("g", F.col("pp").alias("p"), "v", "prev", "tw")
+        .agg(F.sum("w").alias("vw"))
+    )
+    cum2 = vals.withColumn(
+        "cw2",
+        F.col("prev")
+        + F.sum("vw").over(Window.partitionBy("g", "p").orderBy("v")),
+    )
+    qv = (
+        cum2.filter(
+            F.lit(100) * F.col("cw2") >= F.col("p") * F.col("tw")
+        )
+        .groupBy("g", "p")
+        .agg(F.min("v").alias("v"))
+    )
+    return (
+        qv.join(F.broadcast(tot), "g")
+        .groupBy("g", "tw")
+        .agg(
+            F.max(F.when(F.col("p") == 10, F.col("v"))).alias("p10"),
+            F.max(F.when(F.col("p") == 50, F.col("v"))).alias("p50"),
+            F.max(F.when(F.col("p") == 90, F.col("v"))).alias("p90"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("tw").alias("total_weight"),
+            "p10",
+            "p50",
+            "p90",
+        )
+    )

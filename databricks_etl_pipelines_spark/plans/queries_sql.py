@@ -373,6 +373,46 @@ WHERE p.p_brand = 'Brand#3'
 """
 
 
+_PRODUCT_PROFIT_SQL = """
+SELECT nation, o_year,
+  floor(sum(amount) * 100 + 0.5) / 100 AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+    CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    l.l_extendedprice * (1 - l.l_discount)
+      - CAST(0.6 AS DOUBLE) * p.p_retailprice * l.l_quantity AS amount
+  FROM part p, supplier s, lineitem l, orders o, nation n
+  WHERE s.s_suppkey = l.l_suppkey
+    AND p.p_partkey = l.l_partkey
+    AND o.o_orderkey = l.l_orderkey
+    AND s.s_nationkey = n.n_nationkey
+    AND p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("sql_product_type_profit", _PRODUCT_PROFIT_SQL)
+def sql_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape as SQL text: the LIKE-filtered multi-table star
+    with an ARITHMETIC measure (revenue minus a cost term) grouped by a
+    DERIVED year — the one star topology the sql_* family lacked
+    (Q7/Q8 group raw dimension values and filter by equality/range; Q9
+    filters the part dimension with an infix LIKE and computes profit).
+    Exercises (a) pushdown of a non-prefix `LIKE '%red%'` through the
+    comma-join graph into the part scan (parquet PushedFilters
+    StringContains — prefix LIKEs like Q20's become StartsWith, a
+    different pushdown class), (b) Catalyst join ordering from the
+    unordered WHERE conjunction (no cartesian may survive), both
+    plan-asserted in pytest. partsupp doesn't exist in the testdata, so
+    the supplycost term is restated as 0.6·p_retailprice·l_quantity —
+    same arithmetic shape (a product of columns from two different
+    tables subtracted from the discounted price), identical text on
+    both engines. Rounding: the 2dp floor-half-up on the per-(nation,
+    year) profit sums, the established Q7/Q8 revenue discipline."""
+    return run_sql(spark, sf_dir, _PRODUCT_PROFIT_SQL)
+
+
 @query("sql_avg_yearly_revenue", _AVG_YEARLY_SQL)
 def sql_avg_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape as SQL TEXT: a correlated scalar AVG subquery in

@@ -301,3 +301,24 @@ def test_sql_q17_correlated_scalar_in_where_decorrelates(spark):
     assert "Aggregate [l_partkey" in plan
     rows = df.collect()
     assert rows[0].small_lot_lines > 0
+
+
+def test_sql_q9_pushes_like_filter_and_plans_no_cartesian(spark):
+    """The Q9 shape's infix LIKE '%red%' part filter must reach the
+    parquet scan (PushedFilters StringContains — selecting ~13% of
+    parts BEFORE any join builds), and Catalyst must order the
+    comma-join WHERE conjunction into pure hash joins — no cartesian
+    or nested-loop join may survive. Non-vacuous at sf0.01 (every
+    (nation, year) cell populated)."""
+    from databricks_etl_pipelines_spark.plans.queries_sql import (
+        sql_product_type_profit,
+    )
+
+    df = sql_product_type_profit(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert len(rows) >= 50  # ~10 nations x 7 years
+    assert len({r.nation for r in rows}) >= 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "StringContains(p_name,red)" in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2437,3 +2437,58 @@ def test_weighted_median_twophase_matches_brute_force(spark, tmp_path):
         # lower weighted median: smallest v with 2*cumw >= W
         lower = statistics.median_low(expanded)
         assert got[g] == (len(expanded), lower), (g, got[g], lower)
+
+
+def test_weighted_quantiles_match_brute_force_and_median(spark, tmp_path):
+    """agg_weighted_quantiles vs the definitional brute force (expand
+    each row by its weight; lower p-quantile = element at index
+    ceil(p·W/100) − 1) on a planted multi-bucket table — including a
+    skewed group whose p10 and p90 land in different buckets and an
+    exact-crossing group — and the p50 column must equal the dedicated
+    weighted-median query on the same data."""
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        "A": [(500.0, 3), (1500.0, 1), (2500.0, 1)],
+        "N": [(999.0, 1), (1000.0, 1), (1001.0, 2)],
+        "R": [(100.0, 5), (99999.0, 5)],            # even total tie
+        "S": [(10.0, 10), (5000.0, 80), (99000.0, 10)],  # exact 10/90 edges
+    }
+    rows = []
+    k = 0
+    for g, vs in planted.items():
+        for v, w in vs:
+            rows.append((k, g, v, float(w)))
+            k += 1
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_extendedprice double,"
+        " l_quantity double",
+    )
+    d = tmp_path / "li"
+    df.write.parquet(f"{d}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_weighted_quantiles"](spark, str(d)).collect()
+    }
+    med = {
+        r.l_returnflag: r.weighted_median
+        for r in QUERIES["agg_weighted_median_twophase"](
+            spark, str(d)
+        ).collect()
+    }
+    for g, vs in planted.items():
+        expanded = sorted(v for v, w in vs for _ in range(int(w)))
+        W = len(expanded)
+
+        def brute(p):
+            # smallest v with cumw >= p% of W  ==  element ceil(pW/100)-1
+            return expanded[math.ceil(p * W / 100) - 1]
+
+        r = got[g]
+        assert r.total_weight == W
+        assert (r.p10, r.p50, r.p90) == (brute(10), brute(50), brute(90)), g
+        assert r.p50 == med[g], g
