@@ -742,3 +742,52 @@ def test_containment_pairs_match_bruteforce(spark, docs):
         ).collect()
     }
     assert got == expect
+
+
+_WQ_VALS = (1.0, 999.5, 1000.0, 1500.25, 2999.75, 5000.0, 99999.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(_WQ_VALS), st.integers(1, 7)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_weighted_quantiles_any_multiset_matches_brute_force(spark, pairs):
+    """agg_weighted_quantiles vs the definitional brute force on ANY
+    weighted multiset (values straddling several histogram buckets,
+    duplicate values allowed): for each p the lower weighted quantile
+    is the expanded multiset's element at index ceil(p·W/100) − 1.
+    Exercises arbitrary crossings — first/last bucket, repeated-value
+    weight pooling, single-row groups — beyond the planted cases."""
+    import math
+    import shutil
+    import tempfile
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    d = tempfile.mkdtemp(prefix="wq_prop_")
+    try:
+        rows = [
+            (i, "A", v, float(w)) for i, (v, w) in enumerate(pairs)
+        ]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_returnflag string,"
+            " l_extendedprice double, l_quantity double",
+        ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        r = QUERIES["agg_weighted_quantiles"](spark, d).collect()
+        assert len(r) == 1
+        r = r[0]
+        expanded = sorted(v for v, w in pairs for _ in range(w))
+        W = len(expanded)
+        assert r.total_weight == W
+        for p, gotv in ((10, r.p10), (50, r.p50), (90, r.p90)):
+            assert gotv == expanded[math.ceil(p * W / 100) - 1], (
+                p, pairs,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
