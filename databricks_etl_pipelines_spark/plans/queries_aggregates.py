@@ -2070,3 +2070,264 @@ def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90",
         )
     )
+
+
+# -- exact 10-90 trimmed mean (order-statistics exact, tie-aware) --------------
+
+# The third member of the bounded-histogram two-phase family (weighted
+# median r9, weighted quantiles r10): the exact 10%-each-side TRIMMED
+# MEAN per group. Definition (order statistics, n rows per group,
+# lo = n div 10): drop ranks 1..lo and n-lo+1..n, average the rest.
+# Rank-cut VALUES come from the same two-phase machinery with unit
+# weights and ABSOLUTE rank thresholds (cn >= r for r = lo and n-lo —
+# per-group ranks from a broadcast 2-row-per-group relation, vs the
+# quantile family's global p literals); a third bounded rescan then
+# computes the strict-side tail sums, and the tie-aware identity
+#
+#   trimmed_sum = S - [sum(c < clo) + (lo - cnt(c < clo))*clo]
+#               - [sum(c > chi) + (lo - cnt(c > chi))*chi]
+#
+# charges ties AT the cut values exactly (copies of clo fill ranks
+# cnt(<clo)+1.., so exactly lo - cnt(<clo) of them are trimmed; the
+# mirrored argument tops out at chi = the rank-(n-lo) value, the
+# LARGEST KEPT value, so hi-side works even when lo = 0).
+#
+# Determinism: everything is int64 — prices become cents via the
+# established floor(x*100 + 0.5) lattice, all sums/counts/thresholds
+# are exact integers (headroom: cents-sum <= 6e9 rows * 1.1e7 cents
+# ~ 6.6e16 << 2^63 at 100 TB), and the ONLY float op is the final
+# double division chain (correctly rounded, identical shape both
+# engines). kept = n - 2*(n div 10) >= ceil(0.8 n) >= 1 for n >= 1, so
+# the ANSI division needs no NULLIF guard. Scale: three fact scans,
+# all partial+final hash-aggs; both windows are bounded (per-group
+# bucket relation <= ~110 rows; in-bucket distinct cents <=
+# _TRIM_BUCKET_C = 100000) and every join-back side is broadcast.
+_TRIM_BUCKET_C = 100 * _WMEDIAN_BUCKET
+
+_TRIMMED_MEAN_ORACLE = f"""
+WITH f AS (
+  SELECT l_returnflag AS g,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+fb AS (
+  SELECT g, c, CAST(floor(c / {_TRIM_BUCKET_C}) AS BIGINT) AS b FROM f
+),
+h AS (
+  SELECT g, b, CAST(count(*) AS BIGINT) AS ns,
+    CAST(sum(c) AS BIGINT) AS cs
+  FROM fb GROUP BY g, b
+),
+tl AS (
+  SELECT g, CAST(sum(ns) AS BIGINT) AS n, CAST(sum(cs) AS BIGINT) AS s,
+    CAST(sum(ns) // 10 AS BIGINT) AS lo
+  FROM h GROUP BY g
+),
+ranks AS (
+  SELECT g, 'lo' AS side, lo AS r FROM tl
+  UNION ALL
+  SELECT g, 'hi' AS side, n - lo AS r FROM tl
+),
+cum AS (
+  SELECT g, b, ns,
+    CAST(sum(ns) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cn
+  FROM h
+),
+pick AS (
+  SELECT c.g, rk.side, rk.r, min(c.b) AS bstar
+  FROM cum c JOIN ranks rk ON c.g = rk.g
+  WHERE c.cn >= rk.r
+  GROUP BY c.g, rk.side, rk.r
+),
+pickfull AS (
+  SELECT p.g, p.side, p.r, p.bstar,
+    CAST(c.cn - c.ns AS BIGINT) AS prev
+  FROM pick p JOIN cum c ON c.g = p.g AND c.b = p.bstar
+),
+vals AS (
+  SELECT fb.g, pk.side, pk.r, pk.prev, fb.c,
+    CAST(count(*) AS BIGINT) AS vc
+  FROM fb JOIN pickfull pk ON fb.g = pk.g AND fb.b = pk.bstar
+  GROUP BY fb.g, pk.side, pk.r, pk.prev, fb.c
+),
+cum2 AS (
+  SELECT g, side, r, c,
+    prev + CAST(sum(vc) OVER (PARTITION BY g, side ORDER BY c)
+      AS BIGINT) AS cn2
+  FROM vals
+),
+cuts AS (
+  SELECT g, side, min(c) AS cut FROM cum2 WHERE cn2 >= r
+  GROUP BY g, side
+),
+cutrow AS (
+  SELECT g,
+    max(CASE WHEN side = 'lo' THEN cut END) AS clo,
+    max(CASE WHEN side = 'hi' THEN cut END) AS chi
+  FROM cuts GROUP BY g
+),
+tails AS (
+  SELECT fb.g,
+    CAST(sum(CASE WHEN fb.c < cr.clo THEN fb.c ELSE 0 END)
+      AS BIGINT) AS sb,
+    CAST(sum(CASE WHEN fb.c < cr.clo THEN 1 ELSE 0 END)
+      AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN fb.c > cr.chi THEN fb.c ELSE 0 END)
+      AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN fb.c > cr.chi THEN 1 ELSE 0 END)
+      AS BIGINT) AS na,
+    max(cr.clo) AS clo, max(cr.chi) AS chi
+  FROM fb JOIN cutrow cr ON fb.g = cr.g
+  GROUP BY fb.g
+)
+SELECT t.g AS l_returnflag,
+  tl.n AS n_lines,
+  tl.n - 2 * tl.lo AS kept_lines,
+  t.clo AS low_cut_cents,
+  t.chi AS high_cut_cents,
+  CAST(tl.s - t.sb - (tl.lo - t.nb) * t.clo
+       - t.sa - (tl.lo - t.na) * t.chi AS DOUBLE)
+    / CAST(100 AS DOUBLE) / (tl.n - 2 * tl.lo) AS trimmed_mean
+FROM tails t JOIN tl ON t.g = tl.g
+"""
+
+
+@query("agg_trimmed_mean_exact", _TRIMMED_MEAN_ORACLE)
+def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware 10-90 trimmed mean of price per return flag —
+    the robust location estimate between the median (100% trim) and
+    the mean (0%), at 100 TB shape: three bounded fact hash-aggs, all
+    arithmetic in int64 cents. See the oracle comment for the
+    rank-cut identity and the scale/determinism argument."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    ).withColumn(
+        "b", F.floor(F.col("c") / F.lit(_TRIM_BUCKET_C)).cast("long")
+    )
+    h = f.groupBy("g", "b").agg(
+        F.count("*").alias("ns"), F.sum("c").alias("cs")
+    )
+    tl = (
+        h.groupBy("g")
+        .agg(F.sum("ns").alias("n"), F.sum("cs").alias("s"))
+        .withColumn("lo", F.expr("n div 10"))
+    )
+    # per-group rank thresholds as ONE exploded 2-struct array (the
+    # union-replays-the-plan-twice trap)
+    ranks = tl.select(
+        "g",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("side"), F.col("lo").alias("r")
+                ),
+                F.struct(
+                    F.lit("hi").alias("side"),
+                    (F.col("n") - F.col("lo")).alias("r"),
+                ),
+            )
+        ).alias("sr"),
+    ).select("g", F.col("sr.side").alias("side"), F.col("sr.r").alias("r"))
+    cum = h.withColumn(
+        "cn", F.sum("ns").over(Window.partitionBy("g").orderBy("b"))
+    )
+    pick = (
+        cum.join(F.broadcast(ranks), "g")
+        .filter(F.col("cn") >= F.col("r"))
+        .groupBy("g", "side", "r")
+        .agg(F.min("b").alias("bstar"))
+    )
+    pickfull = pick.join(
+        cum.select("g", F.col("b").alias("bstar"), "cn", "ns"),
+        ["g", "bstar"],
+    ).select(
+        "g", "side", "r", "bstar",
+        (F.col("cn") - F.col("ns")).alias("prev"),
+    )
+    # rename the broadcast pick side before joining back onto the fact
+    # projection it derives from (self-join ambiguity discipline)
+    picked = pickfull.select(
+        F.col("g").alias("pg"),
+        F.col("side").alias("pside"),
+        F.col("r").alias("pr"),
+        F.col("bstar").alias("pb"),
+        "prev",
+    )
+    vals = (
+        f.join(
+            F.broadcast(picked),
+            (F.col("g") == F.col("pg")) & (F.col("b") == F.col("pb")),
+        )
+        .groupBy(
+            "g",
+            F.col("pside").alias("side"),
+            F.col("pr").alias("r"),
+            "prev",
+            "c",
+        )
+        .agg(F.count("*").alias("vc"))
+    )
+    cum2 = vals.withColumn(
+        "cn2",
+        F.col("prev")
+        + F.sum("vc").over(Window.partitionBy("g", "side").orderBy("c")),
+    )
+    cuts = (
+        cum2.filter(F.col("cn2") >= F.col("r"))
+        .groupBy("g", "side")
+        .agg(F.min("c").alias("cut"))
+    )
+    cutrow = cuts.groupBy("g").agg(
+        F.max(F.when(F.col("side") == "lo", F.col("cut"))).alias("clo"),
+        F.max(F.when(F.col("side") == "hi", F.col("cut"))).alias("chi"),
+    )
+    cut2 = cutrow.select(F.col("g").alias("cg"), "clo", "chi")
+    tails = (
+        f.join(F.broadcast(cut2), F.col("g") == F.col("cg"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("c") < F.col("clo"), F.col("c")).otherwise(0)
+            ).alias("sb"),
+            F.sum(
+                F.when(F.col("c") < F.col("clo"), 1).otherwise(0)
+            ).alias("nb"),
+            F.sum(
+                F.when(F.col("c") > F.col("chi"), F.col("c")).otherwise(0)
+            ).alias("sa"),
+            F.sum(
+                F.when(F.col("c") > F.col("chi"), 1).otherwise(0)
+            ).alias("na"),
+            F.max("clo").alias("clo"),
+            F.max("chi").alias("chi"),
+        )
+    )
+    trimmed_cents = (
+        F.col("s")
+        - F.col("sb")
+        - (F.col("lo") - F.col("nb")) * F.col("clo")
+        - F.col("sa")
+        - (F.col("lo") - F.col("na")) * F.col("chi")
+    )
+    kept = F.col("n") - F.lit(2) * F.col("lo")
+    return (
+        tails.join(F.broadcast(tl), "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").alias("n_lines"),
+            kept.alias("kept_lines"),
+            F.col("clo").alias("low_cut_cents"),
+            F.col("chi").alias("high_cut_cents"),
+            (
+                trimmed_cents.cast("double")
+                / F.lit(100).cast("double")
+                / kept
+            ).alias("trimmed_mean"),
+        )
+    )

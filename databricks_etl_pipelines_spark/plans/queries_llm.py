@@ -5676,3 +5676,83 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("worst_emd"),
     )
+
+
+# -- n-gram novelty (corpus-order freshness signal) ----------------------------
+
+# Per-document novelty: the fraction of a document's DISTINCT 3-gram
+# shingles whose FIRST corpus occurrence (min doc_id — ingestion order)
+# is this document. A streaming-free restatement of the "how much new
+# text does each arriving doc contribute" curation signal (the batch
+# twin of the incremental dedup gates): low-novelty docs are rephrasings
+# of earlier corpus content even when no single pairwise Jaccard trips
+# the near-dup threshold. Reference scope: slysik/databricks-etl-pipelines
+# has no text ops at all (02_Silver_Cleanse_PII.py stops at column
+# masking); this extends the LLM-curation family.
+#
+# Scale shape: explode is linear in corpus tokens; the first-seen
+# relation is ONE hash-agg (map-side partial min) on the shingle key;
+# the join back is shingle-key-partitioned on both sides so AQE reuses
+# the aggregation exchange for the probe side, and the final per-doc
+# rollup is a second bounded hash-agg. No windows, no driver state; at
+# 100 TB the shingle relation shards by hash like any token index.
+# Determinism: novelty_ratio is ONE division of two exact BIGINTs
+# (correctly-rounded in IEEE on both engines — no cross-row double sums,
+# no lattice needed); shingling reuses the _SQL_SHINGLES3 fragment
+# already proven byte-identical to distinct_shingles() in
+# text_token_stats.
+_NOVELTY_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES3}) AS sh FROM documents
+),
+first_seen AS (
+  SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh
+),
+per_doc AS (
+  SELECT s.doc_id,
+    CAST(count(*) AS BIGINT) AS n_shingles,
+    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+      AS BIGINT) AS novel_shingles
+  FROM s JOIN first_seen f ON s.sh = f.sh
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, novel_shingles,
+  CAST(novel_shingles AS DOUBLE) / n_shingles AS novelty_ratio
+FROM per_doc
+"""
+
+
+@query("text_ngram_novelty", _NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct 3-gram shingles first seen (by
+    min doc_id) in that doc — the batch corpus-freshness signal. See
+    the oracle comment for the scale/determinism argument."""
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        distinct_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", F.explode(distinct_shingles("text", 3)).alias("sh")
+    )
+    first_seen = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        s.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                .otherwise(0)
+            ).alias("novel_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "novel_shingles",
+            (
+                F.col("novel_shingles").cast("double")
+                / F.col("n_shingles")
+            ).alias("novelty_ratio"),
+        )
+    )

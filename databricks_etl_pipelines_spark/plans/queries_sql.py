@@ -430,3 +430,50 @@ def sql_avg_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the /7 annualization, the Q17 discipline the DataFrame twin
     already proved hash-stable."""
     return run_sql(spark, sf_dir, _AVG_YEARLY_SQL)
+
+
+_MIN_COST_SUPPLIER_SQL = """
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+  l.l_extendedprice AS min_price
+FROM part p, lineitem l, supplier s, nation n, region r
+WHERE p.p_partkey = l.l_partkey
+  AND s.s_suppkey = l.l_suppkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE'
+  AND p.p_size <= 10
+  AND l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2, supplier s2, nation n2, region r2
+    WHERE l2.l_partkey = p.p_partkey
+      AND s2.s_suppkey = l2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey,
+  l.l_orderkey, l.l_linenumber
+LIMIT 100
+"""
+
+
+@query("sql_min_cost_supplier", _MIN_COST_SUPPLIER_SQL)
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape as SQL text: the correlated scalar MIN whose
+    subquery is itself a MULTI-JOIN (lineitem⋈supplier⋈nation⋈region,
+    correlated on the outer part key) — the one scalar-decorrelation
+    topology the family still lacked: Q17 correlates a single-table
+    AVG; here Catalyst must pull the aggregate up above an entire
+    4-table join subtree (per-part min over the region-filtered join),
+    then equi-join it back on (partkey, price). Plan-asserted in
+    pytest: no residual scalar-subquery in the optimized plan, no
+    cartesian product. partsupp doesn't exist in the testdata, so
+    ps_supplycost is restated as the line's l_extendedprice — same
+    correlated-min-over-a-join topology, identical text both engines.
+    Determinism: no aggregates cross rows except the MIN (exact on
+    raw doubles); the ORDER BY suffix (l_orderkey, l_linenumber) is a
+    unique key of lineitem, so the ordering is TOTAL and LIMIT 100
+    cuts a deterministic multiset on both engines (the Q2 'top 100
+    suppliers' report cut, tie-safe). Q2 ref topology per the public
+    TPC-H spec; the reference repo has no SQL-text surface (EP4
+    extension, see COVERAGE.md)."""
+    return run_sql(spark, sf_dir, _MIN_COST_SUPPLIER_SQL)

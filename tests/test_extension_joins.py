@@ -322,3 +322,26 @@ def test_sql_q9_pushes_like_filter_and_plans_no_cartesian(spark):
     assert "StringContains(p_name,red)" in plan, plan[:1200]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_q2_correlated_min_over_join_decorrelates(spark):
+    """The Q2 shape's correlated scalar MIN — whose subquery is itself
+    a 4-table join correlated on the outer part key — must decorrelate
+    to a per-part aggregate over the joined subtree (no residual
+    scalar-subquery), and no cartesian product may appear anywhere in
+    the executed plan. Non-vacuous at sf0.01."""
+    from databricks_etl_pipelines_spark.plans.queries_sql import (
+        sql_min_cost_supplier,
+    )
+
+    df = sql_min_cost_supplier(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "scalar-subquery" not in opt
+    assert "ExistenceJoin" not in opt
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    # the decorrelated per-part MIN survives as an aggregate
+    assert "min(" in opt

@@ -2492,3 +2492,83 @@ def test_weighted_quantiles_match_brute_force_and_median(spark, tmp_path):
         assert r.total_weight == W
         assert (r.p10, r.p50, r.p90) == (brute(10), brute(50), brute(90)), g
         assert r.p50 == med[g], g
+
+
+def test_trimmed_mean_exact_matches_brute_force(spark, tmp_path):
+    """agg_trimmed_mean_exact vs the definitional brute force (sort,
+    drop the lowest and highest n div 10, average the rest) on planted
+    groups: ties AT both cut values (copies of the cut value split
+    between kept and trimmed), values straddling several histogram
+    buckets including one exactly on a bucket edge, and a group under
+    10 rows (lo = 0 — trimmed mean must equal the plain mean)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # n=10, lo=1: ties at BOTH cuts (three 1.00s at the bottom,
+        # three 9.00s at the top — exactly one of each is trimmed)
+        "A": [1.0] * 3 + [5.0] * 4 + [9.0] * 3,
+        # n=25, lo=2: multi-bucket spread with 1000.00 exactly on the
+        # histogram bucket edge
+        "B": [500.0] * 5 + [1000.0] * 10 + [2500.5] * 5 + [99999.99] * 5,
+        # n=7, lo=0: no trimming — equals the plain mean
+        "C": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0],
+    }
+    rows = []
+    k = 0
+    for g, vs in planted.items():
+        for v in vs:
+            rows.append((k, g, v, 1.0))
+            k += 1
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_extendedprice double,"
+        " l_quantity double",
+    )
+    d = tmp_path / "li"
+    df.write.parquet(f"{d}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_trimmed_mean_exact"](spark, str(d)).collect()
+    }
+    for g, vs in planted.items():
+        cents = sorted(int(v * 100 + 0.5) for v in vs)
+        n = len(cents)
+        lo = n // 10
+        kept = cents[lo: n - lo]
+        r = got[g]
+        assert r.n_lines == n and r.kept_lines == n - 2 * lo, g
+        if lo:
+            assert r.low_cut_cents == cents[lo - 1], g
+            assert r.high_cut_cents == cents[n - lo - 1], g
+        # same IEEE division sequence as both engines: /100 then /kept
+        assert r.trimmed_mean == float(sum(kept)) / 100.0 / len(kept), g
+
+
+def test_ngram_novelty_planted_corpus(spark, tmp_path):
+    """text_ngram_novelty on a planted corpus: the first doc is fully
+    novel, an exact re-post contributes nothing, a partial overlap
+    scores the fraction of its shingles not seen earlier, and a sub-k
+    doc falls back to its whole-text single shingle."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    docs = [
+        (1, "a b c d"),        # shingles {a b c, b c d} — both novel
+        (2, "b c d e"),        # {b c d, c d e} — one novel
+        (3, "a b c d"),        # exact re-post — zero novel
+        (4, "zz"),             # < 3 tokens — whole-text shingle, novel
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/docs/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.novel_shingles, r.novelty_ratio)
+        for r in QUERIES["text_ngram_novelty"](
+            spark, f"{tmp_path}/docs"
+        ).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (1, 1, 1.0)
