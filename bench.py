@@ -98,10 +98,13 @@ HEADLINE = [
     "similarity_rrf_fusion",
     "window_ema_smoothing",
     # round-10 additions: exact weighted p10/p50/p90 from one shared
-    # bounded histogram (two fact scans, integer crossings) and the
-    # TPC-H Q9 SQL-text star (LIKE pushdown + join ordering)
+    # bounded histogram (two fact scans, integer crossings), the
+    # TPC-H Q9 SQL-text star (LIKE pushdown + join ordering), and the
+    # chained-two-phase MAD (5 bounded scans — the family's heaviest
+    # scan shape, the per-round wall tripwire for the rank machinery)
     "agg_weighted_quantiles",
     "sql_product_type_profit",
+    "agg_mad_robust_z",
 ]
 
 

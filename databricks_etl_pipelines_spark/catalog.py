@@ -46,17 +46,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-10 rotation, the r9 verdict's prescription with one
-    # documented swap: this round's FIVE new queries take cap slots —
+    # documented swap: this round's SEVEN new queries take cap slots —
     # the verdict's binding done-criterion is "zero oracle-backed
     # queries with no driver row ever", which new queries outside the
-    # cap would violate. That leaves 42 slots for the 45 r5-latest
-    # rows; the three displaced to the overflow head are the three
-    # TRIVIAL join shapes (inner/left-outer/full-outer — each pinned by
-    # pytest and by every multi-join oracle that contains the shape),
-    # r5-green and re-verified in this round's full-registry sweeps at
-    # both scales; they lead the r11 cap. Cap-50 = 5 r10-new + the 3
-    # never-driver-tested r9 queries + 42 of the 45 r5-latest rows.
+    # cap would violate. That leaves 40 slots for the 45 r5-latest
+    # rows; the five displaced to the overflow head are the five most
+    # TRIVIAL shapes (inner/left-outer/full-outer/semi joins + the
+    # ungrouped global aggregate — each pinned by pytest and contained
+    # in every multi-join / multi-agg oracle), r5-green and re-verified
+    # in this round's full-registry sweeps at both scales; they lead
+    # the r11 cap. Cap-50 = 7 r10-new + the 3 never-driver-tested r9
+    # queries + 40 of the 45 r5-latest rows.
     # (a) round-10 NEW queries, newest-risk first
+    "agg_mad_robust_z",
+    "window_holt_linear",
     "agg_trimmed_mean_exact",
     "text_ngram_novelty",
     "sql_min_cost_supplier",
@@ -78,7 +81,6 @@ PRIORITY: list[str] = [
     "agg_percentiles",
     "agg_pivot_status_counts",
     "agg_rollup",
-    "agg_ungrouped_global",
     "agg_winsorize_zscore_onescan",
     "cdc_apply_orders",
     "change_feed_orders",
@@ -91,7 +93,6 @@ PRIORITY: list[str] = [
     "join_asof_last_click",
     "join_broadcast_dims",
     "join_range_clicks_before_error",
-    "join_semi_urgent_customers",
     "join_three_way_topk_revenue",
     "merge_upsert_orders",
     "multimodal_chunk_energy",
@@ -111,14 +112,16 @@ PRIORITY: list[str] = [
     "streaming_foreachbatch_merge",
     "streaming_scd2_dimension",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the three r5 trivial-join rows displaced by this
-    # round's new queries lead (stalest after this rotation — they fill
-    # the cap in r11 together with the r6-latest rows), then r7-fresh
-    # sentinels and the rows-only set (weaker rows by design — each has
-    # an oracle-backed sibling; see COVERAGE.md rows-only map).
+    # overflow: the five trivial r5 rows displaced by this round's new
+    # queries lead (stalest after this rotation — they fill the cap in
+    # r11 together with the r6-latest rows), then r7-fresh sentinels
+    # and the rows-only set (weaker rows by design — each has an
+    # oracle-backed sibling; see COVERAGE.md rows-only map).
     "join_inner_customer_orders",
     "join_left_outer",
     "join_full_outer",
+    "join_semi_urgent_customers",
+    "agg_ungrouped_global",
     "agg_approx_count_distinct",
     "agg_approx_percentile_bounds",
     "agg_kmv_distinct",

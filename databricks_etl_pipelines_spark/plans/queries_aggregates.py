@@ -2331,3 +2331,234 @@ def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trimmed_mean"),
         )
     )
+
+
+# -- exact MAD + robust z-score outlier count ----------------------------------
+
+def _exact_rank_cut(vals: DataFrame, ranks: DataFrame) -> DataFrame:
+    """Exact per-group order statistic via the bounded-histogram
+    two-phase: for each (g, r) in ``ranks`` (a broadcastable per-group
+    relation), the smallest ``c`` in ``vals(g, c)`` whose cumulative
+    count reaches r. Shared by the MAD query's two chained medians;
+    same machinery as the weighted-median / trimmed-mean family (one
+    hash-agg histogram, one bucket-pruned rescan, both windows
+    bounded)."""
+    from pyspark.sql import Window
+
+    f = vals.withColumn(
+        "b", F.floor(F.col("c") / F.lit(_TRIM_BUCKET_C)).cast("long")
+    )
+    h = f.groupBy("g", "b").agg(F.count("*").alias("ns"))
+    cum = h.withColumn(
+        "cn", F.sum("ns").over(Window.partitionBy("g").orderBy("b"))
+    )
+    pick = (
+        cum.join(F.broadcast(ranks), "g")
+        .filter(F.col("cn") >= F.col("r"))
+        .groupBy("g", "r")
+        .agg(F.min("b").alias("bstar"))
+    )
+    pickfull = F.broadcast(pick).join(
+        cum.select("g", F.col("b").alias("bstar"), "cn", "ns"),
+        ["g", "bstar"],
+    ).select(
+        "g", "r", "bstar", (F.col("cn") - F.col("ns")).alias("prev")
+    )
+    picked = pickfull.select(
+        F.col("g").alias("pg"),
+        F.col("r").alias("pr"),
+        F.col("bstar").alias("pb"),
+        "prev",
+    )
+    vcounts = (
+        f.join(
+            F.broadcast(picked),
+            (F.col("g") == F.col("pg")) & (F.col("b") == F.col("pb")),
+        )
+        .groupBy("g", F.col("pr").alias("r"), "prev", "c")
+        .agg(F.count("*").alias("vc"))
+    )
+    cum2 = vcounts.withColumn(
+        "cn2",
+        F.col("prev")
+        + F.sum("vc").over(Window.partitionBy("g").orderBy("c")),
+    )
+    return (
+        cum2.filter(F.col("cn2") >= F.col("r"))
+        .groupBy("g")
+        .agg(F.min("c").alias("cut"))
+    )
+
+
+# MAD (median absolute deviation) is THE robust spread statistic — the
+# stddev-based z-score family (winsorize/anomaly) breaks down the
+# moment outliers inflate the stddev itself; MAD has a 50% breakdown
+# point. Two CHAINED exact medians via _exact_rank_cut (the deviation
+# median cannot start until the location median is known — 4 bounded
+# fact scans + 1 outlier-count scan, all hash-aggs), then the classic
+# robust z test |x − med| > 3·1.4826·MAD applied as the EXACT integer
+# comparison 10000·d > 44478·mad (d ≤ 1.1e7 cents → 10000·d ≤ 1.1e11
+# and 44478·mad ≤ 4.9e11, far inside int64; the 1.4826 normal-
+# consistency constant never touches a float). Lower-median rank
+# rm = (n+1) div 2 on both passes. The only float op is the reported
+# outlier_ratio division (n ≥ 1 provably — it's the group's row
+# count). Oracle replays both chained medians in full.
+_MAD_ORACLE = f"""
+WITH f AS (
+  SELECT l_returnflag AS g,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+fb AS (
+  SELECT g, c, CAST(floor(c / {_TRIM_BUCKET_C}) AS BIGINT) AS b FROM f
+),
+h AS (
+  SELECT g, b, CAST(count(*) AS BIGINT) AS ns FROM fb GROUP BY g, b
+),
+tl AS (
+  SELECT g, CAST(sum(ns) AS BIGINT) AS n,
+    CAST((sum(ns) + 1) // 2 AS BIGINT) AS rm
+  FROM h GROUP BY g
+),
+cum AS (
+  SELECT g, b, ns,
+    CAST(sum(ns) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cn
+  FROM h
+),
+pick AS (
+  SELECT c.g, t.rm, min(c.b) AS bstar
+  FROM cum c JOIN tl t ON c.g = t.g
+  WHERE c.cn >= t.rm GROUP BY c.g, t.rm
+),
+pickfull AS (
+  SELECT p.g, p.rm, p.bstar, CAST(c.cn - c.ns AS BIGINT) AS prev
+  FROM pick p JOIN cum c ON c.g = p.g AND c.b = p.bstar
+),
+vals AS (
+  SELECT fb.g, pk.rm, pk.prev, fb.c, CAST(count(*) AS BIGINT) AS vc
+  FROM fb JOIN pickfull pk ON fb.g = pk.g AND fb.b = pk.bstar
+  GROUP BY fb.g, pk.rm, pk.prev, fb.c
+),
+cum2 AS (
+  SELECT g, rm, c,
+    prev + CAST(sum(vc) OVER (PARTITION BY g ORDER BY c) AS BIGINT)
+      AS cn2
+  FROM vals
+),
+med AS (
+  SELECT g, min(c) AS medc FROM cum2 WHERE cn2 >= rm GROUP BY g
+),
+d AS (
+  SELECT f.g, abs(f.c - m.medc) AS c
+  FROM f JOIN med m ON f.g = m.g
+),
+db AS (
+  SELECT g, c, CAST(floor(c / {_TRIM_BUCKET_C}) AS BIGINT) AS b FROM d
+),
+dh AS (
+  SELECT g, b, CAST(count(*) AS BIGINT) AS ns FROM db GROUP BY g, b
+),
+dcum AS (
+  SELECT g, b, ns,
+    CAST(sum(ns) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cn
+  FROM dh
+),
+dpick AS (
+  SELECT c.g, t.rm, min(c.b) AS bstar
+  FROM dcum c JOIN tl t ON c.g = t.g
+  WHERE c.cn >= t.rm GROUP BY c.g, t.rm
+),
+dpickfull AS (
+  SELECT p.g, p.rm, p.bstar, CAST(c.cn - c.ns AS BIGINT) AS prev
+  FROM dpick p JOIN dcum c ON c.g = p.g AND c.b = p.bstar
+),
+dvals AS (
+  SELECT db.g, pk.rm, pk.prev, db.c, CAST(count(*) AS BIGINT) AS vc
+  FROM db JOIN dpickfull pk ON db.g = pk.g AND db.b = pk.bstar
+  GROUP BY db.g, pk.rm, pk.prev, db.c
+),
+dcum2 AS (
+  SELECT g, rm, c,
+    prev + CAST(sum(vc) OVER (PARTITION BY g ORDER BY c) AS BIGINT)
+      AS cn2
+  FROM dvals
+),
+mad AS (
+  SELECT g, min(c) AS madc FROM dcum2 WHERE cn2 >= rm GROUP BY g
+),
+outl AS (
+  SELECT f.g,
+    CAST(sum(CASE WHEN 10000 * abs(f.c - m.medc) > 44478 * md.madc
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+    max(m.medc) AS medc, max(md.madc) AS madc
+  FROM f JOIN med m ON f.g = m.g JOIN mad md ON f.g = md.g
+  GROUP BY f.g
+)
+SELECT o.g AS l_returnflag, t.n AS n_lines,
+  o.medc AS median_cents, o.madc AS mad_cents, o.n_outliers,
+  CAST(o.n_outliers AS DOUBLE) / t.n AS outlier_ratio
+FROM outl o JOIN tl t ON o.g = t.g
+"""
+
+
+@query("agg_mad_robust_z", _MAD_ORACLE)
+def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MAD (median absolute deviation) of price per return flag
+    plus the robust-z outlier count |x − med| > 3·1.4826·MAD as an
+    exact integer test — the 50%-breakdown spread statistic the
+    stddev-based anomaly family can't provide. Two chained exact
+    medians through ``_exact_rank_cut``; see the oracle comment for
+    the scan count and integer-headroom argument."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    tl = (
+        f.groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .withColumn("r", F.expr("(n + 1) div 2"))
+    )
+    med = _exact_rank_cut(f, tl.select("g", "r")).withColumnRenamed(
+        "cut", "medc"
+    )
+    medb = med.select(F.col("g").alias("mg"), "medc")
+    d = f.join(F.broadcast(medb), F.col("g") == F.col("mg")).select(
+        "g", F.abs(F.col("c") - F.col("medc")).alias("c")
+    )
+    mad = _exact_rank_cut(d, tl.select("g", "r")).withColumnRenamed(
+        "cut", "madc"
+    )
+    cuts = F.broadcast(medb).join(
+        mad.select(F.col("g").alias("mg"), "madc"), "mg"
+    )
+    outl = (
+        f.join(F.broadcast(cuts), F.col("g") == F.col("mg"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(10000) * F.abs(F.col("c") - F.col("medc"))
+                    > F.lit(44478) * F.col("madc"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.max("medc").alias("medc"),
+            F.max("madc").alias("madc"),
+        )
+    )
+    return (
+        outl.join(F.broadcast(tl.select("g", "n")), "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").alias("n_lines"),
+            F.col("medc").alias("median_cents"),
+            F.col("madc").alias("mad_cents"),
+            F.col("n_outliers"),
+            (F.col("n_outliers").cast("double") / F.col("n")).alias(
+                "outlier_ratio"
+            ),
+        )
+    )

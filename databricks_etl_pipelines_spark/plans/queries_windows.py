@@ -702,3 +702,98 @@ def window_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(ema_h, 6).alias("ema_half"),
         stable_round(ema_q, 6).alias("ema_quarter"),
     )
+
+
+# -- per-key Holt linear (double-exponential) smoothing ------------------------
+
+# Level+trend extension of the EMA fold: Holt's recurrence
+#   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+#   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+# at dyadic α = 1/2, β = 1/4, with the classical two-point init:
+# l = x₂, b = x₂ − x₁, folding from x₃
+# (n = 1 degenerates to level = x₁, trend = 0). The PAIR state rides
+# through DuckDB's seed-with-first-element list_reduce by encoding
+# (l, b) as a 2-element LIST seed prepended to [x, 0]-encoded tail
+# elements (list_reduce has no initial-accumulator arg in DuckDB 1.0,
+# and its recursive-CTE nested-LIST corruption trap does NOT apply to
+# list lambdas — verified empirically). l_t appears twice inside the
+# b_t step; BOTH engines compute it as the same duplicated
+# subexpression on identical inputs, so every step stays mul / add /
+# exact-halving — bit-identical IEEE, no lattice (pinned fold order,
+# the window_ema_smoothing discipline). Scale: one user_id shuffle,
+# per-key bounded collect (sessionize/funnel contract).
+_HOLT_ORACLE = """
+WITH s AS (
+  SELECT user_id, list("value" ORDER BY ts, event_id) AS xs,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT user_id, n_events,
+    CASE WHEN n_events = 1 THEN [xs[1], CAST(0 AS DOUBLE)]
+    ELSE list_reduce(
+      list_prepend([xs[2], xs[2] - xs[1]],
+        list_transform(xs[3:len(xs)], x -> [x, CAST(0 AS DOUBLE)])),
+      (acc, x) -> [
+        (x[1] + acc[1] + acc[2]) / CAST(2 AS DOUBLE),
+        ((x[1] + acc[1] + acc[2]) / CAST(2 AS DOUBLE) - acc[1]
+         + CAST(3 AS DOUBLE) * acc[2]) / CAST(4 AS DOUBLE) ]
+    ) END AS st
+  FROM s
+)
+SELECT user_id, n_events,
+  floor(st[1] * 1000000 + 0.5) / 1000000 AS level,
+  floor(st[2] * 1000000 + 0.5) / 1000000 AS trend,
+  floor((st[1] + st[2]) * 1000000 + 0.5) / 1000000 AS forecast_1
+FROM h
+"""
+
+
+@query("window_holt_linear", _HOLT_ORACLE)
+def window_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear (double-exponential) smoothing of event
+    values — level AND trend state, so a steadily climbing spend
+    series forecasts UP where the plain EMA lags it; the one-step
+    forecast level+trend is the anomaly baseline for trending metrics.
+    Dyadic α = 1/2, β = 1/4; two-point init (l = x₂, b = x₂ − x₁);
+    see the oracle comment for the pair-state fold and the
+    bit-identical-IEEE argument."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    g = ev.groupBy("user_id").agg(
+        arr.alias("rs"), F.count("*").alias("n_events")
+    )
+    xs = F.transform("rs", lambda r: r["value"])
+    x1 = F.element_at(xs, 1)
+    x2 = F.element_at(xs, 2)
+    tail3 = F.slice(
+        xs, F.lit(3), F.greatest(F.size(xs) - 2, F.lit(0))
+    )
+
+    def step(acc, x):
+        lnew = (x + acc["l"] + acc["b"]) / F.lit(2.0)
+        bnew = (
+            (x + acc["l"] + acc["b"]) / F.lit(2.0)
+            - acc["l"]
+            + F.lit(3.0) * acc["b"]
+        ) / F.lit(4.0)
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    folded = F.aggregate(
+        tail3,
+        F.struct(x2.alias("l"), (x2 - x1).alias("b")),
+        step,
+    )
+    st = F.when(
+        F.col("n_events") == 1,
+        F.struct(x1.alias("l"), F.lit(0.0).alias("b")),
+    ).otherwise(folded)
+    return g.select(
+        "user_id",
+        "n_events",
+        stable_round(st["l"], 6).alias("level"),
+        stable_round(st["b"], 6).alias("trend"),
+        stable_round(st["l"] + st["b"], 6).alias("forecast_1"),
+    )

@@ -2572,3 +2572,106 @@ def test_ngram_novelty_planted_corpus(spark, tmp_path):
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (2, 0, 0.0)
     assert got[4] == (1, 1, 1.0)
+
+
+def test_holt_linear_planted_recurrence(spark, tmp_path):
+    """window_holt_linear vs the hand-computed Holt recurrence on a
+    planted trending series (input order scrambled): two-point init
+    l = x2, b = x2 - x1, then l' = (x+l+b)/2, b' = ((l'-l)+3b)/4.
+    Covers n=1 (level=x, trend=0), n=2 (seed only), and a linear
+    ramp whose one-step forecast must continue the ramp."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows = [
+        # user 7: perfect ramp 10,20,30,40 (scrambled input order)
+        (3, dt.datetime(2024, 1, 1, 0, 3), 7, "e", 30.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 0, 1), 7, "e", 10.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 0, 4), 7, "e", 40.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 2), 7, "e", 20.0, "{}"),
+        # user 8: single event
+        (9, dt.datetime(2024, 1, 1, 0, 9), 8, "e", 5.0, "{}"),
+        # user 9: exactly two events — fold never runs, seed reported
+        (10, dt.datetime(2024, 1, 1, 0, 1), 9, "e", 3.0, "{}"),
+        (11, dt.datetime(2024, 1, 1, 0, 2), 9, "e", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.user_id: r
+        for r in QUERIES["window_holt_linear"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # user 7: replicate the exact float ops
+    lvl, tr = 20.0, 10.0
+    for x in (30.0, 40.0):
+        lnew = (x + lvl + tr) / 2.0
+        tr = ((x + lvl + tr) / 2.0 - lvl + 3.0 * tr) / 4.0
+        lvl = lnew
+    r7 = out[7]
+    assert (r7.level, r7.trend) == (round(lvl, 6), round(tr, 6))
+    assert r7.forecast_1 == round(lvl + tr, 6)
+    # a perfect ramp's forecast must overshoot the last observation
+    assert r7.forecast_1 > 40.0
+    assert out[8].level == 5.0 and out[8].trend == 0.0
+    assert out[9].level == 8.0 and out[9].trend == 5.0
+    assert out[9].forecast_1 == 13.0
+
+
+def test_mad_robust_z_matches_brute_force(spark, tmp_path):
+    """agg_mad_robust_z vs the definitional brute force (lower median,
+    lower median of absolute deviations, exact 3*1.4826 threshold) on
+    planted groups: an even-n group (lower-median tie-break), a group
+    with one gross outlier that stddev-z would drown in, and a
+    constant group (MAD = 0 — only exact duplicates survive the
+    threshold)."""
+    import statistics
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # gross outlier: med=10, MAD=1 -> threshold 4.4478 dollars
+        "A": [9.0, 10.0, 10.0, 11.0, 11.0, 1000.0],
+        # even n, lower median; spread values straddling buckets
+        "B": [500.0, 1500.0, 2500.0, 3500.0],
+        # constant group: MAD 0, no outliers
+        "C": [42.0, 42.0, 42.0],
+    }
+    rows = []
+    k = 0
+    for g, vs in planted.items():
+        for v in vs:
+            rows.append((k, g, v, 1.0))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_extendedprice double,"
+        " l_quantity double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_mad_robust_z"](spark, str(tmp_path)).collect()
+    }
+    for g, vs in planted.items():
+        cents = sorted(int(v * 100 + 0.5) for v in vs)
+        med = statistics.median_low(cents)
+        devs = sorted(abs(c - med) for c in cents)
+        mad = statistics.median_low(devs)
+        outl = sum(1 for c in cents if 10000 * abs(c - med) > 44478 * mad)
+        r = got[g]
+        assert (r.median_cents, r.mad_cents, r.n_outliers) == (
+            med, mad, outl,
+        ), g
+        assert r.n_lines == len(vs)
+        assert r.outlier_ratio == float(outl) / len(vs)
+    # the designed semantics: A's 1000.0 is the one outlier
+    assert got["A"].n_outliers == 1
+    assert got["C"].mad_cents == 0 and got["C"].n_outliers == 0
