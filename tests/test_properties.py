@@ -791,3 +791,49 @@ def test_weighted_quantiles_any_multiset_matches_brute_force(spark, pairs):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_TM_VALS = (1.0, 999.5, 1000.0, 1500.25, 2999.75, 5000.0, 99999.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(_TM_VALS),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_trimmed_mean_any_multiset_matches_brute_force(spark, vals):
+    """agg_trimmed_mean_exact vs the definitional brute force (sort,
+    drop n div 10 from each end, average the rest) on ANY value
+    multiset: random tie patterns at the cuts, arbitrary bucket
+    crossings, group sizes from 1 (lo = 0, plain mean) to 40 (lo = 4
+    spanning repeated values)."""
+    import shutil
+    import tempfile
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    d = tempfile.mkdtemp(prefix="tm_prop_")
+    try:
+        rows = [(i, "A", v, 1.0) for i, v in enumerate(vals)]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_returnflag string,"
+            " l_extendedprice double, l_quantity double",
+        ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        r = QUERIES["agg_trimmed_mean_exact"](spark, d).collect()
+        assert len(r) == 1
+        r = r[0]
+        cents = sorted(int(v * 100 + 0.5) for v in vals)
+        n = len(cents)
+        lo = n // 10
+        kept = cents[lo: n - lo]
+        assert r.n_lines == n and r.kept_lines == len(kept)
+        assert r.trimmed_mean == float(sum(kept)) / 100.0 / len(kept), (
+            vals,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
