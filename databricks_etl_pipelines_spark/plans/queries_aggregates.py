@@ -1837,68 +1837,26 @@ def agg_weighted_median_twophase(
     (each line counts by its quantity, the "median unit price paid"
     question), computed at 100 TB shape: two fact scans, bounded
     window state, integer threshold tests (see oracle comment).
-    Both phases replay in SQL; the median itself is a raw data value."""
-    from pyspark.sql import Window
-
+    Both phases replay in SQL; the median itself is a raw data value.
+    The oracle's 2·cw ≥ W crossing is submitted to the shared
+    ``_exact_rank_cut`` machinery as the equivalent rank test
+    cw ≥ ⌈W/2⌉ (cw integral — same smallest-v)."""
     li = table(spark, sf_dir, "lineitem")
     f = li.select(
         F.col("l_returnflag").alias("g"),
-        F.floor(F.col("l_extendedprice") / _WMEDIAN_BUCKET)
-        .cast("long")
-        .alias("b"),
-        F.col("l_extendedprice").alias("v"),
+        F.col("l_extendedprice").alias("c"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    h = f.groupBy("g", "b").agg(F.sum("w").alias("ws"))
-    cum = h.withColumn(
-        "cw", F.sum("ws").over(Window.partitionBy("g").orderBy("b"))
-    )
-    tot = h.groupBy("g").agg(F.sum("ws").alias("tw"))
-    pick = (
-        cum.join(F.broadcast(tot), "g")
-        .filter(F.lit(2) * F.col("cw") >= F.col("tw"))
-        .groupBy("g")
-        .agg(F.min("b").alias("bstar"), F.max("tw").alias("tw"))
-    )
-    pickfull = pick.join(
-        cum.select("g", F.col("b").alias("bstar"), "cw", "ws"),
-        ["g", "bstar"],
-    ).select(
-        "g", "bstar", "tw", (F.col("cw") - F.col("ws")).alias("prev")
-    )
-    # rename the (tiny, broadcast) pick side before joining back onto
-    # the fact projection it derives from — avoids the self-join
-    # ambiguity on g/b
-    picked = pickfull.select(
-        F.col("g").alias("pg"),
-        F.col("bstar").alias("pb"),
-        "tw",
-        "prev",
-    )
-    vals = (
-        f.join(
-            F.broadcast(picked),
-            (F.col("g") == F.col("pg")) & (F.col("b") == F.col("pb")),
-        )
-        .groupBy("g", "v", "prev", "tw")
-        .agg(F.sum("w").alias("vw"))
-    )
-    cum2 = vals.withColumn(
-        "cw2",
-        F.col("prev")
-        + F.sum("vw").over(Window.partitionBy("g").orderBy("v")),
-    )
+    tot = f.groupBy("g").agg(F.sum("w").alias("tw"))
+    ranks = tot.select("g", F.expr("(tw + 1) div 2").alias("r"))
+    cuts = _exact_rank_cut(f, ranks, w="w", bucket=_WMEDIAN_BUCKET)
     return (
-        cum2.filter(F.lit(2) * F.col("cw2") >= F.col("tw"))
-        .groupBy("g")
-        .agg(
-            F.max("tw").alias("total_weight"),
-            F.min("v").alias("weighted_median"),
-        )
+        F.broadcast(tot)
+        .join(cuts, "g")
         .select(
             F.col("g").alias("l_returnflag"),
-            "total_weight",
-            "weighted_median",
+            F.col("tw").alias("total_weight"),
+            F.col("cut").alias("weighted_median"),
         )
     )
 
@@ -1983,80 +1941,38 @@ GROUP BY t.g, t.tw
 @query("agg_weighted_quantiles", _WQUANT_ORACLE)
 def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted {p10, p50, p90} of price per return
-    flag in the SAME two bounded passes as the weighted median (shared
-    phase-1 histogram; the median is the p=50 instance of the integer
-    crossing 100·cw ≥ p·W) — the weighted tail-cut primitive for
-    length/quality trims. See the oracle comment for the scale
-    argument; p50 here is definitionally equal to
+    flag in the SAME two bounded passes as the weighted median — the
+    weighted tail-cut primitive for length/quality trims. The oracle's
+    integer crossing 100·cw ≥ p·W is submitted to the shared
+    ``_exact_rank_cut`` machinery as the equivalent rank test
+    cw ≥ ⌈p·W/100⌉ (cw integral, so the two are the same smallest-v;
+    colliding ranks at tiny W dedup inside the helper and each p joins
+    its cut back by (g, r)). See the oracle comment for the scale
+    argument; p50 is definitionally equal to
     agg_weighted_median_twophase (pinned in pytest)."""
-    from pyspark.sql import Window
-
     li = table(spark, sf_dir, "lineitem")
     f = li.select(
         F.col("l_returnflag").alias("g"),
-        F.floor(F.col("l_extendedprice") / _WMEDIAN_BUCKET)
-        .cast("long")
-        .alias("b"),
-        F.col("l_extendedprice").alias("v"),
+        F.col("l_extendedprice").alias("c"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    h = f.groupBy("g", "b").agg(F.sum("w").alias("ws"))
-    cum = h.withColumn(
-        "cw", F.sum("ws").over(Window.partitionBy("g").orderBy("b"))
-    )
-    tot = h.groupBy("g").agg(F.sum("ws").alias("tw"))
+    tot = f.groupBy("g").agg(F.sum("w").alias("tw"))
     ps = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(int(p)) for p in _WQUANT_PS])
         ).alias("p0")
     ).select(F.col("p0").cast("long").alias("p"))
-    pick = (
-        cum.join(F.broadcast(tot), "g")
-        .crossJoin(F.broadcast(ps))
-        .filter(F.lit(100) * F.col("cw") >= F.col("p") * F.col("tw"))
-        .groupBy("g", "p")
-        .agg(F.min("b").alias("bstar"), F.max("tw").alias("tw"))
+    pr = tot.crossJoin(F.broadcast(ps)).select(
+        "g", "p", "tw", F.expr("(p * tw + 99) div 100").alias("r")
     )
-    pickfull = pick.join(
-        cum.select("g", F.col("b").alias("bstar"), "cw", "ws"),
-        ["g", "bstar"],
-    ).select(
-        "g", "p", "bstar", "tw",
-        (F.col("cw") - F.col("ws")).alias("prev"),
+    cuts = _exact_rank_cut(
+        f, pr.select("g", "r"), w="w", bucket=_WMEDIAN_BUCKET
     )
-    # rename the (tiny, broadcast) pick side before joining back onto
-    # the fact projection it derives from — same self-join-ambiguity
-    # discipline as the median
-    picked = pickfull.select(
-        F.col("g").alias("pg"),
-        F.col("p").alias("pp"),
-        F.col("bstar").alias("pb"),
-        "tw",
-        "prev",
-    )
-    vals = (
-        f.join(
-            F.broadcast(picked),
-            (F.col("g") == F.col("pg")) & (F.col("b") == F.col("pb")),
-        )
-        .groupBy("g", F.col("pp").alias("p"), "v", "prev", "tw")
-        .agg(F.sum("w").alias("vw"))
-    )
-    cum2 = vals.withColumn(
-        "cw2",
-        F.col("prev")
-        + F.sum("vw").over(Window.partitionBy("g", "p").orderBy("v")),
-    )
-    qv = (
-        cum2.filter(
-            F.lit(100) * F.col("cw2") >= F.col("p") * F.col("tw")
-        )
-        .groupBy("g", "p")
-        .agg(F.min("v").alias("v"))
+    qv = F.broadcast(pr).join(cuts, ["g", "r"]).select(
+        "g", "p", "tw", F.col("cut").alias("v")
     )
     return (
-        qv.join(F.broadcast(tot), "g")
-        .groupBy("g", "tw")
+        qv.groupBy("g", "tw")
         .agg(
             F.max(F.when(F.col("p") == 10, F.col("v"))).alias("p10"),
             F.max(F.when(F.col("p") == 50, F.col("v"))).alias("p50"),
@@ -2196,102 +2112,59 @@ FROM tails t JOIN tl ON t.g = tl.g
 def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware 10-90 trimmed mean of price per return flag —
     the robust location estimate between the median (100% trim) and
-    the mean (0%), at 100 TB shape: three bounded fact hash-aggs, all
-    arithmetic in int64 cents. See the oracle comment for the
+    the mean (0%), at 100 TB shape: four bounded fact hash-aggs
+    (group count, shared-machinery histogram + bucket rescan, tail
+    sums), all arithmetic in int64 cents. Rank cuts come from the shared
+    ``_exact_rank_cut`` machinery (ranks n div 10 and n − n div 10 —
+    distinct for every n ≥ 1, since 2·(n div 10) < n, so the rank→side
+    mapping below is unambiguous). See the oracle comment for the
     rank-cut identity and the scale/determinism argument."""
-    from pyspark.sql import Window
-
     li = table(spark, sf_dir, "lineitem")
     f = li.select(
         F.col("l_returnflag").alias("g"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("c"),
-    ).withColumn(
-        "b", F.floor(F.col("c") / F.lit(_TRIM_BUCKET_C)).cast("long")
-    )
-    h = f.groupBy("g", "b").agg(
-        F.count("*").alias("ns"), F.sum("c").alias("cs")
     )
     tl = (
-        h.groupBy("g")
-        .agg(F.sum("ns").alias("n"), F.sum("cs").alias("s"))
+        f.groupBy("g")
+        .agg(F.count("*").alias("n"))
         .withColumn("lo", F.expr("n div 10"))
     )
-    # per-group rank thresholds as ONE exploded 2-struct array (the
+    # per-group rank thresholds as ONE exploded array (the
     # union-replays-the-plan-twice trap)
     ranks = tl.select(
         "g",
         F.explode(
-            F.array(
-                F.struct(
-                    F.lit("lo").alias("side"), F.col("lo").alias("r")
-                ),
-                F.struct(
-                    F.lit("hi").alias("side"),
-                    (F.col("n") - F.col("lo")).alias("r"),
-                ),
-            )
-        ).alias("sr"),
-    ).select("g", F.col("sr.side").alias("side"), F.col("sr.r").alias("r"))
-    cum = h.withColumn(
-        "cn", F.sum("ns").over(Window.partitionBy("g").orderBy("b"))
+            F.array(F.col("lo"), F.col("n") - F.col("lo"))
+        ).alias("r"),
     )
-    pick = (
-        cum.join(F.broadcast(ranks), "g")
-        .filter(F.col("cn") >= F.col("r"))
-        .groupBy("g", "side", "r")
-        .agg(F.min("b").alias("bstar"))
-    )
-    pickfull = pick.join(
-        cum.select("g", F.col("b").alias("bstar"), "cn", "ns"),
-        ["g", "bstar"],
-    ).select(
-        "g", "side", "r", "bstar",
-        (F.col("cn") - F.col("ns")).alias("prev"),
-    )
-    # rename the broadcast pick side before joining back onto the fact
-    # projection it derives from (self-join ambiguity discipline)
-    picked = pickfull.select(
-        F.col("g").alias("pg"),
-        F.col("side").alias("pside"),
-        F.col("r").alias("pr"),
-        F.col("bstar").alias("pb"),
-        "prev",
-    )
-    vals = (
-        f.join(
-            F.broadcast(picked),
-            (F.col("g") == F.col("pg")) & (F.col("b") == F.col("pb")),
+    cuts = _exact_rank_cut(f, ranks)
+    # map ranks back to sides and carry n/lo so the final projection
+    # needs NO further join (the group sum rides the tails scan)
+    cutrow = (
+        F.broadcast(tl)
+        .join(cuts, "g")
+        .groupBy("g", "n", "lo")
+        .agg(
+            F.max(
+                F.when(F.col("r") == F.col("lo"), F.col("cut"))
+            ).alias("clo"),
+            F.max(
+                F.when(
+                    F.col("r") == F.col("n") - F.col("lo"), F.col("cut")
+                )
+            ).alias("chi"),
         )
-        .groupBy(
-            "g",
-            F.col("pside").alias("side"),
-            F.col("pr").alias("r"),
-            "prev",
-            "c",
-        )
-        .agg(F.count("*").alias("vc"))
     )
-    cum2 = vals.withColumn(
-        "cn2",
-        F.col("prev")
-        + F.sum("vc").over(Window.partitionBy("g", "side").orderBy("c")),
+    cut2 = cutrow.select(
+        F.col("g").alias("cg"), "n", "lo", "clo", "chi"
     )
-    cuts = (
-        cum2.filter(F.col("cn2") >= F.col("r"))
-        .groupBy("g", "side")
-        .agg(F.min("c").alias("cut"))
-    )
-    cutrow = cuts.groupBy("g").agg(
-        F.max(F.when(F.col("side") == "lo", F.col("cut"))).alias("clo"),
-        F.max(F.when(F.col("side") == "hi", F.col("cut"))).alias("chi"),
-    )
-    cut2 = cutrow.select(F.col("g").alias("cg"), "clo", "chi")
     tails = (
         f.join(F.broadcast(cut2), F.col("g") == F.col("cg"))
-        .groupBy("g")
+        .groupBy("g", "n", "lo", "clo", "chi")
         .agg(
+            F.sum("c").alias("s"),
             F.sum(
                 F.when(F.col("c") < F.col("clo"), F.col("c")).otherwise(0)
             ).alias("sb"),
@@ -2304,8 +2177,6 @@ def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("c") > F.col("chi"), 1).otherwise(0)
             ).alias("na"),
-            F.max("clo").alias("clo"),
-            F.max("chi").alias("chi"),
         )
     )
     trimmed_cents = (
@@ -2316,39 +2187,51 @@ def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("lo") - F.col("na")) * F.col("chi")
     )
     kept = F.col("n") - F.lit(2) * F.col("lo")
-    return (
-        tails.join(F.broadcast(tl), "g")
-        .select(
-            F.col("g").alias("l_returnflag"),
-            F.col("n").alias("n_lines"),
-            kept.alias("kept_lines"),
-            F.col("clo").alias("low_cut_cents"),
-            F.col("chi").alias("high_cut_cents"),
-            (
-                trimmed_cents.cast("double")
-                / F.lit(100).cast("double")
-                / kept
-            ).alias("trimmed_mean"),
-        )
+    return tails.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").alias("n_lines"),
+        kept.alias("kept_lines"),
+        F.col("clo").alias("low_cut_cents"),
+        F.col("chi").alias("high_cut_cents"),
+        (
+            trimmed_cents.cast("double")
+            / F.lit(100).cast("double")
+            / kept
+        ).alias("trimmed_mean"),
     )
 
 
 # -- exact MAD + robust z-score outlier count ----------------------------------
 
-def _exact_rank_cut(vals: DataFrame, ranks: DataFrame) -> DataFrame:
-    """Exact per-group order statistic via the bounded-histogram
-    two-phase: for each (g, r) in ``ranks`` (a broadcastable per-group
-    relation), the smallest ``c`` in ``vals(g, c)`` whose cumulative
-    count reaches r. Shared by the MAD query's two chained medians;
-    same machinery as the weighted-median / trimmed-mean family (one
-    hash-agg histogram, one bucket-pruned rescan, both windows
-    bounded)."""
+def _exact_rank_cut(
+    vals: DataFrame,
+    ranks: DataFrame,
+    w: str | None = None,
+    bucket: int = _TRIM_BUCKET_C,
+) -> DataFrame:
+    """Exact per-(group, rank) order statistic via the bounded-
+    histogram two-phase: for each (g, r) row in ``ranks`` (a
+    broadcastable relation — one or SEVERAL distinct ranks per group),
+    the smallest ``c`` in ``vals(g, c[, w])`` whose cumulative weight
+    reaches r; weight is the row count when ``w`` is None, else
+    ``sum(vals[w])``. Returns (g, r, cut); equal ranks dedup, so
+    callers join cuts back by (g, r). The ONE shared implementation of
+    the rank machinery behind the weighted median (r = ⌈W/2⌉), the
+    weighted quantiles (r = ⌈p·W/100⌉), the trimmed mean (r = n div
+    10 and n − n div 10) and MAD's two chained medians. Scale: one
+    fact hash-agg histogram, one bucket-pruned rescan; both windows
+    bounded (per-group buckets ≤ value-range/``bucket``; in-bucket
+    distinct values ≤ bucket width) and the cum2 stream is keyed per
+    (g, r) so several ranks never share a crossing."""
     from pyspark.sql import Window
 
+    def wagg():
+        return F.count("*") if w is None else F.sum(w)
+
     f = vals.withColumn(
-        "b", F.floor(F.col("c") / F.lit(_TRIM_BUCKET_C)).cast("long")
+        "b", F.floor(F.col("c") / F.lit(bucket)).cast("long")
     )
-    h = f.groupBy("g", "b").agg(F.count("*").alias("ns"))
+    h = f.groupBy("g", "b").agg(wagg().alias("ns"))
     cum = h.withColumn(
         "cn", F.sum("ns").over(Window.partitionBy("g").orderBy("b"))
     )
@@ -2364,6 +2247,8 @@ def _exact_rank_cut(vals: DataFrame, ranks: DataFrame) -> DataFrame:
     ).select(
         "g", "r", "bstar", (F.col("cn") - F.col("ns")).alias("prev")
     )
+    # rename the broadcast pick side before joining back onto the fact
+    # projection it derives from (self-join ambiguity discipline)
     picked = pickfull.select(
         F.col("g").alias("pg"),
         F.col("r").alias("pr"),
@@ -2376,16 +2261,16 @@ def _exact_rank_cut(vals: DataFrame, ranks: DataFrame) -> DataFrame:
             (F.col("g") == F.col("pg")) & (F.col("b") == F.col("pb")),
         )
         .groupBy("g", F.col("pr").alias("r"), "prev", "c")
-        .agg(F.count("*").alias("vc"))
+        .agg(wagg().alias("vc"))
     )
     cum2 = vcounts.withColumn(
         "cn2",
         F.col("prev")
-        + F.sum("vc").over(Window.partitionBy("g").orderBy("c")),
+        + F.sum("vc").over(Window.partitionBy("g", "r").orderBy("c")),
     )
     return (
         cum2.filter(F.col("cn2") >= F.col("r"))
-        .groupBy("g")
+        .groupBy("g", "r")
         .agg(F.min("c").alias("cut"))
     )
 

@@ -1206,10 +1206,12 @@ def ema_stream(
     latest at read and old ones are retention, not state.
 
     Run ownership: ``state_root`` belongs to exactly one streaming
-    query. Batch 0 of a query TAKES ownership — it removes any ``b>0``
-    snapshots left by a different (possibly longer) previous run and
-    records its checkpoint in ``_run.json`` — so :func:`ema_final` can
-    never return a stale higher-numbered snapshot from an earlier run;
+    query. Batch 0 of a query TAKES ownership — it removes EVERY
+    ``b=*`` snapshot left by a different (possibly longer) previous
+    run (including a foreign ``b=0``, which an empty new batch 0 would
+    otherwise leave in place for batch 1 to fold on) and records its
+    checkpoint in ``_run.json`` — so :func:`ema_final` can never
+    return or fold stale snapshots from an earlier run;
     batches > 0 verify the marker and fail loudly if the state_root
     was seeded by a different checkpoint (two live queries pointed at
     one state_root, or a restarted query aimed at foreign state)."""
@@ -1240,15 +1242,18 @@ def ema_stream(
     def _claim_or_verify_run(batch_id: int) -> None:
         marker = os.path.join(state_root, "_run.json")
         if batch_id == 0:
-            # a fresh checkpoint always starts at batch 0: any b>0
+            # a fresh checkpoint always starts at batch 0: EVERY b=*
             # snapshot under state_root is from a DIFFERENT run and
-            # would otherwise win max(b) at read time. Clearing them
-            # preserves crash-replay semantics (a replayed batch N
-            # recomputes b=N from b=N-1, so removed snapshots that
-            # belong to THIS feed are rebuilt byte-identical).
+            # would otherwise be folded on (b>0 wins max(b) at read
+            # time; a foreign b=0 would survive an EMPTY new batch 0
+            # and contaminate batch 1's seed). Clearing them all
+            # preserves crash-replay semantics (a replayed batch 0
+            # rebuilds b=0 from its own rows byte-identical; if the
+            # checkpoint committed batch 0, replay starts later and
+            # never re-enters this branch).
             os.makedirs(state_root, exist_ok=True)
             for d in os.listdir(state_root):
-                if d.startswith("b=") and int(d.split("=", 1)[1]) > 0:
+                if d.startswith("b="):
                     shutil.rmtree(os.path.join(state_root, d))
             with open(marker, "w") as fh:
                 _json.dump({"checkpoint": checkpoint_dir}, fh)

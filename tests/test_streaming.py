@@ -1079,3 +1079,72 @@ def test_ema_stream_rejects_out_of_order_batch(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="ema_stream: batch"):
         await_drained(q, 120)
+
+
+def test_ema_stream_empty_batch0_clears_foreign_b0_state(spark, tmp_path):
+    """Run-ownership hole regression: a NEW run whose batch 0 is EMPTY
+    must still clear a previous run's b=0 snapshot — otherwise its
+    batch 1 would silently fold onto the foreign run's per-key EMA
+    state. Run A folds two batches for user 7; run B (fresh checkpoint,
+    same state_root) streams an empty batch 0 then fresh user-9 rows —
+    its final state must contain ONLY run B's keys, seeded from
+    scratch."""
+    import datetime as dt
+    import os
+    import time
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        ema_final,
+        ema_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def ev(eid, minute, uid, val):
+        return (eid, dt.datetime(2024, 1, 1, 0, minute), uid, val)
+
+    def feed_dir(name, batches):
+        feed = tmp_path / name
+        feed.mkdir()
+        base = time.time()
+        for i, rows in enumerate(batches):
+            tmp = tmp_path / f"{name}_slice{i}"
+            spark.createDataFrame(rows, schema).coalesce(
+                1
+            ).write.parquet(str(tmp))
+            part = next(tmp.glob("part-*.parquet"))
+            dst = feed / f"batch-{i}.parquet"
+            part.rename(dst)
+            os.utime(dst, (base + i, base + i))
+        return feed
+
+    state = str(tmp_path / "state")
+    feed_a = feed_dir(
+        "feedA",
+        [[ev(1, 1, 7, 1.0), ev(2, 2, 7, 2.0)], [ev(3, 11, 7, 3.0)]],
+    )
+    qa = ema_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed_a)),
+        state,
+        str(tmp_path / "ckptA"),
+    )
+    await_drained(qa, 120)
+    assert os.path.isdir(f"{state}/b=0")  # run A's seed snapshot
+
+    # run B: EMPTY batch 0 (zero-row file), then user-9 rows
+    feed_b = feed_dir("feedB", [[], [ev(10, 21, 9, 5.0)]])
+    qb = ema_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed_b)),
+        state,
+        str(tmp_path / "ckptB"),
+    )
+    await_drained(qb, 120)
+    got = {r.k: r for r in ema_final(spark, state).collect()}
+    # ONLY run B's key, seeded fresh — run A's user 7 must be gone
+    assert set(got) == {9}
+    assert got[9].ema_half == 5.0 and got[9].n_events == 1
