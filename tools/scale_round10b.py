@@ -69,6 +69,8 @@ def run_scale(spark, rep: int, root: str) -> dict:
     for q in (
         "agg_mad_robust_z",
         "agg_trimmed_mean_exact",
+        "agg_weighted_quantiles",
+        "agg_weighted_median_twophase",
         "window_holt_linear",
         "text_ngram_novelty",
     ):
