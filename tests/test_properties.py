@@ -837,3 +837,47 @@ def test_trimmed_mean_any_multiset_matches_brute_force(spark, vals):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(_TM_VALS),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mad_robust_z_any_multiset_matches_brute_force(spark, vals):
+    """agg_mad_robust_z vs the definitional brute force (lower median,
+    lower median of absolute deviations, exact 10000·d > 44478·mad
+    threshold) on ANY value multiset — random tie patterns around both
+    chained medians, constant groups (MAD = 0), single rows."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    d = tempfile.mkdtemp(prefix="mad_prop_")
+    try:
+        rows = [(i, "A", v, 1.0) for i, v in enumerate(vals)]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_returnflag string,"
+            " l_extendedprice double, l_quantity double",
+        ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        r = QUERIES["agg_mad_robust_z"](spark, d).collect()
+        assert len(r) == 1
+        r = r[0]
+        cents = sorted(int(v * 100 + 0.5) for v in vals)
+        med = statistics.median_low(cents)
+        mad = statistics.median_low(sorted(abs(c - med) for c in cents))
+        outl = sum(
+            1 for c in cents if 10000 * abs(c - med) > 44478 * mad
+        )
+        assert (r.median_cents, r.mad_cents, r.n_outliers) == (
+            med, mad, outl,
+        ), vals
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
