@@ -46,18 +46,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-10 rotation, the r9 verdict's prescription with one
-    # documented swap: this round's SEVEN new queries take cap slots —
+    # documented swap: this round's EIGHT new queries take cap slots —
     # the verdict's binding done-criterion is "zero oracle-backed
     # queries with no driver row ever", which new queries outside the
-    # cap would violate. That leaves 40 slots for the 45 r5-latest
-    # rows; the five displaced to the overflow head are the five most
-    # TRIVIAL shapes (inner/left-outer/full-outer/semi joins + the
-    # ungrouped global aggregate — each pinned by pytest and contained
-    # in every multi-join / multi-agg oracle), r5-green and re-verified
+    # cap would violate. That leaves 39 slots for the 45 r5-latest
+    # rows; the six displaced to the overflow head are the six most
+    # TRIVIAL shapes (inner/left-outer/full-outer/semi joins, the
+    # ungrouped global aggregate and the collect_set shape — each
+    # pinned by pytest and contained in richer oracles), r5-green and re-verified
     # in this round's full-registry sweeps at both scales; they lead
-    # the r11 cap. Cap-50 = 7 r10-new + the 3 never-driver-tested r9
-    # queries + 40 of the 45 r5-latest rows.
+    # the r11 cap. Cap-50 = 8 r10-new + the 3 never-driver-tested r9
+    # queries + 39 of the 45 r5-latest rows.
     # (a) round-10 NEW queries, newest-risk first
+    "diag_bootstrap_ci",
     "agg_mad_robust_z",
     "window_holt_linear",
     "agg_trimmed_mean_exact",
@@ -71,7 +72,6 @@ PRIORITY: list[str] = [
     "streaming_ema_incremental",
     "agg_weighted_median_twophase",
     # (c) the 45 r5-latest rows
-    "agg_collect_set",
     "agg_cube",
     "agg_dq_summary",
     "agg_entity_features",
@@ -112,7 +112,7 @@ PRIORITY: list[str] = [
     "streaming_foreachbatch_merge",
     "streaming_scd2_dimension",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the five trivial r5 rows displaced by this round's new
+    # overflow: the six trivial r5 rows displaced by this round's new
     # queries lead (stalest after this rotation — they fill the cap in
     # r11 together with the r6-latest rows), then r7-fresh sentinels
     # and the rows-only set (weaker rows by design — each has an
@@ -122,6 +122,7 @@ PRIORITY: list[str] = [
     "join_full_outer",
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
+    "agg_collect_set",
     "agg_approx_count_distinct",
     "agg_approx_percentile_bounds",
     "agg_kmv_distinct",

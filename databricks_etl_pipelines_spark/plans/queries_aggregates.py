@@ -2447,3 +2447,196 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- Poisson-bootstrap confidence intervals (one-pass resampling) --------------
+
+# THE distributed bootstrap: per (row, replicate) Poisson(1) weights
+# approximate with-replacement resampling without materializing B
+# copies of the data in any shuffle — the ONE exploded hash-agg
+# combines map-side, so only |groups|·B partial rows ever move. Each
+# weight is deterministic: a pure-int64 mix of (row key, replicate,
+# seed) — the affine key mix is XORed with rep·2654435761 (the XOR is
+# the essential NONLINEARITY: a purely affine chain leaves each key's
+# replicate buckets an arithmetic progression mod 1e6 — stride 93 in
+# the first cut — which correlates weights across replicates and
+# biased a planted CI clean off its mean; Knuth's 2654435761 spreads
+# the rep axis, two ·1000003 mod 2^31−1 rounds then mix bits; every
+# intermediate < 2.2e15, far inside int64; orderkey reduced mod
+# 2^31−1 first so the mix is well-defined at any scale), then
+# mod 1e6 through the INTEGER inverse-CDF ladder
+# 367879/735758/919698/981011/996340/999405/999916 = the cumulative
+# Poisson(1) probabilities ×1e6, tail folded into k=7. Pure integer
+# arithmetic keeps the 24M-row (sf0.1·B) weight derivation inside
+# whole-stage codegen on the Spark side and vectorized in DuckDB —
+# the md5-per-row alternative costs ~100× here — and empirically the
+# mix hits the Poisson marginals (p0 .3684 vs e⁻¹ .3679, per-replicate
+# mean weights 0.982-1.009 at sf0.01·B = 2.4M draws; a diagnostic op
+# needs fair resamples, not cryptographic hashing). Both engines draw
+# bit-identical resamples and the oracle replays the ENTIRE
+# resampling: explode → mix → weight → replicate means →
+# rank-crossing CI. Replicate means are one division of exact int64
+# sums; the 90% CI picks the means at ranks ⌈0.05·B'⌉ / ⌈0.95·B'⌉ via
+# the tie-safe RANGE-frame cumulative count (B' = replicates with
+# positive total weight — a replicate can zero out only on tiny
+# groups; groups whose every replicate zeroes out drop identically on
+# both engines). The means window is over ≤ B = 40 rows per group
+# (bounded, cited). Integer headroom: w ≤ 7, so Σ w·c ≤ 7·(cents sum)
+# ≈ 4.6e17 < 2^63 at 100 TB.
+_BOOT_B = 40
+_BOOT_SEED = 7
+_POIS_T = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+
+_BOOT_CASE = " ".join(
+    f"WHEN bkt < {t} THEN {i}" for i, t in enumerate(_POIS_T)
+)
+
+_BOOT_ORACLE = f"""
+WITH f AS (
+  SELECT l_returnflag AS g, l_orderkey AS ok, l_linenumber AS ln,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+e AS (
+  SELECT g, c, ok, ln, u.rep
+  FROM f, unnest(generate_series(1, {_BOOT_B})) AS u(rep)
+),
+wts AS (
+  SELECT g, c, rep,
+    CASE {_BOOT_CASE} ELSE 7 END AS w
+  FROM (
+    SELECT g, c, rep,
+      (xor(((ok % 2147483647) * 1000003 + ln) % 2147483647,
+           rep * 2654435761 + {_BOOT_SEED}) % 2147483647
+       * 1000003 % 2147483647 * 1000003) % 2147483647 % 1000000 AS bkt
+    FROM e
+  )
+),
+reps AS (
+  SELECT g, rep, CAST(sum(w) AS BIGINT) AS nw,
+    CAST(sum(w * c) AS BIGINT) AS sw
+  FROM wts GROUP BY g, rep
+),
+means AS (
+  SELECT g, rep, CAST(sw AS DOUBLE) / nw / CAST(100 AS DOUBLE) AS m
+  FROM reps WHERE nw > 0
+),
+bp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS bprime FROM means GROUP BY g
+),
+cums AS (
+  SELECT g, m, count(*) OVER (PARTITION BY g ORDER BY m) AS cum
+  FROM means
+),
+ci AS (
+  SELECT c.g,
+    max(b.bprime) AS ci_replicates,
+    min(CASE WHEN c.cum >= (5 * b.bprime + 99) // 100 THEN c.m END)
+      AS ci_lo,
+    min(CASE WHEN c.cum >= (95 * b.bprime + 99) // 100 THEN c.m END)
+      AS ci_hi
+  FROM cums c JOIN bp b ON c.g = b.g
+  GROUP BY c.g
+),
+tot AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+  FROM f GROUP BY g
+)
+SELECT t.g AS l_returnflag, t.n AS n_lines,
+  CAST(t.s AS DOUBLE) / t.n / CAST(100 AS DOUBLE) AS mean_price,
+  ci.ci_replicates, ci.ci_lo, ci.ci_hi
+FROM tot t JOIN ci ON t.g = ci.g
+"""
+
+
+@query("diag_bootstrap_ci", _BOOT_ORACLE)
+def diag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% Poisson-bootstrap confidence interval for the mean price per
+    return flag — one-pass distributed resampling (B = 40 deterministic
+    hash-seeded Poisson(1) replicates, exact integer weights and sums;
+    see the oracle comment). The uncertainty-quantification primitive a
+    pipeline needs before acting on a metric shift: a drifted mean
+    whose CI still overlaps baseline is noise, not signal."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    e = f.select(
+        "g", "c", "ok", "ln",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_BOOT_B))
+        ).alias("rep"),
+    )
+    bkt = F.expr(
+        "((((ok % 2147483647) * 1000003 + ln) % 2147483647)"
+        f" ^ (rep * 2654435761 + {_BOOT_SEED})) % 2147483647"
+        " * 1000003 % 2147483647 * 1000003 % 2147483647 % 1000000"
+    )
+    w = F.lit(7)
+    for i, t in reversed(list(enumerate(_POIS_T))):
+        w = F.when(F.col("bkt") < t, i).otherwise(w)
+    wts = e.withColumn("bkt", bkt).withColumn("w", w)
+    reps = wts.groupBy("g", "rep").agg(
+        F.sum("w").alias("nw"),
+        F.sum(F.col("w") * F.col("c")).alias("sw"),
+    )
+    means = reps.filter(F.col("nw") > 0).select(
+        "g",
+        (
+            F.col("sw").cast("double")
+            / F.col("nw")
+            / F.lit(100).cast("double")
+        ).alias("m"),
+    )
+    bp = means.groupBy("g").agg(F.count("*").alias("bprime"))
+    # RANGE-frame cumulative count: ties share cum = #(means <= m);
+    # window is over <= B = 40 replicate means per group (bounded)
+    cums = means.withColumn(
+        "cum", F.count("*").over(Window.partitionBy("g").orderBy("m"))
+    )
+    ci = (
+        cums.join(F.broadcast(bp), "g")
+        .groupBy("g")
+        .agg(
+            F.max("bprime").alias("ci_replicates"),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr("(5 * bprime + 99) div 100"),
+                    F.col("m"),
+                )
+            ).alias("ci_lo"),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr("(95 * bprime + 99) div 100"),
+                    F.col("m"),
+                )
+            ).alias("ci_hi"),
+        )
+    )
+    tot = f.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("c").alias("s")
+    )
+    return (
+        tot.join(F.broadcast(ci), "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").alias("n_lines"),
+            (
+                F.col("s").cast("double")
+                / F.col("n")
+                / F.lit(100).cast("double")
+            ).alias("mean_price"),
+            "ci_replicates",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -2675,3 +2675,67 @@ def test_mad_robust_z_matches_brute_force(spark, tmp_path):
     # the designed semantics: A's 1000.0 is the one outlier
     assert got["A"].n_outliers == 1
     assert got["C"].mad_cents == 0 and got["C"].n_outliers == 0
+
+
+def test_bootstrap_ci_exact_python_replay(spark, tmp_path):
+    """diag_bootstrap_ci vs a full Python replay of the deterministic
+    resampling (int64 multiplicative mix → Poisson inverse-CDF ladder →
+    replicate means → rank-crossing CI) on a planted table — every
+    weight, every replicate mean and both CI endpoints must match
+    bit-for-bit — plus the structural invariants ci_lo <= mean <= ci_hi
+    (a symmetric planted sample) and ci_lo <= ci_hi."""
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_aggregates import (
+        _BOOT_B,
+        _BOOT_SEED,
+        _POIS_T,
+    )
+
+    load_all()
+    rows = [
+        (k, 1 + (k % 3), "A", float(100 + 10 * (k % 7)))
+        for k in range(25)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = QUERIES["diag_bootstrap_ci"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    def mix(ok, ln, rep):
+        h = ((ok % 2147483647) * 1000003 + ln) % 2147483647
+        h = (h ^ (rep * 2654435761 + _BOOT_SEED)) % 2147483647
+        return h * 1000003 % 2147483647 * 1000003 % 2147483647 % 1000000
+
+    def pois(bkt):
+        for i, t in enumerate(_POIS_T):
+            if bkt < t:
+                return i
+        return 7
+
+    cents = {
+        (ok, ln): int(v * 100 + 0.5) for ok, ln, _, v in rows
+    }
+    means = []
+    for rep in range(1, _BOOT_B + 1):
+        nw = sw = 0
+        for (ok, ln), c in cents.items():
+            w = pois(mix(ok, ln, rep))
+            nw += w
+            sw += w * c
+        if nw > 0:
+            means.append(float(sw) / nw / 100.0)
+    means.sort()
+    bp = len(means)
+    lo = means[math.ceil(5 * bp / 100) - 1]
+    hi = means[math.ceil(95 * bp / 100) - 1]
+    assert r.ci_replicates == bp
+    assert (r.ci_lo, r.ci_hi) == (lo, hi)
+    assert r.n_lines == 25
+    assert r.mean_price == float(sum(cents.values())) / 25 / 100.0
+    assert r.ci_lo <= r.mean_price <= r.ci_hi
