@@ -73,6 +73,7 @@ def run_scale(spark, rep: int, root: str) -> dict:
         "agg_weighted_median_twophase",
         "window_holt_linear",
         "text_ngram_novelty",
+        "diag_bootstrap_ci",
     ):
         r[f"{q}_s"], r[f"{q}_rows"] = timed(
             lambda q=q: QUERIES[q](spark, sf).count()
