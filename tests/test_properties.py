@@ -881,3 +881,111 @@ def test_mad_robust_z_any_multiset_matches_brute_force(spark, vals):
         ), vals
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_NOV_WORDS = ("a", "b", "c", "dd", "ee")
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_NOV_WORDS), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_ngram_novelty_any_corpus_matches_brute_force(spark, docs):
+    """text_ngram_novelty vs a Python replay of the exact shingle
+    semantics (whitespace tokens, 3-gram space-joined shingles with the
+    whole-text fallback under 3 tokens, per-doc DISTINCT, first-seen =
+    min doc_id) on ANY tiny corpus — random overlap patterns, repeated
+    docs, sub-k docs."""
+    import shutil
+    import tempfile
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    texts = [" ".join(ws) for ws in docs]
+    d = tempfile.mkdtemp(prefix="nov_prop_")
+    try:
+        spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_shingles, r.novel_shingles, r.novelty_ratio)
+            for r in QUERIES["text_ngram_novelty"](spark, d).collect()
+        }
+
+        def shingles(ws):
+            if len(ws) >= 3:
+                return {
+                    " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+                }
+            return {" ".join(ws)}
+
+        first = {}
+        for i, ws in enumerate(docs):
+            for sh in shingles(ws):
+                first.setdefault(sh, i)
+        for i, ws in enumerate(docs):
+            ss = shingles(ws)
+            novel = sum(1 for sh in ss if first[sh] == i)
+            assert got[i] == (
+                len(ss), novel, float(novel) / len(ss),
+            ), (i, texts)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from((0.0, 1.0, 2.5, 10.0, -3.0, 100.0)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_holt_linear_any_series_matches_fold(spark, xs):
+    """window_holt_linear vs the raw Python fold on ANY series —
+    identical float op order (two-point init, the duplicated l' 
+    subexpression inside the trend step), so equality is exact."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    d = tempfile.mkdtemp(prefix="holt_prop_")
+    try:
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "e", v, "{}")
+            for i, v in enumerate(xs)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{d}/events.parquet")
+        r = QUERIES["window_holt_linear"](spark, d).collect()
+        assert len(r) == 1
+        r = r[0]
+        if len(xs) == 1:
+            lvl, tr = xs[0], 0.0
+        else:
+            lvl, tr = xs[1], xs[1] - xs[0]
+            for x in xs[2:]:
+                lnew = (x + lvl + tr) / 2.0
+                tr = ((x + lvl + tr) / 2.0 - lvl + 3.0 * tr) / 4.0
+                lvl = lnew
+        def sr(x):  # stable_round: floor-half-up at 1e-6, both engines
+            import math
+
+            return math.floor(x * 1000000 + 0.5) / 1000000
+
+        assert (r.level, r.trend, r.forecast_1) == (
+            sr(lvl), sr(tr), sr(lvl + tr),
+        ), xs
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
