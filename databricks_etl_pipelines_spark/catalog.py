@@ -45,84 +45,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-10 rotation, the r9 verdict's prescription with one
-    # documented swap: this round's EIGHT new queries take cap slots —
-    # the verdict's binding done-criterion is "zero oracle-backed
-    # queries with no driver row ever", which new queries outside the
-    # cap would violate. That leaves 39 slots for the 45 r5-latest
-    # rows; the six displaced to the overflow head are the six most
-    # TRIVIAL shapes (inner/left-outer/full-outer/semi joins, the
-    # ungrouped global aggregate and the collect_set shape — each
-    # pinned by pytest and contained in richer oracles), r5-green and re-verified
-    # in this round's full-registry sweeps at both scales; they lead
-    # the r11 cap. Cap-50 = 8 r10-new + the 3 never-driver-tested r9
-    # queries + 39 of the 45 r5-latest rows.
-    # (a) round-10 NEW queries, newest-risk first
-    "diag_bootstrap_ci",
-    "agg_mad_robust_z",
-    "window_holt_linear",
-    "agg_trimmed_mean_exact",
-    "text_ngram_novelty",
-    "sql_min_cost_supplier",
-    "agg_weighted_quantiles",
-    "sql_product_type_profit",
-    # (b) the 3 r9 queries added after the r9 cap rotation (judge-green
-    # at sf0.01+sf0.1 but zero driver evidence — r9 verdict item 1)
-    "ml_feature_woe_iv",
-    "streaming_ema_incremental",
-    "agg_weighted_median_twophase",
-    # (c) the 45 r5-latest rows
-    "agg_cube",
-    "agg_dq_summary",
-    "agg_entity_features",
-    "agg_grouping_sets",
-    "agg_hourly_volume_stats",
-    "agg_null_handling",
-    "agg_percentiles",
-    "agg_pivot_status_counts",
-    "agg_rollup",
-    "agg_winsorize_zscore_onescan",
-    "cdc_apply_orders",
-    "change_feed_orders",
-    "curation_pack_sequences",
-    "curation_pack_split_oversized",
-    "curation_weighted_sample",
-    "dim_scd2_point_in_time",
-    "dim_scd2_with_deletes",
-    "flagship_pricing_risk_summary",
-    "join_asof_last_click",
-    "join_broadcast_dims",
-    "join_range_clicks_before_error",
-    "join_three_way_topk_revenue",
-    "merge_upsert_orders",
-    "multimodal_chunk_energy",
-    "pipeline_quarantine_summary",
-    "pipeline_silver_enrichment",
-    "scd2_incremental_orders",
-    "similarity_incremental_ivf",
-    "similarity_lsh_ann_topk",
-    "similarity_pandas_udf_topk",
-    "sql_exists_late_orders",
-    "sql_in_having_big_orders",
-    "sql_market_share",
-    "sql_scalar_anti_customers",
-    "sql_volume_shipping",
-    "streaming_cdc_dimension",
-    "streaming_curation_ingest",
-    "streaming_foreachbatch_merge",
-    "streaming_scd2_dimension",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the six trivial r5 rows displaced by this round's new
-    # queries lead (stalest after this rotation — they fill the cap in
-    # r11 together with the r6-latest rows), then r7-fresh sentinels
-    # and the rows-only set (weaker rows by design — each has an
-    # oracle-backed sibling; see COVERAGE.md rows-only map).
+    # --- round-11 rotation, the r10 verdict's prescription with the
+    # same documented arithmetic as r10: this round's THREE new queries
+    # take cap slots (the binding done-criterion is "zero oracle-backed
+    # queries with no driver row ever"), then the six trivial r5 rows
+    # displaced in r10 lead as prescribed, then the r6-stalest set —
+    # 3 + 6 + 41 of the 45 r6 rows = 50. The four r6 rows displaced to
+    # the overflow head are the most TRIVIAL shapes (the three scalar
+    # function batteries and the lag/lead window — each pinned by
+    # pytest and contained in richer oracles), re-verified in this
+    # round's full-registry sweeps; they lead the r12 cap.
+    # (a) round-11 NEW queries, newest-risk first
+    "diag_bootstrap_ci_ratio",
+    "window_holt_winters",
+    "agg_weighted_trimmed_mean",
+    # (b) the six trivial r5 rows displaced from the r10 cap
     "join_inner_customer_orders",
     "join_left_outer",
     "join_full_outer",
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
     "agg_collect_set",
+    # (c) 41 of the 45 r6-latest rows (stalest driver evidence)
     "agg_approx_count_distinct",
     "agg_approx_percentile_bounds",
     "agg_kmv_distinct",
@@ -141,9 +85,6 @@ PRIORITY: list[str] = [
     "multimodal_byte_histogram",
     "multimodal_patch_retrieval",
     "pii_mask_and_tokenize",
-    "scalar_datetime_functions",
-    "scalar_math_functions",
-    "scalar_string_functions",
     "sft_dpo_pairs",
     "sft_rendered_conversations",
     "similarity_ann_recall",
@@ -163,11 +104,64 @@ PRIORITY: list[str] = [
     "window_anomaly_zscore",
     "window_cumulative_sum",
     "window_first_last",
-    "window_lag_lead",
     "window_ntile_percent_rank",
     "window_rank_dense_rank",
     "window_rolling_avg",
-    "window_topn_per_user",]
+    "window_topn_per_user",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the four trivial r6 rows displaced by this round's new
+    # queries lead (stalest after this rotation — they head the r12
+    # cap), then the r7-vintage rows (next stalest), then everything
+    # fresher in registration order; the rows-only set stays at the
+    # end (weaker rows by design — each has an oracle-backed sibling;
+    # see COVERAGE.md rows-only map).
+    "scalar_datetime_functions",
+    "scalar_math_functions",
+    "scalar_string_functions",
+    "window_lag_lead",
+    # r7-vintage
+    "curation_bigram_buckets",
+    "curation_decontaminate_benchmark",
+    "curation_funnel_crossengine",
+    "curation_leakage_split_minhash",
+    "curation_perplexity_buckets",
+    "curation_remove_boilerplate",
+    "curation_temperature_epochs",
+    "dedup_exact_documents",
+    "dedup_incremental_crossengine",
+    "dedup_minhash_crossengine",
+    "distinct_projection",
+    "filter_predicates",
+    "join_blame_late_supplier",
+    "join_idle_rich_customers",
+    "join_min_cost_supplier",
+    "json_extract_events",
+    "scalar_array_element_at",
+    "scalar_boolean_or_labeling",
+    "scalar_collection_functions",
+    "scalar_conditional_bucketing",
+    "scalar_conditional_risk_score",
+    "scalar_explode_word_counts",
+    "scalar_from_json_struct",
+    "scalar_map_literal_lookup",
+    "scalar_regexp_functions",
+    "scalar_unpivot_stack",
+    "setop_except_all",
+    "setop_except_subtract",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sft_contrastive_triplets",
+    "sort_multikey",
+    "streaming_curation_neardup_crossengine",
+    "streaming_decontaminate",
+    "streaming_kmv_distinct",
+    "streaming_perplexity_gate",
+    "streaming_reservoir_sample",
+    "text_bigram_surprisal",
+    "text_tfidf_top_terms",
+    "topk_orders_by_price",]
 
 
 def load_all() -> None:

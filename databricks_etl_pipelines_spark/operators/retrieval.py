@@ -248,7 +248,17 @@ class InvertedTextIndex:
         otherwise, directing the caller to the full-scan query or to a
         zero-score tail union. ``strict=False`` skips the check for
         callers that accept < k rows (and know they lose full-scan
-        parity there)."""
+        parity there).
+
+        Return contract: with ``strict=True`` the result is an EAGERLY
+        materialized ≤ k-row local relation — values are frozen at call
+        time (the posting cache is released after the top-k collect),
+        the pruning plan is no longer inspectable on the returned
+        DataFrame (inspect with ``strict=False``), and row order is
+        positional only — re-sort by (score_bm25 DESC, doc_id)
+        downstream if ordering matters after any shuffle. With
+        ``strict=False`` the result stays lazy with the pruned-scan
+        plan attached."""
         from databricks_etl_pipelines_spark.functions.numeric import (
             stable_round,
         )

@@ -2549,59 +2549,42 @@ FROM tot t JOIN ci ON t.g = ci.g
 """
 
 
-@query("diag_bootstrap_ci", _BOOT_ORACLE)
-def diag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """90% Poisson-bootstrap confidence interval for the mean price per
-    return flag — one-pass distributed resampling (B = 40 deterministic
-    hash-seeded Poisson(1) replicates, exact integer weights and sums;
-    see the oracle comment). The uncertainty-quantification primitive a
-    pipeline needs before acting on a metric shift: a drifted mean
-    whose CI still overlaps baseline is noise, not signal."""
-    from pyspark.sql import Window
-
-    li = table(spark, sf_dir, "lineitem")
-    f = li.select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_orderkey").alias("ok"),
-        F.col("l_linenumber").cast("long").alias("ln"),
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("c"),
-    )
+def _boot_weights(f: DataFrame, seed: int) -> DataFrame:
+    """Shared resampling core of the diag_bootstrap_* family: explode
+    ``f`` (columns g, ok, ln + payload) × B replicates and attach the
+    deterministic Poisson(1) weight ``w`` from the pure-int64
+    XOR-multiplicative mix (see the diag_bootstrap_ci oracle comment
+    for the nonlinearity/headroom arguments). All codegen-friendly
+    integer ops — the exploded relation never shuffles; the caller's
+    hash-agg combines it map-side."""
     e = f.select(
-        "g", "c", "ok", "ln",
-        F.explode(
-            F.sequence(F.lit(1), F.lit(_BOOT_B))
-        ).alias("rep"),
+        "*",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("rep"),
     )
     bkt = F.expr(
         "((((ok % 2147483647) * 1000003 + ln) % 2147483647)"
-        f" ^ (rep * 2654435761 + {_BOOT_SEED})) % 2147483647"
+        f" ^ (rep * 2654435761 + {seed})) % 2147483647"
         " * 1000003 % 2147483647 * 1000003 % 2147483647 % 1000000"
     )
     w = F.lit(7)
     for i, t in reversed(list(enumerate(_POIS_T))):
         w = F.when(F.col("bkt") < t, i).otherwise(w)
-    wts = e.withColumn("bkt", bkt).withColumn("w", w)
-    reps = wts.groupBy("g", "rep").agg(
-        F.sum("w").alias("nw"),
-        F.sum(F.col("w") * F.col("c")).alias("sw"),
-    )
-    means = reps.filter(F.col("nw") > 0).select(
-        "g",
-        (
-            F.col("sw").cast("double")
-            / F.col("nw")
-            / F.lit(100).cast("double")
-        ).alias("m"),
-    )
+    return e.withColumn("bkt", bkt).withColumn("w", w)
+
+
+def _boot_rank_ci(means: DataFrame) -> DataFrame:
+    """Shared 90% rank-crossing CI over per-(g, replicate) statistics
+    ``means(g, m)``: tie-safe RANGE-frame cumulative count, endpoints
+    at ranks ⌈0.05·B'⌉ / ⌈0.95·B'⌉. The window is over ≤ B = 40
+    replicate statistics per group (bounded, cited)."""
+    from pyspark.sql import Window
+
     bp = means.groupBy("g").agg(F.count("*").alias("bprime"))
-    # RANGE-frame cumulative count: ties share cum = #(means <= m);
-    # window is over <= B = 40 replicate means per group (bounded)
+    # RANGE-frame cumulative count: ties share cum = #(means <= m)
     cums = means.withColumn(
         "cum", F.count("*").over(Window.partitionBy("g").orderBy("m"))
     )
-    ci = (
+    return (
         cums.join(F.broadcast(bp), "g")
         .groupBy("g")
         .agg(
@@ -2622,6 +2605,39 @@ def diag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi"),
         )
     )
+
+
+@query("diag_bootstrap_ci", _BOOT_ORACLE)
+def diag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% Poisson-bootstrap confidence interval for the mean price per
+    return flag — one-pass distributed resampling (B = 40 deterministic
+    hash-seeded Poisson(1) replicates, exact integer weights and sums;
+    see the oracle comment). The uncertainty-quantification primitive a
+    pipeline needs before acting on a metric shift: a drifted mean
+    whose CI still overlaps baseline is noise, not signal."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    wts = _boot_weights(f, _BOOT_SEED)
+    reps = wts.groupBy("g", "rep").agg(
+        F.sum("w").alias("nw"),
+        F.sum(F.col("w") * F.col("c")).alias("sw"),
+    )
+    means = reps.filter(F.col("nw") > 0).select(
+        "g",
+        (
+            F.col("sw").cast("double")
+            / F.col("nw")
+            / F.lit(100).cast("double")
+        ).alias("m"),
+    )
+    ci = _boot_rank_ci(means)
     tot = f.groupBy("g").agg(
         F.count("*").alias("n"), F.sum("c").alias("s")
     )
@@ -2635,6 +2651,355 @@ def diag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n")
                 / F.lit(100).cast("double")
             ).alias("mean_price"),
+            "ci_replicates",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# -- exact WEIGHTED 10-90 trimmed mean (weights × rank machinery) --------------
+
+# Composition of the two r10 threads: agg_trimmed_mean_exact's tie-aware
+# trim identity with agg_weighted_quantiles' weighted rank cuts, closing
+# the robust-location family (median → trimmed mean → mean, each in
+# unit- and weighted form). Each row counts by its l_quantity — "trim
+# the cheapest/priciest 10% of UNITS sold, average the rest" — so the
+# estimate is robust to a few extreme-priced lines however many rows
+# they span. Definitions (per group, W = Σw, lo = W div 10):
+# drop the bottom lo and top lo weight-units of the value-ordered
+# multiset, average the remaining W − 2·lo units. The weighted rank
+# cuts come from the SAME _exact_rank_cut machinery (w column, absolute
+# ranks lo and W − lo broadcast as an exploded 2-struct relation — lo
+# never equals W − lo since 2·(W div 10) < W for W ≥ 1), and the
+# tie-aware identity charges partial weight at the cut values exactly:
+#
+#   trimmed_wsum = S − [Sb + (lo − Wb)·clo] − [Sa + (lo − Wa)·chi]
+#
+# with S = Σ w·c, (Sb, Wb) = weighted sum/weight strictly below clo,
+# (Sa, Wa) strictly above chi. Bottom: cw(pred(clo)) = Wb < lo ≤
+# cw(clo), so exactly lo − Wb ∈ [0, weight at clo] units of clo are
+# trimmed (lo = 0 degrades: clo = min value, Wb = Sb = 0, zero charge —
+# the plain weighted mean). Top: chi is the value at weighted rank
+# W − lo (largest KEPT value), Wa = W − cw(chi) ≤ lo, so lo − Wa units
+# of chi go; when clo = chi (one distinct kept value c*) the two
+# charges still total exactly W − 2·lo units of c* (the identity is
+# additive, never double-counts). kept = W − 2·(W div 10) ≥ ⌈0.8·W⌉ ≥ 1
+# for W ≥ 1, so the final division needs no NULLIF.
+#
+# Determinism: all-int64 — cents lattice floor(x·100 + 0.5), integer
+# weights, exact integer sums/thresholds; the ONLY float op is the
+# final division chain (identical shape both engines). Integer
+# headroom at 100 TB: w ≤ 50, c ≤ 1.1e7 cents → Σ w·c ≤ 6e9 rows ×
+# 5.5e8 ≈ 3.3e18 < 2^63 (2.8× headroom; the unit version's 6.6e16 ×
+# the 50-unit max quantity). Scale: three fact scans (totals histogram
+# via the shared machinery + bucket rescan + tails), all partial+final
+# hash-aggs; every join-back side broadcast; both windows bounded
+# (per-group buckets ≤ value-range/_TRIM_BUCKET_C, in-bucket distinct
+# cents ≤ bucket width) — the agg_trimmed_mean_exact shape with w
+# riding every aggregate.
+_WTRIM_ORACLE = f"""
+WITH f AS (
+  SELECT l_returnflag AS g,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+fb AS (
+  SELECT g, c, w, CAST(floor(c / {_TRIM_BUCKET_C}) AS BIGINT) AS b
+  FROM f
+),
+h AS (
+  SELECT g, b, CAST(sum(w) AS BIGINT) AS ns FROM fb GROUP BY g, b
+),
+tl AS (
+  SELECT g, CAST(sum(ns) AS BIGINT) AS tw,
+    CAST(sum(ns) // 10 AS BIGINT) AS lo
+  FROM h GROUP BY g
+),
+ranks AS (
+  SELECT g, 'lo' AS side, lo AS r FROM tl
+  UNION ALL
+  SELECT g, 'hi' AS side, tw - lo AS r FROM tl
+),
+cum AS (
+  SELECT g, b, ns,
+    CAST(sum(ns) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cn
+  FROM h
+),
+pick AS (
+  SELECT c.g, rk.side, rk.r, min(c.b) AS bstar
+  FROM cum c JOIN ranks rk ON c.g = rk.g
+  WHERE c.cn >= rk.r
+  GROUP BY c.g, rk.side, rk.r
+),
+pickfull AS (
+  SELECT p.g, p.side, p.r, p.bstar,
+    CAST(c.cn - c.ns AS BIGINT) AS prev
+  FROM pick p JOIN cum c ON c.g = p.g AND c.b = p.bstar
+),
+vals AS (
+  SELECT fb.g, pk.side, pk.r, pk.prev, fb.c,
+    CAST(sum(fb.w) AS BIGINT) AS vc
+  FROM fb JOIN pickfull pk ON fb.g = pk.g AND fb.b = pk.bstar
+  GROUP BY fb.g, pk.side, pk.r, pk.prev, fb.c
+),
+cum2 AS (
+  SELECT g, side, r, c,
+    prev + CAST(sum(vc) OVER (PARTITION BY g, side ORDER BY c)
+      AS BIGINT) AS cn2
+  FROM vals
+),
+cuts AS (
+  SELECT g, side, min(c) AS cut FROM cum2 WHERE cn2 >= r
+  GROUP BY g, side
+),
+cutrow AS (
+  SELECT g,
+    max(CASE WHEN side = 'lo' THEN cut END) AS clo,
+    max(CASE WHEN side = 'hi' THEN cut END) AS chi
+  FROM cuts GROUP BY g
+),
+tails AS (
+  SELECT fb.g,
+    CAST(sum(fb.w * fb.c) AS BIGINT) AS s,
+    CAST(sum(CASE WHEN fb.c < cr.clo THEN fb.w * fb.c ELSE 0 END)
+      AS BIGINT) AS sb,
+    CAST(sum(CASE WHEN fb.c < cr.clo THEN fb.w ELSE 0 END)
+      AS BIGINT) AS wb,
+    CAST(sum(CASE WHEN fb.c > cr.chi THEN fb.w * fb.c ELSE 0 END)
+      AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN fb.c > cr.chi THEN fb.w ELSE 0 END)
+      AS BIGINT) AS wa,
+    max(cr.clo) AS clo, max(cr.chi) AS chi
+  FROM fb JOIN cutrow cr ON fb.g = cr.g
+  GROUP BY fb.g
+)
+SELECT t.g AS l_returnflag,
+  tl.tw AS total_weight,
+  tl.tw - 2 * tl.lo AS kept_weight,
+  t.clo AS low_cut_cents,
+  t.chi AS high_cut_cents,
+  CAST(t.s - t.sb - (tl.lo - t.wb) * t.clo
+       - t.sa - (tl.lo - t.wa) * t.chi AS DOUBLE)
+    / CAST(100 AS DOUBLE) / (tl.tw - 2 * tl.lo)
+    AS weighted_trimmed_mean
+FROM tails t JOIN tl ON t.g = tl.g
+"""
+
+
+@query("agg_weighted_trimmed_mean", _WTRIM_ORACLE)
+def agg_weighted_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware quantity-WEIGHTED 10-90 trimmed mean of price
+    per return flag — trims the cheapest and priciest 10% of units
+    sold (cumulative-weight ranks lo = W div 10 and W − lo through the
+    shared ``_exact_rank_cut`` machinery with its weight column), then
+    charges partial weight at the cut values exactly. Closes the
+    robust-location family: weighted median (100% trim) → weighted
+    trimmed mean → weighted mean (0%). See the oracle comment for the
+    tie identity, the lo = 0 / single-distinct-value degeneracies and
+    the int64 headroom argument (Σ w·c ≈ 3.3e18 < 2^63 at 100 TB)."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    tl = (
+        f.groupBy("g")
+        .agg(F.sum("w").alias("tw"))
+        .withColumn("lo", F.expr("tw div 10"))
+    )
+    # per-group weighted rank thresholds as ONE exploded array (the
+    # union-replays-the-plan-twice trap)
+    ranks = tl.select(
+        "g",
+        F.explode(
+            F.array(F.col("lo"), F.col("tw") - F.col("lo"))
+        ).alias("r"),
+    )
+    cuts = _exact_rank_cut(f, ranks, w="w")
+    # map ranks back to sides and carry tw/lo so the final projection
+    # needs NO further join (the weighted group sum rides the tails
+    # scan, the agg_trimmed_mean_exact folding)
+    cutrow = (
+        F.broadcast(tl)
+        .join(cuts, "g")
+        .groupBy("g", "tw", "lo")
+        .agg(
+            F.max(
+                F.when(F.col("r") == F.col("lo"), F.col("cut"))
+            ).alias("clo"),
+            F.max(
+                F.when(
+                    F.col("r") == F.col("tw") - F.col("lo"), F.col("cut")
+                )
+            ).alias("chi"),
+        )
+    )
+    cut2 = cutrow.select(
+        F.col("g").alias("cg"), "tw", "lo", "clo", "chi"
+    )
+    tails = (
+        f.join(F.broadcast(cut2), F.col("g") == F.col("cg"))
+        .groupBy("g", "tw", "lo", "clo", "chi")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).alias("s"),
+            F.sum(
+                F.when(
+                    F.col("c") < F.col("clo"), F.col("w") * F.col("c")
+                ).otherwise(0)
+            ).alias("sb"),
+            F.sum(
+                F.when(F.col("c") < F.col("clo"), F.col("w")).otherwise(0)
+            ).alias("wb"),
+            F.sum(
+                F.when(
+                    F.col("c") > F.col("chi"), F.col("w") * F.col("c")
+                ).otherwise(0)
+            ).alias("sa"),
+            F.sum(
+                F.when(F.col("c") > F.col("chi"), F.col("w")).otherwise(0)
+            ).alias("wa"),
+        )
+    )
+    trimmed_cents = (
+        F.col("s")
+        - F.col("sb")
+        - (F.col("lo") - F.col("wb")) * F.col("clo")
+        - F.col("sa")
+        - (F.col("lo") - F.col("wa")) * F.col("chi")
+    )
+    kept = F.col("tw") - F.lit(2) * F.col("lo")
+    return tails.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("tw").alias("total_weight"),
+        kept.alias("kept_weight"),
+        F.col("clo").alias("low_cut_cents"),
+        F.col("chi").alias("high_cut_cents"),
+        (
+            trimmed_cents.cast("double")
+            / F.lit(100).cast("double")
+            / kept
+        ).alias("weighted_trimmed_mean"),
+    )
+
+
+# -- Poisson-bootstrap CI for a RATIO metric -----------------------------------
+
+# diag_bootstrap_ci brackets a MEAN; real metric triage needs CIs on
+# SHARES (flag rates, defect ratios, high-risk fractions), where a
+# composition shift can move the share while leaving the mean of some
+# other column untouched — the planted-shift case the mean CI can't
+# catch (pinned in pytest). Same one-pass machinery (_boot_weights /
+# _boot_rank_ci), one extra column: the replicate statistic is the
+# QUOTIENT of two exact int64 weighted sums, Σ w·1[bulk] / Σ w — one
+# correctly-rounded double division per (group, replicate), so both
+# engines compute identical replicate shares. Seed differs from the
+# mean CI's (independent resamples across diagnostics). Integer
+# headroom trivial: Σ w·i ≤ Σ w ≤ 7n. Scale: identical to
+# diag_bootstrap_ci — the ×B explode combines map-side, |groups|·B
+# partial rows shuffle, the CI window is over ≤ B = 40 shares/group.
+_BOOT_SEED_RATIO = 11
+
+_BOOT_RATIO_ORACLE = f"""
+WITH f AS (
+  SELECT l_returnflag AS g, l_orderkey AS ok, l_linenumber AS ln,
+    CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END AS i
+  FROM lineitem
+),
+e AS (
+  SELECT g, i, ok, ln, u.rep
+  FROM f, unnest(generate_series(1, {_BOOT_B})) AS u(rep)
+),
+wts AS (
+  SELECT g, i, rep,
+    CASE {_BOOT_CASE} ELSE 7 END AS w
+  FROM (
+    SELECT g, i, rep,
+      (xor(((ok % 2147483647) * 1000003 + ln) % 2147483647,
+           rep * 2654435761 + {_BOOT_SEED_RATIO}) % 2147483647
+       * 1000003 % 2147483647 * 1000003) % 2147483647 % 1000000 AS bkt
+    FROM e
+  )
+),
+reps AS (
+  SELECT g, rep, CAST(sum(w) AS BIGINT) AS nw,
+    CAST(sum(w * i) AS BIGINT) AS sw
+  FROM wts GROUP BY g, rep
+),
+shares AS (
+  SELECT g, rep, CAST(sw AS DOUBLE) / nw AS m
+  FROM reps WHERE nw > 0
+),
+bp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS bprime FROM shares GROUP BY g
+),
+cums AS (
+  SELECT g, m, count(*) OVER (PARTITION BY g ORDER BY m) AS cum
+  FROM shares
+),
+ci AS (
+  SELECT c.g,
+    max(b.bprime) AS ci_replicates,
+    min(CASE WHEN c.cum >= (5 * b.bprime + 99) // 100 THEN c.m END)
+      AS ci_lo,
+    min(CASE WHEN c.cum >= (95 * b.bprime + 99) // 100 THEN c.m END)
+      AS ci_hi
+  FROM cums c JOIN bp b ON c.g = b.g
+  GROUP BY c.g
+),
+tot AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS s
+  FROM f GROUP BY g
+)
+SELECT t.g AS l_returnflag, t.n AS n_lines,
+  CAST(t.s AS DOUBLE) / t.n AS bulk_share,
+  ci.ci_replicates, ci.ci_lo, ci.ci_hi
+FROM tot t JOIN ci ON t.g = ci.g
+"""
+
+
+@query("diag_bootstrap_ci_ratio", _BOOT_RATIO_ORACLE)
+def diag_bootstrap_ci_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% Poisson-bootstrap confidence interval for a RATIO metric —
+    the bulk-line share (l_quantity ≥ 30) per return flag. Same
+    one-pass resampling as diag_bootstrap_ci via the shared
+    ``_boot_weights`` / ``_boot_rank_ci`` helpers; the replicate
+    statistic is one exact-int64 quotient Σ w·1[bulk] / Σ w. Catches
+    composition shifts the mean CI is blind to (see the oracle
+    comment; planted-shift case pinned in pytest)."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.when(F.col("l_quantity") >= 30, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("i"),
+    )
+    wts = _boot_weights(f, _BOOT_SEED_RATIO)
+    reps = wts.groupBy("g", "rep").agg(
+        F.sum("w").alias("nw"),
+        F.sum(F.col("w") * F.col("i")).alias("sw"),
+    )
+    shares = reps.filter(F.col("nw") > 0).select(
+        "g",
+        (F.col("sw").cast("double") / F.col("nw")).alias("m"),
+    )
+    ci = _boot_rank_ci(shares)
+    tot = f.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("i").alias("s")
+    )
+    return (
+        tot.join(F.broadcast(ci), "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").alias("n_lines"),
+            (F.col("s").cast("double") / F.col("n")).alias("bulk_share"),
             "ci_replicates",
             "ci_lo",
             "ci_hi",

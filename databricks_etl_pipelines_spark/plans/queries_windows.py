@@ -797,3 +797,146 @@ def window_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(st["b"], 6).alias("trend"),
         stable_round(st["l"] + st["b"], 6).alias("forecast_1"),
     )
+
+
+# -- per-key additive Holt-Winters (level + trend + hour-of-day season) --------
+
+# The third smoothing member (EMA → Holt linear → Holt-Winters): the
+# additive triple recurrence at dyadic α = 1/2, β = 1/4, γ = 1/2 with a
+# FIXED period m = 24 keyed by each observation's HOUR OF DAY (event
+# series are irregular, so position-mod-24 slots would be meaningless;
+# hour-keying is the deseasonalization a diurnal metric needs):
+#
+#   l_t      = α(x_t − s[h_t]) + (1−α)(l_{t−1} + b_{t−1})
+#   b_t      = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+#   s[h_t]   = γ(x_t − l_t) + (1−γ)·s[h_t]        (other slots unchanged)
+#
+# Init l = x₁, b = 0, s[·] = 0 — the UNIFORM-recurrence init (no
+# first-season mean), so n = 1 and n ≤ period need no special casing:
+# with γ = 1/2 a slot's residual init bias after k observations is 2^−k.
+# The (2+m)-element state vector [l, b, s₀..s₂₃] rides the same
+# seed-with-first list_reduce transport the Holt pair state proved:
+# seed = [x₁, 0, 0×24], tail elements are [x_t, hour_t] 2-lists (DuckDB
+# list elements may differ in length; hour as an exact-integer DOUBLE).
+# l_t appears inside both the b_t and s-slot steps; BOTH engines compute
+# it as the same duplicated inline subexpression on identical inputs, so
+# every step stays mul / add / exact-halving — bit-identical IEEE, no
+# lattice (pinned fold order). The untouched 23 slots are COPIED, not
+# recomputed (Spark rebuilds via an indexed transform, DuckDB via
+# 1-based slicing — copies are exact, so the construction paths agree
+# bit-for-bit). Scale: one user_id shuffle, per-key bounded collect
+# (the sessionize/funnel contract); per-key state is 26 doubles.
+_HW_PERIOD = 24
+
+# DuckDB lambda shorthand: li/bi = acc[1]/acc[2]; sh = acc[3 + slot].
+# lnew/snew are inlined with the exact expression shape the Spark side
+# uses (see step() below).
+_HW_LNEW = (
+    "(e[1] - acc[3 + CAST(e[2] AS BIGINT)] + acc[1] + acc[2])"
+    " / CAST(2 AS DOUBLE)"
+)
+
+_HOLT_WINTERS_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+    list("value" ORDER BY ts, event_id) AS xs,
+    list(CAST(hour(ts) AS DOUBLE) ORDER BY ts, event_id) AS hs,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT user_id, n_events,
+    list_reduce(
+      list_prepend(
+        list_concat([xs[1], CAST(0 AS DOUBLE)],
+          list_transform(generate_series(1, {_HW_PERIOD}),
+                         j -> CAST(0 AS DOUBLE))),
+        list_transform(generate_series(2, len(xs)),
+                       i -> [xs[i], hs[i]])
+      ),
+      (acc, e) -> list_concat(list_concat(list_concat(
+        [ {_HW_LNEW},
+          ({_HW_LNEW} - acc[1] + CAST(3 AS DOUBLE) * acc[2])
+            / CAST(4 AS DOUBLE) ],
+        acc[3 : 2 + CAST(e[2] AS BIGINT)]),
+        [ (e[1] - {_HW_LNEW} + acc[3 + CAST(e[2] AS BIGINT)])
+            / CAST(2 AS DOUBLE) ]),
+        acc[4 + CAST(e[2] AS BIGINT) : {_HW_PERIOD + 2}])
+    ) AS st
+  FROM s
+)
+SELECT user_id, n_events,
+  floor(st[1] * 1000000 + 0.5) / 1000000 AS level,
+  floor(st[2] * 1000000 + 0.5) / 1000000 AS trend,
+  floor(list_aggregate(st[3 : {_HW_PERIOD + 2}], 'min') * 1000000 + 0.5)
+    / 1000000 AS seasonal_min,
+  floor(list_aggregate(st[3 : {_HW_PERIOD + 2}], 'max') * 1000000 + 0.5)
+    / 1000000 AS seasonal_max
+FROM h
+"""
+
+
+@query("window_holt_winters", _HOLT_WINTERS_ORACLE)
+def window_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user additive Holt-Winters smoothing of event values —
+    level, trend AND a 24-slot hour-of-day seasonal profile, so a
+    diurnal metric (nightly dips, lunchtime spikes) deseasonalizes
+    before its trend is read; the seasonal min/max summarize the
+    learned daily amplitude. Dyadic α = 1/2, β = 1/4, γ = 1/2; uniform
+    init (l = x₁, b = 0, s = 0 — n ≤ period degenerates gracefully);
+    see the oracle comment for the 26-element state-vector fold and
+    the bit-identical-IEEE argument."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    g = ev.groupBy("user_id").agg(
+        arr.alias("rs"), F.count("*").alias("n_events")
+    )
+    x1 = F.element_at(F.col("rs"), 1)["value"]
+    tail = F.transform(
+        F.slice(
+            F.col("rs"), F.lit(2),
+            F.greatest(F.size("rs") - 1, F.lit(0)),
+        ),
+        lambda r: F.array(
+            r["value"], F.hour(r["ts"]).cast("double")
+        ),
+    )
+    seed = F.concat(
+        F.array(x1, F.lit(0.0)),
+        F.array_repeat(F.lit(0.0), _HW_PERIOD),
+    )
+
+    def step(acc, e):
+        x = F.element_at(e, 1)
+        hi = F.element_at(e, 2).cast("int")
+        l = F.element_at(acc, 1)
+        b = F.element_at(acc, 2)
+        sh = F.element_at(acc, hi + F.lit(3))
+        # lnew is inlined (recomputed) inside bnew/snew with the SAME
+        # expression shape as the oracle's {_HW_LNEW} — duplicated
+        # subexpressions of identical inputs are bit-identical
+        lnew = (x - sh + l + b) / F.lit(2.0)
+        bnew = (
+            (x - sh + l + b) / F.lit(2.0) - l + F.lit(3.0) * b
+        ) / F.lit(4.0)
+        snew = (
+            x - (x - sh + l + b) / F.lit(2.0) + sh
+        ) / F.lit(2.0)
+        slots = F.transform(
+            F.slice(acc, 3, _HW_PERIOD),
+            lambda sv, j: F.when(j == hi, snew).otherwise(sv),
+        )
+        return F.concat(F.array(lnew, bnew), slots)
+
+    st = F.aggregate(tail, seed, step)
+    season = F.slice(st, 3, _HW_PERIOD)
+    return g.select(
+        "user_id",
+        "n_events",
+        stable_round(F.element_at(st, 1), 6).alias("level"),
+        stable_round(F.element_at(st, 2), 6).alias("trend"),
+        stable_round(F.array_min(season), 6).alias("seasonal_min"),
+        stable_round(F.array_max(season), 6).alias("seasonal_max"),
+    )

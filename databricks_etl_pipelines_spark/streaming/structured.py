@@ -1239,6 +1239,19 @@ def ema_stream(
             return None
         return spark.read.parquet(f"{state_root}/b={max(bs)}")
 
+    def _read_marker(marker: str):
+        # an unreadable/truncated marker (torn write from a crashed
+        # run) is treated as owner-unknown so batches > 0 fail through
+        # the DESCRIPTIVE ownership ValueError below, not a raw
+        # JSONDecodeError
+        if not os.path.isfile(marker):
+            return None
+        try:
+            with open(marker) as fh:
+                return _json.load(fh).get("checkpoint")
+        except (ValueError, OSError):
+            return None
+
     def _claim_or_verify_run(batch_id: int) -> None:
         marker = os.path.join(state_root, "_run.json")
         if batch_id == 0:
@@ -1252,16 +1265,38 @@ def ema_stream(
             # checkpoint committed batch 0, replay starts later and
             # never re-enters this branch).
             os.makedirs(state_root, exist_ok=True)
+            # destructive takeover of another query's state_root is
+            # legal (documented) but must be VISIBLE: warn before the
+            # rmtree so the victim's operator can trace where its
+            # snapshots went instead of discovering a bare ownership
+            # ValueError at its next batch
+            prev_owner = _read_marker(marker)
+            if prev_owner is not None and prev_owner != checkpoint_dir:
+                import warnings
+
+                warnings.warn(
+                    f"ema_stream: batch 0 of checkpoint "
+                    f"{checkpoint_dir!r} is taking over state_root "
+                    f"{state_root!r} previously owned by checkpoint "
+                    f"{prev_owner!r}; its snapshots are being removed",
+                    stacklevel=2,
+                )
             for d in os.listdir(state_root):
                 if d.startswith("b="):
                     shutil.rmtree(os.path.join(state_root, d))
-            with open(marker, "w") as fh:
+            # atomic marker write: a crash that commits the streaming
+            # checkpoint but tears this file must leave either the old
+            # marker or the new one, never truncated JSON (os.replace
+            # is atomic on POSIX; fsync before it so the rename never
+            # lands ahead of the bytes)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as fh:
                 _json.dump({"checkpoint": checkpoint_dir}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, marker)
             return
-        owner = None
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                owner = _json.load(fh).get("checkpoint")
+        owner = _read_marker(marker)
         if owner != checkpoint_dir:
             raise ValueError(
                 f"ema_stream: state_root {state_root!r} is owned by "

@@ -319,6 +319,9 @@ def test_sql_q9_pushes_like_filter_and_plans_no_cartesian(spark):
     assert len(rows) >= 50  # ~10 nations x 7 years
     assert len({r.nation for r in rows}) >= 5
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # plan-string rendering is not a stable API; these exact substrings
+    # are valid for the pinned Spark 4.1.2 — if the pin ever moves,
+    # loosen to case-insensitive "stringcontains" / "p_name" checks
     assert "StringContains(p_name,red)" in plan, plan[:1200]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -2545,6 +2545,72 @@ def test_trimmed_mean_exact_matches_brute_force(spark, tmp_path):
         assert r.trimmed_mean == float(sum(kept)) / 100.0 / len(kept), g
 
 
+def test_weighted_trimmed_mean_matches_brute_force(spark, tmp_path):
+    """agg_weighted_trimmed_mean vs the definitional brute force
+    (expand each row to w unit copies, sort, drop W div 10 units from
+    each end, average the rest) on planted groups: ties at BOTH
+    weighted cuts (partial weight of a value trimmed), a cut landing
+    exactly on a value's cumulative-weight boundary, W < 10 (lo = 0 —
+    equals the plain weighted mean), a single distinct value
+    (clo = chi), and one heavy row spanning both cuts (clo = chi with
+    kept weight inside a single row's weight)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # W=10, lo=1: ties at both cuts — 1 of 3 bottom units and
+        # 1 of 3 top units trimmed
+        "A": [(1.0, 3), (5.0, 4), (9.0, 3)],
+        # W=20, lo=2: partial-weight trim inside each tail value
+        "B": [(2.0, 5), (4.0, 10), (8.0, 5)],
+        # W=9, lo=0: plain weighted mean
+        "C": [(10.0, 2), (20.0, 3), (30.0, 4)],
+        # W=20, lo=2: cut exactly ON the 1.0/5.0 weight boundary —
+        # both 1.0 units and both 9.0 units trimmed, kept = all 5.0s
+        "D": [(1.0, 2), (5.0, 16), (9.0, 2)],
+        # single distinct value: clo = chi, mean = the value
+        "E": [(7.0, 25)],
+        # W=102, lo=10: one heavy row straddles BOTH cuts (clo = chi =
+        # 3.0; 9 bottom + 9 top of its 100 units trimmed)
+        "F": [(1.0, 1), (3.0, 100), (9.0, 1)],
+    }
+    rows = []
+    k = 0
+    for g, vs in planted.items():
+        for v, w in vs:
+            rows.append((k, g, v, float(w)))
+            k += 1
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_extendedprice double,"
+        " l_quantity double",
+    )
+    d = tmp_path / "li"
+    df.write.parquet(f"{d}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_weighted_trimmed_mean"](
+            spark, str(d)
+        ).collect()
+    }
+    for g, vs in planted.items():
+        expanded = sorted(
+            int(v * 100 + 0.5) for v, w in vs for _ in range(int(w))
+        )
+        W = len(expanded)
+        lo = W // 10
+        kept = expanded[lo: W - lo]
+        r = got[g]
+        assert r.total_weight == W and r.kept_weight == len(kept), g
+        if lo:
+            assert r.low_cut_cents == expanded[lo - 1], g
+        assert r.high_cut_cents == expanded[W - lo - 1], g
+        # same IEEE division sequence as both engines: /100 then /kept
+        assert r.weighted_trimmed_mean == float(sum(kept)) / 100.0 / len(
+            kept
+        ), g
+
+
 def test_ngram_novelty_planted_corpus(spark, tmp_path):
     """text_ngram_novelty on a planted corpus: the first doc is fully
     novel, an exact re-post contributes nothing, a partial overlap
@@ -2623,6 +2689,88 @@ def test_holt_linear_planted_recurrence(spark, tmp_path):
     assert out[8].level == 5.0 and out[8].trend == 0.0
     assert out[9].level == 8.0 and out[9].trend == 5.0
     assert out[9].forecast_1 == 13.0
+
+
+def test_holt_winters_planted_recurrence(spark, tmp_path):
+    """window_holt_winters vs a bit-exact Python replay of the triple
+    recurrence (uniform init l = x1, b = 0, s = 0; hour-of-day slots)
+    on planted series with scrambled input order: a multi-day diurnal
+    series revisiting the same hour slots (slot state must accumulate
+    across days), n = 1 (seed only — level = x, trend = 0, seasonal
+    all zero) and n = 2 (exactly one fold step)."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+
+    def sr(x):  # stable_round(6) replica
+        return math.floor(x * 1000000 + 0.5) / 1000000
+
+    # user 7: two days x hours {0, 6, 12, 18}, diurnal values with an
+    # upward drift — day-2 observations re-update day-1's slots
+    series7 = [
+        (dt.datetime(2024, 1, 1, 0, 0), 100.0),
+        (dt.datetime(2024, 1, 1, 6, 0), 140.0),
+        (dt.datetime(2024, 1, 1, 12, 0), 180.0),
+        (dt.datetime(2024, 1, 1, 18, 0), 150.0),
+        (dt.datetime(2024, 1, 2, 0, 0), 110.0),
+        (dt.datetime(2024, 1, 2, 6, 0), 150.0),
+        (dt.datetime(2024, 1, 2, 12, 0), 190.0),
+        (dt.datetime(2024, 1, 2, 18, 0), 160.0),
+    ]
+    rows = [
+        # scrambled input order: the fold must re-sort by (ts, event_id)
+        (i, ts, 7, "e", v, "{}")
+        for i, (ts, v) in enumerate(reversed(series7))
+    ]
+    rows.append((100, dt.datetime(2024, 1, 1, 9, 0), 8, "e", 5.0, "{}"))
+    rows += [
+        (101, dt.datetime(2024, 1, 1, 3, 0), 9, "e", 10.0, "{}"),
+        (102, dt.datetime(2024, 1, 1, 3, 30), 9, "e", 30.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.user_id: r
+        for r in QUERIES["window_holt_winters"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def replay(series):
+        # series sorted by ts; replicate the EXACT float op shapes
+        lvl, b = series[0][1], 0.0
+        s = [0.0] * 24
+        for ts, x in series[1:]:
+            h = ts.hour
+            sh = s[h]
+            lnew = (x - sh + lvl + b) / 2.0
+            bnew = ((x - sh + lvl + b) / 2.0 - lvl + 3.0 * b) / 4.0
+            snew = (x - (x - sh + lvl + b) / 2.0 + sh) / 2.0
+            lvl, b, s[h] = lnew, bnew, snew
+        return lvl, b, min(s), max(s)
+
+    lvl, b, smin, smax = replay(series7)
+    r7 = out[7]
+    assert (r7.level, r7.trend) == (sr(lvl), sr(b))
+    assert (r7.seasonal_min, r7.seasonal_max) == (sr(smin), sr(smax))
+    # diurnal amplitude learned: midnight slot below noon slot
+    assert smax > 0.0
+    r8 = out[8]
+    assert (r8.level, r8.trend) == (5.0, 0.0)
+    assert (r8.seasonal_min, r8.seasonal_max) == (0.0, 0.0)
+    # user 9: one fold step by hand — both events in hour 3
+    #   lnew = (30 - 0 + 10 + 0)/2 = 20; bnew = (20 - 10 + 0)/4 = 2.5
+    #   snew = (30 - 20 + 0)/2 = 5
+    r9 = out[9]
+    assert (r9.level, r9.trend) == (20.0, 2.5)
+    assert (r9.seasonal_min, r9.seasonal_max) == (0.0, 5.0)
 
 
 def test_mad_robust_z_matches_brute_force(spark, tmp_path):
@@ -2739,3 +2887,97 @@ def test_bootstrap_ci_exact_python_replay(spark, tmp_path):
     assert r.n_lines == 25
     assert r.mean_price == float(sum(cents.values())) / 25 / 100.0
     assert r.ci_lo <= r.mean_price <= r.ci_hi
+
+
+def test_bootstrap_ci_ratio_replay_and_planted_shift(spark, tmp_path):
+    """diag_bootstrap_ci_ratio vs a full Python replay of the
+    deterministic resampling (its OWN seed, replicate shares as one
+    int64 quotient, rank-crossing CI), plus the planted COMPOSITION
+    SHIFT the mean CI is blind to: groups A and B have IDENTICAL price
+    multisets (mean CIs coincide) but bulk shares 0.5 vs 0.1 — the
+    ratio CIs must be disjoint and each bracket its own share."""
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_aggregates import (
+        _BOOT_B,
+        _BOOT_SEED_RATIO,
+        _POIS_T,
+    )
+
+    load_all()
+    # identical prices in both groups; quantities differ: A has 50%
+    # bulk (>= 30), B has 10% bulk — okeys disjoint so the two groups
+    # draw different weights
+    rows = []
+    for k in range(100):
+        price = float(100 + 10 * (k % 7))
+        rows.append((k, 1, "A", price, 40.0 if k % 2 == 0 else 10.0))
+        rows.append(
+            (1000 + k, 1, "B", price, 40.0 if k % 10 == 0 else 10.0)
+        )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double, l_quantity double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["diag_bootstrap_ci_ratio"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def mix(ok, ln, rep):
+        h = ((ok % 2147483647) * 1000003 + ln) % 2147483647
+        h = (h ^ (rep * 2654435761 + _BOOT_SEED_RATIO)) % 2147483647
+        return h * 1000003 % 2147483647 * 1000003 % 2147483647 % 1000000
+
+    def pois(bkt):
+        for i, t in enumerate(_POIS_T):
+            if bkt < t:
+                return i
+        return 7
+
+    for g in ("A", "B"):
+        members = [
+            (ok, ln, 1 if q >= 30 else 0)
+            for ok, ln, gg, _, q in rows
+            if gg == g
+        ]
+        shares = []
+        for rep in range(1, _BOOT_B + 1):
+            nw = sw = 0
+            for ok, ln, i in members:
+                w = pois(mix(ok, ln, rep))
+                nw += w
+                sw += w * i
+            if nw > 0:
+                shares.append(float(sw) / nw)
+        shares.sort()
+        bp = len(shares)
+        lo = shares[math.ceil(5 * bp / 100) - 1]
+        hi = shares[math.ceil(95 * bp / 100) - 1]
+        r = got[g]
+        point = float(sum(i for _, _, i in members)) / len(members)
+        assert r.n_lines == len(members)
+        assert r.bulk_share == point, g
+        assert r.ci_replicates == bp
+        assert (r.ci_lo, r.ci_hi) == (lo, hi), g
+        assert r.ci_lo <= r.bulk_share <= r.ci_hi, g
+    # the shift the mean CI can't catch: disjoint ratio CIs
+    assert got["B"].ci_hi < got["A"].ci_lo
+    # and the mean CI genuinely can't: identical price multisets give
+    # identical mean points (weights differ only through okeys, so the
+    # CIs overlap around the same center)
+    mean_rows = {
+        r.l_returnflag: r
+        for r in QUERIES["diag_bootstrap_ci"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert mean_rows["A"].mean_price == mean_rows["B"].mean_price
+    assert (
+        mean_rows["A"].ci_lo <= mean_rows["B"].ci_hi
+        and mean_rows["B"].ci_lo <= mean_rows["A"].ci_hi
+    )

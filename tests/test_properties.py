@@ -799,6 +799,58 @@ _TM_VALS = (1.0, 999.5, 1000.0, 1500.25, 2999.75, 5000.0, 99999.0)
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
+        st.tuples(
+            st.sampled_from(_TM_VALS), st.integers(min_value=1, max_value=9)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_weighted_trimmed_mean_any_multiset_matches_brute_force(
+    spark, pairs
+):
+    """agg_weighted_trimmed_mean vs the definitional brute force
+    (expand each (value, weight) to weight unit copies, sort, drop
+    W div 10 units from each end, average the rest) on ANY weighted
+    multiset: random tie/partial-weight patterns at the cuts, arbitrary
+    bucket crossings, total weights from 1 (lo = 0, plain weighted
+    mean) to 225."""
+    import shutil
+    import tempfile
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    d = tempfile.mkdtemp(prefix="wtm_prop_")
+    try:
+        rows = [
+            (i, "A", v, float(w)) for i, (v, w) in enumerate(pairs)
+        ]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_returnflag string,"
+            " l_extendedprice double, l_quantity double",
+        ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        r = QUERIES["agg_weighted_trimmed_mean"](spark, d).collect()
+        assert len(r) == 1
+        r = r[0]
+        expanded = sorted(
+            int(v * 100 + 0.5) for v, w in pairs for _ in range(w)
+        )
+        W = len(expanded)
+        lo = W // 10
+        kept = expanded[lo: W - lo]
+        assert r.total_weight == W and r.kept_weight == len(kept)
+        assert r.weighted_trimmed_mean == float(sum(kept)) / 100.0 / len(
+            kept
+        ), pairs
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
         st.sampled_from(_TM_VALS),
         min_size=1,
         max_size=40,
@@ -987,5 +1039,64 @@ def test_holt_linear_any_series_matches_fold(spark, xs):
         assert (r.level, r.trend, r.forecast_1) == (
             sr(lvl), sr(tr), sr(lvl + tr),
         ), xs
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from((0.0, 1.0, 2.5, 10.0, -3.0, 100.0)),
+            st.integers(min_value=0, max_value=23),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_holt_winters_any_series_matches_fold(spark, obs):
+    """window_holt_winters vs the raw Python fold on ANY (value, hour)
+    series — identical float op order (uniform init, the duplicated l'
+    subexpression inside the trend and seasonal steps, 24 hour slots),
+    so equality is exact; random hour collisions exercise slot reuse."""
+    import datetime as dt
+    import math
+    import shutil
+    import tempfile
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    d = tempfile.mkdtemp(prefix="hw_prop_")
+    try:
+        rows = [
+            # day index i keeps (ts, event_id) strictly increasing
+            # while the hour is hypothesis-chosen
+            (i, dt.datetime(2024, 1, 1 + i, h, 0, 0), 1, "e", v, "{}")
+            for i, (v, h) in enumerate(obs)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{d}/events.parquet")
+        r = QUERIES["window_holt_winters"](spark, d).collect()
+        assert len(r) == 1
+        r = r[0]
+        lvl, b = obs[0][0], 0.0
+        s = [0.0] * 24
+        for v, h in obs[1:]:
+            sh = s[h]
+            lnew = (v - sh + lvl + b) / 2.0
+            bnew = ((v - sh + lvl + b) / 2.0 - lvl + 3.0 * b) / 4.0
+            snew = (v - (v - sh + lvl + b) / 2.0 + sh) / 2.0
+            lvl, b, s[h] = lnew, bnew, snew
+
+        def sr(x):  # stable_round: floor-half-up at 1e-6, both engines
+            return math.floor(x * 1000000 + 0.5) / 1000000
+
+        assert (r.level, r.trend, r.seasonal_min, r.seasonal_max) == (
+            sr(lvl), sr(b), sr(min(s)), sr(max(s)),
+        ), obs
     finally:
         shutil.rmtree(d, ignore_errors=True)

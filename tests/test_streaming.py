@@ -1148,3 +1148,64 @@ def test_ema_stream_empty_batch0_clears_foreign_b0_state(spark, tmp_path):
     # ONLY run B's key, seeded fresh — run A's user 7 must be gone
     assert set(got) == {9}
     assert got[9].ema_half == 5.0 and got[9].n_events == 1
+
+
+def test_ema_stream_torn_marker_fails_with_ownership_error(
+    spark, tmp_path
+):
+    """Crash-safety regression: a TRUNCATED ``_run.json`` (machine
+    crash between the checkpoint commit and the marker write, before
+    the atomic-replace fix; or any torn/corrupt marker) must surface
+    as the DESCRIPTIVE ownership ValueError at the next batch > 0 —
+    never as a raw JSONDecodeError from inside the handler."""
+    import datetime as dt
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        ema_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base = time.time()
+
+    def add_batch(i, rows):
+        tmp = tmp_path / f"slice{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp)
+        )
+        dst = feed / f"batch-{i}.parquet"
+        next(tmp.glob("part-*.parquet")).rename(dst)
+        os.utime(dst, (base + i, base + i))
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    add_batch(0, [(1, dt.datetime(2024, 1, 1, 0, 1), 7, 1.0)])
+    q = ema_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed)),
+        state,
+        ckpt,
+    )
+    await_drained(q, 120)
+    # tear the marker: truncated JSON, as a crash mid-write would leave
+    with open(os.path.join(state, "_run.json"), "w") as fh:
+        fh.write('{"checkpo')
+    # resume the SAME checkpoint with a new file -> batch 1 verifies
+    # ownership, reads the torn marker as owner-unknown, fails loudly
+    add_batch(1, [(2, dt.datetime(2024, 1, 1, 0, 2), 7, 2.0)])
+    q2 = ema_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed)),
+        state,
+        ckpt,
+    )
+    with _pytest.raises(Exception, match="is owned by checkpoint"):
+        await_drained(q2, 120)
