@@ -105,6 +105,12 @@ HEADLINE = [
     "agg_weighted_quantiles",
     "sql_product_type_profit",
     "agg_mad_robust_z",
+    # round-11 additions: the weighted rank-cut shape (three bounded
+    # fact scans with l_quantity riding every aggregate) and the
+    # 26-double vector-state fold (the heaviest member of the
+    # EMA/Holt/Holt-Winters smoothing family)
+    "agg_weighted_trimmed_mean",
+    "window_holt_winters",
 ]
 
 

@@ -1388,6 +1388,36 @@ def test_round4c_query_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_round11_query_plan_shapes(spark, sf_dir):
+    """Physical-plan pins for the round-11 operators: the weighted
+    trimmed mean's rank machinery must join back exclusively by
+    BROADCAST (bounded cut relations — never a shuffle of the fact
+    side, no sort-merge join, no cartesian); Holt-Winters must be a
+    pure hash-agg + fold (no join of any kind — its one shuffle is the
+    user_id aggregation); the ratio bootstrap's CI assembly must
+    broadcast its per-group side relations with no sort-merge join."""
+    from databricks_etl_pipelines_spark import catalog
+
+    catalog.load_all()
+    wtm = catalog.QUERIES["agg_weighted_trimmed_mean"](spark, sf_dir)
+    plan = wtm._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    hw = catalog.QUERIES["window_holt_winters"](spark, sf_dir)
+    plan = hw._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan
+
+    bcr = catalog.QUERIES["diag_bootstrap_ci_ratio"](spark, sf_dir)
+    plan = bcr._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_anomaly_zscore_planted_spike(spark):
     """A planted spike against a mildly-varying baseline is the ONLY
     flagged event: the spike is excluded from its own baseline (else z
