@@ -111,6 +111,13 @@ HEADLINE = [
     # EMA/Holt/Holt-Winters smoothing family)
     "agg_weighted_trimmed_mean",
     "window_holt_winters",
+    # round-11b additions: the two scale-shaped representatives of the
+    # distribution-diagnostics family — two-sample KS (shared two-cohort
+    # histogram + lattice-bounded cumulative windows + argmax join-back)
+    # and Gini concentration (per-segment rank window over the
+    # customer-revenue relation + decimal-exact Σ i·x)
+    "diag_ks_two_sample",
+    "agg_gini_concentration",
 ]
 
 

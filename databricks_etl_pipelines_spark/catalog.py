@@ -46,16 +46,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's THREE new queries
+    # same documented arithmetic as r10: this round's TEN new queries
     # take cap slots (the binding done-criterion is "zero oracle-backed
     # queries with no driver row ever"), then the six trivial r5 rows
     # displaced in r10 lead as prescribed, then the r6-stalest set —
-    # 3 + 6 + 41 of the 45 r6 rows = 50. The four r6 rows displaced to
-    # the overflow head are the most TRIVIAL shapes (the three scalar
-    # function batteries and the lag/lead window — each pinned by
-    # pytest and contained in richer oracles), re-verified in this
-    # round's full-registry sweeps; they lead the r12 cap.
+    # 10 + 6 + 34 of the 45 r6 rows = 50. The eleven r6 rows displaced
+    # to the overflow head are the most TRIVIAL shapes (the three
+    # scalar function batteries, the six basic ranking/frame window
+    # forms, lag/lead, and the quality-score scalar battery — each
+    # pinned by pytest and contained in richer oracles: every window
+    # primitive also runs inside sessionize/funnel/Holt/anomaly, the
+    # scalar batteries inside the enrichment pipelines), re-verified in
+    # this round's full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "diag_ks_two_sample",
+    "diag_mannwhitney_u",
+    "diag_chi_square_drift",
+    "agg_gini_concentration",
+    "ml_ols_per_group",
+    "sql_returned_item_revenue",
+    "sql_promo_revenue",
     "diag_bootstrap_ci_ratio",
     "window_holt_winters",
     "agg_weighted_trimmed_mean",
@@ -98,27 +108,27 @@ PRIORITY: list[str] = [
     "text_bpe_train_merges",
     "text_fingerprint_rolling",
     "text_language_id",
-    "text_quality_score",
     "text_vocab_encode",
     "text_zipf_diagnostics",
     "window_anomaly_zscore",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the eleven trivial r6 rows displaced by this round's
+    # new queries lead (stalest after this rotation — they head the
+    # r12 cap), then the r7-vintage rows (next stalest), then
+    # everything fresher in registration order; the rows-only set
+    # stays at the end (weaker rows by design — each has an
+    # oracle-backed sibling; see COVERAGE.md rows-only map).
+    "scalar_datetime_functions",
+    "scalar_math_functions",
+    "scalar_string_functions",
+    "text_quality_score",
     "window_cumulative_sum",
     "window_first_last",
+    "window_lag_lead",
     "window_ntile_percent_rank",
     "window_rank_dense_rank",
     "window_rolling_avg",
     "window_topn_per_user",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the four trivial r6 rows displaced by this round's new
-    # queries lead (stalest after this rotation — they head the r12
-    # cap), then the r7-vintage rows (next stalest), then everything
-    # fresher in registration order; the rows-only set stays at the
-    # end (weaker rows by design — each has an oracle-backed sibling;
-    # see COVERAGE.md rows-only map).
-    "scalar_datetime_functions",
-    "scalar_math_functions",
-    "scalar_string_functions",
-    "window_lag_lead",
     # r7-vintage
     "curation_bigram_buckets",
     "curation_decontaminate_benchmark",
@@ -178,6 +188,7 @@ def load_all() -> None:
         queries_scd,
         queries_sortset,
         queries_sql,
+        queries_stats,
         queries_streaming,
         queries_windows,
     )

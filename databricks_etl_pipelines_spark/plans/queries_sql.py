@@ -477,3 +477,85 @@ def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H spec; the reference repo has no SQL-text surface (EP4
     extension, see COVERAGE.md)."""
     return run_sql(spark, sf_dir, _MIN_COST_SUPPLIER_SQL)
+
+
+# -- round-11 report shapes (TPC-H Q10 / Q14 analogs) --------------------------
+# The two classic report queries the SQL-text family still lacked: the
+# returned-item revenue top-20 (Q10 — a 4-table join grouped on a wide
+# customer key with an ORDER BY ... LIMIT cut) and the promotion revenue
+# share (Q14 — a conditional-share scalar over a month of shipments).
+# Both carry revenue on an EXACT integer lattice instead of the float
+# sum(price*(1-disc)) form: per row, cents(price) × (100 − pct(discount))
+# is exact int64 (price and discount have two decimals in the testdata,
+# so the floor lattice loses nothing), sums stay exact BIGINT, and the
+# Q10 ORDER BY therefore cuts a deterministic multiset — a float-sum
+# ordering could flip rank near the LIMIT boundary between engines.
+# Headroom: revenue_cc per row ≤ 1.1e9 ×100 = 1.1e11; per customer ≤
+# ~1e4 lines → 1.1e15; the Q14 month total at 100 TB ≈ 6e7 lines ×
+# 1.1e11 ≈ 6.6e18 < 2^63 (cited; a year-scale window would move the
+# share to the decimal-sum pattern of ml_ols_per_group).
+
+_RETURNED_ITEM_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+       * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+    AS BIGINT) AS revenue_cc,
+  floor(c.c_acctbal * 100 + 0.5) / 100 AS acctbal
+FROM customer c, orders o, lineitem l, nation n
+WHERE c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND l.l_returnflag = 'R'
+  AND c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue_cc DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("sql_returned_item_revenue", _RETURNED_ITEM_SQL)
+def sql_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape as SQL text: top-20 customers by revenue lost to
+    returned items in a quarter — customer⋈orders⋈lineitem⋈nation with
+    a quarter date window and returnflag filter, grouped on the wide
+    customer key. Revenue is the exact cent×discount-percent integer
+    lattice (see the section comment), so the ORDER BY revenue DESC is
+    an integer ordering and the c_custkey suffix makes it TOTAL —
+    LIMIT 20 cuts a deterministic multiset on both engines. Catalyst
+    plans the date+flag filters pushed to the scans and a
+    TakeOrderedAndProject over the partial-agged join."""
+    return run_sql(spark, sf_dir, _RETURNED_ITEM_SQL)
+
+
+_PROMO_REVENUE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN promo THEN cc ELSE 0 END) AS BIGINT) AS promo_cc,
+  CAST(sum(cc) AS BIGINT) AS total_cc,
+  CAST(100 AS DOUBLE)
+    * CAST(CAST(sum(CASE WHEN promo THEN cc ELSE 0 END) AS BIGINT)
+      AS DOUBLE)
+    / nullif(CAST(CAST(sum(cc) AS BIGINT) AS DOUBLE), 0)
+    AS promo_share_pct
+FROM (
+  SELECT p.p_type = 'PROMO' AS promo,
+    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+      * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) AS cc
+  FROM lineitem l, part p
+  WHERE l.l_partkey = p.p_partkey
+    AND l.l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l.l_shipdate < TIMESTAMP '1996-10-01'
+) x
+"""
+
+
+@query("sql_promo_revenue", _PROMO_REVENUE_SQL)
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape as SQL text: the promotion revenue share for one
+    shipment month — lineitem⋈part with the month window pushed to the
+    lineitem scan, a CASE-conditional share over the part type, and the
+    exact integer revenue lattice (section comment) so both engines
+    compute the identical share from identical BIGINT sums. The
+    denominator is nullif-guarded (a month with no shipments yields
+    NULL, not an ANSI divide error)."""
+    return run_sql(spark, sf_dir, _PROMO_REVENUE_SQL)

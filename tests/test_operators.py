@@ -3011,3 +3011,293 @@ def test_bootstrap_ci_ratio_replay_and_planted_shift(spark, tmp_path):
         mean_rows["A"].ci_lo <= mean_rows["B"].ci_hi
         and mean_rows["B"].ci_lo <= mean_rows["A"].ci_hi
     )
+
+
+# -- round-11 distribution diagnostics (queries_stats.py) ----------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    """Planted events table: (event_type, value, early?) triples; early
+    rows land on 2024-01-10, late on 2024-01-20 (the catalog cohort
+    cutpoint is 2024-01-16)."""
+    import datetime as dt
+
+    data = [
+        (
+            i,
+            dt.datetime(2024, 1, 10 if early else 20, 12, 0, 0),
+            i,
+            g,
+            float(v),
+            "{}",
+        )
+        for i, (g, v, early) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+
+def test_ks_two_sample_planted(spark, tmp_path):
+    """diag_ks_two_sample vs the definitional brute force on planted
+    cohorts: a clean location shift (D = 1), identical samples (D = 0),
+    and a tied/interleaved case where the max gap sits at an interior
+    value (and the smallest-value tie rule picks the first location)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # disjoint supports: every early value below every late one
+        "shift": ([1.0, 2.0, 3.0], [10.0, 11.0, 12.0]),
+        # identical multisets: D = 0
+        "same": ([5.0, 6.0, 7.0], [5.0, 6.0, 7.0]),
+        # interleaved with ties: brute-force the max gap
+        "mix": ([1.0, 2.0, 2.0, 5.0], [2.0, 4.0, 6.0]),
+    }
+    rows = []
+    for g, (a, b) in planted.items():
+        rows += [(g, v, True) for v in a] + [(g, v, False) for v in b]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in QUERIES["diag_ks_two_sample"](spark, str(tmp_path)).collect()
+    }
+    for g, (a, b) in planted.items():
+        ac = sorted(int(v * 100 + 0.5) for v in a)
+        bc = sorted(int(v * 100 + 0.5) for v in b)
+        na, nb = len(ac), len(bc)
+        best, at = -1, None
+        for v in sorted(set(ac) | set(bc)):
+            ca = sum(1 for x in ac if x <= v)
+            cb = sum(1 for x in bc if x <= v)
+            dn = abs(ca * nb - cb * na)
+            if dn > best:
+                best, at = dn, v
+        r = got[g]
+        assert (r.n_early, r.n_late) == (na, nb), g
+        assert r.ks_num == best, g
+        assert r.ks_at_cents == at, g
+        assert r.ks_stat == float(best) / (float(na) * float(nb)), g
+    assert got["shift"].ks_stat == 1.0
+    assert got["same"].ks_num == 0
+
+
+def test_mannwhitney_planted_pairwise(spark, tmp_path):
+    """diag_mannwhitney_u vs the PAIRWISE definition (U = #{a > b} +
+    #ties/2, carried as the exact integer 2U = 2·#gt + #ties) on
+    planted cohorts: a clean dominance (AUC = 1), symmetric samples
+    (AUC = 0.5), and a heavy-tie case where the average-rank identity
+    is the part under test."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        "dom": ([10.0, 11.0], [1.0, 2.0, 3.0]),
+        "sym": ([1.0, 5.0], [1.0, 5.0]),
+        "ties": ([2.0, 2.0, 3.0, 7.0], [2.0, 3.0, 3.0]),
+    }
+    rows = []
+    for g, (a, b) in planted.items():
+        rows += [(g, v, True) for v in a] + [(g, v, False) for v in b]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in QUERIES["diag_mannwhitney_u"](spark, str(tmp_path)).collect()
+    }
+    for g, (a, b) in planted.items():
+        ac = [int(v * 100 + 0.5) for v in a]
+        bc = [int(v * 100 + 0.5) for v in b]
+        na, nb = len(ac), len(bc)
+        gt = sum(1 for x in ac for y in bc if x > y)
+        eq = sum(1 for x in ac for y in bc if x == y)
+        u2 = 2 * gt + eq
+        r = got[g]
+        assert (r.n_early, r.n_late) == (na, nb), g
+        assert r.u2_early == u2, g
+        assert r.auc_early == float(u2) / (2.0 * float(na) * float(nb)), g
+        assert r.rank_biserial == float(u2) / (float(na) * float(nb)) - 1.0, g
+    assert got["dom"].auc_early == 1.0
+    assert got["sym"].auc_early == 0.5
+
+
+def test_chi_square_planted_grid(spark, tmp_path):
+    """diag_chi_square_drift vs the definitional brute force on a
+    planted 3x2 contingency table with one MISSING cell — the zero
+    cell must still contribute its expectation (the grid is rebuilt
+    from the marginals, not from observed combinations)."""
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    counts = {
+        ("1-URGENT", "F"): 30,
+        ("1-URGENT", "O"): 10,
+        ("2-HIGH", "F"): 5,
+        ("2-HIGH", "O"): 25,
+        ("3-LOW", "F"): 12,
+        # ("3-LOW", "O") intentionally absent: O = 0 cell
+    }
+    rows, k = [], 0
+    for (p, s), c in counts.items():
+        for _ in range(c):
+            rows.append((k, p, s))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderstatus string"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    r = QUERIES["diag_chi_square_drift"](spark, str(tmp_path)).collect()[0]
+    n = sum(counts.values())
+    ps = sorted({p for p, _ in counts})
+    ss = sorted({s for _, s in counts})
+    rowt = {p: sum(c for (pp, _), c in counts.items() if pp == p) for p in ps}
+    colt = {s: sum(c for (_, cs), c in counts.items() if cs == s) for s in ss}
+    chi_q = 0
+    for p in ps:
+        for s in ss:
+            o = float(counts.get((p, s), 0))
+            e = float(rowt[p]) * float(colt[s]) / float(n)
+            chi_q += int((o - e) * (o - e) / e * 1e6 + 0.5)
+    chi2 = float(chi_q) / 1e6
+    assert r.n_orders == n
+    assert (r.n_priorities, r.n_statuses) == (len(ps), len(ss))
+    assert r.dof == (len(ps) - 1) * (len(ss) - 1)
+    assert r.chi_square == chi2
+    assert r.cramers_v == math.sqrt(
+        chi2 / (float(n) * float(min(len(ps), len(ss)) - 1))
+    )
+
+
+def test_gini_planted_distributions(spark, tmp_path):
+    """agg_gini_concentration vs the rank-formula brute force on
+    planted segments: perfect equality (G = 0), a single customer
+    (G = 0, top-decile share 0 since n div 10 = 0), near-total
+    concentration, and a tie-heavy segment (the formula is invariant
+    to tie order)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        "EQUAL": [100.0] * 10,
+        "ONE": [500.0],
+        "CONC": [1.0] * 9 + [991.0],
+        "TIES": [10.0, 10.0, 10.0, 40.0, 40.0, 100.0],
+    }
+    orders, custs, key = [], [], 0
+    for g, revs in planted.items():
+        for v in revs:
+            orders.append((key, key, float(v)))
+            custs.append((key, g))
+            key += 1
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        custs, "c_custkey long, c_mktsegment string"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        r.c_mktsegment: r
+        for r in QUERIES["agg_gini_concentration"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for g, revs in planted.items():
+        xs = sorted(int(v * 100 + 0.5) for v in revs)
+        n, s = len(xs), sum(xs)
+        w = sum((i + 1) * x for i, x in enumerate(xs))
+        gini = (2.0 * float(w) - (float(n) + 1.0) * float(s)) / (
+            float(n) * float(s)
+        )
+        k = n // 10
+        ts = sum(xs[n - k:]) if k else 0
+        r = got[g]
+        assert r.n_customers == n, g
+        assert r.total_revenue == float(s) / 100.0, g
+        assert r.gini == gini, g
+        assert r.top_decile_share == float(ts) / float(s), g
+    assert got["EQUAL"].gini == 0.0
+    assert got["ONE"].gini == 0.0
+    assert got["CONC"].gini > 0.85
+    assert got["EQUAL"].top_decile_share == 0.1
+
+
+def test_ols_planted_exact_line(spark, tmp_path):
+    """ml_ols_per_group on planted groups: an exact noise-free line
+    (recovers slope/intercept exactly in the closed form's own float
+    sequence, R² = 1), a noisy relation checked against the brute-force
+    normal equations, and a constant-x group (dx = 0 → NULL slope and
+    R², the nullif guard)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # y = 300x + 500 cents exactly (3.00 dollars/unit, 5.00 base)
+        "L": [(x, 3.0 * x + 5.0) for x in range(1, 11)],
+        # noisy: brute-force the normal equations
+        "N": [(1, 4.0), (2, 7.5), (3, 8.0), (4, 13.0), (5, 14.5)],
+        # constant x: dx = 0
+        "C": [(7, 10.0), (7, 20.0), (7, 30.0)],
+    }
+    rows, k = [], 0
+    for g, pts in planted.items():
+        for x, y in pts:
+            rows.append((k, g, float(x), float(y)))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_quantity double,"
+        " l_extendedprice double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["ml_ols_per_group"](spark, str(tmp_path)).collect()
+    }
+    for g, pts in planted.items():
+        xs = [int(x) for x, _ in pts]
+        ys = [int(y * 100 + 0.5) for _, y in pts]
+        n = float(len(pts))
+        sx, sy = float(sum(xs)), float(sum(ys))
+        sxy = float(sum(x * y for x, y in zip(xs, ys)))
+        sxx = float(sum(x * x for x in xs))
+        syy = float(sum(y * y for y in ys))
+        dxy = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        r = got[g]
+        assert r.n_lines == len(pts), g
+        if dx == 0.0:
+            assert r.slope is None and r.r_squared is None, g
+        else:
+            assert r.slope == dxy / dx / 100.0, g
+            assert r.intercept == (sy - dxy / dx * sx) / n / 100.0, g
+            assert r.r_squared == dxy * dxy / (dx * dy), g
+    assert got["L"].slope == 3.0
+    assert got["L"].intercept == 5.0
+    assert got["L"].r_squared == 1.0
+
+
+def test_stats_family_plan_shapes(spark):
+    """The round-11 stats family keeps its join-backs broadcast: no
+    sort-merge join and no cartesian in KS / Mann-Whitney / Gini /
+    OLS (the chi-square grid's tiny cross joins are broadcast
+    nested-loop by construction, so it is pinned to no-SMJ only)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "diag_ks_two_sample",
+        "diag_mannwhitney_u",
+        "ml_ols_per_group",
+    ):
+        df = QUERIES[name](spark, sf)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    df = QUERIES["diag_chi_square_drift"](spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan

@@ -1100,3 +1100,70 @@ def test_holt_winters_any_series_matches_fold(spark, obs):
         ), obs
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_DS_VALS = (0.5, 1.0, 2.25, 2.5, 7.75, 10.0, 42.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.sampled_from(_DS_VALS), min_size=1, max_size=20),
+    st.lists(st.sampled_from(_DS_VALS), min_size=1, max_size=20),
+)
+def test_ks_and_mwu_any_cohorts_match_brute_force(spark, a, b):
+    """diag_ks_two_sample and diag_mannwhitney_u vs their definitional
+    brute forces (all-values sup gap with smallest-location tie rule;
+    pairwise 2U = 2·#{a>b} + #ties) on ANY pair of cohorts drawn from a
+    tie-heavy value lattice — random tie patterns at every cumulative
+    crossing, cohort sizes 1..20."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    d = tempfile.mkdtemp(prefix="ks_prop_")
+    try:
+        rows = [
+            (
+                i,
+                dt.datetime(2024, 1, 10 if early else 20, 12, 0, 0),
+                i,
+                "t",
+                float(v),
+                "{}",
+            )
+            for i, (v, early) in enumerate(
+                [(v, True) for v in a] + [(v, False) for v in b]
+            )
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{d}/events.parquet")
+        ac = [int(v * 100 + 0.5) for v in a]
+        bc = [int(v * 100 + 0.5) for v in b]
+        na, nb = len(ac), len(bc)
+        best, at = -1, None
+        for v in sorted(set(ac) | set(bc)):
+            dn = abs(
+                sum(1 for x in ac if x <= v) * nb
+                - sum(1 for x in bc if x <= v) * na
+            )
+            if dn > best:
+                best, at = dn, v
+        ks = QUERIES["diag_ks_two_sample"](spark, d).collect()
+        assert len(ks) == 1
+        assert (ks[0].n_early, ks[0].n_late) == (na, nb)
+        assert ks[0].ks_num == best and ks[0].ks_at_cents == at, (a, b)
+        u2 = 2 * sum(1 for x in ac for y in bc if x > y) + sum(
+            1 for x in ac for y in bc if x == y
+        )
+        mw = QUERIES["diag_mannwhitney_u"](spark, d).collect()
+        assert len(mw) == 1
+        assert mw[0].u2_early == u2, (a, b)
+        assert mw[0].auc_early == float(u2) / (2.0 * float(na) * float(nb))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
