@@ -46,19 +46,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's TEN new queries
-    # take cap slots (the binding done-criterion is "zero oracle-backed
-    # queries with no driver row ever"), then the six trivial r5 rows
-    # displaced in r10 lead as prescribed, then the r6-stalest set —
-    # 10 + 6 + 34 of the 45 r6 rows = 50. The eleven r6 rows displaced
-    # to the overflow head are the most TRIVIAL shapes (the three
-    # scalar function batteries, the six basic ranking/frame window
-    # forms, lag/lead, and the quality-score scalar battery — each
-    # pinned by pytest and contained in richer oracles: every window
-    # primitive also runs inside sessionize/funnel/Holt/anomaly, the
-    # scalar batteries inside the enrichment pipelines), re-verified in
-    # this round's full-registry sweeps; they lead the r12 cap.
+    # same documented arithmetic as r10: this round's TWELVE new
+    # queries take cap slots (the binding done-criterion is "zero
+    # oracle-backed queries with no driver row ever"), then the six
+    # trivial r5 rows displaced in r10 lead as prescribed, then the
+    # r6-stalest set — 12 + 6 + 32 of the 45 r6 rows = 50. The
+    # thirteen r6 rows displaced to the overflow head are the most
+    # TRIVIAL shapes (the three scalar function batteries, the seven
+    # basic ranking/frame/z-score window forms, lag/lead, the
+    # quality-score scalar battery, and the one-call approx-distinct
+    # sketch — each pinned by pytest and contained in richer oracles:
+    # every window primitive also runs inside sessionize/funnel/Holt/
+    # CUSUM, the z-score inside the winsorize family, the scalar
+    # batteries inside the enrichment pipelines, approx-distinct
+    # beside the KMV/HLL-bound siblings), re-verified in this round's
+    # full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "diag_welch_ttest",
+    "window_cusum_changepoint",
     "diag_ks_two_sample",
     "diag_mannwhitney_u",
     "diag_chi_square_drift",
@@ -77,7 +82,6 @@ PRIORITY: list[str] = [
     "agg_ungrouped_global",
     "agg_collect_set",
     # (c) 41 of the 45 r6-latest rows (stalest driver evidence)
-    "agg_approx_count_distinct",
     "agg_approx_percentile_bounds",
     "agg_kmv_distinct",
     "curation_leakage_safe_split",
@@ -110,7 +114,6 @@ PRIORITY: list[str] = [
     "text_language_id",
     "text_vocab_encode",
     "text_zipf_diagnostics",
-    "window_anomaly_zscore",
     # ---------------- 50-slot cap boundary ----------------
     # overflow: the eleven trivial r6 rows displaced by this round's
     # new queries lead (stalest after this rotation — they head the
@@ -118,6 +121,7 @@ PRIORITY: list[str] = [
     # everything fresher in registration order; the rows-only set
     # stays at the end (weaker rows by design — each has an
     # oracle-backed sibling; see COVERAGE.md rows-only map).
+    "agg_approx_count_distinct",
     "scalar_datetime_functions",
     "scalar_math_functions",
     "scalar_string_functions",
@@ -128,6 +132,7 @@ PRIORITY: list[str] = [
     "window_ntile_percent_rank",
     "window_rank_dense_rank",
     "window_rolling_avg",
+    "window_anomaly_zscore",
     "window_topn_per_user",
     # r7-vintage
     "curation_bigram_buckets",

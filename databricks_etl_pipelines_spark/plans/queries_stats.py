@@ -593,3 +593,245 @@ def ml_ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
         "   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0) AS r_squared",
     )
+
+
+# -- Welch's t-test (parametric location drift) ---------------------------------
+
+# The parametric twin of diag_mannwhitney_u over the same early/late
+# cohorts: mean difference, Welch's t, and the Welch-Satterthwaite
+# degrees of freedom, all from ONE hash aggregate's exact sufficient
+# statistics (conditional n/Σc int64, Σc² decimal-exact — the
+# ml_ols_per_group discipline: per-row c² ≤ 2.4e9 at today's value
+# range stays int64, the SUM aggregates as decimal(38,0)/HUGEINT).
+# Every float is derived from exact integers with the identical op
+# sequence both engines — the sample variance is the textbook
+# (Σc² − (Σc)²/n)/(n−1) evaluated in doubles AFTER each exact sum
+# converts, so no lattice is needed. nullif guards n ≤ 1 cohorts and
+# two-constant-cohort zero variance (t, df NULL rather than an ANSI
+# error). Mean difference reported in dollars (cents/100, same
+# division both engines).
+_WELCH_ORACLE = f"""
+WITH f AS (
+  SELECT event_type AS g,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+    CASE WHEN ts < TIMESTAMP '{_COHORT_TS}' THEN 1 ELSE 0 END AS a
+  FROM events
+),
+s AS (
+  SELECT g,
+    CAST(sum(a) AS BIGINT) AS n1,
+    CAST(sum(1 - a) AS BIGINT) AS n2,
+    CAST(sum(a * c) AS BIGINT) AS s1,
+    CAST(sum((1 - a) * c) AS BIGINT) AS s2,
+    sum(a * c * c) AS q1,
+    sum((1 - a) * c * c) AS q2
+  FROM f GROUP BY g
+),
+v AS (
+  SELECT g, n1, n2,
+    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+    (CAST(q1 AS DOUBLE)
+      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      / nullif(CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE), 0) AS v1,
+    (CAST(q2 AS DOUBLE)
+      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      / nullif(CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE), 0) AS v2
+  FROM s
+)
+SELECT g AS event_type, n1 AS n_early, n2 AS n_late,
+  (m1 - m2) / CAST(100 AS DOUBLE) AS mean_diff,
+  (m1 - m2)
+    / nullif(sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 0)
+    AS welch_t,
+  (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+  * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+  / nullif(
+      v1 / CAST(n1 AS DOUBLE) * (v1 / CAST(n1 AS DOUBLE))
+        / nullif(CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE), 0)
+      + v2 / CAST(n2 AS DOUBLE) * (v2 / CAST(n2 AS DOUBLE))
+        / nullif(CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE), 0), 0)
+    AS welch_df
+FROM v
+"""
+
+
+@query("diag_welch_ttest", _WELCH_ORACLE)
+def diag_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type between the
+    early/late cohorts — the parametric location-drift check reported
+    alongside the rank-based Mann-Whitney (a drift that moves one and
+    not the other localizes to tails vs center). One conditional hash
+    aggregate; see the oracle comment for the exact-sums-to-float
+    determinism and nullif guards."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        F.when(
+            F.col("ts") < F.lit(_COHORT_TS).cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("a"),
+    )
+    s = f.groupBy("g").agg(
+        F.sum("a").alias("n1"),
+        F.sum(F.lit(1) - F.col("a")).alias("n2"),
+        F.sum(F.col("a") * F.col("c")).alias("s1"),
+        F.sum((F.lit(1) - F.col("a")) * F.col("c")).alias("s2"),
+        F.sum(
+            (F.col("a") * F.col("c") * F.col("c")).cast("decimal(38,0)")
+        ).alias("q1"),
+        F.sum(
+            (
+                (F.lit(1) - F.col("a")) * F.col("c") * F.col("c")
+            ).cast("decimal(38,0)")
+        ).alias("q2"),
+    )
+    v = s.selectExpr(
+        "g",
+        "n1",
+        "n2",
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1",
+        "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2",
+        "(CAST(q1 AS DOUBLE)"
+        "  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        "  / nullif(CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE), 0) AS v1",
+        "(CAST(q2 AS DOUBLE)"
+        "  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        "  / nullif(CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE), 0) AS v2",
+    )
+    return v.selectExpr(
+        "g AS event_type",
+        "n1 AS n_early",
+        "n2 AS n_late",
+        "(m1 - m2) / CAST(100 AS DOUBLE) AS mean_diff",
+        "(m1 - m2)"
+        " / nullif(sqrt(v1 / CAST(n1 AS DOUBLE)"
+        " + v2 / CAST(n2 AS DOUBLE)), 0) AS welch_t",
+        "(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))"
+        " * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))"
+        " / nullif("
+        "   v1 / CAST(n1 AS DOUBLE) * (v1 / CAST(n1 AS DOUBLE))"
+        "     / nullif(CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE), 0)"
+        "   + v2 / CAST(n2 AS DOUBLE) * (v2 / CAST(n2 AS DOUBLE))"
+        "     / nullif(CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE), 0), 0)"
+        " AS welch_df",
+    )
+
+
+# -- per-key CUSUM change-point detection ---------------------------------------
+
+# One-sided (upward) CUSUM over each user's time-ordered event values:
+#   m_t = max(0, m_{t-1} + (x_t - K)),  alarm at the first t with
+#   m_t > H
+# with allowance K = $100 and threshold H = $500 on the cents lattice —
+# the sequential change-point detector that flags a persistent small
+# shift long before any fixed-window z-score (window_anomaly_zscore)
+# sees it. The state (m, max_m, alarm_index, position) is ALL-int64 —
+# unlike the EMA/Holt family there is no float anywhere in the fold —
+# and rides the same transport: Spark F.aggregate over the per-key
+# sorted array, DuckDB list_reduce with a 4-element BIGINT list seed
+# prepended to [x]-encoded tails (seed length ≠ element length is
+# fine, the Holt-Winters mixed-length precedent). Scale: one user_id
+# shuffle, per-key bounded collect (the sessionize/funnel contract),
+# per-key state 4 ints. alarm_index is 0 when the alarm never fires
+# (kept as an integer, not NULL, so the compare is type-stable).
+_CUSUM_K = 10000
+_CUSUM_H = 50000
+
+_CUSUM_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+    list(CAST(floor(value * 100 + 0.5) AS BIGINT) ORDER BY ts, event_id)
+      AS xs,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT user_id, n_events,
+    list_reduce(
+      list_prepend(
+        [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)],
+        list_transform(xs, x -> [x])),
+      (acc, x) -> [
+        greatest(CAST(0 AS BIGINT), acc[1] + x[1] - {_CUSUM_K}),
+        greatest(acc[2],
+          greatest(CAST(0 AS BIGINT), acc[1] + x[1] - {_CUSUM_K})),
+        CASE WHEN acc[3] > 0 THEN acc[3]
+             WHEN greatest(CAST(0 AS BIGINT), acc[1] + x[1] - {_CUSUM_K})
+                  > {_CUSUM_H}
+             THEN acc[4] + 1 ELSE CAST(0 AS BIGINT) END,
+        acc[4] + 1 ]
+    ) AS st
+  FROM s
+)
+SELECT user_id, n_events, st[1] AS final_cusum, st[2] AS max_cusum,
+  st[3] AS alarm_index
+FROM h
+"""
+
+
+@query("window_cusum_changepoint", _CUSUM_ORACLE)
+def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM change-point detection over
+    time-ordered event values (allowance $100, threshold $500): final
+    and maximum cumulative excess plus the 1-based index of the first
+    alarm (0 = never) — the sequential drift detector for persistent
+    small shifts. All-integer state through the catalog's ordered-fold
+    transport; see the oracle comment."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "ts",
+                "event_id",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+    )
+    g = ev.groupBy("user_id").agg(
+        arr.alias("rs"), F.count("*").alias("n_events")
+    )
+    xs = F.transform("rs", lambda r: r["c"])
+
+    def step(acc, x):
+        m = F.greatest(
+            F.lit(0).cast("long"),
+            acc["m"] + x - F.lit(_CUSUM_K),
+        )
+        mx = F.greatest(acc["mx"], m)
+        pos = acc["pos"] + F.lit(1).cast("long")
+        alarm = (
+            F.when(acc["alarm"] > 0, acc["alarm"])
+            .when(m > F.lit(_CUSUM_H), pos)
+            .otherwise(F.lit(0).cast("long"))
+        )
+        return F.struct(
+            m.alias("m"),
+            mx.alias("mx"),
+            alarm.alias("alarm"),
+            pos.alias("pos"),
+        )
+
+    zero = F.lit(0).cast("long")
+    st = F.aggregate(
+        xs,
+        F.struct(
+            zero.alias("m"),
+            zero.alias("mx"),
+            zero.alias("alarm"),
+            zero.alias("pos"),
+        ),
+        step,
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        st["m"].alias("final_cusum"),
+        st["mx"].alias("max_cusum"),
+        st["alarm"].alias("alarm_index"),
+    )

@@ -3301,3 +3301,114 @@ def test_stats_family_plan_shapes(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_welch_ttest_planted(spark, tmp_path):
+    """diag_welch_ttest vs the textbook brute force (cohort means,
+    sample variances, Welch t and Satterthwaite df) on planted
+    cohorts: a clear shift, identical cohorts (t = 0), and a
+    zero-variance pair (constant values both sides — t/df NULL via the
+    nullif guard, mean_diff still exact)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        "shift": ([1.0, 2.0, 3.0, 4.0], [10.0, 12.0, 14.0]),
+        "same": ([5.0, 6.0, 7.0], [5.0, 6.0, 7.0]),
+        "const": ([4.0, 4.0], [9.0, 9.0]),
+    }
+    rows = []
+    for g, (a, b) in planted.items():
+        rows += [(g, v, True) for v in a] + [(g, v, False) for v in b]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in QUERIES["diag_welch_ttest"](spark, str(tmp_path)).collect()
+    }
+    for g, (a, b) in planted.items():
+        ac = [int(v * 100 + 0.5) for v in a]
+        bc = [int(v * 100 + 0.5) for v in b]
+        n1, n2 = float(len(ac)), float(len(bc))
+        m1, m2 = float(sum(ac)) / n1, float(sum(bc)) / n2
+        v1 = (float(sum(x * x for x in ac)) - float(sum(ac)) * float(
+            sum(ac)) / n1) / (n1 - 1.0)
+        v2 = (float(sum(x * x for x in bc)) - float(sum(bc)) * float(
+            sum(bc)) / n2) / (n2 - 1.0)
+        r = got[g]
+        assert (r.n_early, r.n_late) == (len(ac), len(bc)), g
+        assert r.mean_diff == (m1 - m2) / 100.0, g
+        se = (v1 / n1 + v2 / n2) ** 0.5
+        if se == 0.0:
+            assert r.welch_t is None and r.welch_df is None, g
+        else:
+            assert r.welch_t == (m1 - m2) / se, g
+            df = (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) / (
+                v1 / n1 * (v1 / n1) / (n1 - 1.0)
+                + v2 / n2 * (v2 / n2) / (n2 - 1.0)
+            )
+            assert r.welch_df == df, g
+    assert got["same"].welch_t == 0.0
+    assert got["shift"].welch_t < 0.0  # early mean below late mean
+
+
+def test_cusum_planted_series(spark, tmp_path):
+    """window_cusum_changepoint vs the recurrence replayed in Python on
+    planted per-user series: a persistent small shift that alarms (and
+    the alarm index sticks at the FIRST crossing), a spiky series that
+    resets to zero without alarming, and an n=1 user."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # $250/event persistent: m grows +15000/event, alarms at event 4
+        1: [250.0] * 8,
+        # one $400 spike then quiet: m = 30000 then decays to 0, no alarm
+        2: [400.0, 10.0, 10.0, 10.0, 10.0],
+        # single event below allowance
+        3: [50.0],
+    }
+    rows, k = [], 0
+    for uid, vals in planted.items():
+        for j, v in enumerate(vals):
+            rows.append(
+                (
+                    k,
+                    dt.datetime(2024, 1, 10, 8, 0, j),
+                    uid,
+                    "t",
+                    float(v),
+                    "{}",
+                )
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.user_id: r
+        for r in QUERIES["window_cusum_changepoint"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    K, H = 10000, 50000
+    for uid, vals in planted.items():
+        m = mx = alarm = 0
+        for pos, v in enumerate(vals, start=1):
+            m = max(0, m + int(v * 100 + 0.5) - K)
+            mx = max(mx, m)
+            if alarm == 0 and m > H:
+                alarm = pos
+        r = got[uid]
+        assert r.n_events == len(vals), uid
+        assert (r.final_cusum, r.max_cusum, r.alarm_index) == (
+            m,
+            mx,
+            alarm,
+        ), uid
+    assert got[1].alarm_index == 4
+    assert got[2].alarm_index == 0 and got[2].final_cusum == 0
+    assert got[3].max_cusum == 0
