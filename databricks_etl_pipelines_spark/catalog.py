@@ -46,22 +46,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's TWELVE new
+    # same documented arithmetic as r10: this round's THIRTEEN new
     # queries take cap slots (the binding done-criterion is "zero
     # oracle-backed queries with no driver row ever"), then the six
     # trivial r5 rows displaced in r10 lead as prescribed, then the
-    # r6-stalest set — 12 + 6 + 32 of the 45 r6 rows = 50. The
-    # thirteen r6 rows displaced to the overflow head are the most
+    # r6-stalest set — 13 + 6 + 31 of the 45 r6 rows = 50. The
+    # fourteen r6 rows displaced to the overflow head are the most
     # TRIVIAL shapes (the three scalar function batteries, the seven
     # basic ranking/frame/z-score window forms, lag/lead, the
-    # quality-score scalar battery, and the one-call approx-distinct
-    # sketch — each pinned by pytest and contained in richer oracles:
-    # every window primitive also runs inside sessionize/funnel/Holt/
-    # CUSUM, the z-score inside the winsorize family, the scalar
-    # batteries inside the enrichment pipelines, approx-distinct
-    # beside the KMV/HLL-bound siblings), re-verified in this round's
+    # quality-score scalar battery, and the two one-call approx
+    # sketches (distinct-count and percentile brackets) — each pinned
+    # by pytest and contained in richer oracles: every window primitive
+    # also runs inside sessionize/funnel/Holt/CUSUM, the z-score inside
+    # the winsorize family, the scalar batteries inside the enrichment
+    # pipelines, the approx sketches beside the KMV/HLL-bound and
+    # exact-rank-quantile siblings — re-verified in this round's
     # full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "streaming_ks_drift",
     "diag_welch_ttest",
     "window_cusum_changepoint",
     "diag_ks_two_sample",
@@ -81,8 +83,7 @@ PRIORITY: list[str] = [
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
     "agg_collect_set",
-    # (c) 41 of the 45 r6-latest rows (stalest driver evidence)
-    "agg_approx_percentile_bounds",
+    # (c) 31 of the 45 r6-latest rows (stalest driver evidence)
     "agg_kmv_distinct",
     "curation_leakage_safe_split",
     "curation_prepare_corpus",
@@ -115,13 +116,14 @@ PRIORITY: list[str] = [
     "text_vocab_encode",
     "text_zipf_diagnostics",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the eleven trivial r6 rows displaced by this round's
+    # overflow: the fourteen trivial r6 rows displaced by this round's
     # new queries lead (stalest after this rotation — they head the
     # r12 cap), then the r7-vintage rows (next stalest), then
     # everything fresher in registration order; the rows-only set
     # stays at the end (weaker rows by design — each has an
     # oracle-backed sibling; see COVERAGE.md rows-only map).
     "agg_approx_count_distinct",
+    "agg_approx_percentile_bounds",
     "scalar_datetime_functions",
     "scalar_math_functions",
     "scalar_string_functions",

@@ -54,28 +54,8 @@ def _two_sample_hist(ev: DataFrame) -> DataFrame:
     ca, cb (cumulative ≤ v), ct (pooled cumulative ≤ v). The cumulative
     window sorts DISTINCT cents values per group — bounded by the value
     range's lattice (~50k buckets/group), not by row count."""
-    f = ev.select(
-        F.col("event_type").alias("g"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
-        F.when(
-            F.col("ts") < F.lit(_COHORT_TS).cast("timestamp"), 1
-        )
-        .otherwise(0)
-        .alias("a"),
-    )
-    h = f.groupBy("g", "v").agg(
-        F.sum("a").alias("ac"),
-        F.sum(F.lit(1) - F.col("a")).alias("bc"),
-    )
-    w = (
-        Window.partitionBy("g")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        h.withColumn("ca", F.sum("ac").over(w))
-        .withColumn("cb", F.sum("bc").over(w))
-        .withColumn("ct", F.col("ca") + F.col("cb"))
+    return _cumulate_hist(_two_cohort_partial(ev)).withColumn(
+        "ct", F.col("ca") + F.col("cb")
     )
 
 
@@ -132,16 +112,11 @@ GROUP BY m.g, t.na, t.nb, m.ks_num
 """
 
 
-@query("diag_ks_two_sample", _KS_ORACLE)
-def diag_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov-Smirnov statistic per event type
-    between the early and late halves of the event window — THE
-    nonparametric "did the whole distribution drift" test, computed in
-    cross-multiplied integer form so the supremum and its location are
-    engine-exact (see the oracle comment for headroom). One fact scan
-    → shared two-cohort histogram → lattice-bounded cumulative window
-    → broadcast totals join."""
-    h = _two_sample_hist(table(spark, sf_dir, "events"))
+def _ks_project(h: DataFrame) -> DataFrame:
+    """KS projection shared by the batch and streaming flavors: from
+    the two-cohort cumulative histogram ``h(g, v, ac, bc, ca, cb)``
+    (lattice-bounded per group) to one row per group with the exact
+    supremum, its smallest attaining value, and the float statistic."""
     t = h.groupBy("g").agg(
         F.sum("ac").alias("na"), F.sum("bc").alias("nb")
     )
@@ -181,6 +156,90 @@ def diag_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS ks_stat",
             "ks_at_cents",
         )
+    )
+
+
+@query("diag_ks_two_sample", _KS_ORACLE)
+def diag_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per event type
+    between the early and late halves of the event window — THE
+    nonparametric "did the whole distribution drift" test, computed in
+    cross-multiplied integer form so the supremum and its location are
+    engine-exact (see the oracle comment for headroom). One fact scan
+    → shared two-cohort histogram → lattice-bounded cumulative window
+    → broadcast totals join (the `_ks_project` half is shared with the
+    incrementally-maintained streaming flavor)."""
+    return _ks_project(_two_sample_hist(table(spark, sf_dir, "events")))
+
+
+@query("streaming_ks_drift", _KS_ORACLE)
+def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KS drift test maintained INCREMENTALLY over the events
+    stream: each micro-batch folds its own (event_type, value-cent,
+    cohort) counts ADDITIVELY into a managed histogram table
+    (streaming/structured.py::incremental_aggregate) — per-batch cost
+    tracks the batch plus the lattice-bounded histogram, never event
+    history — and the KS projection (cumulative window, supremum,
+    argmax) reads ONLY the maintained aggregate. Drained with
+    availableNow the counts equal the batch counts exactly (addition
+    is associative), so the oracle is the SAME SQL as the batch KS —
+    incremental maintenance must be invisible in the result. This is
+    the continuous-monitoring form: at 100 TB the detector's steady
+    state is the ~50k-buckets-per-type histogram, and every
+    micro-batch updates the drift verdict in aggregate-sized work."""
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+        streaming_events,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    target = ManagedTable(scratch_dir("ksdrift_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["g", "v"],
+        _two_cohort_partial,
+        scratch_dir("ksdrift_ckpt_"),
+    )
+    await_drained(q, 300)
+    return _ks_project(_cumulate_hist(target.read(spark)))
+
+
+def _two_cohort_partial(batch: DataFrame) -> DataFrame:
+    """Per-micro-batch additive partial of the two-cohort histogram
+    (order-independent: pure counts, so any batch split of the feed
+    folds to the identical aggregate)."""
+    f = batch.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.when(
+            F.col("ts") < F.lit(_COHORT_TS).cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("a"),
+    )
+    return f.groupBy("g", "v").agg(
+        F.sum("a").alias("ac"),
+        F.sum(F.lit(1) - F.col("a")).alias("bc"),
+    )
+
+
+def _cumulate_hist(h: DataFrame) -> DataFrame:
+    """Attach the per-group cumulative cohort counts to a two-cohort
+    histogram ``h(g, v, ac, bc)`` — the lattice-bounded window shared
+    with `_two_sample_hist`."""
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return h.withColumn("ca", F.sum("ac").over(w)).withColumn(
+        "cb", F.sum("bc").over(w)
     )
 
 

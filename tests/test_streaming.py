@@ -1209,3 +1209,82 @@ def test_ema_stream_torn_marker_fails_with_ownership_error(
     )
     with _pytest.raises(Exception, match="is owned by checkpoint"):
         await_drained(q2, 120)
+
+
+def test_streaming_ks_drift_multibatch_equals_one_shot(spark, tmp_path):
+    """streaming_ks_drift's incremental histogram folded over THREE
+    micro-batches (maxFilesPerTrigger=1, an interleaved non-chronological
+    split — the partial is pure additive counts, so unlike the EMA fold
+    ANY split must work) equals the one-shot batch KS row-for-row."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _cumulate_hist,
+        _ks_project,
+        _two_cohort_partial,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    load_all()
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                i,
+                dt.datetime(2024, 1, 10 if i % 2 else 20, 12, 0, i),
+                i,
+                "t" if i % 3 else "u",
+                float((i * 7) % 23) + 0.5,
+                "{}",
+            )
+        )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    feed = tmp_path / "events.parquet"
+    # three files -> three micro-batches under maxFilesPerTrigger=1;
+    # the split interleaves event ids (i % 3 buckets), NOT chronological
+    df.repartition(3, "event_id").write.parquet(str(feed))
+    one_shot = {
+        r.event_type: r
+        for r in QUERIES["diag_ks_two_sample"](spark, str(tmp_path)).collect()
+    }
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    target = ManagedTable(str(tmp_path / "ks_gold"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["g", "v"],
+        _two_cohort_partial,
+        str(tmp_path / "ks_ckpt"),
+    )
+    await_drained(q, 300)
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    assert n_batches >= 3, n_batches
+    streamed = {
+        r.event_type: r
+        for r in _ks_project(_cumulate_hist(target.read(spark))).collect()
+    }
+    assert set(streamed) == set(one_shot)
+    for g, r in one_shot.items():
+        s = streamed[g]
+        assert (
+            s.n_early, s.n_late, s.ks_num, s.ks_stat, s.ks_at_cents
+        ) == (
+            r.n_early, r.n_late, r.ks_num, r.ks_stat, r.ks_at_cents
+        ), g
