@@ -3290,6 +3290,8 @@ def test_stats_family_plan_shapes(spark):
     for name in (
         "diag_ks_two_sample",
         "diag_mannwhitney_u",
+        "diag_welch_ttest",
+        "window_cusum_changepoint",
         "ml_ols_per_group",
     ):
         df = QUERIES[name](spark, sf)
