@@ -46,12 +46,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's THIRTEEN new
+    # same documented arithmetic as r10: this round's FIFTEEN new
     # queries take cap slots (the binding done-criterion is "zero
     # oracle-backed queries with no driver row ever"), then the six
     # trivial r5 rows displaced in r10 lead as prescribed, then the
-    # r6-stalest set — 13 + 6 + 31 of the 45 r6 rows = 50. The
-    # fourteen r6 rows displaced to the overflow head are the most
+    # r6-stalest set — 15 + 6 + 29 of the 45 r6 rows = 50. The
+    # sixteen r6 rows displaced to the overflow head are the most
     # TRIVIAL shapes (the three scalar function batteries, the seven
     # basic ranking/frame/z-score window forms, lag/lead, the
     # quality-score scalar battery, and the two one-call approx
@@ -60,9 +60,14 @@ PRIORITY: list[str] = [
     # also runs inside sessionize/funnel/Holt/CUSUM, the z-score inside
     # the winsorize family, the scalar batteries inside the enrichment
     # pipelines, the approx sketches beside the KMV/HLL-bound and
-    # exact-rank-quantile siblings — re-verified in this round's
+    # exact-rank-quantile siblings, the rolling-hash
+    # fingerprint beside the span-dedup/minhash crossengine oracles that
+    # exercise the same Karp-Rabin primitive, the BPE token-stat readout
+    # beside the BPE train/encode oracles that stay in-cap — re-verified in this round's
     # full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "diag_spearman_corr",
+    "diag_psi_stability",
     "streaming_ks_drift",
     "diag_welch_ttest",
     "window_cusum_changepoint",
@@ -83,7 +88,7 @@ PRIORITY: list[str] = [
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
     "agg_collect_set",
-    # (c) 31 of the 45 r6-latest rows (stalest driver evidence)
+    # (c) 29 of the 45 r6-latest rows (stalest driver evidence)
     "agg_kmv_distinct",
     "curation_leakage_safe_split",
     "curation_prepare_corpus",
@@ -109,14 +114,12 @@ PRIORITY: list[str] = [
     "streaming_session_window",
     "streaming_stateful_totals",
     "text_bpe_encode_stats",
-    "text_bpe_token_stats",
     "text_bpe_train_merges",
-    "text_fingerprint_rolling",
     "text_language_id",
     "text_vocab_encode",
     "text_zipf_diagnostics",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the fourteen trivial r6 rows displaced by this round's
+    # overflow: the sixteen trivial r6 rows displaced by this round's
     # new queries lead (stalest after this rotation — they head the
     # r12 cap), then the r7-vintage rows (next stalest), then
     # everything fresher in registration order; the rows-only set
@@ -127,6 +130,8 @@ PRIORITY: list[str] = [
     "scalar_datetime_functions",
     "scalar_math_functions",
     "scalar_string_functions",
+    "text_bpe_token_stats",
+    "text_fingerprint_rolling",
     "text_quality_score",
     "window_cumulative_sum",
     "window_first_last",

@@ -894,3 +894,302 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         st["mx"].alias("max_cusum"),
         st["alarm"].alias("alarm_index"),
     )
+
+
+# -- Population Stability Index over reference-decile bins ----------------------
+
+# THE industry drift score (credit-scoring discipline, the WOE/IV
+# sibling): bin the metric by the REFERENCE cohort's deciles, then
+# PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i). Bin edges are EXACT weighted
+# rank cuts on the early cohort's cumulative histogram — e_k = min v
+# with 10·ca ≥ k·na (the integer-crossing form of ceil(k·na/10), the
+# weighted-quantiles discipline), k = 1..9 built by exploding a 9-int
+# sequence against the lattice-bounded histogram (≤ 9× histogram rows,
+# never fact rows). A value lands in bin 1 + #{k: e_k < v} — ties at
+# an edge fall LOW, an explicit rule both engines share as an integer
+# comparison. Mass-collapsed edges (one value holding > 10% of the
+# reference) leave empty grid bins; the full (type, 1..10) grid is
+# rebuilt by exploding a 10-sequence from the totals (the chi-square
+# zero-cell discipline) and +0.5 Laplace smoothing keeps empty bins
+# finite identically on both engines (the WOE discipline). Every
+# count/edge/bin id is exact int64; p, q are single divisions; the
+# ln() is the one libm-sensitive op and is absorbed by round-6 exactly
+# like WOE/tfidf/BM25. PSI contributions stay PER-BIN rows (50 rows
+# here — never a cross-row float sum; the total is one 10-term sum away
+# for any consumer, the WOE iv_contrib convention).
+_PSI_ORACLE = f"""
+WITH f AS (
+  SELECT event_type AS g,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+    CASE WHEN ts < TIMESTAMP '{_COHORT_TS}' THEN 1 ELSE 0 END AS a
+  FROM events
+),
+h AS (
+  SELECT g, v, CAST(sum(a) AS BIGINT) AS ac,
+    CAST(sum(1 - a) AS BIGINT) AS bc
+  FROM f GROUP BY g, v
+),
+c AS (
+  SELECT g, v, ac, bc,
+    CAST(sum(ac) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca
+  FROM h
+),
+t AS (
+  SELECT g, CAST(sum(ac) AS BIGINT) AS na, CAST(sum(bc) AS BIGINT) AS nb
+  FROM h GROUP BY g
+),
+edges AS (
+  SELECT c.g, u.k, CAST(min(c.v) AS BIGINT) AS ek
+  FROM c JOIN t ON c.g = t.g
+  CROSS JOIN unnest(generate_series(1, 9)) AS u(k)
+  WHERE 10 * c.ca >= u.k * t.na
+  GROUP BY c.g, u.k
+),
+binned AS (
+  SELECT c.g, c.v, max(c.ac) AS ac, max(c.bc) AS bc,
+    1 + CAST(sum(CASE WHEN e.ek < c.v THEN 1 ELSE 0 END) AS BIGINT)
+      AS bin
+  FROM c JOIN edges e ON c.g = e.g
+  GROUP BY c.g, c.v
+),
+counts AS (
+  SELECT g, bin, CAST(sum(ac) AS BIGINT) AS a_cnt,
+    CAST(sum(bc) AS BIGINT) AS b_cnt
+  FROM binned GROUP BY g, bin
+),
+grid AS (
+  SELECT t.g, u.bin, t.na, t.nb,
+    coalesce(counts.a_cnt, 0) AS a_cnt, coalesce(counts.b_cnt, 0) AS b_cnt
+  FROM t CROSS JOIN unnest(generate_series(1, 10)) AS u(bin)
+  LEFT JOIN counts ON counts.g = t.g AND counts.bin = u.bin
+),
+terms AS (
+  SELECT g, bin, a_cnt, b_cnt,
+    (a_cnt + CAST(0.5 AS DOUBLE)) / (na + CAST(5 AS DOUBLE)) AS p,
+    (b_cnt + CAST(0.5 AS DOUBLE)) / (nb + CAST(5 AS DOUBLE)) AS q
+  FROM grid
+)
+SELECT g AS event_type, bin, a_cnt AS n_early, b_cnt AS n_late,
+  floor(p * 1000000 + 0.5) / 1000000 AS p_early,
+  floor(q * 1000000 + 0.5) / 1000000 AS q_late,
+  floor((p - q) * ln(p / q) * 1000000 + 0.5) / 1000000 AS psi_contrib
+FROM terms
+"""
+
+
+@query("diag_psi_stability", _PSI_ORACLE)
+def diag_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index contributions per event type over
+    reference-decile bins (early cohort defines the deciles, late
+    cohort is scored against them) — the industry-standard drift score
+    a model-monitoring pipeline reads before retraining, reported
+    per-bin like WOE's iv_contrib so no cross-row float sum exists.
+    Exact integer edges/bins/counts; Laplace-smoothed shares; ln
+    absorbed by round-6 (see the oracle comment)."""
+    from databricks_etl_pipelines_spark.functions.numeric import (
+        stable_round,
+    )
+
+    h = _cumulate_hist(
+        _two_cohort_partial(table(spark, sf_dir, "events"))
+    ).drop("cb")
+    t = h.groupBy("g").agg(
+        F.sum("ac").alias("na"), F.sum("bc").alias("nb")
+    )
+    edges = (
+        h.join(F.broadcast(t.select("g", "na")), "g")
+        .select(
+            "g",
+            "v",
+            "ca",
+            "na",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k"),
+        )
+        .filter(F.lit(10) * F.col("ca") >= F.col("k") * F.col("na"))
+        .groupBy("g", "k")
+        .agg(F.min("v").alias("ek"))
+    )
+    binned = (
+        h.join(F.broadcast(edges), "g")
+        .groupBy("g", "v")
+        .agg(
+            F.max("ac").alias("ac"),
+            F.max("bc").alias("bc"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(F.col("ek") < F.col("v"), 1).otherwise(0)
+                )
+            ).cast("long").alias("bin"),
+        )
+    )
+    counts = binned.groupBy("g", "bin").agg(
+        F.sum("ac").alias("a_cnt"), F.sum("bc").alias("b_cnt")
+    )
+    grid = (
+        t.select(
+            "g",
+            "na",
+            "nb",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bin"),
+        )
+        .withColumn("bin", F.col("bin").cast("long"))
+        .join(F.broadcast(counts), ["g", "bin"], "left")
+        .withColumn("a_cnt", F.coalesce(F.col("a_cnt"), F.lit(0)))
+        .withColumn("b_cnt", F.coalesce(F.col("b_cnt"), F.lit(0)))
+    )
+    terms = grid.selectExpr(
+        "g",
+        "bin",
+        "a_cnt",
+        "b_cnt",
+        "(a_cnt + CAST(0.5 AS DOUBLE)) / (na + CAST(5 AS DOUBLE)) AS p",
+        "(b_cnt + CAST(0.5 AS DOUBLE)) / (nb + CAST(5 AS DOUBLE)) AS q",
+    )
+    return terms.select(
+        F.col("g").alias("event_type"),
+        "bin",
+        F.col("a_cnt").alias("n_early"),
+        F.col("b_cnt").alias("n_late"),
+        stable_round(F.col("p"), 6).alias("p_early"),
+        stable_round(F.col("q"), 6).alias("q_late"),
+        stable_round(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+        ).alias("psi_contrib"),
+    )
+
+
+# -- Spearman rank correlation (exact, tie-aware) -------------------------------
+
+# Monotone-association screen between two measures per group — the
+# rank-based complement of ml_ols_per_group's linear fit (a relation
+# OLS sees weakly because it is nonlinear still shows rho ≈ 1 here).
+# Exact construction: each measure's AVERAGE ranks are carried as the
+# integer 2·rank (the Mann-Whitney identity, 2r(v) = 2·c_prev + t + 1)
+# in per-group LATTICE-BOUNDED rank maps (distinct quantity values ≤
+# 50; distinct price cents ≤ range·100) built from one cumulative
+# window each; the fact table joins BOTH maps back (map-side, the maps
+# broadcast at any scale because they are value-range-bounded) and
+# Spearman rho is Pearson over (2rx, 2ry): the 2× factors cancel in
+# the normalized quotient. Sufficient statistics: Σ2rx and Σ2ry equal
+# n(n+1) identically (asserted implicitly by the algebra); the product
+# sums Σ(2rx)², Σ(2ry)², Σ(2rx·2ry) aggregate as decimal(38,0)/HUGEINT
+# (per-row products ≤ 4n² ≤ 1.4e20 at n = 6e9 exceed int64, so each
+# CASTS BEFORE the multiply; sums ≤ 4n³ ≈ 8.6e29 < 1e38). rho is then
+# derived in doubles from exact sums in the identical sequence both
+# engines (the OLS discipline); constant-measure groups nullif-degrade
+# to NULL.
+_SPEARMAN_ORACLE = """
+WITH f AS (
+  SELECT l_returnflag AS g,
+    CAST(floor(l_quantity) AS BIGINT) AS x,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+hx AS (
+  SELECT g, x, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY g, x
+),
+rx AS (
+  SELECT g, x,
+    2 * (CAST(sum(t) OVER (PARTITION BY g ORDER BY x) AS BIGINT) - t)
+      + t + 1 AS r2
+  FROM hx
+),
+hy AS (
+  SELECT g, y, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY g, y
+),
+ry AS (
+  SELECT g, y,
+    2 * (CAST(sum(t) OVER (PARTITION BY g ORDER BY y) AS BIGINT) - t)
+      + t + 1 AS r2
+  FROM hy
+),
+j AS (
+  SELECT f.g, rx.r2 AS a, ry.r2 AS b
+  FROM f
+  JOIN rx ON f.g = rx.g AND f.x = rx.x
+  JOIN ry ON f.g = ry.g AND f.y = ry.y
+),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+    sum(a * b) AS sab, sum(a * a) AS saa, sum(b * b) AS sbb
+  FROM j GROUP BY g
+)
+SELECT g AS l_returnflag, n AS n_lines,
+  (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+  / nullif(sqrt(
+      (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0) AS spearman_rho
+FROM s
+"""
+
+
+@query("diag_spearman_corr", _SPEARMAN_ORACLE)
+def diag_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation between line quantity
+    and price per return flag — the monotone-association screen that
+    catches nonlinear relations the OLS R² understates. Average ranks
+    carried as integer 2·rank in lattice-bounded rank maps joined back
+    to one fact scan; rho is Pearson over the doubled ranks (factors
+    cancel) from decimal-exact sums; see the oracle comment."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_quantity")).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        h = f.groupBy("g", col).agg(F.count("*").alias("t"))
+        w = (
+            Window.partitionBy("g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return h.select(
+            "g",
+            col,
+            (
+                F.lit(2) * (F.sum("t").over(w) - F.col("t"))
+                + F.col("t")
+                + F.lit(1)
+            ).alias("r2"),
+        )
+
+    rx = rank_map("x").withColumnRenamed("r2", "a")
+    ry = rank_map("y").withColumnRenamed("r2", "b")
+    j = f.join(F.broadcast(rx), ["g", "x"]).join(
+        F.broadcast(ry), ["g", "y"]
+    )
+    s = j.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(
+            F.col("a").cast("decimal(38,0)") * F.col("b")
+        ).alias("sab"),
+        F.sum(
+            F.col("a").cast("decimal(38,0)") * F.col("a")
+        ).alias("saa"),
+        F.sum(
+            F.col("b").cast("decimal(38,0)") * F.col("b")
+        ).alias("sbb"),
+    )
+    return s.selectExpr(
+        "g AS l_returnflag",
+        "n AS n_lines",
+        "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)"
+        "  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+        " / nullif(sqrt("
+        "   (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)"
+        "     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+        "   * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)"
+        "     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0)"
+        " AS spearman_rho",
+    )

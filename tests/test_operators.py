@@ -3293,6 +3293,8 @@ def test_stats_family_plan_shapes(spark):
         "diag_welch_ttest",
         "window_cusum_changepoint",
         "ml_ols_per_group",
+        "diag_psi_stability",
+        "diag_spearman_corr",
     ):
         df = QUERIES[name](spark, sf)
         df.collect()
@@ -3414,3 +3416,143 @@ def test_cusum_planted_series(spark, tmp_path):
     assert got[1].alarm_index == 4
     assert got[2].alarm_index == 0 and got[2].final_cusum == 0
     assert got[3].max_cusum == 0
+
+
+def test_psi_planted_bins(spark, tmp_path):
+    """diag_psi_stability vs the definitional brute force on planted
+    cohorts: identical cohorts (every psi_contrib ~ 0), a clean
+    location shift (late mass escapes the reference deciles into bin
+    10), and a mass-collapsed case (one value holding > 10% of the
+    reference dedupes edges and leaves empty grid bins that must still
+    appear with Laplace-smoothed shares)."""
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        "same": ([float(i) for i in range(1, 21)], [float(i) for i in range(1, 21)]),
+        "shift": ([float(i) for i in range(1, 21)], [100.0 + i for i in range(10)]),
+        # 15 of 20 reference values are 5.0 -> edges e_1..e_7 all 5.0
+        "mass": ([5.0] * 15 + [1.0, 2.0, 8.0, 9.0, 10.0], [5.0, 7.0, 9.0]),
+    }
+    rows = []
+    for g, (a, b) in planted.items():
+        rows += [(g, v, True) for v in a] + [(g, v, False) for v in b]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.event_type, r.bin): r
+        for r in QUERIES["diag_psi_stability"](spark, str(tmp_path)).collect()
+    }
+    for g, (a, b) in planted.items():
+        ac = sorted(int(v * 100 + 0.5) for v in a)
+        bc = [int(v * 100 + 0.5) for v in b]
+        na, nb = len(ac), len(bc)
+        # brute-force edges over distinct values
+        distinct = sorted(set(ac) | set(bc))
+        edges = []
+        for k in range(1, 10):
+            edges.append(
+                min(
+                    v
+                    for v in distinct
+                    if 10 * sum(1 for x in ac if x <= v) >= k * na
+                )
+            )
+
+        def bin_of(v):
+            return 1 + sum(1 for e in edges if e < v)
+
+        for bin_id in range(1, 11):
+            a_cnt = sum(1 for x in ac if bin_of(x) == bin_id)
+            b_cnt = sum(1 for x in bc if bin_of(x) == bin_id)
+            p = (a_cnt + 0.5) / (na + 5.0)
+            q = (b_cnt + 0.5) / (nb + 5.0)
+            contrib = math.floor((p - q) * math.log(p / q) * 1e6 + 0.5) / 1e6
+            r = got[(g, bin_id)]
+            assert (r.n_early, r.n_late) == (a_cnt, b_cnt), (g, bin_id)
+            assert r.psi_contrib == contrib, (g, bin_id)
+    # the shift case: ALL late mass lands in bin 10
+    assert got[("shift", 10)].n_late == 10
+    assert sum(got[("shift", i)].n_late for i in range(1, 10)) == 0
+    # identical cohorts: every contribution is (smoothing-only) tiny
+    assert all(abs(got[("same", i)].psi_contrib) < 1e-4 for i in range(1, 11))
+    # mass case: collapsed edges leave bins 2..7 EMPTY on both sides,
+    # yet the rows exist with smoothed shares
+    assert all((("mass", i) in got) for i in range(1, 11))
+    empty = [i for i in range(1, 11) if got[("mass", i)].n_early == 0]
+    assert len(empty) >= 5
+
+
+def test_spearman_planted_relations(spark, tmp_path):
+    """diag_spearman_corr vs the brute force (Pearson over tie-average
+    ranks) on planted groups: a perfect NONLINEAR monotone relation
+    (rho = 1 where OLS R² < 1), a perfect reversal (rho = -1), a
+    tie-heavy scatter checked against hand-computed average ranks, and
+    a constant measure (zero rank variance → NULL via nullif)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # y = x^3-ish: monotone, nonlinear
+        "M": [(1, 1.0), (2, 8.0), (3, 27.0), (4, 64.0), (5, 125.0)],
+        # strictly decreasing
+        "R": [(1, 50.0), (2, 40.0), (3, 30.0), (4, 20.0)],
+        # ties on both sides
+        "T": [(1, 5.0), (1, 7.0), (2, 5.0), (2, 9.0), (3, 9.0), (3, 2.0)],
+        # constant y
+        "C": [(1, 4.0), (2, 4.0), (3, 4.0)],
+    }
+    rows, k = [], 0
+    for g, pts in planted.items():
+        for x, y in pts:
+            rows.append((k, g, float(x), float(y)))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_quantity double,"
+        " l_extendedprice double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["diag_spearman_corr"](spark, str(tmp_path)).collect()
+    }
+
+    def avg_ranks_x2(vals):
+        """2x tie-average ranks of a list, exact integers."""
+        s = sorted(vals)
+        out = []
+        for v in vals:
+            below = sum(1 for u in s if u < v)
+            t = sum(1 for u in s if u == v)
+            out.append(2 * below + t + 1)
+        return out
+
+    for g, pts in planted.items():
+        xs = [x for x, _ in pts]
+        ys = [int(y * 100 + 0.5) for _, y in pts]
+        a = avg_ranks_x2(xs)
+        b = avg_ranks_x2(ys)
+        n = float(len(pts))
+        sa, sb = float(sum(a)), float(sum(b))
+        sab = float(sum(p * q for p, q in zip(a, b)))
+        saa = float(sum(p * p for p in a))
+        sbb = float(sum(q * q for q in b))
+        num = n * sab - sa * sb
+        den = ((n * saa - sa * sa) * (n * sbb - sb * sb)) ** 0.5
+        r = got[g]
+        assert r.n_lines == len(pts), g
+        if den == 0.0:
+            assert r.spearman_rho is None, g
+        else:
+            assert r.spearman_rho == num / den, g
+    assert got["M"].spearman_rho == 1.0
+    assert got["R"].spearman_rho == -1.0
+    assert got["C"].spearman_rho is None
+    # and the point of the operator: OLS on the same nonlinear group
+    # is strictly below the rank correlation
+    ols = {
+        r.l_returnflag: r
+        for r in QUERIES["ml_ols_per_group"](spark, str(tmp_path)).collect()
+    }
+    assert ols["M"].r_squared < 1.0
