@@ -46,12 +46,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's FIFTEEN new
+    # same documented arithmetic as r10: this round's SIXTEEN new
     # queries take cap slots (the binding done-criterion is "zero
     # oracle-backed queries with no driver row ever"), then the six
     # trivial r5 rows displaced in r10 lead as prescribed, then the
-    # r6-stalest set — 15 + 6 + 29 of the 45 r6 rows = 50. The
-    # sixteen r6 rows displaced to the overflow head are the most
+    # r6-stalest set — 16 + 6 + 28 of the 45 r6 rows = 50. The
+    # seventeen r6 rows displaced to the overflow head are the most
     # TRIVIAL shapes (the three scalar function batteries, the seven
     # basic ranking/frame/z-score window forms, lag/lead, the
     # quality-score scalar battery, and the two one-call approx
@@ -63,9 +63,12 @@ PRIORITY: list[str] = [
     # exact-rank-quantile siblings, the rolling-hash
     # fingerprint beside the span-dedup/minhash crossengine oracles that
     # exercise the same Karp-Rabin primitive, the BPE token-stat readout
-    # beside the BPE train/encode oracles that stay in-cap — re-verified in this round's
+    # beside the BPE train/encode oracles that stay in-cap, the byte
+    # histogram beside the binary-stats/chunk-energy/decode oracles that
+    # exercise the same byte-stream plumbing — re-verified in this round's
     # full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "similarity_mmr_rerank",
     "diag_spearman_corr",
     "diag_psi_stability",
     "streaming_ks_drift",
@@ -88,7 +91,7 @@ PRIORITY: list[str] = [
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
     "agg_collect_set",
-    # (c) 29 of the 45 r6-latest rows (stalest driver evidence)
+    # (c) 28 of the 45 r6-latest rows (stalest driver evidence)
     "agg_kmv_distinct",
     "curation_leakage_safe_split",
     "curation_prepare_corpus",
@@ -102,7 +105,6 @@ PRIORITY: list[str] = [
     "join_salted_skew",
     "ml_feature_matrix",
     "multimodal_binary_stats",
-    "multimodal_byte_histogram",
     "multimodal_patch_retrieval",
     "pii_mask_and_tokenize",
     "sft_dpo_pairs",
@@ -119,7 +121,7 @@ PRIORITY: list[str] = [
     "text_vocab_encode",
     "text_zipf_diagnostics",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the sixteen trivial r6 rows displaced by this round's
+    # overflow: the seventeen trivial r6 rows displaced by this round's
     # new queries lead (stalest after this rotation — they head the
     # r12 cap), then the r7-vintage rows (next stalest), then
     # everything fresher in registration order; the rows-only set
@@ -127,6 +129,7 @@ PRIORITY: list[str] = [
     # oracle-backed sibling; see COVERAGE.md rows-only map).
     "agg_approx_count_distinct",
     "agg_approx_percentile_bounds",
+    "multimodal_byte_histogram",
     "scalar_datetime_functions",
     "scalar_math_functions",
     "scalar_string_functions",

@@ -1504,3 +1504,151 @@ def ann_recall_report(
             F.col("ann_hits").cast("double") / F.col("exact_k"),
         )
     )
+
+
+def mmr_rerank_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_id,
+    n_cands: int = 12,
+    k: int = 5,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of the hash-embedding cosine top-``n_cands`` for document
+    ``query_id``: greedily pick ``k`` results maximizing
+    λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) at dyadic λ = 1/2 —
+    the diversity-aware retrieval cut that keeps near-duplicate hits
+    from crowding a RAG context window.
+
+    Determinism: relevance and pairwise similarities are the family's
+    exact-BIGINT dot/norm ratios stable-rounded to ``round_digits``
+    (round-before-rank); each greedy step's score is
+    (rel − maxsim) / 2 — one subtraction and an exact halving of
+    rounded values — and every argmax breaks ties by smallest id, so
+    the whole greedy trajectory replays bit-for-bit in SQL.
+
+    Scale shape: the candidate cut is the standard top-n retrieval
+    (corpus-sized); everything after operates on BOUNDED relations —
+    the n_cands×n_cands pairwise matrix (zeros for disjoint-support
+    pairs materialized by a ≤ n_cands² cross join, so max-over-selected
+    sees cosine 0, not a missing row) and k chained argmax-limit-1
+    steps, all broadcastable at any corpus size. No collect: the
+    greedy is k unrolled DataFrame steps."""
+    from databricks_etl_pipelines_spark.functions.numeric import stable_round
+
+    emb = hash_embed_buckets(df, text_col, id_col, dim=dim).persist()
+    norms = emb.groupBy("id").agg(
+        F.sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    q = emb.filter(F.col("id") == query_id).select(
+        "bucket", F.col("val").alias("qval")
+    )
+    qn = norms.filter(F.col("id") == query_id).select(
+        F.col("n2").alias("qn2")
+    )
+    rel = stable_round(
+        F.col("dot")
+        / (F.sqrt(F.col("n2").cast("double"))
+           * F.sqrt(F.col("qn2").cast("double"))),
+        round_digits,
+    )
+    cands = (
+        emb.filter(F.col("id") != query_id)
+        .join(F.broadcast(q), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+        .join(norms, "id")
+        .crossJoin(F.broadcast(qn))
+        .select("id", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "id")
+        .limit(n_cands)
+        .persist()
+    )
+    # full candidate×candidate similarity matrix, zeros materialized
+    ce = emb.join(
+        F.broadcast(cands.select("id")), "id"
+    )
+    dots_ab = (
+        ce.select(F.col("id").alias("a"), "bucket", F.col("val").alias("va"))
+        .join(
+            ce.select(
+                F.col("id").alias("b"), "bucket", F.col("val").alias("vb")
+            ),
+            "bucket",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("id").alias("b"), F.col("n2").alias("nb2"))
+    grid = (
+        cands.select(F.col("id").alias("a"))
+        .crossJoin(cands.select(F.col("id").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+    )
+    psim = (
+        grid.join(dots_ab, ["a", "b"], "left")
+        .join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce(
+                stable_round(
+                    F.col("dot")
+                    / (
+                        F.sqrt(F.col("na2").cast("double"))
+                        * F.sqrt(F.col("nb2").cast("double"))
+                    ),
+                    round_digits,
+                ),
+                F.lit(0.0),
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    # greedy: k unrolled argmax steps, ties to smallest id
+    picks = (
+        cands.select(
+            "id",
+            "rel",
+            (F.col("rel") / F.lit(2.0)).alias("mmr_score"),
+        )
+        .orderBy(F.desc("mmr_score"), "id")
+        .limit(1)
+        .withColumn("rank", F.lit(1))
+    )
+    selected = picks.select("id")
+    for step in range(2, k + 1):
+        scored = (
+            cands.join(selected, "id", "left_anti")
+            .join(
+                psim.join(
+                    selected.withColumnRenamed("id", "b"), "b"
+                ).select(F.col("a").alias("id"), "sim"),
+                "id",
+            )
+            .groupBy("id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                "id",
+                "rel",
+                (
+                    (F.col("rel") - F.col("maxsim")) / F.lit(2.0)
+                ).alias("mmr_score"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.desc("mmr_score"), "id")
+            .limit(1)
+            .withColumn("rank", F.lit(step))
+        )
+        picks = picks.unionByName(pick)
+        selected = picks.select("id")
+    return picks.select(
+        "rank", F.col("id").alias(id_col), "rel", "mmr_score"
+    )

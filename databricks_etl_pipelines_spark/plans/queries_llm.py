@@ -5756,3 +5756,112 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+# -- MMR diversity re-ranking (retrieval family) --------------------------------
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) over the
+# hash-embedding cosine top-12 of query doc 0: greedily pick 5 results
+# maximizing λ·rel − (1−λ)·max-sim-to-selected at dyadic λ = 1/2 — the
+# diversity cut that keeps near-duplicates from crowding a RAG context.
+# Cross-engine exactness: relevance and pairwise sims are the family's
+# exact-BIGINT dot/norm ratios rounded to 1e-6 BEFORE any comparison
+# (round-before-rank); each greedy score is (rel − maxsim)/2 — one
+# subtraction + exact halving of rounded doubles; every argmax breaks
+# ties by smallest id; the full candidate×candidate matrix materializes
+# cosine-0 rows for disjoint-support pairs so max-over-selected never
+# sees a missing row. The oracle replays the ENTIRE trajectory — the
+# candidate cut, the 12×12 matrix, and all 5 greedy steps unrolled as
+# chained argmax-LIMIT-1 CTEs (multiply-referenced CTEs MATERIALIZED
+# per the trap ledger). Scale: candidate cut is standard top-n
+# retrieval; everything after runs on ≤ n_cands² bounded rows.
+_MMR_STEPS = "".join(
+    f""",
+r{s} AS (
+  SELECT c.id, c.rel,
+    (c.rel - max(p.sim)) / CAST(2 AS DOUBLE) AS mmr_score
+  FROM cands c
+  JOIN psim p ON p.a = c.id AND p.b IN (SELECT id FROM sel{s - 1})
+  WHERE c.id NOT IN (SELECT id FROM sel{s - 1})
+  GROUP BY c.id, c.rel
+),
+p{s} AS MATERIALIZED (
+  SELECT id, rel, mmr_score FROM r{s} ORDER BY mmr_score DESC, id LIMIT 1
+),
+sel{s} AS MATERIALIZED (
+  SELECT id FROM sel{s - 1} UNION ALL SELECT id FROM p{s}
+)"""
+    for s in range(2, 6)
+)
+
+_MMR_ORACLE = (
+    _HASH_EMBED_CTE.replace("emb AS (", "emb AS MATERIALIZED (")
+    + """,
+norms AS MATERIALIZED (
+  SELECT id, CAST(sum(val * val) AS BIGINT) AS n2 FROM emb GROUP BY id
+),
+q AS (SELECT bucket, val AS qval FROM emb WHERE id = 0),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE id = 0),
+cands AS MATERIALIZED (
+  SELECT d.id,
+    floor(d.dot / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE)))
+          * 1000000 + 0.5) / 1000000 AS rel
+  FROM (
+    SELECT e.id, CAST(sum(e.val * q.qval) AS BIGINT) AS dot
+    FROM emb e JOIN q USING (bucket) WHERE e.id <> 0 GROUP BY e.id
+  ) d JOIN norms n ON d.id = n.id CROSS JOIN qn
+  ORDER BY rel DESC, d.id
+  LIMIT 12
+),
+ce AS MATERIALIZED (
+  SELECT e.id, e.bucket, e.val FROM emb e JOIN cands c ON e.id = c.id
+),
+dots_ab AS (
+  SELECT a.id AS a, b.id AS b, CAST(sum(a.val * b.val) AS BIGINT) AS dot
+  FROM ce a JOIN ce b ON a.bucket = b.bucket AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+psim AS MATERIALIZED (
+  SELECT ca.id AS a, cb.id AS b,
+    coalesce(
+      floor(d.dot
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+            * 1000000 + 0.5) / 1000000, CAST(0 AS DOUBLE)) AS sim
+  FROM cands ca JOIN cands cb ON ca.id <> cb.id
+  LEFT JOIN dots_ab d ON d.a = ca.id AND d.b = cb.id
+  JOIN norms na ON na.id = ca.id
+  JOIN norms nb ON nb.id = cb.id
+),
+p1 AS MATERIALIZED (
+  SELECT id, rel, rel / CAST(2 AS DOUBLE) AS mmr_score
+  FROM cands ORDER BY mmr_score DESC, id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT id FROM p1)"""
+    + _MMR_STEPS
+    + """
+SELECT 1 AS rank, id AS doc_id, rel, mmr_score FROM p1
+UNION ALL SELECT 2, id, rel, mmr_score FROM p2
+UNION ALL SELECT 3, id, rel, mmr_score FROM p3
+UNION ALL SELECT 4, id, rel, mmr_score FROM p4
+UNION ALL SELECT 5, id, rel, mmr_score FROM p5
+"""
+)
+
+
+@query("similarity_mmr_rerank", _MMR_ORACLE)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the hash-embedding cosine top-12 for
+    query doc 0 (λ = 1/2, k = 5) — the greedy relevance-vs-redundancy
+    cut a RAG pipeline applies before filling a context window. The
+    entire greedy trajectory (candidate cut, 12×12 rounded similarity
+    matrix, five argmax steps with smallest-id ties) replays in SQL;
+    see operators/similarity.py::mmr_rerank_topk for the scale shape
+    (bounded relations after the standard top-n retrieval cut)."""
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        mmr_rerank_topk,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return mmr_rerank_topk(
+        docs, "text", "doc_id", query_id=0, n_cands=12, k=5
+    )

@@ -3556,3 +3556,98 @@ def test_spearman_planted_relations(spark, tmp_path):
         for r in QUERIES["ml_ols_per_group"](spark, str(tmp_path)).collect()
     }
     assert ols["M"].r_squared < 1.0
+
+
+def test_mmr_rerank_diversifies_planted_corpus(spark, tmp_path):
+    """similarity_mmr_rerank vs a full Python replay of the greedy
+    trajectory (hash embeddings, rounded sims, (rel − maxsim)/2 scores,
+    smallest-id ties) on a planted corpus where pure relevance ranking
+    would pick two near-duplicates back to back — MMR must demote the
+    duplicate below the diverse hit."""
+    import hashlib
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.operators.similarity import (
+        mmr_rerank_topk,
+    )
+
+    load_all()
+    docs = [
+        (0, "alpha beta gamma delta"),               # the query
+        (1, "alpha beta gamma epsilon"),             # relevant
+        (2, "alpha beta gamma epsilon zeta"),        # near-dup of 1
+        (3, "delta gamma theta iota"),               # diverse, relevant
+        (4, "alpha beta gamma epsilon zeta eta"),    # near-dup of 1/2
+        (5, "kappa lambda mu nu"),                   # irrelevant-ish
+        (6, "beta delta xi omicron"),                # mildly relevant
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/docs/documents.parquet"
+    )
+    df = spark.read.parquet(f"{tmp_path}/docs/documents.parquet")
+    got = {
+        r.rank: r
+        for r in mmr_rerank_topk(
+            df, "text", "doc_id", query_id=0, n_cands=6, k=4
+        ).collect()
+    }
+
+    # ---- full Python replay -------------------------------------------------
+    def roll(s: str) -> int:
+        acc = 0
+        for ch in hashlib.md5(s.encode()).hexdigest():
+            acc = (acc * 257 + ord(ch)) % 2147483647
+        return acc
+
+    def embed(text: str) -> dict:
+        e = {}
+        for t in text.split():
+            h = roll(t)
+            b = h % 64
+            sgn = (h // 64 % 2) * 2 - 1
+            e[b] = e.get(b, 0) + sgn
+        return {b: v for b, v in e.items() if v != 0}
+
+    emb = {d: embed(t) for d, t in docs}
+
+    def sim(a: int, b: int) -> float:
+        ea, eb = emb[a], emb[b]
+        dot = sum(v * eb.get(k, 0) for k, v in ea.items())
+        na = sum(v * v for v in ea.values())
+        nb = sum(v * v for v in eb.values())
+        return math.floor(
+            dot / (math.sqrt(float(na)) * math.sqrt(float(nb))) * 1e6 + 0.5
+        ) / 1e6
+
+    rel = sorted(
+        ((sim(0, d), -d) for d, _ in docs if d != 0), reverse=True
+    )[:6]
+    cands = {-negd: r for r, negd in rel}
+    sel: list = []
+    for rank in range(1, 5):
+        best = None
+        for d, r in cands.items():
+            if d in [s[0] for s in sel]:
+                continue
+            maxsim = max((sim(d, s[0]) for s in sel), default=0.0)
+            score = (r - maxsim) / 2.0
+            key = (score, -d)
+            if best is None or key > best[0]:
+                best = (key, d, r, score)
+        sel.append((best[1], best[2], best[3]))
+        g = got[rank]
+        assert g.doc_id == best[1], (rank, g.doc_id, best)
+        assert g.rel == best[2], rank
+        assert g.mmr_score == best[3], rank
+
+    # the diversity property itself: relevance alone ranks a near-dup
+    # second; MMR must rank the diverse doc above at least one near-dup
+    rel_order = [d for _, d in sorted(((r, d) for d, r in cands.items()),
+                                      key=lambda t: (-t[0], t[1]))]
+    picked = [got[i].doc_id for i in range(1, 5)]
+    dups = {1, 2, 4} - {picked[0]}
+    assert 3 in picked
+    assert picked.index(3) < max(
+        picked.index(d) if d in picked else 99 for d in dups
+    ) or not (dups & set(picked)), (picked, rel_order)
