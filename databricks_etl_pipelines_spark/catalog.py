@@ -46,12 +46,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's SIXTEEN new
+    # same documented arithmetic as r10: this round's EIGHTEEN new
     # queries take cap slots (the binding done-criterion is "zero
     # oracle-backed queries with no driver row ever"), then the six
     # trivial r5 rows displaced in r10 lead as prescribed, then the
-    # r6-stalest set — 16 + 6 + 28 of the 45 r6 rows = 50. The
-    # seventeen r6 rows displaced to the overflow head are the most
+    # r6-stalest set — 18 + 6 + 26 of the 45 r6 rows = 50. The
+    # nineteen r6 rows displaced to the overflow head are the most
     # TRIVIAL shapes (the three scalar function batteries, the seven
     # basic ranking/frame/z-score window forms, lag/lead, the
     # quality-score scalar battery, and the two one-call approx
@@ -65,9 +65,14 @@ PRIORITY: list[str] = [
     # exercise the same Karp-Rabin primitive, the BPE token-stat readout
     # beside the BPE train/encode oracles that stay in-cap, the byte
     # histogram beside the binary-stats/chunk-energy/decode oracles that
-    # exercise the same byte-stream plumbing — re-verified in this round's
+    # exercise the same byte-stream plumbing, the brute-force cosine
+    # top-k whose ranking replays inside the in-cap ann-recall oracle,
+    # and the bare anti-join that also runs inside the in-cap Q21
+    # SQL-text decorrelation — re-verified in this round's
     # full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "text_kendall_rankings",
+    "sql_forecast_revenue",
     "similarity_mmr_rerank",
     "diag_spearman_corr",
     "diag_psi_stability",
@@ -91,7 +96,7 @@ PRIORITY: list[str] = [
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
     "agg_collect_set",
-    # (c) 28 of the 45 r6-latest rows (stalest driver evidence)
+    # (c) 26 of the 45 r6-latest rows (stalest driver evidence)
     "agg_kmv_distinct",
     "curation_leakage_safe_split",
     "curation_prepare_corpus",
@@ -100,7 +105,6 @@ PRIORITY: list[str] = [
     "dedup_cluster_representatives",
     "dedup_embedding_cosine_blocked",
     "dedup_embedding_cosine_pairs",
-    "join_anti_customers_without_orders",
     "join_bucketed_colocated",
     "join_salted_skew",
     "ml_feature_matrix",
@@ -110,7 +114,6 @@ PRIORITY: list[str] = [
     "sft_dpo_pairs",
     "sft_rendered_conversations",
     "similarity_ann_recall",
-    "similarity_cosine_topk",
     "sql_waiting_suppliers",
     "streaming_dedup_keys",
     "streaming_session_window",
@@ -121,7 +124,7 @@ PRIORITY: list[str] = [
     "text_vocab_encode",
     "text_zipf_diagnostics",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the seventeen trivial r6 rows displaced by this round's
+    # overflow: the nineteen trivial r6 rows displaced by this round's
     # new queries lead (stalest after this rotation — they head the
     # r12 cap), then the r7-vintage rows (next stalest), then
     # everything fresher in registration order; the rows-only set
@@ -129,7 +132,9 @@ PRIORITY: list[str] = [
     # oracle-backed sibling; see COVERAGE.md rows-only map).
     "agg_approx_count_distinct",
     "agg_approx_percentile_bounds",
+    "join_anti_customers_without_orders",
     "multimodal_byte_histogram",
+    "similarity_cosine_topk",
     "scalar_datetime_functions",
     "scalar_math_functions",
     "scalar_string_functions",

@@ -5865,3 +5865,123 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank_topk(
         docs, "text", "doc_id", query_id=0, n_cands=12, k=5
     )
+
+
+# -- Kendall tau between the two BM25 rankings (RBO's correlation sibling) ------
+
+# Where RBO weights the TOP of the two rankings (and tolerates
+# non-overlap), Kendall tau asks a different question on the docs BOTH
+# rankings retrieved: how consistently do they ORDER the shared set?
+# Rank pairs come from the same two top-20 rankings as
+# text_rbo_rankings (b = 0.75 vs b = 0); ranks are row_numbers
+# (distinct — no ties), so tau is the plain (C − D) / (m(m−1)/2) over
+# the ≤ 190 pairs of the ≤ 20 joined docs — all exact integers until
+# one final division, nullif-guarded for m < 2. Everything downstream
+# of the two TakeOrderedAndProject caps runs on bounded rows.
+_KENDALL_ORACLE = _BM25_PREFIX + f""",
+sa AS (
+  SELECT p.doc_id,
+    {" + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)} AS score
+  FROM piv p, stats s, idf
+),
+a AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY {sql_stable_round('score', 6)} DESC, doc_id) AS ra
+  FROM sa
+  QUALIFY ra <= {_RBO_K}
+),
+sb AS (
+  SELECT p.doc_id,
+    {" + ".join(_bm25_term_b0_sql(t) for t in _BM25_TERMS)} AS score
+  FROM piv p, idf
+),
+b AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY {sql_stable_round('score', 6)} DESC, doc_id) AS rb
+  FROM sb
+  QUALIFY rb <= {_RBO_K}
+),
+j AS (SELECT doc_id, ra, rb FROM a JOIN b USING (doc_id)),
+pairs AS (
+  SELECT
+    CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0 END AS conc,
+    CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0 THEN 1 ELSE 0 END AS disc
+  FROM j x JOIN j y ON x.doc_id < y.doc_id
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM j)
+SELECT mm.m AS n_common,
+  CAST(sum(conc) AS BIGINT) AS n_concordant,
+  CAST(sum(disc) AS BIGINT) AS n_discordant,
+  CAST(2 * (CAST(sum(conc) AS BIGINT) - CAST(sum(disc) AS BIGINT))
+    AS DOUBLE)
+    / nullif(CAST(mm.m * (mm.m - 1) AS DOUBLE), 0) AS kendall_tau
+FROM pairs, mm
+GROUP BY mm.m
+"""
+
+
+@query("text_kendall_rankings", _KENDALL_ORACLE)
+def text_kendall_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau between the BM25 top-20 and its b = 0
+    no-length-norm arm over the docs both retrieved — the
+    order-consistency complement of text_rbo_rankings (RBO scores
+    top-weighted overlap; tau scores pairwise ordering agreement on
+    the shared set). Exact concordant/discordant counts over the
+    bounded joined pairs; one final nullif-guarded division."""
+    from pyspark.sql import Window
+
+    # bounded partitionless windows: both inputs are ≤ k-row top-k caps
+    a = (
+        _bm25_scored(spark, sf_dir, _BM25_B)
+        .orderBy(F.desc("score_bm25"), "doc_id")
+        .limit(_RBO_K)
+    )
+    a = a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_bm25"), "doc_id"))
+        .alias("ra"),
+    )
+    b = (
+        _bm25_scored(spark, sf_dir, 0.0)
+        .orderBy(F.desc("score_bm25"), "doc_id")
+        .limit(_RBO_K)
+    )
+    b = b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_bm25"), "doc_id"))
+        .alias("rb"),
+    )
+    j = a.join(b, "doc_id")
+    x = j.select(
+        F.col("doc_id").alias("dx"),
+        F.col("ra").alias("rax"),
+        F.col("rb").alias("rbx"),
+    )
+    y = j.select(
+        F.col("doc_id").alias("dy"),
+        F.col("ra").alias("ray"),
+        F.col("rb").alias("rby"),
+    )
+    sgn = (F.col("rax") - F.col("ray")) * (F.col("rbx") - F.col("rby"))
+    pairs = x.join(y, F.col("dx") < F.col("dy")).select(
+        F.when(sgn > 0, 1).otherwise(0).alias("conc"),
+        F.when(sgn < 0, 1).otherwise(0).alias("disc"),
+    )
+    mm = j.agg(F.count("*").alias("m"))
+    return (
+        pairs.crossJoin(F.broadcast(mm))
+        .groupBy("m")
+        .agg(
+            F.sum("conc").alias("n_concordant"),
+            F.sum("disc").alias("n_discordant"),
+        )
+        .selectExpr(
+            "m AS n_common",
+            "n_concordant",
+            "n_discordant",
+            "CAST(2 * (n_concordant - n_discordant) AS DOUBLE)"
+            " / nullif(CAST(m * (m - 1) AS DOUBLE), 0) AS kendall_tau",
+        )
+    )

@@ -559,3 +559,29 @@ def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator is nullif-guarded (a month with no shipments yields
     NULL, not an ANSI divide error)."""
     return run_sql(spark, sf_dir, _PROMO_REVENUE_SQL)
+
+
+_FORECAST_REVENUE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+       * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS revenue_increase_cc
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+@query("sql_forecast_revenue", _FORECAST_REVENUE_SQL)
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape as SQL text: the what-if revenue increase from
+    dropping small-quantity discounts in a shipment year — one
+    filtered scan, one aggregate, with the date window pushed to the
+    parquet reader. The discount band compares on the exact percent
+    lattice (a bare 0.05..0.07 BETWEEN would compare DOUBLE against
+    DECIMAL literals in DuckDB — the trap-ledger float-literal rule)
+    and revenue accumulates on the cents×percent integer lattice, so
+    both engines sum identical BIGINTs."""
+    return run_sql(spark, sf_dir, _FORECAST_REVENUE_SQL)
