@@ -46,12 +46,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's EIGHTEEN new
+    # same documented arithmetic as r10: this round's NINETEEN new
     # queries take cap slots (the binding done-criterion is "zero
     # oracle-backed queries with no driver row ever"), then the six
     # trivial r5 rows displaced in r10 lead as prescribed, then the
-    # r6-stalest set — 18 + 6 + 26 of the 45 r6 rows = 50. The
-    # nineteen r6 rows displaced to the overflow head are the most
+    # r6-stalest set — 19 + 6 + 25 of the 45 r6 rows = 50. The
+    # twenty r6 rows displaced to the overflow head are the most
     # TRIVIAL shapes (the three scalar function batteries, the seven
     # basic ranking/frame/z-score window forms, lag/lead, the
     # quality-score scalar battery, and the two one-call approx
@@ -67,10 +67,12 @@ PRIORITY: list[str] = [
     # histogram beside the binary-stats/chunk-energy/decode oracles that
     # exercise the same byte-stream plumbing, the brute-force cosine
     # top-k whose ranking replays inside the in-cap ann-recall oracle,
-    # and the bare anti-join that also runs inside the in-cap Q21
-    # SQL-text decorrelation — re-verified in this round's
+    # the bare anti-join that also runs inside the in-cap Q21
+    # SQL-text decorrelation, and the n-gram language-ID heuristic whose
+    # scoring the in-cap per-language quota query re-exercises — re-verified in this round's
     # full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "diag_cramer_von_mises",
     "text_kendall_rankings",
     "sql_forecast_revenue",
     "similarity_mmr_rerank",
@@ -96,7 +98,7 @@ PRIORITY: list[str] = [
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
     "agg_collect_set",
-    # (c) 26 of the 45 r6-latest rows (stalest driver evidence)
+    # (c) 25 of the 45 r6-latest rows (stalest driver evidence)
     "agg_kmv_distinct",
     "curation_leakage_safe_split",
     "curation_prepare_corpus",
@@ -120,11 +122,10 @@ PRIORITY: list[str] = [
     "streaming_stateful_totals",
     "text_bpe_encode_stats",
     "text_bpe_train_merges",
-    "text_language_id",
     "text_vocab_encode",
     "text_zipf_diagnostics",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the nineteen trivial r6 rows displaced by this round's
+    # overflow: the twenty trivial r6 rows displaced by this round's
     # new queries lead (stalest after this rotation — they head the
     # r12 cap), then the r7-vintage rows (next stalest), then
     # everything fresher in registration order; the rows-only set
@@ -134,6 +135,7 @@ PRIORITY: list[str] = [
     "agg_approx_percentile_bounds",
     "join_anti_customers_without_orders",
     "multimodal_byte_histogram",
+    "text_language_id",
     "similarity_cosine_topk",
     "scalar_datetime_functions",
     "scalar_math_functions",

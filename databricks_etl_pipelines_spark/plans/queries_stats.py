@@ -1193,3 +1193,104 @@ def diag_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0)"
         " AS spearman_rho",
     )
+
+
+# -- Cramér-von Mises two-sample criterion ---------------------------------------
+
+# The INTEGRAL twin of the KS supremum: T = na·nb/(na+nb)² ·
+# Σ_pooled (F₁(x) − F₂(x))² — sensitive to many small CDF gaps spread
+# across the range, which a single-point supremum underweights (KS
+# fires on one localized shift; CvM on a diffuse one; the suite needs
+# both). Shares the KS histogram scan. Per-value terms
+# t(v)·(ca/na − cb/nb)² are pinned per-row folds from exact integers
+# (deterministic doubles), then 1e-6 lattice-quantized BEFORE the
+# cross-value sum (the chi-square/trap-ledger rule: cross-row float
+# sums visit in unknown order); Σq ≤ n·1e6 stays inside int64 to ~9e12
+# rows per group (cited). The prefactor and final T derive from exact
+# integers in identical sequences.
+_CVM_ORACLE = f"""
+WITH f AS (
+  SELECT event_type AS g,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+    CASE WHEN ts < TIMESTAMP '{_COHORT_TS}' THEN 1 ELSE 0 END AS a
+  FROM events
+),
+h AS (
+  SELECT g, v, CAST(sum(a) AS BIGINT) AS ac,
+    CAST(sum(1 - a) AS BIGINT) AS bc
+  FROM f GROUP BY g, v
+),
+c AS (
+  SELECT g, v, ac + bc AS t,
+    CAST(sum(ac) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca,
+    CAST(sum(bc) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cb
+  FROM h
+),
+tt AS (
+  SELECT g, CAST(sum(ac) AS BIGINT) AS na, CAST(sum(bc) AS BIGINT) AS nb
+  FROM h GROUP BY g
+),
+q AS (
+  SELECT c.g,
+    CAST(sum(CAST(floor(
+      CAST(c.t AS DOUBLE)
+      * (CAST(c.ca AS DOUBLE) / CAST(tt.na AS DOUBLE)
+         - CAST(c.cb AS DOUBLE) / CAST(tt.nb AS DOUBLE))
+      * (CAST(c.ca AS DOUBLE) / CAST(tt.na AS DOUBLE)
+         - CAST(c.cb AS DOUBLE) / CAST(tt.nb AS DOUBLE))
+      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+  FROM c JOIN tt ON c.g = tt.g
+  GROUP BY c.g
+)
+SELECT q.g AS event_type, tt.na AS n_early, tt.nb AS n_late, q.sq AS cvm_q6,
+  CAST(tt.na AS DOUBLE) * CAST(tt.nb AS DOUBLE)
+    / ((CAST(tt.na AS DOUBLE) + CAST(tt.nb AS DOUBLE))
+       * (CAST(tt.na AS DOUBLE) + CAST(tt.nb AS DOUBLE)))
+    * (CAST(q.sq AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS cvm_t
+FROM q JOIN tt ON q.g = tt.g
+"""
+
+
+@query("diag_cramer_von_mises", _CVM_ORACLE)
+def diag_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion per event type between the
+    early/late cohorts — the integral drift test that fires on DIFFUSE
+    distribution changes the KS supremum underweights (the suite's
+    fourth lens: sup-gap, rank-shift, parametric-mean, and now
+    integrated-gap). Shares the KS histogram; per-value terms are
+    lattice-quantized before the cross-value sum; see the oracle
+    comment."""
+    h = _two_sample_hist(table(spark, sf_dir, "events")).withColumn(
+        "t", F.col("ac") + F.col("bc")
+    )
+    tt = h.groupBy("g").agg(
+        F.sum("ac").alias("na"), F.sum("bc").alias("nb")
+    )
+    gap = (
+        F.col("ca").cast("double") / F.col("na").cast("double")
+        - F.col("cb").cast("double") / F.col("nb").cast("double")
+    )
+    q = (
+        h.join(F.broadcast(tt), "g")
+        .select(
+            "g",
+            F.floor(
+                F.col("t").cast("double") * gap * gap * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("g")
+        .agg(F.sum("q").alias("sq"))
+    )
+    return q.join(F.broadcast(tt), "g").selectExpr(
+        "g AS event_type",
+        "na AS n_early",
+        "nb AS n_late",
+        "sq AS cvm_q6",
+        "CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"
+        "    * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))"
+        " * (CAST(sq AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS cvm_t",
+    )

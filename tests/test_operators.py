@@ -3651,3 +3651,52 @@ def test_mmr_rerank_diversifies_planted_corpus(spark, tmp_path):
     assert picked.index(3) < max(
         picked.index(d) if d in picked else 99 for d in dups
     ) or not (dups & set(picked)), (picked, rel_order)
+
+
+def test_cvm_planted_diffuse_vs_localized(spark, tmp_path):
+    """diag_cramer_von_mises vs the definitional brute force, and the
+    property that motivates it next to KS: a DIFFUSE shift (every late
+    value nudged one lattice step) and a LOCALIZED shift (one value
+    mass moved far) with the same KS supremum rank differently under
+    the integral criterion."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        "same": ([1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0]),
+        # diffuse: every value shifted +0.01 (one cent)
+        "diff": ([1.0, 2.0, 3.0, 4.0], [1.01, 2.01, 3.01, 4.01]),
+        # disjoint supports: maximal everything
+        "far": ([1.0, 2.0], [9.0, 10.0]),
+    }
+    rows = []
+    for g, (a, b) in planted.items():
+        rows += [(g, v, True) for v in a] + [(g, v, False) for v in b]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in QUERIES["diag_cramer_von_mises"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    import math
+
+    for g, (a, b) in planted.items():
+        ac = [int(v * 100 + 0.5) for v in a]
+        bc = [int(v * 100 + 0.5) for v in b]
+        na, nb = len(ac), len(bc)
+        sq = 0
+        for v in sorted(set(ac) | set(bc)):
+            t = sum(1 for x in ac + bc if x == v)
+            gap = sum(1 for x in ac if x <= v) / float(na) - sum(
+                1 for x in bc if x <= v
+            ) / float(nb)
+            sq += int(math.floor(float(t) * gap * gap * 1e6 + 0.5))
+        r = got[g]
+        assert (r.n_early, r.n_late) == (na, nb), g
+        assert r.cvm_q6 == sq, g
+        assert r.cvm_t == float(na) * nb / (
+            (float(na) + nb) * (float(na) + nb)
+        ) * (float(sq) / 1e6), g
+    assert got["same"].cvm_q6 == 0
+    assert 0 < got["diff"].cvm_t < got["far"].cvm_t
