@@ -585,3 +585,130 @@ def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     and revenue accumulates on the cents×percent integer lattice, so
     both engines sum identical BIGINTs."""
     return run_sql(spark, sf_dir, _FORECAST_REVENUE_SQL)
+
+
+# -- round-11b: the last four TPC-H shapes (Q3 / Q5 / Q12 / Q19) ---------------
+# With these the SQL-text surface carries ALL 22 TPC-H query shapes in
+# shared-dialect text (schema-adapted where the testdata lacks a column:
+# lineitem has no l_shipmode/l_commitdate → Q12 classifies by
+# l_linestatus with the late-shipment predicate standing in for the
+# commit/receipt comparison; part has no p_container → Q19's disjunctive
+# arms combine p_type, p_size and quantity bands — the OR-of-ANDs
+# pushdown structure, which is what Q19 exercises, is preserved).
+# Revenue everywhere rides the exact cents×(100−pct) lattice of the
+# Q10/Q14 section above, so every ORDER BY ... LIMIT cut is an integer
+# ordering (deterministic multiset on both engines).
+
+_UNSHIPPED_ORDERS_SQL = """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+       * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+    AS BIGINT) AS revenue_cc
+FROM customer c, orders o, lineitem l
+WHERE c.c_mktsegment = 'BUILDING'
+  AND c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND o.o_orderdate < TIMESTAMP '1996-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cc DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@query("sql_unshipped_orders", _UNSHIPPED_ORDERS_SQL)
+def sql_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape as SQL text: top-10 highest-value orders booked
+    before the cutoff but still shipping after it, for one market
+    segment — the classic 3-table join with filters on all three
+    tables pushed to their scans and a TakeOrderedAndProject cut made
+    deterministic by the integer revenue lattice + orderkey suffix."""
+    return run_sql(spark, sf_dir, _UNSHIPPED_ORDERS_SQL)
+
+
+_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name,
+  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+       * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+    AS BIGINT) AS revenue_cc
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey
+  AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("sql_local_supplier_volume", _LOCAL_SUPPLIER_VOLUME_SQL)
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape as SQL text: per-nation revenue where the
+    customer and the supplier share a nation inside one region for one
+    order year — the 6-table join whose distinguishing feature is the
+    NON-tree join condition c_nationkey = s_nationkey closing a cycle
+    in the join graph (Catalyst must pick an order that exploits it)."""
+    return run_sql(spark, sf_dir, _LOCAL_SUPPLIER_VOLUME_SQL)
+
+
+_SHIPMODE_PRIORITY_SQL = """
+SELECT l.l_linestatus,
+  CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  OR o.o_orderpriority = '2-HIGH'
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                 AND o.o_orderpriority <> '2-HIGH'
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o, lineitem l
+WHERE o.o_orderkey = l.l_orderkey
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+"""
+
+
+@query("sql_shipmode_priority", _SHIPMODE_PRIORITY_SQL)
+def sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape as SQL text: per line class, how many
+    late-shipping lines belonged to high- vs low-priority orders — the
+    conditional-CASE double count over an orders⋈lineitem join with a
+    cross-table date comparison (testdata has no
+    l_shipmode/l_commitdate; l_linestatus classifies and
+    shipdate-vs-orderdate+30 stands in for the commit/receipt lag —
+    the CASE-pivot structure Q12 exercises is intact). Counts are
+    exact integers end to end."""
+    return run_sql(spark, sf_dir, _SHIPMODE_PRIORITY_SQL)
+
+
+_DISCOUNTED_REVENUE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+       * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+    AS BIGINT) AS revenue_cc
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey
+  AND ((p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+    OR (p.p_type = 'STANDARD' AND p.p_size BETWEEN 1 AND 25
+        AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+    OR (p.p_type = 'ECONOMY' AND p.p_size BETWEEN 1 AND 35
+        AND l.l_quantity >= 20 AND l.l_quantity <= 30))
+"""
+
+
+@query("sql_discounted_revenue", _DISCOUNTED_REVENUE_SQL)
+def sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape as SQL text: revenue from three disjunctive
+    brand/size/quantity band predicates — the OR-of-ANDs filter whose
+    planning test is that the join key equality stays usable as the
+    join condition while the disjunction becomes a post-join (or
+    partially pushed) filter instead of a fallback to a nested-loop
+    join (p_container doesn't exist in the testdata; p_type/p_size
+    bands preserve the disjunctive structure). Revenue on the exact
+    integer lattice."""
+    return run_sql(spark, sf_dir, _DISCOUNTED_REVENUE_SQL)
