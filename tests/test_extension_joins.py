@@ -348,3 +348,36 @@ def test_sql_q2_correlated_min_over_join_decorrelates(spark):
     assert "BroadcastNestedLoopJoin" not in phys
     # the decorrelated per-part MIN survives as an aggregate
     assert "min(" in opt
+
+
+def test_sql_round11_report_shapes_plan_clean(spark):
+    """The four round-11b TPC-H text shapes plan as pure hash joins:
+    Q5's cyclic join graph (c_nationkey = s_nationkey) and Q19's
+    OR-of-ANDs disjunction are the two classic nested-loop bait
+    shapes — neither may fall back to a cartesian or nested-loop
+    join; Q3/Q12 pin the same and non-vacuous outputs."""
+    from databricks_etl_pipelines_spark.plans.queries_sql import (
+        sql_discounted_revenue,
+        sql_local_supplier_volume,
+        sql_shipmode_priority,
+        sql_unshipped_orders,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    for fn, min_rows in (
+        (sql_unshipped_orders, 1),
+        (sql_local_supplier_volume, 1),
+        (sql_shipmode_priority, 1),
+        (sql_discounted_revenue, 1),
+    ):
+        df = fn(spark, sf)
+        rows = df.collect()
+        assert len(rows) >= min_rows, fn.__name__
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    # Q19's disjunction must not have emptied the result (all three
+    # arms match testdata bands) and Q12 pivots both classes
+    assert sql_discounted_revenue(spark, sf).collect()[0].n_lines > 0
+    q12 = {r.l_linestatus for r in sql_shipmode_priority(spark, sf).collect()}
+    assert len(q12) >= 1
