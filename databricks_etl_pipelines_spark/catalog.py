@@ -46,12 +46,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's TWENTY-THREE new
+    # same documented arithmetic as r10: this round's TWENTY-FOUR new
     # queries take cap slots (the binding done-criterion is "zero
     # oracle-backed queries with no driver row ever"), then the six
     # trivial r5 rows displaced in r10 lead as prescribed, then the
-    # r6-stalest set — 23 + 6 + 21 of the 45 r6 rows = 50. The
-    # twenty-four r6 rows displaced to the overflow head are the most
+    # r6-stalest set — 24 + 6 + 20 of the 45 r6 rows = 50. The
+    # twenty-five r6 rows displaced to the overflow head are the most
     # TRIVIAL shapes (the three scalar function batteries, the seven
     # basic ranking/frame/z-score window forms, lag/lead, the
     # quality-score scalar battery, and the two one-call approx
@@ -73,11 +73,14 @@ PRIORITY: list[str] = [
     # vocab-encode explode/join/reassembly contained in the in-cap BPE
     # encode oracle, the Zipf least-squares-on-sums superseded in
     # richness by the new in-cap OLS/Spearman pair, the binary byte
-    # stats beside the in-cap patch-retrieval plumbing, and the plain
+    # stats beside the in-cap patch-retrieval plumbing, the plain
     # stratified sample whose hash-membership machinery the in-cap
-    # per-language quota query extends with quality quotas — re-verified in this round's
+    # per-language quota query extends with quality quotas, and the
+    # 22-agg feature matrix contained in the r10-driver-green
+    # entity-features battery — re-verified in this round's
     # full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "curation_neyman_allocation",
     "sql_unshipped_orders",
     "sql_local_supplier_volume",
     "sql_shipmode_priority",
@@ -108,7 +111,7 @@ PRIORITY: list[str] = [
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
     "agg_collect_set",
-    # (c) 21 of the 45 r6-latest rows (stalest driver evidence)
+    # (c) 20 of the 45 r6-latest rows (stalest driver evidence)
     "agg_kmv_distinct",
     "curation_leakage_safe_split",
     "curation_prepare_corpus",
@@ -118,7 +121,6 @@ PRIORITY: list[str] = [
     "dedup_embedding_cosine_pairs",
     "join_bucketed_colocated",
     "join_salted_skew",
-    "ml_feature_matrix",
     "multimodal_patch_retrieval",
     "pii_mask_and_tokenize",
     "sft_dpo_pairs",
@@ -131,7 +133,7 @@ PRIORITY: list[str] = [
     "text_bpe_encode_stats",
     "text_bpe_train_merges",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the twenty-four trivial r6 rows displaced by this round's
+    # overflow: the twenty-five trivial r6 rows displaced by this round's
     # new queries lead (stalest after this rotation — they head the
     # r12 cap), then the r7-vintage rows (next stalest), then
     # everything fresher in registration order; the rows-only set
@@ -141,6 +143,7 @@ PRIORITY: list[str] = [
     "agg_approx_percentile_bounds",
     "join_anti_customers_without_orders",
     "curation_stratified_sample",
+    "ml_feature_matrix",
     "multimodal_binary_stats",
     "multimodal_byte_histogram",
     "text_language_id",

@@ -5985,3 +5985,180 @@ def text_kendall_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / nullif(CAST(m * (m - 1) AS DOUBLE), 0) AS kendall_tau",
         )
     )
+
+
+# -- Neyman-allocation stratified sampling --------------------------------------
+
+# Design-based optimal sampling (Neyman 1934): a fixed doc budget B is
+# split across strata proportional to N_h·S_h — high-variance strata
+# get proportionally more of the budget than plain proportional
+# allocation gives them, which is what minimizes the variance of the
+# corpus-level estimate. The upgrade over curation_stratified_sample's
+# fixed fractions: the fractions are COMPUTED from the data's own
+# dispersion. Determinism end to end: S_h derives from exact sums
+# (Σt int64, Σt² decimal/HUGEINT) in identical float sequences; the
+# allocation weight is LATTICE-quantized (q_h = floor(N·S·100 + 0.5))
+# before the cross-stratum integer sum (the chi-square rule), and
+# n_h = (B·q_h) div Q is pure BIGINT division (Spark div ≡ DuckDB //;
+# headroom: q_h ≤ N·S·100 ≈ 1e15 at 1e10 docs/stratum, B·q_h ≈ 1e18
+# < 2^63, cited); single-doc strata have no variance and allocate 0
+# (coalesce, documented). Selection is the cross-engine md5 rolling
+# hash of (doc_id, seed 57) ranked per stratum (ties by doc_id), keep
+# rank ≤ n_h — the oracle reproduces the EXACT kept set, evidenced by
+# the selected doc-id and token checksums. The rank window is the
+# standard per-stratum distributed sort.
+_NEYMAN_B = 200
+
+_NEYMAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS nt,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          regexp_extract_all(md5(CAST(doc_id AS VARCHAR) || ':57'), '.'),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 257 + c) % 2147483647
+    ) % 1000000 AS bkt
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(nt) AS BIGINT) AS st, sum(nt * nt) AS sq
+  FROM t GROUP BY source
+),
+w AS (
+  SELECT source, n,
+    sqrt((CAST(sq AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+         / nullif(CAST(n AS DOUBLE) - CAST(1 AS DOUBLE), 0)) AS sdev
+  FROM s
+),
+q AS (
+  SELECT source, n, sdev,
+    coalesce(CAST(floor(CAST(n AS DOUBLE) * sdev * 100 + 0.5) AS BIGINT),
+             0) AS qh
+  FROM w
+),
+tot AS (SELECT CAST(sum(qh) AS BIGINT) AS qt FROM q),
+alloc AS (
+  SELECT q.source, q.n, q.sdev,
+    CASE WHEN q.n < ({_NEYMAN_B} * q.qh) // tot.qt THEN q.n
+         ELSE ({_NEYMAN_B} * q.qh) // tot.qt END AS nh
+  FROM q, tot
+),
+ranked AS (
+  SELECT t.source, t.doc_id, t.nt,
+    row_number() OVER (PARTITION BY t.source ORDER BY t.bkt, t.doc_id)
+      AS rk
+  FROM t
+),
+sel AS (
+  SELECT r.source, CAST(count(*) AS BIGINT) AS n_selected,
+    CAST(sum(r.doc_id) AS BIGINT) AS sel_id_sum,
+    CAST(sum(r.nt) AS BIGINT) AS sel_tok_sum
+  FROM ranked r JOIN alloc a ON r.source = a.source
+  WHERE r.rk <= a.nh
+  GROUP BY r.source
+)
+SELECT a.source, a.n AS n_docs,
+  floor(coalesce(a.sdev, CAST(0 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+    AS stddev_tokens,
+  a.nh AS alloc_budget,
+  coalesce(sel.n_selected, 0) AS n_selected,
+  coalesce(sel.sel_id_sum, 0) AS sel_id_sum,
+  coalesce(sel.sel_tok_sum, 0) AS sel_tok_sum
+FROM alloc a LEFT JOIN sel ON a.source = sel.source
+"""
+
+
+@query("curation_neyman_allocation", _NEYMAN_ORACLE)
+def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a 200-doc budget split
+    across sources proportional to N_h·S_h (token-count dispersion),
+    then a deterministic hash-rank selection of exactly that many docs
+    per stratum — the variance-optimal upgrade of fixed-fraction
+    sampling, with the EXACT kept set evidenced by per-stratum id and
+    token checksums. See the oracle comment for the lattice-quantized
+    allocation and integer-division determinism."""
+    from databricks_etl_pipelines_spark.functions.numeric import (
+        stable_round,
+    )
+    from databricks_etl_pipelines_spark.functions.textfns import (
+        fingerprint_rolling,
+        token_count,
+    )
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("nt"),
+        (
+            fingerprint_rolling(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":57")))
+            )
+            % 1000000
+        ).alias("bkt"),
+    )
+    s = t.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("nt").alias("st"),
+        F.sum((F.col("nt") * F.col("nt")).cast("decimal(38,0)")).alias("sq"),
+    )
+    w = s.selectExpr(
+        "source",
+        "n",
+        "sqrt((CAST(sq AS DOUBLE)"
+        "  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / nullif(CAST(n AS DOUBLE) - CAST(1 AS DOUBLE), 0)) AS sdev",
+    )
+    q = w.selectExpr(
+        "source",
+        "n",
+        "sdev",
+        "coalesce(CAST(floor(CAST(n AS DOUBLE) * sdev * 100 + 0.5)"
+        " AS BIGINT), 0) AS qh",
+    )
+    tot = q.agg(F.sum("qh").alias("qt"))
+    alloc = q.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n",
+        "sdev",
+        f"CASE WHEN n < ({_NEYMAN_B} * qh) div qt THEN n"
+        f"     ELSE ({_NEYMAN_B} * qh) div qt END AS nh",
+    )
+    ranked = t.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("bkt", "doc_id")
+        ),
+    )
+    sel = (
+        ranked.join(
+            F.broadcast(alloc.select("source", "nh")), "source"
+        )
+        .filter(F.col("rk") <= F.col("nh"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("doc_id").alias("sel_id_sum"),
+            F.sum("nt").alias("sel_tok_sum"),
+        )
+    )
+    return (
+        alloc.join(F.broadcast(sel), "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            stable_round(
+                F.coalesce(F.col("sdev"), F.lit(0.0)), 6
+            ).alias("stddev_tokens"),
+            F.col("nh").alias("alloc_budget"),
+            F.coalesce(F.col("n_selected"), F.lit(0)).alias("n_selected"),
+            F.coalesce(F.col("sel_id_sum"), F.lit(0)).alias("sel_id_sum"),
+            F.coalesce(F.col("sel_tok_sum"), F.lit(0)).alias(
+                "sel_tok_sum"
+            ),
+        )
+    )

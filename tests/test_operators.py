@@ -3700,3 +3700,60 @@ def test_cvm_planted_diffuse_vs_localized(spark, tmp_path):
         ) * (float(sq) / 1e6), g
     assert got["same"].cvm_q6 == 0
     assert 0 < got["diff"].cvm_t < got["far"].cvm_t
+
+
+def test_neyman_allocation_planted_variance(spark, tmp_path):
+    """curation_neyman_allocation on a planted corpus: a high-variance
+    stratum receives a larger share of the budget than an equal-sized
+    constant stratum (the Neyman property), a single-doc stratum
+    allocates 0 (no variance information), allocations never exceed
+    stratum size, and the selected-id checksum equals the brute-forced
+    hash-rank selection."""
+    import hashlib
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_llm import _NEYMAN_B
+
+    load_all()
+    # strata: const (40 docs, all 5 tokens), wild (40 docs, 1..120
+    # tokens alternating), lone (1 doc)
+    docs, did = [], 0
+    for _ in range(40):
+        docs.append((did, "const", "a b c d e"))
+        did += 1
+    for i in range(40):
+        n = 1 if i % 2 == 0 else 120
+        docs.append((did, "wild", " ".join(["w"] * n)))
+        did += 1
+    docs.append((did, "lone", "x y z"))
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r
+        for r in QUERIES["curation_neyman_allocation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["const"].stddev_tokens == 0.0
+    assert got["const"].alloc_budget == 0  # zero variance -> zero need
+    assert got["lone"].alloc_budget == 0
+    assert 0 < got["wild"].alloc_budget <= 40
+    assert got["wild"].n_selected == got["wild"].alloc_budget
+
+    # brute-force the hash-rank selection for the wild stratum
+    def roll(s: str) -> int:
+        acc = 0
+        for ch in hashlib.md5(s.encode()).hexdigest():
+            acc = (acc * 257 + ch.encode()[0]) % 2147483647
+        return acc
+
+    wild = [(d, t) for d, s, t in docs if s == "wild"]
+    ranked = sorted(
+        wild, key=lambda dt: (roll(f"{dt[0]}:57") % 1000000, dt[0])
+    )
+    kept = ranked[: got["wild"].alloc_budget]
+    assert got["wild"].sel_id_sum == sum(d for d, _ in kept)
+    assert got["wild"].sel_tok_sum == sum(
+        len(t.split()) for _, t in kept
+    )
