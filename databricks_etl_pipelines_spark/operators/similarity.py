@@ -1535,8 +1535,11 @@ def mmr_rerank_topk(
     the n_cands×n_cands pairwise matrix (zeros for disjoint-support
     pairs materialized by a ≤ n_cands² cross join, so max-over-selected
     sees cosine 0, not a missing row) and k chained argmax-limit-1
-    steps, all broadcastable at any corpus size. No collect: the
-    greedy is k unrolled DataFrame steps."""
+    steps, all broadcastable at any corpus size. The greedy is k
+    unrolled DataFrame steps; the ≤ k-row RESULT is then eagerly
+    materialized so the three cached relations release before return
+    (the probe_bm25 strict-mode contract — the returned frame is a
+    frozen local relation)."""
     from databricks_etl_pipelines_spark.functions.numeric import stable_round
 
     emb = hash_embed_buckets(df, text_col, id_col, dim=dim).persist()
@@ -1649,6 +1652,18 @@ def mmr_rerank_topk(
         )
         picks = picks.unionByName(pick)
         selected = picks.select("id")
-    return picks.select(
+    out = picks.select(
         "rank", F.col("id").alias(id_col), "rel", "mmr_score"
     )
+    # eager k-row materialization, then release the three cached
+    # relations (the probe_bm25 strict-mode treatment): the result is
+    # ≤ k rows, so collecting it here costs what the caller's own
+    # collect would, and the session doesn't carry a corpus-sized
+    # embedding cache per invocation. Contract: the returned frame is
+    # a frozen local relation (no retrieval plan to inspect; re-sort
+    # downstream if ordering matters after a shuffle).
+    rows = out.collect()
+    spark = df.sparkSession
+    for cached in (psim, cands, emb):
+        cached.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -6002,7 +6002,9 @@ def text_kendall_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n_h = (B·q_h) div Q is pure BIGINT division (Spark div ≡ DuckDB //;
 # headroom: q_h ≤ N·S·100 ≈ 1e15 at 1e10 docs/stratum, B·q_h ≈ 1e18
 # < 2^63, cited); single-doc strata have no variance and allocate 0
-# (coalesce, documented). Selection is the cross-engine md5 rolling
+# (coalesce, documented), and an ALL-degenerate corpus (every stratum
+# constant → Q = 0) nullif-degrades every allocation to 0 instead of
+# an integer-div error. Selection is the cross-engine md5 rolling
 # hash of (doc_id, seed 57) ranked per stratum (ties by doc_id), keep
 # rank ≤ n_h — the oracle reproduces the EXACT kept set, evidenced by
 # the selected doc-id and token checksums. The rank window is the
@@ -6042,8 +6044,9 @@ q AS (
 tot AS (SELECT CAST(sum(qh) AS BIGINT) AS qt FROM q),
 alloc AS (
   SELECT q.source, q.n, q.sdev,
-    CASE WHEN q.n < ({_NEYMAN_B} * q.qh) // tot.qt THEN q.n
-         ELSE ({_NEYMAN_B} * q.qh) // tot.qt END AS nh
+    coalesce(
+      CASE WHEN q.n < ({_NEYMAN_B} * q.qh) // nullif(tot.qt, 0) THEN q.n
+           ELSE ({_NEYMAN_B} * q.qh) // nullif(tot.qt, 0) END, 0) AS nh
   FROM q, tot
 ),
 ranked AS (
@@ -6125,8 +6128,9 @@ def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n",
         "sdev",
-        f"CASE WHEN n < ({_NEYMAN_B} * qh) div qt THEN n"
-        f"     ELSE ({_NEYMAN_B} * qh) div qt END AS nh",
+        f"coalesce("
+        f"  CASE WHEN n < ({_NEYMAN_B} * qh) div nullif(qt, 0) THEN n"
+        f"       ELSE ({_NEYMAN_B} * qh) div nullif(qt, 0) END, 0) AS nh",
     )
     ranked = t.withColumn(
         "rk",

@@ -665,7 +665,10 @@ def ml_ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every float is derived from exact integers with the identical op
 # sequence both engines — the sample variance is the textbook
 # (Σc² − (Σc)²/n)/(n−1) evaluated in doubles AFTER each exact sum
-# converts, so no lattice is needed. nullif guards n ≤ 1 cohorts and
+# converts, so no lattice is needed. nullif guards EMPTY and n ≤ 1
+# cohorts (an event type entirely on one side of the cutpoint
+# degrades to NULL means/t/df, never an ANSI divide error or an
+# engine-divergent inf) and
 # two-constant-cohort zero variance (t, df NULL rather than an ANSI
 # error). Mean difference reported in dollars (cents/100, same
 # division both engines).
@@ -688,13 +691,15 @@ s AS (
 ),
 v AS (
   SELECT g, n1, n2,
-    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+    CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0) AS m1,
+    CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0) AS m2,
     (CAST(q1 AS DOUBLE)
-      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        / nullif(CAST(n1 AS DOUBLE), 0))
       / nullif(CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE), 0) AS v1,
     (CAST(q2 AS DOUBLE)
-      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        / nullif(CAST(n2 AS DOUBLE), 0))
       / nullif(CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE), 0) AS v2
   FROM s
 )
@@ -751,13 +756,15 @@ def diag_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
         "n1",
         "n2",
-        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1",
-        "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2",
+        "CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0) AS m1",
+        "CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0) AS m2",
         "(CAST(q1 AS DOUBLE)"
-        "  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        "  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        "    / nullif(CAST(n1 AS DOUBLE), 0))"
         "  / nullif(CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE), 0) AS v1",
         "(CAST(q2 AS DOUBLE)"
-        "  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        "  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        "    / nullif(CAST(n2 AS DOUBLE), 0))"
         "  / nullif(CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE), 0) AS v2",
     )
     return v.selectExpr(
@@ -1200,7 +1207,9 @@ def diag_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The INTEGRAL twin of the KS supremum: T = na·nb/(na+nb)² ·
 # Σ_pooled (F₁(x) − F₂(x))² — sensitive to many small CDF gaps spread
 # across the range, which a single-point supremum underweights (KS
-# fires on one localized shift; CvM on a diffuse one; the suite needs
+# fires on one localized shift; CvM on a diffuse one — empty cohorts
+# nullif-degrade to NULL on both engines, never an inf that kills the
+# BIGINT cast; the suite needs
 # both). Shares the KS histogram scan. Per-value terms
 # t(v)·(ca/na − cb/nb)² are pinned per-row folds from exact integers
 # (deterministic doubles), then 1e-6 lattice-quantized BEFORE the
@@ -1234,10 +1243,10 @@ q AS (
   SELECT c.g,
     CAST(sum(CAST(floor(
       CAST(c.t AS DOUBLE)
-      * (CAST(c.ca AS DOUBLE) / CAST(tt.na AS DOUBLE)
-         - CAST(c.cb AS DOUBLE) / CAST(tt.nb AS DOUBLE))
-      * (CAST(c.ca AS DOUBLE) / CAST(tt.na AS DOUBLE)
-         - CAST(c.cb AS DOUBLE) / CAST(tt.nb AS DOUBLE))
+      * (CAST(c.ca AS DOUBLE) / nullif(CAST(tt.na AS DOUBLE), 0)
+         - CAST(c.cb AS DOUBLE) / nullif(CAST(tt.nb AS DOUBLE), 0))
+      * (CAST(c.ca AS DOUBLE) / nullif(CAST(tt.na AS DOUBLE), 0)
+         - CAST(c.cb AS DOUBLE) / nullif(CAST(tt.nb AS DOUBLE), 0))
       * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
   FROM c JOIN tt ON c.g = tt.g
   GROUP BY c.g
@@ -1267,8 +1276,10 @@ def diag_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ac").alias("na"), F.sum("bc").alias("nb")
     )
     gap = (
-        F.col("ca").cast("double") / F.col("na").cast("double")
-        - F.col("cb").cast("double") / F.col("nb").cast("double")
+        F.col("ca").cast("double")
+        / F.nullif(F.col("na").cast("double"), F.lit(0.0))
+        - F.col("cb").cast("double")
+        / F.nullif(F.col("nb").cast("double"), F.lit(0.0))
     )
     q = (
         h.join(F.broadcast(tt), "g")

@@ -3757,3 +3757,57 @@ def test_neyman_allocation_planted_variance(spark, tmp_path):
     assert got["wild"].sel_tok_sum == sum(
         len(t.split()) for _, t in kept
     )
+
+
+def test_drift_suite_single_cohort_degrades_to_null(spark, tmp_path):
+    """Self-review regression (round 11): an event type living entirely
+    on ONE side of the cohort cutpoint must nullif-degrade — Welch
+    means/t/df NULL, CvM NULL, KS stat NULL — on the Spark side (the
+    oracle side is pinned by the shared oracle text), never an ANSI
+    divide error or an engine-divergent inf."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows = [("onlyearly", float(v), True) for v in (1.0, 2.0, 3.0)]
+    rows += [("both", 1.0, True), ("both", 2.0, False)]
+    _write_events(spark, tmp_path, rows)
+    w = {
+        r.event_type: r
+        for r in QUERIES["diag_welch_ttest"](spark, str(tmp_path)).collect()
+    }
+    assert w["onlyearly"].n_late == 0
+    assert w["onlyearly"].mean_diff is None
+    assert w["onlyearly"].welch_t is None and w["onlyearly"].welch_df is None
+    c = {
+        r.event_type: r
+        for r in QUERIES["diag_cramer_von_mises"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert c["onlyearly"].cvm_q6 is None and c["onlyearly"].cvm_t is None
+    k = {
+        r.event_type: r
+        for r in QUERIES["diag_ks_two_sample"](spark, str(tmp_path)).collect()
+    }
+    assert k["onlyearly"].ks_stat is None
+
+
+def test_neyman_all_degenerate_corpus_allocates_zero(spark, tmp_path):
+    """Self-review regression (round 11): a corpus where EVERY stratum
+    has zero dispersion (constant token counts) gives total weight
+    Q = 0 — every allocation must nullif-degrade to 0, not raise an
+    integer-division error."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    docs = [(i, "s" + str(i % 2), "a b c") for i in range(10)]
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = QUERIES["curation_neyman_allocation"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r.alloc_budget == 0 and r.n_selected == 0
+        assert r.stddev_tokens == 0.0
