@@ -46,12 +46,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's TWENTY-FOUR new
+    # same documented arithmetic as r10: this round's TWENTY-FIVE new
     # queries take cap slots (the binding done-criterion is "zero
     # oracle-backed queries with no driver row ever"), then the six
     # trivial r5 rows displaced in r10 lead as prescribed, then the
-    # r6-stalest set — 24 + 6 + 20 of the 45 r6 rows = 50. The
-    # twenty-five r6 rows displaced to the overflow head are the most
+    # r6-stalest set — 25 + 6 + 19 of the 45 r6 rows = 50. The
+    # twenty-six r6 rows displaced to the overflow head are the most
     # TRIVIAL shapes (the three scalar function batteries, the seven
     # basic ranking/frame/z-score window forms, lag/lead, the
     # quality-score scalar battery, and the two one-call approx
@@ -77,9 +77,12 @@ PRIORITY: list[str] = [
     # stratified sample whose hash-membership machinery the in-cap
     # per-language quota query extends with quality quotas, and the
     # 22-agg feature matrix contained in the r10-driver-green
-    # entity-features battery — re-verified in this round's
+    # entity-features battery, and the sign-bucket blocked cosine
+    # variant whose candidate set is a pytest-pinned subset of the
+    # in-cap exact-pairs oracle — re-verified in this round's
     # full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "streaming_psi_drift",
     "curation_neyman_allocation",
     "sql_unshipped_orders",
     "sql_local_supplier_volume",
@@ -111,13 +114,12 @@ PRIORITY: list[str] = [
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
     "agg_collect_set",
-    # (c) 20 of the 45 r6-latest rows (stalest driver evidence)
+    # (c) 19 of the 45 r6-latest rows (stalest driver evidence)
     "agg_kmv_distinct",
     "curation_leakage_safe_split",
     "curation_prepare_corpus",
     "curation_quota_per_language",
     "dedup_cluster_representatives",
-    "dedup_embedding_cosine_blocked",
     "dedup_embedding_cosine_pairs",
     "join_bucketed_colocated",
     "join_salted_skew",
@@ -133,7 +135,7 @@ PRIORITY: list[str] = [
     "text_bpe_encode_stats",
     "text_bpe_train_merges",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the twenty-five trivial r6 rows displaced by this round's
+    # overflow: the twenty-six trivial r6 rows displaced by this round's
     # new queries lead (stalest after this rotation — they head the
     # r12 cap), then the r7-vintage rows (next stalest), then
     # everything fresher in registration order; the rows-only set
@@ -143,6 +145,7 @@ PRIORITY: list[str] = [
     "agg_approx_percentile_bounds",
     "join_anti_customers_without_orders",
     "curation_stratified_sample",
+    "dedup_embedding_cosine_blocked",
     "ml_feature_matrix",
     "multimodal_binary_stats",
     "multimodal_byte_histogram",

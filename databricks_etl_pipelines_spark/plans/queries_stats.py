@@ -993,13 +993,22 @@ def diag_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bin like WOE's iv_contrib so no cross-row float sum exists.
     Exact integer edges/bins/counts; Laplace-smoothed shares; ln
     absorbed by round-6 (see the oracle comment)."""
+    h = _cumulate_hist(
+        _two_cohort_partial(table(spark, sf_dir, "events"))
+    ).drop("cb")
+    return _psi_project(h)
+
+
+def _psi_project(h: DataFrame) -> DataFrame:
+    """PSI projection shared by the batch and streaming flavors: from
+    the cumulated two-cohort histogram ``h(g, v, ac, bc, ca)``
+    (lattice-bounded per group) to the per-(group, bin) contribution
+    rows — reference-decile edges, ties-fall-low binning, full 1..10
+    grid with Laplace smoothing, round-6-absorbed ln."""
     from databricks_etl_pipelines_spark.functions.numeric import (
         stable_round,
     )
 
-    h = _cumulate_hist(
-        _two_cohort_partial(table(spark, sf_dir, "events"))
-    ).drop("cb")
     t = h.groupBy("g").agg(
         F.sum("ac").alias("na"), F.sum("bc").alias("nb")
     )
@@ -1304,4 +1313,45 @@ def diag_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"
         "    * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))"
         " * (CAST(sq AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS cvm_t",
+    )
+
+
+@query("streaming_psi_drift", _PSI_ORACLE)
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift score maintained INCREMENTALLY over the events
+    stream — the second consumer of the streaming KS detector's
+    maintained histogram pattern: each micro-batch folds its
+    (event_type, value-cent, cohort) counts additively via
+    incremental_aggregate, and the FULL PSI projection
+    (reference-decile edges, binning, Laplace-smoothed contributions —
+    the shared `_psi_project`) reads only the lattice-bounded
+    aggregate. The oracle is the batch PSI SQL verbatim: additive
+    partials make the incremental maintenance invisible in the
+    result. One maintained histogram can serve the whole drift suite
+    (KS / CvM / PSI projections are all functions of it); this query
+    and streaming_ks_drift each maintain their own table so their
+    checkpoints stay independent. Inherits incremental_aggregate's
+    documented at-least-once caveat (NOTES)."""
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+        streaming_events,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    target = ManagedTable(scratch_dir("psidrift_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["g", "v"],
+        _two_cohort_partial,
+        scratch_dir("psidrift_ckpt_"),
+    )
+    await_drained(q, 300)
+    return _psi_project(
+        _cumulate_hist(target.read(spark)).drop("cb")
     )

@@ -1288,3 +1288,78 @@ def test_streaming_ks_drift_multibatch_equals_one_shot(spark, tmp_path):
         ) == (
             r.n_early, r.n_late, r.ks_num, r.ks_stat, r.ks_at_cents
         ), g
+
+
+def test_streaming_psi_drift_multibatch_equals_one_shot(spark, tmp_path):
+    """streaming_psi_drift's maintained histogram folded over THREE
+    interleaved micro-batches equals the one-shot batch PSI row-for-row
+    (the second consumer of the additive-histogram pattern — the
+    shared _psi_project must be batch-split invariant end to end,
+    edges and Laplace smoothing included)."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _cumulate_hist,
+        _psi_project,
+        _two_cohort_partial,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    load_all()
+    rows = []
+    for i in range(90):
+        rows.append(
+            (
+                i,
+                dt.datetime(2024, 1, 10 if i % 2 else 20, 12, i // 60, i % 60),
+                i,
+                "t" if i % 3 else "u",
+                float((i * 11) % 37) + 0.25,
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    feed = tmp_path / "events.parquet"
+    df.repartition(3, "event_id").write.parquet(str(feed))
+    one_shot = {
+        (r.event_type, r.bin): r
+        for r in QUERIES["diag_psi_stability"](spark, str(tmp_path)).collect()
+    }
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    target = ManagedTable(str(tmp_path / "psi_gold"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["g", "v"],
+        _two_cohort_partial,
+        str(tmp_path / "psi_ckpt"),
+    )
+    await_drained(q, 300)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+    streamed = {
+        (r.event_type, r.bin): r
+        for r in _psi_project(
+            _cumulate_hist(target.read(spark)).drop("cb")
+        ).collect()
+    }
+    assert set(streamed) == set(one_shot)
+    for key, r in one_shot.items():
+        s = streamed[key]
+        assert (
+            s.n_early, s.n_late, s.p_early, s.q_late, s.psi_contrib
+        ) == (r.n_early, r.n_late, r.p_early, r.q_late, r.psi_contrib), key
