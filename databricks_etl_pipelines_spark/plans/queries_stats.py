@@ -1278,9 +1278,17 @@ def diag_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrated-gap). Shares the KS histogram; per-value terms are
     lattice-quantized before the cross-value sum; see the oracle
     comment."""
-    h = _two_sample_hist(table(spark, sf_dir, "events")).withColumn(
-        "t", F.col("ac") + F.col("bc")
+    return _cvm_project(
+        _two_sample_hist(table(spark, sf_dir, "events"))
     )
+
+
+def _cvm_project(h: DataFrame) -> DataFrame:
+    """CvM projection shared by the batch and streaming flavors: from
+    the cumulated two-cohort histogram ``h(g, v, ac, bc, ca, cb)`` to
+    one row per group with the exact lattice sum and the derived
+    statistic."""
+    h = h.withColumn("t", F.col("ac") + F.col("bc"))
     tt = h.groupBy("g").agg(
         F.sum("ac").alias("na"), F.sum("bc").alias("nb")
     )
@@ -1355,3 +1363,37 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _psi_project(
         _cumulate_hist(target.read(spark)).drop("cb")
     )
+
+
+@query("streaming_cvm_drift", _CVM_ORACLE)
+def streaming_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Cramér-von Mises criterion maintained INCREMENTALLY over the
+    events stream — the third consumer of the maintained two-cohort
+    histogram pattern (with streaming KS and streaming PSI): additive
+    per-batch partials via incremental_aggregate, then the shared
+    `_cvm_project` over ONLY the lattice-bounded aggregate. With this
+    the whole drift TRIO (sup-gap, binned-score, integrated-gap) runs
+    continuously off the same per-batch cost profile; oracle is the
+    batch CvM SQL verbatim. Inherits incremental_aggregate's
+    documented at-least-once caveat (NOTES)."""
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+        streaming_events,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    target = ManagedTable(scratch_dir("cvmdrift_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["g", "v"],
+        _two_cohort_partial,
+        scratch_dir("cvmdrift_ckpt_"),
+    )
+    await_drained(q, 300)
+    return _cvm_project(_cumulate_hist(target.read(spark)))

@@ -1363,3 +1363,77 @@ def test_streaming_psi_drift_multibatch_equals_one_shot(spark, tmp_path):
         assert (
             s.n_early, s.n_late, s.p_early, s.q_late, s.psi_contrib
         ) == (r.n_early, r.n_late, r.p_early, r.q_late, r.psi_contrib), key
+
+
+def test_streaming_cvm_drift_multibatch_equals_one_shot(spark, tmp_path):
+    """streaming_cvm_drift (third consumer of the maintained histogram)
+    folded over THREE interleaved micro-batches equals the one-shot
+    batch CvM row-for-row, exact lattice sum included."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _cumulate_hist,
+        _cvm_project,
+        _two_cohort_partial,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    load_all()
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 10 if i % 2 else 20, 12, i // 60, i % 60),
+            i,
+            "t" if i % 4 else "u",
+            float((i * 13) % 29) + 0.75,
+            "{}",
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    feed = tmp_path / "events.parquet"
+    df.repartition(3, "event_id").write.parquet(str(feed))
+    one_shot = {
+        r.event_type: r
+        for r in QUERIES["diag_cramer_von_mises"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    target = ManagedTable(str(tmp_path / "cvm_gold"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["g", "v"],
+        _two_cohort_partial,
+        str(tmp_path / "cvm_ckpt"),
+    )
+    await_drained(q, 300)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+    streamed = {
+        r.event_type: r
+        for r in _cvm_project(
+            _cumulate_hist(target.read(spark))
+        ).collect()
+    }
+    assert set(streamed) == set(one_shot)
+    for g, r in one_shot.items():
+        s = streamed[g]
+        assert (s.n_early, s.n_late, s.cvm_q6, s.cvm_t) == (
+            r.n_early, r.n_late, r.cvm_q6, r.cvm_t
+        ), g
