@@ -46,12 +46,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's TWENTY-SIX new
+    # same documented arithmetic as r10: this round's TWENTY-SEVEN new
     # queries take cap slots (the binding done-criterion is "zero
     # oracle-backed queries with no driver row ever"), then the six
     # trivial r5 rows displaced in r10 lead as prescribed, then the
-    # r6-stalest set — 26 + 6 + 18 of the 45 r6 rows = 50. The
-    # twenty-seven r6 rows displaced to the overflow head are the most
+    # r6-stalest set — 27 + 6 + 17 of the 45 r6 rows = 50. The
+    # twenty-eight r6 rows displaced to the overflow head are the most
     # TRIVIAL shapes (the three scalar function batteries, the seven
     # basic ranking/frame/z-score window forms, lag/lead, the
     # quality-score scalar battery, and the two one-call approx
@@ -81,9 +81,12 @@ PRIORITY: list[str] = [
     # variant whose candidate set is a pytest-pinned subset of the
     # in-cap exact-pairs oracle, and the md5-pinned conversation
     # rendering whose loss-mask offsets the sft_turn_offsets pytest
-    # slices against the rendered string — re-verified in this round's
+    # slices against the rendered string, and the DPO struct-ordering
+    # pair cut whose lexicographic max/min the crafted-pool pytest
+    # pins at both tie ends — re-verified in this round's
     # full-registry sweeps; they lead the r12 cap.
     # (a) round-11 NEW queries, newest-risk first
+    "window_page_hinkley",
     "streaming_cvm_drift",
     "streaming_psi_drift",
     "curation_neyman_allocation",
@@ -117,7 +120,7 @@ PRIORITY: list[str] = [
     "join_semi_urgent_customers",
     "agg_ungrouped_global",
     "agg_collect_set",
-    # (c) 18 of the 45 r6-latest rows (stalest driver evidence)
+    # (c) 17 of the 45 r6-latest rows (stalest driver evidence)
     "agg_kmv_distinct",
     "curation_leakage_safe_split",
     "curation_prepare_corpus",
@@ -128,7 +131,6 @@ PRIORITY: list[str] = [
     "join_salted_skew",
     "multimodal_patch_retrieval",
     "pii_mask_and_tokenize",
-    "sft_dpo_pairs",
     "similarity_ann_recall",
     "sql_waiting_suppliers",
     "streaming_dedup_keys",
@@ -137,7 +139,7 @@ PRIORITY: list[str] = [
     "text_bpe_encode_stats",
     "text_bpe_train_merges",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the twenty-seven trivial r6 rows displaced by this round's
+    # overflow: the twenty-eight trivial r6 rows displaced by this round's
     # new queries lead (stalest after this rotation — they head the
     # r12 cap), then the r7-vintage rows (next stalest), then
     # everything fresher in registration order; the rows-only set
@@ -154,6 +156,7 @@ PRIORITY: list[str] = [
     "text_language_id",
     "text_vocab_encode",
     "text_zipf_diagnostics",
+    "sft_dpo_pairs",
     "sft_rendered_conversations",
     "similarity_cosine_topk",
     "scalar_datetime_functions",

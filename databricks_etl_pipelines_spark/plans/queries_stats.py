@@ -1397,3 +1397,146 @@ def streaming_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_drained(q, 300)
     return _cvm_project(_cumulate_hist(target.read(spark)))
+
+
+# -- per-key Page-Hinkley mean-drift detection ----------------------------------
+
+# The RUNNING-MEAN change detector (Page 1954, Hinkley 1971) that
+# complements CUSUM: CUSUM tests excess over a FIXED allowance, so it
+# needs a calibrated reference; Page-Hinkley self-references the
+# series' own running mean — m_t = Σ(x_i − x̄_i − δ) with x̄_i the mean
+# of the first i observations, PH_t = m_t − min_{i≤t} m_i, alarm when
+# PH exceeds λ. The running mean makes the fold genuinely FLOAT-valued
+# (one division per step), which the EMA/Holt discipline handles: the
+# state rides the same ordered-fold transport as a 6-double vector
+# [n, sum, m, min_m, ph_max, alarm] (n/sum are integer-valued doubles,
+# exact below 2^53 per key — the sessionize bound), every step is the
+# identical add/divide/min/max sequence on both engines, so the
+# trajectory is bit-identical IEEE and the alarm index is engine-exact
+# with NO lattice; outputs round-6 like the smoothing family. δ = $5,
+# λ = $200 on the cents scale.
+_PH_DELTA = 500.0
+_PH_LAMBDA = 20000.0
+
+_PH_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+    list(CAST(floor(value * 100 + 0.5) AS BIGINT) ORDER BY ts, event_id)
+      AS xs,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT user_id, n_events,
+    list_reduce(
+      list_prepend(
+        [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+        list_transform(xs, x -> [CAST(x AS DOUBLE)])),
+      (acc, x) -> [
+        acc[1] + CAST(1 AS DOUBLE),
+        acc[2] + x[1],
+        acc[3] + (x[1] - (acc[2] + x[1]) / (acc[1] + CAST(1 AS DOUBLE))
+                  - {_PH_DELTA}),
+        least(acc[4],
+          acc[3] + (x[1] - (acc[2] + x[1]) / (acc[1] + CAST(1 AS DOUBLE))
+                    - {_PH_DELTA})),
+        greatest(acc[5],
+          (acc[3] + (x[1] - (acc[2] + x[1]) / (acc[1] + CAST(1 AS DOUBLE))
+                     - {_PH_DELTA}))
+          - least(acc[4],
+              acc[3] + (x[1]
+                        - (acc[2] + x[1]) / (acc[1] + CAST(1 AS DOUBLE))
+                        - {_PH_DELTA}))),
+        CASE WHEN acc[6] > CAST(0 AS DOUBLE) THEN acc[6]
+             WHEN (acc[3] + (x[1]
+                             - (acc[2] + x[1]) / (acc[1] + CAST(1 AS DOUBLE))
+                             - {_PH_DELTA}))
+                  - least(acc[4],
+                      acc[3] + (x[1]
+                                - (acc[2] + x[1])
+                                  / (acc[1] + CAST(1 AS DOUBLE))
+                                - {_PH_DELTA}))
+                  > {_PH_LAMBDA}
+             THEN acc[1] + CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END ]
+    ) AS st
+  FROM s
+)
+SELECT user_id, n_events,
+  floor((st[3] - st[4]) * 1000000 + 0.5) / 1000000 AS ph_final,
+  floor(st[5] * 1000000 + 0.5) / 1000000 AS ph_max,
+  CAST(st[6] AS BIGINT) AS alarm_index
+FROM h
+"""
+
+
+@query("window_page_hinkley", _PH_ORACLE)
+def window_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Page-Hinkley mean-drift detection over time-ordered
+    event values (δ = $5, λ = $200): final and maximum PH excursion
+    plus the 1-based index of the first alarm (0 = never) — the
+    self-referencing change detector that needs NO calibrated
+    reference level, complementing the fixed-allowance CUSUM. See the
+    oracle comment for the float-fold determinism argument."""
+    from databricks_etl_pipelines_spark.functions.numeric import (
+        stable_round,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "ts",
+                "event_id",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+    )
+    g = ev.groupBy("user_id").agg(
+        arr.alias("rs"), F.count("*").alias("n_events")
+    )
+    xs = F.transform("rs", lambda r: r["c"].cast("double"))
+
+    def step(acc, x):
+        n1 = acc["n"] + F.lit(1.0)
+        s1 = acc["s"] + x
+        m1 = acc["m"] + (x - s1 / n1 - F.lit(_PH_DELTA))
+        minm1 = F.least(acc["minm"], m1)
+        ph = m1 - minm1
+        phmax1 = F.greatest(acc["phmax"], ph)
+        alarm1 = (
+            F.when(acc["alarm"] > F.lit(0.0), acc["alarm"])
+            .when(ph > F.lit(_PH_LAMBDA), n1)
+            .otherwise(F.lit(0.0))
+        )
+        return F.struct(
+            n1.alias("n"),
+            s1.alias("s"),
+            m1.alias("m"),
+            minm1.alias("minm"),
+            phmax1.alias("phmax"),
+            alarm1.alias("alarm"),
+        )
+
+    z = F.lit(0.0)
+    st = F.aggregate(
+        xs,
+        F.struct(
+            z.alias("n"),
+            z.alias("s"),
+            z.alias("m"),
+            z.alias("minm"),
+            z.alias("phmax"),
+            z.alias("alarm"),
+        ),
+        step,
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        stable_round(st["m"] - st["minm"], 6).alias("ph_final"),
+        stable_round(st["phmax"], 6).alias("ph_max"),
+        st["alarm"].cast("long").alias("alarm_index"),
+    )

@@ -3811,3 +3811,71 @@ def test_neyman_all_degenerate_corpus_allocates_zero(spark, tmp_path):
     for r in got:
         assert r.alloc_budget == 0 and r.n_selected == 0
         assert r.stddev_tokens == 0.0
+
+
+def test_page_hinkley_planted_series(spark, tmp_path):
+    """window_page_hinkley vs the recurrence replayed bit-for-bit in
+    Python (running mean, PH excursion, first-alarm stickiness) on
+    planted series: a level shift mid-series that alarms, a stationary
+    series that never does, and n=1."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # stationary at $50, then jumps to $400 for 10 events
+        1: [50.0] * 10 + [400.0] * 10,
+        # stationary noise around $100
+        2: [100.0, 90.0, 110.0, 95.0, 105.0, 100.0],
+        # single event
+        3: [75.0],
+    }
+    rows, k = [], 0
+    for uid, vals in planted.items():
+        for j, v in enumerate(vals):
+            rows.append(
+                (
+                    k,
+                    dt.datetime(2024, 1, 10, 8, j // 60, j % 60),
+                    uid,
+                    "t",
+                    float(v),
+                    "{}",
+                )
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.user_id: r
+        for r in QUERIES["window_page_hinkley"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    import math
+
+    DELTA, LAM = 500.0, 20000.0
+    for uid, vals in planted.items():
+        n = s = m = minm = phmax = alarm = 0.0
+        for v in vals:
+            x = float(int(v * 100 + 0.5))
+            n = n + 1.0
+            s = s + x
+            m = m + (x - s / n - DELTA)
+            minm = min(minm, m)
+            ph = m - minm
+            phmax = max(phmax, ph)
+            if alarm == 0.0 and ph > LAM:
+                alarm = n
+        r = got[uid]
+        assert r.n_events == len(vals), uid
+        assert r.ph_final == math.floor((m - minm) * 1e6 + 0.5) / 1e6, uid
+        assert r.ph_max == math.floor(phmax * 1e6 + 0.5) / 1e6, uid
+        assert r.alarm_index == int(alarm), uid
+    assert got[1].alarm_index > 10  # fires after the level shift
+    assert got[2].alarm_index == 0
+    assert got[3].ph_max == 0.0
