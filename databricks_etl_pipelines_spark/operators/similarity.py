@@ -1535,11 +1535,14 @@ def mmr_rerank_topk(
     the n_cands×n_cands pairwise matrix (zeros for disjoint-support
     pairs materialized by a ≤ n_cands² cross join, so max-over-selected
     sees cosine 0, not a missing row) and k chained argmax-limit-1
-    steps, all broadcastable at any corpus size. The greedy is k
-    unrolled DataFrame steps; the ≤ k-row RESULT is then eagerly
-    materialized so the three cached relations release before return
-    (the probe_bm25 strict-mode contract — the returned frame is a
-    frozen local relation)."""
+    steps, all broadcastable at any corpus size. The greedy runs
+    driver-side over the two BOUNDED collected relations (≤ n_cands
+    candidates + ≤ n_cands² pair sims — documented bounded collects;
+    the r11c probe showed the k unrolled DataFrame-step alternative
+    spends ~30 s of Catalyst compilation on a 5-row result), and the
+    cached relations release before return (the probe_bm25
+    strict-mode contract — the returned frame is a frozen ≤ k-row
+    local relation)."""
     from databricks_etl_pipelines_spark.functions.numeric import stable_round
 
     emb = hash_embed_buckets(df, text_col, id_col, dim=dim).persist()
@@ -1614,56 +1617,45 @@ def mmr_rerank_topk(
         )
         .persist()
     )
-    # greedy: k unrolled argmax steps, ties to smallest id
-    picks = (
-        cands.select(
-            "id",
-            "rel",
-            (F.col("rel") / F.lit(2.0)).alias("mmr_score"),
-        )
-        .orderBy(F.desc("mmr_score"), "id")
-        .limit(1)
-        .withColumn("rank", F.lit(1))
+    # greedy: BOUNDED collect of the candidate cut (≤ n_cands rows)
+    # and the pair matrix (≤ n_cands² rows), then the k argmax steps
+    # in plain Python — the distributed work is the corpus-sized
+    # retrieval cut and pairwise dots above; the greedy itself touches
+    # only these two bounded relations, and running it driver-side
+    # replaces k unrolled join/agg subplans (whose Catalyst
+    # compilation dominated a 5-row result: ~30 s at any corpus size
+    # in the r11c probe) with microseconds of list arithmetic. Same
+    # float ops in the same order as the SQL oracle: rounded sims in,
+    # (rel − maxsim)/2, smallest-id ties. Both collects are bounded
+    # and documented (the repo-wide bounded-collect contract).
+    cand_rows = sorted(
+        cands.collect(), key=lambda r: (-r["rel"], r["id"])
     )
-    selected = picks.select("id")
-    for step in range(2, k + 1):
-        scored = (
-            cands.join(selected, "id", "left_anti")
-            .join(
-                psim.join(
-                    selected.withColumnRenamed("id", "b"), "b"
-                ).select(F.col("a").alias("id"), "sim"),
-                "id",
-            )
-            .groupBy("id", "rel")
-            .agg(F.max("sim").alias("maxsim"))
-            .select(
-                "id",
-                "rel",
-                (
-                    (F.col("rel") - F.col("maxsim")) / F.lit(2.0)
-                ).alias("mmr_score"),
-            )
-        )
-        pick = (
-            scored.orderBy(F.desc("mmr_score"), "id")
-            .limit(1)
-            .withColumn("rank", F.lit(step))
-        )
-        picks = picks.unionByName(pick)
-        selected = picks.select("id")
-    out = picks.select(
-        "rank", F.col("id").alias(id_col), "rel", "mmr_score"
-    )
-    # eager k-row materialization, then release the three cached
-    # relations (the probe_bm25 strict-mode treatment): the result is
-    # ≤ k rows, so collecting it here costs what the caller's own
-    # collect would, and the session doesn't carry a corpus-sized
-    # embedding cache per invocation. Contract: the returned frame is
-    # a frozen local relation (no retrieval plan to inspect; re-sort
-    # downstream if ordering matters after a shuffle).
-    rows = out.collect()
+    sim_map = {(r["a"], r["b"]): r["sim"] for r in psim.collect()}
     spark = df.sparkSession
     for cached in (psim, cands, emb):
         cached.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    picked: list = []
+    remaining = {r["id"]: r["rel"] for r in cand_rows}
+    for rank in range(1, min(k, len(cand_rows)) + 1):
+        best = None
+        for cid, rel_v in remaining.items():
+            maxsim = max(
+                (sim_map[(cid, s)] for s, _, _ in picked), default=0.0
+            )
+            score = (rel_v - maxsim) / 2.0
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel_v, score)
+        picked.append((best[1], best[2], best[3]))
+        del remaining[best[1]]
+    out_schema = (
+        f"rank int, {id_col} long, rel double, mmr_score double"
+    )
+    rows = [
+        (i + 1, cid, rel_v, score)
+        for i, (cid, rel_v, score) in enumerate(picked)
+    ]
+    # contract: a frozen ≤ k-row local relation (no retrieval plan to
+    # inspect; re-sort downstream if ordering matters after a shuffle)
+    return spark.createDataFrame(rows, out_schema)

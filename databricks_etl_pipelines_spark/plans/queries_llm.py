@@ -5773,8 +5773,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sees a missing row. The oracle replays the ENTIRE trajectory — the
 # candidate cut, the 12×12 matrix, and all 5 greedy steps unrolled as
 # chained argmax-LIMIT-1 CTEs (multiply-referenced CTEs MATERIALIZED
-# per the trap ledger). Scale: candidate cut is standard top-n
-# retrieval; everything after runs on ≤ n_cands² bounded rows.
+# per the trap ledger); the Spark side runs the same greedy over the
+# bounded collected matrix driver-side. Scale: candidate cut is
+# standard top-n retrieval; everything after runs on ≤ n_cands²
+# bounded rows.
 _MMR_STEPS = "".join(
     f""",
 r{s} AS (
@@ -5908,15 +5910,16 @@ pairs AS (
     CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0 THEN 1 ELSE 0 END AS disc
   FROM j x JOIN j y ON x.doc_id < y.doc_id
 ),
+ps AS (
+  SELECT CAST(coalesce(sum(conc), 0) AS BIGINT) AS c,
+    CAST(coalesce(sum(disc), 0) AS BIGINT) AS d
+  FROM pairs
+),
 mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM j)
-SELECT mm.m AS n_common,
-  CAST(sum(conc) AS BIGINT) AS n_concordant,
-  CAST(sum(disc) AS BIGINT) AS n_discordant,
-  CAST(2 * (CAST(sum(conc) AS BIGINT) - CAST(sum(disc) AS BIGINT))
-    AS DOUBLE)
+SELECT mm.m AS n_common, ps.c AS n_concordant, ps.d AS n_discordant,
+  CAST(2 * (ps.c - ps.d) AS DOUBLE)
     / nullif(CAST(mm.m * (mm.m - 1) AS DOUBLE), 0) AS kendall_tau
-FROM pairs, mm
-GROUP BY mm.m
+FROM mm CROSS JOIN ps
 """
 
 
@@ -5927,7 +5930,10 @@ def text_kendall_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-consistency complement of text_rbo_rankings (RBO scores
     top-weighted overlap; tau scores pairwise ordering agreement on
     the shared set). Exact concordant/discordant counts over the
-    bounded joined pairs; one final nullif-guarded division."""
+    bounded joined pairs; one final nullif-guarded division — and
+    ALWAYS one output row: disjoint rankings (possible under corpus
+    replication, caught by the r11c scale probe) report n_common with
+    NULL tau instead of vanishing."""
     from pyspark.sql import Window
 
     # bounded partitionless windows: both inputs are ≤ k-row top-k caps
@@ -5970,13 +5976,12 @@ def text_kendall_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(sgn < 0, 1).otherwise(0).alias("disc"),
     )
     mm = j.agg(F.count("*").alias("m"))
+    ps = pairs.agg(
+        F.coalesce(F.sum("conc"), F.lit(0)).alias("n_concordant"),
+        F.coalesce(F.sum("disc"), F.lit(0)).alias("n_discordant"),
+    )
     return (
-        pairs.crossJoin(F.broadcast(mm))
-        .groupBy("m")
-        .agg(
-            F.sum("conc").alias("n_concordant"),
-            F.sum("disc").alias("n_discordant"),
-        )
+        mm.crossJoin(F.broadcast(ps))
         .selectExpr(
             "m AS n_common",
             "n_concordant",
