@@ -1649,8 +1649,12 @@ def mmr_rerank_topk(
                 best = (key, cid, rel_v, score)
         picked.append((best[1], best[2], best[3]))
         del remaining[best[1]]
+    # id column keeps ITS OWN source type (a string/int id must round-trip
+    # unchanged — a hardcoded `long` here would reject non-integral ids at
+    # createDataFrame despite the generic id_col parameter)
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"rank int, {id_col} long, rel double, mmr_score double"
+        f"rank int, {id_col} {id_type}, rel double, mmr_score double"
     )
     rows = [
         (i + 1, cid, rel_v, score)

@@ -177,7 +177,9 @@ def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KS drift test maintained INCREMENTALLY over the events
     stream: each micro-batch folds its own (event_type, value-cent,
     cohort) counts ADDITIVELY into a managed histogram table
-    (streaming/structured.py::incremental_aggregate) — per-batch cost
+    (streaming/structured.py::incremental_aggregate, whose batch-id
+    high-water mark makes the fold EXACTLY-ONCE under checkpoint
+    replay — a re-delivered batch folds nothing) — per-batch cost
     tracks the batch plus the lattice-bounded histogram, never event
     history — and the KS projection (cumulative window, supremum,
     argmax) reads ONLY the maintained aggregate. Drained with
@@ -371,10 +373,10 @@ SELECT max(n) AS n_orders,
   CAST(sum(q) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi_square,
   sqrt(
     CAST(sum(q) AS DOUBLE) / CAST(1000000 AS DOUBLE)
-    / (CAST(max(n) AS DOUBLE) * CAST(
+    / nullif(CAST(max(n) AS DOUBLE) * CAST(
         CASE WHEN count(DISTINCT p) < count(DISTINCT s)
              THEN count(DISTINCT p) - 1 ELSE count(DISTINCT s) - 1 END
-      AS DOUBLE))
+      AS DOUBLE), 0)
   ) AS cramers_v
 FROM terms
 """
@@ -429,14 +431,19 @@ def diag_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(
             F.sum("q").cast("double")
             / F.lit(1000000).cast("double")
-            / (
+            # nullif-guarded like every other division in this module: a
+            # single distinct priority OR status makes min(R-1,C-1)·N zero
+            # and the V is undefined (NULL), not a divide-by-zero — keeps
+            # the query ANSI-mode safe and engine-identical
+            / F.nullif(
                 F.max("n").cast("double")
                 * F.when(
                     F.countDistinct("p") < F.countDistinct("s"),
                     F.countDistinct("p") - F.lit(1),
                 )
                 .otherwise(F.countDistinct("s") - F.lit(1))
-                .cast("double")
+                .cast("double"),
+                F.lit(0.0),
             )
         ).alias("cramers_v"),
     )
@@ -903,6 +910,64 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deliberately the SAME oracle as window_cusum_changepoint: an all-int64
+# sequential recurrence maintained incrementally over chronological
+# batches must be indistinguishable from the one-shot fold — and because
+# every state component lives on the cents lattice the equality is
+# ENGINE-EXACT, no IEEE caveat (the float-state EMA sibling's oracle
+# needs identical op sequences; this one only needs contiguous batches).
+@query("streaming_cusum_changepoint", _CUSUM_ORACLE)
+def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM maintained over a STREAM
+    (streaming/structured.py::cusum_stream on the shared
+    snapshot_fold_stream skeleton — the RUNNING-VALUE replay recipe:
+    per-batch keyed state snapshots to OVERWRITE ``b=<n>`` partitions,
+    run-ownership marker, chronological-contract enforcement): the
+    3-batch chronological events feed drains through a foreachBatch
+    that seeds each user from the previous snapshot and folds the
+    batch's (ts, event_id)-ordered cents on top. The drained state
+    must equal ``window_cusum_changepoint``'s one-shot fold
+    ENGINE-EXACTLY (all-int64 state on the cents lattice) — the oracle
+    is that query's SQL verbatim. State is 3 int64s per user per
+    snapshot; per-batch work is the batch plus a keyed join onto the
+    previous snapshot — stream-length-independent, the continuous
+    form a 100 TB always-on transaction monitor needs."""
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _three_batch_events_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        cusum_stream,
+        snapshot_final,
+    )
+
+    src = _three_batch_events_feed(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    state_root = scratch_dir("cusum_state_")
+    q = cusum_stream(
+        stream,
+        state_root,
+        scratch_dir("cusum_ckpt_"),
+        _CUSUM_K,
+        _CUSUM_H,
+    )
+    await_drained(q, 300)
+    return snapshot_final(spark, state_root).select(
+        F.col("k").alias("user_id"),
+        "n_events",
+        "final_cusum",
+        "max_cusum",
+        "alarm_index",
+    )
+
+
 # -- Population Stability Index over reference-decile bins ----------------------
 
 # THE industry drift score (credit-scoring discipline, the WOE/IV
@@ -1338,8 +1403,9 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     result. One maintained histogram can serve the whole drift suite
     (KS / CvM / PSI projections are all functions of it); this query
     and streaming_ks_drift each maintain their own table so their
-    checkpoints stay independent. Inherits incremental_aggregate's
-    documented at-least-once caveat (NOTES)."""
+    checkpoints stay independent. The fold is exactly-once under
+    checkpoint replay (incremental_aggregate's batch-id high-water
+    mark)."""
     from databricks_etl_pipelines_spark.sources.managed_table import (
         ManagedTable,
     )
@@ -1374,8 +1440,8 @@ def streaming_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_cvm_project` over ONLY the lattice-bounded aggregate. With this
     the whole drift TRIO (sup-gap, binned-score, integrated-gap) runs
     continuously off the same per-batch cost profile; oracle is the
-    batch CvM SQL verbatim. Inherits incremental_aggregate's
-    documented at-least-once caveat (NOTES)."""
+    batch CvM SQL verbatim. The fold is exactly-once under checkpoint
+    replay (incremental_aggregate's batch-id high-water mark)."""
     from databricks_etl_pipelines_spark.sources.managed_table import (
         ManagedTable,
     )

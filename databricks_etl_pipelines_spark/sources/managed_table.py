@@ -210,6 +210,16 @@ class ManagedTable:
             raise FileNotFoundError(f"no versions at {self.root}")
         return log[-1]["version"]
 
+    def latest_meta(self) -> dict | None:
+        """Latest commit's manifest entry (version/operation/timestamp plus
+        any operation metadata) as a plain dict, or ``None`` for a table
+        with no commits — the driver-side hook replay-aware writers use to
+        read fold markers without a Spark scan. The entry and its metadata
+        land in ONE atomic ``_write_log`` (os.replace), so a marker is
+        never observable without the table version it stamps."""
+        log = _read_log(self.root)
+        return dict(log[-1]) if log else None
+
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.root, f"_v{v}")
 
@@ -343,6 +353,7 @@ class ManagedTable:
         partition_by: Sequence[str] | None = None,
         bucket_by: Sequence[str] | None = None,
         n_buckets: int = 16,
+        meta: dict | None = None,
     ) -> int:
         """``partition_by`` = hive-style layout (reference S2 partitions
         bronze by ingestion_date, 01:186): time-range queries then prune
@@ -350,6 +361,10 @@ class ManagedTable:
 
         ``bucket_by`` = key-hash bucket layout enabling partition-pruned
         MERGE (see module docstring). Mutually exclusive with partition_by.
+
+        ``meta`` = extra keys stamped into this commit's manifest entry
+        (atomic with the version — see :meth:`latest_meta`); replay-aware
+        writers use it as a fold marker.
         """
         if bucket_by:
             if partition_by:
@@ -362,9 +377,9 @@ class ManagedTable:
                 bucketed,
                 "overwrite",
                 [BUCKET_COL],
-                {"bucket_keys": keys, "n_buckets": n_buckets},
+                {"bucket_keys": keys, "n_buckets": n_buckets, **(meta or {})},
             )
-        return self._commit(df, "overwrite", partition_by)
+        return self._commit(df, "overwrite", partition_by, meta)
 
     def append(
         self,

@@ -521,6 +521,86 @@ def foreach_batch_merge(
     return with_trigger(writer, processing_time).start()
 
 
+def fold_partial_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target: ManagedTable,
+    keys: list[str],
+    partial_agg: Callable[[DataFrame], DataFrame],
+    checkpoint_dir: str,
+) -> None:
+    """One micro-batch's EXACTLY-ONCE additive fold into the gold table
+    (the per-batch body of :func:`incremental_aggregate`, module-level so
+    the replay semantics are directly testable).
+
+    Exactly-once despite foreachBatch's at-least-once delivery: every
+    commit stamps ``fold_checkpoint`` + ``fold_batch_id`` into the
+    manifest entry — atomic with the table version itself (one
+    ``os.replace`` of ``_log.json``) — and a re-delivered batch whose id
+    is ≤ the stamped high-water mark is a checkpoint replay and folds
+    NOTHING. A crash between the parquet write and the manifest write
+    leaves the manifest (and therefore both the gold rows AND the marker)
+    at the pre-batch state, so the replayed batch re-folds exactly once;
+    the orphan ``_v{N}`` directory is unreferenced, not double-counted.
+
+    Ownership (the ema_stream discipline): a gold table stamped by a
+    DIFFERENT checkpoint is foreign state — batch 0 takes it over with a
+    visible warning (fresh run, stale scratch), any later batch fails
+    loudly instead of folding onto another query's aggregate. An
+    UNSTAMPED existing table is a batch-built bootstrap gold: folded
+    into, then stamped.
+    """
+    import warnings
+
+    prior = target.latest_meta()
+    owner = prior.get("fold_checkpoint") if prior else None
+    takeover = False
+    if owner == checkpoint_dir:
+        last = prior.get("fold_batch_id", -1)
+        if batch_id <= last:
+            return  # checkpoint replay of an already-folded batch
+    elif owner is not None:
+        if batch_id == 0:
+            warnings.warn(
+                f"incremental_aggregate: batch 0 of checkpoint "
+                f"{checkpoint_dir!r} is taking over gold table "
+                f"{target.root!r} previously maintained by checkpoint "
+                f"{owner!r}; its aggregate is being overwritten",
+                stacklevel=2,
+            )
+            prior = None  # discard the foreign aggregate, seed fresh
+            takeover = True
+        else:
+            raise ValueError(
+                f"incremental_aggregate: gold table {target.root!r} is "
+                f"maintained by checkpoint {owner!r}, not "
+                f"{checkpoint_dir!r} — refusing to fold onto another "
+                "query's aggregate; point this query at its own target "
+                "or clear it"
+            )
+    if batch_df.isEmpty() and not takeover:
+        # nothing to fold and no foreign state to invalidate; an EMPTY
+        # batch-0 takeover must still fall through and overwrite (the
+        # empty partial below) so batch 1 never folds onto foreign rows
+        return
+    spark = batch_df.sparkSession
+    partial = partial_agg(batch_df)
+    if prior is not None:
+        current = target.read(spark)
+        metric_cols = [c for c in partial.columns if c not in keys]
+        combined = (
+            current.unionByName(partial)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in metric_cols])
+        )
+    else:
+        combined = partial
+    target.create_or_overwrite(
+        combined,
+        meta={"fold_checkpoint": checkpoint_dir, "fold_batch_id": batch_id},
+    )
+
+
 def incremental_aggregate(
     stream: DataFrame,
     target: ManagedTable,
@@ -534,7 +614,10 @@ def incremental_aggregate(
     micro-batch computes a partial aggregate over just its own rows and
     folds it ADDITIVELY into the gold table — union with the current gold
     rows and re-aggregate on the group keys. Gold is correct after every
-    batch without ever rescanning history.
+    batch without ever rescanning history, and the fold is EXACTLY-ONCE
+    under checkpoint replay (see :func:`fold_partial_batch` — a
+    batch-id high-water mark stamped atomically with each gold version
+    makes re-delivered batches no-ops).
 
     ``partial_agg`` must produce ``keys`` + decomposable metric columns
     (sums/counts; derive ratios downstream). The fold is one key-hash
@@ -543,21 +626,9 @@ def incremental_aggregate(
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        partial = partial_agg(batch_df)
-        if target.exists():
-            current = target.read(spark)
-            metric_cols = [c for c in partial.columns if c not in keys]
-            combined = (
-                current.unionByName(partial)
-                .groupBy(*keys)
-                .agg(*[F.sum(c).alias(c) for c in metric_cols])
-            )
-        else:
-            combined = partial
-        target.create_or_overwrite(combined)
+        fold_partial_batch(
+            batch_df, batch_id, target, keys, partial_agg, checkpoint_dir
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -1167,65 +1238,69 @@ def bloom_dedup_stream(
     return with_trigger(writer, processing_time).start()
 
 
-def ema_stream(
+def snapshot_fold_stream(
     stream: DataFrame,
     state_root: str,
     checkpoint_dir: str,
+    state_fields: list[tuple[str, object]],
+    fold_expr: Callable,
     key_col: str = "user_id",
     value_col: str = "value",
     order_cols: tuple[str, str] = ("ts", "event_id"),
     processing_time: str | None = None,
+    op_name: str = "snapshot_fold_stream",
 ) -> StreamingQuery:
-    """Per-key exponential moving average maintained INCREMENTALLY over
-    a stream — the stateful closure of the batch
-    ``window_ema_smoothing`` fold (dyadic alphas 1/2 and 1/4). EMA is a
-    sequential recurrence, NOT a commutative aggregate, so neither the
-    Count-Min additive-partials recipe nor Bloom's idempotent-set
-    recipe applies; the state is a RUNNING VALUE. The replay-safe shape
-    for that third kind of operator: per-batch state SNAPSHOTS. Batch N
-    reads the latest snapshot BELOW N, folds its own rows on top
-    (within-batch order (ts, id) — the same total order as the batch
-    query), and writes the full keyed state to ``b=N`` with OVERWRITE —
-    a re-delivered batch N recomputes from N−1's snapshot and
-    overwrites b=N with identical bytes, never double-folds.
+    """The RUNNING-VALUE stateful-operator skeleton: per-key sequential
+    recurrences (EMA, CUSUM, any fold where state is a value, not a
+    commutative aggregate) maintained over a stream via per-batch state
+    SNAPSHOTS. Batch N reads the latest snapshot BELOW N, folds its own
+    (order_cols)-ordered rows on top, and writes the full keyed state to
+    ``b=N`` with OVERWRITE — a re-delivered batch N recomputes from N−1's
+    snapshot and overwrites b=N with identical bytes, never double-folds.
+    This is the third replay-safety recipe next to additive partials
+    (Count-Min / incremental_aggregate) and idempotent sets (Bloom).
+
+    ``state_fields`` = [(name, DataType), ...] — the operator's state
+    columns. ``fold_expr(seeded, xs, rs, prev) -> {name: Column}``
+    computes the post-batch state for keys present in the batch: ``xs``
+    is the batch's time-ordered value array, ``rs`` the (o1, o2, value)
+    struct array, ``prev`` a dict of the key's prior state columns
+    (operator fields + ``n_events``/``last_value``/``last_ts``/
+    ``last_eid`` bookkeeping; all NULL for a fresh key), and ``seeded``
+    is true when prior state exists. Keys absent from the batch carry
+    their state forward unchanged; bookkeeping columns are maintained by
+    the skeleton.
 
     Correctness contract (the daily-ingest discipline): batches must
-    arrive in event-time order — every row of batch N after every row
-    of batch N−1 in the (ts, id) total order. Then batch-sequential
-    folding is ASSOCIATIVELY equal to the one-shot fold (same op
-    sequence, same IEEE doubles — fold values are stored raw, rounding
-    happens only at read), which is exactly what the hard oracle
-    asserts. That contract is ENFORCED, not assumed: each key's
-    snapshot carries its last folded (ts, id), and a batch containing a
-    row at-or-before a key's watermark raises ValueError instead of
-    silently folding old values after new ones into plausible-wrong
-    EMAs — the same loud-failure discipline as the pagerank input
-    guard and the index TornIndexError (one bounded keys-in-batch
-    count per micro-batch). State per snapshot is one row per key (the
-    floor for any per-key stateful op); snapshots are pruned to the
-    latest at read and old ones are retention, not state.
+    arrive in event-time order — every row of batch N after every row of
+    batch N−1 in the (o1, o2) total order. Then batch-sequential folding
+    is ASSOCIATIVELY equal to the one-shot fold (same op sequence — for
+    float states the same IEEE doubles; fold values are stored raw,
+    rounding happens only at read). The contract is ENFORCED, not
+    assumed: each key's snapshot carries its last folded (o1, o2), and a
+    batch containing a row at-or-before a key's watermark raises
+    ValueError instead of silently folding old values after new ones
+    into plausible-wrong state (one bounded keys-in-batch count per
+    micro-batch). State per snapshot is one row per key (the floor for
+    any per-key stateful op); snapshots are pruned to the latest at read
+    and old ones are retention, not state.
 
     Run ownership: ``state_root`` belongs to exactly one streaming
     query. Batch 0 of a query TAKES ownership — it removes EVERY
-    ``b=*`` snapshot left by a different (possibly longer) previous
-    run (including a foreign ``b=0``, which an empty new batch 0 would
+    ``b=*`` snapshot left by a different (possibly longer) previous run
+    (including a foreign ``b=0``, which an empty new batch 0 would
     otherwise leave in place for batch 1 to fold on) and records its
-    checkpoint in ``_run.json`` — so :func:`ema_final` can never
-    return or fold stale snapshots from an earlier run;
-    batches > 0 verify the marker and fail loudly if the state_root
-    was seeded by a different checkpoint (two live queries pointed at
-    one state_root, or a restarted query aimed at foreign state)."""
+    checkpoint in ``_run.json`` — so :func:`snapshot_final` can never
+    return or fold stale snapshots from an earlier run; batches > 0
+    verify the marker and fail loudly if the state_root was seeded by a
+    different checkpoint (two live queries pointed at one state_root, or
+    a restarted query aimed at foreign state)."""
     import json as _json
     import os
     import shutil
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
 
     def _latest_snapshot(spark, below: int):
         if not os.path.isdir(state_root):
@@ -1275,7 +1350,7 @@ def ema_stream(
                 import warnings
 
                 warnings.warn(
-                    f"ema_stream: batch 0 of checkpoint "
+                    f"{op_name}: batch 0 of checkpoint "
                     f"{checkpoint_dir!r} is taking over state_root "
                     f"{state_root!r} previously owned by checkpoint "
                     f"{prev_owner!r}; its snapshots are being removed",
@@ -1299,12 +1374,15 @@ def ema_stream(
         owner = _read_marker(marker)
         if owner != checkpoint_dir:
             raise ValueError(
-                f"ema_stream: state_root {state_root!r} is owned by "
+                f"{op_name}: state_root {state_root!r} is owned by "
                 f"checkpoint {owner!r}, not {checkpoint_dir!r} — "
                 "snapshots from a different run cannot be folded on; "
                 "point the query at its own state_root or clear this "
                 "one"
             )
+
+    state_names = [n for n, _t in state_fields]
+    book_names = ["n_events", "last_value", "last_ts", "last_eid"]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # ownership runs even for empty batches: an empty batch 0 must
@@ -1322,20 +1400,19 @@ def ema_stream(
             arr.alias("rs"), F.count("*").alias("bn")
         )
         xs = F.transform("rs", lambda r: r[value_col])
-        prev = _latest_snapshot(spark, batch_id)
-        if prev is None:
+        prev_snap = _latest_snapshot(spark, batch_id)
+        if prev_snap is None:
             # first-batch empty seed: derive key/order/value types from
             # the batch itself (a hardcoded long/timestamp DDL would
             # break the full join or the watermark struct comparison
             # for a string key or non-timestamp order columns)
             bt = {f.name: f.dataType for f in batch_df.schema.fields}
-            prev = spark.createDataFrame(
+            prev_snap = spark.createDataFrame(
                 [],
                 StructType(
-                    [
-                        StructField("k", bt[key_col]),
-                        StructField("ema_half", DoubleType()),
-                        StructField("ema_quarter", DoubleType()),
+                    [StructField("k", bt[key_col])]
+                    + [StructField(n, t) for n, t in state_fields]
+                    + [
                         StructField("n_events", LongType()),
                         StructField("last_value", bt[value_col]),
                         StructField("last_ts", bt[o1]),
@@ -1343,7 +1420,7 @@ def ema_stream(
                     ]
                 ),
             )
-        j = g.join(prev, "k", "full")
+        j = g.join(prev_snap, "k", "full")
         # enforce the chronological contract: a batch row at-or-before
         # a key's folded watermark would silently corrupt the
         # recurrence — fail loudly instead (bounded: keys in batch)
@@ -1363,43 +1440,25 @@ def ema_stream(
         ).count()
         if stale:
             raise ValueError(
-                f"ema_stream: batch {batch_id} contains {stale} key(s) "
+                f"{op_name}: batch {batch_id} contains {stale} key(s) "
                 f"with rows at or before their folded ({o1}, {o2}) "
                 "watermark — batches must partition the event-time "
                 "order into contiguous ranges (the daily-ingest "
                 "contract); folding out-of-order input would produce "
-                "silently wrong EMAs"
+                "silently wrong state"
             )
-        # keys with prior state seed from it and fold the WHOLE batch
-        # array; fresh keys seed from their first value and fold the
-        # tail — bit-identical to the one-shot fold's s0 = x0
-        seeded = F.col("ema_half").isNotNull()
-        xs_eff = F.when(seeded, xs).otherwise(
-            F.slice(xs, F.lit(2), F.size(xs) - 1)
-        )
-        init_h = F.coalesce(F.col("ema_half"), F.element_at(xs, 1))
-        init_q = F.coalesce(F.col("ema_quarter"), F.element_at(xs, 1))
+        seeded = F.col(state_names[0]).isNotNull()
         in_batch = F.col("rs").isNotNull()
+        prev_cols = {n: F.col(n) for n in state_names + book_names}
+        folds = fold_expr(seeded, xs, F.col("rs"), prev_cols)
         snap = j.select(
             "k",
-            F.when(
-                in_batch,
-                F.aggregate(
-                    xs_eff, init_h, lambda a, x: (a + x) / F.lit(2.0)
-                ),
-            )
-            .otherwise(F.col("ema_half"))
-            .alias("ema_half"),
-            F.when(
-                in_batch,
-                F.aggregate(
-                    xs_eff,
-                    init_q,
-                    lambda a, x: (a * F.lit(3.0) + x) / F.lit(4.0),
-                ),
-            )
-            .otherwise(F.col("ema_quarter"))
-            .alias("ema_quarter"),
+            *[
+                F.when(in_batch, folds[n])
+                .otherwise(F.col(n))
+                .alias(n)
+                for n in state_names
+            ],
             (
                 F.coalesce(F.col("n_events"), F.lit(0))
                 + F.coalesce(F.col("bn"), F.lit(0))
@@ -1422,9 +1481,141 @@ def ema_stream(
     return with_trigger(writer, processing_time).start()
 
 
-def ema_final(spark: SparkSession, state_root: str) -> DataFrame:
-    """Read the latest EMA state snapshot written by :func:`ema_stream`
-    (raw fold values; callers round at presentation)."""
+def ema_stream(
+    stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Per-key exponential moving average maintained INCREMENTALLY over
+    a stream (dyadic alphas 1/2 and 1/4) — the stateful closure of the
+    batch ``window_ema_smoothing`` fold, riding the shared
+    :func:`snapshot_fold_stream` skeleton (snapshot replay safety,
+    chronological-contract enforcement, run ownership — see there).
+    Keys with prior state seed from it and fold the whole batch array;
+    fresh keys seed from their first value and fold the tail —
+    bit-identical to the one-shot fold's s0 = x0."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    def fold(seeded, xs, rs, prev):
+        xs_eff = F.when(seeded, xs).otherwise(
+            F.slice(xs, F.lit(2), F.size(xs) - 1)
+        )
+        init_h = F.coalesce(prev["ema_half"], F.element_at(xs, 1))
+        init_q = F.coalesce(prev["ema_quarter"], F.element_at(xs, 1))
+        return {
+            "ema_half": F.aggregate(
+                xs_eff, init_h, lambda a, x: (a + x) / F.lit(2.0)
+            ),
+            "ema_quarter": F.aggregate(
+                xs_eff,
+                init_q,
+                lambda a, x: (a * F.lit(3.0) + x) / F.lit(4.0),
+            ),
+        }
+
+    return snapshot_fold_stream(
+        stream,
+        state_root,
+        checkpoint_dir,
+        [("ema_half", DoubleType()), ("ema_quarter", DoubleType())],
+        fold,
+        key_col,
+        value_col,
+        order_cols,
+        processing_time,
+        op_name="ema_stream",
+    )
+
+
+def cusum_stream(
+    stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    k_cents: int,
+    h_cents: int,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Per-key one-sided CUSUM change-point detection maintained over a
+    stream — the stateful closure of the batch
+    ``window_cusum_changepoint`` fold, riding the shared
+    :func:`snapshot_fold_stream` skeleton. State per key is 3 int64s
+    (running excess, max excess, sticky 1-based first-alarm index; the
+    step counter is the skeleton's ``n_events`` bookkeeping), all on
+    the cents lattice, so batch-sequential folding over chronological
+    batches is ENGINE-EXACT equal to the one-shot fold — no IEEE
+    caveat at all, integer recurrences commute with any contiguous
+    batch split."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    def fold(seeded, xs, rs, prev):
+        zero = F.lit(0).cast("long")
+        cents = F.transform(
+            xs, lambda v: F.floor(v * 100 + F.lit(0.5)).cast("long")
+        )
+        init = F.struct(
+            F.coalesce(prev["final_cusum"], zero).alias("m"),
+            F.coalesce(prev["max_cusum"], zero).alias("mx"),
+            F.coalesce(prev["alarm_index"], zero).alias("alarm"),
+            # the alarm index is GLOBAL over the key's whole event
+            # sequence: the step counter resumes from the events
+            # already folded in prior batches
+            F.coalesce(prev["n_events"], zero).alias("pos"),
+        )
+
+        def step(acc, x):
+            m = F.greatest(zero, acc["m"] + x - F.lit(k_cents))
+            mx = F.greatest(acc["mx"], m)
+            pos = acc["pos"] + F.lit(1).cast("long")
+            alarm = (
+                F.when(acc["alarm"] > 0, acc["alarm"])
+                .when(m > F.lit(h_cents), pos)
+                .otherwise(zero)
+            )
+            return F.struct(
+                m.alias("m"),
+                mx.alias("mx"),
+                alarm.alias("alarm"),
+                pos.alias("pos"),
+            )
+
+        st = F.aggregate(cents, init, step)
+        return {
+            "final_cusum": st["m"],
+            "max_cusum": st["mx"],
+            "alarm_index": st["alarm"],
+        }
+
+    return snapshot_fold_stream(
+        stream,
+        state_root,
+        checkpoint_dir,
+        [
+            ("final_cusum", LongType()),
+            ("max_cusum", LongType()),
+            ("alarm_index", LongType()),
+        ],
+        fold,
+        key_col,
+        value_col,
+        order_cols,
+        processing_time,
+        op_name="cusum_stream",
+    )
+
+
+def snapshot_final(spark: SparkSession, state_root: str) -> DataFrame:
+    """Read the latest state snapshot written by
+    :func:`snapshot_fold_stream` (raw fold values; callers round at
+    presentation)."""
     import os
 
     bs = [
@@ -1433,3 +1624,8 @@ def ema_final(spark: SparkSession, state_root: str) -> DataFrame:
         if d.startswith("b=")
     ]
     return spark.read.parquet(f"{state_root}/b={max(bs)}")
+
+
+# backward-compatible name: the EMA family's read-side entry point
+ema_final = snapshot_final
+

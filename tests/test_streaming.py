@@ -1437,3 +1437,149 @@ def test_streaming_cvm_drift_multibatch_equals_one_shot(spark, tmp_path):
         assert (s.n_early, s.n_late, s.cvm_q6, s.cvm_t) == (
             r.n_early, r.n_late, r.cvm_q6, r.cvm_t
         ), g
+
+
+def test_fold_partial_batch_exactly_once_replay(spark, tmp_path):
+    """Checkpoint replay must be invisible in the gold table: re-delivering
+    an already-folded batch (same batch_id, same checkpoint — exactly what
+    foreachBatch does after a crash between the sink commit and the
+    checkpoint commit) folds NOTHING; only a genuinely new batch_id folds."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        fold_partial_batch,
+    )
+
+    def partial(df):
+        return df.groupBy("k").agg(F.sum("x").alias("sx"))
+
+    gold = ManagedTable(str(tmp_path / "gold"))
+    ckpt = str(tmp_path / "ckpt")
+    b0 = spark.createDataFrame([(1, 10), (2, 5)], "k int, x int")
+    b1 = spark.createDataFrame([(1, 7)], "k int, x int")
+
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt)
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt)
+    # replay BOTH batches (at-least-once delivery) — must be no-ops
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt)
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt)
+    got = {r.k: r.sx for r in gold.read(spark).collect()}
+    assert got == {1: 17, 2: 5}  # NOT {1: 34, 2: 10}
+    # the high-water mark is stamped atomically with the latest version
+    meta = gold.latest_meta()
+    assert meta["fold_checkpoint"] == ckpt
+    assert meta["fold_batch_id"] == 1
+    # a new batch id still folds
+    fold_partial_batch(b1, 2, gold, ["k"], partial, ckpt)
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {1: 24, 2: 5}
+
+
+def test_fold_partial_batch_ownership(spark, tmp_path):
+    """Foreign gold state: batch 0 of a new checkpoint takes the table over
+    (warning + overwrite — stale scratch semantics, even when batch 0 is
+    EMPTY); a batch > 0 pointed at another query's gold fails loudly."""
+    import warnings as _w
+
+    import pytest
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        fold_partial_batch,
+    )
+
+    def partial(df):
+        return df.groupBy("k").agg(F.sum("x").alias("sx"))
+
+    gold = ManagedTable(str(tmp_path / "gold"))
+    b = spark.createDataFrame([(1, 10)], "k int, x int")
+    fold_partial_batch(b, 0, gold, ["k"], partial, str(tmp_path / "ckptA"))
+
+    # batch > 0 of a DIFFERENT checkpoint: loud failure, gold untouched
+    with pytest.raises(ValueError, match="maintained by checkpoint"):
+        fold_partial_batch(b, 1, gold, ["k"], partial, str(tmp_path / "ckptB"))
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {1: 10}
+
+    # EMPTY batch 0 of a new checkpoint: takeover must still invalidate the
+    # foreign aggregate so batch 1 never folds onto it
+    empty = spark.createDataFrame([], "k int, x int")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        fold_partial_batch(
+            empty, 0, gold, ["k"], partial, str(tmp_path / "ckptB")
+        )
+    assert any("taking over" in str(w.message) for w in rec)
+    assert gold.read(spark).count() == 0
+    fold_partial_batch(b, 1, gold, ["k"], partial, str(tmp_path / "ckptB"))
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {1: 10}
+
+
+def test_cusum_stream_cross_batch_alarm_continuity(spark, tmp_path):
+    """Streaming CUSUM on a planted 3-batch chronological feed: the
+    excess accumulates ACROSS batch boundaries and the sticky 1-based
+    alarm index is GLOBAL over the key's whole event sequence —
+
+    - user 7's alarm fires mid-batch-2 at global index 5 (its batch-2
+      local index is 1; continuity of both the running excess and the
+      position counter across snapshots is what makes it 5);
+    - user 8 alarms inside batch 0 and the index survives untouched
+      through two later batches it never appears in;
+    - user 9 never alarms (final/max excess still exact).
+
+    K=$1 (100 cents), H=$5 (500 cents). Hand-computed one-shot folds in
+    the asserts."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        cusum_stream,
+        snapshot_final,
+    )
+
+    def ev(eid, minute, uid, val):
+        return (eid, dt.datetime(2024, 1, 1, 0, minute), uid, val)
+
+    # user 7 cents vs K=100 per step: +200, +200 | -50, -50 | +300, +300
+    # — batch 1's sub-K values DECAY the excess (the one-sided clamp at
+    # 0 never engages for user 7), so the batch-2 alarm depends on the
+    # exact carried excess, not just the position counter
+    b0 = [ev(1, 1, 7, 3.0), ev(2, 2, 7, 3.0), ev(3, 1, 8, 7.0), ev(4, 2, 9, 0.5)]
+    b1 = [ev(5, 11, 7, 0.5), ev(6, 12, 7, 0.5)]
+    b2 = [ev(7, 21, 7, 4.0), ev(8, 22, 7, 4.0), ev(9, 23, 9, 0.5)]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    import os
+    import time
+
+    base = time.time()
+    for i, rows in enumerate((b0, b1, b2)):
+        tmp = tmp_path / f"slice{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dst = feed / f"batch-{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (base + i, base + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    state = str(tmp_path / "state")
+    q = cusum_stream(stream, state, str(tmp_path / "ckpt"), 100, 500)
+    await_drained(q, 120)
+    got = {r.k: r for r in snapshot_final(spark, state).collect()}
+
+    # user 7 one-shot (cents, K=100): 300,300 | 50,50 | 400,400
+    #   m: 200, 400 | 350, 300 | 600*, 900   (* 600>500 -> alarm at
+    #   global step 5 — needs batch-0 excess AND batch-1 position count)
+    assert got[7].final_cusum == 900
+    assert got[7].max_cusum == 900
+    assert got[7].alarm_index == 5
+    assert got[7].n_events == 6
+    # user 8: single 700-cent event -> m=600>500, alarm at index 1,
+    # then absent for two batches — state carried unchanged
+    assert got[8].final_cusum == 600
+    assert got[8].alarm_index == 1
+    assert got[8].n_events == 1
+    # user 9: 50-cent values never exceed K -> m pinned at 0, no alarm
+    assert got[9].final_cusum == 0
+    assert got[9].max_cusum == 0
+    assert got[9].alarm_index == 0
+    assert got[9].n_events == 2
