@@ -6004,12 +6004,19 @@ def text_kendall_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Σt int64, Σt² decimal/HUGEINT) in identical float sequences; the
 # allocation weight is LATTICE-quantized (q_h = floor(N·S·100 + 0.5))
 # before the cross-stratum integer sum (the chi-square rule), and
-# n_h = (B·q_h) div Q is pure BIGINT division (Spark div ≡ DuckDB //;
-# headroom: q_h ≤ N·S·100 ≈ 1e15 at 1e10 docs/stratum, B·q_h ≈ 1e18
-# < 2^63, cited); single-doc strata have no variance and allocate 0
-# (coalesce, documented), and an ALL-degenerate corpus (every stratum
-# constant → Q = 0) nullif-degrades every allocation to 0 instead of
-# an integer-div error. Selection is the cross-engine md5 rolling
+# the base n_h = (B·q_h) div Q is pure BIGINT division (Spark div ≡
+# DuckDB //; headroom: q_h ≤ N·S·100 ≈ 1e15 at 1e10 docs/stratum,
+# B·q_h ≈ 1e18 < 2^63, cited), and the floor shortfall R = B − Σ base
+# (0 ≤ R < #strata, since Σ rem_h = R·Q with each rem_h < Q) is
+# assigned by the LARGEST-REMAINDER rule — +1 to the R strata ranked by
+# (rem DESC, source ASC), a total order, so Σ n_h = B EXACTLY whenever
+# no stratum hits its n_h > N_h cap (the cap applies after the top-up;
+# with B ≪ N_h it never binds). Single-doc strata have no variance and
+# a zero base (coalesce, documented) but stay eligible for a
+# remainder-0 top-up like any stratum; an ALL-degenerate corpus (every
+# stratum constant → Q = 0) keeps every allocation 0 — the qt > 0
+# guard stops the residual from being sprayed over strata that earned
+# nothing. Selection is the cross-engine md5 rolling
 # hash of (doc_id, seed 57) ranked per stratum (ties by doc_id), keep
 # rank ≤ n_h — the oracle reproduces the EXACT kept set, evidenced by
 # the selected doc-id and token checksums. The rank window is the
@@ -6047,12 +6054,25 @@ q AS (
   FROM w
 ),
 tot AS (SELECT CAST(sum(qh) AS BIGINT) AS qt FROM q),
-alloc AS (
-  SELECT q.source, q.n, q.sdev,
-    coalesce(
-      CASE WHEN q.n < ({_NEYMAN_B} * q.qh) // nullif(tot.qt, 0) THEN q.n
-           ELSE ({_NEYMAN_B} * q.qh) // nullif(tot.qt, 0) END, 0) AS nh
+base AS (
+  SELECT q.source, q.n, q.sdev, tot.qt,
+    coalesce(({_NEYMAN_B} * q.qh) // nullif(tot.qt, 0), 0) AS nb,
+    coalesce(({_NEYMAN_B} * q.qh) % nullif(tot.qt, 0), 0) AS rem
   FROM q, tot
+),
+resid AS (SELECT CAST({_NEYMAN_B} - sum(nb) AS BIGINT) AS r FROM base),
+topped AS (
+  SELECT b.source, b.n, b.sdev,
+    b.nb + CASE WHEN b.qt > 0
+                 AND row_number() OVER (ORDER BY b.rem DESC, b.source)
+                     <= resid.r
+            THEN 1 ELSE 0 END AS na
+  FROM base b, resid
+),
+alloc AS (
+  SELECT source, n, sdev,
+    CASE WHEN n < na THEN n ELSE na END AS nh
+  FROM topped
 ),
 ranked AS (
   SELECT t.source, t.doc_id, t.nt,
@@ -6082,12 +6102,13 @@ FROM alloc a LEFT JOIN sel ON a.source = sel.source
 @query("curation_neyman_allocation", _NEYMAN_ORACLE)
 def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-allocation stratified sampling: a 200-doc budget split
-    across sources proportional to N_h·S_h (token-count dispersion),
-    then a deterministic hash-rank selection of exactly that many docs
-    per stratum — the variance-optimal upgrade of fixed-fraction
-    sampling, with the EXACT kept set evidenced by per-stratum id and
-    token checksums. See the oracle comment for the lattice-quantized
-    allocation and integer-division determinism."""
+    across sources proportional to N_h·S_h (token-count dispersion)
+    with a largest-remainder top-up so the allocations sum to the
+    budget EXACTLY, then a deterministic hash-rank selection of exactly
+    that many docs per stratum — the variance-optimal upgrade of
+    fixed-fraction sampling, with the EXACT kept set evidenced by
+    per-stratum id and token checksums. See the oracle comment for the
+    lattice-quantized allocation and integer determinism."""
     from databricks_etl_pipelines_spark.functions.numeric import (
         stable_round,
     )
@@ -6128,14 +6149,41 @@ def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coalesce(CAST(floor(CAST(n AS DOUBLE) * sdev * 100 + 0.5)"
         " AS BIGINT), 0) AS qh",
     )
-    tot = q.agg(F.sum("qh").alias("qt"))
-    alloc = q.crossJoin(F.broadcast(tot)).selectExpr(
+    tot = q.agg(F.sum("qh").cast("long").alias("qt"))
+    base = q.crossJoin(F.broadcast(tot)).selectExpr(
         "source",
         "n",
         "sdev",
-        f"coalesce("
-        f"  CASE WHEN n < ({_NEYMAN_B} * qh) div nullif(qt, 0) THEN n"
-        f"       ELSE ({_NEYMAN_B} * qh) div nullif(qt, 0) END, 0) AS nh",
+        "qt",
+        f"coalesce(({_NEYMAN_B} * qh) div nullif(qt, 0), 0) AS nb",
+        f"coalesce(({_NEYMAN_B} * qh) % nullif(qt, 0), 0) AS rem",
+    )
+    resid = base.agg(
+        (F.lit(_NEYMAN_B) - F.sum("nb")).cast("long").alias("r")
+    )
+    # largest-remainder top-up runs over the STRATA relation (one row
+    # per source — broadcast-small at any corpus size), so the
+    # unpartitioned rank window is bounded by design
+    topped = (
+        base.crossJoin(F.broadcast(resid))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), F.col("source"))
+            ),
+        )
+        .selectExpr(
+            "source",
+            "n",
+            "sdev",
+            "nb + CASE WHEN qt > 0 AND rk <= r THEN 1 ELSE 0 END AS na",
+        )
+    )
+    alloc = topped.selectExpr(
+        "source",
+        "n",
+        "sdev",
+        "CASE WHEN n < na THEN n ELSE na END AS nh",
     )
     ranked = t.withColumn(
         "rk",

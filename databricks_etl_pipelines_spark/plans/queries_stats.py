@@ -968,6 +968,179 @@ def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Kaplan-Meier survival curves ----------------------------------------------
+
+# Time-to-event per user: duration (days) from the user's first event to
+# their first 'purchase' (the event of interest), right-censored by their
+# first 'error' (dropout) or, failing that, their last observed event —
+# the competing-risk-as-censoring setup of a conversion-funnel survival
+# analysis. Cohort = the user's FIRST event type ((ts, event_id)
+# row_number — a total order, so the cohort is deterministic even under
+# ts ties). KM estimator per cohort: at each distinct observed day t,
+# risk set n_t = Σ_{t' ≥ t} (events + censorings), and
+# S(t) = Π_{t' ≤ t} (n_t' − d_t') / n_t' — censored-after-events at equal
+# t, the standard convention, encoded identically in both engines by the
+# ratio using the SAME row's n and d.
+#
+# Exactness: n, d, c are exact int64 from one user-level aggregate plus
+# lattice-bounded cumulative windows (the KS machinery's shape: windows
+# run over the cohort×day DISTINCT-duration relation, ≤ cohorts·31 rows
+# at any corpus size, never fact rows). The survival product is the one
+# float sequence: each ratio is a single exact-int division, and the
+# cumulative product is a PINNED left fold over the window's ordered
+# prefix list — seed 1.0 (×1.0 is IEEE-exact), then ratios in t order —
+# written identically on both engines (no exp/ln round trip, no libm),
+# so the doubles are bit-identical before the final stable round-6.
+# n_risk ≥ 1 by construction on every emitted row (a (cohort, t) row
+# exists only because ≥ 1 user observed t, and that user is in its own
+# risk set), so the division needs no NULLIF guard.
+#
+# At 100 TB: one window+aggregate pass over the fact table keyed by
+# user (the same shuffle class as any per-entity feature build), then
+# everything downstream is lattice-sized.
+# (DuckDB list() as a cumulative window aggregate yields the ordered
+# prefix, the exact twin of Spark's collect_list over the same frame)
+_KM_ORACLE = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
+    min(ts) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
+    max(ts) AS tmax
+  FROM r GROUP BY user_id
+),
+obs AS (
+  SELECT cohort,
+    CAST(datediff('day', CAST(t0 AS DATE), CAST(
+      CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN tp
+           ELSE coalesce(te, tmax) END AS DATE)) AS BIGINT) AS t,
+    CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN 1 ELSE 0 END
+      AS e
+  FROM pu
+),
+grid AS (
+  SELECT cohort, t,
+    CAST(sum(e) AS BIGINT) AS d,
+    CAST(count(*) - sum(e) AS BIGINT) AS c
+  FROM obs GROUP BY cohort, t
+),
+risk AS (
+  SELECT cohort, t, d, c,
+    CAST(sum(d + c) OVER (PARTITION BY cohort)
+       - coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM grid
+),
+folded AS (
+  SELECT cohort, t, n_risk, d, c,
+    list(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      OVER (PARTITION BY cohort ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+  FROM risk
+)
+SELECT cohort, t, n_risk, d AS n_event, c AS n_censored,
+  floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pref),
+        (a, b) -> a * b) * 1000000 + 0.5) / 1000000 AS survival
+FROM folded
+"""
+
+
+@query("diag_kaplan_meier", _KM_ORACLE)
+def diag_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curves per first-event-type cohort:
+    time-to-first-purchase with first-error (or end of observation) as
+    right censoring — the time-to-event member of the drift/diagnostics
+    family next to CUSUM and Page-Hinkley (retention/conversion curves
+    are the standard readout before a funnel intervention ships). Exact
+    integer risk sets from one user-level pass + lattice-bounded
+    windows; the survival product is a pinned left fold over each row's
+    ordered prefix ratios (see the oracle comment for the full
+    exactness and 100 TB argument)."""
+    ev = table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    r = ev.select("user_id", "ts", "event_id", "event_type", rn.alias("rn"))
+    pu = r.groupBy("user_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("cohort"),
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te"
+        ),
+        F.max("ts").alias("tmax"),
+    )
+    tcens = F.coalesce(F.col("te"), F.col("tmax"))
+    is_event = F.col("tp").isNotNull() & (F.col("tp") <= tcens)
+    t_obs = F.when(is_event, F.col("tp")).otherwise(tcens)
+    obs = pu.select(
+        "cohort",
+        F.datediff(F.to_date(t_obs), F.to_date("t0"))
+        .cast("long")
+        .alias("t"),
+        F.when(is_event, 1).otherwise(0).alias("e"),
+    )
+    grid = obs.groupBy("cohort", "t").agg(
+        F.sum("e").cast("long").alias("d"),
+        (F.count("*") - F.sum("e")).cast("long").alias("c"),
+    )
+    w_all = Window.partitionBy("cohort")
+    w_before = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_pref = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at = F.col("d") + F.col("c")
+    risk = grid.select(
+        "cohort",
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(at).over(w_all)
+            - F.coalesce(F.sum(at).over(w_before), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    ratio = (F.col("n_risk") - F.col("d")).cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    folded = risk.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.collect_list(ratio).over(w_pref).alias("pref"),
+    )
+    surv = F.aggregate(
+        F.col("pref"), F.lit(1.0), lambda a, b: a * b
+    )
+    return folded.select(
+        "cohort",
+        "t",
+        "n_risk",
+        F.col("d").alias("n_event"),
+        F.col("c").alias("n_censored"),
+        (F.floor(surv * 1000000 + F.lit(0.5)) / 1000000).alias("survival"),
+    )
+
+
 # -- Population Stability Index over reference-decile bins ----------------------
 
 # THE industry drift score (credit-scoring discipline, the WOE/IV

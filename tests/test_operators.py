@@ -3879,3 +3879,130 @@ def test_page_hinkley_planted_series(spark, tmp_path):
     assert got[1].alarm_index > 10  # fires after the level shift
     assert got[2].alarm_index == 0
     assert got[3].ph_max == 0.0
+
+
+def test_kaplan_meier_planted_censoring(spark, tmp_path):
+    """diag_kaplan_meier vs the estimator replayed in raw Python on a
+    planted funnel: conversions (first purchase), dropout censoring
+    (first error BEFORE the purchase — the later purchase must NOT
+    count), end-of-observation censoring (no purchase, no error), a
+    same-day tie between events and a censoring (the censored user must
+    still sit in that day's risk set — censored-after-events), and a
+    user whose FIRST event is the purchase (own cohort, S drops to 0 at
+    t=0)."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    # (user, [(day, type), ...]) — first event defines the cohort
+    planted = {
+        1: [(0, "signup"), (2, "purchase")],
+        2: [(0, "signup"), (1, "error"), (3, "purchase")],  # censored t=1
+        3: [(0, "signup"), (4, "view")],  # censored at last event, t=4
+        4: [(0, "signup"), (2, "purchase")],
+        5: [(0, "purchase")],  # cohort 'purchase', event at t=0
+        6: [(0, "signup"), (2, "error"), (5, "purchase")],  # censored t=2
+    }
+    rows, k = [], 0
+    for uid, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), uid, et, 1.0, "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.cohort, r.t): r
+        for r in QUERIES["diag_kaplan_meier"](spark, str(tmp_path)).collect()
+    }
+
+    # raw-Python replay of the estimator
+    obs = []  # (cohort, t, is_event)
+    for uid, evs in planted.items():
+        cohort = evs[0][1]
+        t0 = evs[0][0]
+        tp = min((d for d, e in evs if e == "purchase"), default=None)
+        te = min((d for d, e in evs if e == "error"), default=None)
+        tmax = max(d for d, e in evs)
+        tcens = te if te is not None else tmax
+        if tp is not None and tp <= tcens:
+            obs.append((cohort, tp - t0, 1))
+        else:
+            obs.append((cohort, tcens - t0, 0))
+    expected = {}
+    for cohort in {c for c, _, _ in obs}:
+        co = [(t, e) for c, t, e in obs if c == cohort]
+        s = 1.0
+        at_risk = len(co)
+        for t in sorted({t for t, _ in co}):
+            d = sum(1 for tt, e in co if tt == t and e == 1)
+            c_ = sum(1 for tt, e in co if tt == t and e == 0)
+            s = s * (at_risk - d) / at_risk
+            import math
+
+            expected[(cohort, t)] = (
+                at_risk,
+                d,
+                c_,
+                math.floor(s * 1000000 + 0.5) / 1000000,
+            )
+            at_risk -= d + c_
+    assert set(got) == set(expected)
+    for key, (n_risk, d, c_, surv) in expected.items():
+        r = got[key]
+        assert (r.n_risk, r.n_event, r.n_censored, r.survival) == (
+            n_risk,
+            d,
+            c_,
+            surv,
+        ), key
+    # the hand-pinned anchors: same-day censoring keeps u6 at risk at
+    # t=2 (n_risk 4, not 3), so S = 0.5 there and thereafter
+    assert got[("signup", 2)].n_risk == 4
+    assert got[("signup", 2)].survival == 0.5
+    assert got[("signup", 4)].survival == 0.5
+    assert got[("purchase", 0)].survival == 0.0
+    # u2's post-error purchase never counts as an event
+    assert got[("signup", 1)].n_event == 0
+
+
+def test_neyman_largest_remainder_tie(spark, tmp_path):
+    """The largest-remainder top-up on a planted exact-arithmetic corpus
+    (169 docs/stratum -> sdev = d/13 exactly, qh = 1300·d): outlier
+    diffs (1, 1, 5) give bases (28, 28, 142) with remainders (4, 4, 6)
+    and a 2-doc shortfall — stratum c (remainder 6) takes the first
+    top-up, and the a/b remainder TIE breaks by source ascending, so
+    'a_src' gets the second: final (29, 28, 143), summing to the
+    200-doc budget EXACTLY."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_llm import _NEYMAN_B
+
+    load_all()
+    docs, did = [], 0
+    for src, d in (("a_src", 1), ("b_src", 1), ("c_src", 5)):
+        for i in range(169):
+            n_tok = 5 + (d if i == 0 else 0)
+            docs.append((did, src, " ".join(["tok"] * n_tok)))
+            did += 1
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r
+        for r in QUERIES["curation_neyman_allocation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["a_src"].alloc_budget == 29  # tie-winner's +1
+    assert got["b_src"].alloc_budget == 28
+    assert got["c_src"].alloc_budget == 143
+    assert (
+        sum(r.alloc_budget for r in got.values()) == _NEYMAN_B
+    )
+    for r in got.values():
+        assert r.n_selected == r.alloc_budget
