@@ -1779,3 +1779,63 @@ def window_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(st["phmax"], 6).alias("ph_max"),
         st["alarm"].cast("long").alias("alarm_index"),
     )
+
+
+# deliberately the SAME oracle as window_page_hinkley: the
+# FLOAT-state sibling of streaming_cusum_changepoint on the shared
+# snapshot skeleton — over chronological batches the batch-sequential
+# fold executes the identical IEEE op sequence as the one-shot fold
+# (the EMA discipline), so even the float excursions match bit-exactly
+# before the shared round-6.
+@query("streaming_page_hinkley", _PH_ORACLE)
+def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Page-Hinkley mean-drift detection maintained over a
+    STREAM (streaming/structured.py::page_hinkley_stream on the shared
+    snapshot_fold_stream skeleton): the 3-batch chronological events
+    feed drains through per-batch keyed state snapshots (6 doubles per
+    user); the drained state must equal ``window_page_hinkley``'s
+    one-shot fold — the oracle is that query's SQL verbatim. With
+    streaming CUSUM this closes the change-detector pair in continuous
+    form: fixed-allowance (CUSUM, all-int) and self-referencing
+    (Page-Hinkley, float) both run always-on with
+    stream-length-independent per-batch cost."""
+    from databricks_etl_pipelines_spark.functions.numeric import (
+        stable_round,
+    )
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _three_batch_events_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        page_hinkley_stream,
+        snapshot_final,
+    )
+
+    src = _three_batch_events_feed(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    state_root = scratch_dir("ph_state_")
+    q = page_hinkley_stream(
+        stream,
+        state_root,
+        scratch_dir("ph_ckpt_"),
+        _PH_DELTA,
+        _PH_LAMBDA,
+    )
+    await_drained(q, 300)
+    return snapshot_final(spark, state_root).select(
+        F.col("k").alias("user_id"),
+        "n_events",
+        stable_round(
+            F.col("ph_m") - F.col("ph_minm"), 6
+        ).alias("ph_final"),
+        stable_round(F.col("ph_phmax"), 6).alias("ph_max"),
+        F.col("ph_alarm").cast("long").alias("alarm_index"),
+    )
+

@@ -1612,6 +1612,102 @@ def cusum_stream(
     )
 
 
+def page_hinkley_stream(
+    stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    delta: float,
+    lam: float,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Per-key Page-Hinkley mean-drift detection maintained over a
+    stream — the stateful closure of the batch ``window_page_hinkley``
+    fold, riding the shared :func:`snapshot_fold_stream` skeleton.
+    State per key is the detector's 6 doubles (count, sum, PH
+    cumulative, its running min, max excursion, sticky alarm step);
+    the recurrence is float-valued (one division per step against the
+    key's own running mean — the self-referencing detector needs no
+    calibrated reference), but over CHRONOLOGICAL batches the
+    batch-sequential fold executes the identical IEEE op sequence as
+    the one-shot fold, so the maintained state is bit-identical.
+    Values fold on the cents lattice cast to double (integers ≤ 2^53
+    are exact in IEEE doubles, so the count/sum components stay
+    exact)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    def fold(seeded, xs, rs, prev):
+        z = F.lit(0.0)
+        cents = F.transform(
+            xs,
+            lambda v: F.floor(v * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("double"),
+        )
+        init = F.struct(
+            F.coalesce(prev["ph_n"], z).alias("n"),
+            F.coalesce(prev["ph_s"], z).alias("s"),
+            F.coalesce(prev["ph_m"], z).alias("m"),
+            F.coalesce(prev["ph_minm"], z).alias("minm"),
+            F.coalesce(prev["ph_phmax"], z).alias("phmax"),
+            F.coalesce(prev["ph_alarm"], z).alias("alarm"),
+        )
+
+        def step(acc, x):
+            n1 = acc["n"] + F.lit(1.0)
+            s1 = acc["s"] + x
+            m1 = acc["m"] + (x - s1 / n1 - F.lit(delta))
+            minm1 = F.least(acc["minm"], m1)
+            ph = m1 - minm1
+            phmax1 = F.greatest(acc["phmax"], ph)
+            alarm1 = (
+                F.when(acc["alarm"] > F.lit(0.0), acc["alarm"])
+                .when(ph > F.lit(lam), n1)
+                .otherwise(F.lit(0.0))
+            )
+            return F.struct(
+                n1.alias("n"),
+                s1.alias("s"),
+                m1.alias("m"),
+                minm1.alias("minm"),
+                phmax1.alias("phmax"),
+                alarm1.alias("alarm"),
+            )
+
+        st = F.aggregate(cents, init, step)
+        return {
+            "ph_n": st["n"],
+            "ph_s": st["s"],
+            "ph_m": st["m"],
+            "ph_minm": st["minm"],
+            "ph_phmax": st["phmax"],
+            "ph_alarm": st["alarm"],
+        }
+
+    return snapshot_fold_stream(
+        stream,
+        state_root,
+        checkpoint_dir,
+        [
+            ("ph_n", DoubleType()),
+            ("ph_s", DoubleType()),
+            ("ph_m", DoubleType()),
+            ("ph_minm", DoubleType()),
+            ("ph_phmax", DoubleType()),
+            ("ph_alarm", DoubleType()),
+        ],
+        fold,
+        key_col,
+        value_col,
+        order_cols,
+        processing_time,
+        op_name="page_hinkley_stream",
+    )
+
+
 def snapshot_final(spark: SparkSession, state_root: str) -> DataFrame:
     """Read the latest state snapshot written by
     :func:`snapshot_fold_stream` (raw fold values; callers round at

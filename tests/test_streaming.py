@@ -1583,3 +1583,75 @@ def test_cusum_stream_cross_batch_alarm_continuity(spark, tmp_path):
     assert got[9].max_cusum == 0
     assert got[9].alarm_index == 0
     assert got[9].n_events == 2
+
+
+def test_page_hinkley_stream_bitexact_vs_batch(spark, tmp_path):
+    """Streaming Page-Hinkley over a planted 2-batch chronological feed
+    equals the batch detector BIT-EXACTLY (raw doubles compared before
+    any rounding): the float recurrence re-seeded from a snapshot must
+    execute the identical IEEE op sequence as the one-shot fold — the
+    skeleton's EMA discipline carried to a 6-double state."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        page_hinkley_stream,
+        snapshot_final,
+    )
+
+    def ev(eid, minute, uid, val):
+        return (eid, dt.datetime(2024, 1, 1, 0, minute), uid, val)
+
+    # user 1 drifts upward mid-stream (values create a nonzero minm and
+    # a late excursion); user 2 stays flat
+    b0 = [ev(1, 1, 1, 1.0), ev(2, 2, 1, 1.2), ev(3, 3, 2, 3.0)]
+    b1 = [ev(4, 11, 1, 9.0), ev(5, 12, 1, 11.0), ev(6, 13, 2, 3.0)]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    import os
+    import time
+
+    base = time.time()
+    for i, rows in enumerate((b0, b1)):
+        tmp = tmp_path / f"slice{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dst = feed / f"batch-{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (base + i, base + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    state = str(tmp_path / "state")
+    delta, lam = 50.0, 300.0
+    q = page_hinkley_stream(
+        stream, state, str(tmp_path / "ckpt"), delta, lam
+    )
+    await_drained(q, 120)
+    got = {r.k: r for r in snapshot_final(spark, state).collect()}
+
+    # one-shot replay in raw Python (same cents-lattice doubles)
+    import math
+
+    series = {1: [1.0, 1.2, 9.0, 11.0], 2: [3.0, 3.0]}
+    for uid, vals in series.items():
+        n = s = m = minm = phmax = alarm = 0.0
+        for v in vals:
+            x = float(math.floor(v * 100 + 0.5))
+            n += 1.0
+            s += x
+            m += x - s / n - delta
+            minm = min(minm, m)
+            ph = m - minm
+            phmax = max(phmax, ph)
+            if alarm == 0.0 and ph > lam:
+                alarm = n
+        r = got[uid]
+        # bit-exact raw state, not rounded
+        assert (r.ph_n, r.ph_s, r.ph_m, r.ph_minm, r.ph_phmax,
+                r.ph_alarm) == (n, s, m, minm, phmax, alarm), uid
+    assert got[1].ph_alarm > 0.0  # the drift user alarms
+    assert got[2].ph_alarm == 0.0
