@@ -1141,6 +1141,218 @@ def diag_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Log-rank test (two-sample survival comparison) -----------------------------
+
+# The inferential sibling of diag_kaplan_meier: does the signup-first
+# cohort convert on a DIFFERENT schedule than the view-first cohort?
+# Mantel-Cox log-rank over the same time-to-first-purchase /
+# error-censored observations: at each pooled distinct day t,
+# E1_t = d_t·n1_t/n_t (expected group-1 events under H0) and the
+# hypergeometric variance V_t = d_t·(n1_t/n_t)·(1 − n1_t/n_t)·
+# (n_t − d_t)/(n_t − 1); χ² = (O1 − E1)²/V. All counts (d, c, per-group
+# risk sets from the zero-cell-rebuilt group×day grid) are exact int64
+# — the chi-square grid discipline plus the KM risk-set windows, all
+# over the lattice-bounded day×group relation. The per-time E and V
+# terms are the float step: each is 1e-6 lattice-quantized to BIGINT
+# BEFORE the cross-time sum (the chi-square rule — never a cross-row
+# float sum), so the sums are engine-exact and the final χ² is one
+# identical float expression away. nt ≥ 1 on every grid row with a
+# contribution (dt ≥ 1 implies an at-risk observer); nt = 1 makes the
+# variance term NULL via nullif and coalesces to 0 identically.
+_LOGRANK_ORACLE = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
+    min(ts) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
+    max(ts) AS tmax
+  FROM r GROUP BY user_id
+),
+obs AS (
+  SELECT cohort AS g,
+    CAST(datediff('day', CAST(t0 AS DATE), CAST(
+      CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN tp
+           ELSE coalesce(te, tmax) END AS DATE)) AS BIGINT) AS t,
+    CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN 1 ELSE 0 END
+      AS e
+  FROM pu WHERE cohort IN ('signup', 'view')
+),
+cells AS (
+  SELECT g, t, CAST(sum(e) AS BIGINT) AS d,
+    CAST(count(*) - sum(e) AS BIGINT) AS c
+  FROM obs GROUP BY g, t
+),
+grid AS (
+  SELECT gs.g, ts_.t, coalesce(cells.d, 0) AS d, coalesce(cells.c, 0) AS c
+  FROM (SELECT DISTINCT t FROM cells) ts_
+  CROSS JOIN (SELECT DISTINCT g FROM cells) gs
+  LEFT JOIN cells ON cells.g = gs.g AND cells.t = ts_.t
+),
+risk AS (
+  SELECT g, t, d, c,
+    CAST(sum(d + c) OVER (PARTITION BY g)
+       - coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS nr
+  FROM grid
+),
+pooled AS (
+  SELECT t,
+    CAST(sum(d) AS BIGINT) AS dt,
+    CAST(sum(nr) AS BIGINT) AS nt,
+    CAST(sum(CASE WHEN g = 'signup' THEN d ELSE 0 END) AS BIGINT) AS d1,
+    CAST(sum(CASE WHEN g = 'signup' THEN nr ELSE 0 END) AS BIGINT) AS n1
+  FROM risk GROUP BY t
+),
+terms AS (
+  SELECT dt, d1,
+    CAST(floor(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+         / CAST(nt AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS e1q,
+    CAST(floor(coalesce(
+        CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        * (CAST(1 AS DOUBLE) - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        * (CAST(nt - dt AS DOUBLE) / nullif(CAST(nt - 1 AS DOUBLE), 0)),
+        CAST(0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS vq
+  FROM pooled
+)
+SELECT
+  CAST(sum(d1) AS BIGINT) AS obs_events_g1,
+  CAST(sum(dt) AS BIGINT) AS obs_events_total,
+  CAST(sum(e1q) AS DOUBLE) / 1000000 AS exp_events_g1,
+  CAST(sum(vq) AS DOUBLE) / 1000000 AS var_logrank,
+  floor(
+    (CAST(sum(d1) AS DOUBLE) - CAST(sum(e1q) AS DOUBLE) / 1000000)
+    * (CAST(sum(d1) AS DOUBLE) - CAST(sum(e1q) AS DOUBLE) / 1000000)
+    / nullif(CAST(sum(vq) AS DOUBLE) / 1000000, 0) * 1000000 + 0.5
+  ) / 1000000 AS logrank_chi2
+FROM terms
+"""
+
+
+@query("diag_logrank_test", _LOGRANK_ORACLE)
+def diag_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test between the signup-first and view-first
+    cohorts' time-to-first-purchase survival — the hypothesis test that
+    pairs with diag_kaplan_meier's curves (same observations, same
+    censoring). Exact integer risk sets over the zero-cell-rebuilt
+    group×day grid; per-time E/V terms lattice-quantized before the
+    cross-time sum (see the oracle comment)."""
+    ev = table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    r = ev.select("user_id", "ts", "event_id", "event_type", rn.alias("rn"))
+    pu = r.groupBy("user_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("cohort"),
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te"
+        ),
+        F.max("ts").alias("tmax"),
+    )
+    tcens = F.coalesce(F.col("te"), F.col("tmax"))
+    is_event = F.col("tp").isNotNull() & (F.col("tp") <= tcens)
+    t_obs = F.when(is_event, F.col("tp")).otherwise(tcens)
+    obs = pu.filter(F.col("cohort").isin("signup", "view")).select(
+        F.col("cohort").alias("g"),
+        F.datediff(F.to_date(t_obs), F.to_date("t0"))
+        .cast("long")
+        .alias("t"),
+        F.when(is_event, 1).otherwise(0).alias("e"),
+    )
+    cells = obs.groupBy("g", "t").agg(
+        F.sum("e").cast("long").alias("d"),
+        (F.count("*") - F.sum("e")).cast("long").alias("c"),
+    )
+    grid = (
+        cells.select("t")
+        .distinct()
+        .crossJoin(F.broadcast(cells.select("g").distinct()))
+        .join(F.broadcast(cells), ["g", "t"], "left")
+        .select(
+            "g",
+            "t",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    w_all = Window.partitionBy("g")
+    w_before = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at = F.col("d") + F.col("c")
+    risk = grid.select(
+        "g",
+        "t",
+        "d",
+        (
+            F.sum(at).over(w_all)
+            - F.coalesce(F.sum(at).over(w_before), F.lit(0))
+        )
+        .cast("long")
+        .alias("nr"),
+    )
+    pooled = risk.groupBy("t").agg(
+        F.sum("d").cast("long").alias("dt"),
+        F.sum("nr").cast("long").alias("nt"),
+        F.sum(F.when(F.col("g") == "signup", F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("g") == "signup", F.col("nr")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    terms = pooled.selectExpr(
+        "dt",
+        "d1",
+        "CAST(floor(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)"
+        " / CAST(nt AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS e1q",
+        "CAST(floor(coalesce("
+        "  CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))"
+        "  * (CAST(1 AS DOUBLE) - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))"
+        "  * (CAST(nt - dt AS DOUBLE) / nullif(CAST(nt - 1 AS DOUBLE), 0)),"
+        "  CAST(0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS vq",
+    )
+    return terms.groupBy().agg(
+        F.sum("d1").cast("long").alias("obs_events_g1"),
+        F.sum("dt").cast("long").alias("obs_events_total"),
+        (F.sum("e1q").cast("double") / F.lit(1000000)).alias(
+            "exp_events_g1"
+        ),
+        (F.sum("vq").cast("double") / F.lit(1000000)).alias("var_logrank"),
+        (
+            F.floor(
+                (
+                    F.sum("d1").cast("double")
+                    - F.sum("e1q").cast("double") / F.lit(1000000)
+                )
+                * (
+                    F.sum("d1").cast("double")
+                    - F.sum("e1q").cast("double") / F.lit(1000000)
+                )
+                / F.nullif(
+                    F.sum("vq").cast("double") / F.lit(1000000),
+                    F.lit(0.0),
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("logrank_chi2"),
+    )
+
+
 # -- Population Stability Index over reference-decile bins ----------------------
 
 # THE industry drift score (credit-scoring discipline, the WOE/IV

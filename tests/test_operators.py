@@ -4006,3 +4006,76 @@ def test_neyman_largest_remainder_tie(spark, tmp_path):
     )
     for r in got.values():
         assert r.n_selected == r.alloc_budget
+
+
+def test_logrank_planted_separated_schedules(spark, tmp_path):
+    """diag_logrank_test vs the Mantel-Cox sums replayed in raw Python
+    on a planted funnel where signup-first users convert fast and
+    view-first users convert slow or drop out — O, E, V and chi2 must
+    match the textbook per-time hypergeometric sums (quantized exactly
+    like the engines), and the fast group must show O1 > E1."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # signup-first: convert day 0/1
+        1: [(0, "signup"), (0, "purchase")],
+        2: [(0, "signup"), (1, "purchase")],
+        3: [(0, "signup"), (1, "purchase")],
+        4: [(0, "signup"), (2, "error"), (9, "purchase")],  # censored t=2
+        # view-first: convert day 3/4 or censored
+        5: [(0, "view"), (3, "purchase")],
+        6: [(0, "view"), (4, "purchase")],
+        7: [(0, "view"), (1, "error")],  # censored t=1
+        8: [(0, "view"), (5, "view")],  # censored t=5 (end of obs)
+        # a click-first user must be EXCLUDED from the two-sample test
+        9: [(0, "click"), (0, "purchase")],
+    }
+    rows, k = [], 0
+    for uid, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), uid, et, 1.0, "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = QUERIES["diag_logrank_test"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    # raw replay: observations (group, t, e), g1 = signup
+    obs = [("s", 0, 1), ("s", 1, 1), ("s", 1, 1), ("s", 2, 0),
+           ("v", 3, 1), ("v", 4, 1), ("v", 1, 0), ("v", 5, 0)]
+    times = sorted({t for _, t, _ in obs})
+    e1q = vq = o1 = ot = 0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in obs if g == "s" and tt >= t)
+        n2 = sum(1 for g, tt, _ in obs if g == "v" and tt >= t)
+        nt = n1 + n2
+        d1 = sum(1 for g, tt, e in obs if g == "s" and tt == t and e)
+        d2 = sum(1 for g, tt, e in obs if g == "v" and tt == t and e)
+        dtt = d1 + d2
+        o1 += d1
+        ot += dtt
+        e1q += math.floor(dtt * n1 / nt * 1e6 + 0.5)
+        if nt > 1:
+            v = dtt * (n1 / nt) * (1 - n1 / nt) * ((nt - dtt) / (nt - 1))
+        else:
+            v = 0.0
+        vq += math.floor(v * 1e6 + 0.5)
+    assert r.obs_events_g1 == o1 == 3
+    assert r.obs_events_total == ot == 5  # user 9's purchase excluded
+    assert r.exp_events_g1 == e1q / 1e6
+    assert r.var_logrank == vq / 1e6
+    chi2 = math.floor(
+        (o1 - e1q / 1e6) ** 2 / (vq / 1e6) * 1e6 + 0.5
+    ) / 1e6
+    assert r.logrank_chi2 == chi2
+    assert r.obs_events_g1 > r.exp_events_g1  # fast group over-converts
