@@ -1052,24 +1052,16 @@ FROM folded
 """
 
 
-@query("diag_kaplan_meier", _KM_ORACLE)
-def diag_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curves per first-event-type cohort:
-    time-to-first-purchase with first-error (or end of observation) as
-    right censoring — the time-to-event member of the drift/diagnostics
-    family next to CUSUM and Page-Hinkley (retention/conversion curves
-    are the standard readout before a funnel intervention ships). Exact
-    integer risk sets from one user-level pass + lattice-bounded
-    windows; the survival product is a pinned left fold over each row's
-    ordered prefix ratios (see the oracle comment for the full
-    exactness and 100 TB argument)."""
-    ev = table(spark, sf_dir, "events")
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
-    )
-    r = ev.select("user_id", "ts", "event_id", "event_type", rn.alias("rn"))
-    pu = r.groupBy("user_id").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("cohort"),
+def _km_user_state(ev: DataFrame) -> DataFrame:
+    """Per-user funnel state in ONE pass: every column is a commutative
+    monoid (min / max — the first-event struct is a lexicographic min
+    over the (ts, event_id, event_type) total order, so the cohort is
+    deterministic without a ranking window), which is what lets the SAME
+    aggregate serve the batch query and the incrementally-maintained
+    streaming gold (min/max partials fold order-independently across any
+    batch split)."""
+    return ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first_ev"),
         F.min("ts").alias("t0"),
         F.min(
             F.when(F.col("event_type") == "purchase", F.col("ts"))
@@ -1079,16 +1071,27 @@ def diag_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("ts").alias("tmax"),
     )
+
+
+def _km_observations(pu: DataFrame) -> DataFrame:
+    """(cohort, duration-days, event-flag) per user from the funnel
+    state — the shared censoring model of the KM / log-rank pair."""
     tcens = F.coalesce(F.col("te"), F.col("tmax"))
     is_event = F.col("tp").isNotNull() & (F.col("tp") <= tcens)
     t_obs = F.when(is_event, F.col("tp")).otherwise(tcens)
-    obs = pu.select(
-        "cohort",
+    return pu.select(
+        F.col("first_ev")["event_type"].alias("cohort"),
         F.datediff(F.to_date(t_obs), F.to_date("t0"))
         .cast("long")
         .alias("t"),
         F.when(is_event, 1).otherwise(0).alias("e"),
     )
+
+
+def _km_project(pu: DataFrame) -> DataFrame:
+    """KM estimator over the funnel-state relation (lattice-bounded from
+    here down — see the oracle comment)."""
+    obs = _km_observations(pu)
     grid = obs.groupBy("cohort", "t").agg(
         F.sum("e").cast("long").alias("d"),
         (F.count("*") - F.sum("e")).cast("long").alias("c"),
@@ -1128,9 +1131,7 @@ def diag_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.collect_list(ratio).over(w_pref).alias("pref"),
     )
-    surv = F.aggregate(
-        F.col("pref"), F.lit(1.0), lambda a, b: a * b
-    )
+    surv = F.aggregate(F.col("pref"), F.lit(1.0), lambda a, b: a * b)
     return folded.select(
         "cohort",
         "t",
@@ -1139,6 +1140,79 @@ def diag_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_censored"),
         (F.floor(surv * 1000000 + F.lit(0.5)) / 1000000).alias("survival"),
     )
+
+
+@query("diag_kaplan_meier", _KM_ORACLE)
+def diag_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curves per first-event-type cohort:
+    time-to-first-purchase with first-error (or end of observation) as
+    right censoring — the time-to-event member of the drift/diagnostics
+    family next to CUSUM and Page-Hinkley (retention/conversion curves
+    are the standard readout before a funnel intervention ships). Exact
+    integer risk sets from ONE user-level monoid aggregate (no ranking
+    window — the first-event cohort is a lexicographic struct-min) +
+    lattice-bounded windows; the survival product is a pinned left fold
+    over each row's ordered prefix ratios (see the oracle comment for
+    the full exactness and 100 TB argument)."""
+    return _km_project(_km_user_state(table(spark, sf_dir, "events")))
+
+
+@query("streaming_kaplan_meier", _KM_ORACLE)
+def streaming_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KM survival curves maintained INCREMENTALLY over the events
+    stream — the fourth consumer of incremental_aggregate and the first
+    to exercise its MIN/MAX monoid folds: each micro-batch computes
+    per-user funnel-state partials (first-event struct-min, first
+    purchase / first error mins, last-event max) and folds them into a
+    managed user-state gold; the KM projection reads ONLY that state.
+    min/max partials are order-independent across ANY batch split, so
+    the feed here is deliberately NON-chronological (event_id % 3
+    interleave) — unlike the sequential-fold snapshot queries, arrival
+    order must be invisible — and the fold is exactly-once under
+    checkpoint replay (the batch-id high-water mark). The oracle is the
+    batch KM SQL verbatim. At 100 TB the maintained state is one row
+    per user (the entity-state floor) and each batch costs batch +
+    state-aggregate work, never event history."""
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _write_batched_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = _write_batched_feed(
+        [ev.filter(F.col("event_id") % 3 == b) for b in range(3)], "km_"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = ManagedTable(scratch_dir("km_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["user_id"],
+        _km_user_state,
+        scratch_dir("km_ckpt_"),
+        combine={
+            "first_ev": "min",
+            "t0": "min",
+            "tp": "min",
+            "te": "min",
+            "tmax": "max",
+        },
+    )
+    await_drained(q, 300)
+    return _km_project(target.read(spark))
 
 
 # -- Log-rank test (two-sample survival comparison) -----------------------------
@@ -1243,31 +1317,10 @@ def diag_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     censoring). Exact integer risk sets over the zero-cell-rebuilt
     group×day grid; per-time E/V terms lattice-quantized before the
     cross-time sum (see the oracle comment)."""
-    ev = table(spark, sf_dir, "events")
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
-    )
-    r = ev.select("user_id", "ts", "event_id", "event_type", rn.alias("rn"))
-    pu = r.groupBy("user_id").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("cohort"),
-        F.min("ts").alias("t0"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("tp"),
-        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
-            "te"
-        ),
-        F.max("ts").alias("tmax"),
-    )
-    tcens = F.coalesce(F.col("te"), F.col("tmax"))
-    is_event = F.col("tp").isNotNull() & (F.col("tp") <= tcens)
-    t_obs = F.when(is_event, F.col("tp")).otherwise(tcens)
-    obs = pu.filter(F.col("cohort").isin("signup", "view")).select(
-        F.col("cohort").alias("g"),
-        F.datediff(F.to_date(t_obs), F.to_date("t0"))
-        .cast("long")
-        .alias("t"),
-        F.when(is_event, 1).otherwise(0).alias("e"),
+    obs = (
+        _km_observations(_km_user_state(table(spark, sf_dir, "events")))
+        .filter(F.col("cohort").isin("signup", "view"))
+        .withColumnRenamed("cohort", "g")
     )
     cells = obs.groupBy("g", "t").agg(
         F.sum("e").cast("long").alias("d"),

@@ -521,6 +521,9 @@ def foreach_batch_merge(
     return with_trigger(writer, processing_time).start()
 
 
+_FOLD_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def fold_partial_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -528,8 +531,10 @@ def fold_partial_batch(
     keys: list[str],
     partial_agg: Callable[[DataFrame], DataFrame],
     checkpoint_dir: str,
+    combine: dict[str, str] | None = None,
 ) -> None:
-    """One micro-batch's EXACTLY-ONCE additive fold into the gold table
+    """One micro-batch's EXACTLY-ONCE commutative-monoid fold into the
+    gold table
     (the per-batch body of :func:`incremental_aggregate`, module-level so
     the replay semantics are directly testable).
 
@@ -588,10 +593,11 @@ def fold_partial_batch(
     if prior is not None:
         current = target.read(spark)
         metric_cols = [c for c in partial.columns if c not in keys]
+        fns = {c: _FOLD_FNS[(combine or {}).get(c, "sum")] for c in metric_cols}
         combined = (
             current.unionByName(partial)
             .groupBy(*keys)
-            .agg(*[F.sum(c).alias(c) for c in metric_cols])
+            .agg(*[fns[c](c).alias(c) for c in metric_cols])
         )
     else:
         combined = partial
@@ -608,6 +614,7 @@ def incremental_aggregate(
     partial_agg: Callable[[DataFrame], DataFrame],
     checkpoint_dir: str,
     processing_time: str | None = None,
+    combine: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """Incrementally-maintained gold aggregate (parity-plus M7 upgrade of
     the reference's full-recompute gold overwrite, 03:62-64): each
@@ -619,15 +626,25 @@ def incremental_aggregate(
     batch-id high-water mark stamped atomically with each gold version
     makes re-delivered batches no-ops).
 
-    ``partial_agg`` must produce ``keys`` + decomposable metric columns
-    (sums/counts; derive ratios downstream). The fold is one key-hash
-    shuffle of |gold| + |batch partial| rows — at scale that is the whole
-    point: cost tracks the AGGREGATE size, not the fact-history size.
+    ``partial_agg`` must produce ``keys`` + decomposable metric columns;
+    ``combine`` maps a metric column to its fold ("sum" default, "min",
+    "max" — any commutative monoid makes the maintenance both
+    order-independent across batch splits and idempotent-per-batch, so
+    per-entity firsts/lasts fold as safely as counts; derive ratios
+    downstream). The fold is one key-hash shuffle of |gold| + |batch
+    partial| rows — at scale that is the whole point: cost tracks the
+    AGGREGATE size, not the fact-history size.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         fold_partial_batch(
-            batch_df, batch_id, target, keys, partial_agg, checkpoint_dir
+            batch_df,
+            batch_id,
+            target,
+            keys,
+            partial_agg,
+            checkpoint_dir,
+            combine,
         )
 
     writer = (

@@ -1655,3 +1655,50 @@ def test_page_hinkley_stream_bitexact_vs_batch(spark, tmp_path):
                 r.ph_alarm) == (n, s, m, minm, phmax, alarm), uid
     assert got[1].ph_alarm > 0.0  # the drift user alarms
     assert got[2].ph_alarm == 0.0
+
+
+def test_streaming_km_matches_batch_and_minmax_replay(spark, sf_dir, tmp_path):
+    """streaming_kaplan_meier drains a NON-chronological (event_id % 3)
+    feed and must equal the batch diag_kaplan_meier row-for-row —
+    min/max monoid partials are order-independent across any batch
+    split. Then fold_partial_batch with min/max combine is replayed
+    directly: a re-delivered batch must leave the min/max gold
+    unchanged (exactly-once applies to every monoid, not just sum)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        fold_partial_batch,
+    )
+
+    load_all()
+    batch = {
+        (r.cohort, r.t): r
+        for r in QUERIES["diag_kaplan_meier"](spark, sf_dir).collect()
+    }
+    streamed = {
+        (r.cohort, r.t): r
+        for r in QUERIES["streaming_kaplan_meier"](spark, sf_dir).collect()
+    }
+    assert set(batch) == set(streamed)
+    for k, b in batch.items():
+        s = streamed[k]
+        assert (s.n_risk, s.n_event, s.n_censored, s.survival) == (
+            b.n_risk, b.n_event, b.n_censored, b.survival
+        ), k
+
+    # direct min/max replay through the fold body
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.min("x").alias("lo"), F.max("x").alias("hi")
+        )
+
+    gold = ManagedTable(str(tmp_path / "gold"))
+    ckpt = str(tmp_path / "ckpt")
+    combine = {"lo": "min", "hi": "max"}
+    b0 = spark.createDataFrame([(1, 10), (1, 3)], "k int, x int")
+    b1 = spark.createDataFrame([(1, 7)], "k int, x int")
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt, combine)
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt, combine)
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt, combine)  # replay
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt, combine)  # replay
+    rows = gold.read(spark).collect()
+    assert len(rows) == 1 and (rows[0].lo, rows[0].hi) == (3, 10)
