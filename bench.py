@@ -118,6 +118,11 @@ HEADLINE = [
     # customer-revenue relation + decimal-exact Σ i·x)
     "diag_ks_two_sample",
     "agg_gini_concentration",
+    # round-12 additions: the survival pair's scale representative —
+    # Kaplan-Meier (one user-level monoid aggregate + lattice-bounded
+    # risk windows + pinned prefix-product folds); log-rank rides the
+    # same user-state shape so one row covers the family's wall cost
+    "diag_kaplan_meier",
 ]
 
 

@@ -45,106 +45,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-11 rotation, the r10 verdict's prescription with the
-    # same documented arithmetic as r10: this round's TWENTY-SEVEN new
-    # queries take cap slots (the binding done-criterion is "zero
-    # oracle-backed queries with no driver row ever"), then the six
-    # trivial r5 rows displaced in r10 lead as prescribed, then the
-    # r6-stalest set — 27 + 6 + 17 of the 45 r6 rows = 50. The
-    # twenty-eight r6 rows displaced to the overflow head are the most
-    # TRIVIAL shapes (the three scalar function batteries, the seven
-    # basic ranking/frame/z-score window forms, lag/lead, the
-    # quality-score scalar battery, and the two one-call approx
-    # sketches (distinct-count and percentile brackets) — each pinned
-    # by pytest and contained in richer oracles: every window primitive
-    # also runs inside sessionize/funnel/Holt/CUSUM, the z-score inside
-    # the winsorize family, the scalar batteries inside the enrichment
-    # pipelines, the approx sketches beside the KMV/HLL-bound and
-    # exact-rank-quantile siblings, the rolling-hash
-    # fingerprint beside the span-dedup/minhash crossengine oracles that
-    # exercise the same Karp-Rabin primitive, the BPE token-stat readout
-    # beside the BPE train/encode oracles that stay in-cap, the byte
-    # histogram beside the binary-stats/chunk-energy/decode oracles that
-    # exercise the same byte-stream plumbing, the brute-force cosine
-    # top-k whose ranking replays inside the in-cap ann-recall oracle,
-    # the bare anti-join that also runs inside the in-cap Q21
-    # SQL-text decorrelation, the n-gram language-ID heuristic whose
-    # scoring the in-cap per-language quota query re-exercises, the
-    # vocab-encode explode/join/reassembly contained in the in-cap BPE
-    # encode oracle, the Zipf least-squares-on-sums superseded in
-    # richness by the new in-cap OLS/Spearman pair, the binary byte
-    # stats beside the in-cap patch-retrieval plumbing, the plain
-    # stratified sample whose hash-membership machinery the in-cap
-    # per-language quota query extends with quality quotas, and the
-    # 22-agg feature matrix contained in the r10-driver-green
-    # entity-features battery, the sign-bucket blocked cosine
-    # variant whose candidate set is a pytest-pinned subset of the
-    # in-cap exact-pairs oracle, and the md5-pinned conversation
-    # rendering whose loss-mask offsets the sft_turn_offsets pytest
-    # slices against the rendered string, and the DPO struct-ordering
-    # pair cut whose lexicographic max/min the crafted-pool pytest
-    # pins at both tie ends — re-verified in this round's
-    # full-registry sweeps; they lead the r12 cap.
-    # (a) round-11 NEW queries, newest-risk first
-    "window_page_hinkley",
-    "streaming_cvm_drift",
-    "streaming_psi_drift",
+    # --- round-12 rotation, the r11 verdict's prescription: a normal
+    # round's new queries (5 new + the 2 whose OUTPUT or code changed
+    # this round: Neyman's largest-remainder top-up changes the
+    # allocation rows; chi-square gained the nullif guard), then ALL
+    # 28 r6-vintage rows (the verdict's binding done-criterion: after
+    # r12 no oracle-backed query's newest driver row is older than
+    # r7), then the 15 stalest r7 rows — 7 + 28 + 15 = 50. The
+    # remaining r7 rows lead the overflow and clear next round.
+    # (a) round-12 NEW queries, newest-risk first
+    "streaming_kaplan_meier",
+    "streaming_page_hinkley",
+    "diag_logrank_test",
+    "diag_kaplan_meier",
+    "streaming_cusum_changepoint",
+    # (a') changed this round
     "curation_neyman_allocation",
-    "sql_unshipped_orders",
-    "sql_local_supplier_volume",
-    "sql_shipmode_priority",
-    "sql_discounted_revenue",
-    "diag_cramer_von_mises",
-    "text_kendall_rankings",
-    "sql_forecast_revenue",
-    "similarity_mmr_rerank",
-    "diag_spearman_corr",
-    "diag_psi_stability",
-    "streaming_ks_drift",
-    "diag_welch_ttest",
-    "window_cusum_changepoint",
-    "diag_ks_two_sample",
-    "diag_mannwhitney_u",
     "diag_chi_square_drift",
-    "agg_gini_concentration",
-    "ml_ols_per_group",
-    "sql_returned_item_revenue",
-    "sql_promo_revenue",
-    "diag_bootstrap_ci_ratio",
-    "window_holt_winters",
-    "agg_weighted_trimmed_mean",
-    # (b) the six trivial r5 rows displaced from the r10 cap
-    "join_inner_customer_orders",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi_urgent_customers",
-    "agg_ungrouped_global",
-    "agg_collect_set",
-    # (c) 17 of the 45 r6-latest rows (stalest driver evidence)
-    "agg_kmv_distinct",
-    "curation_leakage_safe_split",
-    "curation_prepare_corpus",
-    "curation_quota_per_language",
-    "dedup_cluster_representatives",
-    "dedup_embedding_cosine_pairs",
-    "join_bucketed_colocated",
-    "join_salted_skew",
-    "multimodal_patch_retrieval",
-    "pii_mask_and_tokenize",
-    "similarity_ann_recall",
-    "sql_waiting_suppliers",
-    "streaming_dedup_keys",
-    "streaming_session_window",
-    "streaming_stateful_totals",
-    "text_bpe_encode_stats",
-    "text_bpe_train_merges",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the twenty-eight trivial r6 rows displaced by this round's
-    # new queries lead (stalest after this rotation — they head the
-    # r12 cap), then the r7-vintage rows (next stalest), then
-    # everything fresher in registration order; the rows-only set
-    # stays at the end (weaker rows by design — each has an
-    # oracle-backed sibling; see COVERAGE.md rows-only map).
+    # (b) the 28 r6-vintage rows (trivial shapes displaced by r11's
+    # heavy rotation; every one re-verified green with no float-drift
+    # flag in this round's builder sweep)
     "agg_approx_count_distinct",
     "agg_approx_percentile_bounds",
     "join_anti_customers_without_orders",
@@ -173,7 +93,7 @@ PRIORITY: list[str] = [
     "window_rolling_avg",
     "window_anomaly_zscore",
     "window_topn_per_user",
-    # r7-vintage
+    # (c) the 15 stalest r7-vintage rows
     "curation_bigram_buckets",
     "curation_decontaminate_benchmark",
     "curation_funnel_crossengine",
@@ -189,6 +109,12 @@ PRIORITY: list[str] = [
     "join_blame_late_supplier",
     "join_idle_rich_customers",
     "join_min_cost_supplier",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the remaining r7-vintage rows lead (stalest after this
+    # rotation — they head the r13 cap), then everything fresher in
+    # registration order; the rows-only set stays at the end (weaker
+    # rows by design — each has an oracle-backed sibling; see
+    # COVERAGE.md rows-only map).
     "json_extract_events",
     "scalar_array_element_at",
     "scalar_boolean_or_labeling",
