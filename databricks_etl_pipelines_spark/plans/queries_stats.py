@@ -1223,10 +1223,12 @@ def streaming_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # error-censored observations: at each pooled distinct day t,
 # E1_t = d_t·n1_t/n_t (expected group-1 events under H0) and the
 # hypergeometric variance V_t = d_t·(n1_t/n_t)·(1 − n1_t/n_t)·
-# (n_t − d_t)/(n_t − 1); χ² = (O1 − E1)²/V. All counts (d, c, per-group
-# risk sets from the zero-cell-rebuilt group×day grid) are exact int64
-# — the chi-square grid discipline plus the KM risk-set windows, all
-# over the lattice-bounded day×group relation. The per-time E and V
+# (n_t − d_t)/(n_t − 1); χ² = (O1 − E1)²/V. All counts are exact int64
+# from ONE aggregation of the observations to the pooled distinct-day
+# relation (per-group events/at-counts as conditional sums — no
+# group×day grid rebuild, no re-derived subplan: the whole test costs
+# one fact scan + lattice-bounded windows); per-group risk sets are
+# suffix sums total − cum_before over that relation. The per-time E and V
 # terms are the float step: each is 1e-6 lattice-quantized to BIGINT
 # BEFORE the cross-time sum (the chi-square rule — never a cross-row
 # float sum), so the sums are engine-exact and the final χ² is one
@@ -1258,31 +1260,24 @@ obs AS (
   FROM pu WHERE cohort IN ('signup', 'view')
 ),
 cells AS (
-  SELECT g, t, CAST(sum(e) AS BIGINT) AS d,
-    CAST(count(*) - sum(e) AS BIGINT) AS c
-  FROM obs GROUP BY g, t
-),
-grid AS (
-  SELECT gs.g, ts_.t, coalesce(cells.d, 0) AS d, coalesce(cells.c, 0) AS c
-  FROM (SELECT DISTINCT t FROM cells) ts_
-  CROSS JOIN (SELECT DISTINCT g FROM cells) gs
-  LEFT JOIN cells ON cells.g = gs.g AND cells.t = ts_.t
-),
-risk AS (
-  SELECT g, t, d, c,
-    CAST(sum(d + c) OVER (PARTITION BY g)
-       - coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      AS BIGINT) AS nr
-  FROM grid
+  SELECT t,
+    CAST(sum(e) AS BIGINT) AS dt_c,
+    CAST(sum(CASE WHEN g = 'signup' THEN e ELSE 0 END) AS BIGINT) AS d1_c,
+    CAST(count(*) AS BIGINT) AS at_c,
+    CAST(sum(CASE WHEN g = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS a1_c
+  FROM obs GROUP BY t
 ),
 pooled AS (
-  SELECT t,
-    CAST(sum(d) AS BIGINT) AS dt,
-    CAST(sum(nr) AS BIGINT) AS nt,
-    CAST(sum(CASE WHEN g = 'signup' THEN d ELSE 0 END) AS BIGINT) AS d1,
-    CAST(sum(CASE WHEN g = 'signup' THEN nr ELSE 0 END) AS BIGINT) AS n1
-  FROM risk GROUP BY t
+  SELECT t, dt_c AS dt, d1_c AS d1,
+    CAST(sum(at_c) OVER ()
+       - coalesce(sum(at_c) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS nt,
+    CAST(sum(a1_c) OVER ()
+       - coalesce(sum(a1_c) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n1
+  FROM cells
 ),
 terms AS (
   SELECT dt, d1,
@@ -1322,47 +1317,39 @@ def diag_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cohort").isin("signup", "view"))
         .withColumnRenamed("cohort", "g")
     )
-    cells = obs.groupBy("g", "t").agg(
-        F.sum("e").cast("long").alias("d"),
-        (F.count("*") - F.sum("e")).cast("long").alias("c"),
+    cells = obs.groupBy("t").agg(
+        F.sum("e").cast("long").alias("dt_c"),
+        F.sum(F.when(F.col("g") == "signup", F.col("e")).otherwise(0))
+        .cast("long")
+        .alias("d1_c"),
+        F.count("*").cast("long").alias("at_c"),
+        F.sum(F.when(F.col("g") == "signup", 1).otherwise(0))
+        .cast("long")
+        .alias("a1_c"),
     )
-    grid = (
-        cells.select("t")
-        .distinct()
-        .crossJoin(F.broadcast(cells.select("g").distinct()))
-        .join(F.broadcast(cells), ["g", "t"], "left")
-        .select(
-            "g",
-            "t",
-            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-        )
+    # the risk-set suffix sums run over the pooled DISTINCT-day relation
+    # (lattice-bounded), so the unpartitioned windows are bounded by
+    # design — the Neyman/strata discipline
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_all = Window.partitionBy("g")
-    w_before = (
-        Window.partitionBy("g")
-        .orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    w_before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    at = F.col("d") + F.col("c")
-    risk = grid.select(
-        "g",
+    pooled = cells.select(
         "t",
-        "d",
+        F.col("dt_c").alias("dt"),
+        F.col("d1_c").alias("d1"),
         (
-            F.sum(at).over(w_all)
-            - F.coalesce(F.sum(at).over(w_before), F.lit(0))
+            F.sum("at_c").over(w_all)
+            - F.coalesce(F.sum("at_c").over(w_before), F.lit(0))
         )
         .cast("long")
-        .alias("nr"),
-    )
-    pooled = risk.groupBy("t").agg(
-        F.sum("d").cast("long").alias("dt"),
-        F.sum("nr").cast("long").alias("nt"),
-        F.sum(F.when(F.col("g") == "signup", F.col("d")).otherwise(0))
-        .cast("long")
-        .alias("d1"),
-        F.sum(F.when(F.col("g") == "signup", F.col("nr")).otherwise(0))
+        .alias("nt"),
+        (
+            F.sum("a1_c").over(w_all)
+            - F.coalesce(F.sum("a1_c").over(w_before), F.lit(0))
+        )
         .cast("long")
         .alias("n1"),
     )
