@@ -1000,7 +1000,7 @@ def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything downstream is lattice-sized.
 # (DuckDB list() as a cumulative window aggregate yields the ordered
 # prefix, the exact twin of Spark's collect_list over the same frame)
-_KM_ORACLE = """
+_KM_CTES = """
 WITH r AS (
   SELECT user_id, ts, event_id, event_type,
     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -1045,11 +1045,57 @@ folded AS (
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
   FROM risk
 )
+"""
+
+_KM_ORACLE = (
+    _KM_CTES
+    + """
 SELECT cohort, t, n_risk, d AS n_event, c AS n_censored,
   floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pref),
         (a, b) -> a * b) * 1000000 + 0.5) / 1000000 AS survival
 FROM folded
 """
+)
+
+# RMST: the KM curve integrated to a fixed horizon tau — the standard
+# single-number effect size when hazards cross ("through day tau, how
+# many days-to-conversion does a user keep on average"). Area of the
+# step function: segment [t_i, min(t_{i+1}, tau)) carries S(t_i), plus
+# the implicit [0, t_first) segment at S = 1 (only when t_first > 0).
+# Each segment area is (q6-survival int) x (integer day span) — an
+# exact BIGINT on the 1e-6 lattice — and the per-cohort sum adds
+# INTEGERS (never doubles across rows), so engines agree bit-for-bit
+# through the single final division. Rows at t >= tau contribute 0 via
+# the greatest(...) clamp rather than a filter, keeping the lead()
+# chain identical on both engines.
+_RMST_TAU = 5
+
+_RMST_ORACLE = (
+    _KM_CTES
+    + f"""
+, surv AS (
+  SELECT cohort, t, n_risk, d,
+    CAST(floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pref),
+          (a, b) -> a * b) * 1000000 + 0.5) AS BIGINT) AS sq
+  FROM folded
+),
+segs AS (
+  SELECT cohort, t, sq,
+    first_value(t) OVER (PARTITION BY cohort ORDER BY t) AS t_first,
+    coalesce(lead(t) OVER (PARTITION BY cohort ORDER BY t),
+             {_RMST_TAU}) AS t_next
+  FROM surv
+)
+SELECT cohort,
+  CAST({_RMST_TAU} AS BIGINT) AS horizon_days,
+  CAST(max(t_first) AS BIGINT) AS first_event_day,
+  CAST((sum(sq * greatest(least(t_next, {_RMST_TAU}) - least(t, {_RMST_TAU}),
+                          0))
+        + 1000000 * least(max(t_first), {_RMST_TAU})) AS DOUBLE)
+    / 1000000 AS rmst_days
+FROM segs GROUP BY cohort
+"""
+)
 
 
 def _km_user_state(ev: DataFrame) -> DataFrame:
@@ -1088,9 +1134,10 @@ def _km_observations(pu: DataFrame) -> DataFrame:
     )
 
 
-def _km_project(pu: DataFrame) -> DataFrame:
-    """KM estimator over the funnel-state relation (lattice-bounded from
-    here down — see the oracle comment)."""
+def _km_folded(pu: DataFrame) -> DataFrame:
+    """The KM lattice relation with each row's ordered prefix-ratio list
+    (lattice-bounded from here down — see the oracle comment); shared by
+    the curve, streaming-curve and RMST projections."""
     obs = _km_observations(pu)
     grid = obs.groupBy("cohort", "t").agg(
         F.sum("e").cast("long").alias("d"),
@@ -1123,7 +1170,7 @@ def _km_project(pu: DataFrame) -> DataFrame:
     ratio = (F.col("n_risk") - F.col("d")).cast("double") / F.col(
         "n_risk"
     ).cast("double")
-    folded = risk.select(
+    return risk.select(
         "cohort",
         "t",
         "n_risk",
@@ -1131,14 +1178,24 @@ def _km_project(pu: DataFrame) -> DataFrame:
         "c",
         F.collect_list(ratio).over(w_pref).alias("pref"),
     )
-    surv = F.aggregate(F.col("pref"), F.lit(1.0), lambda a, b: a * b)
-    return folded.select(
+
+
+def _km_surv() -> F.Column:
+    """The pinned prefix-product fold (seed 1.0 — ×1.0 is IEEE-exact)."""
+    return F.aggregate(F.col("pref"), F.lit(1.0), lambda a, b: a * b)
+
+
+def _km_project(pu: DataFrame) -> DataFrame:
+    """KM estimator over the funnel-state relation."""
+    return _km_folded(pu).select(
         "cohort",
         "t",
         "n_risk",
         F.col("d").alias("n_event"),
         F.col("c").alias("n_censored"),
-        (F.floor(surv * 1000000 + F.lit(0.5)) / 1000000).alias("survival"),
+        (F.floor(_km_surv() * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "survival"
+        ),
     )
 
 
@@ -1213,6 +1270,52 @@ def streaming_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_drained(q, 300)
     return _km_project(target.read(spark))
+
+
+@query("diag_rmst", _RMST_ORACLE)
+def diag_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time through day τ=5 per cohort — the
+    single-number effect size over the KM curve (area of the survival
+    step function on [0, τ]): "through day 5, how many days does a user
+    keep before converting, on average". Segment areas are exact
+    BIGINTs on the 1e-6 lattice (q6 survival × integer day span) and
+    the per-cohort sum adds integers, never doubles (see the oracle
+    comment)."""
+    folded = _km_folded(
+        _km_user_state(table(spark, sf_dir, "events"))
+    )
+    surv = folded.select(
+        "cohort",
+        "t",
+        F.floor(_km_surv() * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("sq"),
+    )
+    w = Window.partitionBy("cohort").orderBy("t")
+    tau = F.lit(_RMST_TAU)
+    segs = surv.select(
+        "cohort",
+        "t",
+        "sq",
+        F.first("t").over(w).alias("t_first"),
+        F.coalesce(F.lead("t").over(w), tau.cast("long")).alias("t_next"),
+    )
+    span = F.greatest(
+        F.least(F.col("t_next"), tau) - F.least(F.col("t"), tau),
+        F.lit(0),
+    )
+    return segs.groupBy("cohort").agg(
+        tau.cast("long").alias("horizon_days"),
+        F.max("t_first").cast("long").alias("first_event_day"),
+        (
+            (
+                F.sum(F.col("sq") * span)
+                + F.lit(1000000)
+                * F.least(F.max("t_first"), tau)
+            ).cast("double")
+            / 1000000
+        ).alias("rmst_days"),
+    )
 
 
 # -- Log-rank test (two-sample survival comparison) -----------------------------

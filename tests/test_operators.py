@@ -4079,3 +4079,46 @@ def test_logrank_planted_separated_schedules(spark, tmp_path):
     ) / 1e6
     assert r.logrank_chi2 == chi2
     assert r.obs_events_g1 > r.exp_events_g1  # fast group over-converts
+
+
+def test_rmst_planted_step_areas(spark, tmp_path):
+    """diag_rmst on the KM planted corpus: hand-integrated step areas —
+    signup cohort S(t) = 1.0 on [0,2), 0.5 on [2,5] with the implicit
+    [0, t_first) unit-survival segment -> RMST 3.5 through tau=5; the
+    instant-conversion cohort gets 0; an all-censored single row rides
+    the full horizon."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        1: [(0, "signup"), (2, "purchase")],
+        2: [(0, "signup"), (1, "error"), (3, "purchase")],
+        3: [(0, "signup"), (4, "view")],
+        4: [(0, "signup"), (2, "purchase")],
+        5: [(0, "purchase")],
+        6: [(0, "signup"), (2, "error"), (5, "purchase")],
+        7: [(0, "view"), (9, "view")],  # censored at t=9 > tau, S=1
+    }
+    rows, k = [], 0
+    for uid, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), uid, et, 1.0, "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.cohort: r for r in QUERIES["diag_rmst"](spark, str(tmp_path)).collect()
+    }
+    # signup: [0,1) 1.0 + [1,2) 1.0 + [2,4) 0.5*2 + [4,5) 0.5 = 3.5
+    assert got["signup"].rmst_days == 3.5
+    assert got["signup"].horizon_days == 5
+    assert got["purchase"].rmst_days == 0.0
+    # view user censored at t=9: single row beyond tau -> S=1 on [0,5]
+    assert got["view"].rmst_days == 5.0
