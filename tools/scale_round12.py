@@ -82,12 +82,16 @@ def main() -> None:
     lr4 = QUERIES["diag_logrank_test"](spark, rep_dir).collect()[0]
     assert lr4.obs_events_g1 == 4 * lr1.obs_events_g1
     assert lr4.obs_events_total == 4 * lr1.obs_events_total
-    # E and V live on the 1e-6 lattice; x4 holds to #times half-ulps
+    # E lives on the 1e-6 lattice and scales x4 exactly (dt*n1/nt is
+    # proportion-scaled); V carries the hypergeometric finite-population
+    # correction (nt-dt)/(nt-1), which is NOT scale-invariant — it
+    # approaches the binomial limit as n grows, so only ~x4 holds
     assert abs(lr4.exp_events_g1 - 4 * lr1.exp_events_g1) < 1e-4
-    assert abs(lr4.var_logrank - 4 * lr1.var_logrank) < 1e-4
+    assert 3.5 < lr4.var_logrank / lr1.var_logrank < 4.5
     print(f"log-rank: O {lr1.obs_events_g1}->{lr4.obs_events_g1} (x4 exact), "
-          f"E {lr1.exp_events_g1}->{lr4.exp_events_g1}, "
-          f"V {lr1.var_logrank}->{lr4.var_logrank} (x4 on the lattice)")
+          f"E {lr1.exp_events_g1}->{lr4.exp_events_g1} (x4 exact), "
+          f"V {lr1.var_logrank}->{lr4.var_logrank} "
+          f"(~x4, finite-population correction)")
 
     # -- streaming change detectors: per-key state isolation + flat walls ---
     for qname, keycols in (
