@@ -1097,6 +1097,32 @@ FROM segs GROUP BY cohort
 """
 )
 
+# Nelson-Aalen cumulative hazard: H(t) = Σ_{t_i ≤ t} d_i/n_i — the
+# hazard-scale twin of the KM curve (NA is what the survival literature
+# integrates; -ln(KM) ≈ NA and exactly when d ≪ n). Each per-time
+# increment d/n is ONE exact-int division 1e-6 lattice-quantized to
+# BIGINT; the cumulative sum then adds INTEGERS over the
+# lattice-bounded (cohort, day) relation — never a cumulative float
+# sum — and divides once at the end, so both engines agree
+# bit-for-bit. n_risk ≥ 1 on every emitted row (same argument as KM).
+_NA_ORACLE = (
+    _KM_CTES
+    + """
+, hz AS (
+  SELECT cohort, t, n_risk, d, c,
+    CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+         * 1000000 + 0.5) AS BIGINT) AS hq
+  FROM risk
+)
+SELECT cohort, t, n_risk, d AS n_event, c AS n_censored,
+  CAST(hq AS DOUBLE) / 1000000 AS hazard,
+  CAST(sum(hq) OVER (PARTITION BY cohort ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / 1000000 AS cum_hazard
+FROM hz
+"""
+)
+
 
 def _km_user_state(ev: DataFrame) -> DataFrame:
     """Per-user funnel state in ONE pass: every column is a commutative
@@ -1134,10 +1160,10 @@ def _km_observations(pu: DataFrame) -> DataFrame:
     )
 
 
-def _km_folded(pu: DataFrame) -> DataFrame:
-    """The KM lattice relation with each row's ordered prefix-ratio list
-    (lattice-bounded from here down — see the oracle comment); shared by
-    the curve, streaming-curve and RMST projections."""
+def _km_risk(pu: DataFrame) -> DataFrame:
+    """The (cohort, day) lattice relation with exact risk sets —
+    lattice-bounded from here down (see the oracle comment); shared by
+    the KM fold, Nelson-Aalen and RMST projections."""
     obs = _km_observations(pu)
     grid = obs.groupBy("cohort", "t").agg(
         F.sum("e").cast("long").alias("d"),
@@ -1149,13 +1175,8 @@ def _km_folded(pu: DataFrame) -> DataFrame:
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_pref = (
-        Window.partitionBy("cohort")
-        .orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     at = F.col("d") + F.col("c")
-    risk = grid.select(
+    return grid.select(
         "cohort",
         "t",
         "d",
@@ -1167,10 +1188,20 @@ def _km_folded(pu: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_risk"),
     )
+
+
+def _km_folded(pu: DataFrame) -> DataFrame:
+    """The KM lattice relation with each row's ordered prefix-ratio list;
+    shared by the curve, streaming-curve and RMST projections."""
+    w_pref = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     ratio = (F.col("n_risk") - F.col("d")).cast("double") / F.col(
         "n_risk"
     ).cast("double")
-    return risk.select(
+    return _km_risk(pu).select(
         "cohort",
         "t",
         "n_risk",
@@ -1315,6 +1346,45 @@ def diag_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / 1000000
         ).alias("rmst_days"),
+    )
+
+
+@query("diag_nelson_aalen", _NA_ORACLE)
+def diag_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per cohort over the shared
+    funnel-state observations — the hazard-scale twin of
+    diag_kaplan_meier (the estimator survival texts integrate; equals
+    −ln(KM) in the small-hazard limit). Per-time d/n increments are
+    1e-6 lattice-quantized BIGINTs and the cumulative hazard is an
+    INTEGER cumsum over the lattice relation, one division at the end
+    (see the oracle comment)."""
+    risk = _km_risk(_km_user_state(table(spark, sf_dir, "events")))
+    hq = (
+        F.floor(
+            F.col("d").cast("double")
+            / F.col("n_risk").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("hq")
+    )
+    hz = risk.select("cohort", "t", "n_risk", "d", "c", hq)
+    w_pref = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hz.select(
+        "cohort",
+        "t",
+        "n_risk",
+        F.col("d").alias("n_event"),
+        F.col("c").alias("n_censored"),
+        (F.col("hq").cast("double") / 1000000).alias("hazard"),
+        (F.sum("hq").over(w_pref).cast("double") / 1000000).alias(
+            "cum_hazard"
+        ),
     )
 
 

@@ -4122,3 +4122,61 @@ def test_rmst_planted_step_areas(spark, tmp_path):
     assert got["purchase"].rmst_days == 0.0
     # view user censored at t=9: single row beyond tau -> S=1 on [0,5]
     assert got["view"].rmst_days == 5.0
+
+
+def test_nelson_aalen_planted_hazard(spark, tmp_path):
+    """diag_nelson_aalen vs raw-Python hazard sums on the KM planted
+    corpus: per-time d/n increments quantize exactly like the engines
+    and the cumulative hazard is their integer cumsum; -ln(KM) >= NA
+    pointwise (the standard inequality) on every row."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        1: [(0, "signup"), (2, "purchase")],
+        2: [(0, "signup"), (1, "error"), (3, "purchase")],
+        3: [(0, "signup"), (4, "view")],
+        4: [(0, "signup"), (2, "purchase")],
+        6: [(0, "signup"), (2, "error"), (5, "purchase")],
+    }
+    rows, k = [], 0
+    for uid, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), uid, et, 1.0, "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    na = {
+        (r.cohort, r.t): r
+        for r in QUERIES["diag_nelson_aalen"](spark, str(tmp_path)).collect()
+    }
+    km = {
+        (r.cohort, r.t): r
+        for r in QUERIES["diag_kaplan_meier"](spark, str(tmp_path)).collect()
+    }
+    # signup obs: t=1 c, t=2 d=2 c=1, t=4 c  -> hazards 0/5, 2/4, 0/1
+    assert na[("signup", 1)].hazard == 0.0
+    assert na[("signup", 2)].hazard == 0.5
+    assert na[("signup", 2)].cum_hazard == 0.5
+    assert na[("signup", 4)].cum_hazard == 0.5
+    # raw replay of the quantized cumsum for every cohort
+    for cohort in {c for c, _ in na}:
+        ts = sorted(t for c, t in na if c == cohort)
+        acc = 0
+        for t in ts:
+            r = na[(cohort, t)]
+            hq = math.floor(r.n_event / r.n_risk * 1e6 + 0.5)
+            assert r.hazard == hq / 1e6, (cohort, t)
+            acc += hq
+            assert r.cum_hazard == acc / 1e6, (cohort, t)
+            s = km[(cohort, t)].survival
+            if s > 0:
+                assert -math.log(s) >= r.cum_hazard - 1e-9, (cohort, t)
