@@ -2063,6 +2063,80 @@ def streaming_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cvm_project(_cumulate_hist(target.read(spark)))
 
 
+# The amortization form the r11 verdict pointed at: ONE maintained
+# histogram is a sufficient statistic for the whole continuous drift
+# suite, so the three detectors' steady-state cost collapses to one
+# per-batch additive fold. The oracle composes the three standalone
+# oracles as subqueries over the same events table (each is exact /
+# round-6-absorbed on its own, and the per-type PSI total sums the
+# per-bin contributions as 1e-6-lattice INTEGERS — never a cross-row
+# float sum — identically on both engines).
+_SUITE_ORACLE = f"""
+SELECT k.event_type, k.n_early, k.n_late, k.ks_stat, c.cvm_t, p.psi_total
+FROM ({_KS_ORACLE}) k
+JOIN ({_CVM_ORACLE}) c ON k.event_type = c.event_type
+JOIN (
+  SELECT event_type,
+    CAST(sum(CAST(floor(psi_contrib * 1000000 + 0.5) AS BIGINT))
+      AS DOUBLE) / 1000000 AS psi_total
+  FROM ({_PSI_ORACLE}) GROUP BY event_type
+) p ON k.event_type = p.event_type
+"""
+
+
+@query("streaming_drift_suite", _SUITE_ORACLE)
+def streaming_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE continuous drift suite — KS supremum, Cramér-von Mises
+    integral, PSI over reference deciles — read off ONE incrementally
+    maintained two-cohort histogram: a single per-batch additive fold
+    (exactly-once, lattice-bounded state) feeds all three projections,
+    which is the steady-state cost story at 100 TB: adding a detector
+    costs a projection over the aggregate, not another pass over the
+    stream. One row per event type with all three verdicts; the oracle
+    composes the three batch oracles over the same table — maintenance
+    and amortization must both be invisible in the result."""
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+        streaming_events,
+    )
+
+    stream = streaming_events(spark, sf_dir)
+    target = ManagedTable(scratch_dir("suite_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["g", "v"],
+        _two_cohort_partial,
+        scratch_dir("suite_ckpt_"),
+    )
+    await_drained(q, 300)
+    cum = _cumulate_hist(target.read(spark))
+    ks = _ks_project(cum).select(
+        "event_type", "n_early", "n_late", "ks_stat"
+    )
+    cvm = _cvm_project(cum).select("event_type", "cvm_t")
+    psi = (
+        _psi_project(cum.drop("cb"))
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("psi_contrib") * 1000000 + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / 1000000
+            ).alias("psi_total")
+        )
+    )
+    return ks.join(cvm, "event_type").join(psi, "event_type")
+
+
 # -- per-key Page-Hinkley mean-drift detection ----------------------------------
 
 # The RUNNING-MEAN change detector (Page 1954, Hinkley 1971) that

@@ -1702,3 +1702,38 @@ def test_streaming_km_matches_batch_and_minmax_replay(spark, sf_dir, tmp_path):
     fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt, combine)  # replay
     rows = gold.read(spark).collect()
     assert len(rows) == 1 and (rows[0].lo, rows[0].hi) == (3, 10)
+
+
+def test_drift_suite_matches_standalone_detectors(spark, sf_dir):
+    """streaming_drift_suite (one maintained histogram, three
+    projections) must equal the three STANDALONE queries value-for-value
+    — amortizing the maintenance cannot perturb any verdict."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    suite = {
+        r.event_type: r
+        for r in QUERIES["streaming_drift_suite"](spark, sf_dir).collect()
+    }
+    ks = {
+        r.event_type: r
+        for r in QUERIES["streaming_ks_drift"](spark, sf_dir).collect()
+    }
+    cvm = {
+        r.event_type: r
+        for r in QUERIES["streaming_cvm_drift"](spark, sf_dir).collect()
+    }
+    psi = {}
+    for r in QUERIES["streaming_psi_drift"](spark, sf_dir).collect():
+        import math
+
+        psi[r.event_type] = psi.get(r.event_type, 0) + math.floor(
+            r.psi_contrib * 1e6 + 0.5
+        )
+    assert set(suite) == set(ks) == set(cvm)
+    for g, s in suite.items():
+        assert (s.n_early, s.n_late, s.ks_stat) == (
+            ks[g].n_early, ks[g].n_late, ks[g].ks_stat
+        ), g
+        assert s.cvm_t == cvm[g].cvm_t, g
+        assert s.psi_total == psi[g] / 1e6, g
