@@ -4180,3 +4180,34 @@ def test_nelson_aalen_planted_hazard(spark, tmp_path):
             s = km[(cohort, t)].survival
             if s > 0:
                 assert -math.log(s) >= r.cum_hazard - 1e-9, (cohort, t)
+
+
+def test_survival_family_plan_shapes(spark):
+    """The round-12 survival family keeps its plans scan-light and
+    join-free: KM / Nelson-Aalen / RMST are ONE parquet scan with no
+    join at all (user-level monoid aggregate + lattice windows), and
+    log-rank is one scan with no sort-merge join / no cartesian (its
+    only relation-combining step is conditional aggregation, not a
+    grid rebuild — the r12 trap-ledger lesson)."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    for name, max_scans in (
+        ("diag_kaplan_meier", 1),
+        ("diag_nelson_aalen", 1),
+        ("diag_rmst", 1),
+        ("diag_logrank_test", 1),
+    ):
+        df = QUERIES[name](spark, sf)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString appends an "== Initial Plan ==" section that
+        # repeats every node — count scans in the FINAL plan only
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("FileScan parquet") <= max_scans, (
+            name,
+            plan.count("FileScan parquet"),
+        )
