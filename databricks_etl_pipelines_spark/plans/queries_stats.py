@@ -2137,6 +2137,192 @@ def streaming_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks.join(cvm, "event_type").join(psi, "event_type")
 
 
+# -- CUPED variance-reduced experiment readout -----------------------------------
+
+# CUPED (Deng et al. 2013): adjust each experiment metric by the
+# pre-period covariate, Y' = Y − θ·(X − E[X]) with θ = cov(X,Y)/var(X)
+# computed POOLED — the industry-standard variance-reduction step
+# before an A/B readout (same family as Welch/log-rank: the decision
+# layer over the pipeline's aggregates). Variant = user_id parity (the
+# deterministic hash-split discipline); X = the user's pre-cutoff value
+# cents, Y = post-cutoff. Exactness: X/Y are int64 cents sums; every
+# second moment (Σx², Σxy, Σy²) aggregates as decimal(38,0)/HUGEINT
+# (headroom: per-user sums ≤ ~1e11 cents at 100 TB shapes → squares
+# ≤ 1e22, corpus sums ≤ 1e31 < 1e38, cited); θ's numerator/denominator
+# stay in EXACT decimal arithmetic (n·Σxy − Σx·Σy) until ONE cast to
+# double each, so θ is a single division of two exactly-derived
+# doubles. Per-variant means/variances derive from the same exact sums
+# through float sequences written identically on both engines
+# (var(Y') = var(Y) − 2θ·cov_v + θ²·var_v(X), the linearity identity —
+# never a per-user adjust-then-resum, which would be a corpus-sized
+# cross-row float sum). n_v − 1 nullif-guarded; round-6 at the end.
+_CUPED_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+      AS x,
+    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+      AS y
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+  FROM pu
+),
+th AS (
+  SELECT n, sx,
+    CAST(CAST(n AS DECIMAL(38,0)) * sxy
+         - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+      AS DOUBLE)
+    / nullif(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+      AS DOUBLE), 0) AS theta
+  FROM pooled
+),
+v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+    CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxxv,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxyv,
+    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syyv
+  FROM pu GROUP BY variant
+)
+SELECT v.variant, v.nv AS n_users,
+  floor(th.theta * 1000000 + 0.5) / 1000000 AS theta,
+  floor(CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE) * 1000000 + 0.5)
+    / 1000000 AS mean_metric,
+  floor((CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+    - th.theta * (CAST(v.sxv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+                  - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)))
+    * 1000000 + 0.5) / 1000000 AS mean_cuped,
+  floor((CAST(v.syyv AS DOUBLE)
+         - CAST(v.syv AS DOUBLE) * CAST(v.syv AS DOUBLE)
+           / CAST(v.nv AS DOUBLE)) / nullif(CAST(v.nv - 1 AS DOUBLE), 0)
+    * 1000000 + 0.5) / 1000000 AS var_metric,
+  floor(((CAST(v.syyv AS DOUBLE)
+          - CAST(v.syv AS DOUBLE) * CAST(v.syv AS DOUBLE)
+            / CAST(v.nv AS DOUBLE)) / nullif(CAST(v.nv - 1 AS DOUBLE), 0)
+    - CAST(2 AS DOUBLE) * th.theta
+      * (CAST(v.sxyv AS DOUBLE)
+         - CAST(v.sxv AS DOUBLE) * CAST(v.syv AS DOUBLE)
+           / CAST(v.nv AS DOUBLE)) / nullif(CAST(v.nv - 1 AS DOUBLE), 0)
+    + th.theta * th.theta
+      * (CAST(v.sxxv AS DOUBLE)
+         - CAST(v.sxv AS DOUBLE) * CAST(v.sxv AS DOUBLE)
+           / CAST(v.nv AS DOUBLE)) / nullif(CAST(v.nv - 1 AS DOUBLE), 0))
+    * 1000000 + 0.5) / 1000000 AS var_cuped
+FROM v, th
+"""
+
+
+@query("diag_cuped_adjustment", _CUPED_ORACLE)
+def diag_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: per deterministic variant
+    (user_id parity), the raw and covariate-adjusted post-period means
+    and variances, with θ estimated pooled from pre-period value sums —
+    the experimentation-layer op that sits between the drift suite and
+    a ship decision. Exact int64/decimal sufficient statistics; θ and
+    every mean/variance derive through ONE identical float sequence on
+    both engines via the linearity identity (never a per-user
+    adjust-then-resum). See the oracle comment."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cut = F.lit(_COHORT_TS).cast("timestamp")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    pooled = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("sxy"),
+    )
+    th = pooled.selectExpr(
+        "n",
+        "sx",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+        "     - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"
+        "  AS DOUBLE)"
+        " / nullif(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        "     - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+        "  AS DOUBLE), 0) AS theta",
+    )
+    v = pu.groupBy("variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("x").cast("long").alias("sxv"),
+        F.sum("y").cast("long").alias("syv"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("sxxv"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("sxyv"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("syyv"),
+    )
+    return v.crossJoin(F.broadcast(th)).selectExpr(
+        "variant",
+        "nv AS n_users",
+        "floor(theta * 1000000 + 0.5) / 1000000 AS theta",
+        "floor(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) * 1000000 + 0.5)"
+        " / 1000000 AS mean_metric",
+        "floor((CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)"
+        "  - theta * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)"
+        "             - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+        "  * 1000000 + 0.5) / 1000000 AS mean_cuped",
+        "floor((CAST(syyv AS DOUBLE)"
+        "  - CAST(syv AS DOUBLE) * CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE))"
+        " / nullif(CAST(nv - 1 AS DOUBLE), 0)"
+        "  * 1000000 + 0.5) / 1000000 AS var_metric",
+        "floor(((CAST(syyv AS DOUBLE)"
+        "   - CAST(syv AS DOUBLE) * CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE))"
+        "  / nullif(CAST(nv - 1 AS DOUBLE), 0)"
+        "  - CAST(2 AS DOUBLE) * theta"
+        "    * (CAST(sxyv AS DOUBLE)"
+        "       - CAST(sxv AS DOUBLE) * CAST(syv AS DOUBLE)"
+        "         / CAST(nv AS DOUBLE))"
+        "    / nullif(CAST(nv - 1 AS DOUBLE), 0)"
+        "  + theta * theta"
+        "    * (CAST(sxxv AS DOUBLE)"
+        "       - CAST(sxv AS DOUBLE) * CAST(sxv AS DOUBLE)"
+        "         / CAST(nv AS DOUBLE))"
+        "    / nullif(CAST(nv - 1 AS DOUBLE), 0))"
+        "  * 1000000 + 0.5) / 1000000 AS var_cuped",
+    )
+
+
 # -- per-key Page-Hinkley mean-drift detection ----------------------------------
 
 # The RUNNING-MEAN change detector (Page 1954, Hinkley 1971) that

@@ -4211,3 +4211,84 @@ def test_survival_family_plan_shapes(spark):
             name,
             plan.count("FileScan parquet"),
         )
+
+
+def test_cuped_planted_variance_reduction(spark, tmp_path):
+    """diag_cuped_adjustment vs the estimator replayed in raw Python on
+    a planted experiment where the post metric strongly tracks the
+    pre-period covariate: theta, adjusted means and variances must
+    match the identical float sequence exactly, and CUPED must CUT the
+    variance in both variants (the point of the adjustment)."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    # 12 users; pre x_i varies widely, post y_i = x_i + small variant
+    # effect — exactly the correlated structure CUPED exploits
+    pre = [10.0, 40.0, 70.0, 100.0, 130.0, 160.0,
+           25.0, 55.0, 85.0, 115.0, 145.0, 175.0]
+    rows, eid = [], 0
+    xs, ys, variants = [], [], []
+    for uid in range(12):
+        x = pre[uid]
+        lift = 5.0 if uid % 2 == 0 else 0.0
+        y = x + lift
+        rows.append((eid, dt.datetime(2024, 1, 5), uid, "view", x, "{}"))
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 25), uid, "view", y, "{}"))
+        eid += 1
+        xs.append(int(x * 100))
+        ys.append(int(math.floor(y * 100 + 0.5)))
+        variants.append("A" if uid % 2 == 0 else "B")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.variant: r
+        for r in QUERIES["diag_cuped_adjustment"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # raw replay with the same exact-sums-then-floats sequence
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    for variant in ("A", "B"):
+        vx = [x for x, g in zip(xs, variants) if g == variant]
+        vy = [y for y, g in zip(ys, variants) if g == variant]
+        nv = len(vx)
+        sxv, syv = sum(vx), sum(vy)
+        sxxv = sum(x * x for x in vx)
+        sxyv = sum(x * y for x, y in zip(vx, vy))
+        syyv = sum(y * y for y in vy)
+        mean_y = float(syv) / float(nv)
+        mean_cuped = mean_y - theta * (
+            float(sxv) / float(nv) - float(sx) / float(n)
+        )
+        var_y = (float(syyv) - float(syv) * float(syv) / float(nv)) / float(
+            nv - 1
+        )
+        cov_v = (float(sxyv) - float(sxv) * float(syv) / float(nv)) / float(
+            nv - 1
+        )
+        var_x = (float(sxxv) - float(sxv) * float(sxv) / float(nv)) / float(
+            nv - 1
+        )
+        var_cuped = var_y - 2.0 * theta * cov_v + theta * theta * var_x
+        r = got[variant]
+        assert r.n_users == nv
+        assert r.theta == q6(theta)
+        assert r.mean_metric == q6(mean_y)
+        assert r.mean_cuped == q6(mean_cuped)
+        assert r.var_metric == q6(var_y)
+        assert r.var_cuped == q6(var_cuped)
+        # the adjustment must actually help on correlated data
+        assert r.var_cuped < r.var_metric / 100
