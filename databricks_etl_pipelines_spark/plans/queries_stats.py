@@ -2323,6 +2323,142 @@ def diag_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- difference-in-differences estimator ------------------------------------------
+
+# The CUPED sibling on user-level DELTAS: d_i = post − pre value cents
+# per user (exact int64 — users missing a period contribute 0 for that
+# period, keeping the panel balanced), then the two-group DiD readout
+# DiD = mean(d_treated) − mean(d_control) with the independent-groups
+# standard error SE² = var(d_A)/n_A + var(d_B)/n_B and its t statistic
+# (the Welch shape on deltas). Σd is int64, Σd² aggregates as
+# decimal(38,0)/HUGEINT (headroom as CUPED's, cited there); every
+# mean/variance derives from exact sums through one identical float
+# sequence; n−1 and SE nullif-guarded; round-6 at the end. One fact
+# scan → one user-level aggregate → a 2-row variant relation pivoted
+# to one readout row (broadcast-bounded by construction).
+_DID_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+      - coalesce(sum(CASE WHEN ts < TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+      AS d
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+    CAST(sum(d) AS BIGINT) AS sd,
+    sum(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sdd
+  FROM pu GROUP BY variant
+),
+w AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN nv END) AS na,
+    max(CASE WHEN variant = 'B' THEN nv END) AS nb,
+    max(CASE WHEN variant = 'A' THEN sd END) AS sda,
+    max(CASE WHEN variant = 'B' THEN sd END) AS sdb,
+    max(CASE WHEN variant = 'A' THEN sdd END) AS sdda,
+    max(CASE WHEN variant = 'B' THEN sdd END) AS sddb
+  FROM v
+),
+calc AS (
+  SELECT na, nb,
+    CAST(sda AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+    CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+    (CAST(sdda AS DOUBLE) - CAST(sda AS DOUBLE) * CAST(sda AS DOUBLE)
+       / CAST(na AS DOUBLE)) / nullif(CAST(na - 1 AS DOUBLE), 0) AS va,
+    (CAST(sddb AS DOUBLE) - CAST(sdb AS DOUBLE) * CAST(sdb AS DOUBLE)
+       / CAST(nb AS DOUBLE)) / nullif(CAST(nb - 1 AS DOUBLE), 0) AS vb
+  FROM w
+)
+SELECT na AS n_control, nb AS n_treated,
+  floor(ma * 1000000 + 0.5) / 1000000 AS mean_delta_control,
+  floor(mb * 1000000 + 0.5) / 1000000 AS mean_delta_treated,
+  floor((mb - ma) * 1000000 + 0.5) / 1000000 AS did_cents,
+  floor(sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+    * 1000000 + 0.5) / 1000000 AS se_did,
+  floor((mb - ma) / nullif(sqrt(va / CAST(na AS DOUBLE)
+    + vb / CAST(nb AS DOUBLE)), 0) * 1000000 + 0.5) / 1000000 AS t_stat
+FROM calc
+"""
+
+
+@query("diag_did_estimator", _DID_ORACLE)
+def diag_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout on per-user post-minus-pre
+    value deltas between the parity variants: the four-cell 2×2 design
+    collapsed to its delta form (exact int64 per user), with the
+    independent-groups SE and t statistic — the experimentation-layer
+    sibling of CUPED for when the covariate IS the pre-period metric.
+    See the oracle comment for the exactness/scale argument."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cut = F.lit(_COHORT_TS).cast("timestamp")
+    pu = ev.groupBy("user_id").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+            )
+            - F.coalesce(
+                F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("d")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "d",
+    )
+    v = pu.groupBy("variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(
+            F.col("d").cast("decimal(38,0)")
+            * F.col("d").cast("decimal(38,0)")
+        ).alias("sdd"),
+    )
+    w = v.groupBy().agg(
+        F.max(F.when(F.col("variant") == "A", F.col("nv"))).alias("na"),
+        F.max(F.when(F.col("variant") == "B", F.col("nv"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "A", F.col("sd"))).alias("sda"),
+        F.max(F.when(F.col("variant") == "B", F.col("sd"))).alias("sdb"),
+        F.max(F.when(F.col("variant") == "A", F.col("sdd"))).alias(
+            "sdda"
+        ),
+        F.max(F.when(F.col("variant") == "B", F.col("sdd"))).alias(
+            "sddb"
+        ),
+    )
+    calc = w.selectExpr(
+        "na",
+        "nb",
+        "CAST(sda AS DOUBLE) / CAST(na AS DOUBLE) AS ma",
+        "CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb",
+        "(CAST(sdda AS DOUBLE) - CAST(sda AS DOUBLE) * CAST(sda AS DOUBLE)"
+        "   / CAST(na AS DOUBLE)) / nullif(CAST(na - 1 AS DOUBLE), 0)"
+        " AS va",
+        "(CAST(sddb AS DOUBLE) - CAST(sdb AS DOUBLE) * CAST(sdb AS DOUBLE)"
+        "   / CAST(nb AS DOUBLE)) / nullif(CAST(nb - 1 AS DOUBLE), 0)"
+        " AS vb",
+    )
+    return calc.selectExpr(
+        "na AS n_control",
+        "nb AS n_treated",
+        "floor(ma * 1000000 + 0.5) / 1000000 AS mean_delta_control",
+        "floor(mb * 1000000 + 0.5) / 1000000 AS mean_delta_treated",
+        "floor((mb - ma) * 1000000 + 0.5) / 1000000 AS did_cents",
+        "floor(sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))"
+        "  * 1000000 + 0.5) / 1000000 AS se_did",
+        "floor((mb - ma) / nullif(sqrt(va / CAST(na AS DOUBLE)"
+        "  + vb / CAST(nb AS DOUBLE)), 0) * 1000000 + 0.5) / 1000000"
+        " AS t_stat",
+    )
+
+
 # -- per-key Page-Hinkley mean-drift detection ----------------------------------
 
 # The RUNNING-MEAN change detector (Page 1954, Hinkley 1971) that

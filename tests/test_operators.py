@@ -4292,3 +4292,55 @@ def test_cuped_planted_variance_reduction(spark, tmp_path):
         assert r.var_cuped == q6(var_cuped)
         # the adjustment must actually help on correlated data
         assert r.var_cuped < r.var_metric / 100
+
+
+def test_did_planted_lift(spark, tmp_path):
+    """diag_did_estimator vs raw Python on a planted panel with a known
+    treated lift: control deltas {0, 10, -10} dollars, treated deltas
+    {50, 60, 40} -> DiD exactly $50.00 in cents, SE/t replayed through
+    the identical float sequence; a user missing a period contributes 0
+    for it (balanced-panel convention)."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    # (uid, pre_dollars or None, post_dollars or None)
+    plan = [
+        (0, 20.0, 20.0),   # A, delta 0
+        (2, 10.0, 20.0),   # A, delta +10
+        (4, 20.0, 10.0),   # A, delta -10
+        (1, 10.0, 60.0),   # B, delta +50
+        (3, None, 60.0),   # B, no pre period -> delta +60
+        (5, 20.0, 60.0),   # B, delta +40
+    ]
+    rows, eid = [], 0
+    for uid, pre, post in plan:
+        if pre is not None:
+            rows.append((eid, dt.datetime(2024, 1, 5), uid, "view", pre, "{}"))
+            eid += 1
+        if post is not None:
+            rows.append(
+                (eid, dt.datetime(2024, 1, 25), uid, "view", post, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    r = QUERIES["diag_did_estimator"](spark, str(tmp_path)).collect()[0]
+    da = [0, 1000, -1000]
+    db = [5000, 6000, 4000]
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    ma, mb = sum(da) / 3.0, sum(db) / 3.0
+    va = (sum(x * x for x in da) - sum(da) ** 2 / 3.0) / 2.0
+    vb = (sum(x * x for x in db) - sum(db) ** 2 / 3.0) / 2.0
+    se = math.sqrt(va / 3.0 + vb / 3.0)
+    assert (r.n_control, r.n_treated) == (3, 3)
+    assert r.mean_delta_control == q6(ma)
+    assert r.mean_delta_treated == q6(mb)
+    assert r.did_cents == 5000.0
+    assert r.se_did == q6(se)
+    assert r.t_stat == q6((mb - ma) / se)
