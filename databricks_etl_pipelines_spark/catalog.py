@@ -46,18 +46,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-12 rotation, the r11 verdict's prescription: a normal
-    # round's new queries (10 new + the 2 whose OUTPUT or code changed
+    # round's new queries (11 new + the 2 whose OUTPUT or code changed
     # this round: Neyman's largest-remainder top-up changes the
     # allocation rows; chi-square gained the nullif guard), then ALL
     # 28 r6-vintage rows (the verdict's binding done-criterion: after
     # r12 no oracle-backed query's newest driver row is older than
-    # r7), then the 10 stalest r7 rows — 12 + 28 + 10 = 50. The
+    # r7), then the 9 stalest r7 rows — 13 + 28 + 9 = 50. The
     # remaining r7 rows lead the overflow and clear next round.
     # (a) round-12 NEW queries, newest-risk first
     "streaming_kaplan_meier",
     "streaming_drift_suite",
     "diag_cuped_adjustment",
     "diag_did_estimator",
+    "streaming_logrank_test",
     "diag_rmst",
     "diag_nelson_aalen",
     "streaming_page_hinkley",
@@ -98,7 +99,7 @@ PRIORITY: list[str] = [
     "window_rolling_avg",
     "window_anomaly_zscore",
     "window_topn_per_user",
-    # (c) the 10 stalest r7-vintage rows
+    # (c) the 9 stalest r7-vintage rows
     "curation_bigram_buckets",
     "curation_decontaminate_benchmark",
     "curation_funnel_crossengine",
@@ -108,14 +109,14 @@ PRIORITY: list[str] = [
     "curation_temperature_epochs",
     "dedup_exact_documents",
     "dedup_incremental_crossengine",
-    "dedup_minhash_crossengine",
     # ---------------- 50-slot cap boundary ----------------
     # overflow: the remaining r7-vintage rows lead (stalest after this
     # rotation — they head the r13 cap), then everything fresher in
-    # registration order (distinct_projection first); the
+    # registration order (dedup_minhash_crossengine first); the
     # rows-only set stays at the end (weaker
     # rows by design — each has an oracle-backed sibling; see
     # COVERAGE.md rows-only map).
+    "dedup_minhash_crossengine",
     "distinct_projection",
     "filter_predicates",
     "join_blame_late_supplier",

@@ -1477,16 +1477,13 @@ FROM terms
 """
 
 
-@query("diag_logrank_test", _LOGRANK_ORACLE)
-def diag_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mantel-Cox log-rank test between the signup-first and view-first
-    cohorts' time-to-first-purchase survival — the hypothesis test that
-    pairs with diag_kaplan_meier's curves (same observations, same
-    censoring). Exact integer risk sets over the zero-cell-rebuilt
-    group×day grid; per-time E/V terms lattice-quantized before the
-    cross-time sum (see the oracle comment)."""
+def _logrank_project(pu: DataFrame) -> DataFrame:
+    """Mantel-Cox projection over the funnel-state relation (shared by
+    the batch and streaming flavors): conditional sums to the pooled
+    distinct-day relation, suffix-sum risk sets, lattice-quantized E/V
+    terms, one readout row."""
     obs = (
-        _km_observations(_km_user_state(table(spark, sf_dir, "events")))
+        _km_observations(pu)
         .filter(F.col("cohort").isin("signup", "view"))
         .withColumnRenamed("cohort", "g")
     )
@@ -1564,6 +1561,76 @@ def diag_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("logrank_chi2"),
     )
+
+
+@query("diag_logrank_test", _LOGRANK_ORACLE)
+def diag_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test between the signup-first and view-first
+    cohorts' time-to-first-purchase survival — the hypothesis test that
+    pairs with diag_kaplan_meier's curves (same observations, same
+    censoring). ONE fact scan: conditional sums to the pooled
+    distinct-day relation with suffix-sum risk sets (no grid rebuild);
+    per-time E/V terms lattice-quantized before the cross-time sum
+    (see the oracle comment)."""
+    return _logrank_project(
+        _km_user_state(table(spark, sf_dir, "events"))
+    )
+
+
+# deliberately the SAME oracle as diag_logrank_test: the min/max
+# entity-state gold is a sufficient statistic for the whole survival
+# family, so the hypothesis test reads off the SAME maintained table as
+# the streaming KM curve — maintenance must be invisible in the result.
+@query("streaming_logrank_test", _LOGRANK_ORACLE)
+def streaming_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-rank test maintained INCREMENTALLY: per-user funnel
+    state folds via incremental_aggregate's min/max monoids over the
+    non-chronological event_id%3 feed (exactly as streaming_kaplan_meier
+    — one maintained entity-state table serves curves, hazard, RMST AND
+    the hypothesis test), then the shared Mantel-Cox projection reads
+    only the state. Oracle is the batch log-rank SQL verbatim. At
+    100 TB the experiment readout updates per batch at batch +
+    state-aggregate cost, never a history rescan."""
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _write_batched_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src_dir = _write_batched_feed(
+        [ev.filter(F.col("event_id") % 3 == b) for b in range(3)], "lr_"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    target = ManagedTable(scratch_dir("lr_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["user_id"],
+        _km_user_state,
+        scratch_dir("lr_ckpt_"),
+        combine={
+            "first_ev": "min",
+            "t0": "min",
+            "tp": "min",
+            "te": "min",
+            "tmax": "max",
+        },
+    )
+    await_drained(q, 300)
+    return _logrank_project(target.read(spark))
 
 
 # -- Population Stability Index over reference-decile bins ----------------------
