@@ -6004,19 +6004,33 @@ def text_kendall_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Σt int64, Σt² decimal/HUGEINT) in identical float sequences; the
 # allocation weight is LATTICE-quantized (q_h = floor(N·S·100 + 0.5))
 # before the cross-stratum integer sum (the chi-square rule), and
-# the base n_h = (B·q_h) div Q is pure BIGINT division (Spark div ≡
-# DuckDB //; headroom: q_h ≤ N·S·100 ≈ 1e15 at 1e10 docs/stratum,
-# B·q_h ≈ 1e18 < 2^63, cited), and the floor shortfall R = B − Σ base
-# (0 ≤ R < #strata, since Σ rem_h = R·Q with each rem_h < Q) is
-# assigned by the LARGEST-REMAINDER rule — +1 to the R strata ranked by
-# (rem DESC, source ASC), a total order, so Σ n_h = B EXACTLY whenever
-# no stratum hits its n_h > N_h cap (the cap applies after the top-up;
-# with B ≪ N_h it never binds). Single-doc strata have no variance and
-# a zero base (coalesce, documented) but stay eligible for a
-# remainder-0 top-up like any stratum; an ALL-degenerate corpus (every
-# stratum constant → Q = 0) keeps every allocation 0 — the qt > 0
-# guard stops the residual from being sprayed over strata that earned
-# nothing. Selection is the cross-engine md5 rolling
+# allocation itself is the EXACT cap-aware WATERFILL: sort strata by
+# the saturation ratio r_h = N_h/q_h ascending (NULLS LAST — ONE IEEE
+# division as sort key, tie-broken by source; the division only orders,
+# all allocation arithmetic stays integer); the saturated set is a
+# PREFIX of this order (classic result: smallest cap-to-weight ratios
+# fill first), detected by the running-AND of the per-position test
+# q_h·(B′ − C_{h−1}) ≥ N_h·(Q − P_{h−1}) ∧ q_h > 0 over EXCLUSIVE
+# prefix sums C/P of (N, q) — the cross products are DECIMAL/HUGEINT
+# (N·Q ≈ 1e27 at 1e10 docs/stratum outgrows int64). Saturated strata
+# take their full N_h; the rest split the residual budget
+# B_r = B′ − ΣN_sat proportionally to q_h by BIGINT division
+# (headroom: B_r·q_h ≤ 200·1e15 < 2^63) with the floor shortfall
+# R = B_r − Σ base (0 ≤ R < #non-saturated when Q_r > 0, since
+# Σ rem_h = R·Q_r) assigned by the LARGEST-REMAINDER rule — +1 to the
+# R non-saturated strata ranked by (rem DESC, source ASC), a total
+# order. B′ = min(B, Σ_{q_h>0} N_h) is the budget clamped to the
+# capacity of positively-weighted strata, so Σ n_h = B′ EXACTLY, ALWAYS
+# (when Q > 0): either the waterfill leaves Q_r > 0 and the remainder
+# rule lands the residual exactly, or it exhausts every weighted
+# stratum with B_r = 0. A non-saturated stratum's top-up never breaches
+# its cap (real share < N_h strictly ⇒ floor ≤ N_h − 1 ⇒ +1 ≤ N_h);
+# the final min(n, na) belt never binds. Single-doc strata have no
+# variance and a zero base (coalesce, documented) but stay eligible
+# for a remainder-0 top-up like any stratum; an ALL-degenerate corpus
+# (every stratum constant → Q = 0) keeps every allocation 0 — the
+# qt > 0 guard stops the residual from being sprayed over strata that
+# earned nothing. Selection is the cross-engine md5 rolling
 # hash of (doc_id, seed 57) ranked per stratum (ties by doc_id), keep
 # rank ≤ n_h — the oracle reproduces the EXACT kept set, evidenced by
 # the selected doc-id and token checksums. The rank window is the
@@ -6053,20 +6067,68 @@ q AS (
              0) AS qh
   FROM w
 ),
-tot AS (SELECT CAST(sum(qh) AS BIGINT) AS qt FROM q),
-base AS (
-  SELECT q.source, q.n, q.sdev, tot.qt,
-    coalesce(({_NEYMAN_B} * q.qh) // nullif(tot.qt, 0), 0) AS nb,
-    coalesce(({_NEYMAN_B} * q.qh) % nullif(tot.qt, 0), 0) AS rem
-  FROM q, tot
+tot AS (
+  SELECT CAST(sum(qh) AS BIGINT) AS qt,
+    CAST(least({_NEYMAN_B},
+               coalesce(sum(CASE WHEN qh > 0 THEN n END), 0)) AS BIGINT)
+      AS bb
+  FROM q
 ),
-resid AS (SELECT CAST({_NEYMAN_B} - sum(nb) AS BIGINT) AS r FROM base),
+ord AS (
+  SELECT q.source, q.n, q.sdev, q.qh, tot.qt, tot.bb,
+    CASE WHEN q.qh > 0
+      THEN CAST(q.n AS DOUBLE) / CAST(q.qh AS DOUBLE) END AS ratio,
+    coalesce(CAST(sum(q.n) OVER w_prev AS BIGINT), 0) AS cn_prev,
+    coalesce(CAST(sum(q.qh) OVER w_prev AS BIGINT), 0) AS cq_prev
+  FROM q, tot
+  WINDOW w_prev AS (
+    ORDER BY CASE WHEN q.qh > 0
+               THEN CAST(q.n AS DOUBLE) / CAST(q.qh AS DOUBLE) END
+             ASC NULLS LAST, q.source
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sat AS (
+  SELECT o.*,
+    min(CASE WHEN o.qh > 0
+              AND CAST(o.qh AS HUGEINT) * (o.bb - o.cn_prev)
+                  >= CAST(o.n AS HUGEINT) * (o.qt - o.cq_prev)
+         THEN 1 ELSE 0 END)
+      OVER (ORDER BY o.ratio ASC NULLS LAST, o.source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS is_sat
+  FROM ord o
+),
+grp AS (
+  SELECT coalesce(CAST(sum(CASE WHEN is_sat = 1 THEN n END) AS BIGINT), 0)
+      AS satn,
+    coalesce(CAST(sum(CASE WHEN is_sat = 1 THEN qh END) AS BIGINT), 0)
+      AS satq
+  FROM sat
+),
+base AS (
+  SELECT s.source, s.n, s.sdev, s.qt, s.is_sat,
+    (s.bb - g.satn) AS br,
+    CASE WHEN s.is_sat = 1 THEN CAST(0 AS BIGINT)
+      ELSE coalesce(((s.bb - g.satn) * s.qh)
+                    // nullif(s.qt - g.satq, 0), 0) END AS nb,
+    CASE WHEN s.is_sat = 1 THEN CAST(0 AS BIGINT)
+      ELSE coalesce(((s.bb - g.satn) * s.qh)
+                    % nullif(s.qt - g.satq, 0), 0) END AS rem
+  FROM sat s, grp g
+),
+resid AS (
+  SELECT CAST(max(br)
+              - sum(CASE WHEN is_sat = 0 THEN nb ELSE 0 END) AS BIGINT)
+    AS r
+  FROM base
+),
 topped AS (
   SELECT b.source, b.n, b.sdev,
-    b.nb + CASE WHEN b.qt > 0
-                 AND row_number() OVER (ORDER BY b.rem DESC, b.source)
-                     <= resid.r
-            THEN 1 ELSE 0 END AS na
+    CASE WHEN b.is_sat = 1 THEN b.n
+      ELSE b.nb + CASE WHEN b.qt > 0
+                   AND row_number() OVER (PARTITION BY b.is_sat
+                                          ORDER BY b.rem DESC, b.source)
+                       <= resid.r
+              THEN 1 ELSE 0 END END AS na
   FROM base b, resid
 ),
 alloc AS (
@@ -6102,13 +6164,17 @@ FROM alloc a LEFT JOIN sel ON a.source = sel.source
 @query("curation_neyman_allocation", _NEYMAN_ORACLE)
 def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-allocation stratified sampling: a 200-doc budget split
-    across sources proportional to N_h·S_h (token-count dispersion)
-    with a largest-remainder top-up so the allocations sum to the
-    budget EXACTLY, then a deterministic hash-rank selection of exactly
-    that many docs per stratum — the variance-optimal upgrade of
-    fixed-fraction sampling, with the EXACT kept set evidenced by
-    per-stratum id and token checksums. See the oracle comment for the
-    lattice-quantized allocation and integer determinism."""
+    across sources proportional to N_h·S_h (token-count dispersion) by
+    the exact CAP-AWARE WATERFILL — strata whose proportional share
+    exceeds their size saturate at N_h (a prefix of the cap-to-weight
+    ratio order), the rest share the residual with a largest-remainder
+    top-up — so the allocations sum EXACTLY to min(budget, capacity of
+    positively-weighted strata), then a deterministic hash-rank
+    selection of exactly that many docs per stratum — the
+    variance-optimal upgrade of fixed-fraction sampling, with the EXACT
+    kept set evidenced by per-stratum id and token checksums. See the
+    oracle comment for the lattice-quantized allocation and integer
+    determinism."""
     from databricks_etl_pipelines_spark.functions.numeric import (
         stable_round,
     )
@@ -6149,34 +6215,108 @@ def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coalesce(CAST(floor(CAST(n AS DOUBLE) * sdev * 100 + 0.5)"
         " AS BIGINT), 0) AS qh",
     )
-    tot = q.agg(F.sum("qh").cast("long").alias("qt"))
-    base = q.crossJoin(F.broadcast(tot)).selectExpr(
+    tot = q.agg(
+        F.sum("qh").cast("long").alias("qt"),
+        F.least(
+            F.lit(_NEYMAN_B).cast("long"),
+            F.coalesce(
+                F.sum(F.when(F.col("qh") > 0, F.col("n"))), F.lit(0)
+            ).cast("long"),
+        ).alias("bb"),
+    )
+    # the waterfill / largest-remainder windows all run over the STRATA
+    # relation (one row per source — broadcast-small at any corpus
+    # size), so the unpartitioned windows are bounded by design
+    w_prev = Window.orderBy(
+        F.asc_nulls_last("ratio"), "source"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy(
+        F.asc_nulls_last("ratio"), "source"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sat_flag = F.when(
+        (F.col("qh") > 0)
+        & (
+            F.col("qh").cast("decimal(38,0)")
+            * (F.col("bb") - F.col("cn_prev"))
+            >= F.col("n").cast("decimal(38,0)")
+            * (F.col("qt") - F.col("cq_prev"))
+        ),
+        1,
+    ).otherwise(0)
+    sat = (
+        q.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "ratio",
+            F.when(
+                F.col("qh") > 0,
+                F.col("n").cast("double") / F.col("qh").cast("double"),
+            ),
+        )
+        .withColumn(
+            "cn_prev",
+            F.coalesce(F.sum("n").over(w_prev), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "cq_prev",
+            F.coalesce(F.sum("qh").over(w_prev), F.lit(0)).cast("long"),
+        )
+        .withColumn("is_sat", F.min(sat_flag).over(w_run))
+    )
+    grp = sat.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_sat") == 1, F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("satn"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_sat") == 1, F.col("qh"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("satq"),
+    )
+    base = sat.crossJoin(F.broadcast(grp)).selectExpr(
         "source",
         "n",
         "sdev",
         "qt",
-        f"coalesce(({_NEYMAN_B} * qh) div nullif(qt, 0), 0) AS nb",
-        f"coalesce(({_NEYMAN_B} * qh) % nullif(qt, 0), 0) AS rem",
+        "is_sat",
+        "(bb - satn) AS br",
+        "CASE WHEN is_sat = 1 THEN CAST(0 AS BIGINT)"
+        " ELSE coalesce(((bb - satn) * qh) div nullif(qt - satq, 0), 0)"
+        " END AS nb",
+        "CASE WHEN is_sat = 1 THEN CAST(0 AS BIGINT)"
+        " ELSE coalesce(((bb - satn) * qh) % nullif(qt - satq, 0), 0)"
+        " END AS rem",
     )
     resid = base.agg(
-        (F.lit(_NEYMAN_B) - F.sum("nb")).cast("long").alias("r")
+        (
+            F.max("br")
+            - F.sum(
+                F.when(F.col("is_sat") == 0, F.col("nb")).otherwise(
+                    F.lit(0)
+                )
+            )
+        )
+        .cast("long")
+        .alias("r")
     )
-    # largest-remainder top-up runs over the STRATA relation (one row
-    # per source — broadcast-small at any corpus size), so the
-    # unpartitioned rank window is bounded by design
     topped = (
         base.crossJoin(F.broadcast(resid))
         .withColumn(
             "rk",
             F.row_number().over(
-                Window.orderBy(F.col("rem").desc(), F.col("source"))
+                Window.partitionBy("is_sat").orderBy(
+                    F.col("rem").desc(), F.col("source")
+                )
             ),
         )
         .selectExpr(
             "source",
             "n",
             "sdev",
-            "nb + CASE WHEN qt > 0 AND rk <= r THEN 1 ELSE 0 END AS na",
+            "CASE WHEN is_sat = 1 THEN n"
+            " ELSE nb + CASE WHEN qt > 0 AND rk <= r THEN 1 ELSE 0 END"
+            " END AS na",
         )
     )
     alloc = topped.selectExpr(

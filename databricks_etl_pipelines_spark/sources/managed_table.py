@@ -210,15 +210,28 @@ class ManagedTable:
             raise FileNotFoundError(f"no versions at {self.root}")
         return log[-1]["version"]
 
-    def latest_meta(self) -> dict | None:
+    def latest_meta(self, having: str | None = None) -> dict | None:
         """Latest commit's manifest entry (version/operation/timestamp plus
         any operation metadata) as a plain dict, or ``None`` for a table
         with no commits — the driver-side hook replay-aware writers use to
         read fold markers without a Spark scan. The entry and its metadata
         land in ONE atomic ``_write_log`` (os.replace), so a marker is
-        never observable without the table version it stamps."""
+        never observable without the table version it stamps.
+
+        ``having`` scans the manifest BACKWARDS for the newest entry
+        carrying that metadata key (``None`` if no entry carries it).
+        Replay-aware writers use ``having="fold_checkpoint"`` so a
+        maintenance commit (vacuum flag, optimize/compact, an explicit
+        append/merge) between two folds does not shadow the fold markers —
+        the newest-entry-only read silently degraded a fold-stamped gold
+        to an unstamped bootstrap, double-folding replayed batches."""
         log = _read_log(self.root)
-        return dict(log[-1]) if log else None
+        if having is None:
+            return dict(log[-1]) if log else None
+        for entry in reversed(log):
+            if having in entry:
+                return dict(entry)
+        return None
 
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.root, f"_v{v}")

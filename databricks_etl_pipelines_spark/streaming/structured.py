@@ -554,10 +554,19 @@ def fold_partial_batch(
     loudly instead of folding onto another query's aggregate. An
     UNSTAMPED existing table is a batch-built bootstrap gold: folded
     into, then stamped.
+
+    The markers are read via a BACKWARD manifest scan
+    (``latest_meta(having="fold_checkpoint")``), so a non-fold commit
+    between batches — a maintenance flag, compaction, or an explicit
+    append/merge by the table's owner — does not shadow the fold
+    markers: replay detection and ownership survive, and the next fold
+    simply folds onto whatever rows the latest version holds (a
+    deliberate owner-side modification is bootstrap data, not a reason
+    to lose exactly-once).
     """
     import warnings
 
-    prior = target.latest_meta()
+    prior = target.latest_meta(having="fold_checkpoint")
     owner = prior.get("fold_checkpoint") if prior else None
     takeover = False
     if owner == checkpoint_dir:
@@ -573,8 +582,7 @@ def fold_partial_batch(
                 f"{owner!r}; its aggregate is being overwritten",
                 stacklevel=2,
             )
-            prior = None  # discard the foreign aggregate, seed fresh
-            takeover = True
+            takeover = True  # discard the foreign aggregate, seed fresh
         else:
             raise ValueError(
                 f"incremental_aggregate: gold table {target.root!r} is "
@@ -590,9 +598,29 @@ def fold_partial_batch(
         return
     spark = batch_df.sparkSession
     partial = partial_agg(batch_df)
-    if prior is not None:
+    metric_cols = [c for c in partial.columns if c not in keys]
+    if combine is not None:
+        unknown = {c: f for c, f in combine.items() if f not in _FOLD_FNS}
+        if unknown:
+            raise ValueError(
+                f"incremental_aggregate: unknown fold(s) {unknown!r} — "
+                f"valid folds are {sorted(_FOLD_FNS)}"
+            )
+        missing = [c for c in metric_cols if c not in combine]
+        stray = [c for c in combine if c not in metric_cols]
+        if missing or stray:
+            # a metric column silently defaulting to "sum" corrupts a
+            # min/max entity-state gold with no error — when the caller
+            # names folds at all, the mapping must cover the partial's
+            # metric columns exactly
+            raise ValueError(
+                "incremental_aggregate: combine mapping must cover the "
+                f"partial aggregate's metric columns exactly; missing="
+                f"{missing!r}, not-in-partial={stray!r} "
+                f"(metric columns: {metric_cols!r})"
+            )
+    if target.exists() and not takeover:
         current = target.read(spark)
-        metric_cols = [c for c in partial.columns if c not in keys]
         fns = {c: _FOLD_FNS[(combine or {}).get(c, "sum")] for c in metric_cols}
         combined = (
             current.unionByName(partial)

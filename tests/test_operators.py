@@ -3759,6 +3759,110 @@ def test_neyman_allocation_planted_variance(spark, tmp_path):
     )
 
 
+def test_neyman_binding_cap_waterfill_sums_to_budget(spark, tmp_path):
+    """ADVICE r12 closure: when a stratum's proportional Neyman share
+    exceeds its size, the waterfill saturates it at N_h and the clipped
+    surplus is REDISTRIBUTED over the unsaturated strata — Σ n_h equals
+    the budget exactly (the pre-waterfill code silently under-allocated:
+    the cap clipped ~190 docs of a 200-doc budget to 2 with no top-up).
+    Planted: "tiny" (2 docs, huge dispersion → proportional share ≈ 192
+    ≫ 2) saturates at 2; "big"/"med" (300 docs each, equal small
+    dispersion) split the 198-doc residual 99/99. The DuckDB oracle is
+    replayed on the same planted parquet to pin cross-engine equality
+    under a binding cap."""
+    import duckdb
+
+    from databricks_etl_pipelines_spark.catalog import (
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
+    from databricks_etl_pipelines_spark.plans.queries_llm import _NEYMAN_B
+
+    load_all()
+    docs, did = [], 0
+    for nt in (1, 10001):
+        docs.append((did, "tiny", " ".join(["w"] * nt)))
+        did += 1
+    for i in range(300):
+        docs.append((did, "big", " ".join(["w"] * (1 if i % 2 else 3))))
+        did += 1
+    for i in range(300):
+        docs.append((did, "med", " ".join(["w"] * (2 if i % 2 else 4))))
+        did += 1
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r
+        for r in QUERIES["curation_neyman_allocation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["tiny"].alloc_budget == 2  # saturated at its size
+    assert got["big"].alloc_budget == 99
+    assert got["med"].alloc_budget == 99
+    assert (
+        sum(r.alloc_budget for r in got.values()) == _NEYMAN_B
+    )  # exact, despite the binding cap
+    assert all(r.n_selected == r.alloc_budget for r in got.values())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(
+            ORACLES["curation_neyman_allocation"]
+        ).fetchall()
+    }
+    for src, row in got.items():
+        o = oracle[src]
+        assert (
+            row.n_docs,
+            row.stddev_tokens,
+            row.alloc_budget,
+            row.n_selected,
+            row.sel_id_sum,
+            row.sel_tok_sum,
+        ) == (o[1], o[2], o[3], o[4], o[5], o[6]), src
+
+
+def test_neyman_budget_exceeds_weighted_capacity(spark, tmp_path):
+    """The B′ = min(B, Σ_{q>0} N_h) clamp: when the budget exceeds the
+    total capacity of positively-weighted strata, every weighted stratum
+    saturates (selecting ALL its docs), degenerate strata still allocate
+    0, and Σ n_h = that capacity — never a silent shortfall against an
+    unreachable 200."""
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    docs, did = [], 0
+    # two weighted strata with 30 docs each (capacity 60 < B=200)
+    for s in ("wa", "wb"):
+        for i in range(30):
+            docs.append((did, s, " ".join(["w"] * (1 if i % 2 else 9))))
+            did += 1
+    # one zero-dispersion stratum
+    for _ in range(40):
+        docs.append((did, "flat", "a b c"))
+        did += 1
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r
+        for r in QUERIES["curation_neyman_allocation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["wa"].alloc_budget == 30 and got["wa"].n_selected == 30
+    assert got["wb"].alloc_budget == 30 and got["wb"].n_selected == 30
+    assert got["flat"].alloc_budget == 0
+
+
 def test_drift_suite_single_cohort_degrades_to_null(spark, tmp_path):
     """Self-review regression (round 11): an event type living entirely
     on ONE side of the cohort cutpoint must nullif-degrade — Welch

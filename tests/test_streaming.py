@@ -1510,6 +1510,99 @@ def test_fold_partial_batch_ownership(spark, tmp_path):
     assert {r.k: r.sx for r in gold.read(spark).collect()} == {1: 10}
 
 
+def test_fold_partial_batch_survives_nonfold_commits(spark, tmp_path):
+    """A non-fold commit between batches (OPTIMIZE compaction, an explicit
+    owner-side append) must not shadow the fold markers: the newest
+    fold-stamped manifest entry — found by BACKWARD scan — still carries
+    the high-water mark, so a replayed batch folds NOTHING and ownership
+    is still detected. The newest-entry-only read silently degraded the
+    table to an unstamped bootstrap and double-folded replays."""
+    import pytest
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        fold_partial_batch,
+    )
+
+    def partial(df):
+        return df.groupBy("k").agg(F.sum("x").alias("sx"))
+
+    gold = ManagedTable(str(tmp_path / "gold"))
+    ckpt = str(tmp_path / "ckpt")
+    b0 = spark.createDataFrame([(1, 10), (2, 5)], "k int, x int")
+    b1 = spark.createDataFrame([(1, 7)], "k int, x int")
+
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt)
+    # maintenance commit: newest manifest entry has NO fold markers
+    gold.optimize(spark, target_partitions=1)
+    assert "fold_checkpoint" not in gold.latest_meta()
+    # replay of batch 0 must STILL be a no-op
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt)
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {1: 10, 2: 5}
+    # a genuinely new batch folds onto the compacted rows
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt)
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {1: 17, 2: 5}
+
+    # an owner-side append between folds is bootstrap data: folded onto,
+    # replay detection intact
+    gold.append(spark.createDataFrame([(3, 100)], "k int, sx bigint"))
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt)  # replay: no-op
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {
+        1: 17, 2: 5, 3: 100,
+    }
+    fold_partial_batch(b1, 2, gold, ["k"], partial, ckpt)
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {
+        1: 24, 2: 5, 3: 100,
+    }
+    # ownership also survives the shadowing commits: a foreign batch > 0
+    # still fails loudly
+    gold.optimize(spark, target_partitions=1)
+    with pytest.raises(ValueError, match="maintained by checkpoint"):
+        fold_partial_batch(b1, 3, gold, ["k"], partial, str(tmp_path / "B"))
+
+
+def test_fold_partial_batch_combine_validation(spark, tmp_path):
+    """When ``combine`` is provided it must cover the partial aggregate's
+    metric columns EXACTLY with known folds — a metric column silently
+    defaulting to "sum" corrupts a min/max entity-state gold with no
+    error, and a typo'd fold name must be a descriptive ValueError, not a
+    raw KeyError."""
+    import pytest
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        fold_partial_batch,
+    )
+
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.min("x").alias("mn"), F.max("x").alias("mx")
+        )
+
+    b = spark.createDataFrame([(1, 10), (1, 3)], "k int, x int")
+    ckpt = str(tmp_path / "ckpt")
+
+    with pytest.raises(ValueError, match="unknown fold"):
+        fold_partial_batch(
+            b, 0, ManagedTable(str(tmp_path / "g1")), ["k"], partial, ckpt,
+            combine={"mn": "min", "mx": "maximum"},
+        )
+    with pytest.raises(ValueError, match="missing=\\['mx'\\]"):
+        fold_partial_batch(
+            b, 0, ManagedTable(str(tmp_path / "g2")), ["k"], partial, ckpt,
+            combine={"mn": "min"},
+        )
+    with pytest.raises(ValueError, match="not-in-partial=\\['xx'\\]"):
+        fold_partial_batch(
+            b, 0, ManagedTable(str(tmp_path / "g3")), ["k"], partial, ckpt,
+            combine={"mn": "min", "mx": "max", "xx": "sum"},
+        )
+    # a complete, valid mapping still folds
+    g = ManagedTable(str(tmp_path / "g4"))
+    fold_partial_batch(b, 0, g, ["k"], partial, ckpt,
+                       combine={"mn": "min", "mx": "max"})
+    row = g.read(spark).collect()[0]
+    assert (row.mn, row.mx) == (3, 10)
+
+
 def test_cusum_stream_cross_batch_alarm_continuity(spark, tmp_path):
     """Streaming CUSUM on a planted 3-batch chronological feed: the
     excess accumulates ACROSS batch boundaries and the sticky 1-based
