@@ -1124,16 +1124,22 @@ FROM hz
 )
 
 
-def _km_user_state(ev: DataFrame) -> DataFrame:
+def _km_user_state(ev: DataFrame, with_value: bool = False) -> DataFrame:
     """Per-user funnel state in ONE pass: every column is a commutative
     monoid (min / max — the first-event struct is a lexicographic min
     over the (ts, event_id, event_type) total order, so the cohort is
     deterministic without a ranking window), which is what lets the SAME
     aggregate serve the batch query and the incrementally-maintained
     streaming gold (min/max partials fold order-independently across any
-    batch split)."""
+    batch split). ``with_value`` appends the first event's value to the
+    struct (the (ts, event_id) prefix is already a total order — event_id
+    is unique — so the extra field never changes which row wins; it only
+    carries the stratification covariate for the stratified family)."""
+    first_cols = ["ts", "event_id", "event_type"] + (
+        ["value"] if with_value else []
+    )
     return ev.groupBy("user_id").agg(
-        F.min(F.struct("ts", "event_id", "event_type")).alias("first_ev"),
+        F.min(F.struct(*first_cols)).alias("first_ev"),
         F.min("ts").alias("t0"),
         F.min(
             F.when(F.col("event_type") == "purchase", F.col("ts"))
@@ -1145,14 +1151,37 @@ def _km_user_state(ev: DataFrame) -> DataFrame:
     )
 
 
-def _km_observations(pu: DataFrame) -> DataFrame:
-    """(cohort, duration-days, event-flag) per user from the funnel
-    state — the shared censoring model of the KM / log-rank pair."""
+# first-event value band cut, in cents (the events value median is ~$35
+# at every SF, so the bands stay populated); an analysis constant like
+# the KM horizon — parameterizable trivially
+_KM_BAND_CENTS = 3500
+
+
+def _km_band() -> F.Column:
+    """Value band of the user's FIRST event — a pre-treatment covariate
+    (fixed before any survival time accrues), the legitimate
+    stratification variable; banded on the exact cents lattice so the
+    cut is engine-deterministic."""
+    cents = F.floor(
+        F.col("first_ev")["value"] * 100 + F.lit(0.5)
+    ).cast("long")
+    return F.when(cents < _KM_BAND_CENTS, "low").otherwise("high")
+
+
+def _km_observations(
+    pu: DataFrame, with_band: bool = False
+) -> DataFrame:
+    """(strata..., duration-days, event-flag) per user from the funnel
+    state — the shared censoring model of the KM / log-rank pair.
+    ``with_band`` adds the first-event value band as a second stratum."""
     tcens = F.coalesce(F.col("te"), F.col("tmax"))
     is_event = F.col("tp").isNotNull() & (F.col("tp") <= tcens)
     t_obs = F.when(is_event, F.col("tp")).otherwise(tcens)
+    cols = [F.col("first_ev")["event_type"].alias("cohort")]
+    if with_band:
+        cols.append(_km_band().alias("band"))
     return pu.select(
-        F.col("first_ev")["event_type"].alias("cohort"),
+        *cols,
         F.datediff(F.to_date(t_obs), F.to_date("t0"))
         .cast("long")
         .alias("t"),
@@ -1160,24 +1189,29 @@ def _km_observations(pu: DataFrame) -> DataFrame:
     )
 
 
-def _km_risk(pu: DataFrame) -> DataFrame:
-    """The (cohort, day) lattice relation with exact risk sets —
+def _km_risk(
+    pu: DataFrame, strata: tuple[str, ...] = ("cohort",)
+) -> DataFrame:
+    """The (strata, day) lattice relation with exact risk sets —
     lattice-bounded from here down (see the oracle comment); shared by
-    the KM fold, Nelson-Aalen and RMST projections."""
-    obs = _km_observations(pu)
-    grid = obs.groupBy("cohort", "t").agg(
+    the KM fold, Nelson-Aalen and RMST projections. ``strata`` widens
+    the partition for the stratified family (the lattice stays bounded:
+    days × cohorts × bands)."""
+    strata = tuple(strata)
+    obs = _km_observations(pu, with_band="band" in strata)
+    grid = obs.groupBy(*strata, "t").agg(
         F.sum("e").cast("long").alias("d"),
         (F.count("*") - F.sum("e")).cast("long").alias("c"),
     )
-    w_all = Window.partitionBy("cohort")
+    w_all = Window.partitionBy(*strata)
     w_before = (
-        Window.partitionBy("cohort")
+        Window.partitionBy(*strata)
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     at = F.col("d") + F.col("c")
     return grid.select(
-        "cohort",
+        *strata,
         "t",
         "d",
         "c",
@@ -1190,19 +1224,23 @@ def _km_risk(pu: DataFrame) -> DataFrame:
     )
 
 
-def _km_folded(pu: DataFrame) -> DataFrame:
+def _km_folded(
+    pu: DataFrame, strata: tuple[str, ...] = ("cohort",)
+) -> DataFrame:
     """The KM lattice relation with each row's ordered prefix-ratio list;
-    shared by the curve, streaming-curve and RMST projections."""
+    shared by the curve, streaming-curve, stratified and RMST
+    projections."""
+    strata = tuple(strata)
     w_pref = (
-        Window.partitionBy("cohort")
+        Window.partitionBy(*strata)
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ratio = (F.col("n_risk") - F.col("d")).cast("double") / F.col(
         "n_risk"
     ).cast("double")
-    return _km_risk(pu).select(
-        "cohort",
+    return _km_risk(pu, strata).select(
+        *strata,
         "t",
         "n_risk",
         "d",
@@ -1216,10 +1254,12 @@ def _km_surv() -> F.Column:
     return F.aggregate(F.col("pref"), F.lit(1.0), lambda a, b: a * b)
 
 
-def _km_project(pu: DataFrame) -> DataFrame:
+def _km_project(
+    pu: DataFrame, strata: tuple[str, ...] = ("cohort",)
+) -> DataFrame:
     """KM estimator over the funnel-state relation."""
-    return _km_folded(pu).select(
-        "cohort",
+    return _km_folded(pu, strata).select(
+        *strata,
         "t",
         "n_risk",
         F.col("d").alias("n_event"),
@@ -1477,17 +1517,22 @@ FROM terms
 """
 
 
-def _logrank_project(pu: DataFrame) -> DataFrame:
-    """Mantel-Cox projection over the funnel-state relation (shared by
-    the batch and streaming flavors): conditional sums to the pooled
-    distinct-day relation, suffix-sum risk sets, lattice-quantized E/V
-    terms, one readout row."""
+def _logrank_terms(
+    pu: DataFrame, strata: tuple[str, ...] = ()
+) -> DataFrame:
+    """The per-(strata, time) lattice-quantized Mantel-Cox terms —
+    conditional sums to the (strata, distinct-day) relation with
+    suffix-sum risk sets; shared by the pooled, streaming and
+    STRATIFIED projections (the stratified test partitions the risk
+    sets per stratum, which is exactly this relation with
+    strata=("band",))."""
+    strata = tuple(strata)
     obs = (
-        _km_observations(pu)
+        _km_observations(pu, with_band="band" in strata)
         .filter(F.col("cohort").isin("signup", "view"))
         .withColumnRenamed("cohort", "g")
     )
-    cells = obs.groupBy("t").agg(
+    cells = obs.groupBy(*strata, "t").agg(
         F.sum("e").cast("long").alias("dt_c"),
         F.sum(F.when(F.col("g") == "signup", F.col("e")).otherwise(0))
         .cast("long")
@@ -1498,15 +1543,30 @@ def _logrank_project(pu: DataFrame) -> DataFrame:
         .alias("a1_c"),
     )
     # the risk-set suffix sums run over the pooled DISTINCT-day relation
-    # (lattice-bounded), so the unpartitioned windows are bounded by
-    # design — the Neyman/strata discipline
-    w_all = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    w_before = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # (lattice-bounded, per stratum when stratified), so the windows are
+    # bounded by design — the Neyman/strata discipline
+    if strata:
+        w_all = (
+            Window.partitionBy(*strata)
+            .orderBy("t")
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        w_before = (
+            Window.partitionBy(*strata)
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w_all = Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        w_before = Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
     pooled = cells.select(
+        *strata,
         "t",
         F.col("dt_c").alias("dt"),
         F.col("d1_c").alias("d1"),
@@ -1523,7 +1583,8 @@ def _logrank_project(pu: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n1"),
     )
-    terms = pooled.selectExpr(
+    return pooled.selectExpr(
+        *strata,
         "dt",
         "d1",
         "CAST(floor(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)"
@@ -1534,7 +1595,14 @@ def _logrank_project(pu: DataFrame) -> DataFrame:
         "  * (CAST(nt - dt AS DOUBLE) / nullif(CAST(nt - 1 AS DOUBLE), 0)),"
         "  CAST(0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS vq",
     )
-    return terms.groupBy().agg(
+
+
+def _logrank_project(pu: DataFrame) -> DataFrame:
+    """Mantel-Cox projection over the funnel-state relation (shared by
+    the batch and streaming flavors): conditional sums to the pooled
+    distinct-day relation, suffix-sum risk sets, lattice-quantized E/V
+    terms, one readout row."""
+    return _logrank_terms(pu).groupBy().agg(
         F.sum("d1").cast("long").alias("obs_events_g1"),
         F.sum("dt").cast("long").alias("obs_events_total"),
         (F.sum("e1q").cast("double") / F.lit(1000000)).alias(
@@ -1631,6 +1699,214 @@ def streaming_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_drained(q, 300)
     return _logrank_project(target.read(spark))
+
+
+# -- Stratified survival: KM and log-rank by cohort × value band ----------------
+
+# Stratification is the standard guard against confounding in funnel
+# analyses (Simpson's trap: a covariate that differs between cohorts
+# AND shifts conversion speed can manufacture — or hide — a pooled
+# difference). The stratum is the FIRST event's value band (a
+# pre-treatment covariate: fixed before any survival time accrues,
+# banded on the exact cents lattice at {_KM_BAND_CENTS} so the cut is
+# engine-deterministic). The stratified machinery is the SAME exact
+# pipeline with (cohort, band) / (band, t) partitions — risk sets stay
+# exact int64 over the still-lattice-bounded (cohort × band × day)
+# relation, the survival fold and the per-time E/V quantization are
+# unchanged — and the stratified Mantel-Cox statistic is
+# χ² = (Σ_s (O_s − E_s))² / Σ_s V_s: per-stratum sums of the SAME
+# 1e-6-quantized integer terms (so the cross-stratum sums are
+# engine-exact), one final float expression.
+_KM_STRAT_CTES = f"""
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
+    CASE WHEN CAST(floor(min(CASE WHEN rn = 1 THEN value END) * 100
+                         + 0.5) AS BIGINT) < {_KM_BAND_CENTS}
+         THEN 'low' ELSE 'high' END AS band,
+    min(ts) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
+    max(ts) AS tmax
+  FROM r GROUP BY user_id
+),
+obs AS (
+  SELECT cohort, band,
+    CAST(datediff('day', CAST(t0 AS DATE), CAST(
+      CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN tp
+           ELSE coalesce(te, tmax) END AS DATE)) AS BIGINT) AS t,
+    CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN 1 ELSE 0 END
+      AS e
+  FROM pu
+)
+"""
+
+_KM_STRAT_ORACLE = (
+    _KM_STRAT_CTES
+    + """
+, grid AS (
+  SELECT cohort, band, t,
+    CAST(sum(e) AS BIGINT) AS d,
+    CAST(count(*) - sum(e) AS BIGINT) AS c
+  FROM obs GROUP BY cohort, band, t
+),
+risk AS (
+  SELECT cohort, band, t, d, c,
+    CAST(sum(d + c) OVER (PARTITION BY cohort, band)
+       - coalesce(sum(d + c) OVER (PARTITION BY cohort, band ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM grid
+),
+folded AS (
+  SELECT cohort, band, t, n_risk, d, c,
+    list(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      OVER (PARTITION BY cohort, band ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+  FROM risk
+)
+SELECT cohort, band, t, n_risk, d AS n_event, c AS n_censored,
+  floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pref),
+        (a, b) -> a * b) * 1000000 + 0.5) / 1000000 AS survival
+FROM folded
+"""
+)
+
+_LOGRANK_STRAT_ORACLE = (
+    _KM_STRAT_CTES
+    + """
+, lobs AS (
+  SELECT cohort AS g, band, t, e FROM obs
+  WHERE cohort IN ('signup', 'view')
+),
+cells AS (
+  SELECT band, t,
+    CAST(sum(e) AS BIGINT) AS dt_c,
+    CAST(sum(CASE WHEN g = 'signup' THEN e ELSE 0 END) AS BIGINT) AS d1_c,
+    CAST(count(*) AS BIGINT) AS at_c,
+    CAST(sum(CASE WHEN g = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS a1_c
+  FROM lobs GROUP BY band, t
+),
+pooled AS (
+  SELECT band, t, dt_c AS dt, d1_c AS d1,
+    CAST(sum(at_c) OVER (PARTITION BY band)
+       - coalesce(sum(at_c) OVER (PARTITION BY band ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS nt,
+    CAST(sum(a1_c) OVER (PARTITION BY band)
+       - coalesce(sum(a1_c) OVER (PARTITION BY band ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n1
+  FROM cells
+),
+terms AS (
+  SELECT band, dt, d1,
+    CAST(floor(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+         / CAST(nt AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS e1q,
+    CAST(floor(coalesce(
+        CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        * (CAST(1 AS DOUBLE) - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        * (CAST(nt - dt AS DOUBLE) / nullif(CAST(nt - 1 AS DOUBLE), 0)),
+        CAST(0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS vq
+  FROM pooled
+),
+byband AS (
+  SELECT band,
+    CAST(sum(d1) AS BIGINT) AS o1,
+    CAST(sum(dt) AS BIGINT) AS ot,
+    CAST(sum(e1q) AS BIGINT) AS e1s,
+    CAST(sum(vq) AS BIGINT) AS vs
+  FROM terms GROUP BY band
+)
+SELECT band,
+  o1 AS obs_events_g1,
+  ot AS obs_events_total,
+  CAST(e1s AS DOUBLE) / 1000000 AS exp_events_g1,
+  CAST(vs AS DOUBLE) / 1000000 AS var_logrank,
+  floor(
+    (CAST(sum(o1) OVER () AS DOUBLE)
+     - CAST(sum(e1s) OVER () AS DOUBLE) / 1000000)
+    * (CAST(sum(o1) OVER () AS DOUBLE)
+       - CAST(sum(e1s) OVER () AS DOUBLE) / 1000000)
+    / nullif(CAST(sum(vs) OVER () AS DOUBLE) / 1000000, 0)
+    * 1000000 + 0.5
+  ) / 1000000 AS logrank_chi2_stratified
+FROM byband
+"""
+)
+
+
+@query("diag_km_stratified", _KM_STRAT_ORACLE)
+def diag_km_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curves stratified by cohort × first-event
+    value band — the confounding guard on diag_kaplan_meier: if
+    high-value users both enter a different first-event cohort AND
+    convert on a different schedule, the pooled curves mix the two
+    effects; the stratified curves separate them. The SAME exact
+    machinery with a (cohort, band) partition — the lattice stays
+    bounded (days × cohorts × 2 bands). See the stratified oracle
+    comment."""
+    return _km_project(
+        _km_user_state(table(spark, sf_dir, "events"), with_value=True),
+        strata=("cohort", "band"),
+    )
+
+
+@query("diag_logrank_stratified", _LOGRANK_STRAT_ORACLE)
+def diag_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED Mantel-Cox log-rank between the signup-first and
+    view-first cohorts, stratified by first-event value band: risk sets
+    and the hypergeometric E/V terms are computed WITHIN each stratum
+    (so a band imbalance between cohorts cannot manufacture a pooled
+    signal — the Simpson guard), then χ² = (Σ_s (O_s − E_s))² / Σ_s V_s
+    combines the per-stratum integer-quantized sums. One row per band
+    with its O/E/V contributions plus the combined statistic."""
+    terms = _logrank_terms(
+        _km_user_state(table(spark, sf_dir, "events"), with_value=True),
+        strata=("band",),
+    )
+    byband = terms.groupBy("band").agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("dt").cast("long").alias("ot"),
+        F.sum("e1q").cast("long").alias("e1s"),
+        F.sum("vq").cast("long").alias("vs"),
+    )
+    # the combining window runs over the band relation (2 rows) —
+    # bounded by design
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return byband.select(
+        "band",
+        F.col("o1").alias("obs_events_g1"),
+        F.col("ot").alias("obs_events_total"),
+        (F.col("e1s").cast("double") / 1000000).alias("exp_events_g1"),
+        (F.col("vs").cast("double") / 1000000).alias("var_logrank"),
+        (
+            F.floor(
+                (
+                    F.sum("o1").over(w).cast("double")
+                    - F.sum("e1s").over(w).cast("double") / F.lit(1000000)
+                )
+                * (
+                    F.sum("o1").over(w).cast("double")
+                    - F.sum("e1s").over(w).cast("double") / F.lit(1000000)
+                )
+                / F.nullif(
+                    F.sum("vs").over(w).cast("double") / F.lit(1000000),
+                    F.lit(0.0),
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("logrank_chi2_stratified"),
+    )
 
 
 # -- Population Stability Index over reference-decile bins ----------------------

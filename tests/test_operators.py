@@ -4112,6 +4112,157 @@ def test_neyman_largest_remainder_tie(spark, tmp_path):
         assert r.n_selected == r.alloc_budget
 
 
+def test_stratified_logrank_simpson_disagreement(spark, tmp_path):
+    """Simpson-style plant where the POOLED log-rank fires and the
+    STRATIFIED one reads exactly zero: within each first-event value
+    band the signup and view cohorts convert with IDENTICAL per-time
+    event fractions (O = E at every stratum time), but band composition
+    differs by cohort (signup mostly low-band/fast, view mostly
+    high-band/slow) — the pooled test mistakes the band imbalance for a
+    cohort effect. Per-band O/E/V are replayed in raw Python with the
+    engines' exact quantization."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows, k, uid = [], 0, 0
+
+    def add_user(cohort, band_value, purchase_day):
+        nonlocal k, uid
+        uid += 1
+        rows.append(
+            (k, dt.datetime(2024, 1, 1, 8, 0, 0), uid, cohort,
+             band_value, "{}")
+        )
+        k += 1
+        rows.append(
+            (k, dt.datetime(2024, 1, 1 + purchase_day, 8, 0, 0), uid,
+             "purchase", 1.0, "{}")
+        )
+        k += 1
+
+    # band low (first value $10 < $35): fast conversion d1/d2 at the
+    # SAME 50/50 split in both cohorts; signup-heavy (20 vs 4)
+    for d in (1, 2):
+        for _ in range(10):
+            add_user("signup", 10.0, d)
+        for _ in range(2):
+            add_user("view", 10.0, d)
+    # band high (first value $60): slow conversion d5/d6, view-heavy
+    for d in (5, 6):
+        for _ in range(2):
+            add_user("signup", 60.0, d)
+        for _ in range(10):
+            add_user("view", 60.0, d)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    strat = {
+        r.band: r
+        for r in QUERIES["diag_logrank_stratified"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    pooled = QUERIES["diag_logrank_test"](spark, str(tmp_path)).collect()[0]
+
+    # raw-Python replay of the per-band hypergeometric sums (quantized
+    # exactly like the engines)
+    def band_replay(n1_tot, n2_tot, days):
+        # days: [(day, d1, d2), ...] in time order
+        o1 = e1s = vs = 0
+        n1, n2 = n1_tot, n2_tot
+        for _, d1, d2 in days:
+            dt_, nt = d1 + d2, n1 + n2
+            o1 += d1
+            e1s += math.floor(dt_ * n1 / nt * 1000000 + 0.5)
+            v = (
+                dt_ * (n1 / nt) * (1 - n1 / nt)
+                * ((nt - dt_) / (nt - 1))
+                if nt > 1
+                else 0.0
+            )
+            vs += math.floor(v * 1000000 + 0.5)
+            n1 -= d1
+            n2 -= d2
+        return o1, e1s, vs
+
+    lo = band_replay(20, 4, [(1, 10, 2), (2, 10, 2)])
+    hi = band_replay(4, 20, [(5, 2, 10), (6, 2, 10)])
+    for band, (o1, e1s, vs) in (("low", lo), ("high", hi)):
+        r = strat[band]
+        assert r.obs_events_g1 == o1, band
+        assert r.exp_events_g1 == e1s / 1000000, band
+        assert r.var_logrank == vs / 1000000, band
+        # identical within-band schedules: O == E exactly per stratum
+        assert r.obs_events_g1 * 1000000 == e1s, band
+    # the stratified statistic is exactly zero ...
+    assert strat["low"].logrank_chi2_stratified == 0.0
+    assert strat["high"].logrank_chi2_stratified == 0.0
+    # ... while the pooled test fires hard on the band imbalance
+    assert pooled.logrank_chi2 > 3.84
+
+
+def test_stratified_km_band_assignment_and_curves(spark, tmp_path):
+    """diag_km_stratified: the band comes from the FIRST event's value
+    on the exact cents lattice (a $35.00 first event lands in 'high' —
+    the < 3500 boundary), later event values never re-band a user, and
+    the per-(cohort, band) curves match the KM estimator replayed in
+    raw Python."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    # (uid, first_value, [(day, type, value), ...] after the first)
+    planted = [
+        (1, 10.0, [(1, "purchase", 999.0)]),  # low despite rich purchase
+        (2, 10.0, [(2, "purchase", 1.0)]),
+        (3, 10.0, [(3, "view", 1.0)]),  # censored t=3
+        (4, 35.0, [(1, "purchase", 1.0)]),  # exactly $35 -> high
+        (5, 60.0, [(2, "error", 1.0), (4, "purchase", 1.0)]),  # cens t=2
+    ]
+    rows, k = [], 0
+    for uid, v0, evs in planted:
+        rows.append(
+            (k, dt.datetime(2024, 1, 1, 8, 0, 0), uid, "signup", v0, "{}")
+        )
+        k += 1
+        for day, et, v in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), uid, et, v,
+                 "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.cohort, r.band, r.t): r
+        for r in QUERIES["diag_km_stratified"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # low band: u1 events t=1, u2 t=2, u3 censored t=3
+    q6 = lambda x: math.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
+    assert got[("signup", "low", 1)].n_risk == 3
+    assert got[("signup", "low", 1)].survival == q6(2 / 3)
+    assert got[("signup", "low", 2)].survival == q6((2 / 3) * (1 / 2))
+    assert got[("signup", "low", 3)].n_censored == 1
+    # high band: u4 ($35.00 boundary) events t=1; u5 censored t=2
+    assert got[("signup", "high", 1)].n_risk == 2
+    assert got[("signup", "high", 1)].survival == 0.5
+    assert got[("signup", "high", 2)].n_censored == 1
+    assert len({b for _, b, _ in got}) == 2
+
+
 def test_logrank_planted_separated_schedules(spark, tmp_path):
     """diag_logrank_test vs the Mantel-Cox sums replayed in raw Python
     on a planted funnel where signup-first users convert fast and
@@ -4302,6 +4453,10 @@ def test_survival_family_plan_shapes(spark):
         ("diag_nelson_aalen", 1),
         ("diag_rmst", 1),
         ("diag_logrank_test", 1),
+        # the r13 stratified pair rides the same machinery — widening
+        # the partition to (cohort/band) must not add scans or joins
+        ("diag_km_stratified", 1),
+        ("diag_logrank_stratified", 1),
     ):
         df = QUERIES[name](spark, sf)
         df.collect()
