@@ -2802,6 +2802,245 @@ def diag_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- cluster-robust difference-in-differences ------------------------------------
+
+# The r12 DiD's one methodological soft spot closed: its SE assumes
+# independent user deltas, but when randomization happens at a COARSER
+# unit (households, merchants, sessions) the within-cluster correlation
+# makes the naive SE understate variance — the classic Moulton problem.
+# Here assignment is cluster-randomized (cluster = user_id div 4,
+# variant = cluster parity — the setting where CRVE is mandatory), and
+# the readout ships BOTH the naive and the CR1 cluster-robust SE. For
+# the two-group mean-of-deltas model the sandwich collapses to exact
+# per-cluster sufficient statistics: with S_c = Σ_i d_i and n_c the
+# cluster size, Var_CR0(m_v) = Σ_c (S_c − n_c·m_v)² / n_v²
+# = (ΣS_c² − 2·m_v·Σn_c S_c + m_v²·Σn_c²) / n_v² — three exact
+# decimal(38,0)/HUGEINT sums (headroom: S_c ≤ 1e13 cents → S_c² ≤ 1e26,
+# corpus sums ≤ 1e35 < 1e38, cited) expanded so NO per-cluster float
+# residual is ever summed across rows — and CR1 applies the
+# small-sample factor G_v/(G_v − 1). Everything downstream of the exact
+# sums is one identical float sequence on both engines; G_v − 1 and the
+# SEs nullif-guarded; round-6 at the end. One fact scan → user deltas →
+# cluster sums → a 2-row variant relation pivoted to one readout row.
+_DID_CR_CLUSTER = 4  # users per cluster (the randomization unit)
+
+_DID_CR_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id, user_id // {_DID_CR_CLUSTER} AS cluster_id,
+    CASE WHEN (user_id // {_DID_CR_CLUSTER}) % 2 = 0
+         THEN 'A' ELSE 'B' END AS variant,
+    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+      - coalesce(sum(CASE WHEN ts < TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+      AS d
+  FROM events GROUP BY user_id
+),
+cl AS (
+  SELECT variant, cluster_id,
+    CAST(count(*) AS BIGINT) AS nc,
+    CAST(sum(d) AS BIGINT) AS sc,
+    sum(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sddc
+  FROM pu GROUP BY variant, cluster_id
+),
+v AS (
+  SELECT variant,
+    CAST(sum(nc) AS BIGINT) AS nv,
+    CAST(count(*) AS BIGINT) AS gv,
+    CAST(sum(sc) AS BIGINT) AS sd,
+    sum(sddc) AS sdd,
+    sum(CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))) AS sss,
+    sum(CAST(nc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))) AS sns,
+    sum(CAST(nc AS DECIMAL(38,0)) * CAST(nc AS DECIMAL(38,0))) AS snn
+  FROM cl GROUP BY variant
+),
+w AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN nv END) AS na,
+    max(CASE WHEN variant = 'B' THEN nv END) AS nb,
+    max(CASE WHEN variant = 'A' THEN gv END) AS ga,
+    max(CASE WHEN variant = 'B' THEN gv END) AS gb,
+    max(CASE WHEN variant = 'A' THEN sd END) AS sda,
+    max(CASE WHEN variant = 'B' THEN sd END) AS sdb,
+    max(CASE WHEN variant = 'A' THEN sdd END) AS sdda,
+    max(CASE WHEN variant = 'B' THEN sdd END) AS sddb,
+    max(CASE WHEN variant = 'A' THEN sss END) AS sssa,
+    max(CASE WHEN variant = 'B' THEN sss END) AS sssb,
+    max(CASE WHEN variant = 'A' THEN sns END) AS snsa,
+    max(CASE WHEN variant = 'B' THEN sns END) AS snsb,
+    max(CASE WHEN variant = 'A' THEN snn END) AS snna,
+    max(CASE WHEN variant = 'B' THEN snn END) AS snnb
+  FROM v
+),
+calc AS (
+  SELECT na, nb, ga, gb,
+    CAST(sda AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+    CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+    (CAST(sdda AS DOUBLE) - CAST(sda AS DOUBLE) * CAST(sda AS DOUBLE)
+       / CAST(na AS DOUBLE)) / nullif(CAST(na - 1 AS DOUBLE), 0) AS va,
+    (CAST(sddb AS DOUBLE) - CAST(sdb AS DOUBLE) * CAST(sdb AS DOUBLE)
+       / CAST(nb AS DOUBLE)) / nullif(CAST(nb - 1 AS DOUBLE), 0) AS vb,
+    (CAST(sssa AS DOUBLE)
+     - CAST(2 AS DOUBLE) * (CAST(sda AS DOUBLE) / CAST(na AS DOUBLE))
+       * CAST(snsa AS DOUBLE)
+     + (CAST(sda AS DOUBLE) / CAST(na AS DOUBLE))
+       * (CAST(sda AS DOUBLE) / CAST(na AS DOUBLE))
+       * CAST(snna AS DOUBLE))
+    / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+    * (CAST(ga AS DOUBLE) / nullif(CAST(ga - 1 AS DOUBLE), 0)) AS cra,
+    (CAST(sssb AS DOUBLE)
+     - CAST(2 AS DOUBLE) * (CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE))
+       * CAST(snsb AS DOUBLE)
+     + (CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE))
+       * (CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE))
+       * CAST(snnb AS DOUBLE))
+    / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))
+    * (CAST(gb AS DOUBLE) / nullif(CAST(gb - 1 AS DOUBLE), 0)) AS crb
+  FROM w
+)
+SELECT na AS n_control, nb AS n_treated,
+  ga AS g_control, gb AS g_treated,
+  floor((mb - ma) * 1000000 + 0.5) / 1000000 AS did_cents,
+  floor(sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+    * 1000000 + 0.5) / 1000000 AS se_naive,
+  floor(sqrt(cra + crb) * 1000000 + 0.5) / 1000000 AS se_cluster_robust,
+  floor((mb - ma) / nullif(sqrt(va / CAST(na AS DOUBLE)
+    + vb / CAST(nb AS DOUBLE)), 0) * 1000000 + 0.5) / 1000000
+    AS t_naive,
+  floor((mb - ma) / nullif(sqrt(cra + crb), 0) * 1000000 + 0.5)
+    / 1000000 AS t_robust
+FROM calc
+"""
+
+
+@query("diag_did_cluster_robust", _DID_CR_ORACLE)
+def diag_did_cluster_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences with CR1 CLUSTER-ROBUST standard errors
+    under cluster-randomized assignment (cluster = user_id div 4,
+    variant = cluster parity): per-user post-minus-pre deltas roll up to
+    exact per-cluster sums, and the sandwich variance expands to three
+    decimal-exact cross sums so no per-cluster float residual is ever
+    summed across rows. Ships naive AND robust SE/t side by side — on
+    correlated clusters the naive SE understates (the Moulton problem).
+    See the oracle comment for the algebra and headroom."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cut = F.lit(_COHORT_TS).cast("timestamp")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+                )
+                - F.coalesce(
+                    F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .select(
+            F.expr(f"user_id div {_DID_CR_CLUSTER}").alias("cluster_id"),
+            F.when(
+                F.expr(f"(user_id div {_DID_CR_CLUSTER}) % 2") == 0, "A"
+            )
+            .otherwise("B")
+            .alias("variant"),
+            "d",
+        )
+    )
+    cl = pu.groupBy("variant", "cluster_id").agg(
+        F.count("*").cast("long").alias("nc"),
+        F.sum("d").cast("long").alias("sc"),
+        F.sum(
+            F.col("d").cast("decimal(38,0)")
+            * F.col("d").cast("decimal(38,0)")
+        ).alias("sddc"),
+    )
+    v = cl.groupBy("variant").agg(
+        F.sum("nc").cast("long").alias("nv"),
+        F.count("*").cast("long").alias("gv"),
+        F.sum("sc").cast("long").alias("sd"),
+        F.sum("sddc").alias("sdd"),
+        F.sum(
+            F.col("sc").cast("decimal(38,0)")
+            * F.col("sc").cast("decimal(38,0)")
+        ).alias("sss"),
+        F.sum(
+            F.col("nc").cast("decimal(38,0)")
+            * F.col("sc").cast("decimal(38,0)")
+        ).alias("sns"),
+        F.sum(
+            F.col("nc").cast("decimal(38,0)")
+            * F.col("nc").cast("decimal(38,0)")
+        ).alias("snn"),
+    )
+    pivots = {
+        "na": ("A", "nv"), "nb": ("B", "nv"),
+        "ga": ("A", "gv"), "gb": ("B", "gv"),
+        "sda": ("A", "sd"), "sdb": ("B", "sd"),
+        "sdda": ("A", "sdd"), "sddb": ("B", "sdd"),
+        "sssa": ("A", "sss"), "sssb": ("B", "sss"),
+        "snsa": ("A", "sns"), "snsb": ("B", "sns"),
+        "snna": ("A", "snn"), "snnb": ("B", "snn"),
+    }
+    w = v.groupBy().agg(
+        *[
+            F.max(F.when(F.col("variant") == var, F.col(c))).alias(out)
+            for out, (var, c) in pivots.items()
+        ]
+    )
+    calc = w.selectExpr(
+        "na",
+        "nb",
+        "ga",
+        "gb",
+        "CAST(sda AS DOUBLE) / CAST(na AS DOUBLE) AS ma",
+        "CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb",
+        "(CAST(sdda AS DOUBLE) - CAST(sda AS DOUBLE) * CAST(sda AS DOUBLE)"
+        "   / CAST(na AS DOUBLE)) / nullif(CAST(na - 1 AS DOUBLE), 0)"
+        " AS va",
+        "(CAST(sddb AS DOUBLE) - CAST(sdb AS DOUBLE) * CAST(sdb AS DOUBLE)"
+        "   / CAST(nb AS DOUBLE)) / nullif(CAST(nb - 1 AS DOUBLE), 0)"
+        " AS vb",
+        "(CAST(sssa AS DOUBLE)"
+        " - CAST(2 AS DOUBLE) * (CAST(sda AS DOUBLE) / CAST(na AS DOUBLE))"
+        "   * CAST(snsa AS DOUBLE)"
+        " + (CAST(sda AS DOUBLE) / CAST(na AS DOUBLE))"
+        "   * (CAST(sda AS DOUBLE) / CAST(na AS DOUBLE))"
+        "   * CAST(snna AS DOUBLE))"
+        " / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))"
+        " * (CAST(ga AS DOUBLE) / nullif(CAST(ga - 1 AS DOUBLE), 0))"
+        " AS cra",
+        "(CAST(sssb AS DOUBLE)"
+        " - CAST(2 AS DOUBLE) * (CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        "   * CAST(snsb AS DOUBLE)"
+        " + (CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        "   * (CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        "   * CAST(snnb AS DOUBLE))"
+        " / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))"
+        " * (CAST(gb AS DOUBLE) / nullif(CAST(gb - 1 AS DOUBLE), 0))"
+        " AS crb",
+    )
+    return calc.selectExpr(
+        "na AS n_control",
+        "nb AS n_treated",
+        "ga AS g_control",
+        "gb AS g_treated",
+        "floor((mb - ma) * 1000000 + 0.5) / 1000000 AS did_cents",
+        "floor(sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))"
+        "  * 1000000 + 0.5) / 1000000 AS se_naive",
+        "floor(sqrt(cra + crb) * 1000000 + 0.5) / 1000000"
+        " AS se_cluster_robust",
+        "floor((mb - ma) / nullif(sqrt(va / CAST(na AS DOUBLE)"
+        "  + vb / CAST(nb AS DOUBLE)), 0) * 1000000 + 0.5) / 1000000"
+        " AS t_naive",
+        "floor((mb - ma) / nullif(sqrt(cra + crb), 0) * 1000000 + 0.5)"
+        " / 1000000 AS t_robust",
+    )
+
+
 # -- per-key Page-Hinkley mean-drift detection ----------------------------------
 
 # The RUNNING-MEAN change detector (Page 1954, Hinkley 1971) that

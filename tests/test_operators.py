@@ -4603,3 +4603,86 @@ def test_did_planted_lift(spark, tmp_path):
     assert r.did_cents == 5000.0
     assert r.se_did == q6(se)
     assert r.t_stat == q6((mb - ma) / se)
+
+
+def test_did_cluster_robust_correlated_clusters(spark, tmp_path):
+    """diag_did_cluster_robust on a plant where every cluster shares ONE
+    common shock (within-cluster correlation = 1): with clusters of 4,
+    the naive SE treats 16 deltas per variant as independent and
+    understates by ~2x — the robust CR1 SE must come out measurably
+    larger (>1.5x here), and every readout must match the sandwich
+    algebra replayed in raw Python through the identical float
+    sequence. Control clusters carry shocks of +/-$100; treated clusters
+    the same shocks plus a +$50 lift, so DiD is exactly $50."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    # cluster = user_id div 4, variant = cluster parity: users 0..15 in
+    # clusters 0,2,4,6 hmm — enumerate ids explicitly per cluster
+    shocks = [100.0, -100.0, 100.0, -100.0]
+    rows, eid = [], 0
+    deltas = {"A": [], "B": []}
+    for ci, shock in enumerate(shocks):
+        for variant, cluster_id, lift in (
+            ("A", 2 * ci, 0.0),
+            ("B", 2 * ci + 1, 50.0),
+        ):
+            for m in range(4):
+                uid = cluster_id * 4 + m
+                delta = shock + lift
+                pre, post = (10.0, 10.0 + delta) if delta >= 0 else (
+                    10.0 - delta, 10.0
+                )
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 5), uid, "view", pre, "{}")
+                )
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 25), uid, "view", post,
+                     "{}")
+                )
+                eid += 1
+                deltas[variant].append(int(round(delta * 100)))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    r = QUERIES["diag_did_cluster_robust"](spark, str(tmp_path)).collect()[
+        0
+    ]
+
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def side(ds, g):
+        n = len(ds)
+        sd = sum(ds)
+        m = sd / n
+        va = (sum(x * x for x in ds) - sd * sd / n) / (n - 1)
+        # per-cluster sums: consecutive groups of 4
+        scs = [sum(ds[i: i + 4]) for i in range(0, n, 4)]
+        sss = sum(s * s for s in scs)
+        sns = sum(4 * s for s in scs)
+        snn = sum(16 for _ in scs)
+        cr = (
+            (sss - 2.0 * m * sns + m * m * snn) / (n * n) * (g / (g - 1))
+        )
+        return n, m, va, cr
+
+    na, ma, va, cra = side(deltas["A"], 4)
+    nb, mb, vb, crb = side(deltas["B"], 4)
+    assert (r.n_control, r.n_treated, r.g_control, r.g_treated) == (
+        16, 16, 4, 4,
+    )
+    assert r.did_cents == q6(mb - ma) == 5000.0
+    se_naive = math.sqrt(va / na + vb / nb)
+    se_robust = math.sqrt(cra + crb)
+    assert r.se_naive == q6(se_naive)
+    assert r.se_cluster_robust == q6(se_robust)
+    assert r.t_naive == q6((mb - ma) / se_naive)
+    assert r.t_robust == q6((mb - ma) / se_robust)
+    # the point of the exercise: correlation makes naive SE understate
+    assert r.se_cluster_robust > 1.5 * r.se_naive
