@@ -3041,6 +3041,315 @@ def diag_did_cluster_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- mSPRT always-valid sequential A/B test --------------------------------------
+
+# The sequential gate the experimentation layer was missing: CUPED/DiD
+# give point estimates at a FIXED horizon, but real experiment
+# pipelines peek daily — and repeated fixed-horizon tests inflate false
+# positives. The mixture-SPRT (Robbins 1970; Johari, Koomen, Pekelis &
+# Walsh 2017 "Peeking at A/B tests") is the always-valid answer: with
+# Δ_k the running mean difference and V_k its running variance
+# estimate, the normal-mixture martingale
+#   log Λ_k = ½·ln(V_k/(V_k + τ²)) + Δ_k²·τ²/(2·V_k·(V_k + τ²))
+# may be monitored continuously; rejecting when Λ_k ≥ 1/α holds the
+# type-I error at α at EVERY stopping rule. Sequence = the calendar-day
+# lattice: per-(day, variant) partials (n, Σx, Σx² — int64 cents /
+# decimal(38,0), the CUPED headroom) cumulate through exact integer
+# window sums over the bounded day lattice (never a float cumsum), so
+# the running sufficient statistics are engine-exact and the float
+# readout is ONE identical sequence per day. ln() is libm — absorbed by
+# round-6 (the WOE/tfidf discipline), and the crossing compares the
+# ROUNDED log Λ against the PRE-ROUNDED literal threshold, so the
+# decision is deterministic cross-engine. Degenerate days (a variant
+# unseen, n_a+n_b ≤ 2, zero variance) nullif-degrade to NULL log Λ and
+# crossed = 0 identically. At 100 TB the state is 2 rows per day —
+# additive partials, so the streaming flavor maintains them
+# exactly-once under any batch split.
+_MSPRT_TAU2 = 1000000.0  # mixture prior variance: tau = $10 in cents^2
+_MSPRT_ALPHA = 0.05
+# ln(1/alpha) pre-rounded to the 1e-6 lattice: the crossing threshold
+# ships as a LITERAL so neither engine computes its own ln(20)
+_MSPRT_LOG_THRESH = 2.995732
+
+_MSPRT_STAT_SQL = f"""
+pd AS (
+  SELECT day,
+    coalesce(CAST(sum(CASE WHEN variant = 'A' THEN n END) AS BIGINT), 0)
+      AS na_d,
+    coalesce(CAST(sum(CASE WHEN variant = 'B' THEN n END) AS BIGINT), 0)
+      AS nb_d,
+    coalesce(CAST(sum(CASE WHEN variant = 'A' THEN sx END) AS BIGINT), 0)
+      AS sxa_d,
+    coalesce(CAST(sum(CASE WHEN variant = 'B' THEN sx END) AS BIGINT), 0)
+      AS sxb_d,
+    coalesce(sum(CASE WHEN variant = 'A' THEN sxx END),
+             CAST(0 AS DECIMAL(38,0))) AS sxxa_d,
+    coalesce(sum(CASE WHEN variant = 'B' THEN sxx END),
+             CAST(0 AS DECIMAL(38,0))) AS sxxb_d
+  FROM d GROUP BY day
+),
+cum AS (
+  SELECT day,
+    CAST(sum(na_d) OVER w AS BIGINT) AS na,
+    CAST(sum(nb_d) OVER w AS BIGINT) AS nb,
+    CAST(sum(sxa_d) OVER w AS BIGINT) AS sxa,
+    CAST(sum(sxb_d) OVER w AS BIGINT) AS sxb,
+    sum(sxxa_d) OVER w AS sxxa,
+    sum(sxxb_d) OVER w AS sxxb
+  FROM pd
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stat AS (
+  SELECT day, na, nb,
+    (CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)
+     - CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)) AS delta,
+    ((CAST(sxxa AS DOUBLE)
+      - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
+        / nullif(CAST(na AS DOUBLE), 0))
+     + (CAST(sxxb AS DOUBLE)
+        - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
+          / nullif(CAST(nb AS DOUBLE), 0)))
+    / nullif(CAST(na + nb - 2 AS DOUBLE), 0)
+    * (CAST(1 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)
+       + CAST(1 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) AS vk
+  FROM cum
+),
+lam AS (
+  SELECT day, na, nb, delta,
+    floor((CAST(0.5 AS DOUBLE)
+           * ln(nullif(vk, 0) / (vk + CAST({_MSPRT_TAU2} AS DOUBLE)))
+           + delta * delta * CAST({_MSPRT_TAU2} AS DOUBLE)
+             / (CAST(2 AS DOUBLE) * nullif(vk, 0)
+                * (vk + CAST({_MSPRT_TAU2} AS DOUBLE))))
+          * 1000000 + 0.5) / 1000000 AS log_lambda
+  FROM stat
+),
+flagged AS (
+  SELECT day, na, nb,
+    floor(delta * 1000000 + 0.5) / 1000000 AS diff_cents,
+    log_lambda,
+    CASE WHEN log_lambda >= CAST({_MSPRT_LOG_THRESH} AS DOUBLE)
+         THEN 1 ELSE 0 END AS crossed
+  FROM lam
+)
+SELECT CAST(day AS VARCHAR) AS day,
+  na AS n_control, nb AS n_treated, diff_cents, log_lambda, crossed,
+  CAST(min(CASE WHEN crossed = 1 THEN day END) OVER () AS VARCHAR)
+    AS first_crossing_day
+FROM flagged
+"""
+
+_MSPRT_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+d AS (
+  SELECT day, variant, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+  FROM e GROUP BY day, variant
+),
+{_MSPRT_STAT_SQL}
+"""
+
+
+def _msprt_partial(ev: DataFrame) -> DataFrame:
+    """Per-(day, variant) additive sufficient statistics — the batch
+    partial AND the streaming fold unit (n/Σx/Σx² are sums, so any
+    batch split folds order-independently)."""
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.when(F.col("user_id") % 2 == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("day", "variant")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)")
+                * F.col("x").cast("decimal(38,0)")
+            ).alias("sxx"),
+        )
+    )
+
+
+def _msprt_project(d: DataFrame) -> DataFrame:
+    """The per-day mSPRT readout over the (day, variant, n, sx, sxx)
+    relation (shared by the batch and streaming flavors): exact
+    cumulative sums over the bounded day lattice, then one identical
+    float sequence per day. The unpartitioned windows run over the day
+    lattice — bounded by design."""
+    pdw = d.groupBy("day").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "A", F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("na_d"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "B", F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("nb_d"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "A", F.col("sx"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sxa_d"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "B", F.col("sx"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sxb_d"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "A", F.col("sxx"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sxxa_d"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "B", F.col("sxx"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sxxb_d"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pdw.select(
+        "day",
+        F.sum("na_d").over(w).cast("long").alias("na"),
+        F.sum("nb_d").over(w).cast("long").alias("nb"),
+        F.sum("sxa_d").over(w).cast("long").alias("sxa"),
+        F.sum("sxb_d").over(w).cast("long").alias("sxb"),
+        F.sum("sxxa_d").over(w).alias("sxxa"),
+        F.sum("sxxb_d").over(w).alias("sxxb"),
+    )
+    stat = cum.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "(CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)"
+        " - CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)) AS delta",
+        "((CAST(sxxa AS DOUBLE)"
+        "  - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)"
+        "    / nullif(CAST(na AS DOUBLE), 0))"
+        " + (CAST(sxxb AS DOUBLE)"
+        "    - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)"
+        "      / nullif(CAST(nb AS DOUBLE), 0)))"
+        " / nullif(CAST(na + nb - 2 AS DOUBLE), 0)"
+        " * (CAST(1 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
+        "    + CAST(1 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) AS vk",
+    )
+    lam = stat.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "delta",
+        f"floor((CAST(0.5 AS DOUBLE)"
+        f" * ln(nullif(vk, 0) / (vk + CAST({_MSPRT_TAU2} AS DOUBLE)))"
+        f" + delta * delta * CAST({_MSPRT_TAU2} AS DOUBLE)"
+        f"   / (CAST(2 AS DOUBLE) * nullif(vk, 0)"
+        f"      * (vk + CAST({_MSPRT_TAU2} AS DOUBLE))))"
+        f" * 1000000 + 0.5) / 1000000 AS log_lambda",
+    )
+    flagged = lam.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "floor(delta * 1000000 + 0.5) / 1000000 AS diff_cents",
+        "log_lambda",
+        f"CASE WHEN log_lambda >= CAST({_MSPRT_LOG_THRESH} AS DOUBLE)"
+        " THEN 1 ELSE 0 END AS crossed",
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # day columns ship as ISO strings: an all-NULL DATE column hashes
+    # as NaT on one engine and None on the other in the compare harness
+    return flagged.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("na").alias("n_control"),
+        F.col("nb").alias("n_treated"),
+        "diff_cents",
+        "log_lambda",
+        "crossed",
+        F.min(F.when(F.col("crossed") == 1, F.col("day")))
+        .over(w_all)
+        .cast("string")
+        .alias("first_crossing_day"),
+    )
+
+
+@query("diag_msprt_sequential", _MSPRT_ORACLE)
+def diag_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mSPRT sequential A/B readout over the calendar-day
+    lattice: per-day running mean difference between the parity
+    variants, the mixture-martingale log Λ, the α = 0.05 crossing flag
+    and the first crossing day — the gate that makes daily peeking at
+    the CUPED/DiD experiment layer statistically legitimate. Exact
+    cumulative sufficient statistics, one identical float readout per
+    day (see the section comment)."""
+    return _msprt_project(
+        _msprt_partial(table(spark, sf_dir, "events"))
+    )
+
+
+@query("streaming_msprt_sequential", _MSPRT_ORACLE)
+def streaming_msprt_sequential(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The mSPRT gate maintained INCREMENTALLY: the per-(day, variant)
+    sufficient statistics are ADDITIVE sums, so they fold exactly-once
+    through incremental_aggregate under a deliberately NON-chronological
+    event_id%3 feed (additive partials survive any split — the
+    streaming-KS contract), and the sequential readout is a projection
+    over the 2-rows-per-day gold. Oracle is the batch mSPRT SQL
+    verbatim. At 100 TB the per-batch cost is the batch partial + a
+    state-sized fold; the decision boundary updates with every batch,
+    which is the point of an always-valid test."""
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _write_batched_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src_dir = _write_batched_feed(
+        [ev.filter(F.col("event_id") % 3 == b) for b in range(3)],
+        "msprt_",
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    target = ManagedTable(scratch_dir("msprt_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["day", "variant"],
+        _msprt_partial,
+        scratch_dir("msprt_ckpt_"),
+    )
+    await_drained(q, 300)
+    return _msprt_project(target.read(spark))
+
+
 # -- per-key Page-Hinkley mean-drift detection ----------------------------------
 
 # The RUNNING-MEAN change detector (Page 1954, Hinkley 1971) that

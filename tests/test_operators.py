@@ -4686,3 +4686,111 @@ def test_did_cluster_robust_correlated_clusters(spark, tmp_path):
     assert r.t_robust == q6((mb - ma) / se_robust)
     # the point of the exercise: correlation makes naive SE understate
     assert r.se_cluster_robust > 1.5 * r.se_naive
+
+
+def test_msprt_planted_crossing_day(spark, tmp_path):
+    """diag_msprt_sequential on a planted experiment: variants identical
+    through day 3, then treated jumps +$80 — the always-valid log Λ must
+    stay under the α = 0.05 boundary pre-shift, cross at the exact day
+    the raw-Python replay of the identical float sequence crosses, and
+    first_crossing_day must pin that day on every row. The streaming
+    flavor must reproduce the batch readout row-for-row from its
+    incrementally-folded gold."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _MSPRT_LOG_THRESH,
+        _MSPRT_TAU2,
+    )
+
+    load_all()
+    rows, eid = [], 0
+    days = list(range(8))
+    per_day = {}  # day -> [(variant, cents), ...]
+    for d in days:
+        evs = []
+        for m in range(4):
+            base = 9000 if m % 2 == 0 else 11000  # $90 / $110 spread
+            lift = 8000 if d >= 4 else 0
+            evs.append(("A", base))
+            evs.append(("B", base + lift))
+        per_day[d] = evs
+        for i, (variant, cents) in enumerate(evs):
+            uid = 2 * i + (0 if variant == "A" else 1)
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d, 9, 0, 0), uid, "view",
+                 cents / 100.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.day: r
+        for r in QUERIES["diag_msprt_sequential"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # raw-Python replay of the running statistics + mSPRT sequence
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    na = nb = sxa = sxb = sxxa = sxxb = 0
+    first_cross = None
+    for d in days:
+        for variant, cents in per_day[d]:
+            if variant == "A":
+                na, sxa, sxxa = na + 1, sxa + cents, sxxa + cents * cents
+            else:
+                nb, sxb, sxxb = nb + 1, sxb + cents, sxxb + cents * cents
+        delta = sxb / nb - sxa / na
+        vk = (
+            ((sxxa - sxa * sxa / na) + (sxxb - sxb * sxb / nb))
+            / (na + nb - 2)
+            * (1.0 / na + 1.0 / nb)
+        )
+        day = f"2024-01-{1 + d:02d}"
+        r = got[day]
+        if vk == 0:
+            assert r.log_lambda is None, day
+            assert r.crossed == 0, day
+            continue
+        logl = q6(
+            0.5 * math.log(vk / (vk + _MSPRT_TAU2))
+            + delta * delta * _MSPRT_TAU2
+            / (2.0 * vk * (vk + _MSPRT_TAU2))
+        )
+        assert abs(r.log_lambda - logl) <= 1e-6, (day, r.log_lambda, logl)
+        crossed = 1 if logl >= _MSPRT_LOG_THRESH else 0
+        assert r.crossed == crossed, day
+        if crossed and first_cross is None:
+            first_cross = day
+    # identical variants pre-shift: no crossing before day 4
+    for d in range(4):
+        assert got[f"2024-01-{1 + d:02d}"].crossed == 0
+    # the shift must actually cross, at the replayed day, pinned on
+    # every output row
+    assert first_cross is not None and first_cross >= "2024-01-05"
+    for r in got.values():
+        assert r.first_crossing_day == first_cross
+
+    # streaming flavor == batch, row-for-row
+    streamed = {
+        r.day: r
+        for r in QUERIES["streaming_msprt_sequential"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(streamed) == set(got)
+    for day, r in got.items():
+        s = streamed[day]
+        assert (
+            s.n_control, s.n_treated, s.diff_cents, s.log_lambda,
+            s.crossed, s.first_crossing_day,
+        ) == (
+            r.n_control, r.n_treated, r.diff_cents, r.log_lambda,
+            r.crossed, r.first_crossing_day,
+        ), day
