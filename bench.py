@@ -123,6 +123,11 @@ HEADLINE = [
     # risk windows + pinned prefix-product folds); log-rank rides the
     # same user-state shape so one row covers the family's wall cost
     "diag_kaplan_meier",
+    # round-13 addition: the sequential-experimentation representative —
+    # mSPRT (one fact scan to per-(day, variant) partials + exact
+    # cumulative windows over the day lattice); the stratified survival
+    # pair rides the r12 KM shape already on the list
+    "diag_msprt_sequential",
 ]
 
 

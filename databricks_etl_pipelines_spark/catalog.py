@@ -45,77 +45,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-12 rotation, the r11 verdict's prescription: a normal
-    # round's new queries (11 new + the 2 whose OUTPUT or code changed
-    # this round: Neyman's largest-remainder top-up changes the
-    # allocation rows; chi-square gained the nullif guard), then ALL
-    # 28 r6-vintage rows (the verdict's binding done-criterion: after
-    # r12 no oracle-backed query's newest driver row is older than
-    # r7), then the 9 stalest r7 rows — 13 + 28 + 9 = 50. The
-    # remaining r7 rows lead the overflow and clear next round.
-    # (a) round-12 NEW queries, newest-risk first
-    "streaming_kaplan_meier",
-    "streaming_drift_suite",
-    "diag_cuped_adjustment",
-    "diag_did_estimator",
-    "streaming_logrank_test",
+    # --- round-13 rotation, the r12 verdict's prescription: the round's
+    # 5 new queries, then every query whose CODE or ORACLE changed this
+    # round (Neyman waterfill changes nothing at the test SFs but both
+    # sides changed; the three O(n²) oracles moved to the PPJoin replay;
+    # the survival family's shared helpers were generalized for
+    # stratification; the two streaming survival golds also ride the
+    # fold-marker backward scan), then ALL 33 remaining r7-vintage rows
+    # (the verdict's binding done-criterion: after r13 no oracle-backed
+    # query's newest driver row is older than r8), then the 2 stalest
+    # r8 rows — 5 + 10 + 33 + 2 = 50. The remaining r8 rows lead the
+    # overflow and start clearing next round.
+    # (a) round-13 NEW queries, newest-risk first
+    "diag_km_stratified",
+    "diag_logrank_stratified",
+    "diag_msprt_sequential",
+    "streaming_msprt_sequential",
+    "diag_did_cluster_robust",
+    # (a') changed this round (code and/or oracle)
+    "curation_neyman_allocation",
+    "dedup_ngram_jaccard_pairs",
+    "curation_leakage_safe_split",
+    "dedup_cluster_representatives",
+    "diag_kaplan_meier",
+    "diag_logrank_test",
     "diag_rmst",
     "diag_nelson_aalen",
-    "streaming_page_hinkley",
-    "diag_logrank_test",
-    "diag_kaplan_meier",
-    "streaming_cusum_changepoint",
-    # (a') changed this round
-    "curation_neyman_allocation",
-    "diag_chi_square_drift",
-    # (b) the 28 r6-vintage rows (trivial shapes displaced by r11's
-    # heavy rotation; every one re-verified green with no float-drift
-    # flag in this round's builder sweep)
-    "agg_approx_count_distinct",
-    "agg_approx_percentile_bounds",
-    "join_anti_customers_without_orders",
-    "curation_stratified_sample",
-    "dedup_embedding_cosine_blocked",
-    "ml_feature_matrix",
-    "multimodal_binary_stats",
-    "multimodal_byte_histogram",
-    "text_language_id",
-    "text_vocab_encode",
-    "text_zipf_diagnostics",
-    "sft_dpo_pairs",
-    "sft_rendered_conversations",
-    "similarity_cosine_topk",
-    "scalar_datetime_functions",
-    "scalar_math_functions",
-    "scalar_string_functions",
-    "text_bpe_token_stats",
-    "text_fingerprint_rolling",
-    "text_quality_score",
-    "window_cumulative_sum",
-    "window_first_last",
-    "window_lag_lead",
-    "window_ntile_percent_rank",
-    "window_rank_dense_rank",
-    "window_rolling_avg",
-    "window_anomaly_zscore",
-    "window_topn_per_user",
-    # (c) the 9 stalest r7-vintage rows
-    "curation_bigram_buckets",
-    "curation_decontaminate_benchmark",
-    "curation_funnel_crossengine",
-    "curation_leakage_split_minhash",
-    "curation_perplexity_buckets",
-    "curation_remove_boilerplate",
-    "curation_temperature_epochs",
-    "dedup_exact_documents",
-    "dedup_incremental_crossengine",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the remaining r7-vintage rows lead (stalest after this
-    # rotation — they head the r13 cap), then everything fresher in
-    # registration order (dedup_minhash_crossengine first); the
-    # rows-only set stays at the end (weaker
-    # rows by design — each has an oracle-backed sibling; see
-    # COVERAGE.md rows-only map).
+    "streaming_kaplan_meier",
+    "streaming_logrank_test",
+    # (b) ALL 33 remaining r7-vintage rows (newest driver evidence r7)
     "dedup_minhash_crossengine",
     "distinct_projection",
     "filter_predicates",
@@ -148,7 +106,63 @@ PRIORITY: list[str] = [
     "streaming_reservoir_sample",
     "text_bigram_surprisal",
     "text_tfidf_top_terms",
-    "topk_orders_by_price",]
+    "topk_orders_by_price",
+    # (c) the 2 stalest r8-vintage rows (registration order)
+    "agg_bloom_filter_prune",
+    "agg_countmin_words",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the remaining r8-vintage rows lead (stalest after this
+    # rotation — they head the r14 cap), then everything fresher in
+    # registration order; the rows-only set stays at the end (weaker
+    # rows by design — each has an oracle-backed sibling; see
+    # COVERAGE.md rows-only map).
+    "agg_theta_sketch_setops",
+    "agg_value_histogram",
+    "curation_contamination_ngram",
+    "curation_corpus_composition",
+    "curation_corpus_drift",
+    "curation_curriculum_interleave",
+    "curation_mixture_weights",
+    "curation_shard_assignment",
+    "curation_source_overlap",
+    "curation_token_budget_select",
+    "dedup_containment_pairs",
+    "embedding_jl_projection",
+    "graph_pagerank_bipartite",
+    "ml_kmeans_lloyd_crossengine",
+    "multimodal_phash_neardup",
+    "pipeline_gold_cardholder_features",
+    "pipeline_gold_hourly_volume",
+    "pipeline_gold_merchant_summary",
+    "privacy_k_anonymity_audit",
+    "privacy_l_diversity_audit",
+    "similarity_jl_recall",
+    "sql_customer_distribution",
+    "sql_excess_share_suppliers",
+    "sql_important_parts",
+    "sql_parts_supplier_count",
+    "sql_text_pricing_summary",
+    "sql_top_supplier_quarter",
+    "streaming_bloom_dedup",
+    "streaming_countmin_heavy_hitters",
+    "streaming_sliding_window",
+    "streaming_stream_static_join",
+    "streaming_stream_stream_join",
+    "streaming_tumbling_hourly",
+    "text_bm25_incremental",
+    "text_bm25_indexed",
+    "text_bm25_topk",
+    "text_rbo_rankings",
+    "text_token_stats",
+    "text_unigram_doc_stats",
+    "text_unigram_em_pruned",
+    "text_unigram_em_segment",
+    "text_unigram_segment",
+    "window_cohort_retention",
+    "window_event_transitions",
+    "window_funnel_ordered",
+    "window_resample_forward_fill",
+    "window_sessionize_events",]
 
 
 def load_all() -> None:

@@ -328,23 +328,68 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(docs, "text", "doc_id")
 
 
-# -- n-gram Jaccard near-dup (exact, length-blocked) -------------------------------
+# -- n-gram Jaccard near-dup (exact, prefix-filtered) -------------------------------
 
-# Oracle is the brute-force form (all pairs passing the lossless length
-# filter, then exact Jaccard) — fine in DuckDB at sf0.01; the Spark side
-# reaches the same answer via prefix filtering (operators/dedup.py).
+# Since r13 the oracle replays the BLOCKED candidate generation — the
+# same symmetric PPJoin prefix filter the Spark side runs
+# (operators/dedup.py::ngram_jaccard_pairs) — instead of the r8
+# brute-force all-pairs form that capped it at sf0.01 (the containment
+# treatment, applied to the symmetric case): order each doc's shingles
+# by (document frequency, shingle), keep the first ln − ⌈t·ln⌉ + 1 as
+# the prefix, equi-join prefixes on the shared shingle with the length
+# filter t·ln_b ≤ ln_a ≤ ln_b/t and the positional upper bound
+# 1 + min(ln_a − pos_a, ln_b − pos_b) ≥ ⌈t/(1+t)·(ln_a+ln_b)⌉, then
+# verify the EXACT Jaccard. The filter is lossless for ANY fixed global
+# shingle order, so the engines may break df ties differently (Spark
+# orders hashed shingles, SQL raw strings) and the VERIFIED pair set is
+# still identical to brute force on both. Candidate volume is bounded
+# by co-occurrence of RARE shingles, never n² — sf0.1-safe. The shared
+# `pairs` CTE also drives the leakage-split oracle below.
+_PPJOIN_PAIRS_CTES = """
+tok AS (
+  SELECT id, ln, unnest(sh) AS hs FROM prep
+),
+dfreq AS (
+  SELECT hs, count(*) AS df FROM tok GROUP BY hs
+),
+ord AS (
+  SELECT t.id, t.ln, t.hs,
+    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.hs) AS pos
+  FROM tok t JOIN dfreq d USING (hs)
+),
+pref AS (
+  SELECT * FROM ord
+  WHERE pos <= ln - ceil(CAST(0.5 AS DOUBLE) * ln) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pref a JOIN pref b ON a.hs = b.hs
+  WHERE a.id < b.id
+    AND a.ln >= CAST(0.5 AS DOUBLE) * b.ln
+    AND b.ln >= CAST(0.5 AS DOUBLE) * a.ln
+    AND 1 + least(a.ln - a.pos, b.ln - b.pos)
+        >= ceil(CAST(0.5 AS DOUBLE) / CAST(1.5 AS DOUBLE)
+                * (a.ln + b.ln))
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(x.sh, y.sh))
+      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+  FROM cand c
+  JOIN prep x ON x.id = c.id_a
+  JOIN prep y ON y.id = c.id_b
+  WHERE len(list_intersect(x.sh, y.sh))
+      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+)
+"""
+
 _JACCARD_ORACLE = f"""
 WITH prep AS (
   SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh, len({_SQL_SHINGLES3}) AS ln
   FROM documents
-)
-SELECT a.id AS id_a, b.id AS id_b,
-  len(list_intersect(a.sh, b.sh))
-    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-FROM prep a JOIN prep b
-  ON a.id < b.id AND a.ln >= 0.5 * b.ln AND b.ln >= 0.5 * a.ln
-WHERE len(list_intersect(a.sh, b.sh))
-    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+{_PPJOIN_PAIRS_CTES}
+SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
@@ -692,17 +737,17 @@ def dedup_simhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/components.py); the oracle replays the SAME edge set through a
 # DuckDB recursive CTE (transitive closure → min reachable id), so an
 # iterative distributed graph algorithm gets a hard value-level check.
+# Since r13 the edge relation is the shared PPJoin prefix-filter replay
+# (_PPJOIN_PAIRS_CTES) instead of the r8 brute-force all-pairs CTE —
+# sf0.1-safe like the jaccard and leakage-split oracles.
 _CLUSTER_REP_ORACLE = f"""
 WITH RECURSIVE prep AS (
   SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh, len({_SQL_SHINGLES3}) AS ln
   FROM documents
 ),
+{_PPJOIN_PAIRS_CTES},
 pair AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM prep a JOIN prep b
-    ON a.id < b.id AND a.ln >= 0.5 * b.ln AND b.ln >= 0.5 * a.ln
-  WHERE len(list_intersect(a.sh, b.sh))
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+  SELECT id_a, id_b FROM pairs
 ),
 edge AS (
   SELECT id_a AS src, id_b AS dst FROM pair
@@ -4808,20 +4853,16 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # walks near-dup edges until fixpoint (UNION dedups, so it terminates), and
 # min(other) per node is exactly the hash-min label the Spark connected-
 # components operator converges to. O(cluster_size^2) closure rows — fine
-# for near-dup clusters at oracle scale (sf0.01); SKIP at sf0.1 (embeds the
-# O(n^2) jaccard CTE).
+# for near-dup clusters at any scale. Since r13 the edge relation is the
+# shared PPJoin prefix-filter replay (_PPJOIN_PAIRS_CTES), not the r8
+# brute-force all-pairs CTE, which lifts this oracle off the
+# sf0.01-only list — it verifies at sf0.1 like its minhash sibling.
 _LEAKAGE_SPLIT_ORACLE = f"""
 WITH RECURSIVE prep AS (
   SELECT doc_id AS id, {_SQL_SHINGLES3} AS sh, len({_SQL_SHINGLES3}) AS ln
   FROM documents
 ),
-pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM prep a JOIN prep b
-    ON a.id < b.id AND a.ln >= 0.5 * b.ln AND b.ln >= 0.5 * a.ln
-  WHERE len(list_intersect(a.sh, b.sh))
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-),
+{_PPJOIN_PAIRS_CTES},
 undirected AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs
