@@ -46,22 +46,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-13 rotation, the r12 verdict's prescription: the round's
-    # 5 new queries, then every query whose CODE or ORACLE changed this
+    # 7 new queries, then every query whose CODE or ORACLE changed this
     # round (Neyman waterfill changes nothing at the test SFs but both
     # sides changed; the three O(n²) oracles moved to the PPJoin replay;
     # the survival family's shared helpers were generalized for
     # stratification; the two streaming survival golds also ride the
     # fold-marker backward scan), then ALL 33 remaining r7-vintage rows
     # (the verdict's binding done-criterion: after r13 no oracle-backed
-    # query's newest driver row is older than r8), then the 2 stalest
-    # r8 rows — 5 + 10 + 33 + 2 = 50. The remaining r8 rows lead the
-    # overflow and start clearing next round.
+    # query's newest driver row is older than r8) — 7 + 10 + 33 = 50
+    # exactly. The r8 rows lead the overflow and start clearing next
+    # round.
     # (a) round-13 NEW queries, newest-risk first
     "diag_km_stratified",
     "diag_logrank_stratified",
     "diag_msprt_sequential",
     "streaming_msprt_sequential",
     "diag_did_cluster_robust",
+    "diag_rmst_difference",
+    "diag_srm_check",
     # (a') changed this round (code and/or oracle)
     "curation_neyman_allocation",
     "dedup_ngram_jaccard_pairs",
@@ -107,15 +109,13 @@ PRIORITY: list[str] = [
     "text_bigram_surprisal",
     "text_tfidf_top_terms",
     "topk_orders_by_price",
-    # (c) the 2 stalest r8-vintage rows (registration order)
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the r8-vintage rows lead (stalest after this rotation —
+    # they head the r14 cap), then everything fresher in registration
+    # order; the rows-only set stays at the end (weaker rows by design —
+    # each has an oracle-backed sibling; see COVERAGE.md rows-only map).
     "agg_bloom_filter_prune",
     "agg_countmin_words",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the remaining r8-vintage rows lead (stalest after this
-    # rotation — they head the r14 cap), then everything fresher in
-    # registration order; the rows-only set stays at the end (weaker
-    # rows by design — each has an oracle-backed sibling; see
-    # COVERAGE.md rows-only map).
     "agg_theta_sketch_setops",
     "agg_value_histogram",
     "curation_contamination_ngram",

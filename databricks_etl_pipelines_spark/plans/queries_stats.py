@@ -1389,6 +1389,205 @@ def diag_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RMST difference with the asymptotic SE (Royston & Parmar): the
+# survival effect size WITH inference — var(RMST(τ)) =
+# Σ_{events j} A_j²·d_j/(n_j(n_j − d_j)) where A_j = ∫_{t_j}^{τ} S dt is
+# the TAIL area of the KM step function. Exactness: segment areas are
+# the RMST BIGINTs (q6 survival × integer clamped span), so each A_j is
+# an exact integer SUFFIX sum over the lattice (total − cum_before);
+# d/(n(n−d)) is the one float per time, the per-time term quantizes on
+# a 1e-9 lattice (terms are ~1e-5..1e-2 days² — 1e-6 would truncate
+# them; headroom: term ≤ τ²·1/2 → 1.25e10 per row, Σ ≤ #times·1e10 ≪
+# 2^63) BEFORE the cross-time integer sum; n_j = d_j rows coalesce to 0
+# (the S→0 terminal convention, matching the log-rank V guard). The
+# z readout is one identical float expression. Same one-scan join-free
+# plan family as the other survival queries.
+_RMST_DIFF_ORACLE = (
+    _KM_CTES
+    + f"""
+, surv AS (
+  SELECT cohort, t, n_risk, d,
+    CAST(floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pref),
+          (a, b) -> a * b) * 1000000 + 0.5) AS BIGINT) AS sq
+  FROM folded WHERE cohort IN ('signup', 'view')
+),
+segs AS (
+  SELECT cohort, t, n_risk, d, sq,
+    first_value(t) OVER (PARTITION BY cohort ORDER BY t) AS t_first,
+    coalesce(lead(t) OVER (PARTITION BY cohort ORDER BY t),
+             {_RMST_TAU}) AS t_next
+  FROM surv
+),
+areas AS (
+  SELECT cohort, t, n_risk, d, t_first,
+    sq * greatest(least(t_next, {_RMST_TAU}) - least(t, {_RMST_TAU}), 0)
+      AS area
+  FROM segs
+),
+tails AS (
+  SELECT cohort, t, n_risk, d, t_first,
+    CAST(sum(area) OVER (PARTITION BY cohort) AS BIGINT) AS total_area,
+    CAST(sum(area) OVER (PARTITION BY cohort)
+       - coalesce(sum(area) OVER (PARTITION BY cohort ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS aq
+  FROM areas
+),
+terms AS (
+  SELECT cohort, t_first, total_area,
+    CAST(floor(coalesce(
+        (CAST(aq AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        * (CAST(aq AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        * CAST(d AS DOUBLE)
+        / nullif(CAST(n_risk AS DOUBLE)
+                 * CAST(n_risk - d AS DOUBLE), 0),
+        CAST(0 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS vq
+  FROM tails
+),
+bygrp AS (
+  SELECT cohort,
+    (CAST(max(total_area) AS DOUBLE)
+     + CAST(1000000 AS DOUBLE) * least(max(t_first), {_RMST_TAU}))
+      / 1000000 AS rmst,
+    CAST(sum(vq) AS DOUBLE) / 1000000000 AS var_rmst
+  FROM terms GROUP BY cohort
+),
+wide AS (
+  SELECT
+    max(CASE WHEN cohort = 'signup' THEN rmst END) AS r1,
+    max(CASE WHEN cohort = 'view' THEN rmst END) AS r2,
+    max(CASE WHEN cohort = 'signup' THEN var_rmst END) AS v1,
+    max(CASE WHEN cohort = 'view' THEN var_rmst END) AS v2
+  FROM bygrp
+)
+SELECT
+  CAST({_RMST_TAU} AS BIGINT) AS horizon_days,
+  floor(r1 * 1000000 + 0.5) / 1000000 AS rmst_signup,
+  floor(r2 * 1000000 + 0.5) / 1000000 AS rmst_view,
+  floor((r2 - r1) * 1000000 + 0.5) / 1000000 AS rmst_diff_days,
+  floor(sqrt(v1 + v2) * 1000000 + 0.5) / 1000000 AS se_diff,
+  floor((r2 - r1) / nullif(sqrt(v1 + v2), 0) * 1000000 + 0.5)
+    / 1000000 AS z_score
+FROM wide
+"""
+)
+
+
+@query("diag_rmst_difference", _RMST_DIFF_ORACLE)
+def diag_rmst_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMST difference between the signup-first and view-first cohorts
+    through day τ=5, WITH the Royston-Parmar asymptotic SE and z —
+    survival inference on the effect-size scale (days of delay), robust
+    where the log-rank's proportional-hazards power assumption wobbles.
+    Tail areas A_j are exact integer suffix sums of the RMST segment
+    BIGINTs; per-time variance terms quantize on a 1e-9 lattice before
+    the cross-time integer sum (see the oracle comment)."""
+    folded = _km_folded(
+        _km_user_state(table(spark, sf_dir, "events"))
+    ).filter(F.col("cohort").isin("signup", "view"))
+    surv = folded.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "d",
+        F.floor(_km_surv() * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("sq"),
+    )
+    w = Window.partitionBy("cohort").orderBy("t")
+    tau = F.lit(_RMST_TAU)
+    segs = surv.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "d",
+        "sq",
+        F.first("t").over(w).alias("t_first"),
+        F.coalesce(F.lead("t").over(w), tau.cast("long")).alias("t_next"),
+    )
+    span = F.greatest(
+        F.least(F.col("t_next"), tau) - F.least(F.col("t"), tau),
+        F.lit(0),
+    )
+    areas = segs.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "d",
+        "t_first",
+        (F.col("sq") * span).alias("area"),
+    )
+    w_all = Window.partitionBy("cohort")
+    w_before = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tails = areas.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "d",
+        "t_first",
+        "area",
+        (
+            F.sum("area").over(w_all)
+            - F.coalesce(F.sum("area").over(w_before), F.lit(0))
+        )
+        .cast("long")
+        .alias("aq"),
+        F.sum("area").over(w_all).cast("long").alias("total_area"),
+    )
+    terms = tails.selectExpr(
+        "cohort",
+        "t_first",
+        "total_area",
+        "CAST(floor(coalesce("
+        "  (CAST(aq AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        "  * (CAST(aq AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        "  * CAST(d AS DOUBLE)"
+        "  / nullif(CAST(n_risk AS DOUBLE)"
+        "           * CAST(n_risk - d AS DOUBLE), 0),"
+        "  CAST(0 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS vq",
+    )
+    bygrp = terms.groupBy("cohort").agg(
+        (
+            (
+                F.max("total_area").cast("double")
+                + F.lit(1000000.0)
+                * F.least(F.max("t_first"), tau)
+            )
+            / 1000000
+        ).alias("rmst"),
+        (F.sum("vq").cast("double") / F.lit(1000000000)).alias(
+            "var_rmst"
+        ),
+    )
+    wide = bygrp.groupBy().agg(
+        F.max(F.when(F.col("cohort") == "signup", F.col("rmst"))).alias(
+            "r1"
+        ),
+        F.max(F.when(F.col("cohort") == "view", F.col("rmst"))).alias(
+            "r2"
+        ),
+        F.max(
+            F.when(F.col("cohort") == "signup", F.col("var_rmst"))
+        ).alias("v1"),
+        F.max(
+            F.when(F.col("cohort") == "view", F.col("var_rmst"))
+        ).alias("v2"),
+    )
+    return wide.selectExpr(
+        f"CAST({_RMST_TAU} AS BIGINT) AS horizon_days",
+        "floor(r1 * 1000000 + 0.5) / 1000000 AS rmst_signup",
+        "floor(r2 * 1000000 + 0.5) / 1000000 AS rmst_view",
+        "floor((r2 - r1) * 1000000 + 0.5) / 1000000 AS rmst_diff_days",
+        "floor(sqrt(v1 + v2) * 1000000 + 0.5) / 1000000 AS se_diff",
+        "floor((r2 - r1) / nullif(sqrt(v1 + v2), 0) * 1000000 + 0.5)"
+        " / 1000000 AS z_score",
+    )
+
+
 @query("diag_nelson_aalen", _NA_ORACLE)
 def diag_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard per cohort over the shared
@@ -3348,6 +3547,122 @@ def streaming_msprt_sequential(
     )
     await_drained(q, 300)
     return _msprt_project(target.read(spark))
+
+
+# -- sample-ratio-mismatch (SRM) check --------------------------------------------
+
+# THE first gate of any experiment readout (Fabijan et al. 2019 —
+# "Diagnosing Sample Ratio Mismatch"): if the 50/50 assignment itself
+# is skewed, every downstream estimate (CUPED, DiD, mSPRT) is suspect —
+# real pipelines refuse to read results until SRM clears. Unit =
+# randomization unit (users); the check runs per ENROLLMENT day (the
+# user's first-event day) so a broken assignment on one day is visible,
+# plus the pooled test. The 2-cell χ² against the 50/50 null collapses
+# to (n_a − n_b)²/(n_a + n_b) — exact int64 numerator/denominator, ONE
+# float division per row, q6; the flag compares the ROUNDED statistic
+# against the PRE-ROUNDED df=1 critical literal (the mSPRT discipline).
+_SRM_CHI2_CRIT = 3.841459  # chi-square df=1, alpha=0.05, pre-rounded
+
+_SRM_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(min(ts) AS DATE) AS day0
+  FROM events GROUP BY user_id
+),
+byday AS (
+  SELECT day0,
+    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM pu GROUP BY day0
+),
+flagged AS (
+  SELECT CAST(day0 AS VARCHAR) AS enroll_day, na, nb,
+    floor(CAST((na - nb) * (na - nb) AS DOUBLE)
+          / CAST(na + nb AS DOUBLE) * 1000000 + 0.5) / 1000000
+      AS srm_chi2,
+    CAST(sum(na) OVER () AS BIGINT) AS tot_a,
+    CAST(sum(nb) OVER () AS BIGINT) AS tot_b
+  FROM byday
+)
+SELECT enroll_day, na AS n_control, nb AS n_treated, srm_chi2,
+  CASE WHEN srm_chi2 > CAST({_SRM_CHI2_CRIT} AS DOUBLE)
+       THEN 1 ELSE 0 END AS srm_flag,
+  floor(CAST((tot_a - tot_b) * (tot_a - tot_b) AS DOUBLE)
+        / CAST(tot_a + tot_b AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS overall_chi2
+FROM flagged
+"""
+
+
+@query("diag_srm_check", _SRM_ORACLE)
+def diag_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment layer's smoke
+    alarm: per enrollment day (a user's first-event day), the 2-cell χ²
+    of the A/B assignment counts against the 50/50 null, with the
+    pooled statistic on every row; a firing flag means the assignment
+    itself broke and no downstream readout should be trusted. Exact
+    integer counts, one float division per row (see the section
+    comment)."""
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("day0")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "day0",
+    )
+    byday = pu.groupBy("day0").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    # the pooled window runs over the enrollment-day lattice — bounded
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = byday.select(
+        F.col("day0").cast("string").alias("enroll_day"),
+        "na",
+        "nb",
+        (
+            F.floor(
+                ((F.col("na") - F.col("nb"))
+                 * (F.col("na") - F.col("nb"))).cast("double")
+                / (F.col("na") + F.col("nb")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("srm_chi2"),
+        F.sum("na").over(w_all).cast("long").alias("tot_a"),
+        F.sum("nb").over(w_all).cast("long").alias("tot_b"),
+    )
+    return flagged.select(
+        "enroll_day",
+        F.col("na").alias("n_control"),
+        F.col("nb").alias("n_treated"),
+        "srm_chi2",
+        F.when(
+            F.col("srm_chi2") > F.lit(_SRM_CHI2_CRIT).cast("double"), 1
+        )
+        .otherwise(0)
+        .alias("srm_flag"),
+        (
+            F.floor(
+                ((F.col("tot_a") - F.col("tot_b"))
+                 * (F.col("tot_a") - F.col("tot_b"))).cast("double")
+                / (F.col("tot_a") + F.col("tot_b")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("overall_chi2"),
+    )
 
 
 # -- per-key Page-Hinkley mean-drift detection ----------------------------------

@@ -4457,6 +4457,9 @@ def test_survival_family_plan_shapes(spark):
         # the partition to (cohort/band) must not add scans or joins
         ("diag_km_stratified", 1),
         ("diag_logrank_stratified", 1),
+        # r13 RMST-difference: tail-area suffix sums are windows over
+        # the same folded relation — still one scan, no join
+        ("diag_rmst_difference", 1),
     ):
         df = QUERIES[name](spark, sf)
         df.collect()
@@ -4686,6 +4689,160 @@ def test_did_cluster_robust_correlated_clusters(spark, tmp_path):
     assert r.t_robust == q6((mb - ma) / se_robust)
     # the point of the exercise: correlation makes naive SE understate
     assert r.se_cluster_robust > 1.5 * r.se_naive
+
+
+def test_rmst_difference_planted_curves(spark, tmp_path):
+    """diag_rmst_difference vs the Royston-Parmar algebra replayed in
+    raw Python on the planted fast-signup / slow-view funnel: RMSTs
+    integrate the quantized step functions exactly, tail areas are
+    integer suffix sums, per-time variance terms quantize on the 1e-9
+    lattice, and the slow cohort's larger RMST yields a positive z."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _RMST_TAU,
+    )
+
+    load_all()
+    planted = {
+        # signup-first: convert day 0/1 (fast -> small RMST)
+        1: [(0, "signup"), (0, "purchase")],
+        2: [(0, "signup"), (1, "purchase")],
+        3: [(0, "signup"), (1, "purchase")],
+        4: [(0, "signup"), (2, "error")],  # censored t=2
+        # view-first: convert day 3/4 or censored (slow -> large RMST)
+        5: [(0, "view"), (3, "purchase")],
+        6: [(0, "view"), (4, "purchase")],
+        7: [(0, "view"), (1, "error")],  # censored t=1
+        8: [(0, "view"), (6, "view")],  # censored t=6 (beyond tau)
+    }
+    rows, k = [], 0
+    for uid, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), uid, et, 1.0,
+                 "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    r = QUERIES["diag_rmst_difference"](spark, str(tmp_path)).collect()[0]
+
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def replay(obs):
+        # obs: [(t, e)] per user; replay KM -> segments -> rmst + var
+        s, at_risk = 1.0, len(obs)
+        rows = []  # (t, n_risk, d, sq)
+        for t in sorted({t for t, _ in obs}):
+            d = sum(1 for tt, e in obs if tt == t and e == 1)
+            c = sum(1 for tt, e in obs if tt == t and e == 0)
+            s = s * (at_risk - d) / at_risk
+            rows.append((t, at_risk, d, math.floor(s * 1e6 + 0.5)))
+            at_risk -= d + c
+        areas = []
+        for i, (t, n, d, sq) in enumerate(rows):
+            t_next = rows[i + 1][0] if i + 1 < len(rows) else _RMST_TAU
+            span = max(
+                min(t_next, _RMST_TAU) - min(t, _RMST_TAU), 0
+            )
+            areas.append(sq * span)
+        total = sum(areas)
+        t_first = rows[0][0]
+        rmst = (total + 1e6 * min(t_first, _RMST_TAU)) / 1e6
+        var = 0
+        for i, (t, n, d, sq) in enumerate(rows):
+            aq = sum(areas[i:])
+            if n - d > 0:
+                term = (aq / 1e6) * (aq / 1e6) * d / (n * (n - d))
+            else:
+                term = 0.0
+            var += math.floor(term * 1e9 + 0.5)
+        return rmst, var / 1e9
+
+    def obs_for(cohort):
+        out = []
+        for uid, evs in planted.items():
+            if evs[0][1] != cohort:
+                continue
+            tp = min((d for d, e in evs if e == "purchase"), default=None)
+            te = min((d for d, e in evs if e == "error"), default=None)
+            tmax = max(d for d, e in evs)
+            tcens = te if te is not None else tmax
+            if tp is not None and tp <= tcens:
+                out.append((tp, 1))
+            else:
+                out.append((tcens, 0))
+        return out
+
+    r1, v1 = replay(obs_for("signup"))
+    r2, v2 = replay(obs_for("view"))
+    assert r.horizon_days == _RMST_TAU
+    assert r.rmst_signup == q6(r1)
+    assert r.rmst_view == q6(r2)
+    assert r.rmst_diff_days == q6(r2 - r1)
+    se = math.sqrt(v1 + v2)
+    assert r.se_diff == q6(se)
+    assert r.z_score == q6((r2 - r1) / se)
+    # the slow cohort keeps users longer: positive, material gap
+    assert r.rmst_diff_days > 1.0 and r.z_score > 0
+
+
+def test_srm_check_planted_broken_day(spark, tmp_path):
+    """diag_srm_check on a plant with one balanced enrollment day and
+    one broken one (20 A vs 5 B): the broken day's chi2 = 225/25 = 9
+    fires the flag, the balanced day stays quiet, and the pooled
+    statistic matches the exact integer arithmetic."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows, eid, uid = [], 0, 0
+
+    def enroll(day, n_a, n_b):
+        nonlocal eid, uid
+        for _ in range(n_a):
+            uid += 2  # even -> A
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 9), uid, "view", 1.0, "{}")
+            )
+            eid += 1
+        for _ in range(n_b):
+            uid += 2
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 9), uid + 1, "view", 1.0,
+                 "{}")
+            )
+            eid += 1
+
+    enroll(1, 10, 10)  # balanced
+    enroll(2, 20, 5)   # broken
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.enroll_day: r
+        for r in QUERIES["diag_srm_check"](spark, str(tmp_path)).collect()
+    }
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    ok = got["2024-01-01"]
+    assert (ok.n_control, ok.n_treated) == (10, 10)
+    assert ok.srm_chi2 == 0.0 and ok.srm_flag == 0
+    bad = got["2024-01-02"]
+    assert (bad.n_control, bad.n_treated) == (20, 5)
+    assert bad.srm_chi2 == q6(225 / 25) == 9.0
+    assert bad.srm_flag == 1
+    for r in got.values():
+        assert r.overall_chi2 == q6((30 - 15) ** 2 / 45)
 
 
 def test_msprt_planted_crossing_day(spark, tmp_path):
