@@ -1716,15 +1716,13 @@ FROM terms
 """
 
 
-def _logrank_terms(
+def _logrank_pooled(
     pu: DataFrame, strata: tuple[str, ...] = ()
 ) -> DataFrame:
-    """The per-(strata, time) lattice-quantized Mantel-Cox terms —
-    conditional sums to the (strata, distinct-day) relation with
-    suffix-sum risk sets; shared by the pooled, streaming and
-    STRATIFIED projections (the stratified test partitions the risk
-    sets per stratum, which is exactly this relation with
-    strata=("band",))."""
+    """The (strata, distinct-day) relation with per-day event counts and
+    suffix-sum risk sets (t, dt, d1, nt, n1) — the shared sufficient
+    relation of the log-rank family AND the Cox partial likelihood
+    (both depend on the data only through it)."""
     strata = tuple(strata)
     obs = (
         _km_observations(pu, with_band="band" in strata)
@@ -1764,7 +1762,7 @@ def _logrank_terms(
         w_before = Window.orderBy("t").rowsBetween(
             Window.unboundedPreceding, -1
         )
-    pooled = cells.select(
+    return cells.select(
         *strata,
         "t",
         F.col("dt_c").alias("dt"),
@@ -1782,7 +1780,19 @@ def _logrank_terms(
         .cast("long")
         .alias("n1"),
     )
-    return pooled.selectExpr(
+
+
+def _logrank_terms(
+    pu: DataFrame, strata: tuple[str, ...] = ()
+) -> DataFrame:
+    """The per-(strata, time) lattice-quantized Mantel-Cox terms —
+    conditional sums to the (strata, distinct-day) relation with
+    suffix-sum risk sets; shared by the pooled, streaming and
+    STRATIFIED projections (the stratified test partitions the risk
+    sets per stratum, which is exactly this relation with
+    strata=("band",))."""
+    strata = tuple(strata)
+    return _logrank_pooled(pu, strata).selectExpr(
         *strata,
         "dt",
         "d1",
@@ -1898,6 +1908,224 @@ def streaming_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_drained(q, 300)
     return _logrank_project(target.read(spark))
+
+
+# -- Cox proportional hazards (binary covariate, Breslow ties) -------------------
+
+# The survival family's regression member: the hazard RATIO between the
+# signup-first and view-first cohorts with its SE — the effect-size
+# model behind the log-rank test (the score test of this model AT β=0
+# IS the log-rank). With ONE BINARY covariate the Breslow partial
+# likelihood depends on the data only through the SAME pooled
+# distinct-day relation as the log-rank (t, d_t, d1_t, n1_t, n0_t):
+#   U(β) = Σ_t [d1_t − d_t·n1_t·θ/(n1_t·θ + n0_t)]          (score)
+#   I(β) = Σ_t [d_t·n1_t·θ·n0_t/(n1_t·θ + n0_t)²]           (information)
+# with θ = exp(β) appearing only as ONE scalar — never a per-row exp()
+# over facts. Newton-Raphson (4 steps from β=0, then a final U/I
+# evaluation at β̂) runs DRIVER-SIDE over the ONE bounded collected
+# relation (≤ #distinct days — lattice-bounded at any corpus size; the
+# r11 MMR/trap-ledger lesson: iterative algorithms over provably
+# bounded state collect once and loop, instead of paying per-step
+# Catalyst cost on an unrolled plan). Cross-engine exactness: per-day
+# U/I terms are IDENTICAL float expressions 1e-9 lattice-quantized
+# before the (order-independent) integer sums — headroom: per-day
+# d_t ≤ ~9·10⁹ on the 1e-9 lattice, beyond which the lattice coarsens,
+# documented — and β re-quantizes to the 1e-9 lattice after every
+# update, so both engines enter each iteration with the IDENTICAL
+# double; exp() is libm, its ≤1-ulp spread enters terms at relative
+# 1e-16 and is absorbed by the term lattice (the WOE/ln discipline).
+_COX_ITERS = 4
+_COX_POOLED_SQL = """
+r AS (
+  SELECT user_id, ts, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
+    min(ts) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
+    max(ts) AS tmax
+  FROM r GROUP BY user_id
+),
+obs AS (
+  SELECT cohort AS g,
+    CAST(datediff('day', CAST(t0 AS DATE), CAST(
+      CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN tp
+           ELSE coalesce(te, tmax) END AS DATE)) AS BIGINT) AS t,
+    CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN 1 ELSE 0 END
+      AS e
+  FROM pu WHERE cohort IN ('signup', 'view')
+),
+cells AS (
+  SELECT t,
+    CAST(sum(e) AS BIGINT) AS dt_c,
+    CAST(sum(CASE WHEN g = 'signup' THEN e ELSE 0 END) AS BIGINT) AS d1_c,
+    CAST(count(*) AS BIGINT) AS at_c,
+    CAST(sum(CASE WHEN g = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS a1_c
+  FROM obs GROUP BY t
+),
+pooled AS (
+  SELECT t, dt_c AS dt, d1_c AS d1,
+    CAST(sum(at_c) OVER ()
+       - coalesce(sum(at_c) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS nt,
+    CAST(sum(a1_c) OVER ()
+       - coalesce(sum(a1_c) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n1
+  FROM cells
+),
+p AS (SELECT t, dt, d1, n1, nt - n1 AS n0 FROM pooled)
+"""
+
+
+def _cox_step_sql(k: int) -> str:
+    """One quantized Newton step as a CTE pair (s{k}: integer term sums
+    at it{k-1}.b; it{k}: the re-quantized update)."""
+    prev = f"it{k - 1}"
+    return f"""
+s{k} AS (
+  SELECT {prev}.b,
+    coalesce(CAST(sum(CAST(floor(
+      (CAST(d1 AS DOUBLE)
+       - CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) * exp({prev}.b))
+         / (CAST(n1 AS DOUBLE) * exp({prev}.b) + CAST(n0 AS DOUBLE)))
+      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS uq,
+    coalesce(CAST(sum(CAST(floor(
+      CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) * exp({prev}.b))
+      * CAST(n0 AS DOUBLE)
+      / ((CAST(n1 AS DOUBLE) * exp({prev}.b) + CAST(n0 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) * exp({prev}.b) + CAST(n0 AS DOUBLE)))
+      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS iq
+  FROM p, {prev} GROUP BY {prev}.b
+),
+it{k} AS (
+  SELECT coalesce(
+    floor((b + (CAST(uq AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+               / nullif(CAST(iq AS DOUBLE)
+                        / CAST(1000000000 AS DOUBLE), 0))
+          * 1000000000 + 0.5) / 1000000000, b) AS b
+  FROM s{k}
+)"""
+
+
+_COX_ORACLE = (
+    "WITH "
+    + _COX_POOLED_SQL
+    + ", it0 AS (SELECT CAST(0 AS DOUBLE) AS b),"
+    + ",".join(_cox_step_sql(k) for k in range(1, _COX_ITERS + 1))
+    + f""",
+fin AS (
+  SELECT it{_COX_ITERS}.b,
+    coalesce(CAST(sum(CAST(floor(
+      (CAST(d1 AS DOUBLE)
+       - CAST(dt AS DOUBLE)
+         * (CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b))
+         / (CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b)
+            + CAST(n0 AS DOUBLE)))
+      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS uq,
+    coalesce(CAST(sum(CAST(floor(
+      CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b))
+      * CAST(n0 AS DOUBLE)
+      / ((CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b)
+          + CAST(n0 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b)
+            + CAST(n0 AS DOUBLE)))
+      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS iq,
+    CAST(count(*) AS BIGINT) AS n_days
+  FROM p, it{_COX_ITERS} GROUP BY it{_COX_ITERS}.b
+)
+SELECT n_days,
+  CAST({_COX_ITERS} AS BIGINT) AS n_iter,
+  floor(b * 1000000 + 0.5) / 1000000 AS log_hazard_ratio,
+  floor(exp(b) * 1000000 + 0.5) / 1000000 AS hazard_ratio,
+  floor(CAST(1 AS DOUBLE)
+        / sqrt(CAST(iq AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+        * 1000000 + 0.5) / 1000000 AS se_log_hr,
+  floor(b / (CAST(1 AS DOUBLE)
+             / sqrt(CAST(iq AS DOUBLE) / CAST(1000000000 AS DOUBLE)))
+        * 1000000 + 0.5) / 1000000 AS z_score,
+  floor(CAST(uq AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+        * 1000000 + 0.5) / 1000000 AS score_final
+FROM fin
+"""
+)
+
+
+@query("diag_cox_hazard_ratio", _COX_ORACLE)
+def diag_cox_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards model for the signup-vs-view cohort
+    effect on time-to-first-purchase (binary covariate, Breslow tie
+    handling): the hazard ratio, its SE, z, and the final score (a
+    convergence witness ≈ 0) from {n} quantized Newton steps. The
+    partial likelihood's sufficient relation is the SAME pooled
+    distinct-day lattice as the log-rank — ONE fact scan, then the
+    iteration runs driver-side over the bounded collected relation
+    (documented bounded collect: ≤ #distinct days at any corpus
+    size; the r11 MMR lesson for iterative algorithms over bounded
+    state). See the section comment for the exactness contract the
+    DuckDB oracle replays CTE-for-CTE.""".format(n=_COX_ITERS)
+    import math
+
+    rows = (
+        _logrank_pooled(
+            _km_user_state(table(spark, sf_dir, "events"))
+        )
+        .select("t", "dt", "d1", "n1", (F.col("nt") - F.col("n1")).alias("n0"))
+        .collect()
+    )
+
+    def sums(b: float) -> tuple[int, int]:
+        th = math.exp(b)
+        uq = iq = 0
+        for r in rows:
+            d1, dt, n1, n0 = (
+                float(r.d1), float(r.dt), float(r.n1), float(r.n0),
+            )
+            a = n1 * th
+            uq += math.floor(
+                (d1 - dt * a / (a + n0)) * 1000000000 + 0.5
+            )
+            iq += math.floor(
+                dt * a * n0 / ((a + n0) * (a + n0)) * 1000000000 + 0.5
+            )
+        return uq, iq
+
+    b = 0.0
+    for _ in range(_COX_ITERS):
+        uq, iq = sums(b)
+        if iq != 0:
+            b = (
+                math.floor(
+                    (b + (uq / 1000000000) / (iq / 1000000000))
+                    * 1000000000
+                    + 0.5
+                )
+                / 1000000000
+            )
+    uq, iq = sums(b)
+    q6 = lambda v: math.floor(v * 1000000 + 0.5) / 1000000  # noqa: E731
+    se = 1.0 / math.sqrt(iq / 1000000000) if iq > 0 else None
+    return spark.createDataFrame(
+        [
+            (
+                len(rows),
+                _COX_ITERS,
+                q6(b),
+                q6(math.exp(b)),
+                q6(se) if se is not None else None,
+                q6(b / se) if se is not None else None,
+                q6(uq / 1000000000),
+            )
+        ],
+        "n_days long, n_iter long, log_hazard_ratio double,"
+        " hazard_ratio double, se_log_hr double, z_score double,"
+        " score_final double",
+    )
 
 
 # -- Stratified survival: KM and log-rank by cohort × value band ----------------

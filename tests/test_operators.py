@@ -4845,6 +4845,107 @@ def test_srm_check_planted_broken_day(spark, tmp_path):
         assert r.overall_chi2 == q6((30 - 15) ** 2 / 45)
 
 
+def test_cox_hazard_ratio_planted_funnel(spark, tmp_path):
+    """diag_cox_hazard_ratio on a planted tieless funnel, checked three
+    INDEPENDENT ways (none reuses the implementation's own iteration):
+    the score/information at β=0 must equal the log-rank O−E and (being
+    tieless) its variance; the fitted β̂ must MAXIMIZE the Breslow
+    partial log-likelihood computed directly in the test (grid
+    perturbation ±0.01); and the final score must witness convergence.
+    Signup users convert strictly faster, so the hazard ratio exceeds
+    1."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # signup-first convert mostly earlier, view-first mostly later,
+        # but the schedules INTERLEAVE (each group has events while the
+        # other is still at risk both ways — a separated plant has a
+        # monotone likelihood and beta = +inf); all days distinct, so
+        # the data are tieless for the I(0) == V identity below
+        1: [(0, "signup"), (1, "purchase")],
+        2: [(0, "signup"), (2, "purchase")],
+        3: [(0, "signup"), (3, "purchase")],
+        4: [(0, "signup"), (9, "purchase")],
+        5: [(0, "view"), (4, "purchase")],
+        6: [(0, "view"), (7, "purchase")],
+        7: [(0, "view"), (8, "purchase")],
+        8: [(0, "view"), (5, "error")],  # censored t=5
+    }
+    rows, k = [], 0
+    for uid, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), uid, et, 1.0,
+                 "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    cox = QUERIES["diag_cox_hazard_ratio"](spark, str(tmp_path)).collect()[
+        0
+    ]
+    lr = QUERIES["diag_logrank_test"](spark, str(tmp_path)).collect()[0]
+
+    # independent observation model for the test's own likelihood
+    obs = []  # (group 1=signup, t, e)
+    for uid, evs in planted.items():
+        g = 1 if evs[0][1] == "signup" else 0
+        tp = min((d for d, e in evs if e == "purchase"), default=None)
+        te = min((d for d, e in evs if e == "error"), default=None)
+        tmax = max(d for d, e in evs)
+        tcens = te if te is not None else tmax
+        if tp is not None and tp <= tcens:
+            obs.append((g, tp, 1))
+        else:
+            obs.append((g, tcens, 0))
+
+    def loglik(beta):
+        ll = 0.0
+        for t in sorted({t for _, t, e in obs if e == 1}):
+            d1 = sum(1 for g, tt, e in obs if tt == t and e and g == 1)
+            d = sum(1 for _, tt, e in obs if tt == t and e)
+            n1 = sum(1 for g, tt, _ in obs if tt >= t and g == 1)
+            n0 = sum(1 for g, tt, _ in obs if tt >= t and g == 0)
+            ll += d1 * beta - d * math.log(n1 * math.exp(beta) + n0)
+        return ll
+
+    # (1) the Cox score test at beta=0 IS the log-rank: U(0) == O1−E1
+    # and, the plant being tieless (every d_t = 1), I(0) == V — both
+    # recomputed here from the independent observation model and
+    # compared against the already-oracle-verified log-rank readout
+    u0 = i0 = 0.0
+    for t in sorted({t for _, t, e in obs if e == 1}):
+        d1 = sum(1 for g, tt, e in obs if tt == t and e and g == 1)
+        d = sum(1 for _, tt, e in obs if tt == t and e)
+        n1 = sum(1 for g, tt, _ in obs if tt >= t and g == 1)
+        n0 = sum(1 for g, tt, _ in obs if tt >= t and g == 0)
+        u0 += d1 - d * n1 / (n1 + n0)
+        i0 += d * n1 * n0 / ((n1 + n0) * (n1 + n0))
+    assert abs(u0 - (lr.obs_events_g1 - lr.exp_events_g1)) < 1e-4
+    assert abs(i0 - lr.var_logrank) < 1e-4  # tieless: FPC term is 1
+    assert abs(u0) > 0.5  # the plant separates the groups
+    # (2) the fitted beta maximizes the test's own likelihood
+    b = cox.log_hazard_ratio
+    assert loglik(b) >= loglik(b + 0.01) - 1e-12
+    assert loglik(b) >= loglik(b - 0.01) - 1e-12
+    # (3) convergence witness + direction + internal consistency
+    assert abs(cox.score_final) < 1e-3
+    assert cox.hazard_ratio > 1.0  # signup converts faster
+    assert (
+        abs(cox.hazard_ratio - math.floor(math.exp(b) * 1e6 + 0.5) / 1e6)
+        < 1e-9
+    )
+    assert cox.z_score > 0 and cox.se_log_hr > 0
+    assert cox.n_days == len({t for _, t, _ in obs})
+
+
 def test_msprt_planted_crossing_day(spark, tmp_path):
     """diag_msprt_sequential on a planted experiment: variants identical
     through day 3, then treated jumps +$80 — the always-valid log Λ must
