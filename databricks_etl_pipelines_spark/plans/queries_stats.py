@@ -1910,6 +1910,233 @@ def streaming_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _logrank_project(target.read(spark))
 
 
+# -- competing risks: Aalen-Johansen cumulative incidence -------------------------
+
+# The KM query treats the first error as CENSORING for
+# time-to-purchase; when the two outcomes COMPETE (an erroring user can
+# never convert), 1 − KM overstates the purchase probability — the
+# classic competing-risks bias. The Aalen-Johansen estimator fixes it:
+# CIF_k(t) = Σ_{t_j ≤ t} S(t_{j−1})·d_kj/n_j with S the ALL-CAUSE KM
+# (both causes are events; censoring is end-of-observation only).
+# Exactness rides the house machinery: exact int64 per-(cohort, day)
+# cause counts and suffix-sum risk sets; S(t_{j−1}) is the EXCLUSIVE
+# prefix product — the same pinned seed-1.0 fold over the prefix list
+# windowed to `1 PRECEDING` (DuckDB's empty frame yields NULL →
+# coalesce to the empty list; Spark's collect_list yields [] — both
+# fold to the seed); each CIF increment S_prev·d_k/n is ONE float
+# sequence 1e-6-quantized, and the cumulative incidence is an INTEGER
+# cumsum (the Nelson-Aalen discipline). The additivity identity
+# S(t) + CIF_p(t) + CIF_e(t) = 1 holds exactly in the reals and within
+# the lattice here (pytest-pinned).
+_CR_ORACLE = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
+    min(ts) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
+    max(ts) AS tmax
+  FROM r GROUP BY user_id
+),
+obs AS (
+  SELECT cohort,
+    CAST(datediff('day', CAST(t0 AS DATE), CAST(
+      CASE
+        WHEN tp IS NOT NULL AND tp <= coalesce(te, tp) THEN tp
+        WHEN te IS NOT NULL THEN te
+        ELSE tmax END AS DATE)) AS BIGINT) AS t,
+    CASE
+      WHEN tp IS NOT NULL AND tp <= coalesce(te, tp) THEN 'purchase'
+      WHEN te IS NOT NULL THEN 'error'
+      ELSE 'censor' END AS cause
+  FROM pu
+),
+grid AS (
+  SELECT cohort, t,
+    CAST(sum(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS dp,
+    CAST(sum(CASE WHEN cause = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS de,
+    CAST(sum(CASE WHEN cause = 'censor' THEN 1 ELSE 0 END) AS BIGINT)
+      AS c
+  FROM obs GROUP BY cohort, t
+),
+risk AS (
+  SELECT cohort, t, dp, de, c,
+    CAST(sum(dp + de + c) OVER (PARTITION BY cohort)
+       - coalesce(sum(dp + de + c) OVER (PARTITION BY cohort ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM grid
+),
+folded AS (
+  SELECT cohort, t, n_risk, dp, de, c,
+    coalesce(list(CAST(n_risk - dp - de AS DOUBLE)
+                  / CAST(n_risk AS DOUBLE))
+      OVER (PARTITION BY cohort ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      CAST([] AS DOUBLE[])) AS pref_prev,
+    list(CAST(n_risk - dp - de AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      OVER (PARTITION BY cohort ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+  FROM risk
+),
+inc AS (
+  SELECT cohort, t, n_risk, dp, de,
+    floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pref),
+          (a, b) -> a * b) * 1000000 + 0.5) / 1000000 AS surv_allcause,
+    CAST(floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pref_prev),
+          (a, b) -> a * b)
+        * CAST(dp AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        * 1000000 + 0.5) AS BIGINT) AS incp,
+    CAST(floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pref_prev),
+          (a, b) -> a * b)
+        * CAST(de AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        * 1000000 + 0.5) AS BIGINT) AS ince
+  FROM folded
+)
+SELECT cohort, t, n_risk, dp AS n_purchase, de AS n_error,
+  surv_allcause,
+  CAST(sum(incp) OVER (PARTITION BY cohort ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / 1000000 AS cif_purchase,
+  CAST(sum(ince) OVER (PARTITION BY cohort ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / 1000000 AS cif_error
+FROM inc
+"""
+
+
+@query("diag_competing_risks", _CR_ORACLE)
+def diag_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence per first-event cohort with
+    purchase and error as COMPETING first outcomes (censoring =
+    end-of-observation only) — the estimator that fixes the
+    competing-risks bias of reading 1 − KM as a conversion probability
+    when erroring users can never convert. CIF increments are
+    S_allcause(t⁻)·d_k/n quantized on the 1e-6 lattice and cumulated as
+    INTEGERS; the all-cause survival rides the pinned exclusive-prefix
+    fold (see the section comment)."""
+    pu = _km_user_state(table(spark, sf_dir, "events"))
+    is_p = F.col("tp").isNotNull() & (
+        F.col("tp") <= F.coalesce(F.col("te"), F.col("tp"))
+    )
+    is_e = ~is_p & F.col("te").isNotNull()
+    t_term = (
+        F.when(is_p, F.col("tp"))
+        .when(is_e, F.col("te"))
+        .otherwise(F.col("tmax"))
+    )
+    obs = pu.select(
+        F.col("first_ev")["event_type"].alias("cohort"),
+        F.datediff(F.to_date(t_term), F.to_date("t0"))
+        .cast("long")
+        .alias("t"),
+        F.when(is_p, "purchase")
+        .when(is_e, "error")
+        .otherwise("censor")
+        .alias("cause"),
+    )
+    grid = obs.groupBy("cohort", "t").agg(
+        F.sum(F.when(F.col("cause") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("dp"),
+        F.sum(F.when(F.col("cause") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("de"),
+        F.sum(F.when(F.col("cause") == "censor", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    w_all = Window.partitionBy("cohort")
+    w_before = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at = F.col("dp") + F.col("de") + F.col("c")
+    risk = grid.select(
+        "cohort",
+        "t",
+        "dp",
+        "de",
+        "c",
+        (
+            F.sum(at).over(w_all)
+            - F.coalesce(F.sum(at).over(w_before), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    ratio = (
+        F.col("n_risk") - F.col("dp") - F.col("de")
+    ).cast("double") / F.col("n_risk").cast("double")
+    folded = risk.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "dp",
+        "de",
+        F.collect_list(ratio).over(w_before).alias("pref_prev"),
+        F.collect_list(ratio).over(w_run).alias("pref"),
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.col(col), F.lit(1.0), lambda a, b: a * b
+    )
+    inc = folded.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "dp",
+        "de",
+        (F.floor(fold("pref") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "surv_allcause"
+        ),
+        F.floor(
+            fold("pref_prev")
+            * F.col("dp").cast("double")
+            / F.col("n_risk").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("incp"),
+        F.floor(
+            fold("pref_prev")
+            * F.col("de").cast("double")
+            / F.col("n_risk").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ince"),
+    )
+    return inc.select(
+        "cohort",
+        "t",
+        "n_risk",
+        F.col("dp").alias("n_purchase"),
+        F.col("de").alias("n_error"),
+        "surv_allcause",
+        (F.sum("incp").over(w_run).cast("double") / 1000000).alias(
+            "cif_purchase"
+        ),
+        (F.sum("ince").over(w_run).cast("double") / 1000000).alias(
+            "cif_error"
+        ),
+    )
+
+
 # -- Cox proportional hazards (binary covariate, Breslow ties) -------------------
 
 # The survival family's regression member: the hazard RATIO between the
@@ -2135,7 +2362,7 @@ def diag_cox_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AND shifts conversion speed can manufacture — or hide — a pooled
 # difference). The stratum is the FIRST event's value band (a
 # pre-treatment covariate: fixed before any survival time accrues,
-# banded on the exact cents lattice at {_KM_BAND_CENTS} so the cut is
+# banded on the exact cents lattice at _KM_BAND_CENTS so the cut is
 # engine-deterministic). The stratified machinery is the SAME exact
 # pipeline with (cohort, band) / (band, t) partitions — risk sets stay
 # exact int64 over the still-lattice-bounded (cohort × band × day)

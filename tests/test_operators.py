@@ -4845,6 +4845,98 @@ def test_srm_check_planted_broken_day(spark, tmp_path):
         assert r.overall_chi2 == q6((30 - 15) ** 2 / 45)
 
 
+def test_competing_risks_planted_aalen_johansen(spark, tmp_path):
+    """diag_competing_risks vs the Aalen-Johansen estimator replayed in
+    raw Python on a plant where errors genuinely compete (an erroring
+    user never purchases): per-row CIFs match the quantized-increment
+    cumsums, S + CIF_p + CIF_e stays 1 within the lattice, and the
+    naive 1 − KM (error-censored) OVERSTATES the purchase probability —
+    the bias the estimator exists to fix."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    planted = {
+        # all signup-first; mixture of outcomes on distinct/tied days
+        1: [(0, "signup"), (1, "purchase")],
+        2: [(0, "signup"), (2, "error")],          # competes at t=2
+        3: [(0, "signup"), (2, "error")],          # tied error day
+        4: [(0, "signup"), (3, "purchase")],
+        5: [(0, "signup"), (4, "view")],           # censored t=4
+        6: [(0, "signup"), (1, "error"), (5, "purchase")],  # error wins
+    }
+    rows, k = [], 0
+    for uid, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), uid, et, 1.0,
+                 "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.t: r
+        for r in QUERIES["diag_competing_risks"](
+            spark, str(tmp_path)
+        ).collect()
+        if r.cohort == "signup"
+    }
+
+    # raw-Python Aalen-Johansen replay
+    obs = []  # (t, cause)
+    for uid, evs in planted.items():
+        tp = min((d for d, e in evs if e == "purchase"), default=None)
+        te = min((d for d, e in evs if e == "error"), default=None)
+        tmax = max(d for d, e in evs)
+        if tp is not None and (te is None or tp <= te):
+            obs.append((tp, "p"))
+        elif te is not None:
+            obs.append((te, "e"))
+        else:
+            obs.append((tmax, "c"))
+    n = len(obs)
+    s_prev, cifp_q = 1.0, 0
+    cife_q, at_risk = 0, n
+    for t in sorted({t for t, _ in obs}):
+        dp = sum(1 for tt, c in obs if tt == t and c == "p")
+        de = sum(1 for tt, c in obs if tt == t and c == "e")
+        cc = sum(1 for tt, c in obs if tt == t and c == "c")
+        cifp_q += math.floor(s_prev * dp / at_risk * 1e6 + 0.5)
+        cife_q += math.floor(s_prev * de / at_risk * 1e6 + 0.5)
+        s = s_prev * (at_risk - dp - de) / at_risk
+        r = got[t]
+        assert r.n_risk == at_risk, t
+        assert (r.n_purchase, r.n_error) == (dp, de), t
+        assert r.surv_allcause == math.floor(s * 1e6 + 0.5) / 1e6, t
+        assert r.cif_purchase == cifp_q / 1e6, t
+        assert r.cif_error == cife_q / 1e6, t
+        # additivity within the lattice (3 quantized quantities)
+        assert (
+            abs(r.surv_allcause + r.cif_purchase + r.cif_error - 1.0)
+            < len(got) * 3e-6
+        ), t
+        s_prev = s
+        at_risk -= dp + de + cc
+    # the bias direction: naive 1 - KM (error-censored) >= CIF_p at the
+    # horizon, strictly here because errors removed convertible users
+    km = {
+        r.t: r.survival
+        for r in QUERIES["diag_kaplan_meier"](
+            spark, str(tmp_path)
+        ).collect()
+        if r.cohort == "signup"
+    }
+    last_km = km[max(km)]
+    last_cif = got[max(got)].cif_purchase
+    assert (1.0 - last_km) > last_cif
+
+
 def test_cox_hazard_ratio_planted_funnel(spark, tmp_path):
     """diag_cox_hazard_ratio on a planted tieless funnel, checked three
     INDEPENDENT ways (none reuses the implementation's own iteration):
