@@ -1000,21 +1000,34 @@ def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything downstream is lattice-sized.
 # (DuckDB list() as a cumulative window aggregate yields the ordered
 # prefix, the exact twin of Spark's collect_list over the same frame)
-_KM_CTES = """
-WITH r AS (
-  SELECT user_id, ts, event_id, event_type,
+def _km_userstate_sql(
+    extra_r_cols: str = "", extra_pu_cols: str = ""
+) -> str:
+    """The survival family's shared user-state SQL (the oracle twin of
+    :func:`_km_user_state`): first-event cohort by the (ts, event_id)
+    total order, first purchase/error, observation bounds. ONE
+    definition consumed by the KM/log-rank/Cox/competing-risks/
+    stratified oracles so the censoring model can never silently
+    desynchronize between them; ``extra_*`` inject the stratified
+    flavor's value column / band cut."""
+    return f"""r AS (
+  SELECT user_id, ts, event_id, event_type{extra_r_cols},
     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ),
 pu AS (
   SELECT user_id,
-    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
+    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,{extra_pu_cols}
     min(ts) AS t0,
     min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
     min(CASE WHEN event_type = 'error' THEN ts END) AS te,
     max(ts) AS tmax
   FROM r GROUP BY user_id
-),
+)"""
+
+
+_KM_CTES = f"""
+WITH {_km_userstate_sql()},
 obs AS (
   SELECT cohort,
     CAST(datediff('day', CAST(t0 AS DATE), CAST(
@@ -1647,21 +1660,8 @@ def diag_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical float expression away. nt ≥ 1 on every grid row with a
 # contribution (dt ≥ 1 implies an at-risk observer); nt = 1 makes the
 # variance term NULL via nullif and coalesces to 0 identically.
-_LOGRANK_ORACLE = """
-WITH r AS (
-  SELECT user_id, ts, event_id, event_type,
-    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
-),
-pu AS (
-  SELECT user_id,
-    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
-    min(ts) AS t0,
-    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
-    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
-    max(ts) AS tmax
-  FROM r GROUP BY user_id
-),
+_LOGRANK_ORACLE = f"""
+WITH {_km_userstate_sql()},
 obs AS (
   SELECT cohort AS g,
     CAST(datediff('day', CAST(t0 AS DATE), CAST(
@@ -1741,27 +1741,18 @@ def _logrank_pooled(
     )
     # the risk-set suffix sums run over the pooled DISTINCT-day relation
     # (lattice-bounded, per stratum when stratified), so the windows are
-    # bounded by design — the Neyman/strata discipline
-    if strata:
-        w_all = (
-            Window.partitionBy(*strata)
-            .orderBy("t")
-            .rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        w_before = (
-            Window.partitionBy(*strata)
-            .orderBy("t")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-    else:
-        w_all = Window.orderBy("t").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        w_before = Window.orderBy("t").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
+    # bounded by design — the Neyman/strata discipline. An empty strata
+    # tuple makes partitionBy a no-op (the unpartitioned pooled window).
+    w_all = (
+        Window.partitionBy(*strata)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_before = (
+        Window.partitionBy(*strata)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return cells.select(
         *strata,
         "t",
@@ -1928,21 +1919,8 @@ def streaming_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cumsum (the Nelson-Aalen discipline). The additivity identity
 # S(t) + CIF_p(t) + CIF_e(t) = 1 holds exactly in the reals and within
 # the lattice here (pytest-pinned).
-_CR_ORACLE = """
-WITH r AS (
-  SELECT user_id, ts, event_id, event_type,
-    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
-),
-pu AS (
-  SELECT user_id,
-    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
-    min(ts) AS t0,
-    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
-    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
-    max(ts) AS tmax
-  FROM r GROUP BY user_id
-),
+_CR_ORACLE = f"""
+WITH {_km_userstate_sql()},
 obs AS (
   SELECT cohort,
     CAST(datediff('day', CAST(t0 AS DATE), CAST(
@@ -2161,22 +2139,14 @@ def diag_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # update, so both engines enter each iteration with the IDENTICAL
 # double; exp() is libm, its ≤1-ulp spread enters terms at relative
 # 1e-16 and is absorbed by the term lattice (the WOE/ln discipline).
+# Degenerate conventions pinned on BOTH engines: a corpus with no
+# signup/view users yields ONE row (β=0, HR=1, NULL se/z — the oracle's
+# NOT EXISTS fallback mirrors the driver's unstepped seed), and a
+# SEPARATED corpus (information zero) keeps β at its last value with
+# NULL se/z via the nullif(iq) guard.
 _COX_ITERS = 4
-_COX_POOLED_SQL = """
-r AS (
-  SELECT user_id, ts, event_id, event_type,
-    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
-),
-pu AS (
-  SELECT user_id,
-    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
-    min(ts) AS t0,
-    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
-    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
-    max(ts) AS tmax
-  FROM r GROUP BY user_id
-),
+_COX_POOLED_SQL = f"""
+{_km_userstate_sql()},
 obs AS (
   SELECT cohort AS g,
     CAST(datediff('day', CAST(t0 AS DATE), CAST(
@@ -2271,14 +2241,21 @@ SELECT n_days,
   floor(b * 1000000 + 0.5) / 1000000 AS log_hazard_ratio,
   floor(exp(b) * 1000000 + 0.5) / 1000000 AS hazard_ratio,
   floor(CAST(1 AS DOUBLE)
-        / sqrt(CAST(iq AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+        / sqrt(nullif(CAST(iq AS DOUBLE), 0)
+               / CAST(1000000000 AS DOUBLE))
         * 1000000 + 0.5) / 1000000 AS se_log_hr,
   floor(b / (CAST(1 AS DOUBLE)
-             / sqrt(CAST(iq AS DOUBLE) / CAST(1000000000 AS DOUBLE)))
+             / sqrt(nullif(CAST(iq AS DOUBLE), 0)
+                    / CAST(1000000000 AS DOUBLE)))
         * 1000000 + 0.5) / 1000000 AS z_score,
   floor(CAST(uq AS DOUBLE) / CAST(1000000000 AS DOUBLE)
         * 1000000 + 0.5) / 1000000 AS score_final
 FROM fin
+UNION ALL
+SELECT CAST(0 AS BIGINT), CAST({_COX_ITERS} AS BIGINT),
+  CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), CAST(0 AS DOUBLE)
+WHERE NOT EXISTS (SELECT 1 FROM fin)
 """
 )
 
@@ -2371,24 +2348,13 @@ def diag_cox_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # χ² = (Σ_s (O_s − E_s))² / Σ_s V_s: per-stratum sums of the SAME
 # 1e-6-quantized integer terms (so the cross-stratum sums are
 # engine-exact), one final float expression.
-_KM_STRAT_CTES = f"""
-WITH r AS (
-  SELECT user_id, ts, event_id, event_type, value,
-    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
-),
-pu AS (
-  SELECT user_id,
-    min(CASE WHEN rn = 1 THEN event_type END) AS cohort,
+_KM_STRAT_BAND_SQL = f"""
     CASE WHEN CAST(floor(min(CASE WHEN rn = 1 THEN value END) * 100
                          + 0.5) AS BIGINT) < {_KM_BAND_CENTS}
-         THEN 'low' ELSE 'high' END AS band,
-    min(ts) AS t0,
-    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
-    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
-    max(ts) AS tmax
-  FROM r GROUP BY user_id
-),
+         THEN 'low' ELSE 'high' END AS band,"""
+
+_KM_STRAT_CTES = f"""
+WITH {_km_userstate_sql(", value", _KM_STRAT_BAND_SQL)},
 obs AS (
   SELECT cohort, band,
     CAST(datediff('day', CAST(t0 AS DATE), CAST(
@@ -3771,12 +3737,13 @@ stat AS (
 ),
 lam AS (
   SELECT day, na, nb, delta,
-    floor((CAST(0.5 AS DOUBLE)
-           * ln(nullif(vk, 0) / (vk + CAST({_MSPRT_TAU2} AS DOUBLE)))
-           + delta * delta * CAST({_MSPRT_TAU2} AS DOUBLE)
-             / (CAST(2 AS DOUBLE) * nullif(vk, 0)
-                * (vk + CAST({_MSPRT_TAU2} AS DOUBLE))))
-          * 1000000 + 0.5) / 1000000 AS log_lambda
+    CASE WHEN vk > CAST(0 AS DOUBLE) THEN
+      floor((CAST(0.5 AS DOUBLE)
+             * ln(vk / (vk + CAST({_MSPRT_TAU2} AS DOUBLE)))
+             + delta * delta * CAST({_MSPRT_TAU2} AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * vk
+                  * (vk + CAST({_MSPRT_TAU2} AS DOUBLE))))
+            * 1000000 + 0.5) / 1000000 END AS log_lambda
   FROM stat
 ),
 flagged AS (
@@ -3901,17 +3868,22 @@ def _msprt_project(d: DataFrame) -> DataFrame:
         " * (CAST(1 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
         "    + CAST(1 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) AS vk",
     )
+    # vk can come out slightly NEGATIVE from double cancellation on a
+    # near-constant corpus at scale — the CASE (not a nullif) keeps a
+    # degenerate day NULL on BOTH engines instead of a DuckDB ln-domain
+    # error vs a Spark NULL
     lam = stat.selectExpr(
         "day",
         "na",
         "nb",
         "delta",
-        f"floor((CAST(0.5 AS DOUBLE)"
-        f" * ln(nullif(vk, 0) / (vk + CAST({_MSPRT_TAU2} AS DOUBLE)))"
+        f"CASE WHEN vk > CAST(0 AS DOUBLE) THEN"
+        f" floor((CAST(0.5 AS DOUBLE)"
+        f" * ln(vk / (vk + CAST({_MSPRT_TAU2} AS DOUBLE)))"
         f" + delta * delta * CAST({_MSPRT_TAU2} AS DOUBLE)"
-        f"   / (CAST(2 AS DOUBLE) * nullif(vk, 0)"
+        f"   / (CAST(2 AS DOUBLE) * vk"
         f"      * (vk + CAST({_MSPRT_TAU2} AS DOUBLE))))"
-        f" * 1000000 + 0.5) / 1000000 AS log_lambda",
+        f" * 1000000 + 0.5) / 1000000 END AS log_lambda",
     )
     flagged = lam.selectExpr(
         "day",

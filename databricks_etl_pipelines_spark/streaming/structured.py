@@ -654,12 +654,14 @@ def incremental_aggregate(
     batch-id high-water mark stamped atomically with each gold version
     makes re-delivered batches no-ops).
 
-    ``partial_agg`` must produce ``keys`` + decomposable metric columns;
-    ``combine`` maps a metric column to its fold ("sum" default, "min",
-    "max" — any commutative monoid makes the maintenance both
-    order-independent across batch splits and idempotent-per-batch, so
-    per-entity firsts/lasts fold as safely as counts; derive ratios
-    downstream). The fold is one key-hash shuffle of |gold| + |batch
+    ``partial_agg`` must produce ``keys`` + decomposable metric columns.
+    ``combine`` omitted folds every metric column with "sum"; when
+    PROVIDED it must map EVERY metric column to a known fold ("sum",
+    "min", "max" — validated, a partial mapping raises instead of
+    silently summing an entity-state column; any commutative monoid
+    makes the maintenance both order-independent across batch splits
+    and idempotent-per-batch, so per-entity firsts/lasts fold as safely
+    as counts; derive ratios downstream). The fold is one key-hash shuffle of |gold| + |batch
     partial| rows — at scale that is the whole point: cost tracks the
     AGGREGATE size, not the fact-history size.
     """

@@ -4845,6 +4845,52 @@ def test_srm_check_planted_broken_day(spark, tmp_path):
         assert r.overall_chi2 == q6((30 - 15) ** 2 / 45)
 
 
+def test_cox_degenerate_no_cohort_users(spark, tmp_path):
+    """Self-review regression (round 13): a corpus with NO signup- or
+    view-first users must yield ONE degenerate Cox row (β=0, HR=1, NULL
+    se/z, zero score) on the Spark side AND the identical row from the
+    DuckDB oracle's NOT-EXISTS fallback — the GROUP BY form alone
+    returned 0 oracle rows against Spark's 1."""
+    import datetime as dt
+
+    import duckdb
+
+    from databricks_etl_pipelines_spark.catalog import (
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 2), 2, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = QUERIES["diag_cox_hazard_ratio"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_days, r.log_hazard_ratio, r.hazard_ratio) == (0, 0.0, 1.0)
+    assert r.se_log_hr is None and r.z_score is None
+    assert r.score_final == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(ORACLES["diag_cox_hazard_ratio"]).fetchall()
+    assert len(o) == 1
+    assert o[0] == (
+        r.n_days, r.n_iter, r.log_hazard_ratio, r.hazard_ratio,
+        r.se_log_hr, r.z_score, r.score_final,
+    )
+
+
 def test_competing_risks_planted_aalen_johansen(spark, tmp_path):
     """diag_competing_risks vs the Aalen-Johansen estimator replayed in
     raw Python on a plant where errors genuinely compete (an erroring
