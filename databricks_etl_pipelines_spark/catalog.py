@@ -46,37 +46,37 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
     # --- round-13 rotation, the r12 verdict's prescription: the round's
-    # 9 new queries, then the queries whose CODE or ORACLE changed this
+    # 11 new queries, then the queries whose CODE or ORACLE changed this
     # round (Neyman waterfill changes nothing at the test SFs but both
     # sides changed; the three O(n²) oracles moved to the PPJoin replay;
-    # the survival family's shared helpers were generalized for
-    # stratification; the two streaming survival golds also ride the
-    # fold-marker backward scan), then ALL 33 remaining r7-vintage rows
-    # (the verdict's binding done-criterion: after r13 no oracle-backed
-    # query's newest driver row is older than r8) — 9 + 8 + 33 = 50
+    # the two streaming survival golds additionally ride the fold-marker
+    # backward scan), then ALL 33 remaining r7-vintage rows (the
+    # verdict's binding done-criterion: after r13 no oracle-backed
+    # query's newest driver row is older than r8) — 11 + 6 + 33 = 50
     # exactly. The r8 rows lead the overflow and start clearing next
     # round.
     # (a) round-13 NEW queries, newest-risk first
     "diag_km_stratified",
     "diag_logrank_stratified",
+    "diag_cox_stratified",
     "diag_msprt_sequential",
     "streaming_msprt_sequential",
+    "streaming_competing_risks",
     "diag_did_cluster_robust",
     "diag_rmst_difference",
     "diag_srm_check",
     "diag_cox_hazard_ratio",
     "diag_competing_risks",
     # (a') changed this round (code and/or oracle)
+    # (diag_kaplan_meier/diag_logrank_test/diag_rmst/diag_nelson_aalen
+    # also rode the survival-helper generalization but are displaced by
+    # the round's 8th-11th new queries — outputs unchanged, re-verified
+    # individually this round AND in both full frozen-HEAD sweeps; all
+    # four carry r12 rows)
     "curation_neyman_allocation",
     "dedup_ngram_jaccard_pairs",
     "curation_leakage_safe_split",
     "dedup_cluster_representatives",
-    "diag_kaplan_meier",
-    "diag_logrank_test",
-    # (diag_rmst and diag_nelson_aalen also rode the helper
-    # generalization but are displaced by the 8th/9th new queries —
-    # outputs unchanged, re-verified individually at sf0.01 this round
-    # + both full frozen-HEAD sweeps; both carry r12 rows)
     "streaming_kaplan_meier",
     "streaming_logrank_test",
     # (b) ALL 33 remaining r7-vintage rows (newest driver evidence r7)

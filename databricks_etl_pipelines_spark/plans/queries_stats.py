@@ -2000,7 +2000,13 @@ def diag_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
     S_allcause(t⁻)·d_k/n quantized on the 1e-6 lattice and cumulated as
     INTEGERS; the all-cause survival rides the pinned exclusive-prefix
     fold (see the section comment)."""
-    pu = _km_user_state(table(spark, sf_dir, "events"))
+    return _cif_project(_km_user_state(table(spark, sf_dir, "events")))
+
+
+def _cif_project(pu: DataFrame) -> DataFrame:
+    """Aalen-Johansen projection over the funnel-state relation (shared
+    by the batch and streaming flavors — the min/max entity-state gold
+    is a sufficient statistic for the CIF exactly as for KM/log-rank)."""
     is_p = F.col("tp").isNotNull() & (
         F.col("tp") <= F.coalesce(F.col("te"), F.col("tp"))
     )
@@ -2113,6 +2119,63 @@ def diag_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cif_error"
         ),
     )
+
+
+# deliberately the SAME oracle as diag_competing_risks: the min/max
+# entity-state gold already maintained for the streaming KM/log-rank is
+# a sufficient statistic for the CIF too — one state table serves
+# curves, hazard, RMST, the test AND the competing-risks readout.
+@query("streaming_competing_risks", _CR_ORACLE)
+def streaming_competing_risks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence maintained INCREMENTALLY:
+    per-user funnel state folds via incremental_aggregate's min/max
+    monoids over the non-chronological event_id%3 feed (exactly as
+    streaming_kaplan_meier), then the shared CIF projection reads only
+    the entity-state gold. Oracle is the batch Aalen-Johansen SQL
+    verbatim. At 100 TB the competing-risks readout updates per batch
+    at batch + one-row-per-user cost, never a history rescan."""
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _write_batched_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src_dir = _write_batched_feed(
+        [ev.filter(F.col("event_id") % 3 == b) for b in range(3)], "cr_"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    target = ManagedTable(scratch_dir("cr_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["user_id"],
+        _km_user_state,
+        scratch_dir("cr_ckpt_"),
+        combine={
+            "first_ev": "min",
+            "t0": "min",
+            "tp": "min",
+            "te": "min",
+            "tmax": "max",
+        },
+    )
+    await_drained(q, 300)
+    return _cif_project(target.read(spark))
 
 
 # -- Cox proportional hazards (binary covariate, Breslow ties) -------------------
@@ -2273,8 +2336,6 @@ def diag_cox_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; the r11 MMR lesson for iterative algorithms over bounded
     state). See the section comment for the exactness contract the
     DuckDB oracle replays CTE-for-CTE.""".format(n=_COX_ITERS)
-    import math
-
     rows = (
         _logrank_pooled(
             _km_user_state(table(spark, sf_dir, "events"))
@@ -2282,6 +2343,23 @@ def diag_cox_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", "dt", "d1", "n1", (F.col("nt") - F.col("n1")).alias("n0"))
         .collect()
     )
+    b, uq, iq = _cox_newton(rows)
+    return spark.createDataFrame(
+        [(len(rows),) + _cox_readout(b, uq, iq)],
+        "n_days long, n_iter long, log_hazard_ratio double,"
+        " hazard_ratio double, se_log_hr double, z_score double,"
+        " score_final double",
+    )
+
+
+def _cox_newton(rows) -> tuple[float, int, int]:
+    """The quantized Newton-Raphson over a collected (dt, d1, n1, n0)
+    relation (the DRIVER-SIDE half of the Cox contract — see the
+    section comment): per-row terms use the IDENTICAL float sequence as
+    the oracle CTEs, 1e-9-quantized before the (order-independent)
+    integer sums; β re-quantizes to the lattice after every update.
+    Returns (β̂, final score·1e9, final information·1e9)."""
+    import math
 
     def sums(b: float) -> tuple[int, int]:
         th = math.exp(b)
@@ -2312,23 +2390,22 @@ def diag_cox_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1000000000
             )
     uq, iq = sums(b)
+    return b, uq, iq
+
+
+def _cox_readout(b: float, uq: int, iq: int) -> tuple:
+    """(n_iter, β, HR, se, z, score) — the shared q6 readout tuple."""
+    import math
+
     q6 = lambda v: math.floor(v * 1000000 + 0.5) / 1000000  # noqa: E731
     se = 1.0 / math.sqrt(iq / 1000000000) if iq > 0 else None
-    return spark.createDataFrame(
-        [
-            (
-                len(rows),
-                _COX_ITERS,
-                q6(b),
-                q6(math.exp(b)),
-                q6(se) if se is not None else None,
-                q6(b / se) if se is not None else None,
-                q6(uq / 1000000000),
-            )
-        ],
-        "n_days long, n_iter long, log_hazard_ratio double,"
-        " hazard_ratio double, se_log_hr double, z_score double,"
-        " score_final double",
+    return (
+        _COX_ITERS,
+        q6(b),
+        q6(math.exp(b)),
+        q6(se) if se is not None else None,
+        q6(b / se) if se is not None else None,
+        q6(uq / 1000000000),
     )
 
 
@@ -2526,6 +2603,130 @@ def diag_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1000000
         ).alias("logrank_chi2_stratified"),
+    )
+
+
+# Stratified Cox: a COMMON hazard ratio with per-stratum baseline
+# hazards — the partial likelihood factorizes over strata, so U(β)/I(β)
+# are SUMS of the same per-(stratum, day) terms over the stratified
+# pooled relation (risk sets within stratum). The iteration CTEs are
+# the unchanged _cox_step_sql (they never reference the stratum — only
+# the per-row counts), and the driver-side Newton is the shared
+# _cox_newton over the (band × day)-bounded collected relation.
+_COX_STRAT_POOLED_SQL = f"""
+{_km_userstate_sql(", value", _KM_STRAT_BAND_SQL)},
+obs AS (
+  SELECT cohort AS g, band,
+    CAST(datediff('day', CAST(t0 AS DATE), CAST(
+      CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN tp
+           ELSE coalesce(te, tmax) END AS DATE)) AS BIGINT) AS t,
+    CASE WHEN tp IS NOT NULL AND tp <= coalesce(te, tmax) THEN 1 ELSE 0 END
+      AS e
+  FROM pu WHERE cohort IN ('signup', 'view')
+),
+cells AS (
+  SELECT band, t,
+    CAST(sum(e) AS BIGINT) AS dt_c,
+    CAST(sum(CASE WHEN g = 'signup' THEN e ELSE 0 END) AS BIGINT) AS d1_c,
+    CAST(count(*) AS BIGINT) AS at_c,
+    CAST(sum(CASE WHEN g = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS a1_c
+  FROM obs GROUP BY band, t
+),
+pooled AS (
+  SELECT band, t, dt_c AS dt, d1_c AS d1,
+    CAST(sum(at_c) OVER (PARTITION BY band)
+       - coalesce(sum(at_c) OVER (PARTITION BY band ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS nt,
+    CAST(sum(a1_c) OVER (PARTITION BY band)
+       - coalesce(sum(a1_c) OVER (PARTITION BY band ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n1
+  FROM cells
+),
+p AS (SELECT band, t, dt, d1, n1, nt - n1 AS n0 FROM pooled)
+"""
+
+_COX_STRAT_ORACLE = (
+    "WITH "
+    + _COX_STRAT_POOLED_SQL
+    + ", it0 AS (SELECT CAST(0 AS DOUBLE) AS b),"
+    + ",".join(_cox_step_sql(k) for k in range(1, _COX_ITERS + 1))
+    + f""",
+fin AS (
+  SELECT it{_COX_ITERS}.b,
+    coalesce(CAST(sum(CAST(floor(
+      (CAST(d1 AS DOUBLE)
+       - CAST(dt AS DOUBLE)
+         * (CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b))
+         / (CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b)
+            + CAST(n0 AS DOUBLE)))
+      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS uq,
+    coalesce(CAST(sum(CAST(floor(
+      CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b))
+      * CAST(n0 AS DOUBLE)
+      / ((CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b)
+          + CAST(n0 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) * exp(it{_COX_ITERS}.b)
+            + CAST(n0 AS DOUBLE)))
+      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS iq,
+    CAST(count(*) AS BIGINT) AS n_cells,
+    CAST(count(DISTINCT band) AS BIGINT) AS n_strata
+  FROM p, it{_COX_ITERS} GROUP BY it{_COX_ITERS}.b
+)
+SELECT n_cells, n_strata,
+  CAST({_COX_ITERS} AS BIGINT) AS n_iter,
+  floor(b * 1000000 + 0.5) / 1000000 AS log_hazard_ratio,
+  floor(exp(b) * 1000000 + 0.5) / 1000000 AS hazard_ratio,
+  floor(CAST(1 AS DOUBLE)
+        / sqrt(nullif(CAST(iq AS DOUBLE), 0)
+               / CAST(1000000000 AS DOUBLE))
+        * 1000000 + 0.5) / 1000000 AS se_log_hr,
+  floor(b / (CAST(1 AS DOUBLE)
+             / sqrt(nullif(CAST(iq AS DOUBLE), 0)
+                    / CAST(1000000000 AS DOUBLE)))
+        * 1000000 + 0.5) / 1000000 AS z_score,
+  floor(CAST(uq AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+        * 1000000 + 0.5) / 1000000 AS score_final
+FROM fin
+UNION ALL
+SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+  CAST({_COX_ITERS} AS BIGINT),
+  CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), CAST(0 AS DOUBLE)
+WHERE NOT EXISTS (SELECT 1 FROM fin)
+"""
+)
+
+
+@query("diag_cox_stratified", _COX_STRAT_ORACLE)
+def diag_cox_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED Cox proportional hazards: ONE common signup-vs-view
+    hazard ratio with per-value-band baseline hazards — the regression
+    twin of diag_logrank_stratified (a band imbalance between cohorts
+    cannot masquerade as a cohort effect because risk sets live within
+    stratum). The partial likelihood factorizes over strata, so the
+    score/information are sums of the SAME per-(band, day) terms; the
+    Newton contract (driver-side over the bounded collected relation,
+    1e-9 term quantization, β re-quantized per step) is shared with
+    diag_cox_hazard_ratio."""
+    rows = (
+        _logrank_pooled(
+            _km_user_state(table(spark, sf_dir, "events"), with_value=True),
+            strata=("band",),
+        )
+        .select(
+            "band", "t", "dt", "d1", "n1",
+            (F.col("nt") - F.col("n1")).alias("n0"),
+        )
+        .collect()
+    )
+    b, uq, iq = _cox_newton(rows)
+    return spark.createDataFrame(
+        [(len(rows), len({r.band for r in rows})) + _cox_readout(b, uq, iq)],
+        "n_cells long, n_strata long, n_iter long,"
+        " log_hazard_ratio double, hazard_ratio double,"
+        " se_log_hr double, z_score double, score_final double",
     )
 
 

@@ -4206,6 +4206,23 @@ def test_stratified_logrank_simpson_disagreement(spark, tmp_path):
     # ... while the pooled test fires hard on the band imbalance
     assert pooled.logrank_chi2 > 3.84
 
+    # the regression twins agree with their tests: the stratified Cox
+    # stays at HR = 1 exactly (U(0) = 0 in every stratum, so Newton
+    # never moves off the seed) while the pooled Cox reads a strong
+    # spurious effect from the same band imbalance
+    cox_s = QUERIES["diag_cox_stratified"](spark, str(tmp_path)).collect()[
+        0
+    ]
+    assert cox_s.n_strata == 2
+    assert cox_s.log_hazard_ratio == 0.0
+    assert cox_s.hazard_ratio == 1.0
+    assert cox_s.score_final == 0.0
+    cox_p = QUERIES["diag_cox_hazard_ratio"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert abs(cox_p.log_hazard_ratio) > 0.5
+    assert abs(cox_p.z_score) > 1.96
+
 
 def test_stratified_km_band_assignment_and_curves(spark, tmp_path):
     """diag_km_stratified: the band comes from the FIRST event's value
