@@ -128,6 +128,12 @@ HEADLINE = [
     # cumulative windows over the day lattice); the stratified survival
     # pair rides the r12 KM shape already on the list
     "diag_msprt_sequential",
+    # round-14 addition: the k-arm generalization (one fact scan to
+    # per-(day, arm) partials, 12 cumulative windows over the day
+    # lattice, 3 per-arm projections re-reading the one bounded
+    # aggregate); the PH check rides the pooled-day Cox shape (KM-sized
+    # collect + driver Newton), and k-arm SRM rides the srm_check shape
+    "diag_msprt_multiarm",
 ]
 
 

@@ -45,79 +45,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-13 rotation, the r12 verdict's prescription: the round's
-    # 11 new queries, then the queries whose CODE or ORACLE changed this
-    # round (Neyman waterfill changes nothing at the test SFs but both
-    # sides changed; the three O(n²) oracles moved to the PPJoin replay;
-    # the two streaming survival golds additionally ride the fold-marker
-    # backward scan), then ALL 33 remaining r7-vintage rows (the
-    # verdict's binding done-criterion: after r13 no oracle-backed
-    # query's newest driver row is older than r8) — 11 + 6 + 33 = 50
-    # exactly. The r8 rows lead the overflow and start clearing next
-    # round.
-    # (a) round-13 NEW queries, newest-risk first
-    "diag_km_stratified",
-    "diag_logrank_stratified",
-    "diag_cox_stratified",
-    "diag_msprt_sequential",
-    "streaming_msprt_sequential",
-    "streaming_competing_risks",
-    "diag_did_cluster_robust",
-    "diag_rmst_difference",
+    # --- round-14 rotation, the r13 verdict's prescription: the round's
+    # NEW queries first, then the queries whose CODE or ORACLE changed
+    # this round (diag_srm_check now delegates to the shared
+    # _srm_enroll_state/_srm_project pair the streaming flavor reads;
+    # the three r11-vintage drift streams ride the changed
+    # incremental_aggregate — eager fold-name validation + the
+    # create_or_overwrite fold-marker tombstone — and are the stalest
+    # consumers of that infrastructure), then 42 of the 49 r8-vintage
+    # rows — 4 + 4 + 42 = 50 exactly. The remaining 7 r8 rows lead the
+    # r15 overflow and clear next round.
+    # (a) round-14 NEW queries, newest-risk first
+    "diag_cox_ph_assumption",
+    "diag_srm_multiarm",
+    "diag_msprt_multiarm",
+    "streaming_srm_check",
+    # (a') changed this round (code and/or shared infrastructure)
     "diag_srm_check",
-    "diag_cox_hazard_ratio",
-    "diag_competing_risks",
-    # (a') changed this round (code and/or oracle)
-    # (diag_kaplan_meier/diag_logrank_test/diag_rmst/diag_nelson_aalen
-    # also rode the survival-helper generalization but are displaced by
-    # the round's 8th-11th new queries — outputs unchanged, re-verified
-    # individually this round AND in both full frozen-HEAD sweeps; all
-    # four carry r12 rows)
-    "curation_neyman_allocation",
-    "dedup_ngram_jaccard_pairs",
-    "curation_leakage_safe_split",
-    "dedup_cluster_representatives",
-    "streaming_kaplan_meier",
-    "streaming_logrank_test",
-    # (b) ALL 33 remaining r7-vintage rows (newest driver evidence r7)
-    "dedup_minhash_crossengine",
-    "distinct_projection",
-    "filter_predicates",
-    "join_blame_late_supplier",
-    "join_idle_rich_customers",
-    "join_min_cost_supplier",
-    "json_extract_events",
-    "scalar_array_element_at",
-    "scalar_boolean_or_labeling",
-    "scalar_collection_functions",
-    "scalar_conditional_bucketing",
-    "scalar_conditional_risk_score",
-    "scalar_explode_word_counts",
-    "scalar_from_json_struct",
-    "scalar_map_literal_lookup",
-    "scalar_regexp_functions",
-    "scalar_unpivot_stack",
-    "setop_except_all",
-    "setop_except_subtract",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sft_contrastive_triplets",
-    "sort_multikey",
-    "streaming_curation_neardup_crossengine",
-    "streaming_decontaminate",
-    "streaming_kmv_distinct",
-    "streaming_perplexity_gate",
-    "streaming_reservoir_sample",
-    "text_bigram_surprisal",
-    "text_tfidf_top_terms",
-    "topk_orders_by_price",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the r8-vintage rows lead (stalest after this rotation —
-    # they head the r14 cap), then everything fresher in registration
-    # order; the rows-only set stays at the end (weaker rows by design —
-    # each has an oracle-backed sibling; see COVERAGE.md rows-only map).
+    "streaming_ks_drift",
+    "streaming_psi_drift",
+    "streaming_cvm_drift",
+    # (b) 42 of the 49 r8-vintage rows (newest driver evidence r8)
     "agg_bloom_filter_prune",
     "agg_countmin_words",
     "agg_theta_sketch_setops",
@@ -160,6 +108,12 @@ PRIORITY: list[str] = [
     "text_token_stats",
     "text_unigram_doc_stats",
     "text_unigram_em_pruned",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the 7 remaining r8-vintage rows lead (stalest after this
+    # rotation — they head the r15 cap), then everything fresher in
+    # registration order; the rows-only set stays at the end (weaker
+    # rows by design — each has an oracle-backed sibling; see
+    # COVERAGE.md rows-only map).
     "text_unigram_em_segment",
     "text_unigram_segment",
     "window_cohort_retention",

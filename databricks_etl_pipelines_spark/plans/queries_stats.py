@@ -3645,6 +3645,11 @@ def diag_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster sums → a 2-row variant relation pivoted to one readout row.
 _DID_CR_CLUSTER = 4  # users per cluster (the randomization unit)
 
+# NOTE the non-negative user_id assumption (as the % parity queries
+# implicitly make too): DuckDB `//` FLOORS while Spark `div` truncates
+# toward zero, so the cluster assignment — and the parity-derived
+# variant — would diverge for negative user_ids. Generated user_ids
+# are non-negative, where the two operators agree.
 _DID_CR_ORACLE = f"""
 WITH pu AS (
   SELECT user_id, user_id // {_DID_CR_CLUSTER} AS cluster_id,
@@ -4231,65 +4236,11 @@ def diag_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled statistic on every row; a firing flag means the assignment
     itself broke and no downstream readout should be trusted. Exact
     integer counts, one float division per row (see the section
-    comment)."""
-    ev = table(spark, sf_dir, "events")
-    pu = ev.groupBy("user_id").agg(
-        F.to_date(F.min("ts")).alias("day0")
-    ).select(
-        F.when(F.col("user_id") % 2 == 0, "A")
-        .otherwise("B")
-        .alias("variant"),
-        "day0",
-    )
-    byday = pu.groupBy("day0").agg(
-        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
-        .cast("long")
-        .alias("na"),
-        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
-        .cast("long")
-        .alias("nb"),
-    )
-    # the pooled window runs over the enrollment-day lattice — bounded
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    flagged = byday.select(
-        F.col("day0").cast("string").alias("enroll_day"),
-        "na",
-        "nb",
-        (
-            F.floor(
-                ((F.col("na") - F.col("nb"))
-                 * (F.col("na") - F.col("nb"))).cast("double")
-                / (F.col("na") + F.col("nb")).cast("double")
-                * 1000000
-                + F.lit(0.5)
-            )
-            / 1000000
-        ).alias("srm_chi2"),
-        F.sum("na").over(w_all).cast("long").alias("tot_a"),
-        F.sum("nb").over(w_all).cast("long").alias("tot_b"),
-    )
-    return flagged.select(
-        "enroll_day",
-        F.col("na").alias("n_control"),
-        F.col("nb").alias("n_treated"),
-        "srm_chi2",
-        F.when(
-            F.col("srm_chi2") > F.lit(_SRM_CHI2_CRIT).cast("double"), 1
-        )
-        .otherwise(0)
-        .alias("srm_flag"),
-        (
-            F.floor(
-                ((F.col("tot_a") - F.col("tot_b"))
-                 * (F.col("tot_a") - F.col("tot_b"))).cast("double")
-                / (F.col("tot_a") + F.col("tot_b")).cast("double")
-                * 1000000
-                + F.lit(0.5)
-            )
-            / 1000000
-        ).alias("overall_chi2"),
+    comment). The readout is the shared :func:`_srm_project` over the
+    per-user min(ts) enrollment state — the same projection the
+    streaming flavor reads off its incrementally-folded gold."""
+    return _srm_project(
+        _srm_enroll_state(table(spark, sf_dir, "events"))
     )
 
 
@@ -4494,3 +4445,758 @@ def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ph_alarm").cast("long").alias("alarm_index"),
     )
 
+
+
+# -- round 14: PH-assumption check, k-arm experimentation, streaming SRM ---------
+
+# The r12/r13 layers shipped the survival inference family (KM,
+# log-rank, Cox, RMST, competing risks) and the 2-variant experiment
+# gates (CUPED, DiD, mSPRT, SRM). Round 14 adds the checks that make
+# them honest in a real pipeline: (1) the PROPORTIONAL-HAZARDS
+# assumption check the Cox hazard ratios silently rely on — a
+# time-varying effect (crossing hazards) invalidates both the pooled
+# and stratified HRs while each still prints a confident number;
+# (2) the k-ARM generalizations of SRM and the always-valid sequential
+# gate (real experiment pipelines run k variants, not 2 — the 2-cell
+# χ² generalizes to k cells and mSPRT runs per-arm-vs-control off the
+# same per-(day, arm) sufficient statistics); and (3) the SRM smoke
+# alarm maintained INCREMENTALLY (per-user first-event day is a MIN
+# monoid + per-day assignment counts are additive — the experiment
+# layer's first gate should never require a batch rescan at 100 TB).
+
+# N(0,1) two-sided 5% critical value, pre-rounded to the 1e-6 lattice
+# (the mSPRT threshold discipline: the flag compares the ROUNDED
+# statistic against a literal so the decision is engine-deterministic).
+_PH_Z_CRIT = 1.959964
+
+
+def _cox_chain_sql(rel: str, pre: str) -> str:
+    """Seed + ``_COX_ITERS`` quantized Newton steps + final-sums CTEs
+    over the pooled day sub-relation ``rel``, every CTE name prefixed
+    ``pre`` (the PH check replays TWO chains — early/late — in one
+    statement, so the names must not collide). The per-step float
+    sequence, 1e-9 term lattice and β re-quantization are verbatim the
+    single-chain Cox oracle's (:func:`_cox_step_sql`). An EMPTY ``rel``
+    propagates empty through every step to an empty ``{pre}fin``; the
+    readout's scalar subqueries coalesce that to the degenerate
+    convention (β = 0, NULL se) — exactly what the driver-side Newton
+    fold returns over an empty collected relation."""
+
+    def term_sums(src: str) -> str:
+        return f"""
+    coalesce(CAST(sum(CAST(floor(
+      (CAST(d1 AS DOUBLE)
+       - CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) * exp({src}.b))
+         / (CAST(n1 AS DOUBLE) * exp({src}.b) + CAST(n0 AS DOUBLE)))
+      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS uq,
+    coalesce(CAST(sum(CAST(floor(
+      CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) * exp({src}.b))
+      * CAST(n0 AS DOUBLE)
+      / ((CAST(n1 AS DOUBLE) * exp({src}.b) + CAST(n0 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) * exp({src}.b) + CAST(n0 AS DOUBLE)))
+      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS iq"""
+
+    parts = [f"{pre}0 AS (SELECT CAST(0 AS DOUBLE) AS b)"]
+    for k in range(1, _COX_ITERS + 1):
+        prev = f"{pre}{k - 1}"
+        parts.append(
+            f"""{pre}s{k} AS (
+  SELECT {prev}.b,{term_sums(prev)}
+  FROM {rel}, {prev} GROUP BY {prev}.b
+),
+{pre}{k} AS (
+  SELECT coalesce(
+    floor((b + (CAST(uq AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+               / nullif(CAST(iq AS DOUBLE)
+                        / CAST(1000000000 AS DOUBLE), 0))
+          * 1000000000 + 0.5) / 1000000000, b) AS b
+  FROM {pre}s{k}
+)"""
+        )
+    last = f"{pre}{_COX_ITERS}"
+    parts.append(
+        f"""{pre}fin AS (
+  SELECT {last}.b,{term_sums(last)}
+  FROM {rel}, {last} GROUP BY {last}.b
+)"""
+    )
+    return ",\n".join(parts)
+
+
+# The time-split PH check: the Cox partial likelihood factorizes over
+# event days, so restricting the pooled day relation to a day subset
+# (risk sets UNCHANGED — everyone still at risk on those days counts)
+# fits the hazard ratio "locally in time". Under proportional hazards
+# the early-half and late-half β̂ estimate the same constant; a
+# difference z = (β̂_e − β̂_l)/√(se_e² + se_l²) beyond the normal
+# critical value says the effect is time-varying and the pooled HR is
+# not a sufficient summary (the two-sample-independence shape of the
+# test is standard for split-sample Cox diagnostics; the split point —
+# the EVENT-MEDIAN day, min t with cum events ≥ ⌈D/2⌉ — is an exact
+# integer cut both engines compute identically). Degenerate
+# conventions: no cohort users or zero events → t_split NULL, both
+# fits degenerate (β = 0, HR = 1, NULL se/z/flag); a half with zero
+# events (or an information that quantizes to 0) keeps β = 0 and NULL
+# se on BOTH sides, and z/flag go NULL unless both halves carry
+# information.
+_COX_PH_ORACLE = (
+    "WITH "
+    + _COX_POOLED_SQL
+    + """,
+tot AS (SELECT coalesce(CAST(sum(dt) AS BIGINT), 0) AS d_tot FROM p),
+cumev AS (
+  SELECT t, CAST(sum(dt) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cd
+  FROM p
+),
+split AS (
+  SELECT CASE WHEN d_tot > 0 THEN
+    (SELECT min(t) FROM cumev WHERE cd >= (d_tot + 1) // 2)
+  END AS t_split FROM tot
+),
+pe AS (SELECT p.* FROM p, split WHERE p.t <= split.t_split),
+pl AS (SELECT p.* FROM p, split WHERE p.t > split.t_split),
+"""
+    + _cox_chain_sql("pe", "e")
+    + ",\n"
+    + _cox_chain_sql("pl", "l")
+    + f""",
+readout AS (
+  SELECT (SELECT t_split FROM split) AS t_split,
+    coalesce((SELECT CAST(count(*) AS BIGINT) FROM pe), 0)
+      AS n_days_early,
+    coalesce((SELECT CAST(count(*) AS BIGINT) FROM pl), 0)
+      AS n_days_late,
+    coalesce((SELECT CAST(sum(dt) AS BIGINT) FROM pe), 0)
+      AS events_early,
+    coalesce((SELECT CAST(sum(dt) AS BIGINT) FROM pl), 0)
+      AS events_late,
+    coalesce((SELECT b FROM efin), CAST(0 AS DOUBLE)) AS be,
+    coalesce((SELECT b FROM lfin), CAST(0 AS DOUBLE)) AS bl,
+    coalesce((SELECT iq FROM efin), 0) AS iqe,
+    coalesce((SELECT iq FROM lfin), 0) AS iql
+),
+zrow AS (
+  SELECT *,
+    CASE WHEN iqe > 0 AND iql > 0 THEN
+      floor((be - bl) / sqrt(
+        CAST(1 AS DOUBLE) / (CAST(iqe AS DOUBLE)
+                             / CAST(1000000000 AS DOUBLE))
+        + CAST(1 AS DOUBLE) / (CAST(iql AS DOUBLE)
+                               / CAST(1000000000 AS DOUBLE)))
+        * 1000000 + 0.5) / 1000000 END AS z_diff
+  FROM readout
+)
+SELECT t_split, n_days_early, n_days_late, events_early, events_late,
+  floor(be * 1000000 + 0.5) / 1000000 AS beta_early,
+  floor(bl * 1000000 + 0.5) / 1000000 AS beta_late,
+  floor(exp(be) * 1000000 + 0.5) / 1000000 AS hr_early,
+  floor(exp(bl) * 1000000 + 0.5) / 1000000 AS hr_late,
+  CASE WHEN iqe > 0 THEN
+    floor(CAST(1 AS DOUBLE) / sqrt(CAST(iqe AS DOUBLE)
+          / CAST(1000000000 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+  END AS se_early,
+  CASE WHEN iql > 0 THEN
+    floor(CAST(1 AS DOUBLE) / sqrt(CAST(iql AS DOUBLE)
+          / CAST(1000000000 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+  END AS se_late,
+  z_diff,
+  CASE WHEN z_diff IS NOT NULL THEN
+    CASE WHEN abs(z_diff) > CAST({_PH_Z_CRIT} AS DOUBLE)
+         THEN 1 ELSE 0 END
+  END AS ph_flag
+FROM zrow
+"""
+)
+
+
+@query("diag_cox_ph_assumption", _COX_PH_ORACLE)
+def diag_cox_ph_assumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional-hazards assumption check for the Cox family
+    (diag_cox_hazard_ratio / diag_cox_stratified): the hazard ratio is
+    fitted SEPARATELY on the early and late halves of the event-day
+    lattice (split at the event-median day; the partial likelihood
+    factorizes over event days, so a day-subset fit with FULL risk sets
+    is a valid local fit), and a difference z beyond the normal 5%
+    critical flags a time-varying effect — the condition under which
+    the pooled HR quietly stops meaning anything. Same machinery as the
+    Cox query: ONE fact scan to the pooled day lattice, Newton
+    driver-side over the bounded collected relation (twice), 1e-9 term
+    lattice, β re-quantized per step; the oracle replays both chains
+    CTE-for-CTE (see the section comment for the degenerate
+    conventions)."""
+    import math
+
+    rows = (
+        _logrank_pooled(_km_user_state(table(spark, sf_dir, "events")))
+        .select(
+            "t", "dt", "d1", "n1", (F.col("nt") - F.col("n1")).alias("n0")
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r.t)
+    d_tot = sum(r.dt for r in rows)
+    t_split = None
+    if d_tot > 0:
+        cum = 0
+        for r in rows:
+            cum += r.dt
+            if cum >= (d_tot + 1) // 2:
+                t_split = r.t
+                break
+    early = [] if t_split is None else [r for r in rows if r.t <= t_split]
+    late = [] if t_split is None else [r for r in rows if r.t > t_split]
+    be, _uqe, iqe = _cox_newton(early)
+    bl, _uql, iql = _cox_newton(late)
+    q6 = lambda v: math.floor(v * 1000000 + 0.5) / 1000000  # noqa: E731
+    se_e = q6(1.0 / math.sqrt(iqe / 1000000000)) if iqe > 0 else None
+    se_l = q6(1.0 / math.sqrt(iql / 1000000000)) if iql > 0 else None
+    z = flag = None
+    if iqe > 0 and iql > 0:
+        z = q6(
+            (be - bl)
+            / math.sqrt(
+                1.0 / (iqe / 1000000000) + 1.0 / (iql / 1000000000)
+            )
+        )
+        flag = 1 if abs(z) > _PH_Z_CRIT else 0
+    return spark.createDataFrame(
+        [
+            (
+                t_split,
+                len(early),
+                len(late),
+                sum(r.dt for r in early),
+                sum(r.dt for r in late),
+                q6(be),
+                q6(bl),
+                q6(math.exp(be)),
+                q6(math.exp(bl)),
+                se_e,
+                se_l,
+                z,
+                flag,
+            )
+        ],
+        "t_split long, n_days_early long, n_days_late long,"
+        " events_early long, events_late long, beta_early double,"
+        " beta_late double, hr_early double, hr_late double,"
+        " se_early double, se_late double, z_diff double, ph_flag int",
+    )
+
+
+# -- k-arm sample-ratio mismatch --------------------------------------------------
+
+_SRM_K = 4  # arms: user_id % 4; arm0 is the control
+# chi-square critical, df = k−1 = 3, alpha = 0.05, pre-rounded literal
+_SRM_MULTI_CRIT = 7.814728
+
+
+def _srm_k_chi2_sql(cols: tuple[str, ...], n: str) -> str:
+    """The k-cell χ² against the equal-split null as ONE shared SQL
+    text (consumed verbatim by the Spark ``selectExpr`` AND the DuckDB
+    oracle, so the single float division is identical by construction):
+    Σ(n_i − n/k)²/(n/k) = (k·Σn_i² − n²)/n with the numerator exact —
+    squares as decimal(38,0) cross products (per-day n_i can reach
+    ~1e10 at 100 TB, so n² ~1e20 outgrows int64; the DiD sandwich
+    discipline), ONE cast to double, one division, q6."""
+    sq = " + ".join(
+        f"CAST({c} AS DECIMAL(38,0)) * CAST({c} AS DECIMAL(38,0))"
+        for c in cols
+    )
+    return (
+        f"floor(CAST({_SRM_K} * ({sq}) - CAST({n} AS DECIMAL(38,0))"
+        f" * CAST({n} AS DECIMAL(38,0)) AS DOUBLE)"
+        f" / CAST({n} AS DOUBLE) * 1000000 + 0.5) / 1000000"
+    )
+
+
+_SRM_MULTI_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id % {_SRM_K} AS arm, CAST(min(ts) AS DATE) AS day0
+  FROM events GROUP BY user_id
+),
+byday AS (
+  SELECT day0,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN arm = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM pu GROUP BY day0
+),
+tot AS (
+  SELECT *, n0 + n1 + n2 + n3 AS n,
+    CAST(sum(n0) OVER () AS BIGINT) AS t0,
+    CAST(sum(n1) OVER () AS BIGINT) AS t1,
+    CAST(sum(n2) OVER () AS BIGINT) AS t2,
+    CAST(sum(n3) OVER () AS BIGINT) AS t3
+  FROM byday
+),
+flagged AS (
+  SELECT CAST(day0 AS VARCHAR) AS enroll_day,
+    n0 AS n_arm0, n1 AS n_arm1, n2 AS n_arm2, n3 AS n_arm3,
+    {_srm_k_chi2_sql(("n0", "n1", "n2", "n3"), "n")} AS srm_chi2,
+    {_srm_k_chi2_sql(("t0", "t1", "t2", "t3"), "(t0 + t1 + t2 + t3)")}
+      AS overall_chi2
+  FROM tot
+)
+SELECT enroll_day, n_arm0, n_arm1, n_arm2, n_arm3, srm_chi2,
+  CASE WHEN srm_chi2 > CAST({_SRM_MULTI_CRIT} AS DOUBLE)
+       THEN 1 ELSE 0 END AS srm_flag,
+  overall_chi2
+FROM flagged
+"""
+
+
+@query("diag_srm_multiarm", _SRM_MULTI_ORACLE)
+def diag_srm_multiarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-arm sample-ratio-mismatch check (k = {k}, assignment =
+    user_id % k, arm0 = control): per enrollment day, the k-cell χ²
+    of the arm counts against the equal-split null with df = k−1; one
+    broken arm among k is exactly what the 2-variant check can't see
+    when the OTHER arms stay balanced. Exact integer counts, decimal
+    squares, ONE float division per row, flag vs the pre-rounded
+    df = 3 critical (see :func:`_srm_k_chi2_sql`).""".format(k=_SRM_K)
+    ev = table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("day0"))
+        .select((F.col("user_id") % _SRM_K).alias("arm"), "day0")
+    )
+    byday = pu.groupBy("day0").agg(
+        *[
+            F.sum(F.when(F.col("arm") == a, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{a}")
+            for a in range(_SRM_K)
+        ]
+    )
+    # the pooled window runs over the enrollment-day lattice — bounded
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = byday.select(
+        "*",
+        (F.col("n0") + F.col("n1") + F.col("n2") + F.col("n3")).alias("n"),
+        *[
+            F.sum(f"n{a}").over(w_all).cast("long").alias(f"t{a}")
+            for a in range(_SRM_K)
+        ],
+    )
+    flagged = tot.selectExpr(
+        "CAST(day0 AS STRING) AS enroll_day",
+        "n0 AS n_arm0",
+        "n1 AS n_arm1",
+        "n2 AS n_arm2",
+        "n3 AS n_arm3",
+        _srm_k_chi2_sql(("n0", "n1", "n2", "n3"), "n") + " AS srm_chi2",
+        _srm_k_chi2_sql(("t0", "t1", "t2", "t3"), "(t0 + t1 + t2 + t3)")
+        + " AS overall_chi2",
+    )
+    return flagged.selectExpr(
+        "enroll_day",
+        "n_arm0",
+        "n_arm1",
+        "n_arm2",
+        "n_arm3",
+        "srm_chi2",
+        f"CASE WHEN srm_chi2 > CAST({_SRM_MULTI_CRIT} AS DOUBLE)"
+        " THEN 1 ELSE 0 END AS srm_flag",
+        "overall_chi2",
+    )
+
+
+# -- k-arm mSPRT: per-arm-vs-control always-valid gates ----------------------------
+
+# Bonferroni-adjusted always-valid threshold for k−1 simultaneous
+# arm-vs-control comparisons: ln((k−1)/α) = ln(3/0.05) = ln(60),
+# pre-rounded to the 1e-6 lattice (each per-arm mixture martingale gets
+# α/(k−1), keeping family-wise always-valid coverage at α).
+_MSPRT_MULTI_THRESH = 4.094345
+
+# the per-day mixture-SPRT readout text (identical to the 2-variant
+# query's lam CTE, factored so the k-arm Spark selectExpr and oracle
+# share one float sequence)
+_MSPRT_LAM_EXPR = (
+    f"CASE WHEN vk > CAST(0 AS DOUBLE) THEN"
+    f" floor((CAST(0.5 AS DOUBLE)"
+    f" * ln(vk / (vk + CAST({_MSPRT_TAU2} AS DOUBLE)))"
+    f" + delta * delta * CAST({_MSPRT_TAU2} AS DOUBLE)"
+    f"   / (CAST(2 AS DOUBLE) * vk"
+    f"      * (vk + CAST({_MSPRT_TAU2} AS DOUBLE))))"
+    f" * 1000000 + 0.5) / 1000000 END"
+)
+
+
+def _msprt_pair_stat_sql(c: "int | str", t: "int | str") -> tuple[str, str]:
+    """(delta, vk) expression text for arm ``t`` vs control ``c`` over
+    per-day columns n{a}/sx{a}/sxx{a} — ONE text template consumed by
+    both the Spark selectExpr (suffixes "c"/"t" on the exploded carried
+    columns) and the DuckDB oracle (numeric suffixes on the cum CTE's
+    columns): identical float sequence by construction, only the
+    identifiers differ (the 2-variant stat CTE's expression,
+    parameterized by arm)."""
+    delta = (
+        f"(CAST(sx{t} AS DOUBLE) / nullif(CAST(n{t} AS DOUBLE), 0)"
+        f" - CAST(sx{c} AS DOUBLE) / nullif(CAST(n{c} AS DOUBLE), 0))"
+    )
+    vk = (
+        f"((CAST(sxx{c} AS DOUBLE)"
+        f"  - CAST(sx{c} AS DOUBLE) * CAST(sx{c} AS DOUBLE)"
+        f"    / nullif(CAST(n{c} AS DOUBLE), 0))"
+        f" + (CAST(sxx{t} AS DOUBLE)"
+        f"    - CAST(sx{t} AS DOUBLE) * CAST(sx{t} AS DOUBLE)"
+        f"      / nullif(CAST(n{t} AS DOUBLE), 0)))"
+        f" / nullif(CAST(n{c} + n{t} - 2 AS DOUBLE), 0)"
+        f" * (CAST(1 AS DOUBLE) / nullif(CAST(n{c} AS DOUBLE), 0)"
+        f"    + CAST(1 AS DOUBLE) / nullif(CAST(n{t} AS DOUBLE), 0))"
+    )
+    return delta, vk
+
+
+def _msprt_multi_pd_sql() -> str:
+    cols = []
+    for a in range(_SRM_K):
+        cols.append(
+            f"coalesce(CAST(sum(CASE WHEN arm = {a} THEN n END)"
+            f" AS BIGINT), 0) AS n{a}_d"
+        )
+        cols.append(
+            f"coalesce(CAST(sum(CASE WHEN arm = {a} THEN sx END)"
+            f" AS BIGINT), 0) AS sx{a}_d"
+        )
+        cols.append(
+            f"coalesce(sum(CASE WHEN arm = {a} THEN sxx END),"
+            f" CAST(0 AS DECIMAL(38,0))) AS sxx{a}_d"
+        )
+    return ",\n    ".join(cols)
+
+
+def _msprt_multi_cum_sql() -> str:
+    cols = []
+    for a in range(_SRM_K):
+        cols.append(f"CAST(sum(n{a}_d) OVER w AS BIGINT) AS n{a}")
+        cols.append(f"CAST(sum(sx{a}_d) OVER w AS BIGINT) AS sx{a}")
+        cols.append(f"sum(sxx{a}_d) OVER w AS sxx{a}")
+    return ",\n    ".join(cols)
+
+
+def _msprt_multi_arm_select(j: int) -> str:
+    d, v = _msprt_pair_stat_sql(0, j)
+    return (
+        f"SELECT day, 'arm{j}' AS arm, n0 AS na, n{j} AS nb,"
+        f" {d} AS delta, {v} AS vk FROM cum"
+    )
+
+
+_MSPRT_MULTI_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % {_SRM_K} AS arm,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+d AS (
+  SELECT day, arm, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+  FROM e GROUP BY day, arm
+),
+pd AS (
+  SELECT day,
+    {_msprt_multi_pd_sql()}
+  FROM d GROUP BY day
+),
+cum AS (
+  SELECT day,
+    {_msprt_multi_cum_sql()}
+  FROM pd
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stat AS (
+  {_msprt_multi_arm_select(1)}
+  UNION ALL
+  {_msprt_multi_arm_select(2)}
+  UNION ALL
+  {_msprt_multi_arm_select(3)}
+),
+lam AS (
+  SELECT day, arm, na, nb, delta,
+    {_MSPRT_LAM_EXPR} AS log_lambda
+  FROM stat
+),
+flagged AS (
+  SELECT day, arm, na, nb,
+    floor(delta * 1000000 + 0.5) / 1000000 AS diff_cents,
+    log_lambda,
+    CASE WHEN log_lambda >= CAST({_MSPRT_MULTI_THRESH} AS DOUBLE)
+         THEN 1 ELSE 0 END AS crossed
+  FROM lam
+)
+SELECT CAST(day AS VARCHAR) AS day, arm,
+  na AS n_control, nb AS n_treated, diff_cents, log_lambda, crossed,
+  CAST(min(CASE WHEN crossed = 1 THEN day END)
+       OVER (PARTITION BY arm) AS VARCHAR) AS first_crossing_day
+FROM flagged
+"""
+
+
+@query("diag_msprt_multiarm", _MSPRT_MULTI_ORACLE)
+def diag_msprt_multiarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-arm always-valid sequential readout (k = {k}, assignment =
+    user_id % k, arm0 = control): one mSPRT mixture martingale PER
+    TREATMENT ARM vs the shared control, all off the same per-(day,
+    arm) cumulative sufficient statistics — one row per (day, arm) with
+    the running mean difference, log Λ, the Bonferroni-adjusted
+    crossing flag (ln((k−1)/α), so family-wise always-valid coverage
+    holds at α) and the arm's first crossing day. Exact integer
+    cumulative sums; the per-arm float readout is ONE shared expression
+    text on both engines. The three per-arm projections re-read the
+    one bounded day-lattice aggregate, never the facts.""".format(
+        k=_SRM_K
+    )
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % _SRM_K).alias("arm"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    d = e.groupBy("day", "arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    pd_aggs = []
+    for a in range(_SRM_K):
+        pd_aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == a, F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"n{a}_d")
+        )
+        pd_aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == a, F.col("sx"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"sx{a}_d")
+        )
+        pd_aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == a, F.col("sxx"))),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias(f"sxx{a}_d")
+        )
+    pdw = d.groupBy("day").agg(*pd_aggs)
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_cols = []
+    for a in range(_SRM_K):
+        cum_cols.append(
+            F.sum(f"n{a}_d").over(w).cast("long").alias(f"n{a}")
+        )
+        cum_cols.append(
+            F.sum(f"sx{a}_d").over(w).cast("long").alias(f"sx{a}")
+        )
+        cum_cols.append(F.sum(f"sxx{a}_d").over(w).alias(f"sxx{a}"))
+    cum = pdw.select("day", *cum_cols)
+    # ONE reference to cum: the k−1 per-arm rows come from exploding an
+    # array of carried-column structs, NOT a union of k−1 selects — a
+    # derived relation referenced N times re-derives its whole subplan
+    # N times (the r12 log-rank trap: the union form paid 3 fact
+    # scans). delta/vk are computed AFTER the explode from the carried
+    # exact integers, so the float sequence is the oracle's per-arm
+    # expression verbatim. Explode runs in its own projection (the
+    # NESTED_IN_EXPRESSIONS rule), over the bounded day lattice.
+    arm_structs = [
+        F.struct(
+            F.lit(f"arm{j}").alias("arm"),
+            F.col("n0").alias("nc"),
+            F.col("sx0").alias("sxc"),
+            F.col("sxx0").alias("sxxc"),
+            F.col(f"n{j}").alias("nt"),
+            F.col(f"sx{j}").alias("sxt"),
+            F.col(f"sxx{j}").alias("sxxt"),
+        )
+        for j in range(1, _SRM_K)
+    ]
+    exploded = cum.select(
+        "day", F.explode(F.array(*arm_structs)).alias("s")
+    ).select("day", "s.*")
+    dx, vx = _msprt_pair_stat_sql("c", "t")
+    arms = exploded.selectExpr(
+        "day",
+        "arm",
+        "nc AS na",
+        "nt AS nb",
+        f"{dx} AS delta",
+        f"{vx} AS vk",
+    )
+    lam = arms.selectExpr(
+        "day", "arm", "na", "nb", "delta",
+        _MSPRT_LAM_EXPR + " AS log_lambda",
+    )
+    flagged = lam.selectExpr(
+        "day",
+        "arm",
+        "na",
+        "nb",
+        "floor(delta * 1000000 + 0.5) / 1000000 AS diff_cents",
+        "log_lambda",
+        f"CASE WHEN log_lambda >= CAST({_MSPRT_MULTI_THRESH} AS DOUBLE)"
+        " THEN 1 ELSE 0 END AS crossed",
+    )
+    # per-arm windows over the (day × arm) lattice — bounded by design
+    w_arm = Window.partitionBy("arm").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return flagged.select(
+        F.col("day").cast("string").alias("day"),
+        "arm",
+        F.col("na").alias("n_control"),
+        F.col("nb").alias("n_treated"),
+        "diff_cents",
+        "log_lambda",
+        "crossed",
+        F.min(F.when(F.col("crossed") == 1, F.col("day")))
+        .over(w_arm)
+        .cast("string")
+        .alias("first_crossing_day"),
+    )
+
+
+# -- streaming SRM: the smoke alarm maintained incrementally -----------------------
+
+
+def _srm_enroll_state(ev: DataFrame) -> DataFrame:
+    """Per-user enrollment partial: the first-event timestamp — a MIN
+    monoid, so the incremental fold is order-independent across ANY
+    batch split AND idempotent (the strongest replay class; the
+    streaming-KM entity-state discipline)."""
+    return ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+
+
+def _srm_project(pu: DataFrame) -> DataFrame:
+    """The SRM readout over the (user_id, t0) entity state (shared by
+    the batch and streaming flavors): parity variant, enrollment day,
+    per-day and pooled 2-cell χ² vs the 50/50 null — exact integer
+    counts, ONE float division per row, flag vs the pre-rounded df = 1
+    critical."""
+    byday = (
+        pu.select(
+            F.when(F.col("user_id") % 2 == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+            F.to_date("t0").alias("day0"),
+        )
+        .groupBy("day0")
+        .agg(
+            F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+        )
+    )
+    # the pooled window runs over the enrollment-day lattice — bounded
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = byday.select(
+        F.col("day0").cast("string").alias("enroll_day"),
+        "na",
+        "nb",
+        (
+            F.floor(
+                (
+                    (F.col("na") - F.col("nb"))
+                    * (F.col("na") - F.col("nb"))
+                ).cast("double")
+                / (F.col("na") + F.col("nb")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("srm_chi2"),
+        F.sum("na").over(w_all).cast("long").alias("tot_a"),
+        F.sum("nb").over(w_all).cast("long").alias("tot_b"),
+    )
+    return flagged.select(
+        "enroll_day",
+        F.col("na").alias("n_control"),
+        F.col("nb").alias("n_treated"),
+        "srm_chi2",
+        F.when(
+            F.col("srm_chi2") > F.lit(_SRM_CHI2_CRIT).cast("double"), 1
+        )
+        .otherwise(0)
+        .alias("srm_flag"),
+        (
+            F.floor(
+                (
+                    (F.col("tot_a") - F.col("tot_b"))
+                    * (F.col("tot_a") - F.col("tot_b"))
+                ).cast("double")
+                / (F.col("tot_a") + F.col("tot_b")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("overall_chi2"),
+    )
+
+
+# deliberately the SAME oracle as diag_srm_check: the min-fold
+# enrollment state is a sufficient statistic for the assignment check,
+# so maintenance must be invisible in the readout.
+@query("streaming_srm_check", _SRM_ORACLE)
+def streaming_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRM smoke alarm maintained INCREMENTALLY: per-user
+    first-event timestamps fold via incremental_aggregate's MIN monoid
+    over a deliberately NON-chronological event_id%3 feed (min partials
+    survive any split — and are idempotent, the strongest replay
+    class), then the shared SRM projection reads only the
+    one-row-per-user entity state. Oracle is the batch SRM SQL
+    verbatim. At 100 TB the experiment layer's first gate updates per
+    batch at batch + state-fold cost — the assignment check never
+    rescans history."""
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _write_batched_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    src_dir = _write_batched_feed(
+        [ev.filter(F.col("event_id") % 3 == b) for b in range(3)], "srm_"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    target = ManagedTable(scratch_dir("srm_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["user_id"],
+        _srm_enroll_state,
+        scratch_dir("srm_ckpt_"),
+        combine={"t0": "min"},
+    )
+    await_drained(q, 300)
+    return _srm_project(target.read(spark))

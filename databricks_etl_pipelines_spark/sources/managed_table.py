@@ -224,7 +224,14 @@ class ManagedTable:
         maintenance commit (vacuum flag, optimize/compact, an explicit
         append/merge) between two folds does not shadow the fold markers —
         the newest-entry-only read silently degraded a fold-stamped gold
-        to an unstamped bootstrap, double-folding replayed batches."""
+        to an unstamped bootstrap, double-folding replayed batches.
+
+        A key stamped with an explicit ``None`` is a TOMBSTONE: the
+        backward scan stops there and returns that entry (whose value
+        reads as "no marker"), so a deliberate owner-side
+        :meth:`create_or_overwrite` CLEARS earlier fold markers instead
+        of letting a restarted stream resurrect a stale high-water mark
+        (see :meth:`create_or_overwrite`)."""
         log = _read_log(self.root)
         if having is None:
             return dict(log[-1]) if log else None
@@ -378,7 +385,20 @@ class ManagedTable:
         ``meta`` = extra keys stamped into this commit's manifest entry
         (atomic with the version — see :meth:`latest_meta`); replay-aware
         writers use it as a fold marker.
+
+        An overwrite WITHOUT an explicit fold marker is a deliberate
+        state reset by the table's owner, so it stamps a
+        ``fold_checkpoint: None`` TOMBSTONE: the backward marker scan
+        stops there and any prior fold high-water mark is cleared —
+        otherwise an owner who overwrites the gold to reset state and
+        restarts the stream on a fresh checkpoint (batch ids back at 0)
+        would have those batches silently dropped as "replays" of the
+        resurrected old mark. Maintenance commits (append / merge /
+        optimize) do NOT tombstone — they must stay invisible to the
+        markers (see :meth:`latest_meta`).
         """
+        meta = dict(meta or {})
+        meta.setdefault("fold_checkpoint", None)  # reset tombstone
         if bucket_by:
             if partition_by:
                 raise ValueError("bucket_by and partition_by are exclusive")
@@ -390,7 +410,7 @@ class ManagedTable:
                 bucketed,
                 "overwrite",
                 [BUCKET_COL],
-                {"bucket_keys": keys, "n_buckets": n_buckets, **(meta or {})},
+                {"bucket_keys": keys, "n_buckets": n_buckets, **meta},
             )
         return self._commit(df, "overwrite", partition_by, meta)
 

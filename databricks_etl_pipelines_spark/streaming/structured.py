@@ -524,6 +524,23 @@ def foreach_batch_merge(
 _FOLD_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
+def _validate_fold_names(combine: dict[str, str] | None) -> None:
+    """Reject unknown fold names. Called EAGERLY by
+    :func:`incremental_aggregate` before the stream starts (a typo'd
+    fold on a stream whose first batches are empty or replayed would
+    otherwise surface only mid-run) and again per batch by
+    :func:`fold_partial_batch` (whose column-coverage check needs the
+    partial's schema, only known per batch)."""
+    if combine is None:
+        return
+    unknown = {c: f for c, f in combine.items() if f not in _FOLD_FNS}
+    if unknown:
+        raise ValueError(
+            f"incremental_aggregate: unknown fold(s) {unknown!r} — "
+            f"valid folds are {sorted(_FOLD_FNS)}"
+        )
+
+
 def fold_partial_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -562,7 +579,13 @@ def fold_partial_batch(
     markers: replay detection and ownership survive, and the next fold
     simply folds onto whatever rows the latest version holds (a
     deliberate owner-side modification is bootstrap data, not a reason
-    to lose exactly-once).
+    to lose exactly-once). The one exception is an owner-side
+    ``create_or_overwrite`` — a wholesale overwrite is a STATE RESET,
+    so it stamps a ``fold_checkpoint: None`` tombstone that clears the
+    markers: a stream restarted after the reset (fresh checkpoint,
+    batch ids back at 0) folds from the reset rows instead of having
+    its batches dropped as replays of the resurrected old high-water
+    mark.
     """
     import warnings
 
@@ -600,12 +623,7 @@ def fold_partial_batch(
     partial = partial_agg(batch_df)
     metric_cols = [c for c in partial.columns if c not in keys]
     if combine is not None:
-        unknown = {c: f for c, f in combine.items() if f not in _FOLD_FNS}
-        if unknown:
-            raise ValueError(
-                f"incremental_aggregate: unknown fold(s) {unknown!r} — "
-                f"valid folds are {sorted(_FOLD_FNS)}"
-            )
+        _validate_fold_names(combine)
         missing = [c for c in metric_cols if c not in combine]
         stray = [c for c in combine if c not in metric_cols]
         if missing or stray:
@@ -661,10 +679,13 @@ def incremental_aggregate(
     silently summing an entity-state column; any commutative monoid
     makes the maintenance both order-independent across batch splits
     and idempotent-per-batch, so per-entity firsts/lasts fold as safely
-    as counts; derive ratios downstream). The fold is one key-hash shuffle of |gold| + |batch
+    as counts; derive ratios downstream). Fold NAMES are validated
+    EAGERLY, before the stream starts; column coverage is validated per
+    batch once the partial's schema is known. The fold is one key-hash shuffle of |gold| + |batch
     partial| rows — at scale that is the whole point: cost tracks the
     AGGREGATE size, not the fact-history size.
     """
+    _validate_fold_names(combine)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         fold_partial_batch(

@@ -5207,3 +5207,349 @@ def test_msprt_planted_crossing_day(spark, tmp_path):
             r.n_control, r.n_treated, r.diff_cents, r.log_lambda,
             r.crossed, r.first_crossing_day,
         ), day
+
+
+def test_cox_ph_assumption_planted_crossing_hazards(spark, tmp_path):
+    """diag_cox_ph_assumption on a planted CROSSING-hazards funnel —
+    signup converts much faster in the early half of the event lattice,
+    view much faster in the late half, with symmetric totals so the
+    POOLED hazard ratio reads ≈ 1 while the assumption is grossly
+    violated. Checks: the event-median split point replayed from raw
+    counts; each half's β̂ maximizes the test's OWN half-restricted
+    Breslow partial likelihood (grid ±0.01, full risk sets — the
+    likelihood factorizes over event days); the difference z matches
+    the returned se's; the flag fires while the pooled Cox stays quiet;
+    and the DuckDB oracle replays the identical row."""
+    import datetime as dt
+    import math
+
+    import duckdb
+
+    from databricks_etl_pipelines_spark.catalog import (
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    # 20 signup-first + 20 view-first users, all enrolled day 0.
+    # Early events (t <= 3): S at t=1 x4, t=2 x4, t=3 x4; V at t=2 x2,
+    # t=3 x1. Late (t > 3): V at t=8 x4, t=9 x4, t=10 x4; S at t=9 x2,
+    # t=10 x1. 5 of each censored at t=12. Both halves INTERLEAVE the
+    # group schedules (a separated half has a monotone likelihood and
+    # an infinite MLE — the r13 trap).
+    s_events = [1] * 4 + [2] * 4 + [3] * 4 + [9] * 2 + [10]
+    v_events = [2] * 2 + [3] + [8] * 4 + [9] * 4 + [10] * 4
+    planted = {}
+    uid = 0
+    for g, evs in (("signup", s_events), ("view", v_events)):
+        for t in evs:
+            uid += 1
+            planted[uid] = [(0, g), (t, "purchase")]
+        for _ in range(5):  # censored at end of observation
+            uid += 1
+            planted[uid] = [(0, g), (12, "click")]
+    rows, k = [], 0
+    for u, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), u, et, 1.0,
+                 "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = QUERIES["diag_cox_ph_assumption"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    # (1) the split point: 30 events total, event-median day = min t
+    # with cum events >= 15 — t=1:4, t=2:10, t=3:15 -> t_split = 3
+    assert r.t_split == 3
+    assert (r.events_early, r.events_late) == (15, 15)
+
+    # (2) independent half-restricted likelihood maximization
+    obs = []  # (group 1=signup, t, e)
+    for u, evs in planted.items():
+        g = 1 if evs[0][1] == "signup" else 0
+        tp = min((d for d, e in evs if e == "purchase"), default=None)
+        tmax = max(d for d, _ in evs)
+        if tp is not None:
+            obs.append((g, tp, 1))
+        else:
+            obs.append((g, tmax, 0))
+
+    def loglik_half(beta, early):
+        ll = 0.0
+        for t in sorted({t for _, t, e in obs if e == 1}):
+            if (t <= 3) != early:
+                continue
+            d1 = sum(1 for g, tt, e in obs if tt == t and e and g == 1)
+            d = sum(1 for _, tt, e in obs if tt == t and e)
+            n1 = sum(1 for g, tt, _ in obs if tt >= t and g == 1)
+            n0 = sum(1 for g, tt, _ in obs if tt >= t and g == 0)
+            ll += d1 * beta - d * math.log(n1 * math.exp(beta) + n0)
+        return ll
+
+    for b, early in ((r.beta_early, True), (r.beta_late, False)):
+        assert loglik_half(b, early) >= loglik_half(b + 0.01, early) - 1e-12
+        assert loglik_half(b, early) >= loglik_half(b - 0.01, early) - 1e-12
+
+    # (3) direction + the violation fires while the pooled HR is quiet
+    assert r.beta_early > 0.5 and r.beta_late < -0.5
+    assert r.z_diff is not None and abs(r.z_diff) > 1.959964
+    assert r.ph_flag == 1
+    # z consistency with the returned SEs (both are q6 of the same raw
+    # doubles, so the recomposition matches to lattice precision)
+    z_re = (r.beta_early - r.beta_late) / math.sqrt(
+        r.se_early**2 + r.se_late**2
+    )
+    assert abs(r.z_diff - z_re) < 1e-4
+    pooled = QUERIES["diag_cox_hazard_ratio"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    # the pooled readout stays QUIET (the early excess gets slightly
+    # more likelihood weight than the late deficit — full risk sets —
+    # so β̂ is not exactly 0, but the z never approaches the critical)
+    assert abs(pooled.z_score) < 1.959964
+    assert abs(pooled.log_hazard_ratio) < min(
+        abs(r.beta_early), abs(r.beta_late)
+    )
+
+    # (4) the oracle replays the identical row
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(ORACLES["diag_cox_ph_assumption"]).fetchall()
+    assert len(o) == 1
+    assert o[0] == (
+        r.t_split, r.n_days_early, r.n_days_late, r.events_early,
+        r.events_late, r.beta_early, r.beta_late, r.hr_early, r.hr_late,
+        r.se_early, r.se_late, r.z_diff, r.ph_flag,
+    )
+
+
+def test_cox_ph_assumption_proportional_plant_stays_quiet(spark, tmp_path):
+    """The complement plant: a genuinely PROPORTIONAL effect (signup
+    uniformly faster in both halves) must NOT fire the PH flag — the
+    check is a violation detector, not a difference detector. Also pins
+    the degenerate no-cohort convention against the oracle."""
+    import datetime as dt
+
+    import duckdb
+
+    from databricks_etl_pipelines_spark.catalog import (
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    # signup converts ~2x faster THROUGHOUT: same shape early and late
+    s_events = [1] * 3 + [2] * 3 + [3] * 2 + [8] * 3 + [9] * 3 + [10] * 2
+    v_events = [1, 2, 3, 3] + [8, 9, 10, 10]
+    planted, uid = {}, 0
+    for g, evs in (("signup", s_events), ("view", v_events)):
+        for t in evs:
+            uid += 1
+            planted[uid] = [(0, g), (t, "purchase")]
+        for _ in range(4):
+            uid += 1
+            planted[uid] = [(0, g), (12, "click")]
+    rows, k = [], 0
+    for u, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), u, et, 1.0,
+                 "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    r = QUERIES["diag_cox_ph_assumption"](spark, str(tmp_path)).collect()[0]
+    assert r.beta_early > 0 and r.beta_late > 0  # same direction
+    assert r.ph_flag == 0
+
+    # degenerate corpus: no signup/view-first users at all
+    import shutil
+
+    shutil.rmtree(f"{tmp_path}/events.parquet")
+    spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 1, "purchase", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    d = QUERIES["diag_cox_ph_assumption"](spark, str(tmp_path)).collect()[0]
+    assert d.t_split is None
+    assert (d.n_days_early, d.n_days_late) == (0, 0)
+    assert (d.beta_early, d.beta_late) == (0.0, 0.0)
+    assert (d.hr_early, d.hr_late) == (1.0, 1.0)
+    assert d.se_early is None and d.z_diff is None and d.ph_flag is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(ORACLES["diag_cox_ph_assumption"]).fetchall()
+    assert len(o) == 1
+    assert o[0] == (
+        d.t_split, d.n_days_early, d.n_days_late, d.events_early,
+        d.events_late, d.beta_early, d.beta_late, d.hr_early, d.hr_late,
+        d.se_early, d.se_late, d.z_diff, d.ph_flag,
+    )
+
+
+def test_srm_multiarm_planted_broken_arm(spark, tmp_path):
+    """diag_srm_multiarm on a plant with one balanced enrollment day
+    (5/5/5/5) and one where arm0 over-enrolls (20/5/5/5): the broken
+    day's k-cell χ² = (4·475 − 35²)/35 = 675/35 fires the df=3 flag,
+    the balanced day reads exactly 0, and the pooled statistic matches
+    the exact integer arithmetic. A 2-variant check on the SAME plant
+    (parity = arm mod 2) would see 25 even vs 10 odd — this test also
+    pins that the k-cell statistic localizes the break to ONE arm's
+    count columns."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows, eid, base = [], 0, 0
+
+    def enroll(day, counts):
+        nonlocal eid, base
+        for arm, n in enumerate(counts):
+            for _ in range(n):
+                base += 4  # fresh user id stride, residue = arm
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 9), base + arm,
+                     "view", 1.0, "{}")
+                )
+                eid += 1
+
+    enroll(1, (5, 5, 5, 5))    # balanced
+    enroll(2, (20, 5, 5, 5))   # arm0 broken
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.enroll_day: r
+        for r in QUERIES["diag_srm_multiarm"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    ok = got["2024-01-01"]
+    assert (ok.n_arm0, ok.n_arm1, ok.n_arm2, ok.n_arm3) == (5, 5, 5, 5)
+    assert ok.srm_chi2 == 0.0 and ok.srm_flag == 0
+    bad = got["2024-01-02"]
+    assert (bad.n_arm0, bad.n_arm1, bad.n_arm2, bad.n_arm3) == (
+        20, 5, 5, 5,
+    )
+    assert bad.srm_chi2 == q6((4 * (400 + 3 * 25) - 35 * 35) / 35)
+    assert bad.srm_chi2 > 7.814728 and bad.srm_flag == 1
+    # pooled: totals (25, 10, 10, 10), n = 55
+    pooled = q6((4 * (625 + 3 * 100) - 55 * 55) / 55)
+    for r in got.values():
+        assert r.overall_chi2 == pooled
+
+
+def test_msprt_multiarm_planted_single_broken_arm(spark, tmp_path):
+    """diag_msprt_multiarm on a planted 4-arm experiment: all arms
+    identical through day 3, then arm2 jumps +$80 — arm2's mixture
+    martingale must cross the Bonferroni-adjusted boundary at exactly
+    the day the raw-Python replay of the identical float sequence
+    crosses, while arm1 and arm3 (true nulls) never cross and arm2's
+    first_crossing_day is pinned on every arm2 row."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _MSPRT_MULTI_THRESH,
+        _MSPRT_TAU2,
+    )
+
+    load_all()
+    rows, eid = [], 0
+    days = list(range(8))
+    per_day = {}  # day -> [(arm, cents), ...]
+    for d in days:
+        evs = []
+        for m in range(6):
+            base = 9000 if m % 2 == 0 else 11000
+            for arm in range(4):
+                lift = 8000 if arm == 2 and d >= 4 else 0
+                evs.append((arm, base + lift))
+        per_day[d] = evs
+        for i, (arm, cents) in enumerate(evs):
+            uid = 4 * i + arm
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d, 9, 0, 0), uid, "view",
+                 cents / 100.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.day, r.arm): r
+        for r in QUERIES["diag_msprt_multiarm"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == len(days) * 3
+
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    cum = {a: [0, 0, 0] for a in range(4)}  # n, sx, sxx
+    first_cross = {1: None, 2: None, 3: None}
+    for d in days:
+        for arm, cents in per_day[d]:
+            c = cum[arm]
+            c[0], c[1], c[2] = c[0] + 1, c[1] + cents, c[2] + cents * cents
+        day = f"2024-01-{1 + d:02d}"
+        na, sxa, sxxa = cum[0]
+        for j in (1, 2, 3):
+            nb, sxb, sxxb = cum[j]
+            delta = sxb / nb - sxa / na
+            vk = (
+                ((sxxa - sxa * sxa / na) + (sxxb - sxb * sxb / nb))
+                / (na + nb - 2)
+                * (1.0 / na + 1.0 / nb)
+            )
+            r = got[(day, f"arm{j}")]
+            assert (r.n_control, r.n_treated) == (na, nb), (day, j)
+            assert r.diff_cents == q6(delta), (day, j)
+            if vk <= 0:
+                assert r.log_lambda is None and r.crossed == 0
+                continue
+            logl = q6(
+                0.5 * math.log(vk / (vk + _MSPRT_TAU2))
+                + delta * delta * _MSPRT_TAU2
+                / (2.0 * vk * (vk + _MSPRT_TAU2))
+            )
+            assert abs(r.log_lambda - logl) <= 1e-6, (day, j)
+            crossed = 1 if logl >= _MSPRT_MULTI_THRESH else 0
+            assert r.crossed == crossed, (day, j)
+            if crossed and first_cross[j] is None:
+                first_cross[j] = day
+    # the true-null arms never cross; the shifted arm crosses post-shift
+    assert first_cross[1] is None and first_cross[3] is None
+    assert first_cross[2] is not None and first_cross[2] >= "2024-01-05"
+    for (day, arm), r in got.items():
+        want = first_cross[int(arm[-1])]
+        assert r.first_crossing_day == want, (day, arm)

@@ -1830,3 +1830,190 @@ def test_drift_suite_matches_standalone_detectors(spark, sf_dir):
         ), g
         assert s.cvm_t == cvm[g].cvm_t, g
         assert s.psi_total == psi[g] / 1e6, g
+
+
+def test_fold_marker_cleared_by_owner_overwrite(spark, tmp_path):
+    """An owner-side create_or_overwrite is a deliberate STATE RESET:
+    it must tombstone the fold markers so a stream restarted after the
+    reset (fresh checkpoint semantics, batch ids back at 0) folds its
+    batches instead of having them dropped as 'replays' of the
+    resurrected pre-reset high-water mark — the r13 backward scan alone
+    kept the old marker alive forever. Maintenance commits (optimize/
+    append) must still NOT clear markers (the r13 guarantee)."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        fold_partial_batch,
+    )
+
+    def partial(df):
+        return df.groupBy("k").agg(F.sum("x").alias("sx"))
+
+    gold = ManagedTable(str(tmp_path / "gold"))
+    ckpt = str(tmp_path / "ckpt")
+    b0 = spark.createDataFrame([(1, 10), (2, 5)], "k int, x int")
+    b1 = spark.createDataFrame([(1, 7)], "k int, x int")
+
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt)
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt)
+    assert gold.latest_meta(having="fold_checkpoint")["fold_batch_id"] == 1
+
+    # owner resets the gold wholesale -> tombstone clears the markers
+    gold.create_or_overwrite(
+        spark.createDataFrame([(9, 100)], "k int, sx bigint")
+    )
+    marker = gold.latest_meta(having="fold_checkpoint")
+    assert marker is not None and marker["fold_checkpoint"] is None
+
+    # restarted stream (same checkpoint path, ids back at 0): batch 0
+    # must FOLD onto the reset rows, not be dropped as a replay
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt)
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {
+        1: 10, 2: 5, 9: 100,
+    }
+    # and the new high-water mark is re-established: a replay is a no-op
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt)
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {
+        1: 10, 2: 5, 9: 100,
+    }
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt)
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {
+        1: 17, 2: 5, 9: 100,
+    }
+
+
+def test_incremental_aggregate_validates_fold_names_eagerly(spark, tmp_path):
+    """A typo'd fold name must fail AT CALL TIME, before the stream
+    starts — the per-batch check alone surfaces it only once a
+    non-empty, non-replayed batch arrives (ADVICE r13)."""
+    import pytest
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        incremental_aggregate,
+    )
+
+    feed = tmp_path / "feed"
+    df = spark.createDataFrame([(1, 10)], "k int, x int")
+    df.write.parquet(str(feed))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    with pytest.raises(ValueError, match="unknown fold"):
+        incremental_aggregate(
+            stream,
+            ManagedTable(str(tmp_path / "gold")),
+            ["k"],
+            lambda b: b.groupBy("k").agg(F.min("x").alias("mn")),
+            str(tmp_path / "ckpt"),
+            combine={"mn": "minimum"},
+        )
+    # nothing started, nothing committed
+    assert not ManagedTable(str(tmp_path / "gold")).exists()
+    assert len(spark.streams.active) == 0
+
+
+def test_streaming_srm_matches_batch(spark, tmp_path):
+    """streaming_srm_check's projection over the incrementally-folded
+    min(ts) enrollment state must equal diag_srm_check row-for-row on a
+    planted broken-assignment corpus, fed as 3 NON-chronological
+    micro-batches (min partials are split-order-independent AND
+    idempotent). The plant re-uses the broken-day shape: day 1 balanced
+    10/10, day 2 broken 20/5 — the streamed readout must fire the same
+    flag. Users also emit LATER events so the min fold genuinely has
+    something to discard."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _srm_enroll_state,
+        _srm_project,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    load_all()
+    rows, eid, uid = [], 0, 0
+
+    def enroll(day, n_a, n_b):
+        nonlocal eid, uid
+        for parity, n in ((0, n_a), (1, n_b)):
+            for _ in range(n):
+                uid += 2
+                u = uid + parity
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 9), u, "view", 1.0,
+                     "{}")
+                )
+                eid += 1
+                # a later event that must NOT move the enrollment day
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day + 3, 9), u, "click",
+                     1.0, "{}")
+                )
+                eid += 1
+
+    enroll(1, 10, 10)  # balanced
+    enroll(2, 20, 5)   # broken
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    batch = {
+        r.enroll_day: r
+        for r in QUERIES["diag_srm_check"](spark, str(tmp_path)).collect()
+    }
+    assert batch["2024-01-02"].srm_flag == 1  # the plant fires
+
+    # 3 interleaved NON-chronological micro-batches by event_id % 3
+    feed = tmp_path / "feed"
+    import os
+    import time as _time
+
+    os.makedirs(feed)
+    base = _time.time()
+    for b in range(3):
+        sl = df.filter(F.col("event_id") % 3 == b).select(
+            "event_id", "ts", "user_id"
+        )
+        tmpdir = tmp_path / f"slice{b}"
+        sl.coalesce(1).write.parquet(str(tmpdir))
+        import glob
+        import shutil
+
+        part = glob.glob(f"{tmpdir}/part-*.parquet")[0]
+        dst = str(feed / f"batch-{b}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (base + b, base + b))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    gold = ManagedTable(str(tmp_path / "srm_gold"))
+    q = incremental_aggregate(
+        stream,
+        gold,
+        ["user_id"],
+        _srm_enroll_state,
+        str(tmp_path / "srm_ckpt"),
+        combine={"t0": "min"},
+    )
+    await_drained(q, 300)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+    streamed = {
+        r.enroll_day: r for r in _srm_project(gold.read(spark)).collect()
+    }
+    assert set(streamed) == set(batch)
+    for day, r in batch.items():
+        s = streamed[day]
+        assert (
+            s.n_control, s.n_treated, s.srm_chi2, s.srm_flag,
+            s.overall_chi2,
+        ) == (
+            r.n_control, r.n_treated, r.srm_chi2, r.srm_flag,
+            r.overall_chi2,
+        ), day

@@ -48,7 +48,11 @@ def main() -> None:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_users = ev.select("user_id").distinct().count()
     n_events = ev.count()
-    uid_stride = 10 ** 9  # multiple of 4: preserves div-4 cluster parity
+    # must be a multiple of 8, not just 4: the shifted cluster id is
+    # cluster + stride/4, so stride/4 must be EVEN for the cluster
+    # PARITY (the DiD variant) to survive replication
+    uid_stride = 10 ** 9
+    assert uid_stride % 8 == 0, "stride/4 must be even to keep parity"
     eid_stride = 10 ** 12
     rep = ev
     for r in range(1, 4):
