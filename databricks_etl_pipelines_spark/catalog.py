@@ -49,23 +49,29 @@ PRIORITY: list[str] = [
     # NEW queries first, then the queries whose CODE or ORACLE changed
     # this round (diag_srm_check now delegates to the shared
     # _srm_enroll_state/_srm_project pair the streaming flavor reads;
-    # the three r11-vintage drift streams ride the changed
-    # incremental_aggregate — eager fold-name validation + the
-    # create_or_overwrite fold-marker tombstone — and are the stalest
-    # consumers of that infrastructure), then 42 of the 49 r8-vintage
-    # rows — 4 + 4 + 42 = 50 exactly. The remaining 7 r8 rows lead the
-    # r15 overflow and clear next round.
+    # both 2-variant mSPRT flavors ride the _msprt_cum factoring the
+    # O'Brien-Fleming monitor shares; the three r11-vintage drift
+    # streams ride the changed incremental_aggregate — eager fold-name
+    # validation + the create_or_overwrite fold-marker tombstone — and
+    # are the stalest consumers of that infrastructure), then 37 of the
+    # 49 r8-vintage rows — 7 + 6 + 37 = 50 exactly. The remaining 12
+    # r8 rows lead the r15 overflow and clear next round.
     # (a) round-14 NEW queries, newest-risk first
     "diag_cox_ph_assumption",
     "diag_srm_multiarm",
     "diag_msprt_multiarm",
+    "streaming_msprt_multiarm",
+    "diag_obrien_fleming",
+    "diag_cuped_stratified",
     "streaming_srm_check",
     # (a') changed this round (code and/or shared infrastructure)
     "diag_srm_check",
+    "diag_msprt_sequential",
+    "streaming_msprt_sequential",
     "streaming_ks_drift",
     "streaming_psi_drift",
     "streaming_cvm_drift",
-    # (b) 42 of the 49 r8-vintage rows (newest driver evidence r8)
+    # (b) 37 of the 49 r8-vintage rows (newest driver evidence r8)
     "agg_bloom_filter_prune",
     "agg_countmin_words",
     "agg_theta_sketch_setops",
@@ -103,17 +109,17 @@ PRIORITY: list[str] = [
     "streaming_tumbling_hourly",
     "text_bm25_incremental",
     "text_bm25_indexed",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the 12 remaining r8-vintage rows lead (stalest after
+    # this rotation — they head the r15 cap), then everything fresher
+    # in registration order; the rows-only set stays at the end (weaker
+    # rows by design — each has an oracle-backed sibling; see
+    # COVERAGE.md rows-only map).
     "text_bm25_topk",
     "text_rbo_rankings",
     "text_token_stats",
     "text_unigram_doc_stats",
     "text_unigram_em_pruned",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the 7 remaining r8-vintage rows lead (stalest after this
-    # rotation — they head the r15 cap), then everything fresher in
-    # registration order; the rows-only set stays at the end (weaker
-    # rows by design — each has an oracle-backed sibling; see
-    # COVERAGE.md rows-only map).
     "text_unigram_em_segment",
     "text_unigram_segment",
     "window_cohort_retention",

@@ -4010,12 +4010,12 @@ def _msprt_partial(ev: DataFrame) -> DataFrame:
     )
 
 
-def _msprt_project(d: DataFrame) -> DataFrame:
-    """The per-day mSPRT readout over the (day, variant, n, sx, sxx)
-    relation (shared by the batch and streaming flavors): exact
-    cumulative sums over the bounded day lattice, then one identical
-    float sequence per day. The unpartitioned windows run over the day
-    lattice — bounded by design."""
+def _msprt_cum(d: DataFrame) -> DataFrame:
+    """Exact cumulative per-day sufficient statistics (na/nb/sxa/sxb/
+    sxxa/sxxb) over the (day, variant, n, sx, sxx) relation — the
+    shared base of the mSPRT readout AND the O'Brien-Fleming monitor
+    (both depend on the data only through it). The unpartitioned
+    windows run over the day lattice — bounded by design."""
     pdw = d.groupBy("day").agg(
         F.coalesce(
             F.sum(F.when(F.col("variant") == "A", F.col("n"))), F.lit(0)
@@ -4049,7 +4049,7 @@ def _msprt_project(d: DataFrame) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = pdw.select(
+    return pdw.select(
         "day",
         F.sum("na_d").over(w).cast("long").alias("na"),
         F.sum("nb_d").over(w).cast("long").alias("nb"),
@@ -4058,6 +4058,14 @@ def _msprt_project(d: DataFrame) -> DataFrame:
         F.sum("sxxa_d").over(w).alias("sxxa"),
         F.sum("sxxb_d").over(w).alias("sxxb"),
     )
+
+
+def _msprt_project(d: DataFrame) -> DataFrame:
+    """The per-day mSPRT readout over the (day, variant, n, sx, sxx)
+    relation (shared by the batch and streaming flavors): exact
+    cumulative sums (:func:`_msprt_cum`), then one identical float
+    sequence per day."""
+    cum = _msprt_cum(d)
     stat = cum.selectExpr(
         "day",
         "na",
@@ -4941,36 +4949,37 @@ FROM flagged
 """
 
 
-@query("diag_msprt_multiarm", _MSPRT_MULTI_ORACLE)
-def diag_msprt_multiarm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-arm always-valid sequential readout (k = {k}, assignment =
-    user_id % k, arm0 = control): one mSPRT mixture martingale PER
-    TREATMENT ARM vs the shared control, all off the same per-(day,
-    arm) cumulative sufficient statistics — one row per (day, arm) with
-    the running mean difference, log Λ, the Bonferroni-adjusted
-    crossing flag (ln((k−1)/α), so family-wise always-valid coverage
-    holds at α) and the arm's first crossing day. Exact integer
-    cumulative sums; the per-arm float readout is ONE shared expression
-    text on both engines. The three per-arm projections re-read the
-    one bounded day-lattice aggregate, never the facts.""".format(
-        k=_SRM_K
+def _msprt_multiarm_partial(ev: DataFrame) -> DataFrame:
+    """Per-(day, arm) additive sufficient statistics — the batch
+    partial AND the streaming fold unit of the k-arm gate (n/Σx/Σx²
+    are sums, so any batch split folds order-independently; the same
+    contract as the 2-variant :func:`_msprt_partial`)."""
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") % _SRM_K).alias("arm"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)")
+                * F.col("x").cast("decimal(38,0)")
+            ).alias("sxx"),
+        )
     )
-    ev = table(spark, sf_dir, "events")
-    e = ev.select(
-        F.to_date("ts").alias("day"),
-        (F.col("user_id") % _SRM_K).alias("arm"),
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("x"),
-    )
-    d = e.groupBy("day", "arm").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum(
-            F.col("x").cast("decimal(38,0)")
-            * F.col("x").cast("decimal(38,0)")
-        ).alias("sxx"),
-    )
+
+
+def _msprt_multiarm_project(d: DataFrame) -> DataFrame:
+    """The per-(day, arm) k-arm mSPRT readout over the (day, arm, n,
+    sx, sxx) relation (shared by the batch and streaming flavors) —
+    see :func:`diag_msprt_multiarm` for the shape and the section
+    comment for the exactness contract. All windows run over the
+    bounded day / (day × arm) lattices."""
     pd_aggs = []
     for a in range(_SRM_K):
         pd_aggs.append(
@@ -5070,6 +5079,73 @@ def diag_msprt_multiarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("first_crossing_day"),
     )
+
+
+@query("diag_msprt_multiarm", _MSPRT_MULTI_ORACLE)
+def diag_msprt_multiarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-arm always-valid sequential readout (k = {k}, assignment =
+    user_id % k, arm0 = control): one mSPRT mixture martingale PER
+    TREATMENT ARM vs the shared control, all off the same per-(day,
+    arm) cumulative sufficient statistics — one row per (day, arm) with
+    the running mean difference, log Λ, the Bonferroni-adjusted
+    crossing flag (ln((k−1)/α), so family-wise always-valid coverage
+    holds at α) and the arm's first crossing day. Exact integer
+    cumulative sums; the per-arm float readout is ONE shared expression
+    text on both engines. The k−1 per-arm rows EXPLODE from one
+    reference to the bounded day-lattice aggregate, never re-deriving
+    it (the r12 re-derivation trap).""".format(k=_SRM_K)
+    return _msprt_multiarm_project(
+        _msprt_multiarm_partial(table(spark, sf_dir, "events"))
+    )
+
+
+@query("streaming_msprt_multiarm", _MSPRT_MULTI_ORACLE)
+def streaming_msprt_multiarm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The k-arm sequential gate maintained INCREMENTALLY: the
+    per-(day, arm) sufficient statistics are ADDITIVE sums, so they
+    fold exactly-once through incremental_aggregate under a
+    deliberately NON-chronological event_id%3 feed, and the per-arm
+    readout is a projection over the ≤ k-rows-per-day gold. Oracle is
+    the batch k-arm mSPRT SQL verbatim. At 100 TB one maintained
+    (day, arm) aggregate serves ALL k−1 arm gates — adding an arm
+    comparison costs a projection, never another pass over the
+    stream."""
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _write_batched_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src_dir = _write_batched_feed(
+        [ev.filter(F.col("event_id") % 3 == b) for b in range(3)],
+        "msprtk_",
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    target = ManagedTable(scratch_dir("msprtk_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["day", "arm"],
+        _msprt_multiarm_partial,
+        scratch_dir("msprtk_ckpt_"),
+    )
+    await_drained(q, 300)
+    return _msprt_multiarm_project(target.read(spark))
 
 
 # -- streaming SRM: the smoke alarm maintained incrementally -----------------------
@@ -5200,3 +5276,375 @@ def streaming_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_drained(q, 300)
     return _srm_project(target.read(spark))
+
+
+# -- O'Brien-Fleming group-sequential boundary -------------------------------------
+
+# The FIXED-HORIZON sibling of the mSPRT gate: classical group-
+# sequential monitoring spends the α budget over interim looks, with
+# the O'Brien-Fleming shape |Z_k| ≥ C/√t_k (t_k = information
+# fraction) — near-unspendable early, converging to the fixed-sample
+# critical at full information, so early stops need overwhelming
+# evidence. C is pinned at the CONTINUOUS-monitoring constant for
+# two-sided α = 0.05 (P(sup|B(t)| ≥ C, t ≤ 1) = 0.05 →
+# C = Φ⁻¹(0.9875) = 2.241403, pre-rounded literal) — conservative for
+# any discrete look schedule, which is the right stance when the look
+# count is data-dependent (one look per calendar day). An analysis
+# constant like mSPRT's τ²/α, parameterizable trivially. Exactness:
+# the same per-(day, variant) exact cumulative sufficient statistics
+# as mSPRT; z = delta/√vk and the boundary are each ONE float sequence
+# per day; the crossing compares the ROUNDED |z| against the ROUNDED
+# boundary (both q6) so the decision is engine-deterministic.
+_OBF_CB = 2.241403
+
+_OBF_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+d AS (
+  SELECT day, variant, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+  FROM e GROUP BY day, variant
+),
+pd AS (
+  SELECT day,
+    coalesce(CAST(sum(CASE WHEN variant = 'A' THEN n END) AS BIGINT), 0)
+      AS na_d,
+    coalesce(CAST(sum(CASE WHEN variant = 'B' THEN n END) AS BIGINT), 0)
+      AS nb_d,
+    coalesce(CAST(sum(CASE WHEN variant = 'A' THEN sx END) AS BIGINT), 0)
+      AS sxa_d,
+    coalesce(CAST(sum(CASE WHEN variant = 'B' THEN sx END) AS BIGINT), 0)
+      AS sxb_d,
+    coalesce(sum(CASE WHEN variant = 'A' THEN sxx END),
+             CAST(0 AS DECIMAL(38,0))) AS sxxa_d,
+    coalesce(sum(CASE WHEN variant = 'B' THEN sxx END),
+             CAST(0 AS DECIMAL(38,0))) AS sxxb_d
+  FROM d GROUP BY day
+),
+cum AS (
+  SELECT day,
+    CAST(sum(na_d) OVER w AS BIGINT) AS na,
+    CAST(sum(nb_d) OVER w AS BIGINT) AS nb,
+    CAST(sum(sxa_d) OVER w AS BIGINT) AS sxa,
+    CAST(sum(sxb_d) OVER w AS BIGINT) AS sxb,
+    sum(sxxa_d) OVER w AS sxxa,
+    sum(sxxb_d) OVER w AS sxxb
+  FROM pd
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stat AS (
+  SELECT day, na, nb,
+    (CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)
+     - CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)) AS delta,
+    ((CAST(sxxa AS DOUBLE)
+      - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
+        / nullif(CAST(na AS DOUBLE), 0))
+     + (CAST(sxxb AS DOUBLE)
+        - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
+          / nullif(CAST(nb AS DOUBLE), 0)))
+    / nullif(CAST(na + nb - 2 AS DOUBLE), 0)
+    * (CAST(1 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)
+       + CAST(1 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) AS vk
+  FROM cum
+),
+tot AS (
+  SELECT day, na, nb, delta, vk,
+    CAST(max(na + nb) OVER () AS BIGINT) AS ntot
+  FROM stat
+),
+zrow AS (
+  SELECT day, na, nb,
+    floor(CAST(na + nb AS DOUBLE) / CAST(ntot AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS info_frac,
+    CASE WHEN vk > CAST(0 AS DOUBLE) THEN
+      floor(delta / sqrt(vk) * 1000000 + 0.5) / 1000000 END AS z_stat,
+    floor(CAST({_OBF_CB} AS DOUBLE)
+          / sqrt(CAST(na + nb AS DOUBLE) / CAST(ntot AS DOUBLE))
+          * 1000000 + 0.5) / 1000000 AS boundary
+  FROM tot
+),
+flagged AS (
+  SELECT day, na, nb, info_frac, z_stat, boundary,
+    CASE WHEN z_stat IS NOT NULL AND abs(z_stat) >= boundary
+         THEN 1 ELSE 0 END AS crossed
+  FROM zrow
+)
+SELECT CAST(day AS VARCHAR) AS day, na AS n_control, nb AS n_treated,
+  info_frac, z_stat, boundary, crossed,
+  CAST(min(CASE WHEN crossed = 1 THEN day END) OVER () AS VARCHAR)
+    AS first_crossing_day
+FROM flagged
+"""
+
+
+@query("diag_obrien_fleming", _OBF_ORACLE)
+def diag_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitor — the FIXED-HORIZON
+    sibling of diag_msprt_sequential on the same per-(day, variant)
+    cumulative sufficient statistics: per calendar-day look, the
+    two-sample z, the information fraction t_k (cumulative n over final
+    n), the C/√t_k boundary and the crossing flag. Early looks demand
+    overwhelming evidence (the boundary shape that preserves the full-
+    information critical ≈ 1.96·(C/1.96) at t = 1); C is the pinned
+    continuous-monitoring constant (see the section comment). One fact
+    scan; every window runs over the bounded day lattice."""
+    cum = _msprt_cum(_msprt_partial(table(spark, sf_dir, "events")))
+    stat = cum.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "(CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)"
+        " - CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)) AS delta",
+        "((CAST(sxxa AS DOUBLE)"
+        "  - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)"
+        "    / nullif(CAST(na AS DOUBLE), 0))"
+        " + (CAST(sxxb AS DOUBLE)"
+        "    - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)"
+        "      / nullif(CAST(nb AS DOUBLE), 0)))"
+        " / nullif(CAST(na + nb - 2 AS DOUBLE), 0)"
+        " * (CAST(1 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
+        "    + CAST(1 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) AS vk",
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = stat.select(
+        "*",
+        F.max(F.col("na") + F.col("nb")).over(w_all)
+        .cast("long")
+        .alias("ntot"),
+    )
+    zrow = tot.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "floor(CAST(na + nb AS DOUBLE) / CAST(ntot AS DOUBLE)"
+        " * 1000000 + 0.5) / 1000000 AS info_frac",
+        "CASE WHEN vk > CAST(0 AS DOUBLE) THEN"
+        " floor(delta / sqrt(vk) * 1000000 + 0.5) / 1000000 END AS z_stat",
+        f"floor(CAST({_OBF_CB} AS DOUBLE)"
+        " / sqrt(CAST(na + nb AS DOUBLE) / CAST(ntot AS DOUBLE))"
+        " * 1000000 + 0.5) / 1000000 AS boundary",
+    )
+    flagged = zrow.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "info_frac",
+        "z_stat",
+        "boundary",
+        "CASE WHEN z_stat IS NOT NULL AND abs(z_stat) >= boundary"
+        " THEN 1 ELSE 0 END AS crossed",
+    )
+    return flagged.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("na").alias("n_control"),
+        F.col("nb").alias("n_treated"),
+        "info_frac",
+        "z_stat",
+        "boundary",
+        "crossed",
+        F.min(F.when(F.col("crossed") == 1, F.col("day")))
+        .over(w_all)
+        .cast("string")
+        .alias("first_crossing_day"),
+    )
+
+
+# -- post-stratified CUPED ----------------------------------------------------------
+
+# Stratified CUPED (the post-stratification refinement of Deng et al.
+# 2013): θ is estimated PER STRATUM — here the user's pre-period
+# activity band, a pre-treatment covariate cut on the exact cents
+# lattice — so a heterogeneous X→Y relationship (different slopes per
+# segment) no longer dilutes the variance reduction the way one pooled
+# θ does. Same exactness contract as diag_cuped_adjustment: exact
+# int64/decimal sufficient statistics per (band) and (band, variant),
+# θ_s a single division of two exactly-derived doubles, per-variant
+# adjusted means/variances via the linearity identity, never a
+# per-user adjust-then-resum. The θ join-back is a 2-row broadcast.
+_CUPED_BAND_CENTS = 160000  # pre-period cents cut (≈ corpus median)
+
+_CUPED_STRAT_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+      AS x,
+    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+      AS y
+  FROM events GROUP BY user_id
+),
+pb AS (
+  SELECT CASE WHEN x < {_CUPED_BAND_CENTS} THEN 'low' ELSE 'high' END
+      AS band, variant, x, y
+  FROM pu
+),
+pooled AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+  FROM pb GROUP BY band
+),
+th AS (
+  SELECT band, n, sx,
+    CAST(CAST(n AS DECIMAL(38,0)) * sxy
+         - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+      AS DOUBLE)
+    / nullif(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+      AS DOUBLE), 0) AS theta
+  FROM pooled
+),
+v AS (
+  SELECT band, variant, CAST(count(*) AS BIGINT) AS nv,
+    CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxxv,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxyv,
+    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syyv
+  FROM pb GROUP BY band, variant
+)
+SELECT v.band, v.variant, v.nv AS n_users,
+  floor(th.theta * 1000000 + 0.5) / 1000000 AS theta,
+  floor(CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE) * 1000000 + 0.5)
+    / 1000000 AS mean_metric,
+  floor((CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+    - th.theta * (CAST(v.sxv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+                  - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)))
+    * 1000000 + 0.5) / 1000000 AS mean_cuped,
+  floor((CAST(v.syyv AS DOUBLE)
+         - CAST(v.syv AS DOUBLE) * CAST(v.syv AS DOUBLE)
+           / CAST(v.nv AS DOUBLE)) / nullif(CAST(v.nv - 1 AS DOUBLE), 0)
+    * 1000000 + 0.5) / 1000000 AS var_metric,
+  floor(((CAST(v.syyv AS DOUBLE)
+          - CAST(v.syv AS DOUBLE) * CAST(v.syv AS DOUBLE)
+            / CAST(v.nv AS DOUBLE)) / nullif(CAST(v.nv - 1 AS DOUBLE), 0)
+    - CAST(2 AS DOUBLE) * th.theta
+      * (CAST(v.sxyv AS DOUBLE)
+         - CAST(v.sxv AS DOUBLE) * CAST(v.syv AS DOUBLE)
+           / CAST(v.nv AS DOUBLE)) / nullif(CAST(v.nv - 1 AS DOUBLE), 0)
+    + th.theta * th.theta
+      * (CAST(v.sxxv AS DOUBLE)
+         - CAST(v.sxv AS DOUBLE) * CAST(v.sxv AS DOUBLE)
+           / CAST(v.nv AS DOUBLE)) / nullif(CAST(v.nv - 1 AS DOUBLE), 0))
+    * 1000000 + 0.5) / 1000000 AS var_cuped
+FROM v JOIN th ON v.band = th.band
+"""
+
+
+@query("diag_cuped_stratified", _CUPED_STRAT_ORACLE)
+def diag_cuped_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified CUPED readout: θ estimated PER pre-period
+    activity band (low/high at the {cut}-cent cut), then the raw and
+    covariate-adjusted post-period means/variances per (band, variant)
+    — the refinement that keeps the variance reduction when the X→Y
+    slope differs across user segments (one pooled θ fits neither
+    segment; pytest plants exactly that). Same machinery as
+    diag_cuped_adjustment with (band)/(band, variant) keys and a 2-row
+    broadcast θ join-back; see the section comment.""".format(
+        cut=_CUPED_BAND_CENTS
+    )
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cut = F.lit(_COHORT_TS).cast("timestamp")
+    pb = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(F.col("x") < _CUPED_BAND_CENTS, "low")
+        .otherwise("high")
+        .alias("band"),
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    pooled = pb.groupBy("band").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("sxy"),
+    )
+    th = pooled.selectExpr(
+        "band",
+        "n",
+        "sx",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+        "     - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"
+        "  AS DOUBLE)"
+        " / nullif(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        "     - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+        "  AS DOUBLE), 0) AS theta",
+    )
+    v = pb.groupBy("band", "variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("x").cast("long").alias("sxv"),
+        F.sum("y").cast("long").alias("syv"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("sxxv"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("sxyv"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("syyv"),
+    )
+    return v.join(F.broadcast(th), "band").selectExpr(
+        "band",
+        "variant",
+        "nv AS n_users",
+        "floor(theta * 1000000 + 0.5) / 1000000 AS theta",
+        "floor(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) * 1000000 + 0.5)"
+        " / 1000000 AS mean_metric",
+        "floor((CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)"
+        "  - theta * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)"
+        "             - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+        "  * 1000000 + 0.5) / 1000000 AS mean_cuped",
+        "floor((CAST(syyv AS DOUBLE)"
+        "  - CAST(syv AS DOUBLE) * CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE))"
+        " / nullif(CAST(nv - 1 AS DOUBLE), 0)"
+        "  * 1000000 + 0.5) / 1000000 AS var_metric",
+        "floor(((CAST(syyv AS DOUBLE)"
+        "   - CAST(syv AS DOUBLE) * CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE))"
+        "  / nullif(CAST(nv - 1 AS DOUBLE), 0)"
+        "  - CAST(2 AS DOUBLE) * theta"
+        "    * (CAST(sxyv AS DOUBLE)"
+        "       - CAST(sxv AS DOUBLE) * CAST(syv AS DOUBLE)"
+        "         / CAST(nv AS DOUBLE))"
+        "    / nullif(CAST(nv - 1 AS DOUBLE), 0)"
+        "  + theta * theta"
+        "    * (CAST(sxxv AS DOUBLE)"
+        "       - CAST(sxv AS DOUBLE) * CAST(sxv AS DOUBLE)"
+        "         / CAST(nv AS DOUBLE))"
+        "    / nullif(CAST(nv - 1 AS DOUBLE), 0))"
+        "  * 1000000 + 0.5) / 1000000 AS var_cuped",
+    )

@@ -5553,3 +5553,236 @@ def test_msprt_multiarm_planted_single_broken_arm(spark, tmp_path):
     for (day, arm), r in got.items():
         want = first_cross[int(arm[-1])]
         assert r.first_crossing_day == want, (day, arm)
+
+
+def test_obrien_fleming_planted_shift(spark, tmp_path):
+    """diag_obrien_fleming on the planted +$80 day-4 shift (the mSPRT
+    plant): the raw-Python replay of the identical z / boundary float
+    sequences must match row-for-row, the boundary must decay
+    monotonically to the pinned continuous-monitoring constant C at
+    full information, no look may cross pre-shift, and the crossing —
+    if any — happens at the replayed day. Being the FIXED-HORIZON
+    sibling, its per-look z is the plain two-sample z, so the late
+    looks after a real shift must exceed the final-look boundary."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import _OBF_CB
+
+    load_all()
+    rows, eid = [], 0
+    days = list(range(8))
+    per_day = {}
+    for d in days:
+        evs = []
+        for m in range(4):
+            base = 9000 if m % 2 == 0 else 11000
+            lift = 8000 if d >= 4 else 0
+            evs.append(("A", base))
+            evs.append(("B", base + lift))
+        per_day[d] = evs
+        for i, (variant, cents) in enumerate(evs):
+            uid = 2 * i + (0 if variant == "A" else 1)
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d, 9, 0, 0), uid, "view",
+                 cents / 100.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.day: r
+        for r in QUERIES["diag_obrien_fleming"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    na = nb = sxa = sxb = sxxa = sxxb = 0
+    ntot = sum(len(per_day[d]) for d in days)
+    cum_n = 0
+    first_cross, prev_boundary = None, None
+    for d in days:
+        for variant, cents in per_day[d]:
+            if variant == "A":
+                na, sxa, sxxa = na + 1, sxa + cents, sxxa + cents * cents
+            else:
+                nb, sxb, sxxb = nb + 1, sxb + cents, sxxb + cents * cents
+        cum_n = na + nb
+        day = f"2024-01-{1 + d:02d}"
+        r = got[day]
+        assert (r.n_control, r.n_treated) == (na, nb), day
+        assert r.info_frac == q6(cum_n / ntot), day
+        boundary = q6(_OBF_CB / math.sqrt(cum_n / ntot))
+        assert r.boundary == boundary, day
+        if prev_boundary is not None:
+            assert boundary < prev_boundary, day  # strictly decaying
+        prev_boundary = boundary
+        delta = sxb / nb - sxa / na
+        vk = (
+            ((sxxa - sxa * sxa / na) + (sxxb - sxb * sxb / nb))
+            / (na + nb - 2)
+            * (1.0 / na + 1.0 / nb)
+        )
+        if vk <= 0:
+            assert r.z_stat is None and r.crossed == 0, day
+            continue
+        z = q6(delta / math.sqrt(vk))
+        assert r.z_stat == z, (day, r.z_stat, z)
+        crossed = 1 if abs(z) >= boundary else 0
+        assert r.crossed == crossed, day
+        if crossed and first_cross is None:
+            first_cross = day
+    # full information: boundary IS the pinned constant
+    assert got["2024-01-08"].boundary == _OBF_CB
+    # identical variants pre-shift: no early spend
+    for d in range(4):
+        assert got[f"2024-01-{1 + d:02d}"].crossed == 0
+    # the $80 shift must cross by the final look, pinned on every row
+    assert first_cross is not None and first_cross >= "2024-01-05"
+    for r in got.values():
+        assert r.first_crossing_day == first_cross
+
+
+def test_cuped_stratified_planted_heterogeneous_slopes(spark, tmp_path):
+    """diag_cuped_stratified on a plant with OPPOSITE X→Y slopes per
+    pre-period band (low band: y ≈ 2x + noise; high band: y ≈ −x +
+    noise): the per-stratum θs must match the raw-Python replay of the
+    exact-sums float sequence and carry opposite signs, each stratum's
+    CUPED variance must shrink vs its raw variance, while ONE pooled θ
+    (diag_cuped_adjustment on the same corpus) fits neither segment —
+    the heterogeneity that post-stratification exists for."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _CUPED_BAND_CENTS,
+    )
+
+    load_all()
+    # per-user (x, y) pairs in cents; band cut at _CUPED_BAND_CENTS.
+    # x below/above the cut; y correlated with x per band, opposite
+    # slopes; small deterministic "noise" so variances are nonzero.
+    users = []
+    uid = 0
+    for i in range(12):  # low band: y = 2x + jitter
+        x = 100000 + 4000 * i  # < 160000 for i <= 14
+        y = 2 * x + 1500 * (i % 3)
+        users.append((uid, x, y))
+        uid += 1
+    for i in range(12):  # high band: y = -x + big offset + jitter
+        x = 200000 + 4000 * i
+        y = 700000 - x + 1500 * (i % 3)
+        users.append((uid, x, y))
+        uid += 1
+    rows, eid = [], 0
+    for u, x, y in users:
+        rows.append(
+            (eid, dt.datetime(2024, 1, 10, 9), u, "view", x / 100.0, "{}")
+        )
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 1, 20, 9), u, "view", y / 100.0, "{}")
+        )
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.band, r.variant): r
+        for r in QUERIES["diag_cuped_stratified"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {("low", "A"), ("low", "B"), ("high", "A"),
+                        ("high", "B")}
+
+    # raw-Python replay of theta per band from exact sums
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    thetas = {}
+    for band in ("low", "high"):
+        sub = [
+            (x, y) for _, x, y in users
+            if (x < _CUPED_BAND_CENTS) == (band == "low")
+        ]
+        n = len(sub)
+        sx = sum(x for x, _ in sub)
+        sy = sum(y for _, y in sub)
+        sxx = sum(x * x for x, _ in sub)
+        sxy = sum(x * y for x, y in sub)
+        thetas[band] = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for (band, _v), r in got.items():
+        assert r.theta == q6(thetas[band]), (band, r.theta, thetas[band])
+    assert thetas["low"] > 1.5 and thetas["high"] < -0.5  # opposite
+    # within each stratum the adjustment must genuinely cut variance
+    for k, r in got.items():
+        assert r.var_cuped < 0.2 * r.var_metric, k
+    # ONE pooled theta cannot carry the high band's NEGATIVE slope —
+    # between-band structure pulls it positive (toward the low band),
+    # so the pooled adjustment is wrong-SIGNED for the whole high
+    # segment (the heterogeneity post-stratification exists for)
+    pooled = QUERIES["diag_cuped_adjustment"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert pooled.theta > 0 > thetas["high"]
+    assert abs(pooled.theta - thetas["high"]) > 0.5
+
+
+def test_streaming_msprt_multiarm_matches_batch(spark, tmp_path):
+    """streaming_msprt_multiarm must reproduce the batch k-arm readout
+    row-for-row from its incrementally-folded per-(day, arm) gold on
+    the planted single-broken-arm corpus (non-chronological event_id%3
+    feed — additive partials survive any split)."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows, eid = [], 0
+    for d in range(6):
+        i = 0
+        for m in range(4):
+            base = 9000 if m % 2 == 0 else 11000
+            for arm in range(4):
+                lift = 8000 if arm == 2 and d >= 3 else 0
+                uid = 4 * i + arm
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1 + d, 9, 0, 0), uid,
+                     "view", (base + lift) / 100.0, "{}")
+                )
+                eid += 1
+                i += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    batch = {
+        (r.day, r.arm): r
+        for r in QUERIES["diag_msprt_multiarm"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    streamed = {
+        (r.day, r.arm): r
+        for r in QUERIES["streaming_msprt_multiarm"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(streamed) == set(batch) and len(batch) == 18
+    for k, r in batch.items():
+        s = streamed[k]
+        assert (
+            s.n_control, s.n_treated, s.diff_cents, s.log_lambda,
+            s.crossed, s.first_crossing_day,
+        ) == (
+            r.n_control, r.n_treated, r.diff_cents, r.log_lambda,
+            r.crossed, r.first_crossing_day,
+        ), k

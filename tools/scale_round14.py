@@ -129,6 +129,47 @@ def main() -> None:
     print(f"k-arm mSPRT: {len(m1)} (day, arm) rows, counts exactly x4, "
           f"running mean diffs x4-INVARIANT; walls {mw1:.1f}s -> {mw4:.1f}s")
 
+    # -- O'Brien-Fleming structural invariance -----------------------------------
+    o1 = {r.day: r
+          for r in QUERIES["diag_obrien_fleming"](spark, sf_dir).collect()}
+    o4 = {r.day: r
+          for r in QUERIES["diag_obrien_fleming"](spark, rep_dir).collect()}
+    assert set(o1) == set(o4), "look schedule (day lattice) must not grow"
+    for day, a in o1.items():
+        b = o4[day]
+        assert b.n_control == 4 * a.n_control, day
+        assert b.n_treated == 4 * a.n_treated, day
+        # info fraction is a ratio of x4 ints -> identical double
+        assert b.info_frac == a.info_frac, day
+        assert b.boundary == a.boundary, day
+        # z ~doubles with 4x users (vk ~quarters; the n-2/n-1 pooled
+        # corrections keep it from being exact — trap ledger)
+        if a.z_stat not in (None, 0.0):
+            ratio = b.z_stat / a.z_stat
+            assert 1.9 < ratio < 2.1, (day, a.z_stat, b.z_stat)
+    print(f"O'Brien-Fleming: {len(o1)} looks, info fractions and "
+          f"boundaries x4-INVARIANT (exact), z ratios ~2.0")
+
+    # -- stratified CUPED invariance ----------------------------------------------
+    c1 = {(r.band, r.variant): r
+          for r in QUERIES["diag_cuped_stratified"](spark, sf_dir).collect()}
+    c4 = {(r.band, r.variant): r
+          for r in QUERIES["diag_cuped_stratified"](spark, rep_dir).collect()}
+    assert set(c1) == set(c4)
+    for k, a in c1.items():
+        b = c4[k]
+        assert b.n_users == 4 * a.n_users, k
+        # theta/means: every exact sum scales by 16 or 4 (powers of
+        # two) -> the divisions give the identical doubles
+        assert b.theta == a.theta, k
+        assert b.mean_metric == a.mean_metric, k
+        assert b.mean_cuped == a.mean_cuped, k
+        # variances carry n-1 corrections: ~invariant, not exact
+        assert abs(b.var_metric / a.var_metric - 1.0) < 0.05, k
+        assert abs(b.var_cuped / a.var_cuped - 1.0) < 0.05, k
+    print(f"stratified CUPED: {len(c1)} (band, variant) rows, users x4, "
+          f"thetas/means x4-INVARIANT (exact), variances ~invariant")
+
     print("scale_round14: ALL ASSERTIONS PASSED")
 
 
