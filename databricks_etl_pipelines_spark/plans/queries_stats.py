@@ -3645,11 +3645,12 @@ def diag_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster sums → a 2-row variant relation pivoted to one readout row.
 _DID_CR_CLUSTER = 4  # users per cluster (the randomization unit)
 
-# NOTE the non-negative user_id assumption (as the % parity queries
-# implicitly make too): DuckDB `//` FLOORS while Spark `div` truncates
-# toward zero, so the cluster assignment — and the parity-derived
-# variant — would diverge for negative user_ids. Generated user_ids
-# are non-negative, where the two operators agree.
+# Integer-division semantics, VERIFIED on both engines (r14): DuckDB
+# `//` truncates toward zero exactly like Spark `div` (-7 // 2 = -3 on
+# both — DuckDB's // is NOT Python's floor division), so the cluster
+# assignment and its parity-derived variant agree for ALL user_ids,
+# negative included. Generated user_ids are non-negative anyway (the
+# % parity queries' standing assumption).
 _DID_CR_ORACLE = f"""
 WITH pu AS (
   SELECT user_id, user_id // {_DID_CR_CLUSTER} AS cluster_id,
@@ -3897,8 +3898,22 @@ _MSPRT_ALPHA = 0.05
 # ships as a LITERAL so neither engine computes its own ln(20)
 _MSPRT_LOG_THRESH = 2.995732
 
-_MSPRT_STAT_SQL = f"""
-pd AS (
+# the e/d and pd/cum CTE text is shared verbatim with the
+# O'Brien-Fleming oracle (one copy of the exactness-critical base)
+_MSPRT_ED_SQL = """e AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+d AS (
+  SELECT day, variant, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx,
+    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+  FROM e GROUP BY day, variant
+)"""
+
+_MSPRT_PDCUM_SQL = """pd AS (
   SELECT day,
     coalesce(CAST(sum(CASE WHEN variant = 'A' THEN n END) AS BIGINT), 0)
       AS na_d,
@@ -3925,7 +3940,10 @@ cum AS (
   FROM pd
   WINDOW w AS (ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
+)"""
+
+_MSPRT_STAT_SQL = f"""
+{_MSPRT_PDCUM_SQL},
 stat AS (
   SELECT day, na, nb,
     (CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)
@@ -3968,18 +3986,7 @@ FROM flagged
 """
 
 _MSPRT_ORACLE = f"""
-WITH e AS (
-  SELECT CAST(ts AS DATE) AS day,
-    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
-    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
-  FROM events
-),
-d AS (
-  SELECT day, variant, CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(x) AS BIGINT) AS sx,
-    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
-  FROM e GROUP BY day, variant
-),
+WITH {_MSPRT_ED_SQL},
 {_MSPRT_STAT_SQL}
 """
 
@@ -4085,19 +4092,15 @@ def _msprt_project(d: DataFrame) -> DataFrame:
     # vk can come out slightly NEGATIVE from double cancellation on a
     # near-constant corpus at scale — the CASE (not a nullif) keeps a
     # degenerate day NULL on BOTH engines instead of a DuckDB ln-domain
-    # error vs a Spark NULL
+    # error vs a Spark NULL. ONE shared text (_MSPRT_LAM_EXPR) serves
+    # this 2-variant projection and the k-arm flavor so the
+    # exactness-critical float sequence cannot desynchronize.
     lam = stat.selectExpr(
         "day",
         "na",
         "nb",
         "delta",
-        f"CASE WHEN vk > CAST(0 AS DOUBLE) THEN"
-        f" floor((CAST(0.5 AS DOUBLE)"
-        f" * ln(vk / (vk + CAST({_MSPRT_TAU2} AS DOUBLE)))"
-        f" + delta * delta * CAST({_MSPRT_TAU2} AS DOUBLE)"
-        f"   / (CAST(2 AS DOUBLE) * vk"
-        f"      * (vk + CAST({_MSPRT_TAU2} AS DOUBLE))))"
-        f" * 1000000 + 0.5) / 1000000 END AS log_lambda",
+        _MSPRT_LAM_EXPR + " AS log_lambda",
     )
     flagged = lam.selectExpr(
         "day",
@@ -5297,60 +5300,19 @@ def streaming_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary (both q6) so the decision is engine-deterministic.
 _OBF_CB = 2.241403
 
+# the e/d/pd/cum base and the (delta, vk) expressions are the SAME
+# shared text the mSPRT family uses (_MSPRT_ED_SQL, _MSPRT_PDCUM_SQL,
+# _msprt_pair_stat_sql with the 'a'/'b' suffixes) — one copy of each
+# exactness-critical float sequence across the whole monitor family
+_OBF_STAT_EXPRS = _msprt_pair_stat_sql("a", "b")
+
 _OBF_ORACLE = f"""
-WITH e AS (
-  SELECT CAST(ts AS DATE) AS day,
-    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
-    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
-  FROM events
-),
-d AS (
-  SELECT day, variant, CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(x) AS BIGINT) AS sx,
-    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
-  FROM e GROUP BY day, variant
-),
-pd AS (
-  SELECT day,
-    coalesce(CAST(sum(CASE WHEN variant = 'A' THEN n END) AS BIGINT), 0)
-      AS na_d,
-    coalesce(CAST(sum(CASE WHEN variant = 'B' THEN n END) AS BIGINT), 0)
-      AS nb_d,
-    coalesce(CAST(sum(CASE WHEN variant = 'A' THEN sx END) AS BIGINT), 0)
-      AS sxa_d,
-    coalesce(CAST(sum(CASE WHEN variant = 'B' THEN sx END) AS BIGINT), 0)
-      AS sxb_d,
-    coalesce(sum(CASE WHEN variant = 'A' THEN sxx END),
-             CAST(0 AS DECIMAL(38,0))) AS sxxa_d,
-    coalesce(sum(CASE WHEN variant = 'B' THEN sxx END),
-             CAST(0 AS DECIMAL(38,0))) AS sxxb_d
-  FROM d GROUP BY day
-),
-cum AS (
-  SELECT day,
-    CAST(sum(na_d) OVER w AS BIGINT) AS na,
-    CAST(sum(nb_d) OVER w AS BIGINT) AS nb,
-    CAST(sum(sxa_d) OVER w AS BIGINT) AS sxa,
-    CAST(sum(sxb_d) OVER w AS BIGINT) AS sxb,
-    sum(sxxa_d) OVER w AS sxxa,
-    sum(sxxb_d) OVER w AS sxxb
-  FROM pd
-  WINDOW w AS (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
+WITH {_MSPRT_ED_SQL},
+{_MSPRT_PDCUM_SQL},
 stat AS (
   SELECT day, na, nb,
-    (CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)
-     - CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)) AS delta,
-    ((CAST(sxxa AS DOUBLE)
-      - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
-        / nullif(CAST(na AS DOUBLE), 0))
-     + (CAST(sxxb AS DOUBLE)
-        - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
-          / nullif(CAST(nb AS DOUBLE), 0)))
-    / nullif(CAST(na + nb - 2 AS DOUBLE), 0)
-    * (CAST(1 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)
-       + CAST(1 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) AS vk
+    {_OBF_STAT_EXPRS[0]} AS delta,
+    {_OBF_STAT_EXPRS[1]} AS vk
   FROM cum
 ),
 tot AS (
@@ -5399,17 +5361,8 @@ def diag_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "na",
         "nb",
-        "(CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)"
-        " - CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)) AS delta",
-        "((CAST(sxxa AS DOUBLE)"
-        "  - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)"
-        "    / nullif(CAST(na AS DOUBLE), 0))"
-        " + (CAST(sxxb AS DOUBLE)"
-        "    - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)"
-        "      / nullif(CAST(nb AS DOUBLE), 0)))"
-        " / nullif(CAST(na + nb - 2 AS DOUBLE), 0)"
-        " * (CAST(1 AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
-        "    + CAST(1 AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)) AS vk",
+        f"{_OBF_STAT_EXPRS[0]} AS delta",
+        f"{_OBF_STAT_EXPRS[1]} AS vk",
     )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -5647,4 +5600,336 @@ def diag_cuped_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         / CAST(nv AS DOUBLE))"
         "    / nullif(CAST(nv - 1 AS DOUBLE), 0))"
         "  * 1000000 + 0.5) / 1000000 AS var_cuped",
+    )
+
+
+# -- median survival with Greenwood CI ----------------------------------------------
+
+# The single-number summary a funnel owner quotes from the KM curve:
+# the MEDIAN time-to-conversion (first t with S(t) ≤ 1/2) with a
+# Brookmeyer-Crowley-style confidence interval — the set of times
+# whose survival is within z·se(t) of 1/2, where se is the Greenwood
+# standard error se(t) = S(t)·√(Σ_{t_j≤t} d_j/(n_j(n_j−d_j))).
+# Exactness rides the KM machinery: the median test is an INTEGER
+# comparison on the q6 survival lattice (sq ≤ 500000); the Greenwood
+# terms d/(n(n−d)) live at ~1e-6..1e-2 so they quantize on the 1e-9
+# lattice (the RMST variance-scale rule) and cumulate as INTEGERS
+# (terminal n=d rows pin to 0 — the same convention as the log-rank
+# FPC and RMST terminal rows); se and the CI membership test are one
+# identical float sequence over identical integers, so the in-CI flag
+# is engine-deterministic without further rounding. Headroom: per-term
+# ≤ 1e9·0.25 on the 1e-9 lattice; Σ over the bounded day lattice ≪ 2^63.
+_KM_MEDIAN_ORACLE = (
+    _KM_CTES
+    + f"""
+, surv AS (
+  SELECT cohort, t, n_risk, d, c,
+    CAST(floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pref),
+          (a, b) -> a * b) * 1000000 + 0.5) AS BIGINT) AS sq,
+    CAST(floor(coalesce(
+        CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+                             * nullif(CAST(n_risk - d AS DOUBLE), 0)),
+        CAST(0 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS gq
+  FROM folded
+),
+gw AS (
+  SELECT cohort, t, n_risk, d, c, sq,
+    CAST(sum(gq) OVER (PARTITION BY cohort ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS gwq
+  FROM surv
+),
+se AS (
+  SELECT cohort, t, d, c, sq,
+    CAST(sq AS DOUBLE) / 1000000
+      * sqrt(CAST(gwq AS DOUBLE) / 1000000000) AS se_t,
+    min(CASE WHEN sq <= 500000 THEN t END)
+      OVER (PARTITION BY cohort) AS med
+  FROM gw
+),
+flags AS (
+  SELECT cohort, t, d, c, sq, se_t, med,
+    CASE WHEN abs(CAST(sq AS DOUBLE) / 1000000 - CAST(0.5 AS DOUBLE))
+              <= CAST({_PH_Z_CRIT} AS DOUBLE) * se_t
+         THEN 1 ELSE 0 END AS in_ci
+  FROM se
+)
+SELECT cohort,
+  CAST(sum(d + c) AS BIGINT) AS n_users,
+  CAST(sum(d) AS BIGINT) AS n_events,
+  CAST(max(med) AS BIGINT) AS median_day,
+  CAST(max(CASE WHEN t = med THEN sq END) AS DOUBLE) / 1000000
+    AS s_at_median,
+  floor(max(CASE WHEN t = med THEN se_t END) * 1000000 + 0.5)
+    / 1000000 AS greenwood_se,
+  CAST(min(CASE WHEN in_ci = 1 THEN t END) AS BIGINT) AS ci_low_day,
+  CAST(max(CASE WHEN in_ci = 1 THEN t END) AS BIGINT) AS ci_high_day
+FROM flags GROUP BY cohort
+"""
+)
+
+
+@query("diag_km_median_ci", _KM_MEDIAN_ORACLE)
+def diag_km_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median survival time per cohort with the Greenwood standard
+    error and a Brookmeyer-Crowley-style CI (the times whose survival
+    sits within z·se(t) of 1/2) — the headline number quoted off
+    diag_kaplan_meier's curves, NULL-valued when the curve never
+    reaches 1/2 (the honest answer for a slow funnel). Shares the KM
+    fold relation; the median test is an integer comparison on the q6
+    lattice and the Greenwood cumsum adds 1e-9-quantized integers (see
+    the section comment)."""
+    folded = _km_folded(_km_user_state(table(spark, sf_dir, "events")))
+    surv = folded.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.floor(_km_surv() * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("sq"),
+        F.floor(
+            F.coalesce(
+                F.col("d").cast("double")
+                / (
+                    F.col("n_risk").cast("double")
+                    * F.nullif(
+                        (F.col("n_risk") - F.col("d")).cast("double"),
+                        F.lit(0.0),
+                    )
+                ),
+                F.lit(0.0),
+            )
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("gq"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gw = surv.select(
+        "cohort",
+        "t",
+        "d",
+        "c",
+        "sq",
+        F.sum("gq").over(w_cum).cast("long").alias("gwq"),
+    )
+    w_coh = Window.partitionBy("cohort")
+    se = gw.select(
+        "cohort",
+        "t",
+        "d",
+        "c",
+        "sq",
+        (
+            F.col("sq").cast("double") / F.lit(1000000)
+            * F.sqrt(F.col("gwq").cast("double") / F.lit(1000000000))
+        ).alias("se_t"),
+        F.min(F.when(F.col("sq") <= 500000, F.col("t")))
+        .over(w_coh)
+        .alias("med"),
+    )
+    flags = se.select(
+        "*",
+        F.when(
+            F.abs(
+                F.col("sq").cast("double") / F.lit(1000000)
+                - F.lit(0.5).cast("double")
+            )
+            <= F.lit(_PH_Z_CRIT).cast("double") * F.col("se_t"),
+            1,
+        )
+        .otherwise(0)
+        .alias("in_ci"),
+    )
+    return flags.groupBy("cohort").agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n_users"),
+        F.sum("d").cast("long").alias("n_events"),
+        F.max("med").cast("long").alias("median_day"),
+        (
+            F.max(F.when(F.col("t") == F.col("med"), F.col("sq"))).cast(
+                "double"
+            )
+            / 1000000
+        ).alias("s_at_median"),
+        (
+            F.floor(
+                F.max(F.when(F.col("t") == F.col("med"), F.col("se_t")))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("greenwood_se"),
+        F.min(F.when(F.col("in_ci") == 1, F.col("t")))
+        .cast("long")
+        .alias("ci_low_day"),
+        F.max(F.when(F.col("in_ci") == 1, F.col("t")))
+        .cast("long")
+        .alias("ci_high_day"),
+    )
+
+
+# -- power / minimum-detectable-effect readout --------------------------------------
+
+# The experiment-DESIGN diagnostic that belongs next to the SRM gate:
+# given the current split's own sample sizes and pooled variance, what
+# effect size could this experiment actually detect? MDE at two-sided
+# α = 0.05 and power 80% = (z_{α/2} + z_{0.8})·se(Δ̂) with
+# se(Δ̂) = √(s²_pooled·(1/n_a + 1/n_b)) — both z constants pre-rounded
+# literals (1.959964, Φ⁻¹(0.8) = 0.841621), so the whole readout is
+# one float sequence over exact decimal sufficient statistics (the
+# CUPED/DiD headroom argument). Reading an observed lift smaller than
+# the MDE as "no effect" is the classic underpowered-experiment error
+# this row exists to prevent.
+_POWER_Z_BETA = 0.841621  # Phi^-1(0.80), pre-rounded
+
+_POWER_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+    CAST(sum(y) AS BIGINT) AS sy,
+    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM pu GROUP BY variant
+),
+w AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN nv END) AS na,
+    max(CASE WHEN variant = 'B' THEN nv END) AS nb,
+    max(CASE WHEN variant = 'A' THEN sy END) AS sya,
+    max(CASE WHEN variant = 'B' THEN sy END) AS syb,
+    max(CASE WHEN variant = 'A' THEN syy END) AS syya,
+    max(CASE WHEN variant = 'B' THEN syy END) AS syyb
+  FROM v
+),
+vp AS (
+  SELECT na, nb, sya,
+    ((CAST(syya AS DOUBLE)
+      - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)
+        / CAST(na AS DOUBLE))
+     + (CAST(syyb AS DOUBLE)
+        - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)
+          / CAST(nb AS DOUBLE)))
+    / nullif(CAST(na + nb - 2 AS DOUBLE), 0) AS var_pooled
+  FROM w
+),
+calc AS (
+  SELECT na, nb, sya,
+    CASE WHEN var_pooled > CAST(0 AS DOUBLE)
+         THEN sqrt(var_pooled) END AS sd_pooled
+  FROM vp
+),
+mde AS (
+  SELECT na, nb, sya, sd_pooled,
+    (CAST({_PH_Z_CRIT} AS DOUBLE) + CAST({_POWER_Z_BETA} AS DOUBLE))
+    * (sd_pooled * sqrt(CAST(1 AS DOUBLE) / CAST(na AS DOUBLE)
+                        + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE)))
+      AS mde_raw
+  FROM calc
+)
+SELECT na AS n_control, nb AS n_treated,
+  floor(sd_pooled * 1000000 + 0.5) / 1000000 AS sd_pooled,
+  floor(sd_pooled * sqrt(CAST(1 AS DOUBLE) / CAST(na AS DOUBLE)
+        + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000000 + 0.5)
+    / 1000000 AS se_diff,
+  floor(mde_raw * 1000000 + 0.5) / 1000000 AS mde_cents,
+  floor(mde_raw / nullif(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE), 0)
+        * 1000000 + 0.5) / 1000000 AS mde_rel_control
+FROM mde
+"""
+
+
+@query("diag_power_mde", _POWER_ORACLE)
+def diag_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect readout for the parity experiment at
+    two-sided α = 0.05 / power 80%: per-variant user counts, the pooled
+    per-user metric SD, the standard error of the mean difference, and
+    the MDE in cents and relative to the control mean — the design
+    gate that says whether a null readout means 'no effect' or 'not
+    enough users'. One fact scan, one user aggregate, a 2-row pivot,
+    one float sequence over exact sums (see the section comment)."""
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "y",
+    )
+    v = pu.groupBy("variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    w = v.groupBy().agg(
+        F.max(F.when(F.col("variant") == "A", F.col("nv"))).alias("na"),
+        F.max(F.when(F.col("variant") == "B", F.col("nv"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "A", F.col("sy"))).alias("sya"),
+        F.max(F.when(F.col("variant") == "B", F.col("sy"))).alias("syb"),
+        F.max(F.when(F.col("variant") == "A", F.col("syy"))).alias(
+            "syya"
+        ),
+        F.max(F.when(F.col("variant") == "B", F.col("syy"))).alias(
+            "syyb"
+        ),
+    )
+    # the CASE (not a bare sqrt) keeps a cancellation-negative pooled
+    # variance NULL on BOTH engines instead of a DuckDB sqrt-domain
+    # error vs a Spark NaN — the mSPRT vk lesson applied to the same
+    # pooled-variance quantity
+    vp = w.selectExpr(
+        "na",
+        "nb",
+        "sya",
+        "((CAST(syya AS DOUBLE)"
+        "  - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)"
+        "    / CAST(na AS DOUBLE))"
+        " + (CAST(syyb AS DOUBLE)"
+        "    - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)"
+        "      / CAST(nb AS DOUBLE)))"
+        " / nullif(CAST(na + nb - 2 AS DOUBLE), 0) AS var_pooled",
+    )
+    calc = vp.selectExpr(
+        "na",
+        "nb",
+        "sya",
+        "CASE WHEN var_pooled > CAST(0 AS DOUBLE)"
+        " THEN sqrt(var_pooled) END AS sd_pooled",
+    )
+    mde = calc.selectExpr(
+        "na",
+        "nb",
+        "sya",
+        "sd_pooled",
+        f"(CAST({_PH_Z_CRIT} AS DOUBLE) + CAST({_POWER_Z_BETA} AS DOUBLE))"
+        " * (sd_pooled * sqrt(CAST(1 AS DOUBLE) / CAST(na AS DOUBLE)"
+        "                     + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE)))"
+        " AS mde_raw",
+    )
+    return mde.selectExpr(
+        "na AS n_control",
+        "nb AS n_treated",
+        "floor(sd_pooled * 1000000 + 0.5) / 1000000 AS sd_pooled",
+        "floor(sd_pooled * sqrt(CAST(1 AS DOUBLE) / CAST(na AS DOUBLE)"
+        "      + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000000 + 0.5)"
+        " / 1000000 AS se_diff",
+        "floor(mde_raw * 1000000 + 0.5) / 1000000 AS mde_cents",
+        "floor(mde_raw / nullif(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE),"
+        " 0) * 1000000 + 0.5) / 1000000 AS mde_rel_control",
     )

@@ -396,6 +396,16 @@ class ManagedTable:
         resurrected old mark. Maintenance commits (append / merge /
         optimize) do NOT tombstone — they must stay invisible to the
         markers (see :meth:`latest_meta`).
+
+        Caveat: an overwrite that REBUILDS the gold from fact history
+        while a live stream keeps folding on its existing checkpoint is
+        NOT a reset — if the rebuild already includes an in-flight
+        batch's data, clearing the marker lets a crash-redelivered copy
+        of that batch fold a second time. A rebuilder that wants to
+        preserve replay protection must re-stamp the live marker
+        explicitly: ``meta={"fold_checkpoint": ckpt, "fold_batch_id":
+        last_folded_id}`` (an explicit marker suppresses the
+        tombstone). No marker scheme can infer that intent; declare it.
         """
         meta = dict(meta or {})
         meta.setdefault("fold_checkpoint", None)  # reset tombstone

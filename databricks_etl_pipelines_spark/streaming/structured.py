@@ -585,7 +585,10 @@ def fold_partial_batch(
     markers: a stream restarted after the reset (fresh checkpoint,
     batch ids back at 0) folds from the reset rows instead of having
     its batches dropped as replays of the resurrected old high-water
-    mark.
+    mark. An owner REBUILDING the gold from history under a live
+    checkpoint must instead re-stamp the marker explicitly
+    (``meta={"fold_checkpoint": ..., "fold_batch_id": ...}``) — see
+    the ``create_or_overwrite`` caveat.
     """
     import warnings
 

@@ -5786,3 +5786,206 @@ def test_streaming_msprt_multiarm_matches_batch(spark, tmp_path):
             r.n_control, r.n_treated, r.diff_cents, r.log_lambda,
             r.crossed, r.first_crossing_day,
         ), k
+
+
+def test_km_median_ci_planted_replay(spark, tmp_path):
+    """diag_km_median_ci vs a raw-Python replay of the KM fold, the
+    q6-lattice median rule, the 1e-9-quantized Greenwood cumsum and the
+    Brookmeyer-Crowley membership test on a planted signup funnel with
+    events, ties and censoring; plus the two degenerate conventions (a
+    cohort whose curve never reaches 1/2 → NULL median; terminal n=d
+    rows contribute 0 to the Greenwood sum)."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    # signup cohort: 10 users — purchases at days 1, 1, 2, 3, 5, 5, 8;
+    # censored (error) at 4; censored (end of obs) at 6, 9.
+    planted = {
+        1: [(0, "signup"), (1, "purchase")],
+        2: [(0, "signup"), (1, "purchase")],
+        3: [(0, "signup"), (2, "purchase")],
+        4: [(0, "signup"), (3, "purchase")],
+        5: [(0, "signup"), (5, "purchase")],
+        6: [(0, "signup"), (5, "purchase")],
+        7: [(0, "signup"), (8, "purchase")],
+        8: [(0, "signup"), (4, "error")],
+        9: [(0, "signup"), (6, "click")],
+        10: [(0, "signup"), (9, "click")],
+        # a 3-user view cohort that never converts: NULL median
+        11: [(0, "view"), (7, "click")],
+        12: [(0, "view"), (7, "click")],
+        13: [(0, "view"), (8, "click")],
+    }
+    rows, k = [], 0
+    for uid, evs in planted.items():
+        for day, et in evs:
+            rows.append(
+                (k, dt.datetime(2024, 1, 1 + day, 8, 0, 0), uid, et, 1.0,
+                 "{}")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.cohort: r
+        for r in QUERIES["diag_km_median_ci"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # raw replay for the signup cohort
+    obs = []  # (t, event?)
+    for uid, evs in planted.items():
+        if evs[0][1] != "signup":
+            continue
+        tp = min((d for d, e in evs if e == "purchase"), default=None)
+        te = min((d for d, e in evs if e == "error"), default=None)
+        tmax = max(d for d, _ in evs)
+        tc = te if te is not None else tmax
+        obs.append((tp, 1) if tp is not None and tp <= tc else (tc, 0))
+    n_at = len(obs)
+    s, gw_q = 1.0, 0
+    med = s_med_q = se_med = None
+    ci = []
+    for t in sorted({t for t, _ in obs}):
+        d = sum(1 for tt, e in obs if tt == t and e)
+        c = sum(1 for tt, e in obs if tt == t and not e)
+        # the ENGINE folds s * ((n-d)/n) — ratio divided first; the
+        # other association s*(n-d)/n differs in the last ulp and can
+        # flip a q6 floor at an x.5 boundary
+        s = s * ((n_at - d) / n_at)
+        sq = math.floor(s * 1e6 + 0.5)
+        if n_at - d > 0:
+            gw_q += math.floor(d / (n_at * (n_at - d)) * 1e9 + 0.5)
+        # terminal n==d pins the term to 0
+        se_t = sq / 1e6 * math.sqrt(gw_q / 1e9)
+        if med is None and sq <= 500000:
+            med, s_med_q, se_med = t, sq, se_t
+        if abs(sq / 1e6 - 0.5) <= 1.959964 * se_t:
+            ci.append(t)
+        n_at -= d + c
+    r = got["signup"]
+    assert (r.n_users, r.n_events) == (10, 7)
+    assert r.median_day == med
+    assert r.s_at_median == s_med_q / 1e6
+    assert r.greenwood_se == math.floor(se_med * 1e6 + 0.5) / 1e6
+    assert r.ci_low_day == min(ci) and r.ci_high_day == max(ci)
+    assert r.ci_low_day <= r.median_day <= r.ci_high_day
+    # the never-converting cohort: honest NULLs
+    v = got["view"]
+    assert v.n_events == 0
+    assert v.median_day is None and v.greenwood_se is None
+    assert v.ci_low_day is None and v.ci_high_day is None
+
+
+def test_power_mde_planted_replay(spark, tmp_path):
+    """diag_power_mde vs a raw-Python replay of the pooled-SD / SE /
+    MDE float sequence on a planted two-variant corpus, plus the
+    design-gate semantics: quadrupling the users halves the SE and the
+    MDE (the reason the row exists)."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+
+    def write_corpus(path, rep):
+        rows, eid, uid = [], 0, 0
+        vals = []
+        for r_ in range(rep):
+            for i in range(8):
+                uid += 2
+                ya = 10000 + 1000 * i  # control user totals
+                yb = 12000 + 1500 * i  # treated user totals
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 5, 9), uid, "view",
+                     ya / 100.0, "{}")
+                )
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 5, 9), uid + 1, "view",
+                     yb / 100.0, "{}")
+                )
+                eid += 1
+                vals.append((ya, yb))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+        return vals
+
+    import os
+
+    os.makedirs(f"{tmp_path}/one")
+    os.makedirs(f"{tmp_path}/four")
+    vals = write_corpus(f"{tmp_path}/one", 1)
+    write_corpus(f"{tmp_path}/four", 4)
+    r1 = QUERIES["diag_power_mde"](spark, f"{tmp_path}/one").collect()[0]
+    r4 = QUERIES["diag_power_mde"](spark, f"{tmp_path}/four").collect()[0]
+
+    # raw replay of the float sequence
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    ya = [a for a, _ in vals]
+    yb = [b for _, b in vals]
+    na, nb = len(ya), len(yb)
+    ssqa = sum(v * v for v in ya) - sum(ya) * sum(ya) / na
+    ssqb = sum(v * v for v in yb) - sum(yb) * sum(yb) / nb
+    sd = math.sqrt((ssqa + ssqb) / (na + nb - 2))
+    se = sd * math.sqrt(1.0 / na + 1.0 / nb)
+    mde = (1.959964 + 0.841621) * se
+    assert (r1.n_control, r1.n_treated) == (na, nb)
+    assert r1.sd_pooled == q6(sd)
+    assert r1.se_diff == q6(se)
+    assert r1.mde_cents == q6(mde)
+    assert r1.mde_rel_control == q6(mde / (sum(ya) / na))
+    # 4x users: the exact sums scale x4, so the pooled-SD ratio is
+    # exactly sqrt(4(n-2)/(4n-2)) (the n-2 correction matters at this
+    # small n) and the MDE halves on top of it (sampling theory)
+    assert (r4.n_control, r4.n_treated) == (4 * na, 4 * nb)
+    n = na + nb
+    sd_ratio = math.sqrt(4 * (n - 2) / (4 * n - 2))
+    assert abs(r4.sd_pooled / r1.sd_pooled - sd_ratio) < 1e-6
+    assert abs(r4.mde_cents / r1.mde_cents - 0.5 * sd_ratio) < 1e-6
+
+    # degenerate: a CONSTANT metric has zero pooled variance — the
+    # CASE guard (the mSPRT vk lesson: sqrt of a cancellation-negative
+    # double hard-errors on DuckDB) pins sd/se/MDE to NULL on BOTH
+    # engines instead of 0.0 (an MDE of zero would read as "infinitely
+    # powered", the opposite of the truth)
+    import duckdb
+
+    from databricks_etl_pipelines_spark.catalog import ORACLES
+
+    rows = []
+    for uid in range(10):
+        rows.append(
+            (uid, dt.datetime(2024, 1, 5, 9), uid, "view", 50.0, "{}")
+        )
+    os.makedirs(f"{tmp_path}/const")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/const/events.parquet")
+    rc = QUERIES["diag_power_mde"](spark, f"{tmp_path}/const").collect()[0]
+    assert rc.sd_pooled is None and rc.se_diff is None
+    assert rc.mde_cents is None and rc.mde_rel_control is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/const/events.parquet/*.parquet')"
+    )
+    o = con.execute(ORACLES["diag_power_mde"]).fetchall()
+    assert len(o) == 1
+    assert o[0] == (
+        rc.n_control, rc.n_treated, rc.sd_pooled, rc.se_diff,
+        rc.mde_cents, rc.mde_rel_control,
+    )
