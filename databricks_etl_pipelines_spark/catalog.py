@@ -53,8 +53,8 @@ PRIORITY: list[str] = [
     # O'Brien-Fleming monitor shares; the three r11-vintage drift
     # streams ride the changed incremental_aggregate — eager fold-name
     # validation + the create_or_overwrite fold-marker tombstone — and
-    # are the stalest consumers of that infrastructure), then 35 of the
-    # 49 r8-vintage rows — 9 + 6 + 35 = 50 exactly. The remaining 14
+    # are the stalest consumers of that infrastructure), then 33 of the
+    # 49 r8-vintage rows — 11 + 6 + 33 = 50 exactly. The remaining 16
     # r8 rows lead the r15 overflow and clear next round.
     # (a) round-14 NEW queries, newest-risk first
     "diag_cox_ph_assumption",
@@ -65,6 +65,8 @@ PRIORITY: list[str] = [
     "diag_cuped_stratified",
     "diag_km_median_ci",
     "diag_power_mde",
+    "diag_hte_by_band",
+    "streaming_experiment_suite",
     "streaming_srm_check",
     # (a') changed this round (code and/or shared infrastructure)
     "diag_srm_check",
@@ -73,7 +75,7 @@ PRIORITY: list[str] = [
     "streaming_ks_drift",
     "streaming_psi_drift",
     "streaming_cvm_drift",
-    # (b) 35 of the 49 r8-vintage rows (newest driver evidence r8)
+    # (b) 33 of the 49 r8-vintage rows (newest driver evidence r8)
     "agg_bloom_filter_prune",
     "agg_countmin_words",
     "agg_theta_sketch_setops",
@@ -107,14 +109,14 @@ PRIORITY: list[str] = [
     "streaming_countmin_heavy_hitters",
     "streaming_sliding_window",
     "streaming_stream_static_join",
-    "streaming_stream_stream_join",
-    "streaming_tumbling_hourly",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the 14 remaining r8-vintage rows lead (stalest after
+    # overflow: the 16 remaining r8-vintage rows lead (stalest after
     # this rotation — they head the r15 cap), then everything fresher
     # in registration order; the rows-only set stays at the end (weaker
     # rows by design — each has an oracle-backed sibling; see
     # COVERAGE.md rows-only map).
+    "streaming_stream_stream_join",
+    "streaming_tumbling_hourly",
     "text_bm25_incremental",
     "text_bm25_indexed",
     "text_bm25_topk",

@@ -5933,3 +5933,387 @@ def diag_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(mde_raw / nullif(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE),"
         " 0) * 1000000 + 0.5) / 1000000 AS mde_rel_control",
     )
+
+
+# -- heterogeneous treatment effect by pre-period band ------------------------------
+
+# The post-stratified complement of the CUPED/DiD readouts: the
+# treatment LIFT estimated per pre-period activity band, with the
+# INTERACTION test (difference of per-band lifts over its combined SE)
+# — an experiment that helps low-value users and hurts high-value ones
+# can show a flat pooled lift while both segments move hard; the
+# interaction z is what catches it. Same exactness stack as the CUPED
+# family: exact int64/decimal per-(band, variant) sufficient
+# statistics, per-band Welch-shape lift SE, every sqrt radicand
+# CASE-guarded (the power/MDE lesson: a cancellation-negative variance
+# is a DuckDB domain error vs a Spark NaN), the interaction flag
+# compares the ROUNDED z against the pre-rounded normal critical.
+_HTE_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+      AS x,
+    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_COHORT_TS}'
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+      AS y
+  FROM events GROUP BY user_id
+),
+pb AS (
+  SELECT CASE WHEN x < {_CUPED_BAND_CENTS} THEN 'low' ELSE 'high' END
+      AS band, variant, y
+  FROM pu
+),
+v AS (
+  SELECT band, variant, CAST(count(*) AS BIGINT) AS nv,
+    CAST(sum(y) AS BIGINT) AS sy,
+    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM pb GROUP BY band, variant
+),
+w AS (
+  SELECT band,
+    max(CASE WHEN variant = 'A' THEN nv END) AS na,
+    max(CASE WHEN variant = 'B' THEN nv END) AS nb,
+    max(CASE WHEN variant = 'A' THEN sy END) AS sya,
+    max(CASE WHEN variant = 'B' THEN sy END) AS syb,
+    max(CASE WHEN variant = 'A' THEN syy END) AS syya,
+    max(CASE WHEN variant = 'B' THEN syy END) AS syyb
+  FROM v GROUP BY band
+),
+bs AS (
+  SELECT band, na, nb,
+    (CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+     - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) AS delta,
+    ((CAST(syya AS DOUBLE)
+      - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE))
+     / nullif(CAST(na - 1 AS DOUBLE), 0)) / CAST(na AS DOUBLE)
+    + ((CAST(syyb AS DOUBLE)
+        - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)
+          / CAST(nb AS DOUBLE))
+       / nullif(CAST(nb - 1 AS DOUBLE), 0)) / CAST(nb AS DOUBLE)
+      AS rad
+  FROM w
+),
+inter AS (
+  SELECT *,
+    max(CASE WHEN band = 'low' THEN delta END) OVER () AS d_lo,
+    max(CASE WHEN band = 'high' THEN delta END) OVER () AS d_hi,
+    max(CASE WHEN band = 'low' THEN rad END) OVER () AS rad_lo,
+    max(CASE WHEN band = 'high' THEN rad END) OVER () AS rad_hi
+  FROM bs
+),
+zrow AS (
+  SELECT band, na, nb, delta, rad,
+    CASE WHEN rad_lo IS NOT NULL AND rad_hi IS NOT NULL
+              AND rad_lo + rad_hi > CAST(0 AS DOUBLE) THEN
+      floor((d_lo - d_hi) / sqrt(rad_lo + rad_hi) * 1000000 + 0.5)
+        / 1000000 END AS interaction_z
+  FROM inter
+)
+SELECT band, na AS n_control, nb AS n_treated,
+  floor(delta * 1000000 + 0.5) / 1000000 AS lift_cents,
+  CASE WHEN rad > CAST(0 AS DOUBLE) THEN
+    floor(sqrt(rad) * 1000000 + 0.5) / 1000000 END AS se_lift,
+  interaction_z,
+  CASE WHEN interaction_z IS NOT NULL THEN
+    CASE WHEN abs(interaction_z) > CAST({_PH_Z_CRIT} AS DOUBLE)
+         THEN 1 ELSE 0 END
+  END AS hte_flag
+FROM zrow
+"""
+
+
+@query("diag_hte_by_band", _HTE_ORACLE)
+def diag_hte_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-treatment-effect readout: the A/B lift estimated
+    PER pre-period activity band (the stratified-CUPED bands) with the
+    interaction z — (Δ_low − Δ_high) over its combined Welch-shape SE —
+    and a flag against the normal critical. A lift that reverses
+    across segments nets to ≈ 0 pooled; this row pair is where it
+    shows. One fact scan, one user aggregate, a 2-row-per-band pivot,
+    windows over the 2-row band relation (see the section comment for
+    the guard discipline)."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cut = F.lit(_COHORT_TS).cast("timestamp")
+    pb = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(F.col("x") < _CUPED_BAND_CENTS, "low")
+        .otherwise("high")
+        .alias("band"),
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "y",
+    )
+    v = pb.groupBy("band", "variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    w = v.groupBy("band").agg(
+        F.max(F.when(F.col("variant") == "A", F.col("nv"))).alias("na"),
+        F.max(F.when(F.col("variant") == "B", F.col("nv"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "A", F.col("sy"))).alias("sya"),
+        F.max(F.when(F.col("variant") == "B", F.col("sy"))).alias("syb"),
+        F.max(F.when(F.col("variant") == "A", F.col("syy"))).alias(
+            "syya"
+        ),
+        F.max(F.when(F.col("variant") == "B", F.col("syy"))).alias(
+            "syyb"
+        ),
+    )
+    bs = w.selectExpr(
+        "band",
+        "na",
+        "nb",
+        "(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)"
+        " - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) AS delta",
+        "((CAST(syya AS DOUBLE)"
+        "  - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE))"
+        " / nullif(CAST(na - 1 AS DOUBLE), 0)) / CAST(na AS DOUBLE)"
+        " + ((CAST(syyb AS DOUBLE)"
+        "     - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)"
+        "       / CAST(nb AS DOUBLE))"
+        "    / nullif(CAST(nb - 1 AS DOUBLE), 0)) / CAST(nb AS DOUBLE)"
+        " AS rad",
+    )
+    # the interaction windows run over the 2-row band relation
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    inter = bs.select(
+        "*",
+        F.max(F.when(F.col("band") == "low", F.col("delta")))
+        .over(w_all)
+        .alias("d_lo"),
+        F.max(F.when(F.col("band") == "high", F.col("delta")))
+        .over(w_all)
+        .alias("d_hi"),
+        F.max(F.when(F.col("band") == "low", F.col("rad")))
+        .over(w_all)
+        .alias("rad_lo"),
+        F.max(F.when(F.col("band") == "high", F.col("rad")))
+        .over(w_all)
+        .alias("rad_hi"),
+    )
+    zrow = inter.selectExpr(
+        "band",
+        "na",
+        "nb",
+        "delta",
+        "rad",
+        "CASE WHEN rad_lo IS NOT NULL AND rad_hi IS NOT NULL"
+        " AND rad_lo + rad_hi > CAST(0 AS DOUBLE) THEN"
+        " floor((d_lo - d_hi) / sqrt(rad_lo + rad_hi) * 1000000 + 0.5)"
+        " / 1000000 END AS interaction_z",
+    )
+    return zrow.selectExpr(
+        "band",
+        "na AS n_control",
+        "nb AS n_treated",
+        "floor(delta * 1000000 + 0.5) / 1000000 AS lift_cents",
+        "CASE WHEN rad > CAST(0 AS DOUBLE) THEN"
+        " floor(sqrt(rad) * 1000000 + 0.5) / 1000000 END AS se_lift",
+        "interaction_z",
+        f"CASE WHEN interaction_z IS NOT NULL THEN"
+        f" CASE WHEN abs(interaction_z) > CAST({_PH_Z_CRIT} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END END AS hte_flag",
+    )
+
+
+# -- streaming experiment suite: one gold, every monitor ----------------------------
+
+# The drift-suite amortization applied to the experiment layer: ONE
+# incrementally-maintained per-(day, variant) sufficient-statistics
+# gold feeds BOTH sequential monitors — the always-valid mSPRT log Λ
+# and the O'Brien-Fleming z-vs-boundary — in one projection (one row
+# per day with both verdicts and both first-crossing days). At 100 TB
+# adding a monitor costs a projection over the ≤ 2-rows-per-day
+# aggregate, never another pass over the stream. The oracle COMPOSES
+# the two standalone readouts from the same shared CTE text, so the
+# suite cannot drift from the monitors it bundles (pytest additionally
+# pins suite == standalones value-for-value).
+_EXP_SUITE_ORACLE = f"""
+WITH {_MSPRT_ED_SQL},
+{_MSPRT_PDCUM_SQL},
+stat AS (
+  SELECT day, na, nb,
+    {_OBF_STAT_EXPRS[0]} AS delta,
+    {_OBF_STAT_EXPRS[1]} AS vk
+  FROM cum
+),
+tot AS (
+  SELECT day, na, nb, delta, vk,
+    CAST(max(na + nb) OVER () AS BIGINT) AS ntot
+  FROM stat
+),
+lam AS (
+  SELECT day, na, nb, delta, vk, ntot,
+    {_MSPRT_LAM_EXPR} AS log_lambda
+  FROM tot
+),
+duo AS (
+  SELECT day, na, nb,
+    floor(delta * 1000000 + 0.5) / 1000000 AS diff_cents,
+    log_lambda,
+    CASE WHEN log_lambda >= CAST({_MSPRT_LOG_THRESH} AS DOUBLE)
+         THEN 1 ELSE 0 END AS msprt_crossed,
+    CASE WHEN vk > CAST(0 AS DOUBLE) THEN
+      floor(delta / sqrt(vk) * 1000000 + 0.5) / 1000000 END AS z_stat,
+    floor(CAST({_OBF_CB} AS DOUBLE)
+          / sqrt(CAST(na + nb AS DOUBLE) / CAST(ntot AS DOUBLE))
+          * 1000000 + 0.5) / 1000000 AS boundary
+  FROM lam
+),
+flagged AS (
+  SELECT day, na, nb, diff_cents, log_lambda, msprt_crossed, z_stat,
+    boundary,
+    CASE WHEN z_stat IS NOT NULL AND abs(z_stat) >= boundary
+         THEN 1 ELSE 0 END AS obf_crossed
+  FROM duo
+)
+SELECT CAST(day AS VARCHAR) AS day,
+  na AS n_control, nb AS n_treated, diff_cents,
+  log_lambda, msprt_crossed, z_stat, boundary, obf_crossed,
+  CAST(min(CASE WHEN msprt_crossed = 1 THEN day END) OVER ()
+    AS VARCHAR) AS first_crossing_msprt,
+  CAST(min(CASE WHEN obf_crossed = 1 THEN day END) OVER ()
+    AS VARCHAR) AS first_crossing_obf
+FROM flagged
+"""
+
+
+@query("streaming_experiment_suite", _EXP_SUITE_ORACLE)
+def streaming_experiment_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOTH sequential experiment monitors — the always-valid mSPRT
+    gate and the O'Brien-Fleming group-sequential boundary — read off
+    ONE incrementally-maintained per-(day, variant) gold (additive
+    n/Σx/Σx² partials through incremental_aggregate under the
+    non-chronological event_id%3 feed): one row per day with the
+    running mean difference, log Λ + its crossing, z + the C/√t
+    boundary + its crossing, and both first-crossing days. The oracle
+    composes the two standalone readouts from the same shared CTE
+    text. At 100 TB adding a monitor to the experiment readout costs a
+    projection over the bounded day aggregate, never another pass over
+    the stream (the streaming_drift_suite discipline)."""
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _write_batched_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src_dir = _write_batched_feed(
+        [ev.filter(F.col("event_id") % 3 == b) for b in range(3)],
+        "expsuite_",
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    target = ManagedTable(scratch_dir("expsuite_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["day", "variant"],
+        _msprt_partial,
+        scratch_dir("expsuite_ckpt_"),
+    )
+    await_drained(q, 300)
+    cum = _msprt_cum(target.read(spark))
+    stat = cum.selectExpr(
+        "day",
+        "na",
+        "nb",
+        f"{_OBF_STAT_EXPRS[0]} AS delta",
+        f"{_OBF_STAT_EXPRS[1]} AS vk",
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = stat.select(
+        "*",
+        F.max(F.col("na") + F.col("nb")).over(w_all)
+        .cast("long")
+        .alias("ntot"),
+    )
+    lam = tot.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "delta",
+        "vk",
+        "ntot",
+        _MSPRT_LAM_EXPR + " AS log_lambda",
+    )
+    both = lam.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "floor(delta * 1000000 + 0.5) / 1000000 AS diff_cents",
+        "log_lambda",
+        f"CASE WHEN log_lambda >= CAST({_MSPRT_LOG_THRESH} AS DOUBLE)"
+        " THEN 1 ELSE 0 END AS msprt_crossed",
+        "CASE WHEN vk > CAST(0 AS DOUBLE) THEN"
+        " floor(delta / sqrt(vk) * 1000000 + 0.5) / 1000000 END AS z_stat",
+        f"floor(CAST({_OBF_CB} AS DOUBLE)"
+        " / sqrt(CAST(na + nb AS DOUBLE) / CAST(ntot AS DOUBLE))"
+        " * 1000000 + 0.5) / 1000000 AS boundary",
+    )
+    flagged = both.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "diff_cents",
+        "log_lambda",
+        "msprt_crossed",
+        "z_stat",
+        "boundary",
+        "CASE WHEN z_stat IS NOT NULL AND abs(z_stat) >= boundary"
+        " THEN 1 ELSE 0 END AS obf_crossed",
+    )
+    return flagged.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("na").alias("n_control"),
+        F.col("nb").alias("n_treated"),
+        "diff_cents",
+        "log_lambda",
+        "msprt_crossed",
+        "z_stat",
+        "boundary",
+        "obf_crossed",
+        F.min(F.when(F.col("msprt_crossed") == 1, F.col("day")))
+        .over(w_all)
+        .cast("string")
+        .alias("first_crossing_msprt"),
+        F.min(F.when(F.col("obf_crossed") == 1, F.col("day")))
+        .over(w_all)
+        .cast("string")
+        .alias("first_crossing_obf"),
+    )

@@ -5989,3 +5989,184 @@ def test_power_mde_planted_replay(spark, tmp_path):
         rc.n_control, rc.n_treated, rc.sd_pooled, rc.se_diff,
         rc.mde_cents, rc.mde_rel_control,
     )
+
+
+def test_hte_by_band_planted_reversal(spark, tmp_path):
+    """diag_hte_by_band on a planted sign-REVERSING effect (low band:
+    treated +$50/user; high band: treated −$50/user): each band's lift
+    and Welch-shape SE must match the raw-Python replay, the
+    interaction z must fire, and the POOLED lift (the 2-variant DiD /
+    mean readout view of the same corpus) must sit near zero — the
+    blindness the interaction test exists for. Also pins the
+    single-band degenerate (interaction NULL, flag NULL)."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _CUPED_BAND_CENTS,
+    )
+
+    load_all()
+    # 16 users per (band, variant); y = base + lift + jitter, x places
+    # the user in the band (pre-period), jitter keeps variances > 0
+    users = []  # (uid, x, y)
+    uid = 0
+    for band, xbase, eff in (("low", 100000, 5000),
+                             ("high", 200000, -5000)):
+        for i in range(16):
+            for parity, lift in ((0, 0), (1, eff)):
+                uid += 2
+                u = uid + parity
+                y = 100000 + lift + 700 * (i % 5)
+                users.append((u, xbase + 100 * i, y))
+    rows, eid = [], 0
+    for u, x, y in users:
+        rows.append(
+            (eid, dt.datetime(2024, 1, 10, 9), u, "view", x / 100.0,
+             "{}")
+        )
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 1, 20, 9), u, "view", y / 100.0,
+             "{}")
+        )
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.band: r
+        for r in QUERIES["diag_hte_by_band"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"low", "high"}
+
+    # raw replay per band
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    stats = {}
+    for band in ("low", "high"):
+        ys = {
+            "A": [y for u, x, y in users
+                  if (x < _CUPED_BAND_CENTS) == (band == "low")
+                  and u % 2 == 0],
+            "B": [y for u, x, y in users
+                  if (x < _CUPED_BAND_CENTS) == (band == "low")
+                  and u % 2 == 1],
+        }
+        na, nb = len(ys["A"]), len(ys["B"])
+        ma, mb = sum(ys["A"]) / na, sum(ys["B"]) / nb
+        va = (sum(v * v for v in ys["A"]) - sum(ys["A"]) ** 2 / na) / (
+            na - 1
+        )
+        vb = (sum(v * v for v in ys["B"]) - sum(ys["B"]) ** 2 / nb) / (
+            nb - 1
+        )
+        stats[band] = (mb - ma, va / na + vb / nb)
+        r = got[band]
+        assert (r.n_control, r.n_treated) == (na, nb)
+        assert abs(r.lift_cents - q6(mb - ma)) < 2e-6, band
+        assert abs(r.se_lift - q6(math.sqrt(va / na + vb / nb))) < 2e-6
+    z = (stats["low"][0] - stats["high"][0]) / math.sqrt(
+        stats["low"][1] + stats["high"][1]
+    )
+    for r in got.values():
+        assert abs(r.interaction_z - q6(z)) < 2e-6
+        assert r.hte_flag == 1
+    assert abs(z) > 1.959964
+    # the pooled lift nets the two segments out (equal sizes, +-eff)
+    pooled_lift = (
+        got["low"].lift_cents * got["low"].n_treated
+        + got["high"].lift_cents * got["high"].n_treated
+    ) / (got["low"].n_treated + got["high"].n_treated)
+    assert abs(pooled_lift) < 0.2 * abs(got["low"].lift_cents)
+
+    # single-band degenerate: everyone low -> interaction/flag NULL
+    import shutil
+
+    shutil.rmtree(f"{tmp_path}/events.parquet")
+    rows2 = []
+    for eid2, (u, x, y) in enumerate(
+        [(2 * i, 100000 + i, 100000 + 900 * (i % 4)) for i in range(12)]
+    ):
+        rows2.append(
+            (2 * eid2, dt.datetime(2024, 1, 10, 9), u, "view",
+             x / 100.0, "{}")
+        )
+        rows2.append(
+            (2 * eid2 + 1, dt.datetime(2024, 1, 20, 9), u + 1, "view",
+             y / 100.0, "{}")
+        )
+    spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    one = QUERIES["diag_hte_by_band"](spark, str(tmp_path)).collect()
+    assert {r.band for r in one} == {"low"}
+    assert one[0].interaction_z is None and one[0].hte_flag is None
+
+
+def test_streaming_experiment_suite_matches_standalones(spark, tmp_path):
+    """streaming_experiment_suite must equal the two standalone
+    monitors value-for-value (the drift-suite discipline): on the
+    planted +$80 day-4 shift, every per-day row's mSPRT fields match
+    diag_msprt_sequential and every OBF field matches
+    diag_obrien_fleming, including both first-crossing days."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows, eid = [], 0
+    for d in range(8):
+        for m in range(4):
+            base = 9000 if m % 2 == 0 else 11000
+            lift = 8000 if d >= 4 else 0
+            for variant, cents in (("A", base), ("B", base + lift)):
+                uid = 2 * (4 * m + d % 4) + (0 if variant == "A" else 1)
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1 + d, 9, 0, 0), uid,
+                     "view", cents / 100.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    suite = {
+        r.day: r
+        for r in QUERIES["streaming_experiment_suite"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    msprt = {
+        r.day: r
+        for r in QUERIES["diag_msprt_sequential"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    obf = {
+        r.day: r
+        for r in QUERIES["diag_obrien_fleming"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(suite) == set(msprt) == set(obf)
+    for day, s in suite.items():
+        m, o = msprt[day], obf[day]
+        assert (s.n_control, s.n_treated) == (m.n_control, m.n_treated)
+        assert s.diff_cents == m.diff_cents, day
+        assert s.log_lambda == m.log_lambda, day
+        assert s.msprt_crossed == m.crossed, day
+        assert s.first_crossing_msprt == m.first_crossing_day, day
+        assert s.z_stat == o.z_stat, day
+        assert s.boundary == o.boundary, day
+        assert s.obf_crossed == o.crossed, day
+        assert s.first_crossing_obf == o.first_crossing_day, day
+    # the plant genuinely exercises both monitors
+    assert any(s.msprt_crossed for s in suite.values())
