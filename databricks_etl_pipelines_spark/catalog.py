@@ -53,8 +53,8 @@ PRIORITY: list[str] = [
     # O'Brien-Fleming monitor shares; the three r11-vintage drift
     # streams ride the changed incremental_aggregate — eager fold-name
     # validation + the create_or_overwrite fold-marker tombstone — and
-    # are the stalest consumers of that infrastructure), then 33 of the
-    # 49 r8-vintage rows — 11 + 6 + 33 = 50 exactly. The remaining 16
+    # are the stalest consumers of that infrastructure), then 31 of the
+    # 49 r8-vintage rows — 13 + 6 + 31 = 50 exactly. The remaining 18
     # r8 rows lead the r15 overflow and clear next round.
     # (a) round-14 NEW queries, newest-risk first
     "diag_cox_ph_assumption",
@@ -66,6 +66,8 @@ PRIORITY: list[str] = [
     "diag_km_median_ci",
     "diag_power_mde",
     "diag_hte_by_band",
+    "diag_ratio_metric_delta",
+    "diag_quantile_lift",
     "streaming_experiment_suite",
     "streaming_srm_check",
     # (a') changed this round (code and/or shared infrastructure)
@@ -75,7 +77,7 @@ PRIORITY: list[str] = [
     "streaming_ks_drift",
     "streaming_psi_drift",
     "streaming_cvm_drift",
-    # (b) 33 of the 49 r8-vintage rows (newest driver evidence r8)
+    # (b) 31 of the 49 r8-vintage rows (newest driver evidence r8)
     "agg_bloom_filter_prune",
     "agg_countmin_words",
     "agg_theta_sketch_setops",
@@ -107,14 +109,14 @@ PRIORITY: list[str] = [
     "sql_top_supplier_quarter",
     "streaming_bloom_dedup",
     "streaming_countmin_heavy_hitters",
-    "streaming_sliding_window",
-    "streaming_stream_static_join",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the 16 remaining r8-vintage rows lead (stalest after
+    # overflow: the 18 remaining r8-vintage rows lead (stalest after
     # this rotation — they head the r15 cap), then everything fresher
     # in registration order; the rows-only set stays at the end (weaker
     # rows by design — each has an oracle-backed sibling; see
     # COVERAGE.md rows-only map).
+    "streaming_sliding_window",
+    "streaming_stream_static_join",
     "streaming_stream_stream_join",
     "streaming_tumbling_hourly",
     "text_bm25_incremental",

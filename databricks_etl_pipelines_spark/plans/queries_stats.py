@@ -6317,3 +6317,332 @@ def streaming_experiment_suite(
         .cast("string")
         .alias("first_crossing_obf"),
     )
+
+
+# -- ratio-metric readout with the delta-method SE -----------------------------------
+
+# Most production metrics are RATIOS of sums whose denominator varies
+# by user (revenue per event, CTR, items per session): the unit of
+# randomization is the user but the metric averages over events, so
+# the naive per-event variance is wrong (events within a user
+# correlate) and the naive per-user mean-of-ratios is a different
+# estimand. The standard fix (Deng, Knoblich & Lu 2018) is the ratio
+# of sums R = ΣY/ΣN with the DELTA-METHOD variance across users:
+# var(R) ≈ (var_y − 2R·cov_yn + R²·var_n) / (U·n̄²), n̄ = ΣN/U.
+# Exactness: per-user (y, n) are exact int64; all second moments
+# (Σy², Σn², Σyn) aggregate as decimal(38,0)/HUGEINT; R is one
+# division of exact casts; var/cov and the SE run one identical float
+# sequence with every sqrt radicand CASE-guarded (the power/MDE
+# lesson); the A-vs-B difference z ships q6 with the flag against the
+# pre-rounded normal critical.
+_RATIO_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS u,
+    CAST(sum(n) AS BIGINT) AS sn, CAST(sum(y) AS BIGINT) AS sy,
+    sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS snn,
+    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+    sum(CAST(y AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS syn
+  FROM pu GROUP BY variant
+),
+calc AS (
+  SELECT variant, u, sn, sy,
+    CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE) AS r,
+    (CAST(syy AS DOUBLE)
+     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(u AS DOUBLE))
+      / nullif(CAST(u - 1 AS DOUBLE), 0) AS var_y,
+    (CAST(snn AS DOUBLE)
+     - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(u AS DOUBLE))
+      / nullif(CAST(u - 1 AS DOUBLE), 0) AS var_n,
+    (CAST(syn AS DOUBLE)
+     - CAST(sy AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(u AS DOUBLE))
+      / nullif(CAST(u - 1 AS DOUBLE), 0) AS cov_yn,
+    CAST(sn AS DOUBLE) / CAST(u AS DOUBLE) AS nbar
+  FROM v
+),
+rad AS (
+  SELECT variant, u, sn, sy, r,
+    (var_y - CAST(2 AS DOUBLE) * r * cov_yn + r * r * var_n)
+    / (CAST(u AS DOUBLE) * nbar * nbar) AS rr
+  FROM calc
+),
+se AS (
+  SELECT variant, u, sn, sy, r, rr,
+    CASE WHEN rr > CAST(0 AS DOUBLE) THEN sqrt(rr) END AS se_r
+  FROM rad
+),
+piv AS (
+  SELECT *,
+    max(CASE WHEN variant = 'A' THEN r END) OVER () AS r_a,
+    max(CASE WHEN variant = 'B' THEN r END) OVER () AS r_b,
+    max(CASE WHEN variant = 'A' THEN rr END) OVER () AS rr_a,
+    max(CASE WHEN variant = 'B' THEN rr END) OVER () AS rr_b
+  FROM se
+),
+zrow AS (
+  SELECT variant, u, sn, sy, r, se_r,
+    CASE WHEN rr_a IS NOT NULL AND rr_b IS NOT NULL
+              AND rr_a + rr_b > CAST(0 AS DOUBLE) THEN
+      floor((r_b - r_a) / sqrt(rr_a + rr_b) * 1000000 + 0.5) / 1000000
+    END AS diff_z
+  FROM piv
+)
+SELECT variant, u AS n_users, sn AS n_events, sy AS sum_cents,
+  floor(r * 1000000 + 0.5) / 1000000 AS ratio_cents_per_event,
+  CASE WHEN se_r IS NOT NULL THEN
+    floor(se_r * 1000000 + 0.5) / 1000000 END AS se_ratio,
+  diff_z,
+  CASE WHEN diff_z IS NOT NULL THEN
+    CASE WHEN abs(diff_z) > CAST({_PH_Z_CRIT} AS DOUBLE)
+         THEN 1 ELSE 0 END
+  END AS diff_flag
+FROM zrow
+"""
+
+
+@query("diag_ratio_metric_delta", _RATIO_ORACLE)
+def diag_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-sums metric readout (cents per event) per variant with
+    the DELTA-METHOD standard error over users — the correct SE when
+    the metric's denominator varies by randomization unit (the naive
+    per-event variance ignores within-user correlation; the per-user
+    mean-of-ratios is a different estimand) — plus the A-vs-B
+    difference z and flag. One fact scan, one user aggregate, exact
+    decimal second moments, one identical float sequence with guarded
+    radicands (see the section comment)."""
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "n",
+        "y",
+    )
+    v = pu.groupBy("variant").agg(
+        F.count("*").cast("long").alias("u"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)")
+            * F.col("n").cast("decimal(38,0)")
+        ).alias("snn"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("syy"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("n").cast("decimal(38,0)")
+        ).alias("syn"),
+    )
+    calc = v.selectExpr(
+        "variant",
+        "u",
+        "sn",
+        "sy",
+        "CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE) AS r",
+        "(CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(u AS DOUBLE))"
+        " / nullif(CAST(u - 1 AS DOUBLE), 0) AS var_y",
+        "(CAST(snn AS DOUBLE)"
+        " - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(u AS DOUBLE))"
+        " / nullif(CAST(u - 1 AS DOUBLE), 0) AS var_n",
+        "(CAST(syn AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(u AS DOUBLE))"
+        " / nullif(CAST(u - 1 AS DOUBLE), 0) AS cov_yn",
+        "CAST(sn AS DOUBLE) / CAST(u AS DOUBLE) AS nbar",
+    )
+    rad = calc.selectExpr(
+        "variant",
+        "u",
+        "sn",
+        "sy",
+        "r",
+        "(var_y - CAST(2 AS DOUBLE) * r * cov_yn + r * r * var_n)"
+        " / (CAST(u AS DOUBLE) * nbar * nbar) AS rr",
+    )
+    se = rad.selectExpr(
+        "variant",
+        "u",
+        "sn",
+        "sy",
+        "r",
+        "rr",
+        "CASE WHEN rr > CAST(0 AS DOUBLE) THEN sqrt(rr) END AS se_r",
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    piv = se.select(
+        "*",
+        F.max(F.when(F.col("variant") == "A", F.col("r")))
+        .over(w_all)
+        .alias("r_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("r")))
+        .over(w_all)
+        .alias("r_b"),
+        F.max(F.when(F.col("variant") == "A", F.col("rr")))
+        .over(w_all)
+        .alias("rr_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("rr")))
+        .over(w_all)
+        .alias("rr_b"),
+    )
+    zrow = piv.selectExpr(
+        "variant",
+        "u",
+        "sn",
+        "sy",
+        "r",
+        "se_r",
+        "CASE WHEN rr_a IS NOT NULL AND rr_b IS NOT NULL"
+        " AND rr_a + rr_b > CAST(0 AS DOUBLE) THEN"
+        " floor((r_b - r_a) / sqrt(rr_a + rr_b) * 1000000 + 0.5)"
+        " / 1000000 END AS diff_z",
+    )
+    return zrow.selectExpr(
+        "variant",
+        "u AS n_users",
+        "sn AS n_events",
+        "sy AS sum_cents",
+        "floor(r * 1000000 + 0.5) / 1000000 AS ratio_cents_per_event",
+        "CASE WHEN se_r IS NOT NULL THEN"
+        " floor(se_r * 1000000 + 0.5) / 1000000 END AS se_ratio",
+        "diff_z",
+        f"CASE WHEN diff_z IS NOT NULL THEN"
+        f" CASE WHEN abs(diff_z) > CAST({_PH_Z_CRIT} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END END AS diff_flag",
+    )
+
+
+# -- quantile treatment effects ------------------------------------------------------
+
+# The robust complement of the mean lift: exact per-variant quantiles
+# (p25/p50/p75) of the per-user metric and their A-vs-B differences —
+# a heavy-tail corpus can move the mean on a handful of whales while
+# the median user sees nothing (or vice versa); the quantile lifts say
+# WHERE in the distribution the effect lives. Quantiles are EXACT
+# order statistics (rank ⌈p·U/100⌉ over the per-variant user-value
+# histogram — integer crossing 100·cum ≥ p·U, the weighted-quantile
+# machinery's unweighted case), so the outputs are raw data values on
+# the cents lattice: no floats anywhere except none at all.
+_QLIFT_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT variant, y, CAST(count(*) AS BIGINT) AS c
+  FROM pu GROUP BY variant, y
+),
+cum AS (
+  SELECT variant, y,
+    CAST(sum(c) OVER (PARTITION BY variant ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cw,
+    CAST(sum(c) OVER (PARTITION BY variant) AS BIGINT) AS u
+  FROM h
+),
+q AS (
+  SELECT variant, u,
+    min(CASE WHEN 100 * cw >= 25 * u THEN y END) AS p25,
+    min(CASE WHEN 100 * cw >= 50 * u THEN y END) AS p50,
+    min(CASE WHEN 100 * cw >= 75 * u THEN y END) AS p75
+  FROM cum GROUP BY variant, u
+)
+SELECT variant, u AS n_users, p25, p50, p75,
+  CAST(max(CASE WHEN variant = 'B' THEN p25 END) OVER ()
+     - max(CASE WHEN variant = 'A' THEN p25 END) OVER () AS BIGINT)
+    AS lift_p25,
+  CAST(max(CASE WHEN variant = 'B' THEN p50 END) OVER ()
+     - max(CASE WHEN variant = 'A' THEN p50 END) OVER () AS BIGINT)
+    AS lift_p50,
+  CAST(max(CASE WHEN variant = 'B' THEN p75 END) OVER ()
+     - max(CASE WHEN variant = 'A' THEN p75 END) OVER () AS BIGINT)
+    AS lift_p75
+FROM q
+"""
+
+
+@query("diag_quantile_lift", _QLIFT_ORACLE)
+def diag_quantile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: exact p25/p50/p75 of per-user spend
+    per variant (order statistics at rank ⌈p·U/100⌉ via integer
+    crossings over the bounded per-variant value histogram) and the
+    B−A lift at each quantile — the whale-robust complement of the
+    mean lift, every output an exact integer on the cents lattice.
+    The quantile windows run over the (variant × distinct-value)
+    histogram, bounded by the cents lattice of the value range, not by
+    user cardinality (the weighted-quantile scale argument)."""
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "y",
+    )
+    h = pu.groupBy("variant", "y").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("variant")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_var = Window.partitionBy("variant")
+    cum = h.select(
+        "variant",
+        "y",
+        F.sum("c").over(w_cum).cast("long").alias("cw"),
+        F.sum("c").over(w_var).cast("long").alias("u"),
+    )
+    q = cum.groupBy("variant", "u").agg(
+        F.min(
+            F.when(100 * F.col("cw") >= 25 * F.col("u"), F.col("y"))
+        ).alias("p25"),
+        F.min(
+            F.when(100 * F.col("cw") >= 50 * F.col("u"), F.col("y"))
+        ).alias("p50"),
+        F.min(
+            F.when(100 * F.col("cw") >= 75 * F.col("u"), F.col("y"))
+        ).alias("p75"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lifts = [
+        (
+            F.max(F.when(F.col("variant") == "B", F.col(p))).over(w_all)
+            - F.max(F.when(F.col("variant") == "A", F.col(p))).over(
+                w_all
+            )
+        )
+        .cast("long")
+        .alias(f"lift_{p}")
+        for p in ("p25", "p50", "p75")
+    ]
+    return q.select(
+        "variant",
+        F.col("u").alias("n_users"),
+        "p25",
+        "p50",
+        "p75",
+        *lifts,
+    )

@@ -6170,3 +6170,138 @@ def test_streaming_experiment_suite_matches_standalones(spark, tmp_path):
         assert s.first_crossing_obf == o.first_crossing_day, day
     # the plant genuinely exercises both monitors
     assert any(s.msprt_crossed for s in suite.values())
+
+
+def test_ratio_metric_delta_planted_replay(spark, tmp_path):
+    """diag_ratio_metric_delta vs a raw-Python replay of the
+    delta-method float sequence on a plant where per-user event counts
+    VARY (the condition under which ratio-of-sums, mean-of-ratios and
+    the per-event naive SE all disagree): the engine must equal the
+    replay, the ratio must equal ΣY/ΣN (not the mean of per-user
+    ratios — pinned numerically distinct on this plant), and a planted
+    per-event lift must fire the difference flag."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    # control users: (events, cents/event); heavy users earn LESS per
+    # event, so mean-of-ratios > ratio-of-sums; treated: +100
+    # cents/event (z ~ 3.5 against these delta SEs — a +20 lift only
+    # reaches z ~ 0.7, swamped by the planted between-user spread)
+    plan = {
+        "A": [(1, 300), (2, 250), (5, 150), (8, 100), (4, 200),
+              (1, 310), (2, 260), (5, 160), (8, 110), (4, 210)],
+        "B": [(1, 400), (2, 350), (5, 250), (8, 200), (4, 300),
+              (1, 410), (2, 360), (5, 260), (8, 210), (4, 310)],
+    }
+    rows, eid, uid = [], 0, 0
+    per_user = {"A": [], "B": []}  # (n, y)
+    for variant, users in plan.items():
+        for n_ev, cents in users:
+            uid += 2
+            u = uid + (0 if variant == "A" else 1)
+            for k in range(n_ev):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 3 + k, 9), u, "view",
+                     cents / 100.0, "{}")
+                )
+                eid += 1
+            per_user[variant].append((n_ev, n_ev * cents))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.variant: r
+        for r in QUERIES["diag_ratio_metric_delta"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    rr = {}
+    for variant, pus in per_user.items():
+        u = len(pus)
+        sn = sum(n for n, _ in pus)
+        sy = sum(y for _, y in pus)
+        r = sy / sn
+        var_y = (sum(y * y for _, y in pus) - sy * sy / u) / (u - 1)
+        var_n = (sum(n * n for n, _ in pus) - sn * sn / u) / (u - 1)
+        cov = (sum(y * n for n, y in pus) - sy * sn / u) / (u - 1)
+        nbar = sn / u
+        rr[variant] = (var_y - 2 * r * cov + r * r * var_n) / (
+            u * nbar * nbar
+        )
+        g = got[variant]
+        assert (g.n_users, g.n_events, g.sum_cents) == (u, sn, sy)
+        assert g.ratio_cents_per_event == q6(r), variant
+        assert g.se_ratio == q6(math.sqrt(rr[variant])), variant
+        # ratio-of-sums is NOT the mean of per-user ratios here
+        mor = sum(y / n for n, y in pus) / u
+        assert abs(mor - r) > 20  # cents apart by construction
+    ra = sum(y for _, y in per_user["A"]) / sum(
+        n for n, _ in per_user["A"]
+    )
+    rb = sum(y for _, y in per_user["B"]) / sum(
+        n for n, _ in per_user["B"]
+    )
+    z = (rb - ra) / math.sqrt(rr["A"] + rr["B"])
+    for g in got.values():
+        assert g.diff_z == q6(z)
+        assert g.diff_flag == (1 if abs(q6(z)) > 1.959964 else 0)
+    # the planted +100 cents/event lift is large vs these SEs: it fires
+    assert got["A"].diff_flag == 1 and z > 0
+
+
+def test_quantile_lift_planted_exact_ranks(spark, tmp_path):
+    """diag_quantile_lift on a plant with known order statistics and a
+    WHALE: exact rank-⌈p·U/100⌉ semantics (ties included), and the
+    robustness property the query exists for — one whale moves the
+    mean lift while every quantile lift stays 0."""
+    import datetime as dt
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    # 8 users per variant with IDENTICAL per-user totals, except B gets
+    # one whale (the max user is 100x) — means diverge, quantiles don't
+    totals = [100, 200, 300, 400, 500, 600, 700, 800]
+    rows, eid, uid = [], 0, 0
+    for variant, parity in (("A", 0), ("B", 1)):
+        for i, cents in enumerate(totals):
+            uid += 2
+            u = uid + parity
+            y = cents
+            if variant == "B" and i == len(totals) - 1:
+                y = cents * 100  # the whale
+            rows.append(
+                (eid, dt.datetime(2024, 1, 5, 9), u, "view", y / 100.0,
+                 "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.variant: r
+        for r in QUERIES["diag_quantile_lift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # U = 8: rank(p25) = ceil(2) = 2nd smallest, rank(p50) = 4th,
+    # rank(p75) = 6th — exact order statistics, whale untouched
+    for v in ("A", "B"):
+        g = got[v]
+        assert g.n_users == 8
+        assert (g.p25, g.p50, g.p75) == (200, 400, 600), v
+    for g in got.values():
+        assert (g.lift_p25, g.lift_p50, g.lift_p75) == (0, 0, 0)
+    # sanity: the whale DID move the sums (what a mean lift would see)
+    a_sum = sum(totals)
+    b_sum = sum(totals) - totals[-1] + totals[-1] * 100
+    assert b_sum > 10 * a_sum
