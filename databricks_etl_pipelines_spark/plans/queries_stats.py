@@ -5675,10 +5675,17 @@ def diag_km_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     error and a Brookmeyer-Crowley-style CI (the times whose survival
     sits within z·se(t) of 1/2) — the headline number quoted off
     diag_kaplan_meier's curves, NULL-valued when the curve never
-    reaches 1/2 (the honest answer for a slow funnel). Shares the KM
-    fold relation; the median test is an integer comparison on the q6
-    lattice and the Greenwood cumsum adds 1e-9-quantized integers (see
-    the section comment)."""
+    reaches 1/2 (the honest answer for a slow funnel). The reported
+    ``ci_low_day``/``ci_high_day`` are the min/max of the acceptance
+    set {t : |S(t) − 1/2| ≤ z·se(t)} — i.e. the interval HULL of that
+    set. |S(t) − 1/2| is not monotone in t, so the set can in
+    principle be non-contiguous; reporting the hull (the convention
+    most survival packages use, e.g. R survival's BC bounds) is
+    deliberate and documented here: the bounds bracket every accepted
+    time but interior times are not individually guaranteed to pass
+    the test. Shares the KM fold relation; the median test is an
+    integer comparison on the q6 lattice and the Greenwood cumsum adds
+    1e-9-quantized integers (see the section comment)."""
     folded = _km_folded(_km_user_state(table(spark, sf_dir, "events")))
     surv = folded.select(
         "cohort",
@@ -6319,6 +6326,144 @@ def streaming_experiment_suite(
     )
 
 
+# -- anytime-valid confidence sequence on the lift -----------------------------------
+
+# The mSPRT family answers "has the gate crossed?"; a real dashboard
+# reports the INTERVAL. Inverting the same Gaussian-mixture martingale
+# (Robbins 1970; Howard, Ramdas, McAuliffe & Sekhon 2021 "Time-uniform,
+# nonparametric, nonasymptotic confidence sequences"; the form below is
+# Johari et al. 2017 eq. 10 rearranged) gives the closed-form
+# anytime-valid CI on the lift Δ:
+#   Δ̂_k ± sqrt( V_k·(V_k+τ²)/τ² · (2·ln(1/α) + ln((V_k+τ²)/V_k)) )
+# — the set of Δ₀ the martingale does NOT reject at level α, valid
+# simultaneously over ALL days (coverage 1−α at every stopping rule),
+# so "peek daily, quote the interval" is legitimate. It consumes the
+# SAME per-(day, variant) cumulative sufficient statistics `_msprt_cum`
+# maintains (batch or incrementally off the experiment-suite gold) and
+# keeps the family's exactness discipline: exact integer cum sums; one
+# identical float sequence per day; 2·ln(1/α) ships as a PRE-ROUNDED
+# literal that is exactly 2× the mSPRT crossing literal (so the
+# "CI excludes 0" verdict coincides with the mSPRT crossing by
+# construction, modulo the shared q6 floor); ln's argument
+# (V+τ²)/V > 1 whenever the vk > 0 CASE guard admits it, so both ln
+# and sqrt are domain-safe on both engines; degenerate days (variant
+# unseen, vk ≤ 0) yield NULL bounds and excludes_zero = 0, matching
+# the mSPRT's NULL-log Λ convention. At 100 TB the state is the same
+# 2-rows-per-day gold the mSPRT reads — adding the interval costs a
+# projection, never another pass.
+_CS_TWO_LN_INV_ALPHA = 5.991464  # 2·ln(1/α): exactly 2 × _MSPRT_LOG_THRESH
+_CS_RADIUS_EXPR = (
+    f"CASE WHEN vk > CAST(0 AS DOUBLE) THEN"
+    f" sqrt(vk * (vk + CAST({_MSPRT_TAU2} AS DOUBLE))"
+    f" / CAST({_MSPRT_TAU2} AS DOUBLE)"
+    f" * (CAST({_CS_TWO_LN_INV_ALPHA} AS DOUBLE)"
+    f"    + ln((vk + CAST({_MSPRT_TAU2} AS DOUBLE)) / vk))) END"
+)
+
+_CS_ORACLE = f"""
+WITH {_MSPRT_ED_SQL},
+{_MSPRT_PDCUM_SQL},
+stat AS (
+  SELECT day, na, nb,
+    {_OBF_STAT_EXPRS[0]} AS delta,
+    {_OBF_STAT_EXPRS[1]} AS vk
+  FROM cum
+),
+rad AS (
+  SELECT day, na, nb, delta, {_CS_RADIUS_EXPR} AS r FROM stat
+),
+ci AS (
+  SELECT day, na, nb,
+    floor(delta * 1000000 + 0.5) / 1000000 AS diff_cents,
+    floor((delta - r) * 1000000 + 0.5) / 1000000 AS ci_lo_cents,
+    floor((delta + r) * 1000000 + 0.5) / 1000000 AS ci_hi_cents
+  FROM rad
+),
+flagged AS (
+  SELECT day, na, nb, diff_cents, ci_lo_cents, ci_hi_cents,
+    CASE WHEN ci_lo_cents IS NULL OR ci_hi_cents IS NULL THEN 0
+         WHEN ci_lo_cents > 0 OR ci_hi_cents < 0 THEN 1 ELSE 0 END
+      AS excludes_zero
+  FROM ci
+)
+SELECT CAST(day AS VARCHAR) AS day, na AS n_control, nb AS n_treated,
+  diff_cents, ci_lo_cents, ci_hi_cents, excludes_zero,
+  CAST(min(CASE WHEN excludes_zero = 1 THEN day END) OVER ()
+    AS VARCHAR) AS first_excluding_day
+FROM flagged
+"""
+
+
+def _cs_project(d: DataFrame) -> DataFrame:
+    """The per-day confidence-sequence readout over the (day, variant,
+    n, sx, sxx) relation — shared by the batch query and the
+    experiment-suite gold (the streamed == batch pytest), exactly the
+    `_msprt_project` contract."""
+    cum = _msprt_cum(d)
+    stat = cum.selectExpr(
+        "day",
+        "na",
+        "nb",
+        f"{_OBF_STAT_EXPRS[0]} AS delta",
+        f"{_OBF_STAT_EXPRS[1]} AS vk",
+    )
+    rad = stat.selectExpr(
+        "day", "na", "nb", "delta", _CS_RADIUS_EXPR + " AS r"
+    )
+    ci = rad.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "floor(delta * 1000000 + 0.5) / 1000000 AS diff_cents",
+        "floor((delta - r) * 1000000 + 0.5) / 1000000 AS ci_lo_cents",
+        "floor((delta + r) * 1000000 + 0.5) / 1000000 AS ci_hi_cents",
+    )
+    flagged = ci.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "diff_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        "CASE WHEN ci_lo_cents IS NULL OR ci_hi_cents IS NULL THEN 0"
+        " WHEN ci_lo_cents > 0 OR ci_hi_cents < 0 THEN 1 ELSE 0 END"
+        " AS excludes_zero",
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return flagged.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("na").alias("n_control"),
+        F.col("nb").alias("n_treated"),
+        "diff_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        "excludes_zero",
+        F.min(F.when(F.col("excludes_zero") == 1, F.col("day")))
+        .over(w_all)
+        .cast("string")
+        .alias("first_excluding_day"),
+    )
+
+
+@query("diag_confidence_sequence", _CS_ORACLE)
+def diag_confidence_sequence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Anytime-valid confidence sequence on the A/B lift: per day, the
+    running mean difference between the parity variants with the
+    Gaussian-mixture confidence-sequence bounds (the inversion of the
+    mSPRT martingale — see the section comment), the "CI excludes 0"
+    verdict and its first day — the interval a dashboard may quote at
+    ANY peek with simultaneous 1−α coverage. Same cumulative
+    sufficient statistics, plan and state footprint as
+    diag_msprt_sequential; the CI always contains Δ̂ and excludes 0
+    exactly when the mSPRT gate crosses (shared pre-rounded
+    literals)."""
+    return _cs_project(_msprt_partial(table(spark, sf_dir, "events")))
+
+
 # -- ratio-metric readout with the delta-method SE -----------------------------------
 
 # Most production metrics are RATIOS of sums whose denominator varies
@@ -6645,4 +6790,156 @@ def diag_quantile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50",
         "p75",
         *lifts,
+    )
+
+
+# -- quantile treatment effects: order-statistic confidence intervals ---------------
+
+# The inference layer for diag_quantile_lift's point estimates: the
+# DISTRIBUTION-FREE binomial CI on each per-variant quantile. For the
+# q-quantile of U per-user values, #{values ≤ ξ_q} ~ Binomial(U, q),
+# so the order statistics at ranks
+#   l = ⌈qU − z·√(U·q·(1−q))⌉   and   u = ⌈qU + z·√(U·q·(1−q))⌉
+# bracket ξ_q with ≈ 1−α coverage WITHOUT any distributional
+# assumption (David & Nagaraja, Order Statistics §7.1 — the normal
+# approximation to the binomial rank bound). Both ranks are
+# engine-exact doubles: U converts exactly, q ∈ {.25,.5,.75} and
+# q(1−q) ∈ {.1875,.25} are exact binary fractions, sqrt is
+# IEEE-correctly-rounded on both engines, and z ships as the
+# pre-rounded normal literal — so ceil lands on the identical integer
+# and the bounds are picked by the SAME integer crossing machinery
+# (min y with cum ≥ rank) over the SAME bounded per-variant value
+# histogram as the point estimates: every output is an exact integer
+# (a rank or a cents value), no new scan shape, and a whale can move
+# the sums without moving a single bound (rank arithmetic never sees
+# the values). Ranks clamp to [1, U] (a tiny stratum's lower rank can
+# fall below 1), keeping the bounds defined — maximally wide — rather
+# than NULL.
+def _qci_rank_sql(p: int, which: str) -> str:
+    """Rank-expression text for the ``which`` ∈ {lo, hi} CI bound of
+    the p-percent quantile, as a function of the per-variant user
+    count column ``u`` — ONE text consumed verbatim by the Spark
+    selectExpr/agg and the DuckDB oracle (see the section comment for
+    why it is engine-exact)."""
+    q = p / 100.0
+    qv = repr(q * (1.0 - q))  # 0.1875 / 0.25 — exact binary fractions
+    op = "-" if which == "lo" else "+"
+    expr = (
+        f"CAST(ceil(CAST(u AS DOUBLE) * {q!r} {op} "
+        f"CAST({_PH_Z_CRIT} AS DOUBLE)"
+        f" * sqrt(CAST(u AS DOUBLE) * {qv})) AS BIGINT)"
+    )
+    return f"greatest({expr}, 1)" if which == "lo" else f"least({expr}, u)"
+
+
+def _qci_agg_sql() -> list[tuple[str, str]]:
+    """(alias, aggregate-expression) pairs for the 3×(lo, point, hi)
+    order-statistic picks over the cum histogram — shared text."""
+    out: list[tuple[str, str]] = []
+    for p in (25, 50, 75):
+        out.append((
+            f"p{p}_lo",
+            f"min(CASE WHEN cw >= {_qci_rank_sql(p, 'lo')} THEN y END)",
+        ))
+        out.append((
+            f"p{p}",
+            f"min(CASE WHEN 100 * cw >= {p} * u THEN y END)",
+        ))
+        out.append((
+            f"p{p}_hi",
+            f"min(CASE WHEN cw >= {_qci_rank_sql(p, 'hi')} THEN y END)",
+        ))
+    return out
+
+
+_QCI_AGG_TXT = ",\n    ".join(
+    f"{expr} AS {alias}" for alias, expr in _qci_agg_sql()
+)
+_QCI_RANK_TXT = ",\n  ".join(
+    f"{_qci_rank_sql(p, w)} AS rank_{w}_{p}"
+    for p in (25, 50, 75)
+    for w in ("lo", "hi")
+)
+
+_QCI_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT variant, y, CAST(count(*) AS BIGINT) AS c
+  FROM pu GROUP BY variant, y
+),
+cum AS (
+  SELECT variant, y,
+    CAST(sum(c) OVER (PARTITION BY variant ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cw,
+    CAST(sum(c) OVER (PARTITION BY variant) AS BIGINT) AS u
+  FROM h
+),
+q AS (
+  SELECT variant, u,
+    {_QCI_AGG_TXT}
+  FROM cum GROUP BY variant, u
+)
+SELECT variant, u AS n_users,
+  {_QCI_RANK_TXT},
+  p25_lo, p25, p25_hi, p50_lo, p50, p50_hi, p75_lo, p75, p75_hi
+FROM q
+"""
+
+
+@query("diag_quantile_lift_ci", _QCI_ORACLE)
+def diag_quantile_lift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free confidence intervals on the per-variant
+    p25/p50/p75 of per-user spend: the binomial order-statistic rank
+    bounds l/u = ⌈qU ∓ z·√(Uq(1−q))⌉ picked by the same integer
+    crossing machinery over the same bounded per-variant value
+    histogram as diag_quantile_lift's points — whale-robust like the
+    points (the bounds are order statistics; rank arithmetic never
+    sees the values), every output an exact integer. See the section
+    comment for the cross-engine rank-exactness argument."""
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "y",
+    )
+    h = pu.groupBy("variant", "y").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("variant")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_var = Window.partitionBy("variant")
+    cum = h.select(
+        "variant",
+        "y",
+        F.sum("c").over(w_cum).cast("long").alias("cw"),
+        F.sum("c").over(w_var).cast("long").alias("u"),
+    )
+    q = cum.groupBy("variant", "u").agg(
+        *[F.expr(expr).alias(alias) for alias, expr in _qci_agg_sql()]
+    )
+    return q.selectExpr(
+        "variant",
+        "u AS n_users",
+        *[
+            f"{_qci_rank_sql(p, w)} AS rank_{w}_{p}"
+            for p in (25, 50, 75)
+            for w in ("lo", "hi")
+        ],
+        "p25_lo", "p25", "p25_hi",
+        "p50_lo", "p50", "p50_hi",
+        "p75_lo", "p75", "p75_hi",
     )

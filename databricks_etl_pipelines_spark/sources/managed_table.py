@@ -32,6 +32,7 @@ import json
 import os
 import shutil
 import time
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -374,6 +375,7 @@ class ManagedTable:
         bucket_by: Sequence[str] | None = None,
         n_buckets: int = 16,
         meta: dict | None = None,
+        reset_fold_markers: bool = True,
     ) -> int:
         """``partition_by`` = hive-style layout (reference S2 partitions
         bronze by ingestion_date, 01:186): time-range queries then prune
@@ -401,14 +403,41 @@ class ManagedTable:
         while a live stream keeps folding on its existing checkpoint is
         NOT a reset — if the rebuild already includes an in-flight
         batch's data, clearing the marker lets a crash-redelivered copy
-        of that batch fold a second time. A rebuilder that wants to
-        preserve replay protection must re-stamp the live marker
-        explicitly: ``meta={"fold_checkpoint": ckpt, "fold_batch_id":
-        last_folded_id}`` (an explicit marker suppresses the
-        tombstone). No marker scheme can infer that intent; declare it.
+        of that batch fold a second time. No marker scheme can infer
+        that intent, so it must be declared, either way:
+
+        * re-stamp the live marker explicitly —
+          ``meta={"fold_checkpoint": ckpt, "fold_batch_id":
+          last_folded_id}`` (an explicit marker suppresses the
+          tombstone); or
+        * pass ``reset_fold_markers=False`` — no tombstone is stamped
+          and the backward marker scan keeps seeing the pre-rebuild
+          marker (the overwrite behaves as a maintenance commit w.r.t.
+          fold state), for rebuilders that cannot restate the exact
+          batch id.
+
+        Because the default (tombstone) silently changes replay
+        semantics for a gold that HAS a live marker, that case emits a
+        ``RuntimeWarning`` naming both escape hatches — a reset of an
+        unmarked table stays silent.
         """
         meta = dict(meta or {})
-        meta.setdefault("fold_checkpoint", None)  # reset tombstone
+        if "fold_checkpoint" not in meta and reset_fold_markers:
+            prior = self.latest_meta(having="fold_checkpoint") if self.exists() else None
+            if prior is not None and prior.get("fold_checkpoint") is not None:
+                warnings.warn(
+                    f"create_or_overwrite({self.root}) is tombstoning a live "
+                    f"fold marker (checkpoint={prior['fold_checkpoint']!r}, "
+                    f"batch_id={prior.get('fold_batch_id')!r}): a stream that "
+                    "keeps folding on that checkpoint loses crash-redelivery "
+                    "replay protection. If this overwrite REBUILDS (not "
+                    "resets) the gold, re-stamp the marker via meta="
+                    "{'fold_checkpoint': ..., 'fold_batch_id': ...} or pass "
+                    "reset_fold_markers=False to preserve it.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            meta["fold_checkpoint"] = None  # reset tombstone
         if bucket_by:
             if partition_by:
                 raise ValueError("bucket_by and partition_by are exclusive")

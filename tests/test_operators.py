@@ -5209,6 +5209,150 @@ def test_msprt_planted_crossing_day(spark, tmp_path):
         ), day
 
 
+def test_confidence_sequence_planted(spark, tmp_path):
+    """diag_confidence_sequence on the mSPRT +$80 plant: (a) the
+    anytime-valid CI contains Δ̂ on every defined day; (b) it excludes
+    0 exactly from the mSPRT crossing day (the CS is the martingale's
+    inversion — shared pre-rounded literals make the verdicts
+    coincide), with the radius replayed raw-Python day by day; (c) the
+    projection off an incrementally-folded experiment-suite gold
+    (non-chronological event_id%3 feed) equals the batch readout
+    row-for-row."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _CS_TWO_LN_INV_ALPHA,
+        _MSPRT_TAU2,
+        _cs_project,
+        _msprt_partial,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    load_all()
+    rows, eid = [], 0
+    days = list(range(8))
+    per_day = {}
+    for d in days:
+        evs = []
+        for m in range(4):
+            base = 9000 if m % 2 == 0 else 11000
+            lift = 8000 if d >= 4 else 0
+            evs.append(("A", base))
+            evs.append(("B", base + lift))
+        per_day[d] = evs
+        for i, (variant, cents) in enumerate(evs):
+            uid = 2 * i + (0 if variant == "A" else 1)
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d, 9, 0, 0), uid, "view",
+                 cents / 100.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.day: r
+        for r in QUERIES["diag_confidence_sequence"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    msprt = {
+        r.day: r
+        for r in QUERIES["diag_msprt_sequential"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # raw-Python replay of the radius + (a)/(b) per day
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    na = nb = sxa = sxb = sxxa = sxxb = 0
+    first_excl = None
+    for d in days:
+        for variant, cents in per_day[d]:
+            if variant == "A":
+                na, sxa, sxxa = na + 1, sxa + cents, sxxa + cents * cents
+            else:
+                nb, sxb, sxxb = nb + 1, sxb + cents, sxxb + cents * cents
+        delta = sxb / nb - sxa / na
+        vk = (
+            ((sxxa - sxa * sxa / na) + (sxxb - sxb * sxb / nb))
+            / (na + nb - 2)
+            * (1.0 / na + 1.0 / nb)
+        )
+        day = f"2024-01-{1 + d:02d}"
+        r = got[day]
+        if vk <= 0:
+            assert r.ci_lo_cents is None and r.ci_hi_cents is None, day
+            assert r.excludes_zero == 0, day
+            continue
+        rad = math.sqrt(
+            vk * (vk + _MSPRT_TAU2) / _MSPRT_TAU2
+            * (_CS_TWO_LN_INV_ALPHA
+               + math.log((vk + _MSPRT_TAU2) / vk))
+        )
+        assert abs(r.ci_lo_cents - q6(delta - rad)) <= 1e-6, day
+        assert abs(r.ci_hi_cents - q6(delta + rad)) <= 1e-6, day
+        # (a) the CI contains the point estimate
+        assert r.ci_lo_cents <= r.diff_cents <= r.ci_hi_cents, day
+        if r.excludes_zero and first_excl is None:
+            first_excl = day
+    # (b) verdict == mSPRT crossing, day by day and in the pinned day
+    for day, r in got.items():
+        assert r.excludes_zero == msprt[day].crossed, day
+        assert r.first_excluding_day == msprt[day].first_crossing_day
+    assert first_excl is not None and first_excl >= "2024-01-05"
+    # identical variants pre-shift: CI must cover 0
+    for d in range(4):
+        day = f"2024-01-{1 + d:02d}"
+        r = got[day]
+        if r.ci_lo_cents is not None:
+            assert r.ci_lo_cents <= 0 <= r.ci_hi_cents, day
+
+    # (c) streamed == batch off the experiment-suite gold
+    ev = df.select("event_id", "ts", "user_id", "value")
+    feed = tmp_path / "feed"
+    for b in range(3):
+        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    gold = ManagedTable(str(tmp_path / "cs_gold"))
+    q = incremental_aggregate(
+        stream,
+        gold,
+        ["day", "variant"],
+        _msprt_partial,
+        str(tmp_path / "cs_ckpt"),
+    )
+    await_drained(q, 300)
+    streamed = {r.day: r for r in _cs_project(gold.read(spark)).collect()}
+    assert set(streamed) == set(got)
+    for day, r in got.items():
+        s = streamed[day]
+        assert (
+            s.n_control, s.n_treated, s.diff_cents, s.ci_lo_cents,
+            s.ci_hi_cents, s.excludes_zero, s.first_excluding_day,
+        ) == (
+            r.n_control, r.n_treated, r.diff_cents, r.ci_lo_cents,
+            r.ci_hi_cents, r.excludes_zero, r.first_excluding_day,
+        ), day
+
+
 def test_cox_ph_assumption_planted_crossing_hazards(spark, tmp_path):
     """diag_cox_ph_assumption on a planted CROSSING-hazards funnel —
     signup converts much faster in the early half of the event lattice,
@@ -6254,6 +6398,80 @@ def test_ratio_metric_delta_planted_replay(spark, tmp_path):
         assert g.diff_flag == (1 if abs(q6(z)) > 1.959964 else 0)
     # the planted +100 cents/event lift is large vs these SEs: it fires
     assert got["A"].diff_flag == 1 and z > 0
+
+
+def test_quantile_lift_ci_planted_ranks_and_whale(spark, tmp_path):
+    """diag_quantile_lift_ci on a rank-transparent plant (U = 40 users
+    per variant with per-user totals 100·i, so the order statistic at
+    rank r IS 100·r): the binomial rank bounds l/u = ⌈qU ∓
+    z·√(Uq(1−q))⌉ replayed raw-Python must match the reported rank
+    columns AND the picked bounds; and the whale-invariance the
+    distribution-free CI exists for — variant B's top user is 100×,
+    every reported rank and bound still equals variant A's."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _PH_Z_CRIT,
+    )
+
+    load_all()
+    U = 40
+    rows, eid, uid = [], 0, 0
+    for variant, parity in (("A", 0), ("B", 1)):
+        for i in range(1, U + 1):
+            uid += 2
+            u = uid + parity
+            y = 100 * i
+            if variant == "B" and i == U:
+                y *= 100  # the whale: above every CI rank (max 36)
+            rows.append(
+                (eid, dt.datetime(2024, 1, 5, 9), u, "view", y / 100.0,
+                 "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.variant: r
+        for r in QUERIES["diag_quantile_lift_ci"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # raw-Python replay of the rank arithmetic
+    expect = {}
+    for p in (25, 50, 75):
+        q = p / 100.0
+        s = _PH_Z_CRIT * math.sqrt(U * q * (1 - q))
+        expect[p] = (
+            max(math.ceil(q * U - s), 1),
+            math.ceil(p * U / 100),
+            min(math.ceil(q * U + s), U),
+        )
+    assert expect == {25: (5, 10, 16), 50: (14, 20, 27), 75: (25, 30, 36)}
+    for v in ("A", "B"):
+        g = got[v]
+        assert g.n_users == U, v
+        for p in (25, 50, 75):
+            lo_r, pt_r, hi_r = expect[p]
+            assert getattr(g, f"rank_lo_{p}") == lo_r, (v, p)
+            assert getattr(g, f"rank_hi_{p}") == hi_r, (v, p)
+            # order statistic at rank r is 100·r by construction —
+            # the whale (rank 40 > 36) moves nothing
+            assert getattr(g, f"p{p}_lo") == 100 * lo_r, (v, p)
+            assert getattr(g, f"p{p}") == 100 * pt_r, (v, p)
+            assert getattr(g, f"p{p}_hi") == 100 * hi_r, (v, p)
+            assert (
+                getattr(g, f"p{p}_lo")
+                <= getattr(g, f"p{p}")
+                <= getattr(g, f"p{p}_hi")
+            )
+    # the whale DID move B's sum (what a mean CI would have seen)
+    assert 100 * U * 100 > 2 * sum(100 * i for i in range(1, U + 1))
 
 
 def test_quantile_lift_planted_exact_ranks(spark, tmp_path):

@@ -1880,6 +1880,70 @@ def test_fold_marker_cleared_by_owner_overwrite(spark, tmp_path):
     }
 
 
+def test_overwrite_fold_marker_warning_and_preserve(spark, tmp_path):
+    """The r14 tombstone regressed rebuild-under-live-stream callers
+    SILENTLY (ADVICE r14 medium): tombstoning a table whose latest
+    marker names a checkpoint now (a) emits a RuntimeWarning naming the
+    escape hatches, and (b) reset_fold_markers=False preserves the
+    marker — the overwrite behaves as a maintenance commit w.r.t. fold
+    state, so a crash-redelivered batch already baked into the rebuild
+    stays dropped as a replay. An explicit marker in meta, or a reset
+    of an unmarked table, stays warning-free."""
+    import warnings as _w
+
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        fold_partial_batch,
+    )
+
+    def partial(df):
+        return df.groupBy("k").agg(F.sum("x").alias("sx"))
+
+    gold = ManagedTable(str(tmp_path / "gold"))
+    ckpt = str(tmp_path / "ckpt")
+    b0 = spark.createDataFrame([(1, 10), (2, 5)], "k int, x int")
+    b1 = spark.createDataFrame([(1, 7)], "k int, x int")
+    fold_partial_batch(b0, 0, gold, ["k"], partial, ckpt)
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt)
+
+    # (b) rebuild preserving replay protection: no tombstone, marker
+    # survives the overwrite, replayed batch 1 is still a no-op
+    rebuilt = spark.createDataFrame([(1, 17), (2, 5)], "k int, sx bigint")
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # preserve path must NOT warn
+        gold.create_or_overwrite(rebuilt, reset_fold_markers=False)
+    marker = gold.latest_meta(having="fold_checkpoint")
+    assert marker is not None and marker["fold_checkpoint"] is not None
+    assert marker["fold_batch_id"] == 1
+    fold_partial_batch(b1, 1, gold, ["k"], partial, ckpt)  # redelivery
+    assert {r.k: r.sx for r in gold.read(spark).collect()} == {1: 17, 2: 5}
+
+    # (a) default tombstone over the (still live) marker warns
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        gold.create_or_overwrite(
+            spark.createDataFrame([(9, 100)], "k int, sx bigint")
+        )
+    msgs = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert len(msgs) == 1 and "reset_fold_markers" in str(msgs[0].message)
+    assert gold.latest_meta(having="fold_checkpoint")["fold_checkpoint"] is None
+
+    # explicit marker re-stamp suppresses tombstone AND warning
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        gold.create_or_overwrite(
+            rebuilt, meta={"fold_checkpoint": ckpt, "fold_batch_id": 1}
+        )
+    assert gold.latest_meta(having="fold_checkpoint")["fold_batch_id"] == 1
+
+    # reset of a table with no live marker stays silent
+    fresh = ManagedTable(str(tmp_path / "fresh"))
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        fresh.create_or_overwrite(b0)
+        fresh.create_or_overwrite(b1)
+    assert fresh.latest_meta(having="fold_checkpoint")["fold_checkpoint"] is None
+
+
 def test_incremental_aggregate_validates_fold_names_eagerly(spark, tmp_path):
     """A typo'd fold name must fail AT CALL TIME, before the stream
     starts — the per-batch check alone surfaces it only once a

@@ -84,6 +84,12 @@ def main() -> None:
         (p1.se_early, p4.se_early, "early"),
         (p1.se_late, p4.se_late, "late"),
     ):
+        # a degenerate half-fit (zero information) yields NULL SEs; fail
+        # with a diagnostic instead of a TypeError on None / None
+        assert se1 is not None and se4 is not None, (
+            f"{which} half-fit degenerate on this corpus: "
+            f"se1={se1!r} se4={se4!r} (zero-information half?)"
+        )
         ratio = se4 / se1
         assert 0.45 < ratio < 0.55, (which, se1, se4, ratio)
     print(f"PH check: split day {p1.t_split} INVARIANT, day lattice "
