@@ -6943,3 +6943,598 @@ def diag_quantile_lift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_lo", "p50", "p50_hi",
         "p75_lo", "p75", "p75_hi",
     )
+
+
+# -- heterogeneous treatment effect by exposure time --------------------------------
+
+# The TIME-dimension sibling of diag_hte_by_band: the lift estimated
+# per days-since-enrollment bucket (week 1 = days 0–6 after the user's
+# first event, 'later' = day 7 on), with the trend/interaction z
+# between the buckets — a NOVELTY effect (big in week 1, gone after)
+# nets to a misleading ≈-half pooled lift that reads as a persistent
+# win; the trend z is what catches the decay (Kohavi, Tang & Xu 2020
+# §3's novelty/primacy check). Unlike the band cut (which partitions
+# USERS), the exposure cut partitions each user's TIME, so every user
+# contributes a per-bucket spend to BOTH buckets (zero when inactive
+# there — the honest per-user bucket mean); the per-variant user count
+# is therefore identical across buckets and the pooled lift is exactly
+# the sum of per-bucket sums. Exactness: enrollment is an exact
+# integer MIN over the per-(user, day) relation; the bucket cut is
+# integer date arithmetic (engine-exact; the two engines spell
+# date-difference differently but both are exact integers); per-user
+# bucket sums are int64 cents; second moments decimal(38,0); the
+# Welch-shape per-bucket SEs and the trend z run one identical float
+# sequence with every sqrt radicand CASE-guarded, q6 outputs, flag vs
+# the pre-rounded normal critical. Plan: 1 scan; the per-user pivot
+# makes the bucket expansion a 2-struct inline over ONE relation
+# (never a union re-deriving the scan — the k-arm lesson).
+_EXPO_WK_DAYS = 7  # week-1 bucket: days 0-6 since enrollment
+
+_EXPO_ORACLE = f"""
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+en AS (
+  SELECT user_id, day, x,
+    min(day) OVER (PARTITION BY user_id) AS enroll
+  FROM ud
+),
+pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(coalesce(sum(CASE WHEN day - enroll < {_EXPO_WK_DAYS}
+      THEN x END), 0) AS BIGINT) AS wk1,
+    CAST(coalesce(sum(CASE WHEN day - enroll >= {_EXPO_WK_DAYS}
+      THEN x END), 0) AS BIGINT) AS later
+  FROM en GROUP BY user_id
+),
+pb AS (
+  SELECT variant, 'wk1' AS bucket, wk1 AS y FROM pu
+  UNION ALL
+  SELECT variant, 'later' AS bucket, later AS y FROM pu
+),
+v AS (
+  SELECT bucket, variant, CAST(count(*) AS BIGINT) AS nv,
+    CAST(sum(y) AS BIGINT) AS sy,
+    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+  FROM pb GROUP BY bucket, variant
+),
+w AS (
+  SELECT bucket,
+    max(CASE WHEN variant = 'A' THEN nv END) AS na,
+    max(CASE WHEN variant = 'B' THEN nv END) AS nb,
+    max(CASE WHEN variant = 'A' THEN sy END) AS sya,
+    max(CASE WHEN variant = 'B' THEN sy END) AS syb,
+    max(CASE WHEN variant = 'A' THEN syy END) AS syya,
+    max(CASE WHEN variant = 'B' THEN syy END) AS syyb
+  FROM v GROUP BY bucket
+),
+bs AS (
+  SELECT bucket, na, nb,
+    (CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+     - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) AS delta,
+    ((CAST(syya AS DOUBLE)
+      - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE))
+     / nullif(CAST(na - 1 AS DOUBLE), 0)) / CAST(na AS DOUBLE)
+    + ((CAST(syyb AS DOUBLE)
+        - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)
+          / CAST(nb AS DOUBLE))
+       / nullif(CAST(nb - 1 AS DOUBLE), 0)) / CAST(nb AS DOUBLE)
+      AS rad,
+    CAST(sum(syb) OVER () AS BIGINT) AS syb_tot,
+    CAST(sum(sya) OVER () AS BIGINT) AS sya_tot
+  FROM w
+),
+inter AS (
+  SELECT *,
+    max(CASE WHEN bucket = 'wk1' THEN delta END) OVER () AS d_w1,
+    max(CASE WHEN bucket = 'later' THEN delta END) OVER () AS d_lt,
+    max(CASE WHEN bucket = 'wk1' THEN rad END) OVER () AS rad_w1,
+    max(CASE WHEN bucket = 'later' THEN rad END) OVER () AS rad_lt
+  FROM bs
+),
+zrow AS (
+  SELECT bucket, na, nb, delta, rad,
+    floor((CAST(syb_tot AS DOUBLE) / CAST(nb AS DOUBLE)
+           - CAST(sya_tot AS DOUBLE) / CAST(na AS DOUBLE))
+          * 1000000 + 0.5) / 1000000 AS pooled_lift_cents,
+    CASE WHEN rad_w1 IS NOT NULL AND rad_lt IS NOT NULL
+              AND rad_w1 + rad_lt > CAST(0 AS DOUBLE) THEN
+      floor((d_w1 - d_lt) / sqrt(rad_w1 + rad_lt) * 1000000 + 0.5)
+        / 1000000 END AS trend_z
+  FROM inter
+)
+SELECT bucket, na AS n_control, nb AS n_treated,
+  floor(delta * 1000000 + 0.5) / 1000000 AS lift_cents,
+  CASE WHEN rad > CAST(0 AS DOUBLE) THEN
+    floor(sqrt(rad) * 1000000 + 0.5) / 1000000 END AS se_lift,
+  pooled_lift_cents,
+  trend_z,
+  CASE WHEN trend_z IS NOT NULL THEN
+    CASE WHEN abs(trend_z) > CAST({_PH_Z_CRIT} AS DOUBLE)
+         THEN 1 ELSE 0 END
+  END AS novelty_flag
+FROM zrow
+"""
+
+
+@query("diag_hte_by_exposure", _EXPO_ORACLE)
+def diag_hte_by_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-time heterogeneous-treatment-effect readout: the A/B
+    lift per days-since-enrollment bucket (week 1 vs later) with the
+    per-bucket Welch-shape SE, the pooled per-user lift, and the
+    trend z between buckets — the novelty/wear-off check that catches
+    an effect decaying with exposure which the pooled lift reads as a
+    persistent ≈-half win. One fact scan; the bucket expansion is a
+    2-struct inline over the per-user pivot, never a re-deriving
+    union (see the section comment for the exactness argument)."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    en = ud.withColumn(
+        "enroll", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    pu = en.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.datediff("day", "enroll") < _EXPO_WK_DAYS,
+                    F.col("x"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("wk1"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.datediff("day", "enroll") >= _EXPO_WK_DAYS,
+                    F.col("x"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("later"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "wk1",
+        "later",
+    )
+    pb = pu.selectExpr(
+        "variant",
+        "inline(array(named_struct('bucket', 'wk1', 'y', wk1),"
+        " named_struct('bucket', 'later', 'y', later)))",
+    )
+    v = pb.groupBy("bucket", "variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    w = v.groupBy("bucket").agg(
+        F.max(F.when(F.col("variant") == "A", F.col("nv"))).alias("na"),
+        F.max(F.when(F.col("variant") == "B", F.col("nv"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "A", F.col("sy"))).alias("sya"),
+        F.max(F.when(F.col("variant") == "B", F.col("sy"))).alias("syb"),
+        F.max(F.when(F.col("variant") == "A", F.col("syy"))).alias(
+            "syya"
+        ),
+        F.max(F.when(F.col("variant") == "B", F.col("syy"))).alias(
+            "syyb"
+        ),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bs = w.selectExpr(
+        "bucket",
+        "na",
+        "nb",
+        "(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)"
+        " - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) AS delta",
+        "((CAST(syya AS DOUBLE)"
+        "  - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)"
+        "    / CAST(na AS DOUBLE))"
+        " / nullif(CAST(na - 1 AS DOUBLE), 0)) / CAST(na AS DOUBLE)"
+        " + ((CAST(syyb AS DOUBLE)"
+        "     - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)"
+        "       / CAST(nb AS DOUBLE))"
+        "    / nullif(CAST(nb - 1 AS DOUBLE), 0)) / CAST(nb AS DOUBLE)"
+        " AS rad",
+        "sya",
+        "syb",
+    ).select(
+        "*",
+        F.sum("syb").over(w_all).cast("long").alias("syb_tot"),
+        F.sum("sya").over(w_all).cast("long").alias("sya_tot"),
+        F.max(F.when(F.col("bucket") == "wk1", F.col("delta")))
+        .over(w_all)
+        .alias("d_w1"),
+        F.max(F.when(F.col("bucket") == "later", F.col("delta")))
+        .over(w_all)
+        .alias("d_lt"),
+        F.max(F.when(F.col("bucket") == "wk1", F.col("rad")))
+        .over(w_all)
+        .alias("rad_w1"),
+        F.max(F.when(F.col("bucket") == "later", F.col("rad")))
+        .over(w_all)
+        .alias("rad_lt"),
+    )
+    zrow = bs.selectExpr(
+        "bucket",
+        "na",
+        "nb",
+        "delta",
+        "rad",
+        "floor((CAST(syb_tot AS DOUBLE) / CAST(nb AS DOUBLE)"
+        "       - CAST(sya_tot AS DOUBLE) / CAST(na AS DOUBLE))"
+        "      * 1000000 + 0.5) / 1000000 AS pooled_lift_cents",
+        "CASE WHEN rad_w1 IS NOT NULL AND rad_lt IS NOT NULL"
+        " AND rad_w1 + rad_lt > CAST(0 AS DOUBLE) THEN"
+        " floor((d_w1 - d_lt) / sqrt(rad_w1 + rad_lt) * 1000000 + 0.5)"
+        " / 1000000 END AS trend_z",
+    )
+    return zrow.selectExpr(
+        "bucket",
+        "na AS n_control",
+        "nb AS n_treated",
+        "floor(delta * 1000000 + 0.5) / 1000000 AS lift_cents",
+        "CASE WHEN rad > CAST(0 AS DOUBLE) THEN"
+        " floor(sqrt(rad) * 1000000 + 0.5) / 1000000 END AS se_lift",
+        "pooled_lift_cents",
+        "trend_z",
+        f"CASE WHEN trend_z IS NOT NULL THEN"
+        f" CASE WHEN abs(trend_z) > CAST({_PH_Z_CRIT} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END END AS novelty_flag",
+    )
+
+
+# -- multiple-metric FDR correction across the experiment readout -------------------
+
+# A real experiment readout tests SEVERAL metrics at once (mean lift,
+# engagement counts, retention, a ratio metric, ...) — and with m
+# tests at α each, the family-wise false-positive rate balloons. The
+# Benjamini-Hochberg step-up (Benjamini & Hochberg 1995) controls the
+# FALSE DISCOVERY RATE: sort |z| descending, give rank i the two-sided
+# critical Φ⁻¹(1 − (α·i/m)/2), and reject every rank ≤ the LARGEST
+# rank whose |z| clears its own critical — less conservative than
+# Bonferroni (which holds every metric to rank 1's bar) while still
+# controlling FDR at α under independence/PRDS. All six metrics
+# compute from ONE per-user aggregate of the fact scan:
+#   mean_spend            per-user total cents           (Welch z)
+#   events_per_user       per-user event count           (Welch z)
+#   active_days           per-user distinct active days  (Welch z)
+#   retention_2day        1{active ≥ 2 distinct days}    (Welch z —
+#                         for a 0/1 metric x² = x, so the same moment
+#                         machinery applies with q ≡ s)
+#   avg_txn_value         per-user mean cents/event, pre-quantized to
+#                         the 1e-6 lattice per user (cross-row float
+#                         sums are forbidden — the lattice rule)
+#   ratio_cents_per_event ratio of sums with the delta-method SE
+#                         (the diag_ratio_metric_delta estimand)
+# Exactness: every sufficient statistic is an exact int64 /
+# decimal(38,0) sum (avg_txn_value's per-user lattice points sum as
+# DECIMAL — 1e9-scale points × 1e10 users outgrows int64); each z is
+# one identical float sequence over the one-row pivot, sqrt radicands
+# CASE-guarded, q6; the per-rank criticals and the Bonferroni bar ship
+# as PRE-ROUNDED literals (Φ⁻¹ is not portably available in SQL, and
+# m is pinned at the registered family size so the thresholds are
+# compile-time constants); ranking breaks |z| ties by metric name and
+# orders NULLs LAST explicitly (Spark and DuckDB default NULL
+# ordering differs); degenerate metrics (NULL z) can never reject.
+# The metric expansion inlines an array of structs over the ONE pivot
+# row (the k-arm lesson); the BH machinery is pure window text over
+# the 6-row relation. Plan: 1 fact scan, no joins, bounded state
+# everywhere past the per-user aggregate.
+_FDR_ALPHA = 0.05
+_FDR_M = 6
+# Φ⁻¹(1 − (0.05·i/6)/2) for i = 1..6, pre-rounded to the 1e-6 lattice
+_FDR_BH_CRITS = (2.638257, 2.39398, 2.241403, 2.128045, 2.036834,
+                 1.959964)
+_FDR_BONF_CRIT = 2.638257  # Φ⁻¹(1 − α/(2m)) == the rank-1 critical
+
+_FDR_METRICS = (  # (metric name, delta/rad column suffix)
+    ("mean_spend", "y"),
+    ("events_per_user", "n"),
+    ("active_days", "d"),
+    ("retention_2day", "r"),
+    ("avg_txn_value", "v"),
+    ("ratio_cents_per_event", "q"),
+)
+
+
+def _fdr_welch_sql(sfx: str) -> tuple[str, str]:
+    """(delta, rad) text for the Welch two-sample z of the per-user
+    metric with sums s{sfx}a/b and square-sums q{sfx}a/b over the
+    one-row pivot — ONE text for Spark selectExpr and the oracle."""
+    delta = (
+        f"(CAST(s{sfx}b AS DOUBLE) / CAST(nb AS DOUBLE)"
+        f" - CAST(s{sfx}a AS DOUBLE) / CAST(na AS DOUBLE))"
+    )
+    rad = (
+        f"((CAST(q{sfx}a AS DOUBLE)"
+        f"  - CAST(s{sfx}a AS DOUBLE) * CAST(s{sfx}a AS DOUBLE)"
+        f"    / CAST(na AS DOUBLE))"
+        f" / nullif(CAST(na - 1 AS DOUBLE), 0)) / CAST(na AS DOUBLE)"
+        f" + ((CAST(q{sfx}b AS DOUBLE)"
+        f"     - CAST(s{sfx}b AS DOUBLE) * CAST(s{sfx}b AS DOUBLE)"
+        f"       / CAST(nb AS DOUBLE))"
+        f"    / nullif(CAST(nb - 1 AS DOUBLE), 0)) / CAST(nb AS DOUBLE)"
+    )
+    return delta, rad
+
+
+def _fdr_ratio_rr_sql(v: str) -> str:
+    """Delta-method per-variant variance rr for the ratio-of-sums
+    metric (the diag_ratio_metric_delta machinery) over pivot columns
+    suffixed a/b: ((var_y − 2R·cov + R²·var_n) / (U·n̄²))."""
+    u = f"CAST(n{v} AS DOUBLE)"
+    sy, sn = f"CAST(sy{v} AS DOUBLE)", f"CAST(sn{v} AS DOUBLE)"
+    qy, qn = f"CAST(qy{v} AS DOUBLE)", f"CAST(qn{v} AS DOUBLE)"
+    syn = f"CAST(syn{v} AS DOUBLE)"
+    r = f"({sy} / {sn})"
+    var_y = f"(({qy} - {sy} * {sy} / {u}) / nullif({u} - 1, 0))"
+    var_n = f"(({qn} - {sn} * {sn} / {u}) / nullif({u} - 1, 0))"
+    cov = f"(({syn} - {sy} * {sn} / {u}) / nullif({u} - 1, 0))"
+    nbar = f"({sn} / {u})"
+    return (
+        f"(({var_y} - CAST(2 AS DOUBLE) * {r} * {cov}"
+        f" + {r} * {r} * {var_n}) / ({u} * {nbar} * {nbar}))"
+    )
+
+
+def _fdr_stage_sqls() -> tuple[list[str], list[str], str]:
+    """(delta/rad stage texts, z stage texts, inline struct text) —
+    generated once, consumed verbatim by both engines."""
+    stage1, stage2 = [], []
+    for name, sfx in _FDR_METRICS:
+        if sfx == "q":
+            d = "(CAST(syb AS DOUBLE) / CAST(snb AS DOUBLE)" \
+                " - CAST(sya AS DOUBLE) / CAST(sna AS DOUBLE))"
+            v = f"({_fdr_ratio_rr_sql('a')} + {_fdr_ratio_rr_sql('b')})"
+        elif sfx == "r":
+            # binary metric: x² = x, so the square-sum IS the sum
+            d, v = _fdr_welch_sql("r")
+            v = v.replace("qra", "sra").replace("qrb", "srb")
+        else:
+            d, v = _fdr_welch_sql(sfx)
+        stage1.append(f"{d} AS d_{sfx}")
+        stage1.append(f"{v} AS v_{sfx}")
+        stage2.append(
+            f"CASE WHEN v_{sfx} > CAST(0 AS DOUBLE) THEN"
+            f" floor(d_{sfx} / sqrt(v_{sfx}) * 1000000 + 0.5)"
+            f" / 1000000 END AS z_{sfx}"
+        )
+    structs = ", ".join(
+        f"named_struct('metric', '{name}', 'z', z_{sfx})"
+        for name, sfx in _FDR_METRICS
+    )
+    return stage1, stage2, f"inline(array({structs}))"
+
+
+_FDR_CRIT_CASE = "CASE rnk " + " ".join(
+    f"WHEN {i + 1} THEN CAST({c} AS DOUBLE)"
+    for i, c in enumerate(_FDR_BH_CRITS)
+) + " END"
+
+_FDR_PU_SQL = """pu0 AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS dd
+  FROM events GROUP BY user_id
+),
+pu AS (
+  SELECT variant, y, n, dd,
+    CASE WHEN dd >= 2 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+      AS ret,
+    CAST(floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+      AS BIGINT) AS rq
+  FROM pu0
+),
+v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+    CAST(sum(y) AS BIGINT) AS sy,
+    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS qy,
+    CAST(sum(n) AS BIGINT) AS sn,
+    sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS qn,
+    CAST(sum(dd) AS BIGINT) AS sd,
+    sum(CAST(dd AS DECIMAL(38,0)) * CAST(dd AS DECIMAL(38,0))) AS qd,
+    CAST(sum(ret) AS BIGINT) AS sr,
+    sum(CAST(rq AS DECIMAL(38,0))) AS sv,
+    sum(CAST(rq AS DECIMAL(38,0)) * CAST(rq AS DECIMAL(38,0))) AS qv,
+    sum(CAST(y AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS syn
+  FROM pu GROUP BY variant
+)"""
+
+_FDR_PIVOT_COLS = (
+    [("na", "nv", "A"), ("nb", "nv", "B")]
+    + [
+        (f"{col}{v.lower()}", col, v)
+        for col in ("sy", "qy", "sn", "qn", "sd", "qd", "sr", "sv",
+                    "qv", "syn")
+        for v in ("A", "B")
+    ]
+)
+
+_FDR_PIVOT_SQL = ",\n    ".join(
+    f"max(CASE WHEN variant = '{v}' THEN {src} END) AS {alias}"
+    for alias, src, v in _FDR_PIVOT_COLS
+)
+
+_FDR_STAGE1, _FDR_STAGE2, _FDR_INLINE = _fdr_stage_sqls()
+
+_FDR_BH_SQL = f"""ranked AS (
+  SELECT metric, z,
+    row_number() OVER (ORDER BY abs(z) DESC NULLS LAST, metric) AS rnk
+  FROM zz
+),
+dec AS (
+  SELECT metric, z, rnk,
+    {_FDR_CRIT_CASE} AS z_crit
+  FROM ranked
+),
+fin AS (
+  SELECT metric, z, rnk, z_crit,
+    max(CASE WHEN z IS NOT NULL AND abs(z) >= z_crit THEN rnk END)
+      OVER () AS jstar
+  FROM dec
+)
+SELECT metric, z, CAST(rnk AS BIGINT) AS bh_rank, z_crit AS bh_crit,
+  CASE WHEN jstar IS NOT NULL AND rnk <= jstar THEN 1 ELSE 0 END
+    AS bh_reject,
+  CASE WHEN z IS NOT NULL
+            AND abs(z) >= CAST({_FDR_BONF_CRIT} AS DOUBLE)
+       THEN 1 ELSE 0 END AS bonferroni_reject
+FROM fin"""
+
+_FDR_STAGE1_TXT = ",\n    ".join(_FDR_STAGE1)
+_FDR_STAGE2_TXT = ",\n    ".join(_FDR_STAGE2)
+
+_FDR_ORACLE = f"""
+WITH {_FDR_PU_SQL},
+w AS (
+  SELECT
+    {_FDR_PIVOT_SQL}
+  FROM v
+),
+ds AS (
+  SELECT
+    {_FDR_STAGE1_TXT}
+  FROM w
+),
+zs AS (
+  SELECT
+    {_FDR_STAGE2_TXT}
+  FROM ds
+),
+zz AS (
+  SELECT 'mean_spend' AS metric, z_y AS z FROM zs
+  UNION ALL SELECT 'events_per_user', z_n FROM zs
+  UNION ALL SELECT 'active_days', z_d FROM zs
+  UNION ALL SELECT 'retention_2day', z_r FROM zs
+  UNION ALL SELECT 'avg_txn_value', z_v FROM zs
+  UNION ALL SELECT 'ratio_cents_per_event', z_q FROM zs
+),
+{_FDR_BH_SQL}
+"""
+
+
+@query("diag_fdr_adjusted", _FDR_ORACLE)
+def diag_fdr_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up across the six-metric experiment
+    readout family (mean spend, events/user, active days, 2-day
+    retention, per-user average transaction value, delta-method ratio
+    metric): per metric, the q6 two-sample z, its |z|-descending BH
+    rank, the pre-rounded per-rank critical, the step-up rejection
+    (every rank ≤ the largest self-clearing rank) and the Bonferroni
+    verdict for contrast — the correction that keeps a 6-metric
+    dashboard's false-discovery rate at α where per-metric testing
+    balloons it. One fact scan, one per-user aggregate; see the
+    section comment for the exactness and scale argument."""
+    ev = table(spark, sf_dir, "events")
+    pu0 = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y"),
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("dd"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "y",
+        "n",
+        "dd",
+    )
+    pu = pu0.selectExpr(
+        "variant",
+        "y",
+        "n",
+        "dd",
+        "CASE WHEN dd >= 2 THEN CAST(1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS ret",
+        "CAST(floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE)"
+        " * 1000000 + 0.5) AS BIGINT) AS rq",
+    )
+    v = pu.groupBy("variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("qy"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)")
+            * F.col("n").cast("decimal(38,0)")
+        ).alias("qn"),
+        F.sum("dd").cast("long").alias("sd"),
+        F.sum(
+            F.col("dd").cast("decimal(38,0)")
+            * F.col("dd").cast("decimal(38,0)")
+        ).alias("qd"),
+        F.sum("ret").cast("long").alias("sr"),
+        F.sum(F.col("rq").cast("decimal(38,0)")).alias("sv"),
+        F.sum(
+            F.col("rq").cast("decimal(38,0)")
+            * F.col("rq").cast("decimal(38,0)")
+        ).alias("qv"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("n").cast("decimal(38,0)")
+        ).alias("syn"),
+    )
+    w = v.groupBy().agg(
+        *[
+            F.max(F.when(F.col("variant") == vv, F.col(src))).alias(
+                alias
+            )
+            for alias, src, vv in _FDR_PIVOT_COLS
+        ]
+    )
+    ds = w.selectExpr(*_FDR_STAGE1)
+    zs = ds.selectExpr(*_FDR_STAGE2)
+    zz = zs.selectExpr(_FDR_INLINE)
+    ranked = zz.selectExpr(
+        "metric",
+        "z",
+        "row_number() OVER (ORDER BY abs(z) DESC NULLS LAST, metric)"
+        " AS rnk",
+    )
+    dec = ranked.selectExpr(
+        "metric", "z", "rnk", _FDR_CRIT_CASE + " AS z_crit"
+    )
+    fin = dec.selectExpr(
+        "metric",
+        "z",
+        "rnk",
+        "z_crit",
+        "max(CASE WHEN z IS NOT NULL AND abs(z) >= z_crit THEN rnk END)"
+        " OVER () AS jstar",
+    )
+    return fin.selectExpr(
+        "metric",
+        "z",
+        "CAST(rnk AS BIGINT) AS bh_rank",
+        "z_crit AS bh_crit",
+        "CASE WHEN jstar IS NOT NULL AND rnk <= jstar THEN 1 ELSE 0 END"
+        " AS bh_reject",
+        f"CASE WHEN z IS NOT NULL"
+        f" AND abs(z) >= CAST({_FDR_BONF_CRIT} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END AS bonferroni_reject",
+    )

@@ -6400,6 +6400,229 @@ def test_ratio_metric_delta_planted_replay(spark, tmp_path):
     assert got["A"].diff_flag == 1 and z > 0
 
 
+def test_fdr_adjusted_planted_stepup_vs_bonferroni(spark, tmp_path):
+    """diag_fdr_adjusted on a plant with THREE correlated moderate
+    effects (treated +18 cents/event moves mean_spend, avg_txn_value
+    and the ratio metric together, each z in the (rank-2, rank-1)
+    critical window) among three exact nulls: Bonferroni rejects
+    NOTHING (every |z| < 2.638257) while the BH step-up rejects all
+    three — including the TOP-ranked metric that fails its own rank-1
+    bar (the step-up property: rank 3 clears its lower bar, dragging
+    ranks 1-2 along). Zero-variance nulls (every user has 4 events on
+    4 days) exercise the NULL-z NULLS-LAST path; z's replayed
+    raw-Python. A global-null plant must reject nothing under either
+    correction."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+    from databricks_etl_pipelines_spark.plans.queries_stats import (
+        _FDR_BH_CRITS,
+        _FDR_BONF_CRIT,
+    )
+
+    load_all()
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    N = 200  # users per variant
+
+    def build(path, lift):
+        rows, eid = [], 0
+        vals = {}  # variant -> list of per-event cents
+        for i in range(N):
+            for variant, parity in (("A", 0), ("B", 1)):
+                uid = 2 * i + parity
+                c = 2500 + 10 * (i % 25) + (lift if variant == "B" else 0)
+                vals.setdefault(variant, []).append(c)
+                for d in (3, 4, 5, 6):  # 4 events on 4 distinct days
+                    rows.append(
+                        (eid, dt.datetime(2024, 1, d, 9), uid, "view",
+                         c / 100.0, "{}")
+                    )
+                    eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+        return vals
+
+    def welch_z(a, b):
+        na, nb = len(a), len(b)
+        sa, sb = sum(a), sum(b)
+        qa, qb = sum(x * x for x in a), sum(x * x for x in b)
+        delta = sb / nb - sa / na
+        rad = ((qa - sa * sa / na) / (na - 1)) / na + (
+            (qb - sb * sb / nb) / (nb - 1)
+        ) / nb
+        return q6(delta / math.sqrt(rad)) if rad > 0 else None
+
+    vals = build(tmp_path / "eff", 18)
+    got = {
+        r.metric: r
+        for r in QUERIES["diag_fdr_adjusted"](
+            spark, str(tmp_path / "eff")
+        ).collect()
+    }
+    assert len(got) == 6
+    # raw-Python replay: per-user totals are 4x the per-event value,
+    # per-user avg is the value itself (4 identical events)
+    z_mean = welch_z(
+        [4 * c for c in vals["A"]], [4 * c for c in vals["B"]]
+    )
+    z_avg = welch_z(
+        [c * 1000000 for c in vals["A"]],
+        [c * 1000000 for c in vals["B"]],
+    )
+    assert abs(got["mean_spend"].z - z_mean) <= 2e-6
+    assert abs(got["avg_txn_value"].z - z_avg) <= 2e-6
+    # plant preconditions: every effect z inside (rank-2, rank-1)
+    # criticals — Bonferroni must miss, the step-up must fire
+    trio = ("mean_spend", "avg_txn_value", "ratio_cents_per_event")
+    for m in trio:
+        assert _FDR_BH_CRITS[1] <= abs(got[m].z) < _FDR_BH_CRITS[0], (
+            m, got[m].z,
+        )
+        assert got[m].bonferroni_reject == 0, m
+        assert got[m].bh_reject == 1, m
+        assert got[m].bh_rank <= 3, m
+    # the step-up property: the TOP rank fails its own bar yet rejects
+    top = next(r for r in got.values() if r.bh_rank == 1)
+    assert abs(top.z) < top.bh_crit and top.bh_reject == 1
+    # zero-variance nulls: NULL z, ranked last, never rejected
+    for m in ("events_per_user", "active_days", "retention_2day"):
+        assert got[m].z is None, m
+        assert got[m].bh_rank >= 4, m
+        assert got[m].bh_reject == 0 and got[m].bonferroni_reject == 0
+    # per-rank criticals are the pinned literals
+    for r in got.values():
+        assert r.bh_crit == _FDR_BH_CRITS[r.bh_rank - 1]
+    assert _FDR_BONF_CRIT == _FDR_BH_CRITS[0]
+
+    # global null: nothing fires under either correction
+    build(tmp_path / "null", 0)
+    got_n = QUERIES["diag_fdr_adjusted"](
+        spark, str(tmp_path / "null")
+    ).collect()
+    for r in got_n:
+        assert r.bh_reject == 0 and r.bonferroni_reject == 0, r.metric
+
+
+def test_hte_by_exposure_planted_decay(spark, tmp_path):
+    """diag_hte_by_exposure on a planted NOVELTY effect — treated
+    +$20/event in week 1 since enrollment, zero afterwards: per-bucket
+    lifts and Welch SEs replayed raw-Python (including a late-enrolling
+    pair whose calendar-day-10+ events land in THEIR week 1 — the
+    bucket is exposure-relative, not calendar), the pooled per-user
+    lift equals the SUM of bucket lifts (so it cannot distinguish
+    decay from persistence), and the trend z fires. A persistent plant
+    (same lift in both buckets) must read trend_z = 0 and not fire."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def build(path, wk1_lift, later_lift):
+        rows, eid = [], 0
+        users = []  # (uid, variant, [(day, cents), ...])
+        for i in range(20):
+            for variant, parity in (("A", 0), ("B", 1)):
+                uid = 2 * i + parity
+                evs = []
+                for d in (1, 2, 3, 4):  # week 1 (enroll day 1)
+                    c = 2500 + 10 * i
+                    if variant == "B":
+                        c += wk1_lift
+                    evs.append((d, c))
+                for d in (10, 11, 12, 13):  # later
+                    c = 2500 + 10 * i
+                    if variant == "B":
+                        c += later_lift
+                    evs.append((d, c))
+                users.append((uid, variant, evs))
+        # late-enrolling pair: first event day 10, so days 10-13 are
+        # THEIR week 1 — identical values in both variants
+        for variant, parity in (("A", 0), ("B", 1)):
+            uid = 40 + parity
+            users.append((uid, variant, [(d, 3000) for d in (10, 11, 12, 13)]))
+        for uid, variant, evs in users:
+            for d, c in evs:
+                rows.append(
+                    (eid, dt.datetime(2024, 1, d, 9), uid, "view",
+                     c / 100.0, "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+        return users
+
+    def replay(users):
+        cells = {}  # (bucket, variant) -> [per-user bucket cents]
+        for _, variant, evs in users:
+            enroll = min(d for d, _ in evs)
+            wk1 = sum(c for d, c in evs if d - enroll < 7)
+            later = sum(c for d, c in evs if d - enroll >= 7)
+            cells.setdefault(("wk1", variant), []).append(wk1)
+            cells.setdefault(("later", variant), []).append(later)
+        out = {}
+        for bucket in ("wk1", "later"):
+            a, b = cells[(bucket, "A")], cells[(bucket, "B")]
+            na, nb = len(a), len(b)
+            sya, syb = sum(a), sum(b)
+            syya = sum(x * x for x in a)
+            syyb = sum(x * x for x in b)
+            delta = syb / nb - sya / na
+            rad = ((syya - sya * sya / na) / (na - 1)) / na + (
+                (syyb - syb * syb / nb) / (nb - 1)
+            ) / nb
+            out[bucket] = (na, nb, delta, rad)
+        return out
+
+    # --- novelty plant: +2000 cents/event in week 1 only ---
+    users = build(tmp_path / "decay", 2000, 0)
+    got = {
+        r.bucket: r
+        for r in QUERIES["diag_hte_by_exposure"](
+            spark, str(tmp_path / "decay")
+        ).collect()
+    }
+    exp = replay(users)
+    assert set(got) == {"wk1", "later"}
+    for bucket, (na, nb, delta, rad) in exp.items():
+        r = got[bucket]
+        assert (r.n_control, r.n_treated) == (na, nb), bucket
+        assert abs(r.lift_cents - q6(delta)) <= 1e-6, bucket
+        assert abs(r.se_lift - q6(math.sqrt(rad))) <= 1e-6, bucket
+    d_w1, rad_w1 = exp["wk1"][2], exp["wk1"][3]
+    d_lt, rad_lt = exp["later"][2], exp["later"][3]
+    assert d_w1 > 1000 and abs(d_lt) < 1  # the decay
+    tz = q6((d_w1 - d_lt) / math.sqrt(rad_w1 + rad_lt))
+    for r in got.values():
+        assert abs(r.trend_z - tz) <= 1e-6
+        assert r.novelty_flag == 1  # the trend fires
+        # pooled = sum of bucket lifts: cannot tell decay from
+        # persistence — exactly why the per-bucket readout exists
+        assert abs(r.pooled_lift_cents - (d_w1 + d_lt)) <= 2e-6
+        assert r.pooled_lift_cents > 1000
+
+    # --- persistent plant: same lift in both buckets -> no fire ---
+    build(tmp_path / "persist", 2000, 2000)
+    got_p = {
+        r.bucket: r
+        for r in QUERIES["diag_hte_by_exposure"](
+            spark, str(tmp_path / "persist")
+        ).collect()
+    }
+    for r in got_p.values():
+        assert r.trend_z == 0.0
+        assert r.novelty_flag == 0
+
+
 def test_quantile_lift_ci_planted_ranks_and_whale(spark, tmp_path):
     """diag_quantile_lift_ci on a rank-transparent plant (U = 40 users
     per variant with per-user totals 100·i, so the order statistic at
