@@ -134,6 +134,12 @@ HEADLINE = [
     # aggregate); the PH check rides the pooled-day Cox shape (KM-sized
     # collect + driver Newton), and k-arm SRM rides the srm_check shape
     "diag_msprt_multiarm",
+    # round-15 addition: the six-metric FDR family — the widest
+    # single-scan readout (one per-user aggregate feeding six z's, a
+    # struct inline and the BH window machinery); the confidence
+    # sequence and quantile-CI shapes ride the mSPRT / quantile-lift
+    # entries already on the list
+    "diag_fdr_adjusted",
 ]
 
 

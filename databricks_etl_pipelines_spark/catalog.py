@@ -45,76 +45,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then queries changed this round, then a few high-value sentinels. Rotate
 # per round so every query eventually gets a hard-signal row.
 PRIORITY: list[str] = [
-    # --- round-14 rotation, the r13 verdict's prescription: the round's
-    # NEW queries first, then the queries whose CODE or ORACLE changed
-    # this round (diag_srm_check now delegates to the shared
-    # _srm_enroll_state/_srm_project pair the streaming flavor reads;
-    # both 2-variant mSPRT flavors ride the _msprt_cum factoring the
-    # O'Brien-Fleming monitor shares; the three r11-vintage drift
-    # streams ride the changed incremental_aggregate — eager fold-name
-    # validation + the create_or_overwrite fold-marker tombstone — and
-    # are the stalest consumers of that infrastructure), then 31 of the
-    # 49 r8-vintage rows — 13 + 6 + 31 = 50 exactly. The remaining 18
-    # r8 rows lead the r15 overflow and clear next round.
-    # (a) round-14 NEW queries, newest-risk first
-    "diag_cox_ph_assumption",
-    "diag_srm_multiarm",
-    "diag_msprt_multiarm",
-    "streaming_msprt_multiarm",
-    "diag_obrien_fleming",
-    "diag_cuped_stratified",
-    "diag_km_median_ci",
-    "diag_power_mde",
-    "diag_hte_by_band",
-    "diag_ratio_metric_delta",
-    "diag_quantile_lift",
-    "streaming_experiment_suite",
-    "streaming_srm_check",
-    # (a') changed this round (code and/or shared infrastructure)
-    "diag_srm_check",
-    "diag_msprt_sequential",
-    "streaming_msprt_sequential",
-    "streaming_ks_drift",
-    "streaming_psi_drift",
-    "streaming_cvm_drift",
-    # (b) 31 of the 49 r8-vintage rows (newest driver evidence r8)
-    "agg_bloom_filter_prune",
-    "agg_countmin_words",
-    "agg_theta_sketch_setops",
-    "agg_value_histogram",
-    "curation_contamination_ngram",
-    "curation_corpus_composition",
-    "curation_corpus_drift",
-    "curation_curriculum_interleave",
-    "curation_mixture_weights",
-    "curation_shard_assignment",
-    "curation_source_overlap",
-    "curation_token_budget_select",
-    "dedup_containment_pairs",
-    "embedding_jl_projection",
-    "graph_pagerank_bipartite",
-    "ml_kmeans_lloyd_crossengine",
-    "multimodal_phash_neardup",
-    "pipeline_gold_cardholder_features",
-    "pipeline_gold_hourly_volume",
-    "pipeline_gold_merchant_summary",
-    "privacy_k_anonymity_audit",
-    "privacy_l_diversity_audit",
-    "similarity_jl_recall",
-    "sql_customer_distribution",
-    "sql_excess_share_suppliers",
-    "sql_important_parts",
-    "sql_parts_supplier_count",
-    "sql_text_pricing_summary",
-    "sql_top_supplier_quarter",
-    "streaming_bloom_dedup",
-    "streaming_countmin_heavy_hitters",
-    # ---------------- 50-slot cap boundary ----------------
-    # overflow: the 18 remaining r8-vintage rows lead (stalest after
-    # this rotation — they head the r15 cap), then everything fresher
-    # in registration order; the rows-only set stays at the end (weaker
-    # rows by design — each has an oracle-backed sibling; see
-    # COVERAGE.md rows-only map).
+    # --- round-15 rotation, the r14 verdict's prescription: the round's
+    # NEW queries first (the confidence sequence, the quantile-lift
+    # rank CIs, their streaming flavor, the exposure-time HTE, the
+    # BH/FDR correction), then ALL 18 remaining r8-vintage rows (this
+    # empties the r8 vintage — the r14 verdict's done-criterion), then
+    # the first 27 of the 50 r9-vintage rows alphabetically —
+    # 5 + 18 + 27 = 50 exactly. No
+    # oracle-backed query's code or oracle changed this round outside
+    # the new four (the create_or_overwrite change adds a parameter and
+    # a warning on a path no registered query takes — fold commits pass
+    # explicit markers and the repeated-overwrite golds never carry
+    # live ones — and the stale streaming managed-table consumers are
+    # already in the r8 block). The remaining 22 r9 rows lead the r16
+    # overflow.
+    # (a) round-15 NEW queries, newest-risk first
+    "diag_confidence_sequence",
+    "streaming_confidence_sequence",
+    "diag_quantile_lift_ci",
+    "diag_hte_by_exposure",
+    "diag_fdr_adjusted",
+    # (b) ALL 18 remaining r8-vintage rows (newest driver evidence r8)
     "streaming_sliding_window",
     "streaming_stream_static_join",
     "streaming_stream_stream_join",
@@ -132,7 +83,64 @@ PRIORITY: list[str] = [
     "window_event_transitions",
     "window_funnel_ordered",
     "window_resample_forward_fill",
-    "window_sessionize_events",]
+    "window_sessionize_events",
+    # (c) 27 of the 50 r9-vintage rows (alphabetical)
+    "agg_benford_first_digit",
+    "agg_winsorize_zscore",
+    "curation_chunk_manifest",
+    "curation_dsir_budget_select",
+    "curation_dsir_weights",
+    "curation_length_buckets",
+    "curation_mixture_epoch_plan",
+    "curation_pack_concat_chunks",
+    "curation_source_divergence",
+    "dedup_duplicate_spans",
+    "dedup_passages",
+    "dedup_semdedup_crossengine",
+    "dedup_simhash_crossengine",
+    "diag_column_profile",
+    "diag_join_key_skew",
+    "dim_scd2_history",
+    "embedding_centroid_per_label",
+    "embedding_int8_quantization",
+    "join_disjunctive_predicates",
+    "join_fuzzy_name_match",
+    "join_interval_overlap",
+    "join_local_supplier_volume",
+    "join_priority_class_counts",
+    "join_shipping_priority_topk",
+    "join_small_lot_revenue",
+    "multimodal_decode_image_stats",
+    "multimodal_downsample_stats",
+    # ---------------- 50-slot cap boundary ----------------
+    # overflow: the 23 remaining r9-vintage rows lead (stalest after
+    # this rotation — they head the r16 cap), then everything fresher
+    # in registration order; the rows-only set stays at the end (weaker
+    # rows by design — each has an oracle-backed sibling; see
+    # COVERAGE.md rows-only map).
+    "privacy_document_scrub",
+    "privacy_gdpr_erase_users",
+    "privacy_t_closeness_audit",
+    "scalar_variant_json",
+    "sft_turn_offsets",
+    "similarity_batch_topk",
+    "similarity_chunk_retrieval",
+    "similarity_ivf_crossengine",
+    "similarity_pq_adc_crossengine",
+    "similarity_rrf_fusion",
+    "similarity_text_hash_topk",
+    "source_python_datasource",
+    "source_python_stream_datasource",
+    "sql_avg_yearly_revenue",
+    "streaming_corpus_drift",
+    "streaming_dsir_scores",
+    "text_augment_dropout",
+    "text_hash_embeddings",
+    "text_lm_surprisal",
+    "text_repetition_signals",
+    "text_sliding_chunks",
+    "window_attribution_linear",
+    "window_ema_smoothing",]
 
 
 def load_all() -> None:

@@ -7538,3 +7538,52 @@ def diag_fdr_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" AND abs(z) >= CAST({_FDR_BONF_CRIT} AS DOUBLE)"
         f" THEN 1 ELSE 0 END AS bonferroni_reject",
     )
+
+
+@query("streaming_confidence_sequence", _CS_ORACLE)
+def streaming_confidence_sequence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The anytime-valid confidence sequence maintained INCREMENTALLY:
+    the same additive per-(day, variant) partials as the streaming
+    mSPRT fold exactly-once through incremental_aggregate under the
+    non-chronological event_id%3 feed, and the interval readout is the
+    shared :func:`_cs_project` over the 2-rows-per-day gold — the
+    batch oracle verbatim. This is the monitor a live dashboard
+    actually renders (the interval, updated per batch, quotable at any
+    peek); at 100 TB the per-batch cost is the batch partial + a
+    state-sized fold, identical to the mSPRT gate it inverts."""
+    from databricks_etl_pipelines_spark.plans.queries_streaming import (
+        _write_batched_feed,
+    )
+    from databricks_etl_pipelines_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from databricks_etl_pipelines_spark.sources.scratch import scratch_dir
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        await_drained,
+        incremental_aggregate,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src_dir = _write_batched_feed(
+        [ev.filter(F.col("event_id") % 3 == b) for b in range(3)],
+        "confseq_",
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    target = ManagedTable(scratch_dir("confseq_gold_"))
+    q = incremental_aggregate(
+        stream,
+        target,
+        ["day", "variant"],
+        _msprt_partial,
+        scratch_dir("confseq_ckpt_"),
+    )
+    await_drained(q, 300)
+    return _cs_project(target.read(spark))
