@@ -7587,3 +7587,201 @@ def streaming_confidence_sequence(
     )
     await_drained(q, 300)
     return _cs_project(target.read(spark))
+
+
+# -- Wilcoxon-Mann-Whitney rank-sum test --------------------------------------------
+
+# The TEST that completes the nonparametric lift family (quantile
+# points -> order-statistic CIs -> this): the Mann-Whitney U compares
+# the WHOLE distributions without any moment assumption — the
+# question "does a random treated user outspend a random control
+# user?" — robust where a whale makes the mean z meaningless. The
+# pairwise definition U_B = Σ_pairs 1{y_B > y_A} + ½·1{tie} never
+# enumerates pairs: over the per-variant value histogram,
+#   2·U_B = Σ_y c_B(y) · (2·cumless_A(y) + c_A(y))
+# is an EXACT integer-valued sum (kept in decimal(38,0)/HUGEINT —
+# c_B·cumless_A ~ 1e20 at 100 TB outgrows int64), where cumless_A is
+# the EXCLUSIVE prefix count of A below y (frame to 1 PRECEDING; the
+# empty first frame is NULL on both engines → coalesce 0 — integer
+# cousin of the KM exclusive-prefix recipe). The normal approximation
+# uses the TIE-CORRECTED variance
+#   Var(U) = n_a·n_b/12 · ((n+1) − Σ_j (t_j³−t_j) / (n(n−1)))
+# with t_j the pooled tie-group sizes — Σ(t³−t) again decimal-exact.
+# The readout is one identical float sequence over those exact
+# integers (z from the 2U form so no 0.5's appear until the floats;
+# var CASE-guarded: an all-tied corpus makes it exactly 0 → NULL z on
+# both engines, the honest answer), plus the rank-biserial effect
+# size r = 2U/(n_a·n_b) − 1 ∈ [−1, 1] (the probability-scale lift a
+# dashboard can read). Plan: same 1-scan shape as the quantile
+# machinery — per-user aggregate, value-histogram windows bounded by
+# the cents lattice, a one-row readout.
+_MWU_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT y,
+    CAST(coalesce(sum(CASE WHEN variant = 'A' THEN 1 END), 0)
+      AS BIGINT) AS ca,
+    CAST(coalesce(sum(CASE WHEN variant = 'B' THEN 1 END), 0)
+      AS BIGINT) AS cb
+  FROM pu GROUP BY y
+),
+cl AS (
+  SELECT y, ca, cb,
+    CAST(coalesce(sum(ca) OVER (ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum_less_a
+  FROM h
+),
+agg AS (
+  SELECT
+    CAST(sum(ca) AS BIGINT) AS n_a,
+    CAST(sum(cb) AS BIGINT) AS n_b,
+    sum(CAST(cb AS DECIMAL(38,0))
+        * (2 * CAST(cum_less_a AS DECIMAL(38,0))
+           + CAST(ca AS DECIMAL(38,0)))) AS u2,
+    sum((CAST(ca + cb AS DECIMAL(38,0))
+         * CAST(ca + cb AS DECIMAL(38,0))
+         * CAST(ca + cb AS DECIMAL(38,0)))
+        - CAST(ca + cb AS DECIMAL(38,0))) AS tsum
+  FROM cl
+),
+vr AS (
+  SELECT n_a, n_b, u2,
+    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      / CAST(12 AS DOUBLE)
+      * ((CAST(n_a + n_b + 1 AS DOUBLE))
+         - CAST(tsum AS DOUBLE)
+           / (CAST(n_a + n_b AS DOUBLE)
+              * CAST(n_a + n_b - 1 AS DOUBLE))) AS var_u
+  FROM agg
+),
+zr AS (
+  SELECT n_a, n_b, u2, var_u,
+    CASE WHEN var_u > CAST(0 AS DOUBLE) THEN
+      floor((CAST(u2 AS DOUBLE)
+             - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+            / (CAST(2 AS DOUBLE) * sqrt(var_u)) * 1000000 + 0.5)
+        / 1000000 END AS z_stat
+  FROM vr
+)
+SELECT n_a AS n_control, n_b AS n_treated,
+  CAST(u2 AS DOUBLE) / CAST(2 AS DOUBLE) AS u_stat,
+  floor((CAST(u2 AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         - CAST(1 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+    AS rank_biserial,
+  CASE WHEN var_u > CAST(0 AS DOUBLE) THEN
+    floor(sqrt(var_u) * 1000000 + 0.5) / 1000000 END AS se_u,
+  z_stat,
+  CASE WHEN z_stat IS NOT NULL THEN
+    CASE WHEN abs(z_stat) > CAST({_PH_Z_CRIT} AS DOUBLE)
+         THEN 1 ELSE 0 END
+  END AS reject_flag
+FROM zr
+"""
+
+
+@query("diag_rank_sum_test", _MWU_ORACLE)
+def diag_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon-Mann-Whitney rank-sum test on per-user spend between
+    the parity variants: the exact U statistic (2U as a decimal-exact
+    histogram sum — never a pair enumeration), the tie-corrected
+    normal z, the rank-biserial effect size and the α = 0.05 verdict —
+    the whale-robust distributional test next to diag_quantile_lift's
+    points and diag_quantile_lift_ci's intervals. See the section
+    comment for the exactness and scale argument."""
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "y",
+    )
+    h = pu.groupBy("y").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "A", 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("ca"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == "B", 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("cb"),
+    )
+    w_less = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cl = h.select(
+        "y",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("ca").over(w_less), F.lit(0))
+        .cast("long")
+        .alias("cum_less_a"),
+    )
+    agg = cl.groupBy().agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("cb").cast("decimal(38,0)")
+            * (
+                2 * F.col("cum_less_a").cast("decimal(38,0)")
+                + F.col("ca").cast("decimal(38,0)")
+            )
+        ).alias("u2"),
+        F.sum(
+            (
+                (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
+                * (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
+                * (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
+            )
+            - (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
+        ).alias("tsum"),
+    )
+    vr = agg.selectExpr(
+        "n_a",
+        "n_b",
+        "u2",
+        "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        " / CAST(12 AS DOUBLE)"
+        " * ((CAST(n_a + n_b + 1 AS DOUBLE))"
+        "    - CAST(tsum AS DOUBLE)"
+        "      / (CAST(n_a + n_b AS DOUBLE)"
+        "         * CAST(n_a + n_b - 1 AS DOUBLE))) AS var_u",
+    )
+    zr = vr.selectExpr(
+        "n_a",
+        "n_b",
+        "u2",
+        "var_u",
+        "CASE WHEN var_u > CAST(0 AS DOUBLE) THEN"
+        " floor((CAST(u2 AS DOUBLE)"
+        "        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        "       / (CAST(2 AS DOUBLE) * sqrt(var_u)) * 1000000 + 0.5)"
+        " / 1000000 END AS z_stat",
+    )
+    return zr.selectExpr(
+        "n_a AS n_control",
+        "n_b AS n_treated",
+        "CAST(u2 AS DOUBLE) / CAST(2 AS DOUBLE) AS u_stat",
+        "floor((CAST(u2 AS DOUBLE)"
+        "       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        "       - CAST(1 AS DOUBLE)) * 1000000 + 0.5) / 1000000"
+        " AS rank_biserial",
+        "CASE WHEN var_u > CAST(0 AS DOUBLE) THEN"
+        " floor(sqrt(var_u) * 1000000 + 0.5) / 1000000 END AS se_u",
+        "z_stat",
+        f"CASE WHEN z_stat IS NOT NULL THEN"
+        f" CASE WHEN abs(z_stat) > CAST({_PH_Z_CRIT} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END END AS reject_flag",
+    )

@@ -6400,6 +6400,115 @@ def test_ratio_metric_delta_planted_replay(spark, tmp_path):
     assert got["A"].diff_flag == 1 and z > 0
 
 
+def test_rank_sum_test_planted_brute_force(spark, tmp_path):
+    """diag_rank_sum_test vs the brute-force pairwise definition on a
+    TIE-HEAVY plant: U, the tie-corrected variance and z replayed raw
+    (every pair enumerated, ties counted ½); a +$30 shifted plant must
+    fire with rank_biserial > 0; identical distributions must read
+    U = n²/2, rank_biserial = 0, no fire; an ALL-TIED corpus (var = 0)
+    must yield NULL z on both engines — the degenerate convention."""
+    import datetime as dt
+    import math
+
+    import duckdb
+
+    from databricks_etl_pipelines_spark.catalog import (
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def build(path, a_vals, b_vals):
+        rows, eid, uid = [], 0, 0
+        for variant, parity, vals in (("A", 0, a_vals), ("B", 1, b_vals)):
+            for c in vals:
+                uid += 2
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 5, 9), uid + parity,
+                     "view", c / 100.0, "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+
+    def brute(a_vals, b_vals):
+        u2 = sum(
+            2 if b > a else (1 if b == a else 0)
+            for a in a_vals
+            for b in b_vals
+        )
+        na, nb = len(a_vals), len(b_vals)
+        n = na + nb
+        ties = {}
+        for v in list(a_vals) + list(b_vals):
+            ties[v] = ties.get(v, 0) + 1
+        tsum = sum(t ** 3 - t for t in ties.values())
+        var_u = na * nb / 12.0 * ((n + 1) - tsum / (n * (n - 1)))
+        z = (
+            q6((u2 - na * nb) / (2.0 * math.sqrt(var_u)))
+            if var_u > 0
+            else None
+        )
+        return u2, var_u, z
+
+    # tie-heavy plant: values drawn from a tiny lattice, asymmetric
+    a_vals = [100, 100, 200, 200, 200, 300, 400, 400, 500, 600]
+    b_vals = [100, 200, 300, 300, 400, 500, 500, 500, 600, 700]
+    build(tmp_path / "ties", a_vals, b_vals)
+    r = QUERIES["diag_rank_sum_test"](
+        spark, str(tmp_path / "ties")
+    ).collect()[0]
+    u2, var_u, z = brute(a_vals, b_vals)
+    assert (r.n_control, r.n_treated) == (10, 10)
+    assert r.u_stat == u2 / 2.0
+    assert abs(r.se_u - q6(math.sqrt(var_u))) <= 1e-6
+    assert abs(r.z_stat - z) <= 1e-6
+    assert abs(r.rank_biserial - q6(u2 / (10 * 10) - 1)) <= 1e-6
+    # and the oracle replays the identical row
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/ties/events.parquet/*.parquet'"
+    )
+    orc = con.execute(ORACLES["diag_rank_sum_test"]).fetchall()[0]
+    assert orc == (
+        r.n_control, r.n_treated, r.u_stat, r.rank_biserial, r.se_u,
+        r.z_stat, r.reject_flag,
+    )
+
+    # +$30 shift: treated stochastically dominates -> fires, r > 0
+    shift = [c + 3000 for c in a_vals]
+    build(tmp_path / "shift", a_vals * 8, shift * 8)
+    rs = QUERIES["diag_rank_sum_test"](
+        spark, str(tmp_path / "shift")
+    ).collect()[0]
+    u2s, _, zs = brute(a_vals * 8, shift * 8)
+    assert rs.z_stat == zs and rs.reject_flag == 1
+    assert rs.rank_biserial > 0.9  # near-complete dominance
+
+    # identical distributions: U = n^2/2 exactly, r = 0, quiet
+    build(tmp_path / "same", a_vals, a_vals)
+    ri = QUERIES["diag_rank_sum_test"](
+        spark, str(tmp_path / "same")
+    ).collect()[0]
+    assert ri.u_stat == (10 * 10) / 2.0
+    assert ri.rank_biserial == 0.0 and ri.reject_flag == 0
+
+    # all-tied corpus: variance exactly 0 -> NULL z, NULL flag
+    build(tmp_path / "const", [500] * 6, [500] * 6)
+    rc = QUERIES["diag_rank_sum_test"](
+        spark, str(tmp_path / "const")
+    ).collect()[0]
+    assert rc.z_stat is None and rc.se_u is None and rc.reject_flag is None
+    assert rc.u_stat == 36 / 2.0  # all ties: U = n_a*n_b/2 still
+
+
 def test_fdr_adjusted_planted_stepup_vs_bonferroni(spark, tmp_path):
     """diag_fdr_adjusted on a plant with THREE correlated moderate
     effects (treated +18 cents/event moves mean_spend, avg_txn_value

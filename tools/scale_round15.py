@@ -179,6 +179,31 @@ def main() -> None:
           f"BH rejections {rejected1} -> {rejected4} (monotone); "
           f"walls {w1:.1f}s -> {w4:.1f}s")
 
+    # -- Mann-Whitney rank-sum test --------------------------------------------
+    t0 = time.time()
+    m1 = QUERIES["diag_rank_sum_test"](spark, sf_dir).collect()[0]
+    w1 = time.time() - t0
+    t0 = time.time()
+    m4 = QUERIES["diag_rank_sum_test"](spark, rep_dir).collect()[0]
+    w4 = time.time() - t0
+    assert m4.n_control == 4 * m1.n_control
+    assert m4.n_treated == 4 * m1.n_treated
+    # pair count scales x16: U x16 exact, rank-biserial EXACTLY equal
+    # ((16·U)/(16·na·nb) is the identical double)
+    assert m4.u_stat == 16 * m1.u_stat, (m1.u_stat, m4.u_stat)
+    assert m4.rank_biserial == m1.rank_biserial, (
+        m1.rank_biserial, m4.rank_biserial,
+    )
+    assert m1.z_stat is not None and m4.z_stat is not None, (
+        f"rank-sum degenerate: z1={m1.z_stat!r} z4={m4.z_stat!r}"
+    )
+    if abs(m1.z_stat) > 0.05:
+        z_ratio = abs(m4.z_stat) / abs(m1.z_stat)
+        assert 1.85 < z_ratio < 2.15, (m1.z_stat, m4.z_stat, z_ratio)
+    print(f"rank-sum: U x16 exact, rank-biserial EXACTLY equal "
+          f"({m1.rank_biserial}), z {m1.z_stat} -> {m4.z_stat}; "
+          f"walls {w1:.1f}s -> {w4:.1f}s")
+
     print("ALL ASSERTIONS PASSED")
 
 
