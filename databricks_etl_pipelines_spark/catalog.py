@@ -50,16 +50,17 @@ PRIORITY: list[str] = [
     # rank CIs, their streaming flavor, the exposure-time HTE, the
     # BH/FDR correction), then ALL 18 remaining r8-vintage rows (this
     # empties the r8 vintage — the r14 verdict's done-criterion), then
-    # the first 26 of the 50 r9-vintage rows alphabetically —
-    # 6 + 18 + 26 = 50 exactly. No
+    # the first 25 of the 50 r9-vintage rows alphabetically —
+    # 7 + 18 + 25 = 50 exactly. No
     # oracle-backed query's code or oracle changed this round outside
-    # the new six (the create_or_overwrite change adds a parameter and
+    # the new seven (the create_or_overwrite change adds a parameter and
     # a warning on a path no registered query takes — fold commits pass
     # explicit markers and the repeated-overwrite golds never carry
     # live ones — and the stale streaming managed-table consumers are
     # already in the r8 block). The remaining 22 r9 rows lead the r16
     # overflow.
     # (a) round-15 NEW queries, newest-risk first
+    "diag_variance_effect",
     "diag_rank_sum_test",
     "diag_confidence_sequence",
     "streaming_confidence_sequence",
@@ -85,7 +86,7 @@ PRIORITY: list[str] = [
     "window_funnel_ordered",
     "window_resample_forward_fill",
     "window_sessionize_events",
-    # (c) 26 of the 50 r9-vintage rows (alphabetical)
+    # (c) 25 of the 50 r9-vintage rows (alphabetical)
     "agg_benford_first_digit",
     "agg_winsorize_zscore",
     "curation_chunk_manifest",
@@ -111,13 +112,13 @@ PRIORITY: list[str] = [
     "join_priority_class_counts",
     "join_shipping_priority_topk",
     "join_small_lot_revenue",
-    "multimodal_decode_image_stats",
     # ---------------- 50-slot cap boundary ----------------
-    # overflow: the 24 remaining r9-vintage rows lead (stalest after
+    # overflow: the 25 remaining r9-vintage rows lead (stalest after
     # this rotation — they head the r16 cap), then everything fresher
     # in registration order; the rows-only set stays at the end (weaker
     # rows by design — each has an oracle-backed sibling; see
     # COVERAGE.md rows-only map).
+    "multimodal_decode_image_stats",
     "multimodal_downsample_stats",
     "privacy_document_scrub",
     "privacy_gdpr_erase_users",

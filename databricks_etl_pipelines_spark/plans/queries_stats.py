@@ -7785,3 +7785,213 @@ def diag_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" CASE WHEN abs(z_stat) > CAST({_PH_Z_CRIT} AS DOUBLE)"
         f" THEN 1 ELSE 0 END END AS reject_flag",
     )
+
+
+# -- Brown-Forsythe variance-effect test --------------------------------------------
+
+# The readout for a treatment that changes the SPREAD, not the mean —
+# a pricing/risk change can leave average spend flat while widening
+# (or collapsing) the distribution, which every mean/lift z reads as
+# "no effect". Brown & Forsythe (1974): center each observation at
+# its GROUP MEDIAN (robust where Levene's mean-centering loses level
+# under skew), then run the two-sample test on the absolute
+# deviations d = |y − median_v|. Exactness: the per-variant median is
+# the exact p50 order statistic off the value histogram (the
+# quantile-lift crossing, rank ⌈U/2⌉); d is then an exact integer
+# cents value, so the Welch z on d is the standard exact-moment float
+# sequence (decimal second moments, CASE-guarded radicand, q6, flag
+# vs the pre-rounded normal critical). Plan: the median join-back is
+# a 2-row broadcast onto the per-user relation — the stratified-CUPED
+# exception shape (2 scans + a tiny BroadcastHashJoin), declared; at
+# 100 TB the second pass is one more scan-aggregate, state stays
+# 2 rows.
+_BF_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT variant, y, CAST(count(*) AS BIGINT) AS c
+  FROM pu GROUP BY variant, y
+),
+cum AS (
+  SELECT variant, y,
+    CAST(sum(c) OVER (PARTITION BY variant ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cw,
+    CAST(sum(c) OVER (PARTITION BY variant) AS BIGINT) AS u
+  FROM h
+),
+med AS (
+  SELECT variant,
+    CAST(min(CASE WHEN 100 * cw >= 50 * u THEN y END) AS BIGINT) AS m
+  FROM cum GROUP BY variant
+),
+dev AS (
+  SELECT pu.variant, abs(pu.y - med.m) AS d
+  FROM pu JOIN med ON pu.variant = med.variant
+),
+v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+    CAST(sum(d) AS BIGINT) AS sd_sum,
+    sum(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS qd
+  FROM dev GROUP BY variant
+),
+w AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN nv END) AS na,
+    max(CASE WHEN variant = 'B' THEN nv END) AS nb,
+    max(CASE WHEN variant = 'A' THEN sd_sum END) AS sda,
+    max(CASE WHEN variant = 'B' THEN sd_sum END) AS sdb,
+    max(CASE WHEN variant = 'A' THEN qd END) AS qda,
+    max(CASE WHEN variant = 'B' THEN qd END) AS qdb
+  FROM v
+),
+bs AS (
+  SELECT na, nb, sda, sdb,
+    (CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE)
+     - CAST(sda AS DOUBLE) / CAST(na AS DOUBLE)) AS delta,
+    ((CAST(qda AS DOUBLE)
+      - CAST(sda AS DOUBLE) * CAST(sda AS DOUBLE) / CAST(na AS DOUBLE))
+     / nullif(CAST(na - 1 AS DOUBLE), 0)) / CAST(na AS DOUBLE)
+    + ((CAST(qdb AS DOUBLE)
+        - CAST(sdb AS DOUBLE) * CAST(sdb AS DOUBLE)
+          / CAST(nb AS DOUBLE))
+       / nullif(CAST(nb - 1 AS DOUBLE), 0)) / CAST(nb AS DOUBLE)
+      AS rad
+  FROM w
+)
+SELECT na AS n_control, nb AS n_treated,
+  CAST((SELECT m FROM med WHERE variant = 'A') AS BIGINT)
+    AS median_control,
+  CAST((SELECT m FROM med WHERE variant = 'B') AS BIGINT)
+    AS median_treated,
+  floor(CAST(sda AS DOUBLE) / CAST(na AS DOUBLE) * 1000000 + 0.5)
+    / 1000000 AS mad_control,
+  floor(CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE) * 1000000 + 0.5)
+    / 1000000 AS mad_treated,
+  CASE WHEN rad > CAST(0 AS DOUBLE) THEN
+    floor(delta / sqrt(rad) * 1000000 + 0.5) / 1000000 END AS bf_z,
+  CASE WHEN rad > CAST(0 AS DOUBLE) THEN
+    CASE WHEN abs(floor(delta / sqrt(rad) * 1000000 + 0.5) / 1000000)
+              > CAST({_PH_Z_CRIT} AS DOUBLE)
+         THEN 1 ELSE 0 END
+  END AS variance_flag
+FROM bs
+"""
+
+
+@query("diag_variance_effect", _BF_ORACLE)
+def diag_variance_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-effect test between the parity
+    variants: per-variant exact median of per-user spend, the mean
+    absolute deviation from it, and the Welch z on those deviations —
+    the readout that catches a treatment changing the SPREAD (risk)
+    of spend while the mean lift reads flat. Median join-back is a
+    2-row broadcast (the stratified-CUPED exception shape); see the
+    section comment."""
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "y",
+    )
+    h = pu.groupBy("variant", "y").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("variant")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_var = Window.partitionBy("variant")
+    cum = h.select(
+        "variant",
+        "y",
+        F.sum("c").over(w_cum).cast("long").alias("cw"),
+        F.sum("c").over(w_var).cast("long").alias("u"),
+    )
+    med = cum.groupBy("variant").agg(
+        F.min(
+            F.when(100 * F.col("cw") >= 50 * F.col("u"), F.col("y"))
+        )
+        .cast("long")
+        .alias("m")
+    )
+    dev = pu.join(F.broadcast(med), "variant").select(
+        "variant",
+        "m",
+        F.abs(F.col("y") - F.col("m")).alias("d"),
+    )
+    # the median rides the deviation relation (constant per variant),
+    # so the readout needs no second join back to med
+    v = dev.groupBy("variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("d").cast("long").alias("sd_sum"),
+        F.sum(
+            F.col("d").cast("decimal(38,0)")
+            * F.col("d").cast("decimal(38,0)")
+        ).alias("qd"),
+        F.max("m").alias("mv"),
+    )
+    w = v.groupBy().agg(
+        F.max(F.when(F.col("variant") == "A", F.col("nv"))).alias("na"),
+        F.max(F.when(F.col("variant") == "B", F.col("nv"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "A", F.col("sd_sum"))).alias(
+            "sda"
+        ),
+        F.max(F.when(F.col("variant") == "B", F.col("sd_sum"))).alias(
+            "sdb"
+        ),
+        F.max(F.when(F.col("variant") == "A", F.col("qd"))).alias("qda"),
+        F.max(F.when(F.col("variant") == "B", F.col("qd"))).alias("qdb"),
+        F.max(F.when(F.col("variant") == "A", F.col("mv")))
+        .cast("long")
+        .alias("median_control"),
+        F.max(F.when(F.col("variant") == "B", F.col("mv")))
+        .cast("long")
+        .alias("median_treated"),
+    )
+    bs = w.selectExpr(
+        "na",
+        "nb",
+        "sda",
+        "sdb",
+        "median_control",
+        "median_treated",
+        "(CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE)"
+        " - CAST(sda AS DOUBLE) / CAST(na AS DOUBLE)) AS delta",
+        "((CAST(qda AS DOUBLE)"
+        "  - CAST(sda AS DOUBLE) * CAST(sda AS DOUBLE)"
+        "    / CAST(na AS DOUBLE))"
+        " / nullif(CAST(na - 1 AS DOUBLE), 0)) / CAST(na AS DOUBLE)"
+        " + ((CAST(qdb AS DOUBLE)"
+        "     - CAST(sdb AS DOUBLE) * CAST(sdb AS DOUBLE)"
+        "       / CAST(nb AS DOUBLE))"
+        "    / nullif(CAST(nb - 1 AS DOUBLE), 0)) / CAST(nb AS DOUBLE)"
+        " AS rad",
+    )
+    return bs.selectExpr(
+        "na AS n_control",
+        "nb AS n_treated",
+        "median_control",
+        "median_treated",
+        "floor(CAST(sda AS DOUBLE) / CAST(na AS DOUBLE) * 1000000 + 0.5)"
+        " / 1000000 AS mad_control",
+        "floor(CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE) * 1000000 + 0.5)"
+        " / 1000000 AS mad_treated",
+        "CASE WHEN rad > CAST(0 AS DOUBLE) THEN"
+        " floor(delta / sqrt(rad) * 1000000 + 0.5) / 1000000 END"
+        " AS bf_z",
+        f"CASE WHEN rad > CAST(0 AS DOUBLE) THEN"
+        f" CASE WHEN abs(floor(delta / sqrt(rad) * 1000000 + 0.5)"
+        f" / 1000000) > CAST({_PH_Z_CRIT} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END END AS variance_flag",
+    )

@@ -6400,6 +6400,90 @@ def test_ratio_metric_delta_planted_replay(spark, tmp_path):
     assert got["A"].diff_flag == 1 and z > 0
 
 
+def test_variance_effect_planted_spread_change(spark, tmp_path):
+    """diag_variance_effect on a plant where the treatment WIDENS the
+    spread but leaves the mean and median flat: the Brown-Forsythe z
+    (Welch on |y − group median|) replayed raw-Python must fire while
+    the plain mean lift is exactly 0; identical distributions must
+    read bf_z = 0 with no fire; and the per-variant medians must be
+    the exact p50 order statistics."""
+    import datetime as dt
+    import math
+
+    from databricks_etl_pipelines_spark.catalog import QUERIES, load_all
+
+    load_all()
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def build(path, a_vals, b_vals):
+        rows, eid, uid = [], 0, 0
+        for variant, parity, vals in (("A", 0, a_vals), ("B", 1, b_vals)):
+            for c in vals:
+                uid += 2
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 5, 9), uid + parity,
+                     "view", c / 100.0, "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+
+    def replay(a_vals, b_vals):
+        def med(vals):
+            s = sorted(vals)
+            return s[(len(s) + 1) // 2 - 1]  # rank ceil(U/2), 1-based
+
+        out = []
+        for vals in (a_vals, b_vals):
+            m = med(vals)
+            d = [abs(v - m) for v in vals]
+            n = len(d)
+            sd, qd = sum(d), sum(x * x for x in d)
+            out.append((m, sd, qd, n))
+        (ma, sda, qda, na), (mb, sdb, qdb, nb) = out
+        delta = sdb / nb - sda / na
+        rad = ((qda - sda * sda / na) / (na - 1)) / na + (
+            (qdb - sdb * sdb / nb) / (nb - 1)
+        ) / nb
+        z = q6(delta / math.sqrt(rad)) if rad > 0 else None
+        return ma, mb, z
+
+    # equal mean (5000) and median (5000), B spread 4x wider:
+    # A = 5000 ± {0,100,200,300}, B = 5000 ± {0,400,800,1200}, repeated
+    base_a = [5000, 4900, 5100, 4800, 5200, 4700, 5300, 5000]
+    base_b = [5000, 4600, 5400, 4200, 5800, 3800, 6200, 5000]
+    a_vals, b_vals = base_a * 10, base_b * 10
+    assert sum(a_vals) == sum(b_vals)  # mean lift exactly 0
+    build(tmp_path / "spread", a_vals, b_vals)
+    r = QUERIES["diag_variance_effect"](
+        spark, str(tmp_path / "spread")
+    ).collect()[0]
+    ma, mb, z = replay(a_vals, b_vals)
+    assert (r.n_control, r.n_treated) == (80, 80)
+    assert (r.median_control, r.median_treated) == (ma, mb) == (5000, 5000)
+    assert abs(r.bf_z - z) <= 1e-6
+    assert r.bf_z > 1.959964 and r.variance_flag == 1  # spread fires
+    assert r.mad_treated > 2 * r.mad_control
+
+    # identical distributions: z exactly 0, quiet
+    build(tmp_path / "same", a_vals, a_vals)
+    ri = QUERIES["diag_variance_effect"](
+        spark, str(tmp_path / "same")
+    ).collect()[0]
+    assert ri.bf_z == 0.0 and ri.variance_flag == 0
+
+    # constant corpus: zero deviations everywhere -> NULL z, NULL flag
+    build(tmp_path / "const", [500] * 5, [500] * 5)
+    rc = QUERIES["diag_variance_effect"](
+        spark, str(tmp_path / "const")
+    ).collect()[0]
+    assert rc.bf_z is None and rc.variance_flag is None
+    assert (rc.mad_control, rc.mad_treated) == (0.0, 0.0)
+
+
 def test_rank_sum_test_planted_brute_force(spark, tmp_path):
     """diag_rank_sum_test vs the brute-force pairwise definition on a
     TIE-HEAVY plant: U, the tie-corrected variance and z replayed raw

@@ -204,6 +204,31 @@ def main() -> None:
           f"({m1.rank_biserial}), z {m1.z_stat} -> {m4.z_stat}; "
           f"walls {w1:.1f}s -> {w4:.1f}s")
 
+    # -- Brown-Forsythe variance-effect test -----------------------------------
+    t0 = time.time()
+    b1 = QUERIES["diag_variance_effect"](spark, sf_dir).collect()[0]
+    w1 = time.time() - t0
+    t0 = time.time()
+    b4 = QUERIES["diag_variance_effect"](spark, rep_dir).collect()[0]
+    w4 = time.time() - t0
+    assert b4.n_control == 4 * b1.n_control
+    assert b4.n_treated == 4 * b1.n_treated
+    # the value histogram replicates: medians and MADs EXACTLY equal
+    assert b4.median_control == b1.median_control
+    assert b4.median_treated == b1.median_treated
+    assert b4.mad_control == b1.mad_control, (
+        b1.mad_control, b4.mad_control,
+    )
+    assert b4.mad_treated == b1.mad_treated
+    assert b1.bf_z is not None and b4.bf_z is not None, (
+        f"variance test degenerate: z1={b1.bf_z!r} z4={b4.bf_z!r}"
+    )
+    if abs(b1.bf_z) > 0.05:
+        z_ratio = abs(b4.bf_z) / abs(b1.bf_z)
+        assert 1.85 < z_ratio < 2.15, (b1.bf_z, b4.bf_z, z_ratio)
+    print(f"variance effect: medians + MADs EXACTLY equal, "
+          f"z {b1.bf_z} -> {b4.bf_z}; walls {w1:.1f}s -> {w4:.1f}s")
+
     print("ALL ASSERTIONS PASSED")
 
 
