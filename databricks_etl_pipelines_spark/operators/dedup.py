@@ -54,6 +54,25 @@ from databricks_etl_pipelines_spark.functions.vectors import as_double_array, co
 from databricks_etl_pipelines_spark.session import tune_for_derived_generate
 
 
+def _materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Eagerly materialize a bounded output relation (localCheckpoint) and
+    release the persisted internals that produced it — the probe_bm25/MMR
+    cache-lifecycle contract (r11) applied to the pair generators.
+
+    Without this, every pair-generator invocation leaks its persisted
+    shingle/prefix/bucket relations for the session (the caller cannot
+    unpersist internals it never sees), and a multi-query run accumulates
+    dead caches until the executor store thrashes — measured as 2-4×
+    degradation across a 41-query bench at sf0.1. The output side is the
+    verified near-dup pair set — the 'vanishing fraction of the corpus'
+    every consumer (connected components, curation drops) already relies
+    on being small."""
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the session's shuffle parallelism with an explicit
     count so AQE does NOT coalesce it away. Candidate-pair verification is
@@ -217,7 +236,13 @@ def minhash_lsh_candidates(
     sigs = minhash_signature(
         df, text_col, id_col, num_perm, shingle_k, hashed_sets=hashed_sets
     )
-    buckets = _band_buckets(sigs, bands, rows_per_band)
+    # Persisted (r15): the bucket relation feeds THREE consumers (the size
+    # guardrail plus both self-join sides); unpersisted, each re-runs the
+    # whole signature aggregation. One (id, band) row per doc per band —
+    # a per-doc-constant fraction of the corpus, far smaller than the
+    # shingle relation already cached underneath. Released once the
+    # candidate pair set is materialized.
+    buckets = _band_buckets(sigs, bands, rows_per_band).persist()
     bucket_sizes = buckets.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
@@ -231,11 +256,12 @@ def minhash_lsh_candidates(
     b = bounded.select(
         F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_b")
     )
-    return (
+    return _materialize_release(
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .distinct(),
+        buckets,
     )
 
 
@@ -262,10 +288,11 @@ def minhash_lsh_dedup_pairs(
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    return _materialize_release(
         paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
     )
 
 
@@ -387,7 +414,9 @@ def minhash_crossengine_pairs(
     the machinery, at a deliberately smaller num_perm.
     """
     sh = xengine_shingle_sets(df, text_col, id_col, shingle_k)
-    buckets = xengine_band_buckets(sh, num_perm, bands)
+    # Persisted (r15): three consumers (size guardrail + both self-join
+    # sides), same rationale as minhash_lsh_candidates; released below.
+    buckets = xengine_band_buckets(sh, num_perm, bands).persist()
     sizes = buckets.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
@@ -415,10 +444,12 @@ def minhash_crossengine_pairs(
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    return _materialize_release(
         paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
+        buckets,
     )
 
 
@@ -798,12 +829,17 @@ def ngram_jaccard_pairs(
     # posexplode keeps each prefix element's 1-based position for the PPJoin
     # positional filter below (Xiao et al., "Efficient Similarity Joins for
     # Near Duplicate Detection", WWW 2008).
+    # Persisted (r15): the self-join below consumes idx on BOTH sides, so an
+    # unpersisted idx re-executes the whole dfreq-join + per-doc sort chain
+    # twice (guide §2.4 — two operations keyed the same way should share one
+    # computation). idx is the PREFIX tokens only (~(1−t)·shingle count), a
+    # strict fraction of the already-persisted shingle relation.
     idx = ordered.select(
         "id", "ln",
         F.posexplode(F.slice("oss", 1, prefix_len)).alias("pos0", "p"),
     ).select(
         "id", "ln", (F.col("pos0") + 1).alias("pos"), F.col("p.hs").alias("hs")
-    )
+    ).persist()
     a = idx.select(
         F.col("hs"), F.col("id").alias("id_a"),
         F.col("ln").alias("ln_a"), F.col("pos").alias("pos_a"),
@@ -840,10 +876,12 @@ def ngram_jaccard_pairs(
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    return _materialize_release(
         paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
+        idx,
     )
 
 

@@ -2232,9 +2232,20 @@ def _exact_rank_cut(
         "b", F.floor(F.col("c") / F.lit(bucket)).cast("long")
     )
     h = f.groupBy("g", "b").agg(wagg().alias("ns"))
+    # Pinned (r15): ``cum`` feeds two consumers (pick and pickfull) and the
+    # returned cut relation is re-embedded by every caller join — left
+    # unpinned, Catalyst duplicates the whole histogram subtree per
+    # reference (agg_mad_robust_z compiled to 44 fact scans / 116
+    # exchanges; the intended shape is 4 fact scans + 1). Both relations
+    # are bounded — per-group buckets ≤ value-range/bucket, cuts ≤
+    # |groups|·|ranks| — and LAZY persist (not an eager checkpoint) keeps
+    # everything in one action so the first branch to reach a partition
+    # computes it and the rest read cache; an eager localCheckpoint here
+    # measured SLOWER (serializes the chain into per-job overhead that
+    # the one-action plan overlaps away).
     cum = h.withColumn(
         "cn", F.sum("ns").over(Window.partitionBy("g").orderBy("b"))
-    )
+    ).persist()
     pick = (
         cum.join(F.broadcast(ranks), "g")
         .filter(F.col("cn") >= F.col("r"))
@@ -2272,6 +2283,7 @@ def _exact_rank_cut(
         cum2.filter(F.col("cn2") >= F.col("r"))
         .groupBy("g", "r")
         .agg(F.min("c").alias("cut"))
+        .persist()
     )
 
 
@@ -2401,11 +2413,13 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c"),
     )
+    # Pinned (r15): tl is ≤ |returnflag| rows consumed by both chained
+    # rank cuts AND the final join; lazy, its scan re-ran per reference.
     tl = (
         f.groupBy("g")
         .agg(F.count("*").alias("n"))
         .withColumn("r", F.expr("(n + 1) div 2"))
-    )
+    ).persist()
     med = _exact_rank_cut(f, tl.select("g", "r")).withColumnRenamed(
         "cut", "medc"
     )

@@ -64,6 +64,31 @@ def test_duplicate_clusters_chain_collapses_to_min(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_collected_equals_distributed(spark):
+    """r15: the size-gated driver union-find path and the distributed
+    hash-min fallback produce the SAME (id, cluster_id) relation — pinned
+    on a graph with a long sparse chain (where one-pass heuristics fail),
+    a 2-cycle, duplicate edges, and an isolated pair."""
+    from databricks_etl_pipelines_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    edges = [(i, i + 1) for i in range(1, 9)] + [
+        (20, 21), (21, 20), (20, 21), (30, 31),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    collected = {
+        r.id: r.cluster_id
+        for r in duplicate_clusters(pairs).collect()  # default: collect path
+    }
+    distributed = {
+        r.id: r.cluster_id
+        for r in duplicate_clusters(pairs, collect_threshold=0).collect()
+    }
+    assert collected == distributed
+    assert collected[8] == 1 and collected[21] == 20 and collected[31] == 30
+
+
 def test_curation_exact_components_matches_heuristic_here(spark):
     """On this corpus every near-dup pairs directly with the cluster min,
     so exact CC and the one-pass heuristic agree — and both keep exactly
