@@ -1847,7 +1847,12 @@ def agg_weighted_median_twophase(
         F.col("l_extendedprice").alias("c"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    tot = f.groupBy("g").agg(F.sum("w").alias("tw"))
+    # Pinned (r15): tot (≤ |returnflag| rows) feeds the rank relation
+    # AND the final join — invocation-scoped, so each bench run still
+    # recomputes from parquet.
+    tot = f.groupBy("g").agg(F.sum("w").alias("tw")).localCheckpoint(
+        eager=False
+    )
     ranks = tot.select("g", F.expr("(tw + 1) div 2").alias("r"))
     cuts = _exact_rank_cut(f, ranks, w="w", bucket=_WMEDIAN_BUCKET)
     return (
@@ -1962,9 +1967,11 @@ def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(int(p)) for p in _WQUANT_PS])
         ).alias("p0")
     ).select(F.col("p0").cast("long").alias("p"))
+    # Pinned (r15): pr (≤ 3·|returnflag| rows) feeds the rank relation
+    # AND the qv join-back — invocation-scoped lazy checkpoint.
     pr = tot.crossJoin(F.broadcast(ps)).select(
         "g", "p", "tw", F.expr("(p * tw + 99) div 100").alias("r")
-    )
+    ).localCheckpoint(eager=False)
     cuts = _exact_rank_cut(
         f, pr.select("g", "r"), w="w", bucket=_WMEDIAN_BUCKET
     )
@@ -2126,11 +2133,13 @@ def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c"),
     )
+    # Pinned (r15): tl feeds the rank relation and the cut join-back —
+    # invocation-scoped lazy checkpoint (≤ |returnflag| rows).
     tl = (
         f.groupBy("g")
         .agg(F.count("*").alias("n"))
         .withColumn("lo", F.expr("n div 10"))
-    )
+    ).localCheckpoint(eager=False)
     # per-group rank thresholds as ONE exploded array (the
     # union-replays-the-plan-twice trap)
     ranks = tl.select(
@@ -2208,6 +2217,7 @@ def _exact_rank_cut(
     ranks: DataFrame,
     w: str | None = None,
     bucket: int = _TRIM_BUCKET_C,
+    pin: bool = False,
 ) -> DataFrame:
     """Exact per-(group, rank) order statistic via the bounded-
     histogram two-phase: for each (g, r) row in ``ranks`` (a
@@ -2222,7 +2232,28 @@ def _exact_rank_cut(
     fact hash-agg histogram, one bucket-pruned rescan; both windows
     bounded (per-group buckets ≤ value-range/``bucket``; in-bucket
     distinct values ≤ bucket width) and the cum2 stream is keyed per
-    (g, r) so several ranks never share a crossing."""
+    (g, r) so several ranks never share a crossing.
+
+    Shape (r15 optimization): both phases pick their crossing ROW
+    directly — the smallest b with cn ≥ r is the UNIQUE row with
+    cn ≥ r AND cn − ns < r (per-group cumulative weights are strictly
+    increasing: every histogram row carries ns ≥ 1) — so the old
+    min-then-join-back (a groupBy exchange plus a SECOND reference of
+    the cumulative relation, which Catalyst re-derives wholesale; the
+    MAD consumer compiled to 44 fact scans / 116 exchanges) collapses
+    to one filter per phase and each derived relation is referenced
+    exactly once. Ranks ≤ 0 (trimmed-mean lo = 0 on sub-10-row
+    groups) clamp to 1 for the crossing test only — same first-bucket
+    /smallest-value result as the old min-with-cn≥0 — while the
+    caller-facing r is carried through untouched. ``pin=True``
+    materializes the ≤ |g|·|ranks|-row output once per invocation
+    (LAZY localCheckpoint — computed inside the consumer's single
+    action) for callers that re-reference the cut relation. A session
+    ``.persist()`` is deliberately NOT used anywhere in this helper:
+    besides measuring slower here (cache build cost on relations used
+    once), a leaked persist lets a LATER invocation of the same query
+    read this run's cache through Catalyst plan-fragment matching —
+    a bench's warm re-run must recompute from parquet."""
     from pyspark.sql import Window
 
     def wagg():
@@ -2232,46 +2263,40 @@ def _exact_rank_cut(
         "b", F.floor(F.col("c") / F.lit(bucket)).cast("long")
     )
     h = f.groupBy("g", "b").agg(wagg().alias("ns"))
-    # Pinned (r15): ``cum`` feeds two consumers (pick and pickfull) and the
-    # returned cut relation is re-embedded by every caller join — left
-    # unpinned, Catalyst duplicates the whole histogram subtree per
-    # reference (agg_mad_robust_z compiled to 44 fact scans / 116
-    # exchanges; the intended shape is 4 fact scans + 1). Both relations
-    # are bounded — per-group buckets ≤ value-range/bucket, cuts ≤
-    # |groups|·|ranks| — and LAZY persist (not an eager checkpoint) keeps
-    # everything in one action so the first branch to reach a partition
-    # computes it and the rest read cache; an eager localCheckpoint here
-    # measured SLOWER (serializes the chain into per-job overhead that
-    # the one-action plan overlaps away).
     cum = h.withColumn(
         "cn", F.sum("ns").over(Window.partitionBy("g").orderBy("b"))
-    ).persist()
-    pick = (
-        cum.join(F.broadcast(ranks), "g")
-        .filter(F.col("cn") >= F.col("r"))
-        .groupBy("g", "r")
-        .agg(F.min("b").alias("bstar"))
     )
-    pickfull = F.broadcast(pick).join(
-        cum.select("g", F.col("b").alias("bstar"), "cn", "ns"),
-        ["g", "bstar"],
-    ).select(
-        "g", "r", "bstar", (F.col("cn") - F.col("ns")).alias("prev")
+    # equal ranks dedup here (the old groupBy(g, r) pick did it
+    # implicitly); rr is the crossing-test rank, r the caller join key
+    rset = ranks.dropDuplicates(["g", "r"]).select(
+        "g", "r", F.greatest(F.col("r"), F.lit(1)).alias("rr")
     )
-    # rename the broadcast pick side before joining back onto the fact
-    # projection it derives from (self-join ambiguity discipline)
-    picked = pickfull.select(
-        F.col("g").alias("pg"),
-        F.col("r").alias("pr"),
-        F.col("bstar").alias("pb"),
-        "prev",
+    picked = (
+        cum.join(F.broadcast(rset), "g")
+        .filter(
+            (F.col("cn") >= F.col("rr"))
+            & (F.col("cn") - F.col("ns") < F.col("rr"))
+        )
+        .select(
+            F.col("g").alias("pg"),
+            F.col("r").alias("pr"),
+            F.col("rr").alias("prr"),
+            F.col("b").alias("pb"),
+            (F.col("cn") - F.col("ns")).alias("prev"),
+        )
     )
     vcounts = (
         f.join(
             F.broadcast(picked),
             (F.col("g") == F.col("pg")) & (F.col("b") == F.col("pb")),
         )
-        .groupBy("g", F.col("pr").alias("r"), "prev", "c")
+        .groupBy(
+            "g",
+            F.col("pr").alias("r"),
+            F.col("prr").alias("rr"),
+            "prev",
+            "c",
+        )
         .agg(wagg().alias("vc"))
     )
     cum2 = vcounts.withColumn(
@@ -2279,12 +2304,11 @@ def _exact_rank_cut(
         F.col("prev")
         + F.sum("vc").over(Window.partitionBy("g", "r").orderBy("c")),
     )
-    return (
-        cum2.filter(F.col("cn2") >= F.col("r"))
-        .groupBy("g", "r")
-        .agg(F.min("c").alias("cut"))
-        .persist()
-    )
+    out = cum2.filter(
+        (F.col("cn2") >= F.col("rr"))
+        & (F.col("cn2") - F.col("vc") < F.col("rr"))
+    ).select("g", "r", F.col("c").alias("cut"))
+    return out.localCheckpoint(eager=False) if pin else out
 
 
 # MAD (median absolute deviation) is THE robust spread statistic — the
@@ -2413,14 +2437,20 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c"),
     )
-    # Pinned (r15): tl is ≤ |returnflag| rows consumed by both chained
-    # rank cuts AND the final join; lazy, its scan re-ran per reference.
+    # Pinned (r15): tl (≤ |returnflag| rows) feeds both chained rank
+    # cuts AND the final join, and med feeds the deviation relation
+    # (which the MAD cut's two phases each reference) AND the final
+    # cuts join — unpinned, Catalyst re-derives each subtree per
+    # reference (44 fact scans / 116 exchanges compiled; 6 fact scans
+    # after pinning). Lazy localCheckpoint: materialized once inside
+    # the consumer's action, invocation-scoped (no session cache for a
+    # later bench run to read through plan matching).
     tl = (
         f.groupBy("g")
         .agg(F.count("*").alias("n"))
         .withColumn("r", F.expr("(n + 1) div 2"))
-    ).persist()
-    med = _exact_rank_cut(f, tl.select("g", "r")).withColumnRenamed(
+    ).localCheckpoint(eager=False)
+    med = _exact_rank_cut(f, tl.select("g", "r"), pin=True).withColumnRenamed(
         "cut", "medc"
     )
     medb = med.select(F.col("g").alias("mg"), "medc")
@@ -2821,11 +2851,13 @@ def agg_weighted_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c"),
         F.col("l_quantity").cast("long").alias("w"),
     )
+    # Pinned (r15): tl feeds the rank relation and the cut join-back —
+    # invocation-scoped lazy checkpoint (≤ |returnflag| rows).
     tl = (
         f.groupBy("g")
         .agg(F.sum("w").alias("tw"))
         .withColumn("lo", F.expr("tw div 10"))
-    )
+    ).localCheckpoint(eager=False)
     # per-group weighted rank thresholds as ONE exploded array (the
     # union-replays-the-plan-twice trap)
     ranks = tl.select(
