@@ -800,6 +800,14 @@ def dsir_importance_weights(
     # md5+Karp-Rabin feature hash is ~the whole cost of this operator, so
     # branching the raw token frame into profile and scoring plans (which
     # recomputes the hash per branch) would double the work for nothing.
+    # Pinned (r15): doc_bucket feeds BOTH the bucket profile rollup and
+    # the per-doc scoring join; Catalyst re-derives a referenced subtree
+    # per consumer, so unpinned the md5 feature-hash pass (the dominant
+    # cost) ran twice. Lazy localCheckpoint materializes the ≤
+    # n_docs·n_buckets-row aggregate once inside the consumer's action
+    # and is invocation-scoped — a later run rebuilds from parquet
+    # (a session persist would leak into a bench's warm re-run through
+    # plan-fragment matching).
     doc_bucket = (
         _dsir_bucketed_tokens(
             df.withColumn("__is_target", target_pred), text_col, id_col,
@@ -807,7 +815,7 @@ def dsir_importance_weights(
         )
         .groupBy(id_col, "b", "__is_target")
         .agg(F.count("*").alias("c"))
-    )
+    ).localCheckpoint(eager=False)
     grouped = doc_bucket.groupBy("b").agg(
         F.sum("c").alias("n_raw"),
         F.sum(F.when(F.col("__is_target"), F.col("c")).otherwise(0)).alias(
