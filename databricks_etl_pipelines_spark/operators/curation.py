@@ -716,11 +716,12 @@ def source_token_divergence(
         crossengine_feature_hash,
     )
 
-    toks = _spread_input(df).select(
-        F.col(group_col).alias("g"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    ).withColumn(
-        "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
+    toks = _bucketed_by_vocab(
+        _spread_input(df).select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+        ),
+        n_buckets,
     )
     counts = toks.groupBy("g", "b").agg(F.count("*").alias("c"))
     totals = counts.groupBy("g").agg(F.sum("c").alias("tot"))
@@ -826,6 +827,26 @@ def dsir_importance_weights(
     return _dsir_weights_from_doc_bucket(doc_bucket, ratios, id_col)
 
 
+def _bucketed_by_vocab(toks, n_buckets: int):
+    """Attach the cross-engine feature-hash bucket to an exploded token
+    frame (column ``w``) by hashing the DISTINCT vocabulary once and
+    broadcast-joining it back (r15): the md5 rolling hash costs orders
+    of magnitude more per row than the explode, and words repeat, so
+    per-instance hashing paid the hash cost times the corpus's
+    instances-per-word ratio for identical bucket assignments. Same
+    bounded side-relation class the BM25/unigram vocab aggregates
+    already broadcast; at open-vocabulary scale swap the broadcast for
+    a shuffle join on the token column (same values either way)."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        crossengine_feature_hash,
+    )
+
+    vocab = toks.select("w").distinct().withColumn(
+        "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
+    )
+    return toks.join(F.broadcast(vocab), "w")
+
+
 def _dsir_bucketed_tokens(
     df: DataFrame,
     text_col: str,
@@ -841,12 +862,13 @@ def _dsir_bucketed_tokens(
     # The md5 feature hash costs far more CPU per byte than the scan; a
     # single-file table would pin the whole chain to one core (see
     # dedup.py:_spread_input — a no-op on real multi-split scans).
-    return _spread_input(df).select(
-        F.col(id_col),
-        *[F.col(c) for c in extra_cols],
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    ).withColumn(
-        "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
+    return _bucketed_by_vocab(
+        _spread_input(df).select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+        ),
+        n_buckets,
     )
 
 
@@ -922,13 +944,12 @@ def dsir_log_ratios(
         crossengine_feature_hash,
     )
 
-    toks = _spread_input(df).select(
-        target_pred.alias("is_target"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    )
-
-    toks = toks.withColumn(
-        "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
+    toks = _bucketed_by_vocab(
+        _spread_input(df).select(
+            target_pred.alias("is_target"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+        ),
+        n_buckets,
     )
     grouped = toks.groupBy("b").agg(
         F.count("*").alias("n_raw"),

@@ -1222,11 +1222,24 @@ def hash_embed_buckets(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col)).alias("__t"),
     )
+    # Hash the DISTINCT vocabulary, not every token instance (r15): the
+    # md5 rolling hash costs ~two orders of magnitude more per row than
+    # the explode, and words repeat — hashing once per distinct token
+    # and broadcast-joining (bucket, sign) back cuts the hash work by
+    # the corpus's instances-per-word ratio while producing the
+    # IDENTICAL (bucket, sign) per word. The vocab relation is the same
+    # bounded side-relation class the BM25/unigram families already
+    # broadcast; at open-vocabulary scale swap the broadcast for a
+    # shuffle join on the token column (same values either way).
     h = fingerprint_rolling(F.md5(F.col("__t")))
     sign = (F.floor(h / dim).cast("bigint") % 2) * 2 - 1
+    vocab = tok.select("__t").distinct().select(
+        "__t",
+        (h % dim).cast("int").alias("bucket"),
+        sign.cast("bigint").alias("__sgn"),
+    )
     return (
-        tok.withColumn("bucket", (h % dim).cast("int"))
-        .withColumn("__sgn", sign.cast("bigint"))
+        tok.join(F.broadcast(vocab), "__t")
         .groupBy("id", "bucket")
         .agg(F.sum("__sgn").alias("val"))
         .filter(F.col("val") != 0)
@@ -1255,7 +1268,18 @@ def hash_embed_cosine_topk(
     """
     from databricks_etl_pipelines_spark.functions.numeric import stable_round
 
-    emb = hash_embed_buckets(df, text_col, id_col, dim=dim).persist()
+    # Pinned (r15): emb feeds norms, the query-row filter and the dot
+    # pass — unpinned, each reference re-ran the md5 token-hash pass
+    # (the operator's dominant cost). Lazy localCheckpoint replaces the
+    # previous session persist(): same single materialization inside
+    # the consumer's action, but invocation-scoped — the old persist
+    # was never released, so it accumulated across a multi-query
+    # session AND let a later identical invocation read this run's
+    # cache through plan-fragment matching (dishonest under a warm
+    # bench re-run).
+    emb = hash_embed_buckets(df, text_col, id_col, dim=dim).localCheckpoint(
+        eager=False
+    )
     norms = emb.groupBy("id").agg(
         F.sum(F.col("val") * F.col("val")).alias("n2")
     )

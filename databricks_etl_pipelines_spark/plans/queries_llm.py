@@ -3959,52 +3959,60 @@ def _bm25_scored(
     tf + k1, matching the oracle's explicitly dl-free b0 expression."""
     from databricks_etl_pipelines_spark.functions.textfns import tokens
 
+    # ONE tokenize pass (r15): per-doc length AND the four term
+    # frequencies come out of a single explode + hash-agg — the old
+    # words/dl/tf/df_rel relations re-tokenized the corpus once per
+    # reference (5 parquet scans compiled into the fused RRF plan).
+    # ``tokens`` (split of trimmed text) always yields >= 1 element, so
+    # explode_outer keeps every document and count(word) == size(tokens)
+    # exactly; tf_t = sum(word == t) equals the old per-(doc, term)
+    # count, 0 when absent, and df_t = #docs with tf_t > 0 equals the
+    # old tf row count per term. The idf/avgdl expressions are
+    # textually identical IEEE ops over the same integers.
     docs = table(spark, sf_dir, "documents")
     words = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("word")
+        "doc_id", F.explode_outer(tokens("text")).alias("word")
     )
-    dl = docs.select("doc_id", token_count("text").alias("n_tokens"))
-    tf = (
-        words.filter(F.col("word").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("c"))
-    )
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("sum_dl"),
-    )
-    df_rel = tf.groupBy("word").agg(F.count("*").alias("df"))
-    idf = df_rel.crossJoin(F.broadcast(stats)).groupBy().agg(
-        *[
-            F.max(
-                F.when(
-                    F.col("word") == t,
-                    F.log(
-                        F.lit(1.0)
-                        + (
-                            F.col("n_docs").cast("double")
-                            - F.col("df")
-                            + F.lit(0.5)
-                        )
-                        / (F.col("df") + F.lit(0.5))
-                    ),
-                )
-            ).alias(f"idf_{t}")
-            for t in _BM25_TERMS
-        ]
-    )
+    # Pinned (r15): piv feeds the corpus-scalar aggregate AND the final
+    # scoring projection — invocation-scoped lazy checkpoint (one row
+    # per document).
     piv = (
-        dl.join(tf, "doc_id", "left")
-        .groupBy("doc_id", "n_tokens")
+        words.groupBy("doc_id")
         .agg(
+            F.count("word").alias("n_tokens"),
             *[
-                F.coalesce(
-                    F.max(F.when(F.col("word") == t, F.col("c"))),
-                    F.lit(0).cast("bigint"),
+                F.sum(
+                    F.when(F.col("word") == t, 1).otherwise(0)
                 ).alias(f"tf_{t}")
                 for t in _BM25_TERMS
-            ]
+            ],
         )
+    ).localCheckpoint(eager=False)
+    side = piv.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_dl"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)
+            ).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    idf_stats = side.select(
+        "n_docs",
+        "sum_dl",
+        *[
+            F.log(
+                F.lit(1.0)
+                + (
+                    F.col("n_docs").cast("double")
+                    - F.col(f"df_{t}")
+                    + F.lit(0.5)
+                )
+                / (F.col(f"df_{t}") + F.lit(0.5))
+            ).alias(f"idf_{t}")
+            for t in _BM25_TERMS
+        ],
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
 
@@ -4025,8 +4033,7 @@ def _bm25_scored(
     for t in _BM25_TERMS[1:]:
         score = score + term_score(t)
     return (
-        piv.crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(idf))
+        piv.crossJoin(F.broadcast(idf_stats))
         .select(
             "doc_id",
             "n_tokens",
