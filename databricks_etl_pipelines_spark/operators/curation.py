@@ -299,7 +299,9 @@ def curate_corpus(
     keepers = exact_dedup_groups(lang_ok, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    exact_unique = lang_ok.join(keepers, id_col, "left_semi").persist()
+    exact_unique = lang_ok.join(keepers, id_col, "left_semi").localCheckpoint(
+        eager=False
+    )  # invocation-scoped (r15)
     n_exact = exact_unique.count()
 
     # ``pair_fn(df, text_col, id_col, threshold)`` swaps the near-dup pair
@@ -665,7 +667,9 @@ def prepare_pretraining_corpus(
     keep_ids = spans.where(
         F.col("dup_fraction") <= max_span_fraction
     ).select(id_col)
-    span_ok = unique.join(keep_ids, id_col, "left_semi").persist()
+    span_ok = unique.join(keep_ids, id_col, "left_semi").localCheckpoint(
+        eager=False
+    )  # invocation-scoped (r15)
     n_span = span_ok.count()
     # span_ok is materialized now; the dedup stage's cache is no longer
     # reachable from anything returned

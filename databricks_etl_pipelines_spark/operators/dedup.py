@@ -979,14 +979,17 @@ def containment_pairs(
     containment = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         "sh_a"
     )
-    return (
+    # released like every other pair generator (r15): the persisted
+    # shingle relation must not outlive the invocation
+    return _materialize_release(
         paired.withColumn("containment", containment)
         .filter(F.col("containment") >= threshold)
         .select(
             F.col("id_a").alias("contained_id"),
             F.col("id_b").alias("container_id"),
             "containment",
-        )
+        ),
+        sh,
     )
 
 

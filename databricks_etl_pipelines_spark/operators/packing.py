@@ -199,11 +199,14 @@ def pack_concat_chunks(
         .sortWithinPartitions(id_col)
         .withColumn("__pid", F.spark_partition_id())
     )
-    # persist is load-bearing: repartitionByRange SAMPLES its boundaries,
-    # so the per-partition sums collected below must describe the very same
-    # partitioning the final plan reads. The cached frame is tiny (id + one
-    # bigint per row) and lives only as long as the returned plan.
-    work = work.persist()
+    # The materialization is load-bearing: repartitionByRange SAMPLES its
+    # boundaries, so the per-partition sums collected below must describe
+    # the very same partitioning the final plan reads. localCheckpoint
+    # pins the actual RDD (stronger than the old persist: the sampling
+    # can never re-run) and is invocation-scoped — the old persist leaked
+    # into the session and could serve a later run through plan matching.
+    # The checkpointed frame is tiny (id + one bigint per row).
+    work = work.localCheckpoint(eager=False)
     part_sums = {
         r["__pid"]: r["__s"]
         for r in work.groupBy("__pid").agg(F.sum("__nt").alias("__s")).collect()

@@ -5212,7 +5212,9 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # one word-count for both passes: train_bpe caches it (caller-owned
     # lifecycle) and the encode dictionary reuses the cached frame
-    wf = word_frequencies(docs, "text", _BPE_MAXW).persist()
+    wf = word_frequencies(docs, "text", _BPE_MAXW).localCheckpoint(
+        eager=False
+    )  # invocation-scoped (r15): a leaked persist would serve the next run
     merges = train_bpe(
         docs, "text", num_merges=_BPE_MERGES, max_words=_BPE_MAXW,
         word_freqs=wf,
@@ -5469,9 +5471,12 @@ def multimodal_patch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = table(spark, sf_dir, "documents").where(
         F.col("doc_id") < _PATCH_CAP
     ).select("doc_id")
+    # invocation-scoped pin (r15): decode+featurize feeds norms, the
+    # query row and the dot pass; a leaked persist would also serve the
+    # next invocation through plan matching
     emb = patch_embeddings(
         decode_image(synthetic_bmp_images(ids)), grid=2
-    ).persist()
+    ).localCheckpoint(eager=False)
     norms = emb.groupBy("doc_id").agg(
         F.sum(F.col("val") * F.col("val")).alias("n2")
     )
