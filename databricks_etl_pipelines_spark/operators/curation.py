@@ -1210,7 +1210,13 @@ def perplexity_buckets(
     Returns (id, group, n_tokens, q_surprisal, bucket).
     """
     scores = perplexity_word_scores(df, text_col, scale_bits)
-    per_doc = perplexity_score(df, scores, text_col, id_col, group_col)
+    # Pinned (r15): per_doc feeds the cutoff histogram AND the labeler —
+    # unpinned, the tokenize + LM join + per-doc aggregate (and the
+    # word-score subchain beneath it) re-derived per consumer (12 parquet
+    # scans compiled). One row per document; invocation-scoped.
+    per_doc = perplexity_score(
+        df, scores, text_col, id_col, group_col
+    ).localCheckpoint(eager=False)
     cuts = perplexity_cutoffs(per_doc, group_col)
     return perplexity_label(per_doc, cuts, id_col, group_col)
 

@@ -285,9 +285,10 @@ def minhash_lsh_dedup_pairs(
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # |A ∪ B| = |A| + |B| − |A ∩ B| over sets (r15): one array op per
+    # candidate instead of two, same exact integer division
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return _materialize_release(
         paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
@@ -873,9 +874,10 @@ def ngram_jaccard_pairs(
     paired = _spread(cands).join(
         sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
     ).join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # |A ∪ B| = |A| + |B| − |A ∩ B| over sets (r15): one array op per
+    # candidate instead of two, same exact integer division
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return _materialize_release(
         paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
@@ -1050,22 +1052,32 @@ def duplicated_span_report(
         .where(F.col("ndocs") >= min_docs)
         .select("g")
     )
+    # ONE derivation of the hit relation (r15): dup_ngrams and
+    # covered_tokens fold into a single aggregate — per (id, pos) hit
+    # the position explode emits n rows, so countDistinct(pos) recovers
+    # the hit count exactly while countDistinct(p) is the covered-token
+    # union. The old dupcnt/covered pair referenced hits twice, and
+    # Catalyst re-derives a referenced subtree per consumer — the n-gram
+    # string construction (the report's dominant cost) compiled 4×
+    # (10 parquet scans); this form compiles it twice (once under the
+    # duplicated-gram aggregate, once under the hit join).
     hits = grams.join(dupg, "g")
-    dupcnt = hits.groupBy(id_col).agg(F.count("*").alias("dup_ngrams"))
-    covered = (
+    rep = (
         hits.select(
             id_col,
+            "pos",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"),
         )
-        .distinct()
         .groupBy(id_col)
-        .agg(F.count("*").alias("covered_tokens"))
+        .agg(
+            F.countDistinct("pos").alias("dup_ngrams"),
+            F.countDistinct("p").alias("covered_tokens"),
+        )
     )
     base = toks.select(id_col, F.size("t").cast("bigint").alias("n_tokens"))
     cov = F.coalesce(F.col("covered_tokens"), F.lit(0).cast("bigint"))
     return (
-        base.join(dupcnt, id_col, "left")
-        .join(covered, id_col, "left")
+        base.join(rep, id_col, "left")
         .select(
             id_col,
             "n_tokens",

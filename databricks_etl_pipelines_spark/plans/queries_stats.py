@@ -524,9 +524,14 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(F.col("c_custkey").alias("k"), F.col("c_mktsegment")),
         "k",
     ).select(F.col("c_mktsegment").alias("g"), "k", "x")
+    # Pinned (r15): ranked feeds the totals aggregate, the top-decile cut
+    # and (through tot) the final projection — unpinned, the orders
+    # aggregate + customer join + rank window re-derived per reference
+    # (12 parquet scans compiled). One row per customer; invocation-
+    # scoped lazy checkpoint.
     ranked = seg.withColumn(
         "i", F.row_number().over(Window.partitionBy("g").orderBy("x", "k"))
-    )
+    ).localCheckpoint(eager=False)
     tot = ranked.groupBy("g").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
