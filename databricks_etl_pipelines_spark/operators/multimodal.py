@@ -500,6 +500,12 @@ def ahash_neardup_pairs(
     Scale shape: one explode to 4 band rows per doc, one shuffle on
     (band index, band value), pair dedup, a broadcast-friendly feature
     join back — never O(n²)."""
+    # Pinned (r15): feats feeds both self-join sides of the band probe
+    # AND both feature join-backs — unpinned, the Arrow mapInPandas
+    # fingerprint pass (the dominant cost, a Python-boundary scan)
+    # executed once per reference (4× compiled). One 4-int row per doc;
+    # invocation-scoped lazy checkpoint.
+    feats = feats.localCheckpoint(eager=False)
     bands = feats.select(
         "doc_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(

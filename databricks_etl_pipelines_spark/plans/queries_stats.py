@@ -116,7 +116,13 @@ def _ks_project(h: DataFrame) -> DataFrame:
     """KS projection shared by the batch and streaming flavors: from
     the two-cohort cumulative histogram ``h(g, v, ac, bc, ca, cb)``
     (lattice-bounded per group) to one row per group with the exact
-    supremum, its smallest attaining value, and the float statistic."""
+    supremum, its smallest attaining value, and the float statistic.
+
+    Pinned (r15): h feeds the cohort totals, the deviation relation and
+    (through d) the argmax join-back — unpinned, the histogram subtree
+    re-derived per reference. Lattice-bounded per group; invocation-
+    scoped lazy checkpoint."""
+    h = h.localCheckpoint(eager=False)
     t = h.groupBy("g").agg(
         F.sum("ac").alias("na"), F.sum("bc").alias("nb")
     )
