@@ -241,9 +241,22 @@ def agg_entity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.stddev("o_totalprice"), 4).alias("stddev_order_value"),
         stable_round(F.min("o_totalprice"), 2).alias("min_order_value"),
         stable_round(F.max("o_totalprice"), 2).alias("max_order_value"),
-        F.countDistinct("o_orderstatus").alias("status_diversity"),
-        F.countDistinct("o_orderpriority").alias("priority_diversity"),
-        F.countDistinct(F.date_trunc("day", "o_orderdate")).alias("active_days"),
+        # size(collect_set) == countDistinct (both ignore NULLs) but
+        # avoids the 4× Expand three multi-column distincts compile to —
+        # single-pass map-side aggregation, 1/4 the shuffled rows (r15).
+        # Safe ONLY because every distinct domain here is bounded per
+        # group (statuses ≤ 3, priorities ≤ 5, active days ≤ calendar
+        # days) — an unbounded-cardinality distinct must keep
+        # countDistinct's expand, not hold a set per group.
+        F.size(F.collect_set("o_orderstatus")).cast("long").alias(
+            "status_diversity"
+        ),
+        F.size(F.collect_set("o_orderpriority")).cast("long").alias(
+            "priority_diversity"
+        ),
+        F.size(F.collect_set(F.date_trunc("day", "o_orderdate")))
+        .cast("long")
+        .alias("active_days"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
             "fulfilled_count"
         ),
