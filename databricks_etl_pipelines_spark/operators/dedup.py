@@ -55,19 +55,24 @@ from databricks_etl_pipelines_spark.session import tune_for_derived_generate
 
 
 def _materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
-    """Eagerly materialize a bounded output relation (localCheckpoint) and
-    release the persisted internals that produced it — the probe_bm25/MMR
-    cache-lifecycle contract (r11) applied to the pair generators.
+    """Pin a pair generator's bounded output once per invocation (LAZY
+    localCheckpoint) so multi-action consumers (connected components'
+    count + collect, curation drops) compute the pair pipeline exactly
+    once — the probe_bm25/MMR cache-lifecycle contract (r11) applied to
+    the pair generators.
 
-    Without this, every pair-generator invocation leaks its persisted
-    shingle/prefix/bucket relations for the session (the caller cannot
-    unpersist internals it never sees), and a multi-query run accumulates
-    dead caches until the executor store thrashes — measured as 2-4×
-    degradation across a 41-query bench at sf0.1. The output side is the
-    verified near-dup pair set — the 'vanishing fraction of the corpus'
-    every consumer (connected components, curation drops) already relies
-    on being small."""
-    out = result.localCheckpoint(eager=True)
+    r15 (2nd pass): every internal cache these generators once
+    session-persisted is now itself an invocation-scoped lazy
+    checkpoint, so there is nothing left to release and no eager
+    construction-time job — the first consumer action materializes the
+    whole chain (shingles → index/buckets → candidates → verified
+    pairs) in one go, and nothing outlives the invocation (a leaked
+    session persist would both accumulate executor storage across a
+    multi-query run — measured 2-4× degradation across a 41-query bench
+    — and dishonestly serve a later bench run of the same query through
+    plan-fragment matching). ``caches`` is kept for call-site symmetry;
+    unpersisting a checkpointed frame is a no-op."""
+    out = result.localCheckpoint(eager=False)
     for c in caches:
         c.unpersist()
     return out
@@ -104,12 +109,13 @@ def _hashed_shingle_sets(
     64-bit hashes. All verification set-ops run on 8-byte longs; see the
     collision note in ``ngram_jaccard_pairs``.
 
-    Persisted (MEMORY_AND_DISK): every near-dup plan consumes this relation
-    from 2-4 branches (frequency count, ordering, both verification sides);
-    shingling+hashing is the single most expensive projection in the
-    pipeline, so materializing it once halves end-to-end time. Spills to
-    disk beyond memory; released by the context cleaner when the plan is
-    dropped."""
+    Pinned (invocation-scoped lazy localCheckpoint): every near-dup plan
+    consumes this relation from 2-4 branches (frequency count, ordering,
+    both verification sides); shingling+hashing is the single most
+    expensive projection in the pipeline, so materializing it once
+    halves end-to-end time. MEMORY_AND_DISK under the checkpoint; the
+    RDD dies with the invocation — no session cache entry for a later
+    run to read through plan matching."""
     return (
         _spread_input(df)
         .select(
@@ -123,7 +129,7 @@ def _hashed_shingle_sets(
                 )
             ).alias("sh"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -242,7 +248,9 @@ def minhash_lsh_candidates(
     # a per-doc-constant fraction of the corpus, far smaller than the
     # shingle relation already cached underneath. Released once the
     # candidate pair set is materialized.
-    buckets = _band_buckets(sigs, bands, rows_per_band).persist()
+    buckets = _band_buckets(sigs, bands, rows_per_band).localCheckpoint(
+        eager=False
+    )
     bucket_sizes = buckets.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
@@ -313,7 +321,7 @@ def xengine_shingle_sets(
             F.col(id_col).alias("id"),
             distinct_shingles(text_col, shingle_k).alias("sh"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -417,7 +425,9 @@ def minhash_crossengine_pairs(
     sh = xengine_shingle_sets(df, text_col, id_col, shingle_k)
     # Persisted (r15): three consumers (size guardrail + both self-join
     # sides), same rationale as minhash_lsh_candidates; released below.
-    buckets = xengine_band_buckets(sh, num_perm, bands).persist()
+    buckets = xengine_band_buckets(sh, num_perm, bands).localCheckpoint(
+        eager=False
+    )
     sizes = buckets.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
@@ -840,7 +850,7 @@ def ngram_jaccard_pairs(
         F.posexplode(F.slice("oss", 1, prefix_len)).alias("pos0", "p"),
     ).select(
         "id", "ln", (F.col("pos0") + 1).alias("pos"), F.col("p.hs").alias("hs")
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = idx.select(
         F.col("hs"), F.col("id").alias("id_a"),
         F.col("ln").alias("ln_a"), F.col("pos").alias("pos_a"),
