@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from databricks_etl_pipelines_spark.session import invocation_pin
+
 from databricks_etl_pipelines_spark.functions.textfns import (
     LANG_STOPWORDS,
     avg_token_length,
@@ -282,27 +284,41 @@ def curate_corpus(
         ) <= max_dup_bigram
     else:
         rep_pred = F.lit(True)
-    gate_counts = scored.agg(
+    gate_agg = scored.agg(
         F.count("*").alias("total"),
         F.sum(q_pred.cast("long")).alias("n_quality"),
         F.sum((q_pred & lang_pred).cast("long")).alias("n_lang"),
         F.sum((q_pred & lang_pred & rep_pred).cast("long")).alias("n_rep"),
-    ).first()
-    total, n_quality, n_lang, n_rep = (
-        gate_counts["total"] or 0,
-        gate_counts["n_quality"] or 0,
-        gate_counts["n_lang"] or 0,
-        gate_counts["n_rep"] or 0,
     )
 
     lang_ok = scored.filter(q_pred & lang_pred & rep_pred)
     keepers = exact_dedup_groups(lang_ok, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    exact_unique = lang_ok.join(keepers, id_col, "left_semi").localCheckpoint(
-        eager=False
-    )  # invocation-scoped (r15)
-    n_exact = exact_unique.count()
+    # invocation-scoped pin (r15; strategy conf-gated r16)
+    exact_unique = lang_ok.join(keepers, id_col, "left_semi").transform(
+        invocation_pin
+    )
+    # Overlap the two INDEPENDENT actions (r16, guide §2.6): the
+    # gate-count aggregate and the dedup materialization were only
+    # sequential because this function called them sequentially — a
+    # 2-thread pool lets the second job's tasks back-fill executors
+    # freed by the first job's straggler tail. The values are the same
+    # scalars as before; n_clean stays sequential (it consumes the
+    # pinned exact_unique).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_gates = pool.submit(gate_agg.first)
+        f_exact = pool.submit(exact_unique.count)
+        gate_counts = f_gates.result()
+        n_exact = f_exact.result()
+    total, n_quality, n_lang, n_rep = (
+        gate_counts["total"] or 0,
+        gate_counts["n_quality"] or 0,
+        gate_counts["n_lang"] or 0,
+        gate_counts["n_rep"] or 0,
+    )
 
     # ``pair_fn(df, text_col, id_col, threshold)`` swaps the near-dup pair
     # generator (default: banded MinHash-LSH with the fast xxhash64
@@ -658,18 +674,35 @@ def prepare_pretraining_corpus(
     )
 
     scrubbed = docs.withColumn(text_col, scrub_text_pii(text_col))
-    total = scrubbed.count()
-    gated = scrubbed.where(quality_score(text_col) >= min_quality)
-    n_gate = gated.count()
+    q_pred = quality_score(text_col) >= min_quality
+    # ONE aggregated pass for total + gate survivors (r16, guide §2.4 —
+    # the curate_corpus idiom this docstring already claims): the old
+    # separate scrubbed.count() / gated.count() each paid a full corpus
+    # scan for one scalar.
+    gate_agg = scrubbed.agg(
+        F.count("*").alias("t"), F.sum(q_pred.cast("long")).alias("g")
+    )
+    gated = scrubbed.where(q_pred)
     unique = exact_dedup(gated, text_col, id_col).persist()
-    n_exact = unique.count()
+    # Overlap the independent gate-count scan with the dedup cache
+    # materialization (r16, guide §2.6): same scalars, same semantics,
+    # the second job back-fills the first one's tail.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_gates = pool.submit(gate_agg.first)
+        f_exact = pool.submit(unique.count)
+        row = f_gates.result()
+        n_exact = f_exact.result()
+    total, n_gate = row["t"] or 0, row["g"] or 0
     spans = duplicated_span_report(unique, text_col, id_col, n=span_n)
     keep_ids = spans.where(
         F.col("dup_fraction") <= max_span_fraction
     ).select(id_col)
-    span_ok = unique.join(keep_ids, id_col, "left_semi").localCheckpoint(
-        eager=False
-    )  # invocation-scoped (r15)
+    # invocation-scoped pin (r15; strategy conf-gated r16)
+    span_ok = unique.join(keep_ids, id_col, "left_semi").transform(
+        invocation_pin
+    )
     n_span = span_ok.count()
     # span_ok is materialized now; the dedup stage's cache is no longer
     # reachable from anything returned
@@ -820,7 +853,7 @@ def dsir_importance_weights(
         )
         .groupBy(id_col, "b", "__is_target")
         .agg(F.count("*").alias("c"))
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     grouped = doc_bucket.groupBy("b").agg(
         F.sum("c").alias("n_raw"),
         F.sum(F.when(F.col("__is_target"), F.col("c")).otherwise(0)).alias(
@@ -834,13 +867,17 @@ def dsir_importance_weights(
 def _bucketed_by_vocab(toks, n_buckets: int):
     """Attach the cross-engine feature-hash bucket to an exploded token
     frame (column ``w``) by hashing the DISTINCT vocabulary once and
-    broadcast-joining it back (r15): the md5 rolling hash costs orders
-    of magnitude more per row than the explode, and words repeat, so
+    joining it back (r15): the md5 rolling hash costs orders of
+    magnitude more per row than the explode, and words repeat, so
     per-instance hashing paid the hash cost times the corpus's
-    instances-per-word ratio for identical bucket assignments. Same
-    bounded side-relation class the BM25/unigram vocab aggregates
-    already broadcast; at open-vocabulary scale swap the broadcast for
-    a shuffle join on the token column (same values either way)."""
+    instances-per-word ratio for identical bucket assignments. The join
+    strategy is AQE's choice (r16, closes the r15 ADVICE guard item):
+    the distinct already shuffles, so AQE sees the vocabulary's REAL
+    size — it broadcasts while the vocab fits the threshold and
+    degrades to a shuffle join on the token column on an
+    open-vocabulary corpus, instead of an unconditional broadcast
+    collecting unbounded data to the driver (8 GB hard cap / OOM).
+    Same values either way."""
     from databricks_etl_pipelines_spark.operators.dedup import (
         crossengine_feature_hash,
     )
@@ -848,7 +885,7 @@ def _bucketed_by_vocab(toks, n_buckets: int):
     vocab = toks.select("w").distinct().withColumn(
         "b", F.pmod(crossengine_feature_hash(F.col("w")), F.lit(n_buckets))
     )
-    return toks.join(F.broadcast(vocab), "w")
+    return toks.join(vocab, "w")
 
 
 def _dsir_bucketed_tokens(
@@ -1216,7 +1253,7 @@ def perplexity_buckets(
     # scans compiled). One row per document; invocation-scoped.
     per_doc = perplexity_score(
         df, scores, text_col, id_col, group_col
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     cuts = perplexity_cutoffs(per_doc, group_col)
     return perplexity_label(per_doc, cuts, id_col, group_col)
 

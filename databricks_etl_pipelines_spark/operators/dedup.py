@@ -51,7 +51,7 @@ from databricks_etl_pipelines_spark.functions.textfns import (
 )
 from databricks_etl_pipelines_spark.functions.numeric import stable_round
 from databricks_etl_pipelines_spark.functions.vectors import as_double_array, cosine
-from databricks_etl_pipelines_spark.session import tune_for_derived_generate
+from databricks_etl_pipelines_spark.session import invocation_pin, tune_for_derived_generate
 
 
 def _materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
@@ -72,7 +72,7 @@ def _materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
     — and dishonestly serve a later bench run of the same query through
     plan-fragment matching). ``caches`` is kept for call-site symmetry;
     unpersisting a checkpointed frame is a no-op."""
-    out = result.localCheckpoint(eager=False)
+    out = result.transform(invocation_pin)
     for c in caches:
         c.unpersist()
     return out
@@ -129,7 +129,7 @@ def _hashed_shingle_sets(
                 )
             ).alias("sh"),
         )
-        .localCheckpoint(eager=False)
+        .transform(invocation_pin)
     )
 
 
@@ -248,9 +248,7 @@ def minhash_lsh_candidates(
     # a per-doc-constant fraction of the corpus, far smaller than the
     # shingle relation already cached underneath. Released once the
     # candidate pair set is materialized.
-    buckets = _band_buckets(sigs, bands, rows_per_band).localCheckpoint(
-        eager=False
-    )
+    buckets = _band_buckets(sigs, bands, rows_per_band).transform(invocation_pin)
     bucket_sizes = buckets.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
@@ -321,7 +319,7 @@ def xengine_shingle_sets(
             F.col(id_col).alias("id"),
             distinct_shingles(text_col, shingle_k).alias("sh"),
         )
-        .localCheckpoint(eager=False)
+        .transform(invocation_pin)
     )
 
 
@@ -368,9 +366,20 @@ def xengine_band_buckets(
     )
 
     rows_per_band = num_perm // bands
-    base = shingle_sets.select("id", F.explode("sh").alias("s")).select(
-        "id", fingerprint_rolling(F.md5("s")).alias("h")
+    # r16 (the r15 DSIR vocabulary trick applied to shingles): md5 +
+    # the 32-char Karp-Rabin fold is the dominant per-row expression
+    # here, and shingles repeat across documents (~10× at sf0.1), so
+    # hash the DISTINCT shingle vocabulary once and join the base hash
+    # back — identical h per (id, s), hash cost divided by the
+    # instances-per-shingle ratio. The join is AQE-planned (the distinct
+    # shingle relation broadcasts while it fits; at open-vocabulary
+    # scale it degrades to a shuffle join on the shingle string — same
+    # values either way).
+    occ = shingle_sets.select("id", F.explode("sh").alias("s"))
+    vocab = occ.select("s").distinct().select(
+        "s", fingerprint_rolling(F.md5("s")).alias("h")
     )
+    base = occ.join(vocab, "s").select("id", "h")
     mins = base.groupBy("id").agg(
         *[
             F.min(_xengine_affine(i, F.col("h"))).alias(f"s{i}")
@@ -425,9 +434,7 @@ def minhash_crossengine_pairs(
     sh = xengine_shingle_sets(df, text_col, id_col, shingle_k)
     # Persisted (r15): three consumers (size guardrail + both self-join
     # sides), same rationale as minhash_lsh_candidates; released below.
-    buckets = xengine_band_buckets(sh, num_perm, bands).localCheckpoint(
-        eager=False
-    )
+    buckets = xengine_band_buckets(sh, num_perm, bands).transform(invocation_pin)
     sizes = buckets.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
@@ -452,9 +459,11 @@ def minhash_crossengine_pairs(
         sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
         "id_b",
     )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # |A ∪ B| = |A| + |B| − |A ∩ B| over sets (r16, aligning with the
+    # xxhash64 family's r15 form): one array op per candidate instead of
+    # two, same exact integer division.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return _materialize_release(
         paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
@@ -710,10 +719,19 @@ def simhash_signatures(
     exploded = _spread_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(feats).alias("tok"),
-    ).withColumn(
-        "h",
-        F.xxhash64("tok") if hash_expr is None else hash_expr(F.col("tok")),
     )
+    if hash_expr is None:
+        exploded = exploded.withColumn("h", F.xxhash64("tok"))
+    else:
+        # r16: custom hash families (the cross-engine md5+Karp-Rabin
+        # one) cost orders of magnitude more per row than xxhash64 —
+        # hash the DISTINCT feature vocabulary once and join back
+        # (identical h per token, cost divided by instances-per-feature;
+        # same trick as xengine_band_buckets / the DSIR bucketizers).
+        vocab = exploded.select("tok").distinct().withColumn(
+            "h", hash_expr(F.col("tok"))
+        )
+        exploded = exploded.join(vocab, "tok")
     votes = exploded.groupBy("id").agg(
         *[
             F.sum(
@@ -850,7 +868,7 @@ def ngram_jaccard_pairs(
         F.posexplode(F.slice("oss", 1, prefix_len)).alias("pos0", "p"),
     ).select(
         "id", "ln", (F.col("pos0") + 1).alias("pos"), F.col("p.hs").alias("hs")
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     a = idx.select(
         F.col("hs"), F.col("id").alias("id_a"),
         F.col("ln").alias("ln_a"), F.col("pos").alias("pos_a"),
@@ -859,16 +877,28 @@ def ngram_jaccard_pairs(
         F.col("hs"), F.col("id").alias("id_b"),
         F.col("ln").alias("ln_b"), F.col("pos").alias("pos_b"),
     )
-    # Jaccard ≥ t ⇔ overlap ≥ α = ceil(t/(1+t)·(|a|+|b|)). Positional
-    # filter (lossless): at a shared prefix element sitting at positions
-    # (i, j), overlap ≤ 1 + min(|a|-i, |b|-j); a qualifying pair's FIRST
-    # shared prefix element always satisfies the bound, so filtering
-    # occurrences before the distinct loses nothing.
+    # Jaccard ≥ t ⇔ overlap ≥ α = ceil(t/(1+t)·(|a|+|b|)). Grouped
+    # positional bound (r16 — PPJoin's per-occurrence check upgraded to
+    # the pair-level count+position filter, lossless): let c be the
+    # number of shared PREFIX elements of a candidate pair and (pa, pb)
+    # the positions of the LAST one. Both prefixes are slices of the
+    # same global (df, hash) order, so any common element outside those
+    # c sits after pa in a AND after pb in b (were it before pa in a it
+    # would precede the last shared element in the global order and
+    # hence sit inside BOTH prefixes — i.e. be one of the c). Therefore
+    # overlap ≤ c + min(|a|−pa, |b|−pb). The r15 form kept a pair when
+    # ANY single occurrence satisfied 1 + min(|a|−i, |b|−j) ≥ α; the
+    # grouped bound is tighter (c hits consume c prefix slots), and the
+    # groupBy replaces the old distinct — same shuffle key, one extra
+    # count/max per pair, measurably fewer pairs reaching the exact
+    # array_intersect verify (guide §2.3: drop rows before the
+    # expensive stage). It must aggregate ALL join hits — pre-filtering
+    # occurrences would undercount c and make the bound unsound.
     alpha = F.ceil(
         F.lit(threshold) / (1.0 + threshold) * (F.col("ln_a") + F.col("ln_b"))
     )
-    ubound = 1 + F.least(
-        F.col("ln_a") - F.col("pos_a"), F.col("ln_b") - F.col("pos_b")
+    gbound = F.col("cp") + F.least(
+        F.col("ln_a") - F.col("mpa"), F.col("ln_b") - F.col("mpb")
     )
     cands = (
         a.join(b, "hs")
@@ -876,10 +906,15 @@ def ngram_jaccard_pairs(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("ln_a") >= threshold * F.col("ln_b"))
             & (F.col("ln_b") >= threshold * F.col("ln_a"))
-            & (ubound >= alpha)
         )
+        .groupBy("id_a", "id_b", "ln_a", "ln_b")
+        .agg(
+            F.count("*").alias("cp"),
+            F.max("pos_a").alias("mpa"),
+            F.max("pos_b").alias("mpb"),
+        )
+        .filter(gbound >= alpha)
         .select("id_a", "id_b")
-        .distinct()
     )
     paired = _spread(cands).join(
         sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
@@ -964,24 +999,35 @@ def containment_pairs(
         "hs", F.col("id").alias("id_b"),
         F.col("ln").alias("ln_b"), F.col("pos").alias("pos_b"),
     )
+    # Grouped positional bound (r16 — same lossless argument as
+    # ngram_jaccard_pairs: c shared probe-prefix hits with last
+    # positions (pa, pb) bound overlap ≤ c + min(|Sa|−pa, |Sb|−pb),
+    # because the probe prefix and the full index share one global
+    # (df, hash) order — a common element missed by the hits must sit
+    # past BOTH last positions). Replaces per-occurrence 1 + min(...)
+    # + distinct with groupBy over ALL hits; fewer pairs reach the
+    # exact containment verify.
     alpha = F.ceil(F.lit(threshold) * F.col("ln_a"))
-    ubound = 1 + F.least(
-        F.col("ln_a") - F.col("pos_a"), F.col("ln_b") - F.col("pos_b")
+    gbound = F.col("cp") + F.least(
+        F.col("ln_a") - F.col("mpa"), F.col("ln_b") - F.col("mpb")
     )
     cands = (
         a.join(b, "hs")
         .filter(
-            (
-                (F.col("ln_a") < F.col("ln_b"))
-                | (
-                    (F.col("ln_a") == F.col("ln_b"))
-                    & (F.col("id_a") < F.col("id_b"))
-                )
+            (F.col("ln_a") < F.col("ln_b"))
+            | (
+                (F.col("ln_a") == F.col("ln_b"))
+                & (F.col("id_a") < F.col("id_b"))
             )
-            & (ubound >= alpha)
         )
+        .groupBy("id_a", "id_b", "ln_a", "ln_b")
+        .agg(
+            F.count("*").alias("cp"),
+            F.max("pos_a").alias("mpa"),
+            F.max("pos_b").alias("mpb"),
+        )
+        .filter(gbound >= alpha)
         .select("id_a", "id_b")
-        .distinct()
     )
     paired = (
         _spread(cands)

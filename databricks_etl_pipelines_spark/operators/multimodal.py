@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from databricks_etl_pipelines_spark.session import invocation_pin
+
 BINARY_DOC_SCHEMA = (
     "doc_id bigint, payload binary, modality string, media_format string"
 )
@@ -505,7 +507,7 @@ def ahash_neardup_pairs(
     # fingerprint pass (the dominant cost, a Python-boundary scan)
     # executed once per reference (4× compiled). One 4-int row per doc;
     # invocation-scoped lazy checkpoint.
-    feats = feats.localCheckpoint(eager=False)
+    feats = feats.transform(invocation_pin)
     bands = feats.select(
         "doc_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(

@@ -205,7 +205,11 @@ def pack_concat_chunks(
     # pins the actual RDD (stronger than the old persist: the sampling
     # can never re-run) and is invocation-scoped — the old persist leaked
     # into the session and could serve a later run through plan matching.
-    # The checkpointed frame is tiny (id + one bigint per row).
+    # The checkpointed frame is tiny (id + one bigint per row). This
+    # site deliberately does NOT route through session.invocation_pin:
+    # under the "persist"/"none" strategies a recompute could RESAMPLE
+    # the range boundaries out of sync with the collected sums —
+    # compute-once here is correctness, not performance.
     work = work.localCheckpoint(eager=False)
     part_sums = {
         r["__pid"]: r["__s"]

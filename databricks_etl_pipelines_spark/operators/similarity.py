@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from databricks_etl_pipelines_spark.session import invocation_pin
+
 from databricks_etl_pipelines_spark.functions.vectors import (
     as_double_array,
     cosine,
@@ -1225,12 +1227,13 @@ def hash_embed_buckets(
     # Hash the DISTINCT vocabulary, not every token instance (r15): the
     # md5 rolling hash costs ~two orders of magnitude more per row than
     # the explode, and words repeat — hashing once per distinct token
-    # and broadcast-joining (bucket, sign) back cuts the hash work by
-    # the corpus's instances-per-word ratio while producing the
-    # IDENTICAL (bucket, sign) per word. The vocab relation is the same
-    # bounded side-relation class the BM25/unigram families already
-    # broadcast; at open-vocabulary scale swap the broadcast for a
-    # shuffle join on the token column (same values either way).
+    # and joining (bucket, sign) back cuts the hash work by the
+    # corpus's instances-per-word ratio while producing the IDENTICAL
+    # (bucket, sign) per word. The join strategy is AQE's choice (r16,
+    # closes the r15 ADVICE guard item): the distinct already shuffles,
+    # so AQE sees the vocabulary's REAL size — broadcast while it fits,
+    # shuffle join on the token column on an open-vocabulary corpus,
+    # never an unconditional driver-side collect of unbounded vocab.
     h = fingerprint_rolling(F.md5(F.col("__t")))
     sign = (F.floor(h / dim).cast("bigint") % 2) * 2 - 1
     vocab = tok.select("__t").distinct().select(
@@ -1239,7 +1242,7 @@ def hash_embed_buckets(
         sign.cast("bigint").alias("__sgn"),
     )
     return (
-        tok.join(F.broadcast(vocab), "__t")
+        tok.join(vocab, "__t")
         .groupBy("id", "bucket")
         .agg(F.sum("__sgn").alias("val"))
         .filter(F.col("val") != 0)
@@ -1277,9 +1280,7 @@ def hash_embed_cosine_topk(
     # session AND let a later identical invocation read this run's
     # cache through plan-fragment matching (dishonest under a warm
     # bench re-run).
-    emb = hash_embed_buckets(df, text_col, id_col, dim=dim).localCheckpoint(
-        eager=False
-    )
+    emb = hash_embed_buckets(df, text_col, id_col, dim=dim).transform(invocation_pin)
     norms = emb.groupBy("id").agg(
         F.sum(F.col("val") * F.col("val")).alias("n2")
     )

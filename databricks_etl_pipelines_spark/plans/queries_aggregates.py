@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from databricks_etl_pipelines_spark.session import invocation_pin
+
 from databricks_etl_pipelines_spark.catalog import query
 from databricks_etl_pipelines_spark.functions.enrich import any_flag
 from databricks_etl_pipelines_spark.functions.numeric import stable_round
@@ -1863,9 +1865,7 @@ def agg_weighted_median_twophase(
     # Pinned (r15): tot (≤ |returnflag| rows) feeds the rank relation
     # AND the final join — invocation-scoped, so each bench run still
     # recomputes from parquet.
-    tot = f.groupBy("g").agg(F.sum("w").alias("tw")).localCheckpoint(
-        eager=False
-    )
+    tot = f.groupBy("g").agg(F.sum("w").alias("tw")).transform(invocation_pin)
     ranks = tot.select("g", F.expr("(tw + 1) div 2").alias("r"))
     cuts = _exact_rank_cut(f, ranks, w="w", bucket=_WMEDIAN_BUCKET)
     return (
@@ -1984,7 +1984,7 @@ def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND the qv join-back — invocation-scoped lazy checkpoint.
     pr = tot.crossJoin(F.broadcast(ps)).select(
         "g", "p", "tw", F.expr("(p * tw + 99) div 100").alias("r")
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     cuts = _exact_rank_cut(
         f, pr.select("g", "r"), w="w", bucket=_WMEDIAN_BUCKET
     )
@@ -2152,7 +2152,7 @@ def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.groupBy("g")
         .agg(F.count("*").alias("n"))
         .withColumn("lo", F.expr("n div 10"))
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     # per-group rank thresholds as ONE exploded array (the
     # union-replays-the-plan-twice trap)
     ranks = tl.select(
@@ -2237,7 +2237,15 @@ def _exact_rank_cut(
     broadcastable relation — one or SEVERAL distinct ranks per group),
     the smallest ``c`` in ``vals(g, c[, w])`` whose cumulative weight
     reaches r; weight is the row count when ``w`` is None, else
-    ``sum(vals[w])``. Returns (g, r, cut); equal ranks dedup, so
+    ``sum(vals[w])``. PRECONDITION (r16, from the r15 ADVICE): every
+    per-row weight must be ≥ 1 — the crossing-row filters below are
+    unique selectors only while cumulative weights STRICTLY increase
+    (a zero-weight histogram row would satisfy neither ``cn ≥ rr AND
+    cn − ns < rr`` side consistently and could drop or duplicate a
+    (g, r) cut). All current callers pass count(*) or l_quantity
+    (integers ≥ 1); a caller with fractional or zero weights must
+    filter ``w > 0`` rows out first and use unit-scaled weights.
+    Returns (g, r, cut); equal ranks dedup, so
     callers join cuts back by (g, r). The ONE shared implementation of
     the rank machinery behind the weighted median (r = ⌈W/2⌉), the
     weighted quantiles (r = ⌈p·W/100⌉), the trimmed mean (r = n div
@@ -2321,7 +2329,7 @@ def _exact_rank_cut(
         (F.col("cn2") >= F.col("rr"))
         & (F.col("cn2") - F.col("vc") < F.col("rr"))
     ).select("g", "r", F.col("c").alias("cut"))
-    return out.localCheckpoint(eager=False) if pin else out
+    return out.transform(invocation_pin) if pin else out
 
 
 # MAD (median absolute deviation) is THE robust spread statistic — the
@@ -2462,7 +2470,7 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.groupBy("g")
         .agg(F.count("*").alias("n"))
         .withColumn("r", F.expr("(n + 1) div 2"))
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     med = _exact_rank_cut(f, tl.select("g", "r"), pin=True).withColumnRenamed(
         "cut", "medc"
     )
@@ -2870,7 +2878,7 @@ def agg_weighted_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.groupBy("g")
         .agg(F.sum("w").alias("tw"))
         .withColumn("lo", F.expr("tw div 10"))
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     # per-group weighted rank thresholds as ONE exploded array (the
     # union-replays-the-plan-twice trap)
     ranks = tl.select(

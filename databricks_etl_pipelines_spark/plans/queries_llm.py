@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from databricks_etl_pipelines_spark.session import invocation_pin
+
 from databricks_etl_pipelines_spark.catalog import query
 from databricks_etl_pipelines_spark.operators.components import duplicate_clusters
 from databricks_etl_pipelines_spark.functions.numeric import (
@@ -3987,7 +3989,7 @@ def _bm25_scored(
                 for t in _BM25_TERMS
             ],
         )
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     side = piv.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("sum_dl"),
@@ -5212,9 +5214,8 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # one word-count for both passes: train_bpe caches it (caller-owned
     # lifecycle) and the encode dictionary reuses the cached frame
-    wf = word_frequencies(docs, "text", _BPE_MAXW).localCheckpoint(
-        eager=False
-    )  # invocation-scoped (r15): a leaked persist would serve the next run
+    # invocation-scoped pin (r15): a leaked persist would serve the next run
+    wf = word_frequencies(docs, "text", _BPE_MAXW).transform(invocation_pin)
     merges = train_bpe(
         docs, "text", num_merges=_BPE_MERGES, max_words=_BPE_MAXW,
         word_freqs=wf,
@@ -5476,7 +5477,7 @@ def multimodal_patch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # next invocation through plan matching
     emb = patch_embeddings(
         decode_image(synthetic_bmp_images(ids)), grid=2
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     norms = emb.groupBy("doc_id").agg(
         F.sum(F.col("val") * F.col("val")).alias("n2")
     )

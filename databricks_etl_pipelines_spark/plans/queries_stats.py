@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from databricks_etl_pipelines_spark.session import invocation_pin
+
 from databricks_etl_pipelines_spark.catalog import query
 from databricks_etl_pipelines_spark.sources import table
 
@@ -122,7 +124,7 @@ def _ks_project(h: DataFrame) -> DataFrame:
     (through d) the argmax join-back — unpinned, the histogram subtree
     re-derived per reference. Lattice-bounded per group; invocation-
     scoped lazy checkpoint."""
-    h = h.localCheckpoint(eager=False)
+    h = h.transform(invocation_pin)
     t = h.groupBy("g").agg(
         F.sum("ac").alias("na"), F.sum("bc").alias("nb")
     )
@@ -537,7 +539,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoped lazy checkpoint.
     ranked = seg.withColumn(
         "i", F.row_number().over(Window.partitionBy("g").orderBy("x", "k"))
-    ).localCheckpoint(eager=False)
+    ).transform(invocation_pin)
     tot = ranked.groupBy("g").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),

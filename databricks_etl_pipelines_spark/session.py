@@ -63,3 +63,49 @@ def tune_for_derived_generate(spark: SparkSession) -> None:
     session (e.g. the driver harness's). Sticky: optimizer conf must be live
     at ACTION time, so operators set it and leave it set."""
     spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+
+
+# How multi-consumer intermediate relations are pinned. Every pin site in
+# the engine goes through invocation_pin() below, so the strategy is a
+# SINGLE session-level choice instead of 20 hard-coded call sites:
+#
+#   * "localCheckpoint" (default): lazy ``localCheckpoint(eager=False)``.
+#     Invocation-scoped — computed once inside the consumer's own action,
+#     invisible to CacheManager plan-fragment matching (so a benchmark's
+#     warm re-run recomputes from parquet), dead when the invocation's
+#     DataFrames are garbage-collected. The right choice on static
+#     clusters and for measurement honesty. HAZARD at production scale
+#     (r15 ADVICE): localCheckpoint truncates lineage and stores blocks
+#     only on executors, so executor loss / decommissioning / dynamic
+#     allocation downscaling makes the job hard-fail with "checkpoint
+#     block not found" instead of recomputing.
+#   * "persist": ``persist()`` (MEMORY_AND_DISK). Keeps lineage, so lost
+#     blocks recompute — the robust choice for autoscaling clusters with
+#     dynamic allocation. COSTS: cached relations accumulate in executor
+#     storage for the session lifetime unless the caller evicts
+#     (``spark.catalog.clearCache()`` between logical runs), and a cached
+#     fragment can serve a LATER run of the same query through plan
+#     matching — never benchmark in this mode.
+#   * "none": no pinning — every consumer recomputes from lineage. Useful
+#     for plan inspection (the full dataflow appears in one explain) and
+#     as the conservative fallback; multi-consumer operators pay one
+#     recompute per extra consumer.
+PIN_STRATEGY_CONF = "spark.databricks_etl.pinStrategy"
+
+
+def invocation_pin(df):
+    """Pin a multi-consumer intermediate relation according to the
+    session's ``spark.databricks_etl.pinStrategy`` (see above). All
+    engine pin sites route through here; sites whose CORRECTNESS depends
+    on compute-once semantics (e.g. the packing planner's sampled range
+    partitioning) call ``localCheckpoint`` directly instead and say why.
+    """
+    try:
+        mode = df.sparkSession.conf.get(PIN_STRATEGY_CONF, "localCheckpoint")
+    except Exception:  # pragma: no cover - defensive: conf always readable
+        mode = "localCheckpoint"
+    if mode == "persist":
+        return df.persist()
+    if mode == "none":
+        return df
+    return df.localCheckpoint(eager=False)

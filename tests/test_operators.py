@@ -2081,6 +2081,35 @@ def test_bm25_plan_and_semantics(spark):
     assert all(r.score_bm25 < cap for r in rows)
 
 
+def test_bm25_terms_all_present_in_corpus(spark):
+    """Fixture guard (r16, from the r15 ADVICE): the single-pass BM25
+    computes a FINITE idf for a df=0 term (log(1 + (N+0.5)/0.5)) while
+    the oracle's per-term max(CASE...) CTE yields NULL for a term absent
+    from the corpus — the engines agree only while every _BM25_TERMS
+    member actually occurs. Pin df_t >= 1 at every test scale so a
+    future term/fixture change trips here instead of in the driver."""
+    from pyspark.sql import functions as F
+
+    from databricks_etl_pipelines_spark.functions.textfns import tokens
+    from databricks_etl_pipelines_spark.plans.queries_llm import _BM25_TERMS
+    from databricks_etl_pipelines_spark.sources import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        words = (
+            table(spark, sf, "documents")
+            .select(F.explode(tokens("text")).alias("word"))
+            .filter(F.col("word").isin(*_BM25_TERMS))
+            .groupBy("word")
+            .count()
+        )
+        found = {r["word"] for r in words.collect()}
+        missing = set(_BM25_TERMS) - found
+        assert not missing, (
+            f"{sf}: _BM25_TERMS absent from corpus {sorted(missing)} — "
+            "engine (finite idf) and oracle (NULL idf) would diverge"
+        )
+
+
 def test_containment_catches_subdup_jaccard_misses(spark):
     """The reason containment exists: a paragraph wrapped in heavy
     boilerplate is ≥ 0.8 contained in the wrapper while the union

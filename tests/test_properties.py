@@ -744,6 +744,50 @@ def test_containment_pairs_match_bruteforce(spark, docs):
     assert got == expect
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKS3, min_size=2, max_size=8))
+def test_jaccard_pairs_match_bruteforce(spark, docs):
+    """Symmetric PPJoin vs a brute-force Python reference on
+    tiny-alphabet corpora — pins losslessness of the r16 GROUPED
+    count+position prefix bound (overlap ≤ c + min(|a|−pa, |b|−pb)
+    over ALL shared prefix hits), which replaced the per-occurrence
+    1 + min(...) filter: dense shingle collisions make many pairs share
+    several prefix elements, exactly where the two bounds differ."""
+    from databricks_etl_pipelines_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    t = 0.5
+
+    def shingles(ts):
+        if len(ts) >= 3:
+            return {" ".join(ts[p:p + 3]) for p in range(len(ts) - 2)}
+        return {" ".join(ts)}
+
+    sets = {i: shingles(ts) for i, ts in enumerate(docs)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter / union >= t:
+                expect[(a, b)] = inter / union
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=t, shingle_k=3
+        ).collect()
+    }
+    assert got == expect
+
+
 _WQ_VALS = (1.0, 999.5, 1000.0, 1500.25, 2999.75, 5000.0, 99999.0)
 
 
