@@ -46,7 +46,8 @@ GROUP BY 1, 2, 3
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events(spark, sf_dir)
     windowed = tumbling_window_counts(stream)
-    result = drain_to_memory(windowed, "complete")
+    # hour × event-type lattice state — bounded at any corpus scale
+    result = drain_to_memory(windowed, "complete", bounded_state=True)
     return result.select(
         "window_start",
         "window_end",
@@ -77,7 +78,8 @@ GROUP BY 1, 2
 def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events(spark, sf_dir)
     windowed = sliding_window_counts(stream)
-    return drain_to_memory(windowed, "complete")
+    # 30-minute window-start lattice state — bounded at any corpus scale
+    return drain_to_memory(windowed, "complete", bounded_state=True)
 
 
 # -- session windows (batch-identical operator, classic sessionization oracle) ---
@@ -289,7 +291,8 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("event_count"),
         F.sum(F.col("value") * F.col("weight")).alias("wv"),
     )
-    result = drain_to_memory(agg, "complete")
+    # per-category lattice state — bounded by the dim's cardinality
+    result = drain_to_memory(agg, "complete", bounded_state=True)
     return result.select(
         "category",
         "event_count",

@@ -448,21 +448,64 @@ def reservoir_sample_stream(
     return with_trigger(writer, processing_time).start()
 
 
+# State-store partition count for LATTICE-BOUNDED streaming aggregations
+# (r16, guide §2.2/§2.4 applied to streaming state). Spark sizes streaming
+# state partitioning from spark.sql.shuffle.partitions, pins it into the
+# checkpoint at the first batch, and micro-batch plans get NO AQE
+# coalescing — so a core-count-sized setting means core-count state
+# stores, each paying per-batch commit/maintenance overhead, for an
+# aggregate whose whole state is a few hundred lattice rows (hour ×
+# event-type, dimension categories). State partitioning should track
+# STATE SIZE, not core count: map-side partial aggregation already bounds
+# the shuffled rows to #map_tasks × |lattice| at ANY corpus scale, so a
+# small constant reduce width stays correct at 100 TB while removing the
+# per-partition store overhead (measured locally: the tumbling drain at
+# 32 state partitions costs 1.8-4.6 s vs 1.2-1.4 s at 4-8). Per-stream
+# override via this session conf; unbounded-key state (per-user dedup,
+# stream-stream join buffers) must keep the session-level width.
+STREAM_STATE_PARTITIONS_CONF = "spark.databricks_etl.streamStatePartitions"
+
+
 def drain_to_memory(
-    df: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+    df: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+    bounded_state: bool = False,
 ) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory sink
     and return the result as a batch DataFrame. Test/correctness harness
-    path — production sinks are parquet/Delta tables."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drained(q, timeout_s)
+    path — production sinks are parquet/Delta tables.
+
+    ``bounded_state=True`` declares the stream's keyed state
+    lattice-bounded; the drain then plans with
+    ``min(streamStatePartitions (default 8), session shuffle width)``
+    state partitions (see STREAM_STATE_PARTITIONS_CONF above). Results
+    are identical either way — exact aggregation does not depend on the
+    partition count (pinned by tests/test_streaming.py)."""
+    spark = df.sparkSession
+    old_width: str | None = None
+    if bounded_state:
+        old_width = spark.conf.get("spark.sql.shuffle.partitions")
+        n = min(
+            int(spark.conf.get(STREAM_STATE_PARTITIONS_CONF, "8")),
+            int(old_width),
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        name = f"mem_{uuid.uuid4().hex[:12]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q, timeout_s)
+    finally:
+        # restore only after the drain: every micro-batch of this query
+        # must plan with the bounded width
+        if old_width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_width)
     return df.sparkSession.table(name)
 
 

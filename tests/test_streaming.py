@@ -40,6 +40,38 @@ def test_watermark_runs_on_real_testdata(spark, sf_dir):
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
 
+def test_bounded_state_drain_matches_default_and_restores_width(spark, sf_dir):
+    """r16: ``drain_to_memory(bounded_state=True)`` plans the drain with
+    min(streamStatePartitions, session width) state partitions — an
+    execution-strategy choice for lattice-bounded state (state-store
+    partitioning should track state size, not core count). It must (a)
+    produce row-identical results to the default-width drain, and (b)
+    restore the session's shuffle width afterwards, so later batch plans
+    are untouched."""
+    from databricks_etl_pipelines_spark.streaming.structured import (
+        STREAM_STATE_PARTITIONS_CONF,
+    )
+
+    width_before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = tumbling_window_counts(streaming_events(spark, sf_dir))
+    wide = sorted(map(tuple, drain_to_memory(stream, "complete").collect()))
+    spark.conf.set(STREAM_STATE_PARTITIONS_CONF, "2")
+    try:
+        stream2 = tumbling_window_counts(streaming_events(spark, sf_dir))
+        narrow = sorted(
+            map(
+                tuple,
+                drain_to_memory(
+                    stream2, "complete", bounded_state=True
+                ).collect(),
+            )
+        )
+    finally:
+        spark.conf.unset(STREAM_STATE_PARTITIONS_CONF)
+    assert narrow == wide
+    assert spark.conf.get("spark.sql.shuffle.partitions") == width_before
+
+
 def test_checkpoint_replay_exactly_once(spark, sf_dir, tmp_path):
     """Draining the same source twice against one checkpoint must not
     duplicate rows (offsets are committed in the WAL)."""
