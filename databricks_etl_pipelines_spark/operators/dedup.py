@@ -366,20 +366,20 @@ def xengine_band_buckets(
     )
 
     rows_per_band = num_perm // bands
-    # r16 (the r15 DSIR vocabulary trick applied to shingles): md5 +
-    # the 32-char Karp-Rabin fold is the dominant per-row expression
-    # here, and shingles repeat across documents (~10× at sf0.1), so
-    # hash the DISTINCT shingle vocabulary once and join the base hash
-    # back — identical h per (id, s), hash cost divided by the
-    # instances-per-shingle ratio. The join is AQE-planned (the distinct
-    # shingle relation broadcasts while it fits; at open-vocabulary
-    # scale it degrades to a shuffle join on the shingle string — same
-    # values either way).
-    occ = shingle_sets.select("id", F.explode("sh").alias("s"))
-    vocab = occ.select("s").distinct().select(
-        "s", fingerprint_rolling(F.md5("s")).alias("h")
+    # Per-instance hashing is DELIBERATE here (r16 measured rejection of
+    # the r15 DSIR vocabulary trick for shingles): hashing the distinct
+    # shingle vocabulary once and joining back lost 13-30% on every
+    # consumer in interleaved same-session A/Bs (minhash_crossengine
+    # 1.78→2.14 s, simhash 2.58→3.37, split_minhash 2.25→2.56) — the
+    # shingle vocab is near-corpus-sized (unlike DSIR's word vocab), so
+    # the join adds an exchange of the (id, shingle-string) occurrence
+    # relation that outweighs the saved md5 work; at open-vocabulary
+    # scale the fallback shuffle join would move payload strings across
+    # the network where per-instance hashing shuffles NOTHING (guide
+    # §2.3: shuffle keys, not payloads).
+    base = shingle_sets.select("id", F.explode("sh").alias("s")).select(
+        "id", fingerprint_rolling(F.md5("s")).alias("h")
     )
-    base = occ.join(vocab, "s").select("id", "h")
     mins = base.groupBy("id").agg(
         *[
             F.min(_xengine_affine(i, F.col("h"))).alias(f"s{i}")
@@ -716,22 +716,18 @@ def simhash_signatures(
         if shingle_k > 1
         else F.array_distinct(tokens(text_col))
     )
+    # Per-instance hashing for BOTH families (r16 measured rejection of
+    # the vocab-join variant for the custom md5 family: +30% interleaved
+    # on dedup_simhash_crossengine — the n-gram feature vocabulary is
+    # near-corpus-sized, so the join-back exchange outweighs the saved
+    # hash work; see xengine_band_buckets for the full analysis).
     exploded = _spread_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(feats).alias("tok"),
+    ).withColumn(
+        "h",
+        F.xxhash64("tok") if hash_expr is None else hash_expr(F.col("tok")),
     )
-    if hash_expr is None:
-        exploded = exploded.withColumn("h", F.xxhash64("tok"))
-    else:
-        # r16: custom hash families (the cross-engine md5+Karp-Rabin
-        # one) cost orders of magnitude more per row than xxhash64 —
-        # hash the DISTINCT feature vocabulary once and join back
-        # (identical h per token, cost divided by instances-per-feature;
-        # same trick as xengine_band_buckets / the DSIR bucketizers).
-        vocab = exploded.select("tok").distinct().withColumn(
-            "h", hash_expr(F.col("tok"))
-        )
-        exploded = exploded.join(vocab, "tok")
     votes = exploded.groupBy("id").agg(
         *[
             F.sum(
