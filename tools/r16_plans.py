@@ -3,6 +3,13 @@
 Usage: python tools/r16_plans.py <suffix> [query ...]
   suffix: "before" or "after" — files land at plans/r16/<name>_<suffix>.txt
 
+With R16_PLANS_PIN=none the session runs under pinStrategy=none (the
+plan-inspection mode), so invocation-scoped checkpoints disappear and
+the FULL dataflow appears in one tree — files land with an _inner
+suffix. Outer plans (default) show `Scan ExistingRDD ...
+localCheckpoint` at each pin boundary; the parquet work still happens,
+exactly once, when that RDD materializes inside the same action.
+
 Plans are captured WITHOUT executing the query (explain only), so this can
 run alongside other work; timings come from bench.py, not from here.
 Queries that materialize side artifacts on construction (incremental IVF
@@ -35,6 +42,10 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("r16-plans")
     spark.sparkContext.setLogLevel("ERROR")
+    inner = os.environ.get("R16_PLANS_PIN") == "none"
+    if inner:
+        spark.conf.set("spark.databricks_etl.pinStrategy", "none")
+        suffix = f"{suffix}_inner"
     catalog.load_all()
     for name in names:
         fn = catalog.QUERIES[name]
